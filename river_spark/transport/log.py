@@ -1,0 +1,257 @@
+"""File-backed segmented append-only stream log.
+
+This is the storage substrate standing in for Redis Streams (not available
+in this environment). It reproduces the reference's storage *semantics*,
+not its wire format:
+
+- A logical stream is a chain of **segments**, each holding at most
+  ``entries_per_segment`` samples; segments are chained by **tombstone**
+  markers and the stream ends with an **EOF** marker
+  (reference ``cpp/src/writer.h:107-111``, ``cpp/src/writer.cpp:174-189``,
+  ``:383-398``).
+- Stream **metadata** (schema JSON, ``initialized_at_us``, user metadata)
+  lives beside the data, mirroring the ``{name}-metadata`` Redis hash
+  (``cpp/src/writer.cpp:68-95``, ``cpp/src/redis.cpp:136-165``).
+- Every sample has a **key** ``"<ms>-<seq>"`` that is globally unique and
+  strictly increasing, whose ms prefix doubles as a wall-clock timestamp
+  (``cpp/src/redis.h:56-70``).
+
+Physical layout under ``root/<stream>/``::
+
+    metadata.json
+    segment_000000/
+        batch_000000000000_<n>_<key_ms>_<key_seq>.npz   # one file per write batch
+        tombstone.json | eof.json                       # control marker
+
+Batch files are written temp+rename for crash consistency (the same trick
+as the reference ingester, ``cpp/ingester/src/ingester.cpp:395-401``).
+Each ``.npz`` holds the packed sample payload plus per-sample keys, so a
+batch is self-describing — the unit of IO is a batch, never a row, which
+is what makes the Spark DataSource over this log partition cleanly.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import re
+import threading
+import time
+
+import numpy as np
+
+_BATCH_RE = re.compile(r"^batch_(\d{12})_(\d+)_(\d+)_(\d+)\.npz$")
+_SEG_RE = re.compile(r"^segment_(\d{6})$")
+
+
+def encode_key(ms: int, seq: int) -> str:
+    return f"{ms}-{seq}"
+
+
+def decode_key(key: str) -> tuple[int, int]:
+    ms, seq = key.split("-")
+    return int(ms), int(seq)
+
+
+def key_timestamp_ms(key: str) -> int:
+    """ms prefix of an entry key (cpp/src/redis.h:66-70)."""
+    return decode_key(key)[0]
+
+
+class StreamExistsError(RuntimeError):
+    pass
+
+
+class StreamLog:
+    """Low-level storage operations for one root directory of streams."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._lock = threading.Lock()
+
+    # ---- paths -----------------------------------------------------------
+    def stream_dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def segment_dir(self, name: str, idx: int) -> str:
+        return os.path.join(self.stream_dir(name), f"segment_{idx:06d}")
+
+    def metadata_path(self, name: str) -> str:
+        return os.path.join(self.stream_dir(name), "metadata.json")
+
+    # ---- metadata (≈ Redis {name}-metadata hash) ---------------------------
+    def create_stream(self, name: str, metadata: dict) -> None:
+        """Atomic create; collision is an error (cpp/src/writer.cpp:55-60)."""
+        with self._lock:
+            d = self.stream_dir(name)
+            if os.path.exists(self.metadata_path(name)) or (
+                os.path.isdir(d) and os.listdir(d)
+            ):
+                raise StreamExistsError(f"stream {name!r} already exists")
+            os.makedirs(self.segment_dir(name, 0), exist_ok=True)
+            self._write_json_atomic(self.metadata_path(name), metadata)
+
+    def read_metadata(self, name: str) -> dict | None:
+        p = self.metadata_path(name)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def update_metadata(self, name: str, updates: dict) -> None:
+        with self._lock:
+            meta = self.read_metadata(name)
+            if meta is None:
+                raise FileNotFoundError(f"stream {name!r} not initialized")
+            meta.update(updates)
+            self._write_json_atomic(self.metadata_path(name), meta)
+
+    def delete_metadata(self, name: str) -> None:
+        p = self.metadata_path(name)
+        if os.path.exists(p):
+            os.remove(p)
+
+    def list_streams(self) -> list[str]:
+        """≈ SCAN MATCH *-metadata (cpp/src/redis.cpp:325-362)."""
+        if not os.path.isdir(self.root):
+            return []
+        out = []
+        for entry in sorted(os.listdir(self.root)):
+            if os.path.exists(self.metadata_path(entry)):
+                out.append(entry)
+        return out
+
+    # ---- batches -----------------------------------------------------------
+    def append_batch(
+        self,
+        name: str,
+        segment_idx: int,
+        start_index: int,
+        data: bytes,
+        keys_ms: np.ndarray,
+        keys_seq: np.ndarray,
+        sizes: np.ndarray | None,
+    ) -> str:
+        """Write one batch file; returns its path. Filename carries
+        (start_index, n, first key) so readers can seek without opening files."""
+        n = len(keys_ms)
+        seg = self.segment_dir(name, segment_idx)
+        fname = f"batch_{start_index:012d}_{n}_{int(keys_ms[0])}_{int(keys_seq[0])}.npz"
+        path = os.path.join(seg, fname)
+        buf = io.BytesIO()
+        payload = {
+            "data": np.frombuffer(data, dtype=np.uint8),
+            "keys_ms": np.asarray(keys_ms, dtype=np.int64),
+            "keys_seq": np.asarray(keys_seq, dtype=np.int64),
+        }
+        if sizes is not None:
+            payload["sizes"] = np.asarray(sizes, dtype=np.int64)
+        np.savez(buf, **payload)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(buf.getvalue())
+        os.replace(tmp, path)
+        return path
+
+    def list_batches(self, name: str, segment_idx: int) -> list[tuple[int, int, int, int, str]]:
+        """Sorted [(start_index, n, key_ms, key_seq, path)] for a segment."""
+        seg = self.segment_dir(name, segment_idx)
+        if not os.path.isdir(seg):
+            return []
+        out = []
+        for fname in os.listdir(seg):
+            m = _BATCH_RE.match(fname)
+            if m:
+                out.append(
+                    (int(m.group(1)), int(m.group(2)), int(m.group(3)), int(m.group(4)),
+                     os.path.join(seg, fname))
+                )
+        out.sort()
+        return out
+
+    def read_batch(self, path: str) -> dict:
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+
+    def delete_batch(self, path: str) -> None:
+        if os.path.exists(path):
+            os.remove(path)
+
+    # ---- control markers -----------------------------------------------------
+    def write_tombstone(self, name: str, segment_idx: int, sample_index: int) -> None:
+        """Ends a segment, pointing at the next (cpp/src/writer.cpp:176-183)."""
+        nxt = segment_idx + 1
+        os.makedirs(self.segment_dir(name, nxt), exist_ok=True)
+        self._write_json_atomic(
+            os.path.join(self.segment_dir(name, segment_idx), "tombstone.json"),
+            {"tombstone": 1, "next_segment": nxt, "sample_index": sample_index},
+        )
+
+    def write_eof(self, name: str, segment_idx: int, sample_index: int) -> None:
+        """Ends the stream (cpp/src/writer.cpp:383-398)."""
+        self._write_json_atomic(
+            os.path.join(self.segment_dir(name, segment_idx), "eof.json"),
+            {"eof": 1, "sample_index": sample_index},
+        )
+
+    def read_control(self, name: str, segment_idx: int) -> dict | None:
+        seg = self.segment_dir(name, segment_idx)
+        for fname in ("eof.json", "tombstone.json"):
+            p = os.path.join(seg, fname)
+            if os.path.exists(p):
+                with open(p) as f:
+                    return json.load(f)
+        return None
+
+    def list_segments(self, name: str) -> list[int]:
+        d = self.stream_dir(name)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for entry in os.listdir(d):
+            m = _SEG_RE.match(entry)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def delete_segment(self, name: str, segment_idx: int) -> None:
+        seg = self.segment_dir(name, segment_idx)
+        if os.path.isdir(seg):
+            for fname in os.listdir(seg):
+                os.remove(os.path.join(seg, fname))
+            os.rmdir(seg)
+
+    # ---- helpers ----------------------------------------------------------
+    @staticmethod
+    def _write_json_atomic(path: str, obj: dict) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(obj, f)
+        os.replace(tmp, path)
+
+
+class MonotonicKeyGen:
+    """Produces strictly-increasing ``"<ms>-<seq>"`` keys, matching the entry
+    ID semantics of the reference (cpp/src/redis.h:56-70)."""
+
+    def __init__(self, clock=None):
+        self._clock = clock or (lambda: int(time.time() * 1000))
+        self._last_ms = -1
+        self._seq = 0
+
+    def next_keys(self, n: int) -> tuple[np.ndarray, np.ndarray]:
+        ms = self._clock()
+        if ms < self._last_ms:
+            ms = self._last_ms
+        if ms == self._last_ms:
+            start_seq = self._seq
+        else:
+            start_seq = 0
+        self._last_ms = ms
+        self._seq = start_seq + n
+        return (
+            np.full(n, ms, dtype=np.int64),
+            np.arange(start_seq, start_seq + n, dtype=np.int64),
+        )

@@ -1,0 +1,274 @@
+"""StreamReader — blocking ranged scan, tail, seek over the stream log.
+
+Parity with ``cpp/src/reader.cpp``:
+- ``initialize``: polls for the stream's metadata until it exists or the
+  timeout elapses, then resolves the schema (``cpp/src/reader.cpp:34-79``,
+  retry loop ``:589-604``).
+- ``read``: returns ≤ n samples; blocks (sleep-poll — the reference's
+  XREAD-vs-poll adaptivity collapses to polling on a local filesystem,
+  ``cpp/src/reader.cpp:111-137``) while budget remains; follows tombstones
+  across segments; at EOF returns the samples read so far, or -1 when
+  already drained (``cpp/src/reader.cpp:81-289``). Enforces monotone
+  contiguous sample indices (``cpp/src/reader.h:326-336``).
+- ``tail``: skips to the newest sample after the cursor, reporting how many
+  were skipped; -1 on EOF-and-drained (``cpp/src/reader.cpp:336-488``).
+- ``seek``: moves the cursor to the greatest element ≤ key — never backward;
+  -1 if the key is past the stream's EOF (``cpp/src/reader.cpp:507-583``).
+- Listeners fire on segment transitions (``cpp/src/reader.h:339-356``).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+from river_spark.schema import StreamSchema
+from river_spark.transport.log import StreamLog, decode_key, encode_key
+
+DEFAULT_MAX_FETCH = 10_000  # cpp/src/reader.h:62
+_POLL_S = 0.0005
+
+
+@dataclass
+class ReadResult:
+    """One read's output: samples as a structured array (or raw bytes +
+    sizes for variable-width), per-sample keys, and global indices."""
+
+    count: int
+    samples: np.ndarray | None
+    keys: list[str]
+    indices: np.ndarray
+    sizes: np.ndarray | None = None
+
+    @property
+    def eof(self) -> bool:
+        return self.count < 0
+
+
+class StreamReader:
+    def __init__(self, log: StreamLog, max_fetch_size: int = DEFAULT_MAX_FETCH):
+        self.log = log
+        self.max_fetch_size = max_fetch_size
+        self.stream_name: str | None = None
+        self.schema: StreamSchema | None = None
+        self._segment = 0
+        self._next_index = 0  # global index of the next sample to return
+        self._good = False
+        self._eof_seen = False
+        self._listeners = []
+        self.total_samples_read = 0
+        self.initialized_at_us: int | None = None
+
+    # -- lifecycle -----------------------------------------------------------
+    def initialize(self, stream_name: str, timeout_ms: int = -1):
+        deadline = None if timeout_ms < 0 else time.monotonic() + timeout_ms / 1000
+        while True:
+            meta = self.log.read_metadata(stream_name)
+            if meta is not None:
+                break
+            if deadline is not None and time.monotonic() >= deadline:
+                raise TimeoutError(f"stream {stream_name!r} not found within {timeout_ms} ms")
+            time.sleep(0.001)  # 1 ms poll, cpp/src/reader.cpp:589-604
+        self.stream_name = stream_name
+        self.schema = StreamSchema.from_json(meta["schema"])
+        self._segment = meta.get("first_segment", 0)
+        self.initialized_at_us = meta.get("initialized_at_us")
+        self._good = True
+        return self
+
+    def stop(self) -> None:
+        self._good = False
+
+    def good(self) -> bool:
+        return self._good
+
+    def add_listener(self, fn) -> None:
+        """fn(old_segment, new_segment) on tombstone/EOF transitions."""
+        self._listeners.append(fn)
+
+    def metadata(self) -> dict:
+        meta = self.log.read_metadata(self.stream_name)
+        return meta.get("user_metadata", {}) if meta else {}
+
+    # -- scan helpers ----------------------------------------------------------
+    def _available_in_segment(self) -> list[tuple[int, int, int, int, str]]:
+        return [
+            b
+            for b in self.log.list_batches(self.stream_name, self._segment)
+            if b[0] + b[1] > self._next_index
+        ]
+
+    def _advance_segment_if_done(self) -> bool:
+        """If the cursor is past all data in the current segment and a
+        tombstone exists, hop to the next segment. Returns True if EOF."""
+        ctrl = self.log.read_control(self.stream_name, self._segment)
+        if ctrl is None:
+            return False
+        batches = self.log.list_batches(self.stream_name, self._segment)
+        last = max((b[0] + b[1] for b in batches), default=self._next_index)
+        if self._next_index < last:
+            return False  # still data to consume here
+        if "eof" in ctrl:
+            self._eof_seen = True
+            return True
+        old = self._segment
+        self._segment = ctrl["next_segment"]
+        for fn in self._listeners:
+            fn(old, self._segment)
+        return False
+
+    # -- read -------------------------------------------------------------------
+    def read(self, num_samples: int, timeout_ms: int = -1) -> ReadResult:
+        n = min(num_samples, self.max_fetch_size)
+        deadline = None if timeout_ms < 0 else time.monotonic() + timeout_ms / 1000
+        chunks: list[np.ndarray] = []
+        keys: list[str] = []
+        sizes_out: list[np.ndarray] = []
+        got = 0
+        variable = self.schema.has_variable_width_field
+        dtype = None if variable else self.schema.dtype()
+        while got < n:
+            progressed = False
+            for start, cnt, _ms, _seq, path in self._available_in_segment():
+                if got >= n:
+                    break
+                z = self.log.read_batch(path)
+                lo = max(0, self._next_index - start)
+                take = min(cnt - lo, n - got)
+                kms, kseq = z["keys_ms"], z["keys_seq"]
+                if variable:
+                    bsizes = z["sizes"]
+                    offs = np.concatenate([[0], np.cumsum(bsizes)])
+                    chunks.append(z["data"][offs[lo] : offs[lo + take]])
+                    sizes_out.append(bsizes[lo : lo + take])
+                else:
+                    arr = z["data"].view(dtype)
+                    chunks.append(arr[lo : lo + take])
+                keys.extend(encode_key(int(kms[i]), int(kseq[i])) for i in range(lo, lo + take))
+                # Monotone/contiguous index enforcement (cpp/src/reader.h:326-336).
+                if start + lo != self._next_index:
+                    raise RuntimeError(
+                        f"non-contiguous sample index: expected {self._next_index}, got {start + lo}"
+                    )
+                self._next_index = start + lo + take
+                got += take
+                progressed = True
+            if got >= n:
+                break
+            if self._advance_segment_if_done():
+                break  # EOF
+            if progressed:
+                continue
+            if deadline is not None and time.monotonic() >= deadline:
+                break
+            time.sleep(_POLL_S)
+
+        if got == 0 and self._eof_seen:
+            return ReadResult(-1, None, [], np.empty(0, dtype=np.int64))
+        indices = np.arange(self._next_index - got, self._next_index, dtype=np.int64)
+        self.total_samples_read += got
+        if variable:
+            samples = np.concatenate(chunks) if chunks else np.empty(0, dtype=np.uint8)
+            sizes = np.concatenate(sizes_out) if sizes_out else np.empty(0, dtype=np.int64)
+            return ReadResult(got, samples, keys, indices, sizes)
+        samples = np.concatenate(chunks) if chunks else np.empty(0, dtype=dtype)
+        return ReadResult(got, samples, keys, indices)
+
+    # -- tail ---------------------------------------------------------------------
+    def tail(self, timeout_ms: int = -1) -> tuple[int, ReadResult | None]:
+        """Skip to the newest sample strictly after the cursor. Returns
+        (skipped, result); (-1, None) when the stream has EOF'd and nothing
+        newer exists (cpp/src/reader.cpp:336-488)."""
+        deadline = None if timeout_ms < 0 else time.monotonic() + timeout_ms / 1000
+        while True:
+            newest = self._newest_available()
+            if newest is not None and newest >= self._next_index:
+                skipped = newest - self._next_index
+                self._seek_to_index(newest)
+                res = self.read(1, timeout_ms=0)
+                return skipped, res
+            if self._stream_eof():
+                return -1, None
+            if deadline is not None and time.monotonic() >= deadline:
+                return 0, None
+            time.sleep(_POLL_S)
+
+    def _newest_available(self) -> int | None:
+        segs = self.log.list_segments(self.stream_name)
+        for seg in reversed(segs):
+            if seg < self._segment:
+                break
+            batches = self.log.list_batches(self.stream_name, seg)
+            if batches:
+                start, cnt = batches[-1][0], batches[-1][1]
+                return start + cnt - 1
+        return None
+
+    def _stream_eof(self) -> bool:
+        segs = self.log.list_segments(self.stream_name)
+        if not segs:
+            return False
+        ctrl = self.log.read_control(self.stream_name, segs[-1])
+        return bool(ctrl and "eof" in ctrl)
+
+    def _seek_to_index(self, index: int) -> None:
+        while True:
+            batches = self.log.list_batches(self.stream_name, self._segment)
+            last = max((b[0] + b[1] for b in batches), default=0)
+            if index < last or not batches:
+                break
+            ctrl = self.log.read_control(self.stream_name, self._segment)
+            if ctrl is None or "eof" in ctrl:
+                break
+            old = self._segment
+            self._segment = ctrl["next_segment"]
+            for fn in self._listeners:
+                fn(old, self._segment)
+        self._next_index = index
+
+    # -- seek ------------------------------------------------------------------------
+    def seek(self, key: str) -> int:
+        """Position the cursor after the greatest element ≤ ``key``; never
+        moves backward. Returns samples skipped, or -1 if ``key`` is past the
+        stream's EOF (cpp/src/reader.cpp:507-583)."""
+        target = decode_key(key)
+        old_next = self._next_index
+        best = None  # global index of greatest element <= key
+        seg = self._segment
+        while True:
+            for start, cnt, _ms, _seq, path in self.log.list_batches(self.stream_name, seg):
+                z = self.log.read_batch(path)
+                kms, kseq = z["keys_ms"], z["keys_seq"]
+                for i in range(cnt):
+                    if (int(kms[i]), int(kseq[i])) <= target:
+                        best = start + i
+                    else:
+                        break
+            ctrl = self.log.read_control(self.stream_name, seg)
+            if ctrl is None:
+                break
+            if "eof" in ctrl:
+                batches = self.log.list_batches(self.stream_name, seg)
+                last = max((b[0] + b[1] for b in batches), default=0)
+                if best is not None and best == last - 1 and target > self._last_key_tuple():
+                    return -1  # key past EOF
+                break
+            seg = ctrl["next_segment"]
+        if best is None:
+            return 0
+        new_next = best + 1
+        if new_next <= old_next:
+            return 0  # never move backward
+        self._seek_to_index(new_next)
+        return new_next - old_next
+
+    def _last_key_tuple(self) -> tuple[int, int]:
+        segs = self.log.list_segments(self.stream_name)
+        for seg in reversed(segs):
+            batches = self.log.list_batches(self.stream_name, seg)
+            if batches:
+                z = self.log.read_batch(batches[-1][4])
+                return (int(z["keys_ms"][-1]), int(z["keys_seq"][-1]))
+        return (-1, -1)

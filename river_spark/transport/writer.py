@@ -1,0 +1,165 @@
+"""StreamWriter — typed batched append with segment rollover.
+
+Parity with ``cpp/src/writer.cpp``:
+- ``initialize``: validates the name, rejects collisions, serializes the
+  schema JSON into the metadata record (+user metadata, ``initialized_at_us``)
+  (``cpp/src/writer.cpp:39-147``).
+- ``write``: accepts a NumPy structured array matching the schema dtype (the
+  binding's contract, ``python/river.pyx:470-480``), splits it into batches
+  of ``batch_size`` (default 1536, ``cpp/src/writer.h:84``), routes each
+  batch to segment ``total_written // entries_per_segment`` and emits a
+  tombstone on rollover (``cpp/src/writer.cpp:174-189``).
+- Variable-width streams require a per-sample ``sizes`` array
+  (``cpp/src/writer.h:138-156``).
+- ``stop``: appends the EOF marker; idempotent; writes after stop raise
+  (``cpp/src/writer.cpp:383-398``).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from river_spark.schema import SchemaError, StreamSchema, validate_stream_name
+from river_spark.transport.log import MonotonicKeyGen, StreamLog
+
+DEFAULT_BATCH_SIZE = 1536  # cpp/src/writer.h:84
+DEFAULT_ENTRIES_PER_SEGMENT = 1 << 24  # cpp/src/writer.h:107-111
+
+
+class WriterStoppedError(RuntimeError):
+    pass
+
+
+class StreamWriter:
+    def __init__(
+        self,
+        log: StreamLog,
+        batch_size: int = DEFAULT_BATCH_SIZE,
+        entries_per_segment: int = DEFAULT_ENTRIES_PER_SEGMENT,
+        clock=None,
+    ):
+        self.log = log
+        self.batch_size = batch_size
+        self.entries_per_segment = entries_per_segment
+        self._keygen = MonotonicKeyGen(clock)
+        self.stream_name: str | None = None
+        self.schema: StreamSchema | None = None
+        self.total_samples_written = 0
+        self._stopped = False
+        self._initialized_at_us: int | None = None
+
+    # -- lifecycle ----------------------------------------------------------
+    def initialize(self, stream_name: str, schema: StreamSchema, user_metadata: dict | None = None):
+        validate_stream_name(stream_name)
+        self._initialized_at_us = int(time.time() * 1_000_000)
+        self.log.create_stream(
+            stream_name,
+            {
+                "first_segment": 0,
+                "schema": schema.to_json(),
+                "initialized_at_us": self._initialized_at_us,
+                "user_metadata": user_metadata or {},
+            },
+        )
+        self.stream_name = stream_name
+        self.schema = schema
+        return self
+
+    def stop(self) -> None:
+        if self._stopped or self.stream_name is None:
+            return
+        self.log.write_eof(self.stream_name, self._current_segment(), self.total_samples_written - 1)
+        self._stopped = True
+
+    @property
+    def initialized_at_us(self) -> int | None:
+        return self._initialized_at_us
+
+    # -- metadata (cpp/src/writer.cpp:404-419) --------------------------------
+    def metadata(self) -> dict:
+        meta = self.log.read_metadata(self.stream_name)
+        return meta.get("user_metadata", {}) if meta else {}
+
+    def set_metadata(self, md: dict) -> None:
+        self.log.update_metadata(self.stream_name, {"user_metadata": md})
+
+    # -- write ----------------------------------------------------------------
+    def write(self, samples: np.ndarray, sizes: np.ndarray | None = None) -> int:
+        """Append N samples. ``samples`` is either a structured array matching
+        ``schema.dtype()`` or, for variable-width streams, a flat uint8 buffer
+        with ``sizes`` giving per-sample byte lengths."""
+        if self.stream_name is None:
+            raise RuntimeError("writer not initialized")
+        if self._stopped:
+            raise WriterStoppedError("write after stop")  # cpp/src/tests/writer_test.cpp:235-238
+
+        if self.schema.has_variable_width_field:
+            if sizes is None:
+                raise SchemaError("variable-width stream requires sizes")  # writer_test.cpp:177-181
+            sizes = np.asarray(sizes, dtype=np.int64)
+            flat = np.ascontiguousarray(samples, dtype=np.uint8).reshape(-1)
+            if int(sizes.sum()) != flat.nbytes:
+                raise SchemaError(f"sizes sum {sizes.sum()} != buffer size {flat.nbytes}")
+            self._write_batches_variable(flat, sizes)
+            return len(sizes)
+
+        expected = self.schema.dtype()
+        if samples.dtype != expected:
+            # Accept same-itemsize raw views (typed Write<T> checks only
+            # sizeof(T) == sample_size, cpp/src/writer.h:144-150).
+            if samples.dtype.itemsize != expected.itemsize:
+                raise SchemaError(f"dtype {samples.dtype} incompatible with schema dtype {expected}")
+        n = len(samples)
+        for off in range(0, n, self.batch_size):
+            chunk = samples[off : off + self.batch_size]
+            self._append(np.ascontiguousarray(chunk).tobytes(), len(chunk), None)
+        return n
+
+    def _write_batches_variable(self, flat: np.ndarray, sizes: np.ndarray) -> None:
+        offsets = np.concatenate([[0], np.cumsum(sizes)])
+        n = len(sizes)
+        for off in range(0, n, self.batch_size):
+            hi = min(off + self.batch_size, n)
+            chunk = flat[offsets[off] : offsets[hi]]
+            self._append(chunk.tobytes(), hi - off, sizes[off:hi])
+
+    def _current_segment(self) -> int:
+        """Segment holding the last written sample (EOF goes there)."""
+        if self.total_samples_written == 0:
+            return 0
+        return (self.total_samples_written - 1) // self.entries_per_segment
+
+    def _append(self, data: bytes, n: int, sizes: np.ndarray | None) -> None:
+        # Segment routing + tombstone rollover (cpp/src/writer.cpp:174-189).
+        # A batch never spans segments: split at the boundary.
+        written = 0
+        while written < n:
+            seg = self.total_samples_written // self.entries_per_segment
+            prev_seg = (self.total_samples_written - 1) // self.entries_per_segment if self.total_samples_written else 0
+            if self.total_samples_written and seg != prev_seg:
+                self.log.write_tombstone(self.stream_name, prev_seg, self.total_samples_written - 1)
+            room = self.entries_per_segment - (self.total_samples_written % self.entries_per_segment)
+            take = min(n - written, room)
+            if sizes is not None:
+                sub_sizes = sizes[written : written + take]
+                byte_lo = int(np.sum(sizes[:written]))
+                byte_hi = byte_lo + int(np.sum(sub_sizes))
+                payload = data[byte_lo:byte_hi]
+            else:
+                sample_size = self.schema.sample_size()
+                payload = data[written * sample_size : (written + take) * sample_size]
+                sub_sizes = None
+            keys_ms, keys_seq = self._keygen.next_keys(take)
+            self.log.append_batch(
+                self.stream_name,
+                seg,
+                self.total_samples_written,
+                payload,
+                keys_ms,
+                keys_seq,
+                sub_sizes,
+            )
+            self.total_samples_written += take
+            written += take

@@ -1,0 +1,103 @@
+"""Schema kernel tests — mirror the reference's schema/writer validation
+(cpp/src/tests/writer_test.cpp, python binding semantics river.pyx:85-226)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import types as T
+
+from river_spark.schema import (
+    FieldDefinition,
+    FieldType,
+    SchemaError,
+    StreamSchema,
+    validate_stream_name,
+)
+
+
+def full_schema():
+    return StreamSchema(
+        [
+            FieldDefinition("d", FieldType.DOUBLE),
+            FieldDefinition("f", FieldType.FLOAT),
+            FieldDefinition("i16", FieldType.INT16),
+            FieldDefinition("i32", FieldType.INT32),
+            FieldDefinition("i64", FieldType.INT64),
+            FieldDefinition("fw", FieldType.FIXED_WIDTH_BYTES, size=5),
+        ]
+    )
+
+
+def test_default_sizes():
+    assert FieldDefinition("a", FieldType.DOUBLE).size == 8
+    assert FieldDefinition("a", FieldType.FLOAT).size == 4
+    assert FieldDefinition("a", FieldType.INT16).size == 2
+    assert FieldDefinition("a", FieldType.INT32).size == 4
+    assert FieldDefinition("a", FieldType.INT64).size == 8
+
+
+def test_fixed_width_requires_size():
+    with pytest.raises(SchemaError):
+        FieldDefinition("a", FieldType.FIXED_WIDTH_BYTES)
+
+
+def test_sample_size():
+    assert full_schema().sample_size() == 8 + 4 + 2 + 4 + 8 + 5
+
+
+def test_json_roundtrip():
+    s = full_schema()
+    assert StreamSchema.from_json(s.to_json()) == s
+    # wire format keys match cpp/src/schema.cpp:12-48
+    import json
+
+    obj = json.loads(s.to_json())
+    fd = obj["field_definitions"][0]
+    assert set(fd) == {"name", "size", "type"}
+    assert fd["type"] == "DOUBLE"
+
+
+def test_variable_width_must_be_sole_field():
+    with pytest.raises(SchemaError):
+        StreamSchema(
+            [
+                FieldDefinition("a", FieldType.DOUBLE),
+                FieldDefinition("v", FieldType.VARIABLE_WIDTH_BYTES, size=10),
+            ]
+        )
+    StreamSchema([FieldDefinition("v", FieldType.VARIABLE_WIDTH_BYTES, size=10)])
+
+
+def test_duplicate_names_rejected():
+    with pytest.raises(SchemaError):
+        StreamSchema([FieldDefinition("a", FieldType.DOUBLE), FieldDefinition("a", FieldType.INT32)])
+
+
+def test_dtype_roundtrip():
+    s = full_schema()
+    dt = s.dtype()
+    assert dt.itemsize == s.sample_size()
+    assert StreamSchema.from_dtype(dt) == s
+    assert dt.names == ("d", "f", "i16", "i32", "i64", "fw")
+
+
+def test_struct_type():
+    st = full_schema().to_struct_type()
+    assert [f.dataType for f in st.fields] == [
+        T.DoubleType(),
+        T.FloatType(),
+        T.ShortType(),
+        T.IntegerType(),
+        T.LongType(),
+        T.BinaryType(),
+    ]
+    assert all(not f.nullable for f in st.fields)
+    st2 = full_schema().to_struct_type(include_system_columns=True)
+    assert [f.name for f in st2.fields[:3]] == ["sample_index", "key", "timestamp_ms"]
+
+
+def test_stream_name_validation():
+    validate_stream_name("ok")
+    with pytest.raises(SchemaError):
+        validate_stream_name("")
+    with pytest.raises(SchemaError):
+        validate_stream_name("x" * 300)
