@@ -1,0 +1,3 @@
+from river_spark.operators.asof import asof_join
+
+__all__ = ["asof_join"]

@@ -1,0 +1,240 @@
+"""Event-stream analytics: the batch analogs of the streaming surface
+(tumbling windows, sessionization, ordered dedup, tail/seek), plus the
+join types Spark lacks as built-ins (range join, as-of join).
+
+events.ts is INT64 epoch-nanos on the Spark side (see tables.event_ts)
+and TIMESTAMP_NS in DuckDB — predicates are written against the same
+instants on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from river_spark.operators.asof import asof_join
+from river_spark.queries.relational import q
+from river_spark.queries.tables import event_ts, r2, tbl
+
+_NS_PER_HOUR = 3_600 * 10**9
+_NS_PER_MIN = 60 * 10**9
+
+
+@q(
+    "ev_tumbling_window",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("events", "window_agg"),
+    bench=True,
+)
+def ev_tumbling_window(spark, sf_dir):
+    # Real Spark window() — the streaming-capable tumbling window; its
+    # epoch-aligned 1h buckets coincide with date_trunc('hour').
+    ev = tbl(spark, sf_dir, "events").withColumn("tstamp", event_ts())
+    return (
+        ev.groupBy(F.window("tstamp", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), r2(F.sum("value")).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@q(
+    "ev_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, event_id,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(event_id) AS first_event, max(event_id) AS last_event
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    tags=("events", "session"),
+    bench=True,
+)
+def ev_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization (30 min inactivity gap) — the batch
+    equivalent of session_window; single shuffle on user_id."""
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull() | (F.col("ts") - F.lag("ts").over(w) > 30 * _NS_PER_MIN),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+@q(
+    "ev_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           round(value - lag(value) OVER w, 4) AS value_delta,
+           lead(event_type) OVER w             AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("events", "window"),
+)
+def ev_lag_lead(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return tbl(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("value_delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@q(
+    "ev_dedup_ordered",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id
+    FROM (SELECT user_id, event_type, event_id,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS rn
+          FROM events) t
+    WHERE rn = 1
+    """,
+    tags=("events", "dedup"),
+)
+def ev_dedup_ordered(spark, sf_dir):
+    """Deterministic dropDuplicates: keep the earliest row per key.
+    (Plain dropDuplicates keeps an arbitrary row — useless for parity.)"""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        tbl(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+    )
+
+
+@q(
+    "ev_tail",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events ORDER BY ts DESC, event_id DESC LIMIT 1
+    """,
+    tags=("events", "tail"),
+)
+def ev_tail(spark, sf_dir):
+    """Tail/skip-to-latest (A6, cpp/src/reader.cpp:336-488) as a batch
+    query: ORDER BY DESC LIMIT 1 → TakeOrderedAndProject."""
+    return (
+        tbl(spark, sf_dir, "events")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(1)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@q(
+    "ev_seek",
+    oracle="""
+    SELECT count(*) AS n, min(event_id) AS first_id
+    FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+    """,
+    tags=("events", "seek"),
+)
+def ev_seek(spark, sf_dir):
+    """Seek (A7, cpp/src/reader.cpp:507-583) as an offset predicate —
+    pushed down to the parquet scan."""
+    cutoff_ns = 1_705_276_800 * 10**9  # 2024-01-15T00:00:00Z
+    return (
+        tbl(spark, sf_dir, "events")
+        .filter(F.col("ts") > cutoff_ns)
+        .agg(F.count("*").alias("n"), F.min("event_id").alias("first_id"))
+    )
+
+
+@q(
+    "ev_range_join",
+    oracle="""
+    SELECT count(*) AS n_pairs, CAST(count(DISTINCT a.event_id) AS BIGINT) AS n_views
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+    tags=("events", "range_join"),
+)
+def ev_range_join(spark, sf_dir):
+    """Range join: purchase within 1h after a view by the same user.
+    Equi-join on user_id carries the shuffle; the ts band is a post-filter,
+    so this stays a hash join (no nested-loop blowup) at scale."""
+    ev = tbl(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("buy_ts")
+    )
+    pairs = views.join(
+        buys,
+        (views.u == buys.u2)
+        & (buys.buy_ts > views.view_ts)
+        & (buys.buy_ts <= views.view_ts + _NS_PER_HOUR),
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"), F.countDistinct("view_id").alias("n_views")
+    )
+
+
+@q(
+    "ev_asof_join",
+    oracle="""
+    SELECT p.event_id, c.event_id AS click_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("events", "asof_join"),
+    bench=True,
+)
+def ev_asof_join(spark, sf_dir):
+    """As-of join via the union+last_value operator (operators/asof.py):
+    one shuffle on (user_id), no per-row subqueries."""
+    ev = tbl(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"), F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        left_on="user_id",
+        right_on="c_user_id",
+        left_ts="ts",
+        right_ts="c_ts",
+        right_cols=["click_event_id"],
+    )
+    return joined.select("event_id", "click_event_id")

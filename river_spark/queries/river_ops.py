@@ -1,0 +1,97 @@
+"""River-surface parity queries: run the actual transport + ingester over
+driver data, then query the ingested Parquet with Spark. These prove the
+A-series operators (write/read/ingest/system columns) against the DuckDB
+oracle on the ORIGINAL table — the round trip must be lossless.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from river_spark.ingest import IngesterSettings, StreamIngester, StreamIngestionSettings
+from river_spark.queries.relational import q
+from river_spark.schema import FieldDefinition, FieldType, StreamSchema
+from river_spark.transport import StreamLog, StreamWriter
+
+_CACHE: dict[str, str] = {}
+
+
+def _ingested_events_dir(sf_dir: str) -> str:
+    """Write the events table through the stream transport, ingest it to
+    Parquet, return the output dir. Cached per sf_dir within the process."""
+    if sf_dir in _CACHE and os.path.isdir(_CACHE[sf_dir]):
+        return _CACHE[sf_dir]
+    work = tempfile.mkdtemp(prefix="river_spark_roundtrip_")
+    log = StreamLog(os.path.join(work, "store"))
+    schema = StreamSchema(
+        [
+            FieldDefinition("event_id", FieldType.INT64),
+            FieldDefinition("ts", FieldType.INT64),
+            FieldDefinition("user_id", FieldType.INT64),
+            FieldDefinition("value", FieldType.DOUBLE),
+        ]
+    )
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts", "user_id", "value"])
+    arr = np.zeros(t.num_rows, dtype=schema.dtype())
+    arr["event_id"] = t.column("event_id").to_numpy()
+    arr["ts"] = t.column("ts").to_numpy().astype("datetime64[ns]").astype(np.int64)
+    arr["user_id"] = t.column("user_id").to_numpy()
+    arr["value"] = t.column("value").to_numpy()
+    w = StreamWriter(log).initialize("events_rt", schema)
+    w.write(arr)
+    w.stop()
+    ing = StreamIngester(
+        log,
+        os.path.join(work, "out"),
+        IngesterSettings(streams=[StreamIngestionSettings(minimum_age_seconds_before_deletion=0)]),
+    )
+    ing.ingest()
+    ing.wait_all()
+    out = os.path.join(work, "out", "events_rt")
+    _CACHE[sf_dir] = out
+    shutil.rmtree(os.path.join(work, "store"), ignore_errors=True)
+    return out
+
+
+@q(
+    "river_ingest_roundtrip",
+    oracle="SELECT event_id, user_id, round(value, 4) AS value FROM events",
+    tags=("river", "roundtrip"),
+)
+def river_ingest_roundtrip(spark, sf_dir):
+    """A1+A2+A13 end-to-end: every events row must survive
+    write→segment→ingest→Parquet bit-exactly."""
+    out = _ingested_events_dir(sf_dir)
+    df = spark.read.parquet(os.path.join(out, "data.parquet"))
+    return df.select("event_id", "user_id", F.round("value", 4).alias("value"))
+
+
+@q(
+    "river_system_columns",
+    oracle="""
+    SELECT count(*) AS n, CAST(0 AS BIGINT) AS min_idx,
+           count(*) - 1 AS max_idx, count(*) AS n_keys, count(*) AS n_ts_ok
+    FROM events
+    """,
+    tags=("river", "invariants"),
+)
+def river_system_columns(spark, sf_dir):
+    """A20 invariants as a query: sample_index contiguous from 0, keys
+    globally unique, timestamp_ms equal to each key's ms prefix."""
+    out = _ingested_events_dir(sf_dir)
+    df = spark.read.parquet(os.path.join(out, "data.parquet"))
+    return df.agg(
+        F.count("*").alias("n"),
+        F.min("sample_index").alias("min_idx"),
+        F.max("sample_index").alias("max_idx"),
+        F.countDistinct("key").alias("n_keys"),
+        F.sum(
+            (F.split(F.col("key"), "-").getItem(0).cast("long") == F.col("timestamp_ms")).cast("long")
+        ).alias("n_ts_ok"),
+    )

@@ -1,0 +1,248 @@
+"""Text-analysis + dedup operators over the ``documents`` table — the
+training-data-pipeline surface (language ID, quality scoring, token
+counting, fingerprinting, exact + n-gram-Jaccard dedup). All built from
+JVM-side ``pyspark.sql.functions`` (no Python UDFs in these paths);
+MinHash/SimHash live in operators/dedup.py with rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from river_spark.queries.relational import q
+from river_spark.queries.tables import tbl
+
+_STOPWORDS = ("the", "a", "an", "of", "and", "or", "to", "in", "is", "for")
+_SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+def _tokens(col="text"):
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+@q(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT)                                  AS n_chars_text,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                t -> t IN ({_SW_SQL}))) AS BIGINT)        AS n_stopwords
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_token_stats(spark, sf_dir):
+    toks = _tokens()
+    sw_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_text"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.expr(f"filter(split(trim(text), '\\\\s+'), t -> t IN ({sw_list}))"))
+        .cast("long")
+        .alias("n_stopwords"),
+    )
+
+
+@q(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS n,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS toks,
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                    x -> x IN ({_SW_SQL}))) AS DOUBLE) AS sw,
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS punct
+        FROM documents)
+    SELECT doc_id,
+           round(punct / n, 6)              AS punct_ratio,
+           round(sw / toks, 6)              AS stopword_ratio,
+           round((n - toks + 1) / toks, 4)  AS avg_word_len,
+           CASE WHEN toks >= 20 AND sw / toks BETWEEN 0.05 AND 0.6 AND punct / n < 0.1
+                THEN 1 ELSE 0 END           AS quality_pass
+    FROM t
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_score(spark, sf_dir):
+    sw_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("double").alias("n"),
+        F.size(_tokens()).cast("double").alias("toks"),
+        F.size(F.expr(f"filter(split(trim(text), '\\\\s+'), x -> x IN ({sw_list}))"))
+        .cast("double")
+        .alias("sw"),
+        F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("double").alias("punct"),
+    )
+    return d.select(
+        "doc_id",
+        F.round(F.col("punct") / F.col("n"), 6).alias("punct_ratio"),
+        F.round(F.col("sw") / F.col("toks"), 6).alias("stopword_ratio"),
+        F.round((F.col("n") - F.col("toks") + 1) / F.col("toks"), 4).alias("avg_word_len"),
+        F.when(
+            (F.col("toks") >= 20)
+            & (F.col("sw") / F.col("toks")).between(0.05, 0.6)
+            & (F.col("punct") / F.col("n") < 0.1),
+            1,
+        )
+        .otherwise(0)
+        .alias("quality_pass"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "les", "des"),
+}
+
+
+def _marker_count_sql(words):
+    inner = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x IN ({inner})))"
+
+
+def _marker_count_spark(words):
+    inner = ", ".join(f"'{w}'" for w in words)
+    return F.size(F.expr(f"filter(split(trim(lower(text)), '\\\\s+'), x -> x IN ({inner}))"))
+
+
+@q(
+    "text_lang_id",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               {_marker_count_sql(_LANG_MARKERS["en"])} AS c_en,
+               {_marker_count_sql(_LANG_MARKERS["es"])} AS c_es,
+               {_marker_count_sql(_LANG_MARKERS["de"])} AS c_de,
+               {_marker_count_sql(_LANG_MARKERS["fr"])} AS c_fr
+        FROM documents)
+    SELECT doc_id,
+           CASE WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0 THEN 'und'
+                WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+                WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+                WHEN c_de >= c_fr THEN 'de'
+                ELSE 'fr' END AS lang_guess
+    FROM s
+    """,
+    tags=("text", "langid"),
+)
+def text_lang_id(spark, sf_dir):
+    """Marker-stopword language ID — deterministic argmax with fixed
+    priority en>es>de>fr on ties."""
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        _marker_count_spark(_LANG_MARKERS["en"]).alias("c_en"),
+        _marker_count_spark(_LANG_MARKERS["es"]).alias("c_es"),
+        _marker_count_spark(_LANG_MARKERS["de"]).alias("c_de"),
+        _marker_count_spark(_LANG_MARKERS["fr"]).alias("c_fr"),
+    )
+    return d.select(
+        "doc_id",
+        F.when(
+            (F.col("c_en") == 0) & (F.col("c_es") == 0) & (F.col("c_de") == 0) & (F.col("c_fr") == 0),
+            "und",
+        )
+        .when(
+            (F.col("c_en") >= F.col("c_es")) & (F.col("c_en") >= F.col("c_de")) & (F.col("c_en") >= F.col("c_fr")),
+            "en",
+        )
+        .when((F.col("c_es") >= F.col("c_de")) & (F.col("c_es") >= F.col("c_fr")), "es")
+        .when(F.col("c_de") >= F.col("c_fr"), "de")
+        .otherwise("fr")
+        .alias("lang_guess"),
+    )
+
+
+@q(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark, sf_dir):
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fp"),
+    )
+
+
+@q(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on a normalized fingerprint, keep the
+    lowest doc_id. At 100 TB this is one shuffle on the 128-bit hash."""
+    return (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@q(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)),
+    cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    pair AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / (ca.c + cb.c - inter), 6) AS jaccard
+    FROM pair
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE inter * 1.0 / (ca.c + cb.c - inter) >= 0.05
+    """,
+    tags=("dedup", "jaccard"),
+    bench=True,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-token-shingle Jaccard near-dup pairs (threshold 0.05).
+    Shingle-inverted-index self-join: only docs sharing a shingle ever
+    meet, so the pair space is data-bounded, not O(n²). This is the
+    exact-verification stage MinHash-LSH candidates feed at scale."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", _tokens().alias("t"))
+    shingles = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 3), i -> concat_ws(' ', slice(t, i + 1, 3)))")
+        ).alias("s"),
+    ).distinct()
+    cnt = shingles.groupBy("doc_id").agg(F.count("*").alias("c"))
+    a = shingles.select(F.col("doc_id").alias("doc_a"), "s")
+    b = shingles.select(F.col("doc_id").alias("doc_b"), "s")
+    pair = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
+    jac = F.col("inter") * 1.0 / (F.col("ca") + F.col("cb") - F.col("inter"))
+    return (
+        pair.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(jac >= 0.05)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

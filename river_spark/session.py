@@ -34,6 +34,9 @@ def get_spark(app_name: str = "river_spark", shuffle_partitions: int | None = No
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
+        # The driver's parquet stores TIMESTAMP(NANOS) which Spark rejects;
+        # read as long nanos and convert explicitly (see queries.tables.ts()).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
