@@ -1,0 +1,330 @@
+"""``river`` Spark DataSource (Python Data Source API, Spark 4).
+
+Exposes the segmented stream log to Spark three ways:
+
+- **batch read**  — ``spark.read.format("river").option("path", root)
+  .option("stream", name).load()``: one InputPartition per batch file, so
+  a stream scan parallelizes across executors; rows carry the system
+  columns ``sample_index``/``key``/``timestamp_ms`` exactly like the
+  reference ingester's output (cpp/ingester/src/ingester.cpp:296-326).
+- **streaming read** — ``spark.readStream.format("river")...``: offsets
+  are global sample indices (the reference's monotone ``i``,
+  cpp/src/reader.h:326-336); ``maxSamplesPerTrigger`` mirrors the
+  reader's ``max_fetch_size`` cap (cpp/src/reader.h:62); when the stream
+  has EOF'd the offset stops advancing (availableNow drains and stops).
+  ``commit()`` optionally trims fully-consumed segments — retention
+  semantics of A16 (cpp/ingester/src/ingester.cpp:424-490) keyed off
+  committed progress, not wall clock.
+- **batch write** — ``df.write.format("river")...save()``: executors
+  stage their partitions as payload files; the driver's ``commit()``
+  appends them to the log in deterministic partition order, preserving
+  the single-writer contiguous ``sample_index`` invariant without
+  serializing the data path through one task (SURVEY.md §7 "what's hard"
+  #1).
+
+Rows are produced as Arrow RecordBatches (zero row-at-a-time Python).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql import types as T
+
+from river_spark.ingest.ingester import _ARROW_TYPES
+from river_spark.schema import FieldType, StreamSchema
+from river_spark.transport.log import StreamLog, encode_key
+from river_spark.transport.writer import StreamWriter
+
+
+def register(spark) -> None:
+    spark.dataSource.register(RiverDataSource)
+
+
+# ---------------------------------------------------------------------------
+# shared helpers (run on executors — everything picklable)
+# ---------------------------------------------------------------------------
+def _arrow_schema_for(schema: StreamSchema) -> pa.schema:
+    fields = [
+        pa.field("sample_index", pa.int64(), nullable=False),
+        pa.field("key", pa.string(), nullable=False),
+        pa.field("timestamp_ms", pa.int64(), nullable=False),
+    ]
+    for f in schema.field_definitions:
+        if f.type in _ARROW_TYPES:
+            fields.append(pa.field(f.name, _ARROW_TYPES[f.type], nullable=False))
+        else:
+            fields.append(pa.field(f.name, pa.binary(), nullable=False))
+    return pa.schema(fields)
+
+
+def _batch_file_to_arrow(
+    schema: StreamSchema, path: str, start_index: int, lo: int = 0, hi: int | None = None
+) -> pa.RecordBatch:
+    """Decode one log batch file (optionally a row slice) into Arrow."""
+    with np.load(path) as z:
+        kms = z["keys_ms"]
+        kseq = z["keys_seq"]
+        n = len(kms)
+        hi = n if hi is None else min(hi, n)
+        keys = [encode_key(int(kms[i]), int(kseq[i])) for i in range(lo, hi)]
+        idx = np.arange(start_index + lo, start_index + hi, dtype=np.int64)
+        ts = kms[lo:hi].astype(np.int64)
+        arrays = [pa.array(idx), pa.array(keys, pa.string()), pa.array(ts)]
+        if schema.has_variable_width_field:
+            sizes = z["sizes"]
+            offs = np.concatenate([[0], np.cumsum(sizes)])
+            buf = z["data"].tobytes()
+            arrays.append(
+                pa.array([buf[offs[i] : offs[i + 1]] for i in range(lo, hi)], pa.binary())
+            )
+        else:
+            data = z["data"].view(schema.dtype())[lo:hi]
+            for f in schema.field_definitions:
+                if f.type in _ARROW_TYPES:
+                    arrays.append(pa.array(data[f.name], _ARROW_TYPES[f.type]))
+                else:
+                    arrays.append(pa.array([bytes(v) for v in data[f.name]], pa.binary()))
+    return pa.RecordBatch.from_arrays(arrays, schema=_arrow_schema_for(schema))
+
+
+class _BatchFilePartition(InputPartition):
+    def __init__(self, path, start_index, lo, hi, schema_json):
+        self.path = path
+        self.start_index = start_index
+        self.lo = lo
+        self.hi = hi
+        self.schema_json = schema_json
+
+
+# ---------------------------------------------------------------------------
+# batch reader
+# ---------------------------------------------------------------------------
+class RiverBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.root = options["path"]
+        self.stream = options["stream"]
+
+    def partitions(self):
+        log = StreamLog(self.root)
+        meta = log.read_metadata(self.stream)
+        if meta is None:
+            raise ValueError(f"stream {self.stream!r} not found under {self.root}")
+        schema_json = meta["schema"]
+        parts = []
+        for seg in log.list_segments(self.stream):
+            for start, cnt, _ms, _seq, path in log.list_batches(self.stream, seg):
+                parts.append(_BatchFilePartition(path, start, 0, cnt, schema_json))
+        return parts or [None]
+
+    def read(self, partition):
+        if partition is None:
+            return
+        schema = StreamSchema.from_json(partition.schema_json)
+        yield _batch_file_to_arrow(
+            schema, partition.path, partition.start_index, partition.lo, partition.hi
+        )
+
+
+# ---------------------------------------------------------------------------
+# streaming reader
+# ---------------------------------------------------------------------------
+class RiverStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        options = {k.lower(): v for k, v in options.items()}  # Spark lowercases option keys
+        self.root = options["path"]
+        self.stream = options["stream"]
+        self.max_per_trigger = int(options.get("maxsamplespertrigger", 10_000))
+        self.retention = options.get("retention", "false").lower() == "true"
+        self._log = StreamLog(self.root)
+        meta = self._log.read_metadata(self.stream)
+        if meta is None:
+            raise ValueError(f"stream {self.stream!r} not found under {self.root}")
+        self._schema_json = meta["schema"]
+
+    def initialOffset(self):
+        # Only called on a fresh query (no checkpoint): rate-limiting can
+        # start from zero. After a restart this is skipped and the first
+        # latestOffset is uncapped (the checkpoint holds the real cursor).
+        self._cursor = 0
+        return {"index": 0}
+
+    def _available(self) -> int:
+        """Highest sample index+1 currently in the log."""
+        total = 0
+        for seg in self._log.list_segments(self.stream):
+            for start, cnt, _ms, _seq, _path in self._log.list_batches(self.stream, seg):
+                total = max(total, start + cnt)
+        return total
+
+    def latestOffset(self):
+        # Cap per micro-batch like max_fetch_size (cpp/src/reader.h:62).
+        # The Python API's latestOffset takes no start offset, so the first
+        # batch of a (re)started query is uncapped — the cursor becomes known
+        # once partitions() runs, and later batches are rate-limited.
+        avail = self._available()
+        cur = getattr(self, "_cursor", None)
+        if cur is None:
+            return {"index": avail}
+        return {"index": min(avail, max(cur, cur + self.max_per_trigger))}
+
+    def partitions(self, start, end):
+        lo, hi = start["index"], end["index"]
+        self._cursor = hi
+        parts = []
+        for seg in self._log.list_segments(self.stream):
+            for bstart, cnt, _ms, _seq, path in self._log.list_batches(self.stream, seg):
+                if bstart + cnt <= lo or bstart >= hi:
+                    continue
+                parts.append(
+                    _BatchFilePartition(
+                        path, bstart, max(0, lo - bstart), min(cnt, hi - bstart), self._schema_json
+                    )
+                )
+        return parts or [None]
+
+    def read(self, partition):
+        if partition is None:
+            return
+        schema = StreamSchema.from_json(partition.schema_json)
+        yield _batch_file_to_arrow(
+            schema, partition.path, partition.start_index, partition.lo, partition.hi
+        )
+
+    def commit(self, end):
+        """Retention behind the committed frontier (A16): delete segments
+        whose samples are all below the committed index."""
+        if not self.retention:
+            return
+        committed = end["index"]
+        segs = self._log.list_segments(self.stream)
+        for seg in segs[:-1]:  # never the live segment
+            ctrl = self._log.read_control(self.stream, seg)
+            if ctrl is None or "eof" in ctrl:
+                break
+            batches = self._log.list_batches(self.stream, seg)
+            last = max((b[0] + b[1] for b in batches), default=0)
+            if last <= committed:
+                self._log.update_metadata(self.stream, {"first_segment": ctrl["next_segment"]})
+                self._log.delete_segment(self.stream, seg)
+            else:
+                break
+
+
+# ---------------------------------------------------------------------------
+# batch writer
+# ---------------------------------------------------------------------------
+class _StagedWrite(WriterCommitMessage):
+    def __init__(self, partition_id, staged_path, num_rows):
+        self.partition_id = partition_id
+        self.staged_path = staged_path
+        self.num_rows = num_rows
+
+
+class RiverBatchWriter(DataSourceWriter):
+    """Two-phase append: executors stage partition payloads, the driver
+    commits them into the log in partition order. Order within a partition
+    is preserved; the contiguous sample_index is assigned once, on commit —
+    the 'single-partition sink epoch + count carry' answer to SURVEY §7
+    hard-problem #1."""
+
+    def __init__(self, options, schema: T.StructType):
+        self.root = options["path"]
+        self.stream = options["stream"]
+        self.staging = os.path.join(self.root, f"_staging_{self.stream}_{uuid.uuid4().hex[:8]}")
+        stream_schema = StreamSchema.from_struct_type(schema)
+        if stream_schema.has_variable_width_field:
+            raise ValueError(
+                "river sink supports fixed-width schemas; variable-width streams "
+                "need the per-sample sizes API (transport.StreamWriter)"
+            )
+        self.stream_schema_json = stream_schema.to_json()
+        self.spark_schema = schema
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        schema = StreamSchema.from_json(self.stream_schema_json)
+        dtype = schema.dtype()
+        rows = list(iterator)
+        os.makedirs(self.staging, exist_ok=True)
+        path = os.path.join(self.staging, f"part_{pid:06d}.npy")
+        arr = np.zeros(len(rows), dtype=dtype)
+        names = schema.field_names()
+        for i, row in enumerate(rows):
+            for name in names:
+                arr[name][i] = row[name]
+        np.save(path, arr)
+        return _StagedWrite(pid, path, len(rows))
+
+    def commit(self, messages):
+        schema = StreamSchema.from_json(self.stream_schema_json)
+        log = StreamLog(self.root)
+        if log.read_metadata(self.stream) is None:
+            StreamWriter(log).initialize(self.stream, schema)
+        w = StreamWriter(log)
+        # resume writer position from the log
+        w.stream_name = self.stream
+        w.schema = schema
+        total = 0
+        for seg in log.list_segments(self.stream):
+            ctrl = log.read_control(self.stream, seg)
+            if ctrl is not None and "eof" in ctrl:
+                raise RuntimeError(f"stream {self.stream!r} has EOF'd; append rejected")
+            for start, cnt, _ms, _seq, _p in log.list_batches(self.stream, seg):
+                total = max(total, start + cnt)
+        w.total_samples_written = total
+        for msg in sorted(messages, key=lambda m: m.partition_id):
+            arr = np.load(msg.staged_path)
+            if len(arr):
+                w.write(arr)
+            os.remove(msg.staged_path)
+        os.rmdir(self.staging)
+
+    def abort(self, messages):
+        for msg in messages:
+            if msg and os.path.exists(msg.staged_path):
+                os.remove(msg.staged_path)
+
+
+# ---------------------------------------------------------------------------
+# the DataSource
+# ---------------------------------------------------------------------------
+class RiverDataSource(DataSource):
+    """format("river") — options: path (log root), stream (stream name),
+    maxSamplesPerTrigger, retention (streaming read)."""
+
+    @classmethod
+    def name(cls):
+        return "river"
+
+    def schema(self):
+        log = StreamLog(self.options["path"])
+        meta = log.read_metadata(self.options["stream"])
+        if meta is None:
+            raise ValueError(f"stream {self.options['stream']!r} not found")
+        return StreamSchema.from_json(meta["schema"]).to_struct_type(include_system_columns=True)
+
+    def reader(self, schema):
+        return RiverBatchReader(self.options)
+
+    def streamReader(self, schema):
+        return RiverStreamReader(self.options)
+
+    def writer(self, schema, overwrite):
+        if overwrite:
+            raise ValueError("river sink is append-only")
+        return RiverBatchWriter(self.options, schema)

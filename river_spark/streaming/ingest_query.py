@@ -1,0 +1,102 @@
+"""The reference ingester re-expressed as Structured Streaming queries.
+
+Mapping (SURVEY.md §7 Phase 4, reference cpp/ingester/src/):
+- per-stream ETL loop (ingester.cpp:213-422)  → ``readStream.format("river")
+  → writeStream.format("parquet")``;
+- resume-from-last-file (ingester.cpp:649-711) → the streaming checkpoint
+  (strictly stronger: exactly-once via offset log + file-sink manifest);
+- temp-file+rename commit (ingester.cpp:395-401) → file-sink commit
+  protocol (_spark_metadata);
+- 1 s driver cadence (ingester_main.cpp:96-99)  → processingTime trigger;
+- row-group sizing (ingester_settings.h:20)     → maxRecordsPerFile;
+- column pruning (A18)                          → ``select`` projection from
+  the same settings object (Catalyst prunes the scan);
+- retention (A16)                               → source ``commit()`` with
+  retention=true (keyed off committed offsets, not wall clock);
+- multi-stream orchestration (A12)              → one streaming query per
+  matched stream; the Spark scheduler replaces the 4-thread pool.
+
+At 100 TB the parquet sink partitions by ingest date under
+``out/{stream}/date=.../`` and compaction is size-tiered — the
+single-file ``data.parquet`` combine (A15) is a laptop-scale behavior we
+reproduce only in the batch ingester.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from river_spark.ingest.settings import IngesterSettings, StreamIngestionSettings
+from river_spark.schema import StreamSchema
+from river_spark.sources import register
+from river_spark.transport.log import StreamLog
+
+
+def ingest_stream_continuous(
+    spark: SparkSession,
+    log_root: str,
+    stream: str,
+    out_root: str,
+    settings: StreamIngestionSettings | None = None,
+    trigger: dict | None = None,
+):
+    """Start one streaming ingestion query for ``stream``; returns the
+    StreamingQuery. Default trigger is availableNow (drain + stop), matching
+    an ingester run to EOF; pass ``{"processingTime": "1 second"}`` for the
+    daemon cadence."""
+    register(spark)
+    settings = settings or StreamIngestionSettings()
+    log = StreamLog(log_root)
+    meta = log.read_metadata(stream)
+    if meta is None:
+        raise ValueError(f"stream {stream!r} not found under {log_root}")
+    schema = StreamSchema.from_json(meta["schema"])
+    fields = settings.filter_fields(schema.field_names())
+    cols = ["sample_index", "key", "timestamp_ms"] + fields
+
+    df = (
+        spark.readStream.format("river")
+        .option("path", log_root)
+        .option("stream", stream)
+        .option("maxSamplesPerTrigger", str(settings.samples_per_read * 1024))
+        .option("retention", "true")
+        .load()
+        .select(*cols)
+    )
+    out_dir = os.path.join(out_root, stream)
+    rows_per_file = max(settings.bytes_per_row_group // max(schema.sample_size(), 1), 1)
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .option("maxRecordsPerFile", str(rows_per_file))
+        .outputMode("append")
+    )
+    trigger = trigger or {"availableNow": True}
+    writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def ingest_streams(
+    spark: SparkSession,
+    log_root: str,
+    out_root: str,
+    settings: IngesterSettings | None = None,
+    await_termination: bool = True,
+):
+    """A12 orchestration: regex-route every stream in the catalog to its
+    settings and run one availableNow query per match."""
+    settings = settings or IngesterSettings.catch_all()
+    log = StreamLog(log_root)
+    queries = {}
+    for name in log.list_streams():
+        s = settings.settings_for(name)
+        if s is None:
+            continue
+        queries[name] = ingest_stream_continuous(spark, log_root, name, out_root, s)
+    if await_termination:
+        for q in queries.values():
+            q.awaitTermination()
+    return queries

@@ -71,6 +71,15 @@ class StreamLog:
         os.makedirs(root, exist_ok=True)
         self._lock = threading.Lock()
 
+    # The log is embedded in Spark DataSource readers which get pickled to
+    # executors; the lock is process-local state and is recreated on load.
+    def __getstate__(self):
+        return {"root": self.root}
+
+    def __setstate__(self, state):
+        self.root = state["root"]
+        self._lock = threading.Lock()
+
     # ---- paths -----------------------------------------------------------
     def stream_dir(self, name: str) -> str:
         return os.path.join(self.root, name)

@@ -1,0 +1,199 @@
+"""Spark DataSource tests: batch read, streaming read (availableNow),
+streaming ingestion pipeline, batch write sink, retention on commit."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from river_spark.schema import FieldDefinition, FieldType, StreamSchema
+from river_spark.sources import register
+from river_spark.streaming import ingest_stream_continuous
+from river_spark.transport import StreamLog, StreamWriter
+
+
+@pytest.fixture
+def store(tmp_path):
+    return str(tmp_path / "store")
+
+
+def _write_stream(store, name="s", n=500, batch_size=64, entries_per_segment=1 << 24, stop=True):
+    log = StreamLog(store)
+    schema = StreamSchema(
+        [FieldDefinition("a", FieldType.INT64), FieldDefinition("b", FieldType.DOUBLE)]
+    )
+    w = StreamWriter(log, batch_size=batch_size, entries_per_segment=entries_per_segment)
+    w.initialize(name, schema)
+    arr = np.zeros(n, dtype=schema.dtype())
+    arr["a"] = np.arange(n)
+    arr["b"] = np.arange(n) * 0.25
+    w.write(arr)
+    if stop:
+        w.stop()
+    return log
+
+
+def test_batch_read(spark, store):
+    _write_stream(store, "bat", n=500)
+    register(spark)
+    df = (
+        spark.read.format("river")
+        .option("path", store)
+        .option("stream", "bat")
+        .load()
+    )
+    assert df.columns == ["sample_index", "key", "timestamp_ms", "a", "b"]
+    assert df.count() == 500
+    row = df.orderBy("sample_index").limit(1).collect()[0]
+    assert row.sample_index == 0 and row.a == 0
+    agg = df.agg(F.sum("a").alias("sa"), F.max("b").alias("mb")).collect()[0]
+    assert agg.sa == 500 * 499 // 2
+    assert agg.mb == 499 * 0.25
+    # sample_index is dense 0..n-1
+    assert df.select("sample_index").distinct().count() == 500
+
+
+def test_batch_read_segmented(spark, store):
+    _write_stream(store, "seg", n=300, batch_size=32, entries_per_segment=100)
+    register(spark)
+    df = spark.read.format("river").option("path", store).option("stream", "seg").load()
+    assert df.count() == 300
+    idx = [r.sample_index for r in df.select("sample_index").orderBy("sample_index").collect()]
+    assert idx == list(range(300))
+
+
+def test_streaming_read_available_now(spark, store, tmp_path):
+    _write_stream(store, "st", n=400, batch_size=50)
+    register(spark)
+    out = str(tmp_path / "out_parquet")
+    q = (
+        spark.readStream.format("river")
+        .option("path", store)
+        .option("stream", "st")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    df = spark.read.parquet(out)
+    assert df.count() == 400
+    assert df.agg(F.min("sample_index"), F.max("sample_index")).collect()[0] == (0, 399)
+
+
+def test_streaming_resume_from_checkpoint(spark, store, tmp_path):
+    log = _write_stream(store, "res", n=200, batch_size=32, stop=False)
+    register(spark)
+    out = str(tmp_path / "o")
+    ckpt = str(tmp_path / "c")
+
+    def run():
+        q = (
+            spark.readStream.format("river")
+            .option("path", store)
+            .option("stream", "res")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(out).count() == 200
+    # append more samples, rerun from the same checkpoint: no dupes, no gaps
+    schema = StreamSchema(
+        [FieldDefinition("a", FieldType.INT64), FieldDefinition("b", FieldType.DOUBLE)]
+    )
+    w = StreamWriter(log, batch_size=32)
+    w.stream_name, w.schema, w.total_samples_written = "res", schema, 200
+    arr = np.zeros(100, dtype=schema.dtype())
+    arr["a"] = np.arange(200, 300)
+    w.write(arr)
+    run()
+    df = spark.read.parquet(out)
+    assert df.count() == 300
+    assert df.select("sample_index").distinct().count() == 300
+
+
+def test_streaming_ingest_pipeline(spark, store, tmp_path):
+    """Phase 4: readStream(river) → parquet with pruning + system columns."""
+    _write_stream(store, "pipe", n=250, batch_size=40)
+    from river_spark.ingest.settings import StreamIngestionSettings
+
+    q = ingest_stream_continuous(
+        spark,
+        store,
+        "pipe",
+        str(tmp_path / "ingested"),
+        StreamIngestionSettings(columns_whitelist=["a"]),
+    )
+    q.awaitTermination(120)
+    df = spark.read.parquet(str(tmp_path / "ingested" / "pipe"))
+    assert sorted(df.columns) == ["a", "key", "sample_index", "timestamp_ms"]  # b pruned
+    assert df.count() == 250
+
+
+def test_retention_on_commit(spark, store, tmp_path):
+    """Retention is delete-BEHIND: commit(N) fires as batch N+1 is planned,
+    so trimming happens while the stream keeps flowing (A16 semantics)."""
+    import time
+
+    log = _write_stream(store, "ret", n=100, batch_size=25, entries_per_segment=100, stop=False)
+    schema = StreamSchema(
+        [FieldDefinition("a", FieldType.INT64), FieldDefinition("b", FieldType.DOUBLE)]
+    )
+    register(spark)
+    q = (
+        spark.readStream.format("river")
+        .option("path", store)
+        .option("stream", "ret")
+        .option("retention", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "o"))
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    # live producer keeps appending; consumed segments should vanish behind it
+    w = StreamWriter(log, batch_size=25, entries_per_segment=100)
+    w.stream_name, w.schema, w.total_samples_written = "ret", schema, 100
+    deadline = time.monotonic() + 120
+    written = 100
+    while time.monotonic() < deadline:
+        arr = np.zeros(50, dtype=schema.dtype())
+        arr["a"] = np.arange(written, written + 50)
+        w.write(arr)
+        written += 50
+        time.sleep(0.4)
+        if 0 not in log.list_segments("ret"):
+            break
+    q.stop()
+    segs = log.list_segments("ret")
+    assert 0 not in segs, f"segment 0 never trimmed (segments: {segs})"
+    assert log.read_metadata("ret")["first_segment"] > 0
+    # everything that was committed made it to parquet, no dupes
+    df = spark.read.parquet(str(tmp_path / "o"))
+    assert df.select("sample_index").distinct().count() == df.count()
+
+
+def test_batch_write_sink(spark, store):
+    register(spark)
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("a"), (F.col("id") * 0.5).alias("b")
+    )
+    df.repartition(4).write.format("river").option("path", store).option(
+        "stream", "sunk"
+    ).mode("append").save()
+    back = spark.read.format("river").option("path", store).option("stream", "sunk").load()
+    assert back.count() == 1000
+    # contiguous index despite 4 writer partitions
+    assert back.select("sample_index").distinct().count() == 1000
+    assert back.agg(F.min("sample_index"), F.max("sample_index")).collect()[0] == (0, 999)
+    assert back.agg(F.sum("a")).collect()[0][0] == 1000 * 999 // 2
