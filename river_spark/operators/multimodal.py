@@ -1,0 +1,101 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata — the natural extension of the reference's
+FIXED/VARIABLE_WIDTH_BYTES lineage (cpp/src/schema.h:29-37, SURVEY §1.2).
+
+The Spark-side plumbing here is REAL and tested: schemas, partitioning,
+Arrow-batched mapInPandas UDF signatures, deterministic batch shapes.
+The actual codec calls are STUBBED (this container ships no image/audio
+libraries): ``decode_image`` raises NotImplementedError unless the
+deterministic fake decoder is selected, which produces a reproducible
+feature vector from the bytes themselves (byte histogram) so the
+pipeline around it is fully exercisable end-to-end.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+
+def with_payload_metadata(df: DataFrame, bin_col: str) -> DataFrame:
+    """Typed metadata beside an opaque payload: byte size, 4-byte magic
+    prefix (hex), content hash. All JVM-side."""
+    return df.withColumns(
+        {
+            "payload_bytes": F.octet_length(F.col(bin_col)).cast("long"),
+            "payload_magic": F.hex(F.substring(F.col(bin_col), 1, 4)),
+            "payload_sha": F.sha2(F.col(bin_col), 256),
+        }
+    )
+
+
+_FEATURE_DIM = 16
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_image_features(
+    df: DataFrame, id_col: str, bin_col: str, decoder: str = "fake"
+) -> DataFrame:
+    """Arrow-batched decode → feature extraction over mapInPandas.
+
+    decoder='fake' -> deterministic 16-dim normalized byte histogram +
+    pseudo dimensions derived from content length (REAL plumbing, fake
+    pixels). decoder='pillow' (etc.) is the production slot — stubbed:
+    raises NotImplementedError here because the container has no image
+    libraries.
+    """
+    if decoder != "fake":
+        raise NotImplementedError(
+            f"decoder {decoder!r} requires an image library not present in "
+            "this environment; the 'fake' decoder exercises the same "
+            "mapInPandas plumbing deterministically"
+        )
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(bin_col).alias("payload"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widths, heights, feats = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(buf % _FEATURE_DIM, minlength=_FEATURE_DIM).astype(np.float32)
+                total = max(hist.sum(), 1.0)
+                ids.append(doc_id)
+                widths.append(int(len(buf) % 1920) + 1)
+                heights.append(int(len(buf) % 1080) + 1)
+                feats.append((hist / total).tolist())
+            yield pd.DataFrame(
+                {"doc_id": ids, "width": widths, "height": heights, "features": feats}
+            )
+
+    return src.mapInPandas(decode, schema=_DECODE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, id_col: str, bin_col: str, n_frames: int = 4) -> DataFrame:
+    """Frame sampling for 'video' payloads: split the byte stream into
+    n equal chunks (JVM-side substring arithmetic), one row per frame —
+    the partition-preserving explode a real frame sampler would use."""
+    frames = F.expr(
+        f"""
+        transform(sequence(0, {n_frames} - 1), i ->
+          substring({bin_col},
+                    i * (octet_length({bin_col}) div {n_frames}) + 1,
+                    octet_length({bin_col}) div {n_frames}))
+        """
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(frames).alias("frame_no", "frame_payload"),
+    ).withColumn("frame_bytes", F.octet_length("frame_payload").cast("long"))

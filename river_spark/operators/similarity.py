@@ -1,0 +1,115 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline and
+  the right plan for broadcastable query sets (scan is embarrassingly
+  parallel, top-k is TakeOrderedAndProject, no full sort).
+- ``lsh_topk``: random-hyperplane LSH — the 100 TB path. The corpus is
+  bucketed once (write-time in production); a query probes only buckets
+  within ``probe_hamming`` of its own signature, turning an O(N) scan
+  into O(N / 2^planes × buckets_probed).
+
+All math stays JVM-side (higher-order functions over array<float>).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def brute_force_topk(
+    corpus: DataFrame, query: DataFrame, id_col: str, vec_col: str, k: int = 10
+) -> DataFrame:
+    """Exact top-k cosine per query row. ``query`` must be small
+    (broadcast); returns [query_id, doc_id, cos_sim] with rank <= k."""
+    from pyspark.sql import Window
+
+    q = query.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("cv"))
+    cos = _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .withColumn("cos_sim", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "doc_id", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def lsh_signature(vec_col: str, n_planes: int = 12):
+    """Deterministic random-hyperplane signature as an int bucket id.
+    Plane weights derive from xxhash64(plane, dim) — reproducible across
+    executors with no broadcast state."""
+    return F.expr(
+        f"""
+        aggregate(
+          transform(sequence(0, {n_planes} - 1), p ->
+            if(aggregate(
+                 zip_with({vec_col}, sequence(0, size({vec_col}) - 1),
+                          (v, d) -> cast(v as double) * (cast(xxhash64(p, d) % 1000000 as double) / 1000000.0)),
+                 cast(0.0 as double), (acc, x) -> acc + x) > 0.0,
+               shiftleft(1, p), 0)),
+          0, (acc, x) -> acc + x)
+        """
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_planes: int = 12,
+    probe_hamming: int = 2,
+) -> DataFrame:
+    """ANN top-k: probe corpus buckets whose signature is within
+    ``probe_hamming`` bits of the query's. Bucket join is an equi-join on
+    the bucket id after expanding the query's probe set (≤ Σ C(planes,h)
+    buckets) — no full-corpus scan."""
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("cv"), lsh_signature(vec_col, n_planes).alias("bucket")
+    )
+    q = query.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), lsh_signature(vec_col, n_planes).alias("qsig")
+    )
+    # probe set: all bucket ids within hamming distance (0..probe_hamming)
+    flips = [F.col("qsig")]
+    if probe_hamming >= 1:
+        flips += [F.col("qsig").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    if probe_hamming >= 2:
+        flips += [
+            F.col("qsig").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    probes = q.select("query_id", "qv", F.explode(F.array(*flips)).alias("bucket"))
+    cos = _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))
+    scored = (
+        c.join(F.broadcast(probes), "bucket")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .withColumn("cos_sim", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "doc_id", F.round("cos_sim", 6).alias("cos_sim"))
+    )

@@ -1,0 +1,166 @@
+"""Pipeline-operator correctness: LSH families verified against exact
+brute-force baselines computed in-process; multimodal plumbing verified
+for determinism and shape."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from river_spark.operators.asof import asof_join
+from river_spark.operators.dedup import (
+    cosine_dedup,
+    lsh_candidate_pairs,
+    minhash_dedup,
+    minhash_signatures,
+    shingles,
+    simhash_pairs,
+    simhash_signatures,
+)
+from river_spark.operators.multimodal import (
+    decode_image_features,
+    sample_frames,
+    with_payload_metadata,
+)
+from river_spark.operators.similarity import brute_force_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far away today",
+        "an entirely different document about spark query engines and shuffles",
+        "numbers and words mixed tokens for the third unique document here now",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i * 10, t))
+        rows.append((i * 10 + 1, t))  # exact dup
+    # near-dup of doc 0: one token changed
+    rows.append((100, base[0].replace("lazy", "sleepy")))
+    # unrelated
+    rows.append((200, "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo"))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_finds_dups(docs):
+    pairs = minhash_dedup(docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.3)
+    got = {(r.doc_a, r.doc_b): r.est_jaccard for r in pairs.collect()}
+    # exact duplicates must estimate 1.0
+    for a, b in [(0, 1), (10, 11), (20, 21)]:
+        assert got.get((a, b)) == 1.0, got
+    # near-dup pair found with high-but-sub-1 estimate
+    assert any((a, b) in got for a, b in [(0, 100), (1, 100)]), got
+    # unrelated docs never pair with the English docs
+    assert not any(200 in p for p in got)
+
+
+def test_minhash_signature_shape(docs):
+    sigs = minhash_signatures(shingles(docs, "doc_id", "text"), num_hashes=32)
+    row = sigs.first()
+    assert len(row.sig) == 32
+    # identical docs → identical signatures
+    m = {r.doc_id: tuple(r.sig) for r in sigs.collect()}
+    assert m[0] == m[1] and m[10] == m[11]
+
+
+def test_simhash(docs):
+    sigs = simhash_signatures(docs, "doc_id", "text")
+    m = {r.doc_id: tuple(r.chunks) for r in sigs.collect()}
+    assert m[0] == m[1]  # identical text → identical simhash
+    pairs = simhash_pairs(sigs, max_hamming=16)
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
+    assert got.get((0, 1)) == 0
+    assert any((a, b) in got for a, b in [(0, 100), (1, 100)])  # near-dup within 16 bits
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 16).astype(np.float32)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # near-duplicates of vec 0 and 5
+    for j, src in [(100, 0), (105, 5)]:
+        perturbed = base[src] + rng.randn(16).astype(np.float32) * 0.01
+        rows.append((j, [float(x) for x in perturbed]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_dedup(vectors):
+    pairs = cosine_dedup(vectors, "vec_id", "embedding", n_planes=10, threshold=0.98)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (0, 100) in got and (5, 105) in got
+
+
+def test_lsh_topk_recall_vs_brute_force(vectors):
+    queries = vectors.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(vectors, queries, "vec_id", "embedding", k=5)
+    approx = lsh_topk(vectors, queries, "vec_id", "embedding", k=5, n_planes=8, probe_hamming=2)
+    e = {(r.query_id, r.doc_id) for r in exact.collect()}
+    a = {(r.query_id, r.doc_id) for r in approx.collect()}
+    # Random gaussian vectors are near-orthogonal, so "neighbors" are weak
+    # and probe_hamming=2 covers only 37/256 buckets — partial recall on
+    # noise is expected; the hard guarantee is the planted near-dup below.
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"recall {recall} too low ({len(e & a)}/{len(e)})"
+    # the planted near-dup must be rank-1 for query 0 in BOTH
+    top_exact = exact.filter(F.col("query_id") == 0).orderBy(F.desc("cos_sim")).first()
+    assert top_exact.doc_id == 100
+    top_approx = approx.filter(F.col("query_id") == 0).orderBy(F.desc("cos_sim")).first()
+    assert top_approx.doc_id == 100
+
+
+def test_asof_directions(spark):
+    left = spark.createDataFrame([(1, 10, "l1"), (1, 20, "l2"), (2, 5, "l3")], ["k", "t", "lv"])
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 15, "r15"), (2, 9, "r9")], ["k2", "t2", "rv"]
+    )
+    back = asof_join(left, right, "k", "k2", "t", "t2", ["rv"]).collect()
+    m = {(r.k, r.t): r.rv for r in back}
+    assert m[(1, 10)] == "r10"  # inclusive
+    assert m[(1, 20)] == "r15"
+    assert m[(2, 5)] is None  # no earlier right row
+    strict = asof_join(left, right, "k", "k2", "t", "t2", ["rv"], strict=True).collect()
+    ms = {(r.k, r.t): r.rv for r in strict}
+    assert ms[(1, 10)] is None  # exclusive: r10 not eligible
+    fwd = asof_join(left, right, "k", "k2", "t", "t2", ["rv"], direction="forward").collect()
+    mf = {(r.k, r.t): r.rv for r in fwd}
+    assert mf[(2, 5)] == "r9" and mf[(1, 20)] is None
+
+
+@pytest.fixture(scope="module")
+def payloads(spark):
+    return spark.createDataFrame(
+        [(1, b"PNG!" + b"x" * 100), (2, b"RIFF" + bytes(range(200)))], ["doc_id", "payload"]
+    )
+
+
+def test_payload_metadata(payloads):
+    rows = {r.doc_id: r for r in with_payload_metadata(payloads, "payload").collect()}
+    assert rows[1].payload_bytes == 104
+    assert rows[1].payload_magic == "504E4721"  # 'PNG!'
+    assert rows[2].payload_magic == "52494646"  # 'RIFF'
+    assert len(rows[1].payload_sha) == 64
+
+
+def test_fake_decode_deterministic(payloads):
+    a = {r.doc_id: r for r in decode_image_features(payloads, "doc_id", "payload").collect()}
+    b = {r.doc_id: r for r in decode_image_features(payloads, "doc_id", "payload").collect()}
+    assert a[1].features == b[1].features
+    assert len(a[1].features) == 16
+    assert abs(sum(a[1].features) - 1.0) < 1e-5  # normalized histogram
+    with pytest.raises(NotImplementedError):
+        decode_image_features(payloads, "doc_id", "payload", decoder="pillow")
+
+
+def test_frame_sampling(payloads):
+    frames = sample_frames(payloads, "doc_id", "payload", n_frames=4).collect()
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert len(per_doc[1]) == 4
+    assert all(r.frame_bytes == 104 // 4 for r in per_doc[1])
+    # frames concatenate back to a prefix of the original payload
+    joined = b"".join(bytes(r.frame_payload) for r in sorted(per_doc[1], key=lambda r: r.frame_no))
+    assert joined == (b"PNG!" + b"x" * 100)[: 4 * (104 // 4)]
