@@ -21,6 +21,41 @@ from river_spark.queries.registry import QUERIES
 from river_spark.session import get_spark
 
 
+def transport_throughput() -> dict[str, float]:
+    """Reference benchmark config: 1M samples x 8 B, batch 10240
+    (cpp/src/tools/river_benchmark.cpp:22-30); BASELINE.md reports
+    >30 MB/s write and read for the reference transport."""
+    import tempfile
+
+    import numpy as np
+
+    from river_spark.schema import FieldDefinition, FieldType, StreamSchema
+    from river_spark.transport import StreamLog, StreamReader, StreamWriter
+
+    log = StreamLog(tempfile.mkdtemp(prefix="river_bench_"))
+    schema = StreamSchema([FieldDefinition("v", FieldType.DOUBLE)])
+    n = 1_000_000
+    arr = np.zeros(n, dtype=schema.dtype())
+    arr["v"] = np.arange(n)
+    w = StreamWriter(log, batch_size=10240).initialize("bench", schema)
+    t0 = time.perf_counter()
+    w.write(arr)
+    w.stop()
+    t_write = time.perf_counter() - t0
+    mb = n * 8 / 1e6
+    r = StreamReader(log).initialize("bench")
+    t0 = time.perf_counter()
+    while True:
+        res = r.read(100_000, timeout_ms=10)
+        if res.eof or res.count == 0:
+            break
+    t_read = time.perf_counter() - t0
+    return {
+        "transport_write_mb_s": round(mb / t_write, 1),
+        "transport_read_mb_s": round(mb / t_read, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -41,6 +76,9 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
     total = round(time.perf_counter() - t_all, 4)
 
+    tp = transport_throughput()
+    print(f"# transport: {tp}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -49,6 +87,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                **tp,
             }
         )
     )

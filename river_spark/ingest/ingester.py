@@ -132,6 +132,7 @@ class SingleStreamIngester:
                 res = reader.read(
                     min(self.settings.samples_per_read, rows_per_group - got),
                     timeout_ms=self.stalled_timeout_ms,
+                    with_keys=True,
                 )
                 if res.eof:
                     saw_eof = True

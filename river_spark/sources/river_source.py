@@ -71,39 +71,54 @@ def _arrow_schema_for(schema: StreamSchema) -> pa.schema:
 
 
 def _batch_file_to_arrow(
-    schema: StreamSchema, path: str, start_index: int, lo: int = 0, hi: int | None = None
+    schema: StreamSchema,
+    log: StreamLog,
+    path: str,
+    start_index: int,
+    key_ms: int,
+    key_seq0: int,
+    lo: int = 0,
+    hi: int | None = None,
 ) -> pa.RecordBatch:
-    """Decode one log batch file (optionally a row slice) into Arrow."""
-    with np.load(path) as z:
-        kms = z["keys_ms"]
-        kseq = z["keys_seq"]
-        n = len(kms)
-        hi = n if hi is None else min(hi, n)
-        keys = [encode_key(int(kms[i]), int(kseq[i])) for i in range(lo, hi)]
-        idx = np.arange(start_index + lo, start_index + hi, dtype=np.int64)
-        ts = kms[lo:hi].astype(np.int64)
-        arrays = [pa.array(idx), pa.array(keys, pa.string()), pa.array(ts)]
-        if schema.has_variable_width_field:
-            sizes = z["sizes"]
-            offs = np.concatenate([[0], np.cumsum(sizes)])
-            buf = z["data"].tobytes()
-            arrays.append(
-                pa.array([buf[offs[i] : offs[i + 1]] for i in range(lo, hi)], pa.binary())
-            )
-        else:
-            data = z["data"].view(schema.dtype())[lo:hi]
-            for f in schema.field_definitions:
-                if f.type in _ARROW_TYPES:
-                    arrays.append(pa.array(data[f.name], _ARROW_TYPES[f.type]))
-                else:
-                    arrays.append(pa.array([bytes(v) for v in data[f.name]], pa.binary()))
+    """Decode one log batch file (optionally a row slice) into Arrow. Keys
+    are reconstructed from the batch's (ms, seq0) run — not stored."""
+    z = log.read_batch(path)
+    if hi is None:
+        hi = 10**18
+    keys = None
+    idx = None
+    if schema.has_variable_width_field:
+        sizes = z["sizes"]
+        hi = min(hi, len(sizes))
+        offs = np.concatenate([[0], np.cumsum(sizes)])
+        buf = z["data"].tobytes()
+        vals = pa.array([buf[offs[i] : offs[i + 1]] for i in range(lo, hi)], pa.binary())
+        field_arrays = [vals]
+    else:
+        data = z["data"].view(schema.dtype())
+        hi = min(hi, len(data))
+        data = data[lo:hi]
+        field_arrays = []
+        for f in schema.field_definitions:
+            if f.type in _ARROW_TYPES:
+                field_arrays.append(pa.array(data[f.name], _ARROW_TYPES[f.type]))
+            else:
+                field_arrays.append(pa.array([bytes(v) for v in data[f.name]], pa.binary()))
+    n = hi - lo
+    keys = [encode_key(key_ms, key_seq0 + i) for i in range(lo, hi)]
+    idx = np.arange(start_index + lo, start_index + hi, dtype=np.int64)
+    ts = np.full(n, key_ms, dtype=np.int64)
+    arrays = [pa.array(idx), pa.array(keys, pa.string()), pa.array(ts)] + field_arrays
     return pa.RecordBatch.from_arrays(arrays, schema=_arrow_schema_for(schema))
 
 
 class _BatchFilePartition(InputPartition):
-    def __init__(self, path, start_index, lo, hi, schema_json):
+    def __init__(self, root, path, start_index, key_ms, key_seq0, lo, hi, schema_json):
+        self.root = root
         self.path = path
         self.start_index = start_index
+        self.key_ms = key_ms
+        self.key_seq0 = key_seq0
         self.lo = lo
         self.hi = hi
         self.schema_json = schema_json
@@ -125,8 +140,10 @@ class RiverBatchReader(DataSourceReader):
         schema_json = meta["schema"]
         parts = []
         for seg in log.list_segments(self.stream):
-            for start, cnt, _ms, _seq, path in log.list_batches(self.stream, seg):
-                parts.append(_BatchFilePartition(path, start, 0, cnt, schema_json))
+            for start, cnt, ms, seq0, path in log.list_batches(self.stream, seg):
+                parts.append(
+                    _BatchFilePartition(self.root, path, start, ms, seq0, 0, cnt, schema_json)
+                )
         return parts or [None]
 
     def read(self, partition):
@@ -134,7 +151,14 @@ class RiverBatchReader(DataSourceReader):
             return
         schema = StreamSchema.from_json(partition.schema_json)
         yield _batch_file_to_arrow(
-            schema, partition.path, partition.start_index, partition.lo, partition.hi
+            schema,
+            StreamLog(partition.root),
+            partition.path,
+            partition.start_index,
+            partition.key_ms,
+            partition.key_seq0,
+            partition.lo,
+            partition.hi,
         )
 
 
@@ -185,12 +209,19 @@ class RiverStreamReader(DataSourceStreamReader):
         self._cursor = hi
         parts = []
         for seg in self._log.list_segments(self.stream):
-            for bstart, cnt, _ms, _seq, path in self._log.list_batches(self.stream, seg):
+            for bstart, cnt, ms, seq0, path in self._log.list_batches(self.stream, seg):
                 if bstart + cnt <= lo or bstart >= hi:
                     continue
                 parts.append(
                     _BatchFilePartition(
-                        path, bstart, max(0, lo - bstart), min(cnt, hi - bstart), self._schema_json
+                        self.root,
+                        path,
+                        bstart,
+                        ms,
+                        seq0,
+                        max(0, lo - bstart),
+                        min(cnt, hi - bstart),
+                        self._schema_json,
                     )
                 )
         return parts or [None]
@@ -200,7 +231,14 @@ class RiverStreamReader(DataSourceStreamReader):
             return
         schema = StreamSchema.from_json(partition.schema_json)
         yield _batch_file_to_arrow(
-            schema, partition.path, partition.start_index, partition.lo, partition.hi
+            schema,
+            StreamLog(partition.root),
+            partition.path,
+            partition.start_index,
+            partition.key_ms,
+            partition.key_seq0,
+            partition.lo,
+            partition.hi,
         )
 
     def commit(self, end):

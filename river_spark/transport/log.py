@@ -41,7 +41,7 @@ import time
 
 import numpy as np
 
-_BATCH_RE = re.compile(r"^batch_(\d{12})_(\d+)_(\d+)_(\d+)\.npz$")
+_BATCH_RE = re.compile(r"^batch_(\d{12})_(\d+)_(\d+)_(\d+)\.(bin|npz)$")
 _SEG_RE = re.compile(r"^segment_(\d{6})$")
 
 
@@ -133,39 +133,45 @@ class StreamLog:
         return out
 
     # ---- batches -----------------------------------------------------------
+    # A batch's keys are one (ms, seq0..seq0+n-1) run (MonotonicKeyGen hands
+    # out a single ms per call), so the filename fully describes them:
+    # batch_{start_index}_{n}_{ms}_{seq0}. Fixed-width payloads are RAW bytes
+    # (.bin — no container overhead in the hot path); variable-width batches
+    # are .npz carrying data + per-sample sizes. Seek never opens a file.
     def append_batch(
         self,
         name: str,
         segment_idx: int,
         start_index: int,
         data: bytes,
-        keys_ms: np.ndarray,
-        keys_seq: np.ndarray,
+        n: int,
+        key_ms: int,
+        key_seq0: int,
         sizes: np.ndarray | None,
     ) -> str:
-        """Write one batch file; returns its path. Filename carries
-        (start_index, n, first key) so readers can seek without opening files."""
-        n = len(keys_ms)
         seg = self.segment_dir(name, segment_idx)
-        fname = f"batch_{start_index:012d}_{n}_{int(keys_ms[0])}_{int(keys_seq[0])}.npz"
-        path = os.path.join(seg, fname)
-        buf = io.BytesIO()
-        payload = {
-            "data": np.frombuffer(data, dtype=np.uint8),
-            "keys_ms": np.asarray(keys_ms, dtype=np.int64),
-            "keys_seq": np.asarray(keys_seq, dtype=np.int64),
-        }
-        if sizes is not None:
-            payload["sizes"] = np.asarray(sizes, dtype=np.int64)
-        np.savez(buf, **payload)
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(buf.getvalue())
+        stem = f"batch_{start_index:012d}_{n}_{int(key_ms)}_{int(key_seq0)}"
+        if sizes is None:
+            path = os.path.join(seg, stem + ".bin")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(data)
+        else:
+            path = os.path.join(seg, stem + ".npz")
+            buf = io.BytesIO()
+            np.savez(
+                buf,
+                data=np.frombuffer(data, dtype=np.uint8),
+                sizes=np.asarray(sizes, dtype=np.int64),
+            )
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(buf.getvalue())
         os.replace(tmp, path)
         return path
 
     def list_batches(self, name: str, segment_idx: int) -> list[tuple[int, int, int, int, str]]:
-        """Sorted [(start_index, n, key_ms, key_seq, path)] for a segment."""
+        """Sorted [(start_index, n, key_ms, key_seq0, path)] for a segment."""
         seg = self.segment_dir(name, segment_idx)
         if not os.path.isdir(seg):
             return []
@@ -181,6 +187,9 @@ class StreamLog:
         return out
 
     def read_batch(self, path: str) -> dict:
+        """Returns {'data': uint8 array, 'sizes': int64 array | absent}."""
+        if path.endswith(".bin"):
+            return {"data": np.fromfile(path, dtype=np.uint8)}
         with np.load(path) as z:
             return {k: z[k] for k in z.files}
 
@@ -250,17 +259,14 @@ class MonotonicKeyGen:
         self._last_ms = -1
         self._seq = 0
 
-    def next_keys(self, n: int) -> tuple[np.ndarray, np.ndarray]:
+    def next_keys(self, n: int) -> tuple[int, int]:
+        """Reserve n keys; the batch's keys are (ms, seq0)...(ms, seq0+n-1).
+        One ms per call keeps a batch a single contiguous key run, which is
+        what lets batch filenames fully describe their keys."""
         ms = self._clock()
         if ms < self._last_ms:
             ms = self._last_ms
-        if ms == self._last_ms:
-            start_seq = self._seq
-        else:
-            start_seq = 0
+        seq0 = self._seq if ms == self._last_ms else 0
         self._last_ms = ms
-        self._seq = start_seq + n
-        return (
-            np.full(n, ms, dtype=np.int64),
-            np.arange(start_seq, start_seq + n, dtype=np.int64),
-        )
+        self._seq = seq0 + n
+        return ms, seq0

@@ -34,7 +34,9 @@ _POLL_S = 0.0005
 @dataclass
 class ReadResult:
     """One read's output: samples as a structured array (or raw bytes +
-    sizes for variable-width), per-sample keys, and global indices."""
+    sizes for variable-width), global indices, and (when requested — keys
+    are an optional out-param in the reference too, cpp/src/reader.h:150)
+    per-sample keys."""
 
     count: int
     samples: np.ndarray | None
@@ -94,11 +96,16 @@ class StreamReader:
 
     # -- scan helpers ----------------------------------------------------------
     def _available_in_segment(self) -> list[tuple[int, int, int, int, str]]:
-        return [
-            b
-            for b in self.log.list_batches(self.stream_name, self._segment)
-            if b[0] + b[1] > self._next_index
-        ]
+        # cache the directory listing; refresh only when it has nothing new
+        # (an O(files) listing per read call would be quadratic overall)
+        cache = getattr(self, "_batch_cache", None)
+        if cache is not None and cache[0] == self._segment:
+            avail = [b for b in cache[1] if b[0] + b[1] > self._next_index]
+            if avail:
+                return avail
+        batches = self.log.list_batches(self.stream_name, self._segment)
+        self._batch_cache = (self._segment, batches)
+        return [b for b in batches if b[0] + b[1] > self._next_index]
 
     def _advance_segment_if_done(self) -> bool:
         """If the cursor is past all data in the current segment and a
@@ -120,7 +127,11 @@ class StreamReader:
         return False
 
     # -- read -------------------------------------------------------------------
-    def read(self, num_samples: int, timeout_ms: int = -1) -> ReadResult:
+    def read(self, num_samples: int, timeout_ms: int = -1, with_keys: bool = False) -> ReadResult:
+        """Read ≤ num_samples. ``with_keys`` materializes per-sample key
+        strings (optional out-param, like the reference's ``keys`` pointer,
+        cpp/src/reader.h:150) — skipping them keeps the hot path free of
+        per-row Python string formatting."""
         n = min(num_samples, self.max_fetch_size)
         deadline = None if timeout_ms < 0 else time.monotonic() + timeout_ms / 1000
         chunks: list[np.ndarray] = []
@@ -131,13 +142,12 @@ class StreamReader:
         dtype = None if variable else self.schema.dtype()
         while got < n:
             progressed = False
-            for start, cnt, _ms, _seq, path in self._available_in_segment():
+            for start, cnt, key_ms, key_seq0, path in self._available_in_segment():
                 if got >= n:
                     break
                 z = self.log.read_batch(path)
                 lo = max(0, self._next_index - start)
                 take = min(cnt - lo, n - got)
-                kms, kseq = z["keys_ms"], z["keys_seq"]
                 if variable:
                     bsizes = z["sizes"]
                     offs = np.concatenate([[0], np.cumsum(bsizes)])
@@ -146,7 +156,10 @@ class StreamReader:
                 else:
                     arr = z["data"].view(dtype)
                     chunks.append(arr[lo : lo + take])
-                keys.extend(encode_key(int(kms[i]), int(kseq[i])) for i in range(lo, lo + take))
+                if with_keys:
+                    keys.extend(
+                        encode_key(key_ms, key_seq0 + i) for i in range(lo, lo + take)
+                    )
                 # Monotone/contiguous index enforcement (cpp/src/reader.h:326-336).
                 if start + lo != self._next_index:
                     raise RuntimeError(
@@ -187,7 +200,7 @@ class StreamReader:
             if newest is not None and newest >= self._next_index:
                 skipped = newest - self._next_index
                 self._seek_to_index(newest)
-                res = self.read(1, timeout_ms=0)
+                res = self.read(1, timeout_ms=0, with_keys=True)
                 return skipped, res
             if self._stream_eof():
                 return -1, None
@@ -232,20 +245,22 @@ class StreamReader:
     def seek(self, key: str) -> int:
         """Position the cursor after the greatest element ≤ ``key``; never
         moves backward. Returns samples skipped, or -1 if ``key`` is past the
-        stream's EOF (cpp/src/reader.cpp:507-583)."""
+        stream's EOF (cpp/src/reader.cpp:507-583). Pure filename arithmetic —
+        a batch's keys are the contiguous run (ms, seq0..seq0+n-1), so no
+        payload file is ever opened."""
         target = decode_key(key)
+        t_ms, t_seq = target
         old_next = self._next_index
         best = None  # global index of greatest element <= key
         seg = self._segment
         while True:
-            for start, cnt, _ms, _seq, path in self.log.list_batches(self.stream_name, seg):
-                z = self.log.read_batch(path)
-                kms, kseq = z["keys_ms"], z["keys_seq"]
-                for i in range(cnt):
-                    if (int(kms[i]), int(kseq[i])) <= target:
-                        best = start + i
-                    else:
-                        break
+            for start, cnt, key_ms, key_seq0, _path in self.log.list_batches(self.stream_name, seg):
+                if (key_ms, key_seq0) > target:
+                    break
+                if key_ms < t_ms or (key_ms == t_ms and key_seq0 + cnt - 1 <= t_seq):
+                    best = start + cnt - 1  # whole batch <= target
+                else:  # same ms, target falls inside this batch's seq run
+                    best = start + (t_seq - key_seq0)
             ctrl = self.log.read_control(self.stream_name, seg)
             if ctrl is None:
                 break
@@ -269,6 +284,6 @@ class StreamReader:
         for seg in reversed(segs):
             batches = self.log.list_batches(self.stream_name, seg)
             if batches:
-                z = self.log.read_batch(batches[-1][4])
-                return (int(z["keys_ms"][-1]), int(z["keys_seq"][-1]))
+                _start, cnt, key_ms, key_seq0, _path = batches[-1]
+                return (key_ms, key_seq0 + cnt - 1)
         return (-1, -1)

@@ -151,14 +151,15 @@ class StreamWriter:
                 sample_size = self.schema.sample_size()
                 payload = data[written * sample_size : (written + take) * sample_size]
                 sub_sizes = None
-            keys_ms, keys_seq = self._keygen.next_keys(take)
+            key_ms, key_seq0 = self._keygen.next_keys(take)
             self.log.append_batch(
                 self.stream_name,
                 seg,
                 self.total_samples_written,
                 payload,
-                keys_ms,
-                keys_seq,
+                take,
+                key_ms,
+                key_seq0,
                 sub_sizes,
             )
             self.total_samples_written += take

@@ -53,7 +53,7 @@ def test_write_read_roundtrip_all_types(log):
     w.stop()
 
     r = StreamReader(log).initialize("s1")
-    res = r.read(1000, timeout_ms=100)
+    res = r.read(1000, timeout_ms=100, with_keys=True)
     assert res.count == 100
     np.testing.assert_array_equal(res.samples["d"], arr["d"])
     np.testing.assert_array_equal(res.samples["i64"], arr["i64"])
@@ -98,7 +98,7 @@ def test_tombstone_following_and_listener(log):
     r = StreamReader(log).initialize("seg")
     events = []
     r.add_listener(lambda old, new: events.append((old, new)))
-    res = r.read(1000, timeout_ms=100)
+    res = r.read(1000, timeout_ms=100, with_keys=True)
     assert res.count == 100
     np.testing.assert_array_equal(res.samples["v"], np.arange(100.0))
     assert events == [(0, 1), (1, 2), (2, 3)]
@@ -145,7 +145,7 @@ def test_seek(log):
     r0 = StreamReader(log).initialize("sk")
     all_keys = []
     while True:
-        res = r0.read(100, timeout_ms=50)
+        res = r0.read(100, timeout_ms=50, with_keys=True)
         if res.eof or res.count == 0:
             break
         all_keys.extend(res.keys)
