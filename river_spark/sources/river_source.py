@@ -45,6 +45,7 @@ from pyspark.sql import types as T
 
 from river_spark.ingest.ingester import _ARROW_TYPES
 from river_spark.schema import FieldType, StreamSchema
+from river_spark.transport.compression import Compressor
 from river_spark.transport.log import StreamLog, encode_key
 from river_spark.transport.writer import StreamWriter
 
@@ -79,10 +80,14 @@ def _batch_file_to_arrow(
     key_seq0: int,
     lo: int = 0,
     hi: int | None = None,
+    comp_json: str | None = None,
 ) -> pa.RecordBatch:
     """Decode one log batch file (optionally a row slice) into Arrow. Keys
     are reconstructed from the batch's (ms, seq0) run — not stored."""
     z = log.read_batch(path)
+    if comp_json:
+        comp = Compressor.from_params_json(comp_json)
+        z = {**z, "data": np.frombuffer(comp.decompress(z["data"].tobytes()), dtype=np.uint8)}
     if hi is None:
         hi = 10**18
     keys = None
@@ -113,7 +118,7 @@ def _batch_file_to_arrow(
 
 
 class _BatchFilePartition(InputPartition):
-    def __init__(self, root, path, start_index, key_ms, key_seq0, lo, hi, schema_json):
+    def __init__(self, root, path, start_index, key_ms, key_seq0, lo, hi, schema_json, comp_json=None):
         self.root = root
         self.path = path
         self.start_index = start_index
@@ -122,6 +127,7 @@ class _BatchFilePartition(InputPartition):
         self.lo = lo
         self.hi = hi
         self.schema_json = schema_json
+        self.comp_json = comp_json
 
 
 # ---------------------------------------------------------------------------
@@ -138,11 +144,14 @@ class RiverBatchReader(DataSourceReader):
         if meta is None:
             raise ValueError(f"stream {self.stream!r} not found under {self.root}")
         schema_json = meta["schema"]
+        comp_json = meta.get("compression_params_json")
         parts = []
         for seg in log.list_segments(self.stream):
             for start, cnt, ms, seq0, path in log.list_batches(self.stream, seg):
                 parts.append(
-                    _BatchFilePartition(self.root, path, start, ms, seq0, 0, cnt, schema_json)
+                    _BatchFilePartition(
+                        self.root, path, start, ms, seq0, 0, cnt, schema_json, comp_json
+                    )
                 )
         return parts or [None]
 
@@ -159,6 +168,7 @@ class RiverBatchReader(DataSourceReader):
             partition.key_seq0,
             partition.lo,
             partition.hi,
+            partition.comp_json,
         )
 
 
@@ -177,6 +187,7 @@ class RiverStreamReader(DataSourceStreamReader):
         if meta is None:
             raise ValueError(f"stream {self.stream!r} not found under {self.root}")
         self._schema_json = meta["schema"]
+        self._comp_json = meta.get("compression_params_json")
 
     def initialOffset(self):
         # Only called on a fresh query (no checkpoint): rate-limiting can
@@ -222,6 +233,7 @@ class RiverStreamReader(DataSourceStreamReader):
                         max(0, lo - bstart),
                         min(cnt, hi - bstart),
                         self._schema_json,
+                        self._comp_json,
                     )
                 )
         return parts or [None]
@@ -239,6 +251,7 @@ class RiverStreamReader(DataSourceStreamReader):
             partition.key_seq0,
             partition.lo,
             partition.hi,
+            partition.comp_json,
         )
 
     def commit(self, end):

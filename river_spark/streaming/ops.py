@@ -1,0 +1,132 @@
+"""Streaming analytics operators (SURVEY §2 Part B, "Streaming" row).
+
+These take an unbounded DataFrame (e.g. from the river source or any
+Structured Streaming source) carrying an event-time column and return
+transformed streams:
+
+- ``windowed_counts``: tumbling-window aggregation with a watermark (late
+  data beyond the delay is dropped, state is bounded);
+- ``sliding_avg``: overlapping windows;
+- ``sessionize``: built-in ``session_window`` (gap-based, watermark-bounded
+  state) — the streaming analog of the batch gaps-and-islands query;
+- ``dedup_stream``: ``dropDuplicates`` with watermark (bounded dedup state);
+- ``running_totals``: custom stateful operator via
+  ``applyInPandasWithState`` — per-key running counters with a processing-
+  time timeout, the shape the reference's stale-stream janitor (A17) takes
+  in a streaming engine.
+
+The watermark delay maps to the reference's ``minimum_age_seconds_before_
+deletion`` (A16) — both say "data older than X is no longer awaited".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "tstamp",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), key_col)
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_avg(
+    events: DataFrame,
+    ts_col: str = "tstamp",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"))
+        .agg(F.avg("value").alias("avg_value"), F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "avg_value", "n")
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    ts_col: str = "tstamp",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("s"), key_col)
+        .agg(F.count("*").alias("n_events"), F.min("event_id").alias("first_event"))
+        .select(
+            key_col,
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "first_event",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame, ts_col: str = "tstamp", id_cols: tuple = ("event_id",), watermark: str = "10 minutes"
+) -> DataFrame:
+    """Exactly-once-per-id stream: dedup state is dropped once the watermark
+    passes, so memory stays bounded at (ids seen within the delay)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates([*id_cols, ts_col])
+
+
+_RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+)
+
+
+def running_totals(events: DataFrame, timeout_ms: int = 300_000) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum) emitted each
+    micro-batch; state times out after ``timeout_ms`` idle — the same
+    stale-entity semantics as the reference's stale-stream auto-EOF
+    (cpp/ingester/src/ingester.cpp:492-539, default 300 000 ms)."""
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get() if state.exists else (0, 0.0)
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

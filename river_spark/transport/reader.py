@@ -25,6 +25,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from river_spark.schema import StreamSchema
+from river_spark.transport.compression import Compressor
 from river_spark.transport.log import StreamLog, decode_key, encode_key
 
 DEFAULT_MAX_FETCH = 10_000  # cpp/src/reader.h:62
@@ -75,10 +76,20 @@ class StreamReader:
             time.sleep(0.001)  # 1 ms poll, cpp/src/reader.cpp:589-604
         self.stream_name = stream_name
         self.schema = StreamSchema.from_json(meta["schema"])
+        # transparent decompression (cpp/src/reader.cpp:34-79 reads the
+        # stream's compression params from metadata)
+        self._compressor = Compressor.from_params_json(meta.get("compression_params_json"))
         self._segment = meta.get("first_segment", 0)
         self.initialized_at_us = meta.get("initialized_at_us")
+        # A22 passthrough (cpp/src/reader.cpp:639-641)
+        self.local_minus_server_clock_us = meta.get("local_minus_server_clock_us")
         self._good = True
         return self
+
+    def new_buffer(self, n: int) -> np.ndarray:
+        """Allocate an n-sample buffer matching the schema (binding parity,
+        python/river.pyx StreamReader.new_buffer)."""
+        return np.zeros(n, dtype=self.schema.dtype())
 
     def stop(self) -> None:
         self._good = False
@@ -146,6 +157,8 @@ class StreamReader:
                 if got >= n:
                     break
                 z = self.log.read_batch(path)
+                raw = self._compressor.decompress(z["data"].tobytes())
+                z = {**z, "data": np.frombuffer(raw, dtype=np.uint8)}
                 lo = max(0, self._next_index - start)
                 take = min(cnt - lo, n - got)
                 if variable:

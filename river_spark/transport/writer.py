@@ -22,6 +22,7 @@ import time
 import numpy as np
 
 from river_spark.schema import SchemaError, StreamSchema, validate_stream_name
+from river_spark.transport.compression import CompressionMode, Compressor
 from river_spark.transport.log import MonotonicKeyGen, StreamLog
 
 DEFAULT_BATCH_SIZE = 1536  # cpp/src/writer.h:84
@@ -39,8 +40,10 @@ class StreamWriter:
         batch_size: int = DEFAULT_BATCH_SIZE,
         entries_per_segment: int = DEFAULT_ENTRIES_PER_SEGMENT,
         clock=None,
+        compression: Compressor | None = None,
     ):
         self.log = log
+        self.compression = compression or Compressor(CompressionMode.UNCOMPRESSED)
         self.batch_size = batch_size
         self.entries_per_segment = entries_per_segment
         self._keygen = MonotonicKeyGen(clock)
@@ -50,19 +53,42 @@ class StreamWriter:
         self._stopped = False
         self._initialized_at_us: int | None = None
 
+    def new_buffer(self, n: int) -> np.ndarray:
+        """Allocate an n-sample buffer matching the schema (binding parity,
+        python/river.pyx StreamWriter.new_buffer)."""
+        return np.zeros(n, dtype=self.schema.dtype())
+
     # -- lifecycle ----------------------------------------------------------
-    def initialize(self, stream_name: str, schema: StreamSchema, user_metadata: dict | None = None):
+    def initialize(
+        self,
+        stream_name: str,
+        schema: StreamSchema,
+        user_metadata: dict | None = None,
+        compute_clock: bool = False,
+    ):
         validate_stream_name(stream_name)
+        # Reference guard: compression requires fixed-width schemas
+        # (cpp/src/writer.cpp:131-146).
+        if self.compression.mode is not CompressionMode.UNCOMPRESSED and schema.has_variable_width_field:
+            raise SchemaError("compression is not supported for variable-width streams")
         self._initialized_at_us = int(time.time() * 1_000_000)
-        self.log.create_stream(
-            stream_name,
-            {
-                "first_segment": 0,
-                "schema": schema.to_json(),
-                "initialized_at_us": self._initialized_at_us,
-                "user_metadata": user_metadata or {},
-            },
-        )
+        meta = {
+            "first_segment": 0,
+            "schema": schema.to_json(),
+            "initialized_at_us": self._initialized_at_us,
+            "user_metadata": user_metadata or {},
+        }
+        if self.compression.mode is not CompressionMode.UNCOMPRESSED:
+            # record sample_size so readers can invert the byte shuffle
+            self.compression.params.setdefault("sample_size", schema.sample_size())
+            meta["compression_params_json"] = self.compression.params_json()
+        if compute_clock:
+            # A22 (cpp/src/writer.cpp:365-381): midpoint estimate of
+            # (local - server) clock over repeated round trips. Storage and
+            # process share a clock here, so the estimate is 0; kept as
+            # metadata passthrough for API parity (readers surface it).
+            meta["local_minus_server_clock_us"] = 0
+        self.log.create_stream(stream_name, meta)
         self.stream_name = stream_name
         self.schema = schema
         return self
@@ -151,6 +177,7 @@ class StreamWriter:
                 sample_size = self.schema.sample_size()
                 payload = data[written * sample_size : (written + take) * sample_size]
                 sub_sizes = None
+            payload = self.compression.compress(payload)
             key_ms, key_seq0 = self._keygen.next_keys(take)
             self.log.append_batch(
                 self.stream_name,

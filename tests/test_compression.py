@@ -1,0 +1,117 @@
+"""Compression tests — mirror cpp/src/tests/compressor_test.cpp: lossless
+bit-exact round trip on int16 sine waves with ≥10% size reduction, plus
+transparent end-to-end decompression through reader, ingester, and the
+Spark DataSource; ZFP gated like the reference's noop build."""
+
+import os
+
+import numpy as np
+import pytest
+
+from river_spark.schema import FieldDefinition, FieldType, SchemaError, StreamSchema
+from river_spark.transport import StreamLog, StreamReader, StreamWriter
+from river_spark.transport.compression import CompressionMode, Compressor
+
+
+def sine_samples(n=4096, channels=4):
+    """64-channel int16 sines like the reference's golden fixture
+    (compressor_test.cpp:12-23)."""
+    schema = StreamSchema([FieldDefinition(f"ch{i}", FieldType.INT16) for i in range(channels)])
+    arr = np.zeros(n, dtype=schema.dtype())
+    t = np.arange(n)
+    for i in range(channels):
+        arr[f"ch{i}"] = (10000 * np.sin(t / (50.0 + i))).astype(np.int16)
+    return schema, arr
+
+
+def test_zlib_roundtrip_bit_exact_and_smaller():
+    schema, arr = sine_samples()
+    c = Compressor(CompressionMode.ZLIB_LOSSLESS, {"sample_size": schema.sample_size()})
+    raw = arr.tobytes()
+    comp = c.compress(raw)
+    assert len(comp) < 0.9 * len(raw)  # >=10% reduction (compressor_test.cpp:109-119)
+    assert c.decompress(comp) == raw  # bit-exact
+
+
+def test_dummy_passthrough():
+    c = Compressor(CompressionMode.DUMMY)
+    assert c.compress(b"abc") == b"abc" and c.decompress(b"abc") == b"abc"
+
+
+def test_zfp_gated():
+    with pytest.raises(NotImplementedError):
+        Compressor(CompressionMode.ZFP_LOSSLESS)
+
+
+def test_params_json_roundtrip():
+    c = Compressor(CompressionMode.ZLIB_LOSSLESS, {"level": 6})
+    c2 = Compressor.from_params_json(c.params_json())
+    assert c2.mode is CompressionMode.ZLIB_LOSSLESS and c2.params == {"level": 6}
+    assert Compressor.from_params_json(None).mode is CompressionMode.UNCOMPRESSED
+
+
+def test_transparent_reader_decompression(tmp_path):
+    log = StreamLog(str(tmp_path / "store"))
+    schema, arr = sine_samples(n=2000)
+    w = StreamWriter(log, batch_size=256, compression=Compressor(CompressionMode.ZLIB_LOSSLESS))
+    w.initialize("comp", schema)
+    w.write(arr)
+    w.stop()
+    # on-disk bytes are compressed
+    disk = sum(
+        os.path.getsize(os.path.join(d, f))
+        for d, _, fs in os.walk(log.stream_dir("comp"))
+        for f in fs
+    )
+    assert disk < 0.9 * arr.nbytes
+    # reader is oblivious
+    r = StreamReader(log).initialize("comp")
+    res = r.read(5000, timeout_ms=100)
+    assert res.count == 2000
+    np.testing.assert_array_equal(res.samples["ch0"], arr["ch0"])
+
+
+def test_compression_rejects_variable_width(tmp_path):
+    log = StreamLog(str(tmp_path / "store"))
+    schema = StreamSchema([FieldDefinition("v", FieldType.VARIABLE_WIDTH_BYTES, size=8)])
+    w = StreamWriter(log, compression=Compressor(CompressionMode.ZLIB_LOSSLESS))
+    with pytest.raises(SchemaError):
+        w.initialize("vw", schema)
+
+
+def test_spark_source_reads_compressed(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from river_spark.sources import register
+
+    log = StreamLog(str(tmp_path / "store"))
+    schema, arr = sine_samples(n=1000)
+    w = StreamWriter(log, batch_size=128, compression=Compressor(CompressionMode.ZLIB_LOSSLESS))
+    w.initialize("sp", schema)
+    w.write(arr)
+    w.stop()
+    register(spark)
+    df = spark.read.format("river").option("path", str(tmp_path / "store")).option("stream", "sp").load()
+    assert df.count() == 1000
+    got = df.orderBy("sample_index").select("ch0").toPandas()["ch0"].to_numpy()
+    np.testing.assert_array_equal(got, arr["ch0"])
+
+
+def test_ingester_reads_compressed(tmp_path):
+    import pyarrow.parquet as pq
+
+    from river_spark.ingest import IngestResult
+    from river_spark.ingest.ingester import SingleStreamIngester
+    from river_spark.ingest.settings import StreamIngestionSettings
+
+    log = StreamLog(str(tmp_path / "store"))
+    schema, arr = sine_samples(n=1500)
+    w = StreamWriter(log, batch_size=200, compression=Compressor(CompressionMode.ZLIB_LOSSLESS))
+    w.initialize("ing", schema)
+    w.write(arr)
+    w.stop()
+    s = StreamIngestionSettings(minimum_age_seconds_before_deletion=0)
+    res = SingleStreamIngester(log, str(tmp_path / "out"), "ing", s).ingest()
+    assert res is IngestResult.COMPLETED
+    t = pq.read_table(str(tmp_path / "out" / "ing" / "data.parquet"))
+    np.testing.assert_array_equal(t.column("ch1").to_numpy(), arr["ch1"])
