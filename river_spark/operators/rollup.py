@@ -1,0 +1,65 @@
+"""Multi-resolution time rollup (hypertable continuous-aggregate pattern).
+
+The cascade computes the finest resolution from raw data ONCE, then each
+coarser resolution from the next-finer one — at 100 TB this is the
+difference between one raw scan and R raw scans. Only distributive
+aggregates (count/sum/min/max) cascade losslessly; avg is derived as
+sum/count at read time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# seconds per supported bucket; each must divide the next
+_RESOLUTIONS = {"1 minute": 60, "1 hour": 3600, "1 day": 86400}
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    resolutions: list[str] = ("1 minute", "1 hour", "1 day"),
+) -> DataFrame:
+    """Returns a stacked frame [resolution, bucket_start, *key_cols, n,
+    total, vmin, vmax] where each coarser level is re-aggregated from the
+    finer one, never from raw."""
+    for r in resolutions:
+        if r not in _RESOLUTIONS:
+            raise ValueError(f"unsupported resolution {r!r}; choose from {list(_RESOLUTIONS)}")
+    secs = sorted(_RESOLUTIONS[r] for r in resolutions)
+    for a, b in zip(secs, secs[1:]):
+        if b % a:
+            raise ValueError(f"{b}s bucket is not a multiple of {a}s")
+    by_name = {v: k for k, v in _RESOLUTIONS.items()}
+
+    def bucket(col, s):
+        return F.timestamp_seconds((F.unix_timestamp(col) / s).cast("long") * s)
+
+    finest = secs[0]
+    level = (
+        df.groupBy(bucket(F.col(ts_col), finest).alias("bucket_start"), *key_cols)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(value_col).alias("total"),
+            F.min(value_col).alias("vmin"),
+            F.max(value_col).alias("vmax"),
+        )
+    )
+    out = level.select(F.lit(by_name[finest]).alias("resolution"), "*")
+    prev = level
+    for s in secs[1:]:
+        # cascade: re-aggregate the finer level (distributive aggs only)
+        level = (
+            prev.groupBy(bucket(F.col("bucket_start"), s).alias("bucket_start"), *key_cols)
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("total").alias("total"),
+                F.min("vmin").alias("vmin"),
+                F.max("vmax").alias("vmax"),
+            )
+        )
+        out = out.unionByName(level.select(F.lit(by_name[s]).alias("resolution"), "*"))
+        prev = level
+    return out

@@ -1,0 +1,82 @@
+"""Scale-path operators exposed to the correctness gate: the rollup
+cascade and salted join must produce EXACTLY the answers of their naive
+formulations (that's the whole point), so both are oracle-backed against
+the one-shot SQL."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from river_spark.operators.rollup import time_rollup
+from river_spark.operators.skew import salted_join
+from river_spark.queries.relational import q
+from river_spark.queries.tables import event_ts, r2, tbl
+
+
+@q(
+    "ev_rollup_cascade",
+    oracle="""
+    SELECT '1 minute' AS resolution, strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total,
+           round(min(value), 2) AS vmin, round(max(value), 2) AS vmax
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT '1 hour', strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'),
+           event_type, count(*), round(sum(value), 2), round(min(value), 2), round(max(value), 2)
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT '1 day', strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'),
+           event_type, count(*), round(sum(value), 2), round(min(value), 2), round(max(value), 2)
+    FROM events GROUP BY 2, 3
+    """,
+    tags=("rollup", "hypertable"),
+    bench=True,
+)
+def ev_rollup_cascade(spark, sf_dir):
+    """Continuous-aggregate cascade: minute from raw, hour from minute,
+    day from hour — ONE raw scan; must equal the per-resolution one-shot
+    aggregation (the oracle)."""
+    ev = tbl(spark, sf_dir, "events").withColumn("tstamp", event_ts())
+    rolled = time_rollup(ev, "tstamp", ["event_type"], "value")
+    return rolled.select(
+        "resolution",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "event_type",
+        "n",
+        r2(F.col("total")).alias("total"),
+        r2(F.col("vmin")).alias("vmin"),
+        r2(F.col("vmax")).alias("vmax"),
+    )
+
+
+@q(
+    "join_salted",
+    oracle="""
+    SELECT p_type, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_type
+    """,
+    tags=("join", "skew"),
+)
+def join_salted(spark, sf_dir):
+    """Salted fact⋈dim join must be answer-identical to the plain join."""
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part")
+    joined = salted_join(li, part, "l_partkey", "p_partkey", num_salts=8)
+    return joined.groupBy("p_type").agg(
+        F.count("*").alias("n"), r2(F.sum("l_quantity")).alias("qty")
+    )
+
+
+@q("agg_approx_distinct", tags=("agg", "sketch"))
+def agg_approx_distinct(spark, sf_dir):
+    """HLL++ sketch counting — approximate by design, so rows-only for the
+    driver; tests/test_scale_ops.py bounds the error against exact."""
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        )
+    )

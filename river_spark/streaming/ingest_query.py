@@ -41,6 +41,7 @@ def ingest_stream_continuous(
     out_root: str,
     settings: StreamIngestionSettings | None = None,
     trigger: dict | None = None,
+    partition_by_date: bool = False,
 ):
     """Start one streaming ingestion query for ``stream``; returns the
     StreamingQuery. Default trigger is availableNow (drain + stop), matching
@@ -65,6 +66,13 @@ def ingest_stream_continuous(
         .load()
         .select(*cols)
     )
+    if partition_by_date:
+        # 100 TB layout: out/{stream}/date=YYYY-MM-DD/... — date derived
+        # from the sample key's ms prefix; enables partition pruning on
+        # time-ranged reads and size-tiered per-day compaction.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("date", F.to_date(F.timestamp_millis(F.col("timestamp_ms"))))
     out_dir = os.path.join(out_root, stream)
     rows_per_file = max(settings.bytes_per_row_group // max(schema.sample_size(), 1), 1)
     writer = (
@@ -74,6 +82,8 @@ def ingest_stream_continuous(
         .option("maxRecordsPerFile", str(rows_per_file))
         .outputMode("append")
     )
+    if partition_by_date:
+        writer = writer.partitionBy("date")
     trigger = trigger or {"availableNow": True}
     writer = writer.trigger(**trigger)
     return writer.start()

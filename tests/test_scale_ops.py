@@ -1,0 +1,117 @@
+"""Scale-operator tests: rollup cascade correctness, salted-join parity
+with the plain join, approx-distinct error bound, partitioned ingest
+layout."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from river_spark.operators.rollup import time_rollup
+from river_spark.operators.skew import salted_join
+
+
+def test_rollup_cascade_matches_one_shot(spark, sf_dir):
+    from river_spark.queries.tables import event_ts, tbl
+
+    ev = tbl(spark, sf_dir, "events").withColumn("tstamp", event_ts())
+    rolled = time_rollup(ev, "tstamp", ["event_type"], "value")
+    hour = rolled.filter(F.col("resolution") == "1 hour")
+    one_shot = ev.groupBy(
+        F.date_trunc("hour", "tstamp").alias("bucket_start"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    a = {(r.bucket_start, r.event_type): (r.n, round(r.total, 4)) for r in hour.collect()}
+    b = {(r.bucket_start, r.event_type): (r.n, r.total) for r in one_shot.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k][0] == b[k][0] and abs(a[k][1] - b[k][1]) < 1e-6
+
+
+def test_rollup_rejects_bad_resolution(spark, sf_dir):
+    from river_spark.queries.tables import event_ts, tbl
+
+    ev = tbl(spark, sf_dir, "events").withColumn("tstamp", event_ts())
+    with pytest.raises(ValueError):
+        time_rollup(ev, "tstamp", [], "value", resolutions=["7 minutes"])
+
+
+def test_salted_join_parity_with_hot_key(spark):
+    # 90% of fact rows share one key — the skew scenario salting exists for
+    fact = spark.createDataFrame(
+        [(1 if i % 10 else i % 100, float(i)) for i in range(10_000)], ["k", "v"]
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(100)], ["dk", "name"])
+    plain = fact.join(dim, fact.k == dim.dk).groupBy("name").agg(
+        F.count("*").alias("n"), F.round(F.sum("v"), 2).alias("sv")
+    )
+    salted = salted_join(fact, dim, "k", "dk", num_salts=8).groupBy("name").agg(
+        F.count("*").alias("n"), F.round(F.sum("v"), 2).alias("sv")
+    )
+    a = {r.name: (r.n, r.sv) for r in plain.collect()}
+    b = {r.name: (r.n, r.sv) for r in salted.collect()}
+    assert a == b
+    # the salt actually spreads the hot key across partitions
+    l = fact.withColumn(
+        "__s", F.pmod(F.xxhash64("k", "v"), F.lit(8))
+    ).filter(F.col("k") == 1)
+    assert l.select("__s").distinct().count() == 8
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    fact = spark.createDataFrame([(1, 1.0), (999, 2.0)], ["k", "v"])
+    dim = spark.createDataFrame([(1, "one")], ["dk", "name"])
+    rows = salted_join(fact, dim, "k", "dk", num_salts=4, how="left").collect()
+    m = {r.k: r.name for r in rows}
+    assert m[1] == "one" and m[999] is None and len(rows) == 2
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    from river_spark.queries.tables import tbl
+
+    li = tbl(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag").agg(F.countDistinct("l_partkey").alias("n")).collect()
+    }
+    approx = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("n"))
+        .collect()
+    }
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(0.1 * exact[k], 2), (k, exact[k], approx[k])
+
+
+def test_partitioned_ingest_layout(spark, tmp_path):
+    from river_spark.schema import FieldDefinition, FieldType, StreamSchema
+    from river_spark.streaming import ingest_stream_continuous
+    from river_spark.transport import StreamLog, StreamWriter
+
+    log = StreamLog(str(tmp_path / "store"))
+    schema = StreamSchema([FieldDefinition("v", FieldType.DOUBLE)])
+    # clock spanning two days so two date partitions appear
+    day_ms = 86_400_000
+    base = 1_700_000_000_000 - (1_700_000_000_000 % day_ms)
+    ticks = iter([base + i * (day_ms // 2) for i in range(100)])
+    w = StreamWriter(log, batch_size=10, clock=lambda: next(ticks))
+    w.initialize("pd", schema)
+    arr = np.zeros(40, dtype=schema.dtype())
+    arr["v"] = np.arange(40)
+    w.write(arr)
+    w.stop()
+    q = ingest_stream_continuous(
+        spark, str(tmp_path / "store"), "pd", str(tmp_path / "out"), partition_by_date=True
+    )
+    q.awaitTermination(120)
+    out = str(tmp_path / "out" / "pd")
+    parts = sorted(d for d in os.listdir(out) if d.startswith("date="))
+    assert len(parts) >= 2, parts
+    df = spark.read.parquet(out)
+    assert df.count() == 40
+    # partition pruning: a date filter must prune files
+    one_day = parts[0].split("=", 1)[1]
+    pruned = df.filter(F.col("date") == one_day)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert df.filter(F.col("date") == one_day).count() < 40
