@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -339,16 +340,58 @@ class RiverBatchWriter(DataSourceWriter):
                 total = max(total, start + cnt)
         w.total_samples_written = total
         for msg in sorted(messages, key=lambda m: m.partition_id):
+            if msg is None:
+                continue  # empty micro-batch partitions
             arr = np.load(msg.staged_path)
             if len(arr):
                 w.write(arr)
             os.remove(msg.staged_path)
-        os.rmdir(self.staging)
+        if os.path.isdir(self.staging) and not os.listdir(self.staging):
+            os.rmdir(self.staging)
 
     def abort(self, messages):
         for msg in messages:
             if msg and os.path.exists(msg.staged_path):
                 os.remove(msg.staged_path)
+
+
+class RiverStreamWriter(DataSourceStreamWriter):
+    """Streaming sink: each micro-batch is staged by executors and appended
+    by the driver in partition order (same contiguity story as the batch
+    writer). Epoch commits are idempotent — a replayed batchId is skipped —
+    giving effectively-exactly-once appends on retry."""
+
+    def __init__(self, options, schema: T.StructType):
+        self._batch = RiverBatchWriter(options, schema)
+        self.root = self._batch.root
+        self.stream = self._batch.stream
+
+    def write(self, iterator):
+        return self._batch.write(iterator)
+
+    def _commits_path(self) -> str:
+        return os.path.join(self.root, f"_sink_commits_{self.stream}.json")
+
+    def commit(self, messages, batchId):
+        import json
+
+        path = self._commits_path()
+        committed = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                committed = json.load(f)
+        if str(batchId) in committed:
+            self.abort(messages, batchId)  # replay: drop staged files
+            return
+        self._batch.commit(messages)
+        committed[str(batchId)] = sum(m.num_rows for m in messages if m)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(committed, f)
+        os.replace(tmp, path)
+
+    def abort(self, messages, batchId):
+        self._batch.abort(messages)
 
 
 # ---------------------------------------------------------------------------
@@ -379,3 +422,8 @@ class RiverDataSource(DataSource):
         if overwrite:
             raise ValueError("river sink is append-only")
         return RiverBatchWriter(self.options, schema)
+
+    def streamWriter(self, schema, overwrite):
+        if overwrite:
+            raise ValueError("river sink is append-only")
+        return RiverStreamWriter(self.options, schema)

@@ -197,3 +197,35 @@ def test_batch_write_sink(spark, store):
     assert back.select("sample_index").distinct().count() == 1000
     assert back.agg(F.min("sample_index"), F.max("sample_index")).collect()[0] == (0, 999)
     assert back.agg(F.sum("a")).collect()[0][0] == 1000 * 999 // 2
+
+
+def test_streaming_river_sink_roundtrip(spark, store, tmp_path):
+    """river → river streaming copy; checkpoint rerun must not duplicate."""
+    _write_stream(store, "src", n=600, batch_size=64)
+    register(spark)
+
+    def run():
+        q = (
+            spark.readStream.format("river")
+            .option("path", store)
+            .option("stream", "src")
+            .load()
+            .select("a", "b")
+            .writeStream.format("river")
+            .option("path", store)
+            .option("stream", "copy")
+            .option("checkpointLocation", str(tmp_path / "sink_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    back = spark.read.format("river").option("path", store).option("stream", "copy").load()
+    assert back.count() == 600
+    assert back.select("sample_index").distinct().count() == 600
+    assert back.agg(F.sum("a")).collect()[0][0] == 600 * 599 // 2
+    # re-run from the same checkpoint: no new data, no duplicates
+    run()
+    assert spark.read.format("river").option("path", store).option("stream", "copy").load().count() == 600
