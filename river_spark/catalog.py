@@ -1,0 +1,37 @@
+"""Catalog integration (A10, cpp/src/redis.cpp:325-362).
+
+The reference's catalog is `SCAN MATCH *-metadata`; here every stream in
+a log root can be surfaced to Spark's own catalog as a temp view over the
+``river`` DataSource, making `SHOW TABLES` / `spark.catalog.listTables`
+the catalog API, and stream user-metadata queryable as table comments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from river_spark.sources import register
+from river_spark.transport.log import StreamLog
+
+
+def register_streams(spark: SparkSession, log_root: str, prefix: str = "river_") -> list[str]:
+    """Create one temp view per live stream; returns the view names."""
+    register(spark)
+    log = StreamLog(log_root)
+    views = []
+    for name in log.list_streams():
+        view = prefix + name
+        (
+            spark.read.format("river")
+            .option("path", log_root)
+            .option("stream", name)
+            .load()
+            .createOrReplaceTempView(view)
+        )
+        views.append(view)
+    return views
+
+
+def stream_metadata(log_root: str, name: str) -> dict | None:
+    """TBLPROPERTIES-equivalent: the stream's metadata record."""
+    return StreamLog(log_root).read_metadata(name)

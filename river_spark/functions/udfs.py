@@ -50,7 +50,7 @@ def weighted_avg_udaf():
 def tokenize_udtf():
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos: int, token: string")
+    @udtf(returnType="pos: int, token: string", useArrow=True)
     class _Tokenize:
         def eval(self, text: str):
             if text is None:

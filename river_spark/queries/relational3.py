@@ -1,0 +1,102 @@
+"""Third relational wave: NULL semantics (explicit ordering — Spark and
+DuckDB default opposite NULL sort placement), map functions, and JSON
+struct extraction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from river_spark.queries.relational import q
+from river_spark.queries.tables import r2, tbl
+
+
+@q(
+    "null_semantics",
+    oracle="""
+    SELECT c_custkey,
+           o_orderkey IS NULL                       AS no_order,
+           coalesce(o_totalprice, -1.0)             AS price_or_default,
+           (o_orderstatus IS NOT DISTINCT FROM 'O') AS is_open_nullsafe
+    FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+      ON c_custkey = o_custkey
+    """,
+    tags=("null", "outer"),
+)
+def null_semantics(spark, sf_dir):
+    cust = tbl(spark, sf_dir, "customer")
+    big = tbl(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    j = cust.join(big, cust.c_custkey == big.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        F.col("o_orderkey").isNull().alias("no_order"),
+        F.coalesce("o_totalprice", F.lit(-1.0)).alias("price_or_default"),
+        F.col("o_orderstatus").eqNullSafe(F.lit("O")).alias("is_open_nullsafe"),
+    )
+
+
+@q(
+    "null_ordering",
+    oracle="""
+    SELECT c_custkey, price FROM (
+        SELECT c_custkey, o.o_totalprice AS price
+        FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+          ON c_custkey = o_custkey)
+    ORDER BY price DESC NULLS LAST, c_custkey
+    LIMIT 50
+    """,
+    tags=("null", "sort"),
+)
+def null_ordering(spark, sf_dir):
+    """Explicit NULLS LAST on both engines — their defaults disagree
+    (Spark: nulls first on asc; DuckDB: nulls last), so implicit ordering
+    is a portability trap this query pins down."""
+    cust = tbl(spark, sf_dir, "customer")
+    big = tbl(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    j = cust.join(big, cust.c_custkey == big.o_custkey, "left").select(
+        "c_custkey", F.col("o_totalprice").alias("price")
+    )
+    return j.orderBy(F.col("price").desc_nulls_last(), "c_custkey").limit(50)
+
+
+@q(
+    "fn_map",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(map(['status', 'priority'], [o_orderstatus, o_orderpriority])['status'][1] AS VARCHAR)
+             AS status_from_map,
+           CAST(len(map_keys(map(['status', 'priority'], [o_orderstatus, o_orderpriority]))) AS BIGINT)
+             AS n_keys
+    FROM orders
+    """,
+    tags=("map", "scalar"),
+)
+def fn_map(spark, sf_dir):
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"), F.lit("priority"), F.col("o_orderpriority")
+    )
+    return tbl(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status_from_map"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+    )
+
+
+@q(
+    "fn_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)          AS k,
+           json_extract_string('{"outer": {"inner": 7}}', '$.outer.inner') AS nested
+    FROM events
+    """,
+    tags=("json", "scalar"),
+)
+def fn_json_struct(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    parsed = F.from_json("props", T.StructType([T.StructField("k", T.LongType())]))
+    return tbl(spark, sf_dir, "events").select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        F.get_json_object(F.lit('{"outer": {"inner": 7}}'), "$.outer.inner").alias("nested"),
+    )

@@ -97,7 +97,9 @@ def ingest_streams(
     await_termination: bool = True,
 ):
     """A12 orchestration: regex-route every stream in the catalog to its
-    settings and run one availableNow query per match."""
+    settings and run one availableNow query per match. On termination each
+    stream's ``metadata.json`` is emitted beside the data (A13 parity,
+    cpp/ingester/src/ingester.cpp:766-793)."""
     settings = settings or IngesterSettings.catch_all()
     log = StreamLog(log_root)
     queries = {}
@@ -107,6 +109,35 @@ def ingest_streams(
             continue
         queries[name] = ingest_stream_continuous(spark, log_root, name, out_root, s)
     if await_termination:
-        for q in queries.values():
+        for name, q in queries.items():
             q.awaitTermination()
+            write_output_metadata(log_root, name, out_root, settings.settings_for(name))
     return queries
+
+
+def write_output_metadata(
+    log_root: str, stream: str, out_root: str, settings: StreamIngestionSettings | None = None
+) -> None:
+    """Emit out/{stream}/metadata.json from the live stream metadata."""
+    import json
+
+    log = StreamLog(log_root)
+    meta = log.read_metadata(stream) or {}
+    schema_json = meta.get("schema")
+    fields = None
+    if schema_json is not None:
+        schema = StreamSchema.from_json(schema_json)
+        fields = (settings or StreamIngestionSettings()).filter_fields(schema.field_names())
+    out_dir = os.path.join(out_root, stream)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "metadata.json"), "w") as f:
+        json.dump(
+            {
+                "stream_name": stream,
+                "schema": schema_json,
+                "initialized_at_us": meta.get("initialized_at_us"),
+                "user_metadata": meta.get("user_metadata", {}),
+                "columns": fields,
+            },
+            f,
+        )
