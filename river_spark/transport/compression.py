@@ -31,6 +31,7 @@ import numpy as np
 class CompressionMode(enum.Enum):
     UNCOMPRESSED = "UNCOMPRESSED"
     ZLIB_LOSSLESS = "ZLIB_LOSSLESS"
+    QUANT_LOSSY = "QUANT_LOSSY"
     ZFP_LOSSLESS = "ZFP_LOSSLESS"
     ZFP_LOSSY = "ZFP_LOSSY"
     DUMMY = "DUMMY"
@@ -68,6 +69,29 @@ class Compressor:
             return np.frombuffer(data, np.uint8).reshape(ss, -1).T.tobytes()
         return data
 
+    # Lossy mode (QUANT_LOSSY): the reference's ZFP_LOSSY accepts an
+    # absolute tolerance (compressor_types.h:24-101); here each double/
+    # float column is uniformly quantized to multiples of ``tolerance``
+    # as int64 deltas, then delta+zlib coded. Reconstruction error is
+    # <= tolerance/2 per value — the same abs-tolerance contract, accepted
+    # in tests by the reference's Pearson-correlation criterion
+    # (compressor_test.cpp:147-167). Requires a single-dtype schema
+    # recorded in params (the writer sets value_dtype).
+    def _quantize(self, data: bytes) -> bytes:
+        tol = float(self.params["tolerance"])
+        dtype = np.dtype(self.params["value_dtype"])
+        vals = np.frombuffer(data, dtype=dtype).astype(np.float64)
+        q = np.round(vals / tol).astype(np.int64)
+        deltas = np.diff(q, prepend=q[:1] * 0)
+        return zlib.compress(deltas.tobytes(), int(self.params.get("level", 1)))
+
+    def _dequantize(self, data: bytes) -> bytes:
+        tol = float(self.params["tolerance"])
+        dtype = np.dtype(self.params["value_dtype"])
+        deltas = np.frombuffer(zlib.decompress(data), dtype=np.int64)
+        q = np.cumsum(deltas)
+        return (q * tol).astype(dtype).tobytes()
+
     def compress(self, data: bytes) -> bytes:
         if self.mode is CompressionMode.UNCOMPRESSED:
             return data
@@ -75,6 +99,8 @@ class Compressor:
             return data  # cpp: DummyCompressor copies through
         if self.mode is CompressionMode.ZLIB_LOSSLESS:
             return zlib.compress(self._shuffle(data), int(self.params.get("level", 1)))
+        if self.mode is CompressionMode.QUANT_LOSSY:
+            return self._quantize(data)
         raise NotImplementedError(self.mode)
 
     def decompress(self, data: bytes) -> bytes:
@@ -82,6 +108,8 @@ class Compressor:
             return data
         if self.mode is CompressionMode.ZLIB_LOSSLESS:
             return self._unshuffle(zlib.decompress(data))
+        if self.mode is CompressionMode.QUANT_LOSSY:
+            return self._dequantize(data)
         raise NotImplementedError(self.mode)
 
     # -- metadata wire format ------------------------------------------------

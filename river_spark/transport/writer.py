@@ -81,6 +81,17 @@ class StreamWriter:
         if self.compression.mode is not CompressionMode.UNCOMPRESSED:
             # record sample_size so readers can invert the byte shuffle
             self.compression.params.setdefault("sample_size", schema.sample_size())
+            if self.compression.mode is CompressionMode.QUANT_LOSSY:
+                # lossy quantization needs one uniform numeric dtype, like
+                # the reference's ZFP 2-D layout (zfp_compressor.cpp:64-110)
+                dtypes = {schema.dtype()[name].str for name in schema.field_names()}
+                if len(dtypes) != 1 or next(iter(dtypes))[1] not in "fi":
+                    raise SchemaError(
+                        "QUANT_LOSSY requires a uniform numeric field dtype, "
+                        f"got {sorted(dtypes)}"
+                    )
+                self.compression.params.setdefault("value_dtype", next(iter(dtypes)))
+                self.compression.params.setdefault("tolerance", 1e-3)
             meta["compression_params_json"] = self.compression.params_json()
         if compute_clock:
             # A22 (cpp/src/writer.cpp:365-381): midpoint estimate of

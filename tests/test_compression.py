@@ -115,3 +115,51 @@ def test_ingester_reads_compressed(tmp_path):
     assert res is IngestResult.COMPLETED
     t = pq.read_table(str(tmp_path / "out" / "ing" / "data.parquet"))
     np.testing.assert_array_equal(t.column("ch1").to_numpy(), arr["ch1"])
+
+
+def test_quant_lossy_roundtrip_correlation(tmp_path):
+    """Lossy acceptance mirrors compressor_test.cpp:147-167: strong
+    reduction + Pearson correlation >= 0.95 against the original, and the
+    abs-tolerance contract holds per value."""
+    log = StreamLog(str(tmp_path / "store"))
+    schema = StreamSchema([FieldDefinition("sig", FieldType.DOUBLE)])
+    tol = 1e-3
+    w = StreamWriter(
+        log,
+        batch_size=512,
+        compression=Compressor(CompressionMode.QUANT_LOSSY, {"tolerance": tol}),
+    )
+    w.initialize("lossy", schema)
+    t = np.arange(8192)
+    arr = np.zeros(len(t), dtype=schema.dtype())
+    arr["sig"] = np.sin(t / 40.0) * 3.0 + 0.1 * np.sin(t / 3.0)
+    w.write(arr)
+    w.stop()
+    disk = sum(
+        os.path.getsize(os.path.join(d, f))
+        for d, _, fs in os.walk(log.stream_dir("lossy"))
+        for f in fs
+    )
+    assert disk < 0.5 * arr.nbytes  # strong reduction
+    r = StreamReader(log).initialize("lossy")
+    got = []
+    while True:
+        res = r.read(10_000, timeout_ms=100)
+        if res.eof or res.count == 0:
+            break
+        got.append(res.samples["sig"].copy())
+    back = np.concatenate(got)
+    assert len(back) == len(arr)
+    assert np.abs(back - arr["sig"]).max() <= tol / 2 + 1e-12  # abs-tolerance contract
+    corr = np.corrcoef(back, arr["sig"])[0, 1]
+    assert corr >= 0.95
+
+
+def test_quant_lossy_rejects_mixed_dtypes(tmp_path):
+    log = StreamLog(str(tmp_path / "store"))
+    schema = StreamSchema(
+        [FieldDefinition("a", FieldType.DOUBLE), FieldDefinition("b", FieldType.INT16)]
+    )
+    w = StreamWriter(log, compression=Compressor(CompressionMode.QUANT_LOSSY))
+    with pytest.raises(SchemaError):
+        w.initialize("bad", schema)

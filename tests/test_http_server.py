@@ -1,0 +1,59 @@
+"""HTTP read API tests (A23 parity, cpp/ingester/src/ingester_http_server.cpp):
+list streams, single-stream metadata, parquet download byte-identical."""
+
+import json
+import os
+import urllib.request
+
+import numpy as np
+import pytest
+
+from river_spark.ingest import IngesterSettings, StreamIngester, StreamIngestionSettings
+from river_spark.schema import FieldDefinition, FieldType, StreamSchema
+from river_spark.tools.http_server import IngesterHttpServer
+from river_spark.transport import StreamLog, StreamWriter
+
+
+@pytest.fixture
+def ingested(tmp_path):
+    log = StreamLog(str(tmp_path / "store"))
+    schema = StreamSchema([FieldDefinition("v", FieldType.DOUBLE)])
+    for name in ("web_a", "web_b"):
+        w = StreamWriter(log).initialize(name, schema, user_metadata={"src": name})
+        arr = np.zeros(40, dtype=schema.dtype())
+        arr["v"] = np.arange(40)
+        w.write(arr)
+        w.stop()
+    out = str(tmp_path / "out")
+    ing = StreamIngester(
+        log, out, IngesterSettings(streams=[StreamIngestionSettings(minimum_age_seconds_before_deletion=0)])
+    )
+    ing.ingest()
+    ing.wait_all()
+    return out
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return r.status, r.read()
+
+
+def test_http_endpoints(ingested):
+    with IngesterHttpServer(ingested) as base:
+        code, body = _get(f"{base}/api/streams")
+        assert code == 200
+        streams = json.loads(body)["streams"]
+        assert set(streams) == {"web_a", "web_b"}
+        assert streams["web_a"]["user_metadata"] == {"src": "web_a"}
+
+        code, body = _get(f"{base}/api/streams/web_b")
+        assert code == 200 and json.loads(body)["stream_name"] == "web_b"
+
+        code, body = _get(f"{base}/api/streams/web_a/data.parquet")
+        assert code == 200
+        on_disk = open(os.path.join(ingested, "web_a", "data.parquet"), "rb").read()
+        assert body == on_disk  # byte-identical download
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(f"{base}/api/streams/nope")
+        assert e.value.code == 404
