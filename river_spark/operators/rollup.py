@@ -21,6 +21,7 @@ def time_rollup(
     key_cols: list[str],
     value_col: str,
     resolutions: list[str] = ("1 minute", "1 hour", "1 day"),
+    materialize: bool = False,
 ) -> DataFrame:
     """Returns a stacked frame [resolution, bucket_start, *key_cols, n,
     total, vmin, vmax] where each coarser level is re-aggregated from the
@@ -47,6 +48,13 @@ def time_rollup(
             F.max(value_col).alias("vmax"),
         )
     )
+    # Each level feeds BOTH the stacked output and the next level. With
+    # materialize=True the level is persisted so Spark doesn't recompute
+    # finer levels once per branch; in production each level is written to
+    # its own table (the true continuous-aggregate layout), and at small
+    # scale recompute is cheaper than caching — hence opt-in.
+    if materialize:
+        level = level.persist()
     out = level.select(F.lit(by_name[finest]).alias("resolution"), "*")
     prev = level
     for s in secs[1:]:
@@ -60,6 +68,8 @@ def time_rollup(
                 F.max("vmax").alias("vmax"),
             )
         )
+        if materialize:
+            level = level.persist()
         out = out.unionByName(level.select(F.lit(by_name[s]).alias("resolution"), "*"))
         prev = level
     return out

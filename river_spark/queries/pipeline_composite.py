@@ -1,0 +1,67 @@
+"""The headline composition: a full training-data curation pass in one
+declarative plan — quality gate ∧ language filter ∧ exact-dedup survivor
+∧ token accounting. Each stage is itself oracle-verified standalone; the
+composition proves they fuse into one Catalyst plan (shared scans,
+broadcast dedup-keeper join) rather than separate passes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from river_spark.queries.relational import q
+from river_spark.queries.text import (
+    dedup_exact,
+    text_lang_id,
+    text_quality_score,
+    text_token_stats,
+)
+
+_SW_SQL = ", ".join(
+    f"'{w}'" for w in ("the", "a", "an", "of", "and", "or", "to", "in", "is", "for")
+)
+
+
+@q(
+    "pipeline_training_set",
+    oracle=f"""
+    WITH stats AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS n,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS toks,
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                    x -> x IN ({_SW_SQL}))) AS DOUBLE) AS sw,
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS punct,
+               len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                               x -> x IN ('the', 'and', 'of'))) AS c_en,
+               len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                               x -> x IN ('el', 'la', 'de'))) AS c_es,
+               len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                               x -> x IN ('der', 'die', 'und'))) AS c_de,
+               len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                               x -> x IN ('le', 'les', 'des'))) AS c_fr,
+               md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+        FROM documents),
+    keep AS (SELECT fp, min(doc_id) AS keep_id FROM stats GROUP BY fp)
+    SELECT s.doc_id, CAST(s.toks AS BIGINT) AS n_tokens,
+           round(s.sw / s.toks, 6) AS stopword_ratio
+    FROM stats s JOIN keep k ON s.fp = k.fp AND s.doc_id = k.keep_id
+    WHERE s.toks >= 20 AND s.sw / s.toks BETWEEN 0.05 AND 0.6
+      AND s.punct / s.n < 0.1
+      AND NOT (s.c_en = 0 AND s.c_es = 0 AND s.c_de = 0 AND s.c_fr = 0)
+      AND s.c_en >= s.c_es AND s.c_en >= s.c_de AND s.c_en >= s.c_fr
+    """,
+    tags=("pipeline", "composite"),
+    bench=True,
+)
+def pipeline_training_set(spark, sf_dir):
+    quality = text_quality_score(spark, sf_dir)
+    langs = text_lang_id(spark, sf_dir)
+    tokens = text_token_stats(spark, sf_dir)
+    keepers = dedup_exact(spark, sf_dir).select(F.col("keep_doc_id").alias("doc_id"))
+    return (
+        quality.filter(F.col("quality_pass") == 1)
+        .join(langs.filter(F.col("lang_guess") == "en"), "doc_id")
+        .join(F.broadcast(keepers), "doc_id", "left_semi")
+        .join(tokens, "doc_id")
+        .select("doc_id", "n_tokens", "stopword_ratio")
+    )

@@ -100,3 +100,66 @@ def fn_json_struct(spark, sf_dir):
         parsed.getField("k").alias("k"),
         F.get_json_object(F.lit('{"outer": {"inner": 7}}'), "$.outer.inner").alias("nested"),
     )
+
+
+@q(
+    "win_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY epoch_days
+                          RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING) AS orders_within_30d,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY epoch_days
+                          RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS spend_30d
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 CAST(datediff('day', TIMESTAMP '1990-01-01', o_orderdate) AS BIGINT) AS epoch_days
+          FROM orders) t
+    """,
+    tags=("window", "range_frame"),
+)
+def win_range_frame(spark, sf_dir):
+    """Value-based window frames (RANGE BETWEEN) — a different physical
+    frame evaluator than ROWS BETWEEN; ±30-day neighborhood per customer."""
+    from pyspark.sql import Window
+
+    o = tbl(spark, sf_dir, "orders").withColumn(
+        "epoch_days",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")).cast("long"),
+    )
+    w_both = Window.partitionBy("o_custkey").orderBy("epoch_days").rangeBetween(-30, 30)
+    w_back = Window.partitionBy("o_custkey").orderBy("epoch_days").rangeBetween(-30, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w_both).alias("orders_within_30d"),
+        r2(F.sum("o_totalprice").over(w_back)).alias("spend_30d"),
+    )
+
+
+@q(
+    "win_value_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)  OVER w AS last_order,
+           nth_value(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "value_fn"),
+)
+def win_value_functions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return tbl(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )

@@ -114,3 +114,57 @@ def test_writer_with_concurrent_readers(tmp_path, compression):
     assert seen + skipped == N_SAMPLES
     # mixed reader consumed exactly the whole stream across both APIs
     assert results["mixed"] == N_SAMPLES
+
+
+def test_ingester_crash_resume_loop(tmp_path):
+    """Reference ingester integration (cpp/ingester/src/integration_test.cpp:
+    73-197): writer streams concurrently while the ingester is run
+    repeatedly (each run 'crashes' = returns IN_PROGRESS and is restarted
+    fresh) until COMPLETED; final parquet equals what was written, no
+    gaps, no duplicates."""
+    import pyarrow.parquet as pq
+
+    from river_spark.ingest import IngestResult
+    from river_spark.ingest.ingester import SingleStreamIngester
+    from river_spark.ingest.settings import StreamIngestionSettings
+
+    log = StreamLog(str(tmp_path / "store"))
+    schema = StreamSchema([FieldDefinition("v", FieldType.DOUBLE)])
+    total = 8000
+
+    def writer():
+        w = StreamWriter(log, batch_size=128, entries_per_segment=2000)
+        w.initialize("crash", schema)
+        for b in range(40):
+            arr = np.zeros(total // 40, dtype=schema.dtype())
+            arr["v"] = np.arange(b * 200, (b + 1) * 200, dtype=np.float64)
+            w.write(arr)
+            time.sleep(0.08)  # slower than the ingester's stall timeout
+        w.stop()
+
+    t = threading.Thread(target=writer)
+    t.start()
+    settings = StreamIngestionSettings(
+        minimum_age_seconds_before_deletion=0,
+        bytes_per_row_group=500 * schema.sample_size(),  # many small part files
+    )
+    runs = 0
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        # a FRESH ingester instance each run = restart-after-crash
+        res = SingleStreamIngester(
+            log, str(tmp_path / "out"), "crash", settings, stalled_timeout_ms=20
+        ).ingest()
+        runs += 1
+        if res is IngestResult.COMPLETED:
+            break
+    t.join()
+    assert res is IngestResult.COMPLETED and runs > 1, (res, runs)
+    tbl = pq.read_table(str(tmp_path / "out" / "crash" / "data.parquet"))
+    assert tbl.num_rows == total
+    np.testing.assert_array_equal(
+        np.sort(tbl.column("sample_index").to_numpy()), np.arange(total)
+    )
+    np.testing.assert_array_equal(
+        tbl.column("v").to_numpy(), np.arange(total, dtype=np.float64)
+    )
