@@ -350,9 +350,11 @@ class RiverBatchWriter(DataSourceWriter):
             os.rmdir(self.staging)
 
     def abort(self, messages):
-        for msg in messages:
-            if msg and os.path.exists(msg.staged_path):
-                os.remove(msg.staged_path)
+        # messages may be partial (failed tasks return nothing) — wipe the
+        # whole staging dir so a failed job leaves zero residue
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
 
 
 class RiverStreamWriter(DataSourceStreamWriter):

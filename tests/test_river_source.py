@@ -229,3 +229,46 @@ def test_streaming_river_sink_roundtrip(spark, store, tmp_path):
     # re-run from the same checkpoint: no new data, no duplicates
     run()
     assert spark.read.format("river").option("path", store).option("stream", "copy").load().count() == 600
+
+
+def test_sink_abort_leaves_stream_unchanged(spark, store):
+    """A failing write job must not corrupt the stream: staged files are
+    aborted, nothing is appended."""
+    _write_stream(store, "atomic", n=100)
+    register(spark)
+    from pyspark.sql import functions as F2
+
+    @F2.udf("long")
+    def boom(x):
+        if x == 7:
+            raise RuntimeError("injected failure")
+        return x
+
+    df = spark.range(0, 16, 1, 4).select(boom(F2.col("id")).alias("a"), (F2.col("id") * 1.0).alias("b"))
+    with pytest.raises(Exception):
+        df.write.format("river").option("path", store).option("stream", "atomic_new").mode("append").save()
+    # stream never came into existence (no partial metadata/batches)
+    log = StreamLog(store)
+    assert "atomic_new" not in log.list_streams()
+    leftovers = [d for d in os.listdir(store) if d.startswith("_staging_atomic_new")]
+    staged_files = [f for d in leftovers for f in os.listdir(os.path.join(store, d))]
+    assert staged_files == []  # abort cleaned staged payloads
+
+
+def test_multi_stream_orchestration(spark, store, tmp_path):
+    """A12: three streams ingested by one orchestration call, each with
+    its own query + checkpoint + metadata.json."""
+    import json
+
+    from river_spark.streaming import ingest_streams
+
+    for name in ("m_a", "m_b", "m_c"):
+        _write_stream(store, name, n=120, batch_size=30)
+    out = str(tmp_path / "multi_out")
+    queries = ingest_streams(spark, store, out)
+    assert set(queries) == {"m_a", "m_b", "m_c"}
+    for name in queries:
+        df = spark.read.parquet(os.path.join(out, name))
+        assert df.count() == 120
+        with open(os.path.join(out, name, "metadata.json")) as f:
+            assert json.load(f)["stream_name"] == name
