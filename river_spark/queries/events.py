@@ -238,3 +238,34 @@ def ev_asof_join(spark, sf_dir):
         right_cols=["click_event_id"],
     )
     return joined.select("event_id", "click_event_id")
+
+
+@q(
+    "ev_sliding_window",
+    oracle="""
+    WITH slid AS (
+        SELECT date_trunc('hour', ts)
+                 + (CAST(floor(extract(minute FROM ts) / 15) AS INT) - i) * INTERVAL 15 MINUTE
+                 AS window_start,
+               value
+        FROM events, UNNEST(generate_series(0, 3)) AS g(i))
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM slid GROUP BY 1
+    """,
+    tags=("events", "window_agg", "sliding"),
+)
+def ev_sliding_window(spark, sf_dir):
+    """Overlapping 1h windows sliding every 15 min — each event lands in 4
+    windows (Spark's window(ts, '1 hour', '15 minutes') generator; the
+    oracle expands the same membership arithmetic)."""
+    ev = tbl(spark, sf_dir, "events").withColumn("tstamp", event_ts())
+    return (
+        ev.groupBy(F.window("tstamp", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), r2(F.sum("value")).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )

@@ -56,7 +56,13 @@ def test_oracle_match(name, spark, ddb, sf_dir):
             if isinstance(a, float) and isinstance(b, float):
                 if math.isnan(a) and math.isnan(b):
                     continue
-                assert a == b, f"{name}.{c}[{i}]: {a!r} != {b!r} (float hash risk)"
+                # BIT-level equality: the driver hashes raw values, so
+                # -0.0 vs 0.0 or NaN-payload drift would slip past ==
+                import struct
+
+                assert struct.pack("<d", a) == struct.pack("<d", b), (
+                    f"{name}.{c}[{i}]: {a!r} !≡ {b!r} (bit-level hash risk)"
+                )
             else:
                 assert str(a) == str(b), f"{name}.{c}[{i}]: {a!r} != {b!r}"
 
