@@ -113,3 +113,65 @@ def lsh_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "doc_id", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probes: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans-partition the corpus into n_lists
+    cells (the index build — done once, at write time in production), then
+    each query scores only its n_probes nearest cells. Complements
+    lsh_topk: IVF adapts to the data distribution where LSH is oblivious.
+
+    Uses pyspark.ml KMeans (deterministic via seed); scoring stays in
+    higher-order array functions."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql import Window
+
+    c = corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("cv")).withColumn(
+        "features", array_to_vector(F.col("cv").cast("array<double>"))
+    )
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features", predictionCol="cell").fit(c)
+    indexed = model.transform(c).select("doc_id", "cv", "cell")
+
+    # broadcastable centroid table for query routing
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        ["cell", "centroid"],
+    )
+    q = query.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    # rank cells per query by centroid distance, keep n_probes
+    dist2 = F.aggregate(
+        F.zip_with("qv", "centroid", lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "cell")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("d2", dist2)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probes)
+        .select("query_id", "qv", "cell")
+    )
+    cos = _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))
+    scored = (
+        indexed.join(F.broadcast(probes), "cell")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .withColumn("cos_sim", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "doc_id", F.round("cos_sim", 6).alias("cos_sim"))
+    )

@@ -63,3 +63,14 @@ def mm_decode_features(spark, sf_dir):
 def mm_frame_sample(spark, sf_dir):
     docs = tbl(spark, sf_dir, "documents").withColumn("payload", F.encode("text", "UTF-8"))
     return sample_frames(docs, "doc_id", "payload", n_frames=4)
+
+
+@q("emb_ann_ivf", tags=("vector", "ann", "ivf"))
+def emb_ann_ivf(spark, sf_dir):
+    """IVF-partitioned ANN (KMeans cells, n_probes nearest cells scored) —
+    the data-adaptive complement to the LSH path."""
+    from river_spark.operators.similarity import ivf_topk
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, "vec_id", "embedding", k=10, n_lists=16, n_probes=3)

@@ -1,0 +1,58 @@
+"""CLI tool regression tests — drive the actual subcommands through
+subprocess like a shell user (cpp/src/tools parity)."""
+
+import json
+import subprocess
+import sys
+
+
+def run_cli(args, stdin=None):
+    return subprocess.run(
+        [sys.executable, "-m", "river_spark.tools.cli", *args],
+        input=stdin,
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd="/root/repo",
+    )
+
+
+def test_writer_reader_roundtrip(tmp_path):
+    store = str(tmp_path / "store")
+    w = run_cli(
+        ["writer", "--path", store, "--stream", "s1", "--schema", "ch:INT32,v:DOUBLE"],
+        stdin="1,2.5\n2,3.5\n3,4.5\n",
+    )
+    assert w.returncode == 0 and "wrote 3 samples" in w.stderr
+    r = run_cli(["reader", "--path", store, "--stream", "s1"])
+    assert r.returncode == 0
+    assert r.stdout.splitlines() == ["ch,v", "1,2.5", "2,3.5", "3,4.5"]
+
+
+def test_ingest_subcommand(tmp_path):
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    run_cli(
+        ["writer", "--path", store, "--stream", "s2", "--schema", "v:INT64"],
+        stdin="\n".join(str(i) for i in range(100)) + "\n",
+    )
+    res = run_cli(["ingest", "--path", store, "--out", out])
+    assert res.returncode == 0 and "COMPLETED" in res.stderr
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{out}/s2/data.parquet")
+    assert t.num_rows == 100 and t.column("v").to_pylist() == list(range(100))
+
+
+def test_benchmark_subcommand():
+    res = run_cli(["benchmark", "--num-samples", "50000"])
+    assert res.returncode == 0
+    out = json.loads(res.stdout.strip().splitlines()[-1])
+    assert out["write_mb_per_sec"] > 0 and out["read_mb_per_sec"] > 0
+
+
+def test_writer_bad_schema_errors(tmp_path):
+    res = run_cli(
+        ["writer", "--path", str(tmp_path / "s"), "--stream", "x", "--schema", "v:NOT_A_TYPE"],
+        stdin="",
+    )
+    assert res.returncode != 0

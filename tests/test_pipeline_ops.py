@@ -164,3 +164,21 @@ def test_frame_sampling(payloads):
     # frames concatenate back to a prefix of the original payload
     joined = b"".join(bytes(r.frame_payload) for r in sorted(per_doc[1], key=lambda r: r.frame_no))
     assert joined == (b"PNG!" + b"x" * 100)[: 4 * (104 // 4)]
+
+
+def test_ivf_topk_vs_brute_force(vectors):
+    from river_spark.operators.similarity import ivf_topk
+
+    queries = vectors.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(vectors, queries, "vec_id", "embedding", k=5)
+    approx = ivf_topk(vectors, queries, "vec_id", "embedding", k=5, n_lists=4, n_probes=2)
+    e = {(r.query_id, r.doc_id) for r in exact.collect()}
+    a = {(r.query_id, r.doc_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, f"recall {recall} ({len(e & a)}/{len(e)})"
+    # planted near-dup of query 0 must be rank-1 (same cell by construction)
+    top = approx.filter(F.col("query_id") == 0).orderBy(F.desc("cos_sim")).first()
+    assert top.doc_id == 100
+    # determinism: same seed, same result set
+    again = ivf_topk(vectors, queries, "vec_id", "embedding", k=5, n_lists=4, n_probes=2)
+    assert {(r.query_id, r.doc_id) for r in again.collect()} == a

@@ -20,6 +20,7 @@ CROSS_OK = {
     "q15_top_supplier",     # broadcast scalar max
     "q22_idle_customers",   # broadcast scalar average
     "emb_cosine_dedup",     # bucket-width literal join
+    "emb_ann_ivf",          # tiny query-row x centroid routing cross
 }
 
 
