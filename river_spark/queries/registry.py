@@ -15,6 +15,7 @@ import river_spark.queries.relational2 as _relational2  # noqa: F401
 import river_spark.queries.udfs as _udfs  # noqa: F401
 import river_spark.queries.scale_ops as _scale_ops  # noqa: F401
 import river_spark.queries.relational3 as _relational3  # noqa: F401
+import river_spark.queries.relational4 as _relational4  # noqa: F401
 import river_spark.queries.pipeline_composite as _pipeline_composite  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
