@@ -14,6 +14,10 @@ transformed streams:
   ``applyInPandasWithState`` — per-key running counters with a processing-
   time timeout, the shape the reference's stale-stream janitor (A17) takes
   in a streaming engine.
+- ``interval_join``: stream-stream equi-join bounded by an event-time
+  interval; both sides are watermarked so join state is dropped once no
+  future match is possible (the multi-reader analog of the reference's
+  one-writer/N-reader fan-in, generalized to two live streams).
 
 The watermark delay maps to the reference's ``minimum_age_seconds_before_
 deletion`` (A16) — both say "data older than X is no longer awaited".
@@ -130,3 +134,33 @@ def running_totals(events: DataFrame, timeout_ms: int = 300_000) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "15 minutes",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream join: right rows match left rows with the same key
+    whose event time falls in ``[left_ts, left_ts + max_delay]``.
+
+    Both inputs must be watermarked for Spark to bound the join state —
+    the time-range condition tells the engine exactly when a buffered row
+    can never match again and its state is evicted. Column names must be
+    disjoint across the two sides (rename before calling); this keeps the
+    operator purely declarative so the micro-batch planner can pick the
+    physical join strategy per batch."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, cond, how)

@@ -202,3 +202,87 @@ def test_windowed_counts_batch_parity(spark, event_stream):
     )
     total_batch = batch.agg(F.sum("n")).collect()[0][0]
     assert total_batch == 182  # 180 + dup + late
+
+
+def test_interval_join_stream_stream(spark, tmp_path):
+    """Stream-stream interval join: clicks attach to the impression of the
+    same user at most 15 minutes earlier. Verified against the equivalent
+    batch join over the same two streams."""
+    from river_spark.streaming.ops import interval_join
+
+    log = StreamLog(str(tmp_path / "jstore"))
+    imp_schema = StreamSchema(
+        [
+            FieldDefinition("imp_id", FieldType.INT64),
+            FieldDefinition("imp_ts_ms", FieldType.INT64),
+            FieldDefinition("imp_user", FieldType.INT64),
+        ]
+    )
+    clk_schema = StreamSchema(
+        [
+            FieldDefinition("clk_id", FieldType.INT64),
+            FieldDefinition("clk_ts_ms", FieldType.INT64),
+            FieldDefinition("clk_user", FieldType.INT64),
+        ]
+    )
+    wi = StreamWriter(log, batch_size=64).initialize("imp", imp_schema)
+    wc = StreamWriter(log, batch_size=64).initialize("clk", clk_schema)
+    # user 0: click 5 min after impression (match); user 1: click 20 min
+    # after (outside window); user 2: click 1 min BEFORE (no match);
+    # user 0 again: second impression 1h later, unclicked.
+    imps = [(0, BASE_MS, 0), (1, BASE_MS, 1), (2, BASE_MS, 2), (3, BASE_MS + 3_600_000, 0)]
+    clks = [(10, BASE_MS + 300_000, 0), (11, BASE_MS + 1_200_000, 1), (12, BASE_MS - 60_000, 2)]
+    ai = np.zeros(len(imps), dtype=imp_schema.dtype())
+    for i, r in enumerate(imps):
+        ai[i] = r
+    ac = np.zeros(len(clks), dtype=clk_schema.dtype())
+    for i, r in enumerate(clks):
+        ac[i] = r
+    wi.write(ai), wi.stop()
+    wc.write(ac), wc.stop()
+
+    register(spark)
+
+    def sread(name, ts_src, ts_dst):
+        return (
+            spark.readStream.format("river")
+            .option("path", str(tmp_path / "jstore"))
+            .option("stream", name)
+            .load()
+            .withColumn(ts_dst, F.timestamp_millis(ts_src))
+        )
+
+    joined = interval_join(
+        sread("imp", "imp_ts_ms", "imp_t"),
+        sread("clk", "clk_ts_ms", "clk_t"),
+        left_key="imp_user",
+        right_key="clk_user",
+        left_ts="imp_t",
+        right_ts="clk_t",
+        max_delay="15 minutes",
+    ).select("imp_id", "clk_id", "imp_user")
+    out = _run_to_memory(spark, joined, "ij", mode="append")
+    rows = {(r.imp_id, r.clk_id) for r in out.collect()}
+    assert rows == {(0, 10)}, rows
+
+    # batch parity: same join condition over the bounded reads
+    def bread(name, ts_src, ts_dst):
+        return (
+            spark.read.format("river")
+            .option("path", str(tmp_path / "jstore"))
+            .option("stream", name)
+            .load()
+            .withColumn(ts_dst, F.timestamp_millis(ts_src))
+        )
+
+    b = (
+        bread("imp", "imp_ts_ms", "imp_t")
+        .join(
+            bread("clk", "clk_ts_ms", "clk_t"),
+            (F.col("imp_user") == F.col("clk_user"))
+            & (F.col("clk_t") >= F.col("imp_t"))
+            & (F.col("clk_t") <= F.col("imp_t") + F.expr("INTERVAL 15 minutes")),
+        )
+        .select("imp_id", "clk_id")
+    )
+    assert {(r.imp_id, r.clk_id) for r in b.collect()} == rows
