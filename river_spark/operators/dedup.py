@@ -84,11 +84,21 @@ def minhash_dedup(
     bands: int = 16,
     threshold: float = 0.5,
     max_bucket: int = 1000,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """Full pipeline → [doc_a, doc_b, est_jaccard] for pairs whose
-    signature-overlap estimate >= threshold."""
+    signature-overlap estimate >= threshold.
+
+    The signature table is consumed three times (banding, sig_a join,
+    sig_b join); without materialization Spark recomputes the expensive
+    shingle→min-hash aggregation each time. ``persist_signatures``
+    memory/disk-caches it — the 100 TB analog is writing the signature
+    table to Parquet once at index-build time and joining against that.
+    """
     sh = shingles(df, id_col, text_col, n)
     sigs = minhash_signatures(sh, num_hashes)
+    if persist_signatures:
+        sigs = sigs.persist()
     cand = lsh_candidate_pairs(sigs, bands, max_bucket)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -145,7 +155,11 @@ def simhash_signatures(
 def simhash_pairs(sigs: DataFrame, max_hamming: int = 12, max_bucket: int = 1000) -> DataFrame:
     """Candidates share at least one 16-bit chunk (pigeonhole: any pair with
     Hamming <= 3*16 shares a chunk... we verify exactly anyway); returns
-    [doc_a, doc_b, hamming] with hamming <= max_hamming."""
+    [doc_a, doc_b, hamming] with hamming <= max_hamming.
+
+    ``sigs`` is consumed three times (banding + both verify joins) — persist
+    so the 64-bit-agg signature build runs once."""
+    sigs = sigs.persist()
     banded = sigs.select("doc_id", F.posexplode("chunks").alias("band", "bucket"))
     sized = banded.groupBy("band", "bucket").agg(
         F.collect_list("doc_id").alias("docs"), F.count("*").alias("width")
@@ -195,7 +209,11 @@ def cosine_dedup(
         """
     )
     vecs = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"), sig.alias("sig"))
-    bucketed = vecs.select("doc_id", "v", F.xxhash64(F.expr("cast(sig as string)")).alias("bucket"))
+    # signature projection feeds the width filter and both pair sides:
+    # persist so the O(planes x dim) hyperplane dot products run once
+    bucketed = vecs.select(
+        "doc_id", "v", F.xxhash64(F.expr("cast(sig as string)")).alias("bucket")
+    ).persist()
     sized = bucketed.groupBy("bucket").agg(F.count("*").alias("width")).filter(
         (F.col("width") > 1) & (F.col("width") <= max_bucket)
     )

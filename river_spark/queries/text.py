@@ -222,12 +222,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
     meet, so the pair space is data-bounded, not O(n²). This is the
     exact-verification stage MinHash-LSH candidates feed at scale."""
     docs = tbl(spark, sf_dir, "documents").select("doc_id", _tokens().alias("t"))
+    # consumed three times (cnt, a-side, b-side): persist so the
+    # tokenize+explode+distinct shuffle runs once, not three times
     shingles = docs.select(
         "doc_id",
         F.explode(
             F.expr("transform(sequence(0, size(t) - 3), i -> concat_ws(' ', slice(t, i + 1, 3)))")
         ).alias("s"),
-    ).distinct()
+    ).distinct().persist()
     cnt = shingles.groupBy("doc_id").agg(F.count("*").alias("c"))
     a = shingles.select(F.col("doc_id").alias("doc_a"), "s")
     b = shingles.select(F.col("doc_id").alias("doc_b"), "s")
