@@ -193,6 +193,99 @@ def dedup_exact(spark, sf_dir):
     )
 
 
+# BPE-style pre-tokenizer (GPT-2 lineage, lookahead-free so both Java
+# regex and DuckDB's RE2 agree): contraction suffixes, space-prefixed
+# letter runs, digit runs, punctuation runs, whitespace runs.
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+_BPE_SQL = _BPE_PAT.replace("'", "''")
+_ALPHA_PAT = r"^ ?[a-zA-Z]+$"
+_DIGIT_PAT = r"^ ?[0-9]+$"
+
+
+@q(
+    "text_bpe_tokens",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(text, '{_BPE_SQL}') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_filter(toks, x -> regexp_matches(x, '{_ALPHA_PAT}'))) AS BIGINT) AS n_alpha_tokens,
+           CAST(len(list_filter(toks, x -> regexp_matches(x, '{_DIGIT_PAT}'))) AS BIGINT) AS n_digit_tokens
+    FROM t
+    """,
+    tags=("text", "tokenize"),
+)
+def text_bpe_tokens(spark, sf_dir):
+    """BPE-ish token counting: a GPT-2-style pre-tokenizer regex (without
+    the lookahead, so RE2/Java semantics coincide) splits text into
+    contraction/letter/digit/punct/whitespace runs. One regexp pass per
+    doc, all JVM-side — the per-doc token count a data pipeline budgets
+    context windows with."""
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), 0).alias("toks")
+    )
+    return d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_bpe_tokens"),
+        F.size(F.expr(f"filter(toks, x -> x rlike '{_ALPHA_PAT}')")).cast("long").alias("n_alpha_tokens"),
+        F.size(F.expr(f"filter(toks, x -> x rlike '{_DIGIT_PAT}')")).cast("long").alias("n_digit_tokens"),
+    )
+
+
+# Polynomial rolling hash over 5-char windows of the normalized text:
+# h(i) = Σ_j ord(s[i+j])·257^j mod (2³¹−1). Same integer arithmetic in
+# Spark and DuckDB, so the oracle matches bit-for-bit. Normalization
+# strips to [a-z0-9 ] first so ord()/ascii() agree (pure ASCII).
+_B = [257**j for j in range(5)]
+_M = 2147483647
+
+
+@q(
+    "text_rolling_fingerprint",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS s
+        FROM documents),
+    h AS (
+        SELECT doc_id,
+               CASE WHEN length(s) >= 5 THEN
+                 list_transform(generate_series(1, length(s) - 4),
+                   i -> ({" + ".join(f"ord(s[i+{j}]) * {_B[j]}" for j in range(5))}) % {_M})
+               ELSE [] END AS hs
+        FROM t)
+    SELECT doc_id,
+           CAST(len(hs) AS BIGINT) AS n_windows,
+           CAST(len(list_distinct(hs)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(hs) > 0 THEN list_aggregate(hs, 'min') ELSE NULL END AS min_hash
+    FROM h
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_rolling_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (the winnowing primitive): every
+    5-gram of the normalized text gets a polynomial hash; the per-doc
+    minimum is the fingerprint, window/distinct counts describe content
+    size. All higher-order-function arithmetic, no Python in the path."""
+    poly = " + ".join(f"ascii(substring(s, i + {j}, 1)) * {_B[j]}L" for j in range(5))
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "").alias("s")
+    )
+    h = d.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN length(s) >= 5 THEN transform(sequence(1, length(s) - 4), i -> ({poly}) % {_M}L) "
+            "ELSE cast(array() as array<bigint>) END"
+        ).alias("hs"),
+    )
+    return h.select(
+        "doc_id",
+        F.size("hs").cast("long").alias("n_windows"),
+        F.size(F.array_distinct("hs")).cast("long").alias("n_distinct"),
+        F.when(F.size("hs") > 0, F.array_min("hs")).alias("min_hash"),
+    )
+
+
 @q(
     "dedup_ngram_jaccard",
     oracle="""
@@ -223,13 +316,21 @@ def dedup_ngram_jaccard(spark, sf_dir):
     exact-verification stage MinHash-LSH candidates feed at scale."""
     docs = tbl(spark, sf_dir, "documents").select("doc_id", _tokens().alias("t"))
     # consumed three times (cnt, a-side, b-side): persist so the
-    # tokenize+explode+distinct shuffle runs once, not three times
-    shingles = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(0, size(t) - 3), i -> concat_ws(' ', slice(t, i + 1, 3)))")
-        ).alias("s"),
-    ).distinct().persist()
+    # tokenize+explode+distinct shuffle runs once, not three times.
+    # Shingles are fingerprinted to int64 before the distinct: the
+    # inverted-index shuffle and self-join then move/compare 8-byte longs
+    # instead of shingle strings (collision odds ~n²/2⁶⁴ — negligible).
+    shingles = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(0, size(t) - 3), i -> concat_ws(' ', slice(t, i + 1, 3)))")
+            ).alias("sg"),
+        )
+        .select("doc_id", F.xxhash64("sg").alias("s"))
+        .distinct()
+        .persist()
+    )
     cnt = shingles.groupBy("doc_id").agg(F.count("*").alias("c"))
     a = shingles.select(F.col("doc_id").alias("doc_a"), "s")
     b = shingles.select(F.col("doc_id").alias("doc_b"), "s")

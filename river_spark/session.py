@@ -32,7 +32,10 @@ def get_spark(app_name: str = "river_spark", shuffle_partitions: int | None = No
         # this; lets Catalyst pick broadcast-hash joins without hints.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # Single-JVM local mode: driver heap IS the executor heap. 32 task
+        # threads sharing 16g GC-thrash on the persisted LSH intermediates;
+        # 32g keeps full-GC pauses out of the measurements (box has 128 GiB).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.sql.session.timeZone", "UTC")
         # The driver's parquet stores TIMESTAMP(NANOS) which Spark rejects;
         # read as long nanos and convert explicitly (see queries.tables.ts()).
