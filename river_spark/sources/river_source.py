@@ -16,13 +16,17 @@ Exposes the segmented stream log to Spark three ways:
   semantics of A16 (cpp/ingester/src/ingester.cpp:424-490) keyed off
   committed progress, not wall clock.
 - **batch write** — ``df.write.format("river")...save()``: executors
-  stage their partitions as payload files; the driver's ``commit()``
-  appends them to the log in deterministic partition order, preserving
-  the single-writer contiguous ``sample_index`` invariant without
-  serializing the data path through one task (SURVEY.md §7 "what's hard"
-  #1).
+  consume Arrow record batches columnwise and stage batch_size-sample
+  chunks already in the log's final payload format; the driver's
+  ``commit()`` assigns index ranges + key runs and promotes each staged
+  chunk by RENAME in deterministic partition order — the contiguous
+  ``sample_index`` invariant is kept while zero data bytes flow through
+  the driver (SURVEY.md §7 "what's hard" #1). Single-field
+  variable-width (binary) streams are supported via the log's
+  data+sizes batch format (cpp/src/writer.h:138-156 parity).
 
-Rows are produced as Arrow RecordBatches (zero row-at-a-time Python).
+Rows are produced and consumed as Arrow RecordBatches (zero
+row-at-a-time Python on either path).
 """
 
 from __future__ import annotations
@@ -35,10 +39,10 @@ import pyarrow as pa
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
-    DataSourceStreamWriter,
-    DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -47,8 +51,14 @@ from pyspark.sql import types as T
 from river_spark.ingest.ingester import _ARROW_TYPES
 from river_spark.schema import FieldType, StreamSchema
 from river_spark.transport.compression import Compressor
-from river_spark.transport.log import StreamLog, encode_key
-from river_spark.transport.writer import StreamWriter
+from river_spark.transport.log import MonotonicKeyGen, StreamLog, encode_key
+from river_spark.transport.writer import (
+    DEFAULT_BATCH_SIZE,
+    DEFAULT_ENTRIES_PER_SEGMENT,
+    StreamWriter,
+)
+
+_SYSTEM_COLUMNS = ("sample_index", "key", "timestamp_ms")
 
 
 def register(spark) -> None:
@@ -183,17 +193,36 @@ class RiverStreamReader(DataSourceStreamReader):
         self.stream = options["stream"]
         self.max_per_trigger = int(options.get("maxsamplespertrigger", 10_000))
         self.retention = options.get("retention", "false").lower() == "true"
+        # Consumer-group cursor (≈ Redis consumer-group last-delivered-id):
+        # commit() persists the committed frontier under this name so a
+        # RESTARTED query's first micro-batch is still rate-limited — the
+        # Python API's latestOffset() cannot see the checkpointed start.
+        self.group = options.get("group", "default")
         self._log = StreamLog(self.root)
         meta = self._log.read_metadata(self.stream)
         if meta is None:
             raise ValueError(f"stream {self.stream!r} not found under {self.root}")
         self._schema_json = meta["schema"]
         self._comp_json = meta.get("compression_params_json")
+        cursor = self._read_group_cursor()
+        if cursor is not None:
+            self._cursor = cursor
+
+    def _group_cursor_path(self) -> str:
+        return os.path.join(self.root, f"_cursor_{self.stream}_{self.group}.json")
+
+    def _read_group_cursor(self) -> int | None:
+        import json
+
+        try:
+            with open(self._group_cursor_path()) as f:
+                return int(json.load(f)["index"])
+        except (OSError, ValueError, KeyError):
+            return None
 
     def initialOffset(self):
-        # Only called on a fresh query (no checkpoint): rate-limiting can
-        # start from zero. After a restart this is skipped and the first
-        # latestOffset is uncapped (the checkpoint holds the real cursor).
+        # Only called on a fresh query (no checkpoint): start from zero,
+        # overriding any stale group cursor left by a previous query.
         self._cursor = 0
         return {"index": 0}
 
@@ -207,9 +236,11 @@ class RiverStreamReader(DataSourceStreamReader):
 
     def latestOffset(self):
         # Cap per micro-batch like max_fetch_size (cpp/src/reader.h:62).
-        # The Python API's latestOffset takes no start offset, so the first
-        # batch of a (re)started query is uncapped — the cursor becomes known
-        # once partitions() runs, and later batches are rate-limited.
+        # The cursor comes from (in priority order) the last partitions()
+        # call, or the persisted group cursor loaded at construction — so
+        # the first batch after a restart is capped too. Only a query with
+        # no history at all (no checkpoint AND no group cursor) falls back
+        # to the uncapped full backlog.
         avail = self._available()
         cur = getattr(self, "_cursor", None)
         if cur is None:
@@ -218,7 +249,9 @@ class RiverStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         lo, hi = start["index"], end["index"]
-        self._cursor = hi
+        # a stale (lower) group cursor never re-delivers below the
+        # checkpointed start
+        self._cursor = max(lo, hi)
         parts = []
         for seg in self._log.list_segments(self.stream):
             for bstart, cnt, ms, seq0, path in self._log.list_batches(self.stream, seg):
@@ -256,11 +289,21 @@ class RiverStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end):
-        """Retention behind the committed frontier (A16): delete segments
-        whose samples are all below the committed index."""
+        """Persist the consumer-group cursor, then (optionally) retention
+        behind the committed frontier (A16): delete segments whose samples
+        are all below the committed index."""
+        import json
+
+        committed = end["index"]
+        prev = self._read_group_cursor() or 0
+        if committed > prev:
+            path = self._group_cursor_path()
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"index": committed}, f)
+            os.replace(tmp, path)
         if not self.retention:
             return
-        committed = end["index"]
         segs = self._log.list_segments(self.stream)
         for seg in segs[:-1]:  # never the live segment
             ctrl = self._log.read_control(self.stream, seg)
@@ -279,85 +322,211 @@ class RiverStreamReader(DataSourceStreamReader):
 # batch writer
 # ---------------------------------------------------------------------------
 class _StagedWrite(WriterCommitMessage):
-    def __init__(self, partition_id, staged_path, num_rows):
+    def __init__(self, partition_id, chunks, num_rows):
         self.partition_id = partition_id
-        self.staged_path = staged_path
+        self.chunks = chunks  # [(absolute staged path, n_rows)], in write order
         self.num_rows = num_rows
 
 
-class RiverBatchWriter(DataSourceWriter):
+class RiverBatchWriter(DataSourceArrowWriter):
     """Two-phase append: executors stage partition payloads, the driver
     commits them into the log in partition order. Order within a partition
     is preserved; the contiguous sample_index is assigned once, on commit —
     the 'single-partition sink epoch + count carry' answer to SURVEY §7
-    hard-problem #1."""
+    hard-problem #1.
+
+    Scale shape: executors consume Arrow record batches columnwise (no
+    row-at-a-time Python) and stage chunks of ``batch_size`` samples in
+    the log's FINAL on-disk payload format. ``commit`` then assigns each
+    staged chunk its index range and key run and promotes it with a
+    RENAME — the driver moves only manifest-sized state, never data
+    bytes (the reference's single-writer contiguity contract,
+    cpp/src/writer.cpp:149-359, without a single-node data funnel)."""
 
     def __init__(self, options, schema: T.StructType):
         self.root = options["path"]
         self.stream = options["stream"]
+        self.batch_size = int(options.get("batchsize", DEFAULT_BATCH_SIZE))
+        self.entries_per_segment = int(
+            options.get("entriespersegment", DEFAULT_ENTRIES_PER_SEGMENT)
+        )
         self.staging = os.path.join(self.root, f"_staging_{self.stream}_{uuid.uuid4().hex[:8]}")
-        stream_schema = StreamSchema.from_struct_type(schema)
-        if stream_schema.has_variable_width_field:
-            raise ValueError(
-                "river sink supports fixed-width schemas; variable-width streams "
-                "need the per-sample sizes API (transport.StreamWriter)"
-            )
+        meta = StreamLog(self.root).read_metadata(self.stream)
+        if meta is not None:
+            # appending: the stream's own schema wins (byte layout must match)
+            stream_schema = StreamSchema.from_json(meta["schema"])
+            want = stream_schema.field_names()
+            got = [f.name for f in schema.fields if f.name not in _SYSTEM_COLUMNS]
+            if want != got:
+                raise ValueError(f"schema mismatch: stream has fields {want}, DataFrame has {got}")
+            self.comp_json = meta.get("compression_params_json")
+        else:
+            stream_schema = StreamSchema.from_struct_type(schema)
+            self.comp_json = None
         self.stream_schema_json = stream_schema.to_json()
-        self.spark_schema = schema
 
+    # -- executor side --------------------------------------------------------
     def write(self, iterator):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         schema = StreamSchema.from_json(self.stream_schema_json)
-        dtype = schema.dtype()
-        rows = list(iterator)
         os.makedirs(self.staging, exist_ok=True)
-        path = os.path.join(self.staging, f"part_{pid:06d}.npy")
-        arr = np.zeros(len(rows), dtype=dtype)
-        names = schema.field_names()
-        for i, row in enumerate(rows):
-            for name in names:
-                arr[name][i] = row[name]
-        np.save(path, arr)
-        return _StagedWrite(pid, path, len(rows))
+        if schema.has_variable_width_field:
+            chunks, total = self._stage_variable(pid, schema, iterator)
+        else:
+            chunks, total = self._stage_fixed(pid, schema, iterator)
+        return _StagedWrite(pid, chunks, total)
 
+    def _stage_file(self, pid: int, j: int, n: int, ext: str, payload: bytes) -> str:
+        # The absolute path travels in the commit message: the driver-side
+        # writer instance may be a different instantiation with a different
+        # staging uuid (Spark creates the python writer per role).
+        path = os.path.join(self.staging, f"part_{pid:06d}_{j:06d}{ext}")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+        return path
+
+    def _stage_fixed(self, pid, schema, iterator):
+        dtype = schema.dtype()
+        comp = Compressor.from_params_json(self.comp_json) if self.comp_json else None
+        arrs = []
+        for batch in iterator:
+            a = np.zeros(batch.num_rows, dtype=dtype)
+            for f in schema.field_definitions:
+                col = batch.column(batch.schema.get_field_index(f.name))
+                if f.type in _ARROW_TYPES:
+                    a[f.name] = col.to_numpy(zero_copy_only=False)
+                else:  # FIXED_WIDTH_BYTES → void field; columnwise bulk assign
+                    a[f.name] = col.to_pylist()
+            arrs.append(a)
+        arr = np.concatenate(arrs) if arrs else np.zeros(0, dtype=dtype)
+        chunks = []
+        for j, off in enumerate(range(0, len(arr), self.batch_size)):
+            chunk = np.ascontiguousarray(arr[off : off + self.batch_size])
+            payload = chunk.tobytes()
+            if comp is not None:
+                payload = comp.compress(payload)
+            chunks.append((self._stage_file(pid, j, len(chunk), ".bin", payload), len(chunk)))
+        return chunks, len(arr)
+
+    def _stage_variable(self, pid, schema, iterator):
+        import io
+
+        name = schema.field_names()[0]
+        vals: list[bytes] = []
+        for batch in iterator:
+            vals.extend(batch.column(batch.schema.get_field_index(name)).to_pylist())
+        chunks = []
+        for j, off in enumerate(range(0, len(vals), self.batch_size)):
+            part = vals[off : off + self.batch_size]
+            sizes = np.array([len(v) for v in part], dtype=np.int64)
+            buf = io.BytesIO()
+            # exact log .npz batch format (transport/log.py append_batch)
+            np.savez(buf, data=np.frombuffer(b"".join(part), dtype=np.uint8), sizes=sizes)
+            chunks.append((self._stage_file(pid, j, len(part), ".npz", buf.getvalue()), len(part)))
+        return chunks, len(vals)
+
+    # -- driver side ----------------------------------------------------------
     def commit(self, messages):
+        import shutil
+
         schema = StreamSchema.from_json(self.stream_schema_json)
         log = StreamLog(self.root)
         if log.read_metadata(self.stream) is None:
             StreamWriter(log).initialize(self.stream, schema)
-        w = StreamWriter(log)
-        # resume writer position from the log
-        w.stream_name = self.stream
-        w.schema = schema
-        total = 0
+        # recover append position + last handed-out key from the log
+        total, last_ms, last_seq = 0, -1, -1
         for seg in log.list_segments(self.stream):
             ctrl = log.read_control(self.stream, seg)
             if ctrl is not None and "eof" in ctrl:
                 raise RuntimeError(f"stream {self.stream!r} has EOF'd; append rejected")
-            for start, cnt, _ms, _seq, _p in log.list_batches(self.stream, seg):
+            for start, cnt, ms, seq0, _p in log.list_batches(self.stream, seg):
                 total = max(total, start + cnt)
-        w.total_samples_written = total
-        for msg in sorted(messages, key=lambda m: m.partition_id):
-            if msg is None:
-                continue  # empty micro-batch partitions
-            arr = np.load(msg.staged_path)
-            if len(arr):
-                w.write(arr)
-            os.remove(msg.staged_path)
-        if os.path.isdir(self.staging) and not os.listdir(self.staging):
-            os.rmdir(self.staging)
+                if (ms, seq0 + cnt - 1) > (last_ms, last_seq):
+                    last_ms, last_seq = ms, seq0 + cnt - 1
+        keygen = MonotonicKeyGen()
+        if last_ms >= 0:
+            keygen.seed(last_ms, last_seq)
+        staging_dirs = {self.staging}
+        for msg in sorted((m for m in messages if m is not None), key=lambda m: m.partition_id):
+            for src, n in msg.chunks:
+                staging_dirs.add(os.path.dirname(src))
+                total = self._promote(log, keygen, schema, src, n, total)
+        for d in staging_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def _promote(self, log, keygen, schema, src, n, total) -> int:
+        """Assign [total, total+n) + a key run to one staged chunk and move
+        it into the live segment by rename. Handles tombstone rollover; the
+        rare chunk that would span a segment boundary is split by rewrite."""
+        eps = self.entries_per_segment
+        seg = total // eps
+        if total > 0 and total % eps == 0:
+            log.write_tombstone(self.stream, seg - 1, total - 1)
+        room = eps - (total % eps)
+        if n <= room:
+            ms, seq0 = keygen.next_keys(n)
+            seg_dir = log.segment_dir(self.stream, seg)
+            os.makedirs(seg_dir, exist_ok=True)
+            ext = ".npz" if src.endswith(".npz") else ".bin"
+            dst = os.path.join(seg_dir, f"batch_{total:012d}_{n}_{ms}_{seq0}{ext}")
+            os.replace(src, dst)
+            return total + n
+        # split path (crosses a segment boundary): rewrite via append_batch
+        comp = Compressor.from_params_json(self.comp_json) if self.comp_json else None
+        if src.endswith(".npz"):
+            with np.load(src) as z:
+                data, sizes = z["data"].tobytes(), z["sizes"]
+            offs = np.concatenate([[0], np.cumsum(sizes)])
+            lo = 0
+            while lo < n:
+                take = min(n - lo, eps - (total % eps))
+                if total > 0 and total % eps == 0:
+                    log.write_tombstone(self.stream, total // eps - 1, total - 1)
+                ms, seq0 = keygen.next_keys(take)
+                log.append_batch(
+                    self.stream, total // eps, total,
+                    data[offs[lo] : offs[lo + take]], take, ms, seq0, sizes[lo : lo + take],
+                )
+                total += take
+                lo += take
+        else:
+            with open(src, "rb") as f:
+                payload = f.read()
+            raw = comp.decompress(payload) if comp is not None else payload
+            ss = schema.sample_size()
+            lo = 0
+            while lo < n:
+                take = min(n - lo, eps - (total % eps))
+                if total > 0 and total % eps == 0:
+                    log.write_tombstone(self.stream, total // eps - 1, total - 1)
+                piece = raw[lo * ss : (lo + take) * ss]
+                if comp is not None:
+                    piece = comp.compress(piece)
+                ms, seq0 = keygen.next_keys(take)
+                log.append_batch(self.stream, total // eps, total, piece, take, ms, seq0, None)
+                total += take
+                lo += take
+        os.remove(src)
+        return total
 
     def abort(self, messages):
         # messages may be partial (failed tasks return nothing) — wipe the
         # whole staging dir so a failed job leaves zero residue
         import shutil
 
-        shutil.rmtree(self.staging, ignore_errors=True)
+        dirs = {self.staging}
+        for m in messages or []:
+            if m is not None:
+                dirs.update(os.path.dirname(p) for p, _n in m.chunks)
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
 
 
-class RiverStreamWriter(DataSourceStreamWriter):
+class RiverStreamWriter(DataSourceStreamArrowWriter):
     """Streaming sink: each micro-batch is staged by executors and appended
     by the driver in partition order (same contiguity story as the batch
     writer). Epoch commits are idempotent — a replayed batchId is skipped —

@@ -259,6 +259,14 @@ class MonotonicKeyGen:
         self._last_ms = -1
         self._seq = 0
 
+    def seed(self, last_ms: int, last_seq: int) -> None:
+        """Resume key generation after keys up to (last_ms, last_seq) were
+        already handed out (e.g. a new writer appending to an existing
+        stream) so the strictly-increasing key invariant holds across
+        writer instances (cpp/src/redis.h:56-70)."""
+        self._last_ms = last_ms
+        self._seq = last_seq + 1
+
     def next_keys(self, n: int) -> tuple[int, int]:
         """Reserve n keys; the batch's keys are (ms, seq0)...(ms, seq0+n-1).
         One ms per call keeps a batch a single contiguous key run, which is
