@@ -2,14 +2,21 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line with per-query wall seconds.
 
-Methodology: each benchmarked query is first executed once at sf0.001 to
-compile its whole-stage-codegen classes and JIT the hot paths (plan shape
-is identical across scale factors, so this warms exactly the code the
-timed run executes, with negligible data volume), then timed at the
-target scale factor as full execution through ``df.count()`` — i.e., what
-a user pays in steady state. ``spark.catalog.clearCache()`` runs between
-queries so operators that persist intermediates (the LSH families) cannot
-leak executor memory into the next measurement."""
+Methodology: each benchmarked query is first executed once at the
+smallest sibling scale factor of the target dir to compile its
+whole-stage-codegen classes and JIT the hot paths (plan shape is
+identical across scale factors, so this warms exactly the code the timed
+run executes, with negligible data volume), then timed at the target
+scale factor as full execution through ``df.count()`` — i.e., what a
+user pays in steady state. Each query is timed REPEATS times and the
+MINIMUM reported: this box shows multi-second bursts of external load,
+and under purely additive noise the minimum is the consistent estimator
+of intrinsic query cost (a GC pause or noisy-neighbor burst can poison
+a median when the burst outlasts the repeats). ``spark.catalog.clearCache()`` runs between
+runs so operators that persist intermediates (the LSH families) cannot
+leak executor memory into the next measurement. The emitted JSON line
+records the methodology fields (warmup dir or null, repeats, estimator)
+so cross-environment comparisons are auditably like-for-like."""
 
 from __future__ import annotations
 
@@ -69,27 +76,48 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     bench = {name: q for name, q in QUERIES.items() if q.bench}
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
-    # codegen/JIT warmup at the smallest SF: identical plan shapes, ~0 data
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
+    # codegen/JIT warmup at the smallest sibling SF of the target dir:
+    # identical plan shapes, ~0 data
+    data_root = os.path.dirname(os.path.abspath(sf_dir.rstrip("/")))
+    siblings = sorted(
+        (d for d in os.listdir(data_root)
+         if d.startswith("sf") and os.path.isdir(os.path.join(data_root, d))),
+        key=lambda d: float(d[2:] or "inf"),
+    ) if os.path.isdir(data_root) else []
+    warm_dir = os.path.join(data_root, siblings[0]) if siblings else None
+    if warm_dir and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
         for name, q in bench.items():
             try:
                 q.fn(spark, warm_dir).count()
             except Exception as exc:  # pragma: no cover - warmup is best-effort
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
             spark.catalog.clearCache()
+    else:
+        warm_dir = None
+        print(
+            "# NOTE: no smaller sibling SF dir found — codegen/JIT warmup "
+            "skipped; timings include first-run compilation cost",
+            file=sys.stderr,
+        )
 
     timings: dict[str, float] = {}
-    t_all = time.perf_counter()
     for name, q in bench.items():
-        t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        n = df.count() if df.isStreaming is False else -1
-        timings[name] = round(time.perf_counter() - t0, 4)
-        spark.catalog.clearCache()
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-    total = round(time.perf_counter() - t_all, 4)
+        runs = []
+        n = -1
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
+            n = df.count() if df.isStreaming is False else -1
+            runs.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(min(runs), 4)
+        print(
+            f"# {name}: best {timings[name]:.3f}s of {[round(r, 3) for r in runs]} ({n} rows)",
+            file=sys.stderr,
+        )
+    total = round(sum(timings.values()), 4)
 
     tp = transport_throughput()
     print(f"# transport: {tp}", file=sys.stderr)
@@ -102,6 +130,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "methodology": {
+                    "warmup_sf_dir": warm_dir,
+                    "repeats": repeats,
+                    "estimator": "min",
+                    "timed": "full execution via df.count()",
+                },
                 **tp,
             }
         )

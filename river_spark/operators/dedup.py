@@ -1,20 +1,29 @@
 """Near-duplicate detection at training-data scale.
 
-Three families, all pure DataFrame compositions (no Python in the data
+Four families, all pure DataFrame compositions (no Python in the data
 path — every hash is ``xxhash64`` JVM-side):
 
 - **MinHash + LSH banding**: shingle → k min-hashes (one shuffle) → band
-  buckets → candidate pairs → signature-overlap estimate. The classic
-  100 TB dedup: candidate generation touches only same-bucket pairs.
+  buckets → in-bucket candidate pairs → signature-overlap estimate. The
+  classic 100 TB dedup: candidate generation touches only same-bucket
+  pairs.
 - **SimHash**: 64-bit per-doc signature from token hashes; banding on
-  16-bit chunks for candidates; exact Hamming distance to verify.
-- **Exact Jaccard verification** for candidates (the n-gram inverted-index
-  join lives in queries/text.py where it is oracle-checked).
+  bit-chunks for candidates; exact Hamming distance to verify.
+- **Exact n-gram Jaccard**: shingle inverted index with a
+  document-frequency cap (stop-shingle drop), in-index pair counting.
+- **Embedding cosine**: random-hyperplane sign buckets, exact cosine
+  verify.
 
-Scale notes: every stage is a hash shuffle on bounded keys; bucket skew
-(a shingle shared by millions of docs) is the known hazard — callers cap
-bucket width with ``max_bucket`` (drop degenerate buckets, the standard
-LSH trick) so one hot bucket can't produce O(n²) pairs.
+Plan shape: every family is a single linear pipeline — signatures are
+carried THROUGH the bucket shuffle (collect_list of (doc, payload)
+structs) and pairs are expanded inside the bucket row, so no stage is
+consumed twice and nothing needs persist()/cache(). At 100 TB that
+matters twice over: no executor cache pressure, and the only data
+movement is one hash shuffle on bounded keys. Bucket skew (a shingle or
+band bucket shared by millions of docs) is the known hazard — buckets
+wider than ``max_bucket`` (resp. shingles with document frequency over
+``df_cap``) are dropped before pair expansion, the standard LSH /
+stop-shingle guard, so one hot key can't produce O(n²) pairs.
 """
 
 from __future__ import annotations
@@ -31,7 +40,11 @@ def shingles(
     before the distinct — the 100 TB default: the dedup shuffle then moves
     8-byte longs instead of full shingle strings (~2.5x less shuffle IO)
     and every downstream hash/compare runs on a fixed-width key. Collision
-    odds are ~n²/2⁶⁴ (≪1e-9 even at billions of distinct shingles)."""
+    odds follow the birthday bound ~n²/2⁶⁵ (≪1e-9 even at billions of
+    distinct shingles). NOTE: hashed shingles produce different minhash
+    signature arrays than string shingles — a signature table persisted to
+    Parquet under one setting must be rebuilt to compare under the other.
+    """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     col = F.xxhash64(F.col("s")) if hashed else F.col("s")
     return (
@@ -59,14 +72,33 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
     return per_doc.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 16, max_bucket: int = 1000
-) -> DataFrame:
-    """Band the signature; docs sharing any band-bucket become candidates.
-    Buckets wider than max_bucket are dropped (degenerate content)."""
-    num_hashes = bands  # rows per band derived from sig length at runtime
+def _in_bucket_pairs(grouped: DataFrame, payload: str) -> DataFrame:
+    """Expand each bucket row (docs: array<struct<doc_id, payload>>) into
+    its i<j pairs — pair generation without joining back to the signature
+    table, so the signature build is consumed exactly once. Emits
+    doc_a/doc_b (doc_a < doc_b) with both payloads."""
+    pair_expr = F.explode(
+        F.expr(
+            "flatten(transform(docs, (x, i) -> "
+            "transform(slice(docs, i + 2, size(docs)), y -> struct(x, y))))"
+        )
+    ).alias("p")
+    lo = F.when(F.col("p.x.doc_id") < F.col("p.y.doc_id"), F.col("p.x")).otherwise(F.col("p.y"))
+    hi = F.when(F.col("p.x.doc_id") < F.col("p.y.doc_id"), F.col("p.y")).otherwise(F.col("p.x"))
+    return grouped.select(pair_expr).select(
+        lo["doc_id"].alias("doc_a"),
+        hi["doc_id"].alias("doc_b"),
+        lo[payload].alias(f"{payload}_a"),
+        hi[payload].alias(f"{payload}_b"),
+    )
+
+
+def _band_buckets(sigs: DataFrame, bands: int, max_bucket: int) -> DataFrame:
+    """Band the signature; group docs (carrying their sig) per band-bucket;
+    drop degenerate buckets wider than max_bucket."""
     banded = sigs.select(
         "doc_id",
+        "sig",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {bands} - 1), "
@@ -74,14 +106,19 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
-    sized = banded.groupBy("band", "bucket").agg(
-        F.collect_list("doc_id").alias("docs"), F.count("*").alias("width")
-    ).filter((F.col("width") > 1) & (F.col("width") <= max_bucket))
-    a = sized.select("band", "bucket", F.explode("docs").alias("doc_a"))
-    b = sized.select("band", "bucket", F.explode("docs").alias("doc_b"))
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct("doc_id", "sig")).alias("docs"))
+        .filter((F.size("docs") > 1) & (F.size("docs") <= max_bucket))
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 16, max_bucket: int = 1000
+) -> DataFrame:
+    """Distinct candidate pairs [doc_a, doc_b] sharing any band-bucket."""
+    return (
+        _in_bucket_pairs(_band_buckets(sigs, bands, max_bucket), "sig")
         .select("doc_a", "doc_b")
         .distinct()
     )
@@ -96,33 +133,86 @@ def minhash_dedup(
     bands: int = 16,
     threshold: float = 0.5,
     max_bucket: int = 1000,
-    persist_signatures: bool = True,
 ) -> DataFrame:
     """Full pipeline → [doc_a, doc_b, est_jaccard] for pairs whose
     signature-overlap estimate >= threshold.
 
-    The signature table is consumed three times (banding, sig_a join,
-    sig_b join); without materialization Spark recomputes the expensive
-    shingle→min-hash aggregation each time. ``persist_signatures``
-    memory/disk-caches it — the 100 TB analog is writing the signature
-    table to Parquet once at index-build time and joining against that.
-    """
+    One linear plan: shingle → signature → band shuffle → in-bucket pair
+    expansion (signatures travel with the docs) → estimate → pair-dedup.
+    The signature aggregation is consumed exactly once, so nothing is
+    persisted; the only quadratic-risk stage is bounded by max_bucket."""
     sh = shingles(df, id_col, text_col, n, hashed=True)
     sigs = minhash_signatures(sh, num_hashes)
-    if persist_signatures:
-        sigs = sigs.persist()
-    cand = lsh_candidate_pairs(sigs, bands, max_bucket)
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    est = (
-        F.size(F.arrays_zip("sig_a", "sig_b"))
-        - F.size(F.filter(F.arrays_zip("sig_a", "sig_b"), lambda s: s.sig_a != s.sig_b))
-    ) / F.size(F.col("sig_a"))
+    pairs = _in_bucket_pairs(_band_buckets(sigs, bands, max_bucket), "sig")
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = matches / F.size("sig_a")
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+        pairs.select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
+        .groupBy("doc_a", "doc_b")  # same pair may surface from several bands
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (inverted index + stop-shingle guard)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.05,
+    df_cap: int = 100_000,
+) -> DataFrame:
+    """Exact n-token-shingle Jaccard pairs above ``threshold`` via a
+    shingle inverted index: only docs sharing a shingle ever meet, so the
+    pair space is data-bounded, not O(n²).
+
+    ``df_cap`` is the stop-shingle guard (mirror of max_bucket in the LSH
+    families): a shingle appearing in more than df_cap documents is
+    dropped from PAIR GENERATION — without it one ubiquitous shingle
+    produces a near-quadratic pair explosion on skewed corpora. Per-doc
+    shingle counts (the Jaccard denominator) are computed before the cap,
+    so results are exact whenever the true intersection contains at least
+    one sub-cap shingle; set df_cap above the corpus max df for fully
+    exact output.
+
+    The index aggregation feeds both the per-doc counts and the pair
+    expansion as the same canonical subplan, so Spark reuses one shuffle
+    (ReusedExchange) — no persist needed."""
+    sh = shingles(df, id_col, text_col, n, hashed=True)
+    index = sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("docs"))
+    cnt = (
+        index.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    pair_expr = F.explode(
+        F.expr(
+            "flatten(transform(docs, (x, i) -> "
+            "transform(slice(docs, i + 2, size(docs)), y -> "
+            "struct(least(x, y) as doc_a, greatest(x, y) as doc_b))))"
+        )
+    ).alias("p")
+    pair = (
+        index.filter((F.size("docs") > 1) & (F.size("docs") <= df_cap))
+        .select(pair_expr)
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
+    jac = F.col("inter") * 1.0 / (F.col("ca") + F.col("cb") - F.col("inter"))
+    return (
+        pair.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
@@ -165,34 +255,29 @@ def simhash_signatures(
 
 
 def simhash_pairs(sigs: DataFrame, max_hamming: int = 12, max_bucket: int = 1000) -> DataFrame:
-    """Candidates share at least one 16-bit chunk (pigeonhole: any pair with
-    Hamming <= 3*16 shares a chunk... we verify exactly anyway); returns
+    """Candidates share at least one signature chunk (pigeonhole-complete
+    for Hamming < n_chunks); exact Hamming verifies. Returns
     [doc_a, doc_b, hamming] with hamming <= max_hamming.
 
-    ``sigs`` is consumed three times (banding + both verify joins) — persist
-    so the 64-bit-agg signature build runs once."""
-    sigs = sigs.persist()
-    banded = sigs.select("doc_id", F.posexplode("chunks").alias("band", "bucket"))
-    sized = banded.groupBy("band", "bucket").agg(
-        F.collect_list("doc_id").alias("docs"), F.count("*").alias("width")
-    ).filter((F.col("width") > 1) & (F.col("width") <= max_bucket))
-    a = sized.select("band", "bucket", F.explode("docs").alias("doc_a"))
-    b = sized.select("band", "bucket", F.explode("docs").alias("doc_b"))
-    cand = (
-        a.join(b, ["band", "bucket"]).filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b").distinct()
+    Chunks travel with the docs through the bucket shuffle and pairs are
+    expanded in-bucket, so the signature build runs once — no persist."""
+    grouped = (
+        sigs.select("doc_id", "chunks", F.posexplode("chunks").alias("band", "bucket"))
+        .groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct("doc_id", "chunks")).alias("docs"))
+        .filter((F.size("docs") > 1) & (F.size("docs") <= max_bucket))
     )
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("chunks").alias("ch_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("chunks").alias("ch_b"))
+    pairs = _in_bucket_pairs(grouped, "chunks")
     hamming = F.aggregate(
-        F.zip_with("ch_a", "ch_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.zip_with("chunks_a", "chunks_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
         F.lit(0),
         lambda acc, x: acc + x,
     )
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .groupBy("doc_a", "doc_b")  # same pair may share several chunks
+        .agg(F.max("hamming").alias("hamming"))
     )
 
 
@@ -209,7 +294,9 @@ def cosine_dedup(
 ) -> DataFrame:
     """Near-duplicate vectors: random-hyperplane sign signature buckets
     candidates, exact cosine verifies. Planes are derived deterministically
-    from xxhash64(plane, dim) — no driver-side randomness to broadcast."""
+    from xxhash64(plane, dim) — no driver-side randomness to broadcast.
+    Vectors travel with the docs through the bucket shuffle; pairs are
+    expanded in-bucket, so the O(planes x dim) projection runs once."""
     # sign bit p = sign(Σ_d v[d] * plane(p,d)), plane value in [-1, 1)
     sig = F.expr(
         f"""
@@ -220,35 +307,27 @@ def cosine_dedup(
             cast(0.0 as double), (acc, x) -> acc + x) > 0.0)
         """
     )
-    vecs = df.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"), sig.alias("sig"))
-    # signature projection feeds the width filter and both pair sides:
-    # persist so the O(planes x dim) hyperplane dot products run once
-    bucketed = vecs.select(
-        "doc_id", "v", F.xxhash64(F.expr("cast(sig as string)")).alias("bucket")
-    ).persist()
-    sized = bucketed.groupBy("bucket").agg(F.count("*").alias("width")).filter(
-        (F.col("width") > 1) & (F.col("width") <= max_bucket)
+    vecs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.xxhash64(sig.cast("string")).alias("bucket"),
     )
-    in_bucket = bucketed.join(sized.select("bucket"), "bucket")
-    a = in_bucket.select("bucket", F.col("doc_id").alias("doc_a"), F.col("v").alias("va"))
-    b = in_bucket.select("bucket", F.col("doc_id").alias("doc_b"), F.col("v").alias("vb"))
+    grouped = (
+        vecs.groupBy("bucket")
+        .agg(F.collect_list(F.struct("doc_id", "v")).alias("docs"))
+        .filter((F.size("docs") > 1) & (F.size("docs") <= max_bucket))
+    )
+    pairs = _in_bucket_pairs(grouped, "v")
     dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     norm = lambda c: F.sqrt(
-        F.aggregate(
-            F.zip_with(c, c, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        F.aggregate(F.zip_with(c, c, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     )
-    cos = dot / (norm("va") * norm("vb"))
+    cos = dot / (norm("v_a") * norm("v_b"))
     return (
-        a.join(b, "bucket")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.round(cos, 6).alias("cos_sim"))
+        pairs.select("doc_a", "doc_b", F.round(cos, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
-        .distinct()
+        .groupBy("doc_a", "doc_b")  # same pair can't repeat (one bucket per doc) — kept for safety
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )

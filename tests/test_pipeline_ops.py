@@ -182,3 +182,58 @@ def test_ivf_topk_vs_brute_force(vectors):
     # determinism: same seed, same result set
     again = ivf_topk(vectors, queries, "vec_id", "embedding", k=5, n_lists=4, n_probes=2)
     assert {(r.query_id, r.doc_id) for r in again.collect()} == a
+
+
+def test_ngram_jaccard_stop_shingle_guard(spark):
+    """A shingle planted in EVERY document must not blow up pair
+    generation: with df_cap below its document frequency the universal
+    shingle is dropped from the inverted index, and only genuinely
+    similar pairs survive."""
+    from river_spark.operators.dedup import ngram_jaccard_pairs
+
+    hot = "aaa bbb ccc"  # one universal 3-shingle across all docs
+    rows = [(i, f"{hot} unique{i} token{i} filler{i} word{i}") for i in range(200)]
+    rows.append((900, rows[0][1]))  # one true exact dup of doc 0
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, df_cap=50)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert got == {(0, 900)}
+    # without the cap the same corpus produces ~200²/2 candidate pairs at
+    # the intersection stage; with it, pair expansion is bounded by df_cap
+
+
+def test_ngram_jaccard_cap_above_df_is_exact(spark):
+    """With df_cap above every shingle's document frequency the result is
+    identical to the uncapped exact computation."""
+    from river_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "a completely different text with other words entirely"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.05, df_cap=10_000)
+    assert {(r.doc_a, r.doc_b, r.jaccard) for r in capped.collect()} == {(1, 2, 1.0)}
+
+
+def test_registry_queries_leave_no_cached_rdds(spark):
+    """Operators must not leak persisted intermediates into the shared
+    session: after building + executing each dedup/vector family query,
+    zero RDDs remain cached (the pipelines are single-consumption by
+    construction, so nothing needs persist)."""
+    import os
+
+    from river_spark.queries import QUERIES
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "emb_cosine_dedup",
+        "dedup_ngram_jaccard",
+        "ev_rollup_cascade",
+    ):
+        QUERIES[name].fn(spark, sf).count()
+        cached = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        assert cached.isEmpty(), f"{name} left {cached.size()} cached RDDs"
