@@ -68,15 +68,38 @@ def join_salted(spark, sf_dir):
     )
 
 
-@q("agg_approx_distinct", tags=("agg", "sketch"))
+@q(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           count(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS parts_within_tol,
+           TRUE AS orders_within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "sketch"),
+)
 def agg_approx_distinct(spark, sf_dir):
-    """HLL++ sketch counting — approximate by design, so rows-only for the
-    driver; tests/test_scale_ops.py bounds the error against exact."""
-    return (
+    """HLL++ sketch counting with an invariant oracle: the sketch value is
+    implementation-defined, so the query emits the EXACT distinct counts
+    (compared bit-for-bit) plus booleans asserting the sketch landed
+    within 3x its configured rsd — the sketch's accuracy contract."""
+    g = (
         tbl(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("ao"),
         )
+    )
+    tol = 0.06  # 3 x rsd
+    return g.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        (F.abs(F.col("ap") - F.col("exact_parts")) <= tol * F.col("exact_parts")).alias("parts_within_tol"),
+        (F.abs(F.col("ao") - F.col("exact_orders")) <= tol * F.col("exact_orders")).alias("orders_within_tol"),
     )
