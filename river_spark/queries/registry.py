@@ -39,6 +39,7 @@ _PRIORITY = [
     # river transport round-trip (A1/A2/A13/A20 proof)
     "river_ingest_roundtrip",
     "river_system_columns",
+    "river_sink_roundtrip",
     # TPC-H wave 2-4 (join/subquery/correlated coverage)
     "q2_min_unit_price_supplier",
     "q7_nation_volume_shipping",

@@ -95,3 +95,50 @@ def river_system_columns(spark, sf_dir):
             (F.split(F.col("key"), "-").getItem(0).cast("long") == F.col("timestamp_ms")).cast("long")
         ).alias("n_ts_ok"),
     )
+
+
+@q(
+    "river_sink_roundtrip",
+    oracle="SELECT doc_id, text FROM documents",
+    tags=("river", "sink", "roundtrip"),
+)
+def river_sink_roundtrip(spark, sf_dir):
+    """A2 variable-width through the SPARK SINK: each documents row is
+    encoded as a single VARIABLE_WIDTH_BYTES sample ("<doc_id>|<text>"),
+    written via ``format("river")`` (executors stage log-format chunks,
+    the driver promotes them by rename — cpp/src/writer.h:138-156 sizes
+    parity), then read back through the river batch source and decoded.
+    The round trip must be lossless."""
+    from river_spark.sources import register
+
+    key = ("sink", sf_dir)
+    if key not in _CACHE or not os.path.isdir(_CACHE[key]):
+        register(spark)
+        work = tempfile.mkdtemp(prefix="river_spark_sinkrt_")
+        store = os.path.join(work, "store")
+        (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select(
+                F.encode(
+                    F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text")), "UTF-8"
+                ).alias("payload")
+            )
+            .write.format("river")
+            .option("path", store)
+            .option("stream", "docs_rt")
+            .mode("append")
+            .save()
+        )
+        _CACHE[key] = store
+    back = (
+        spark.read.format("river")
+        .option("path", _CACHE[key])
+        .option("stream", "docs_rt")
+        .load()
+        .select(F.decode(F.col("payload"), "UTF-8").alias("s"))
+    )
+    sep = F.locate("|", F.col("s"))
+    return back.select(
+        F.substring(F.col("s"), F.lit(1), sep - 1).cast("long").alias("doc_id"),
+        F.substring(F.col("s"), sep + 1, F.lit(2_000_000_000)).alias("text"),
+    )
