@@ -2,9 +2,9 @@
 (tumbling windows, sessionization, ordered dedup, tail/seek), plus the
 join types Spark lacks as built-ins (range join, as-of join).
 
-events.ts is INT64 epoch-nanos on the Spark side (see tables.event_ts)
-and TIMESTAMP_NS in DuckDB — predicates are written against the same
-instants on both engines.
+events.ts is TIMESTAMP on both engines (tables.events_tbl normalizes the
+legacy INT64-nanos layout too) — predicates use native timestamp/interval
+arithmetic so the same instants are compared on both sides.
 """
 
 from __future__ import annotations
@@ -14,10 +14,7 @@ from pyspark.sql import functions as F
 
 from river_spark.operators.asof import asof_join
 from river_spark.queries.relational import q
-from river_spark.queries.tables import event_ts, r2, tbl
-
-_NS_PER_HOUR = 3_600 * 10**9
-_NS_PER_MIN = 60 * 10**9
+from river_spark.queries.tables import events_tbl, r2
 
 
 @q(
@@ -33,9 +30,9 @@ _NS_PER_MIN = 60 * 10**9
 def ev_tumbling_window(spark, sf_dir):
     # Real Spark window() — the streaming-capable tumbling window; its
     # epoch-aligned 1h buckets coincide with date_trunc('hour').
-    ev = tbl(spark, sf_dir, "events").withColumn("tstamp", event_ts())
+    ev = events_tbl(spark, sf_dir)
     return (
-        ev.groupBy(F.window("tstamp", "1 hour").alias("w"), "event_type")
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n"), r2(F.sum("value")).alias("total_value"))
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
@@ -73,12 +70,13 @@ def ev_tumbling_window(spark, sf_dir):
 def ev_sessionize(spark, sf_dir):
     """Gaps-and-islands sessionization (30 min inactivity gap) — the batch
     equivalent of session_window; single shuffle on user_id."""
-    ev = tbl(spark, sf_dir, "events")
+    ev = events_tbl(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = ev.withColumn(
         "new_sess",
         F.when(
-            F.lag("ts").over(w).isNull() | (F.col("ts") - F.lag("ts").over(w) > 30 * _NS_PER_MIN),
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES")),
             1,
         ).otherwise(0),
     )
@@ -106,7 +104,7 @@ def ev_sessionize(spark, sf_dir):
 )
 def ev_lag_lead(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return tbl(spark, sf_dir, "events").select(
+    return events_tbl(spark, sf_dir).select(
         "user_id",
         "event_id",
         F.round(F.col("value") - F.lag("value").over(w), 4).alias("value_delta"),
@@ -131,7 +129,7 @@ def ev_dedup_ordered(spark, sf_dir):
     (Plain dropDuplicates keeps an arbitrary row — useless for parity.)"""
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     return (
-        tbl(spark, sf_dir, "events")
+        events_tbl(spark, sf_dir)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
@@ -150,7 +148,7 @@ def ev_tail(spark, sf_dir):
     """Tail/skip-to-latest (A6, cpp/src/reader.cpp:336-488) as a batch
     query: ORDER BY DESC LIMIT 1 → TakeOrderedAndProject."""
     return (
-        tbl(spark, sf_dir, "events")
+        events_tbl(spark, sf_dir)
         .orderBy(F.desc("ts"), F.desc("event_id"))
         .limit(1)
         .select("event_id", "user_id", "event_type")
@@ -167,11 +165,11 @@ def ev_tail(spark, sf_dir):
 )
 def ev_seek(spark, sf_dir):
     """Seek (A7, cpp/src/reader.cpp:507-583) as an offset predicate —
-    pushed down to the parquet scan."""
-    cutoff_ns = 1_705_276_800 * 10**9  # 2024-01-15T00:00:00Z
+    pushed down to the parquet scan (string literal folds to the column's
+    timestamp type, so the filter reaches PushedFilters)."""
     return (
-        tbl(spark, sf_dir, "events")
-        .filter(F.col("ts") > cutoff_ns)
+        events_tbl(spark, sf_dir)
+        .filter(F.col("ts") > "2024-01-15 00:00:00")
         .agg(F.count("*").alias("n"), F.min("event_id").alias("first_id"))
     )
 
@@ -191,7 +189,7 @@ def ev_range_join(spark, sf_dir):
     """Range join: purchase within 1h after a view by the same user.
     Equi-join on user_id carries the shuffle; the ts band is a post-filter,
     so this stays a hash join (no nested-loop blowup) at scale."""
-    ev = tbl(spark, sf_dir, "events")
+    ev = events_tbl(spark, sf_dir)
     views = ev.filter(F.col("event_type") == "view").select(
         F.col("user_id").alias("u"), F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id")
     )
@@ -202,7 +200,7 @@ def ev_range_join(spark, sf_dir):
         buys,
         (views.u == buys.u2)
         & (buys.buy_ts > views.view_ts)
-        & (buys.buy_ts <= views.view_ts + _NS_PER_HOUR),
+        & (buys.buy_ts <= views.view_ts + F.expr("INTERVAL 1 HOUR")),
     )
     return pairs.agg(
         F.count("*").alias("n_pairs"), F.countDistinct("view_id").alias("n_views")
@@ -223,7 +221,7 @@ def ev_range_join(spark, sf_dir):
 def ev_asof_join(spark, sf_dir):
     """As-of join via the union+last_value operator (operators/asof.py):
     one shuffle on (user_id), no per-row subqueries."""
-    ev = tbl(spark, sf_dir, "events")
+    ev = events_tbl(spark, sf_dir)
     purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_event_id"), F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts")
@@ -259,9 +257,9 @@ def ev_sliding_window(spark, sf_dir):
     """Overlapping 1h windows sliding every 15 min — each event lands in 4
     windows (Spark's window(ts, '1 hour', '15 minutes') generator; the
     oracle expands the same membership arithmetic)."""
-    ev = tbl(spark, sf_dir, "events").withColumn("tstamp", event_ts())
+    ev = events_tbl(spark, sf_dir)
     return (
-        ev.groupBy(F.window("tstamp", "1 hour", "15 minutes").alias("w"))
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(F.count("*").alias("n"), r2(F.sum("value")).alias("total_value"))
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from river_spark.operators.rollup import time_rollup
 from river_spark.operators.skew import salted_join
 from river_spark.queries.relational import q
-from river_spark.queries.tables import event_ts, r2, tbl
+from river_spark.queries.tables import events_tbl, r2, tbl
 
 
 @q(
@@ -36,8 +36,8 @@ def ev_rollup_cascade(spark, sf_dir):
     """Continuous-aggregate cascade: minute from raw, hour from minute,
     day from hour — ONE raw scan; must equal the per-resolution one-shot
     aggregation (the oracle)."""
-    ev = tbl(spark, sf_dir, "events").withColumn("tstamp", event_ts())
-    rolled = time_rollup(ev, "tstamp", ["event_type"], "value")
+    ev = events_tbl(spark, sf_dir)
+    rolled = time_rollup(ev, "ts", ["event_type"], "value")
     return rolled.select(
         "resolution",
         F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),

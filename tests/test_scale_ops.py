@@ -13,9 +13,9 @@ from river_spark.operators.skew import salted_join
 
 
 def test_rollup_cascade_matches_one_shot(spark, sf_dir):
-    from river_spark.queries.tables import event_ts, tbl
+    from river_spark.queries.tables import events_tbl
 
-    ev = tbl(spark, sf_dir, "events").withColumn("tstamp", event_ts())
+    ev = events_tbl(spark, sf_dir).withColumn("tstamp", F.col("ts"))
     rolled = time_rollup(ev, "tstamp", ["event_type"], "value")
     hour = rolled.filter(F.col("resolution") == "1 hour")
     one_shot = ev.groupBy(
@@ -29,9 +29,9 @@ def test_rollup_cascade_matches_one_shot(spark, sf_dir):
 
 
 def test_rollup_rejects_bad_resolution(spark, sf_dir):
-    from river_spark.queries.tables import event_ts, tbl
+    from river_spark.queries.tables import events_tbl
 
-    ev = tbl(spark, sf_dir, "events").withColumn("tstamp", event_ts())
+    ev = events_tbl(spark, sf_dir).withColumn("tstamp", F.col("ts"))
     with pytest.raises(ValueError):
         time_rollup(ev, "tstamp", [], "value", resolutions=["7 minutes"])
 
