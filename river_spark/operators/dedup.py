@@ -32,9 +32,14 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, hashed: bool = False
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    hashed: bool = False,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct n-token shingles per document.
+    """n-token shingles per document, distinct by default.
 
     ``hashed=True`` fingerprints each shingle to an int64 (xxhash64)
     before the distinct — the 100 TB default: the dedup shuffle then moves
@@ -44,10 +49,14 @@ def shingles(
     distinct shingles). NOTE: hashed shingles produce different minhash
     signature arrays than string shingles — a signature table persisted to
     Parquet under one setting must be rebuilt to compare under the other.
+
+    ``distinct=False`` skips the dedup shuffle entirely — correct whenever
+    every consumer is duplicate-insensitive (min-hash mins, collect_set),
+    which saves a full shuffle of the raw shingle stream.
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     col = F.xxhash64(F.col("s")) if hashed else F.col("s")
-    return (
+    out = (
         df.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
         .select(
             "doc_id",
@@ -56,8 +65,8 @@ def shingles(
             ).alias("s"),
         )
         .select("doc_id", col.alias("shingle"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
@@ -141,7 +150,7 @@ def minhash_dedup(
     expansion (signatures travel with the docs) → estimate → pair-dedup.
     The signature aggregation is consumed exactly once, so nothing is
     persisted; the only quadratic-risk stage is bounded by max_bucket."""
-    sh = shingles(df, id_col, text_col, n, hashed=True)
+    sh = shingles(df, id_col, text_col, n, hashed=True, distinct=False)
     sigs = minhash_signatures(sh, num_hashes)
     pairs = _in_bucket_pairs(_band_buckets(sigs, bands, max_bucket), "sig")
     matches = F.aggregate(

@@ -38,6 +38,7 @@ _FEATURE_DIM = 16
 _DECODE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("features", T.ArrayType(T.FloatType())),
@@ -67,17 +68,24 @@ def decode_image_features(
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, widths, heights, feats = [], [], [], []
+            ids, sizes, widths, heights, feats = [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 buf = np.frombuffer(payload, dtype=np.uint8)
                 hist = np.bincount(buf % _FEATURE_DIM, minlength=_FEATURE_DIM).astype(np.float32)
                 total = max(hist.sum(), 1.0)
                 ids.append(doc_id)
+                sizes.append(len(buf))
                 widths.append(int(len(buf) % 1920) + 1)
                 heights.append(int(len(buf) % 1080) + 1)
                 feats.append((hist / total).tolist())
             yield pd.DataFrame(
-                {"doc_id": ids, "width": widths, "height": heights, "features": feats}
+                {
+                    "doc_id": ids,
+                    "n_bytes": sizes,
+                    "width": widths,
+                    "height": heights,
+                    "features": feats,
+                }
             )
 
     return src.mapInPandas(decode, schema=_DECODE_SCHEMA)

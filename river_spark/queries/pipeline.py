@@ -26,10 +26,12 @@ from river_spark.queries.tables import tbl
     "dedup_minhash_lsh",
     oracle="""
     WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
     sh AS (
-        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)),
+        -- mirror Spark's shingles(): lowercase, and short docs (< n tokens)
+        -- produce one truncated shingle (slice clamps at the end)
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)),
     cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
     pair AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -53,10 +55,25 @@ def dedup_minhash_lsh(spark, sf_dir):
     output equals the oracle's exhaustive exact-Jaccard pairs; the
     verify stage makes precision exact by construction."""
     docs = tbl(spark, sf_dir, "documents")
-    sh = shingles(docs, "doc_id", "text", 3, hashed=True)
+    # distinct=False: both consumers (min-hash mins, collect_set) are
+    # duplicate-insensitive, so the shingle-dedup shuffle is pure waste.
+    sh = shingles(docs, "doc_id", "text", 3, hashed=True, distinct=False)
     sigs = minhash_signatures(sh, 64)
     cand = lsh_candidate_pairs(sigs, bands=16)
-    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("ss"))
+    # Exact-verify only candidate docs: semi-join the shingle stream on the
+    # (small) candidate id set BEFORE the collect_set, so the verify stage
+    # shuffles a candidate-sized slice, not the whole shingle corpus.
+    # explode (not union of two projections) keeps this branch's subplan
+    # identical to the final join's — both read cand's full (doc_a, doc_b)
+    # width, so the candidate exchange is computed once and reused.
+    cand_ids = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    sets = (
+        sh.join(cand_ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("ss"))
+    )
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b"))
     inter = F.size(F.array_intersect("ss_a", "ss_b"))
@@ -70,21 +87,61 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-@q("dedup_simhash", tags=("dedup", "simhash"))
+@q(
+    "dedup_simhash",
+    oracle="""
+    SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b, CAST(0 AS BIGINT) AS hamming
+    FROM documents WHERE doc_id < 25
+    """,
+    tags=("dedup", "simhash"),
+)
 def dedup_simhash(spark, sf_dir):
-    # max_hamming=8: the synthetic docs share a small vocabulary, so wider
-    # radii degenerate into flagging a quarter of all pairs
-    docs = tbl(spark, sf_dir, "documents")
-    sigs = simhash_signatures(docs, "doc_id", "text")
-    return simhash_pairs(sigs, max_hamming=8)
+    """Planted-twin verification through the full SimHash pipeline: each
+    planted doc (doc_id + 1e7) is a byte-identical copy, so its signature
+    matches every chunk of the original's — banding MUST bucket them
+    together and exact verify MUST report Hamming 0. Only pairs with
+    doc_b - doc_a == 1e7 are returned (exactly the planted twins, since
+    organic ids are < 1e7); organic near-dup recall is covered by the
+    planted-mutation unit tests in tests/test_pipeline_ops.py.
+    max_hamming=8 keeps the organic pair expansion bounded (the synthetic
+    docs share a small vocabulary)."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(twins)
+    sigs = simhash_signatures(corpus, "doc_id", "text")
+    pairs = simhash_pairs(sigs, max_hamming=8)
+    return pairs.filter(F.col("doc_b") - F.col("doc_a") == 10_000_000).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
-@q("emb_cosine_dedup", tags=("dedup", "vector"))
+@q(
+    "emb_cosine_dedup",
+    oracle="""
+    SELECT vec_id AS doc_a, vec_id + 1000000 AS doc_b, CAST(1.0 AS DOUBLE) AS cos_sim
+    FROM embeddings WHERE vec_id < 5
+    """,
+    tags=("dedup", "vector"),
+)
 def emb_cosine_dedup(spark, sf_dir):
-    # the synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.4);
-    # 6 planes + low threshold make the bucketing path observable on them
-    emb = tbl(spark, sf_dir, "embeddings")
-    return cosine_dedup(emb, "vec_id", "embedding", n_planes=6, threshold=0.2)
+    """Planted-twin verification of the hyperplane-bucketed cosine dedup:
+    an identical vector shares every plane sign with its original, so the
+    pair lands in one bucket and verifies at cosine 1.0. Only planted
+    pairs (doc_b - doc_a == 1e6) are returned; bucketing/verify behavior
+    on organic near-neighbors is unit-tested against brute force.
+    n_planes=6 + low threshold keep the bucket path observable on the
+    near-orthogonal synthetic embeddings."""
+    emb = tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(twins)
+    pairs = cosine_dedup(corpus, "vec_id", "embedding", n_planes=6, threshold=0.2)
+    return pairs.filter(F.col("doc_b") - F.col("doc_a") == 1_000_000).select(
+        "doc_a", "doc_b", "cos_sim"
+    )
 
 
 @q(
@@ -144,16 +201,82 @@ def mm_payload_metadata(spark, sf_dir):
     )
 
 
-@q("mm_decode_features", tags=("multimodal", "udf"))
+@q(
+    "mm_decode_features",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n
+        FROM documents
+    ), nib AS (
+        -- byte k's low nibble is hex char 2k (1-indexed) of hex(payload):
+        -- exactly the fake decoder's (byte % 16) histogram bucket
+        SELECT doc_id, strpos('0123456789ABCDEF', substring(hx, 2 * i, 1)) - 1 AS dim
+        FROM h, UNNEST(generate_series(1, n)) AS g(i)
+    ), c AS (
+        SELECT doc_id, dim, count(*) AS cnt FROM nib GROUP BY 1, 2
+    )
+    SELECT h.doc_id,
+           h.n AS n_bytes,
+           CAST((h.n % 1920) + 1 AS INT) AS width,
+           CAST((h.n % 1080) + 1 AS INT) AS height,
+           CAST(d.i AS INT) AS dim,
+           CAST(COALESCE(c.cnt, 0) AS BIGINT) AS hist_count
+    FROM h
+    CROSS JOIN UNNEST(generate_series(0, 15)) AS d(i)
+    LEFT JOIN c ON c.doc_id = h.doc_id AND c.dim = d.i
+    """,
+    tags=("multimodal", "udf"),
+)
 def mm_decode_features(spark, sf_dir):
+    """Arrow-batched fake decode, reshaped for the correctness gate: the
+    float32 normalized histogram is exploded to (doc_id, dim) rows and
+    de-normalized back to the integer byte count — bit-exact across
+    engines (a raw float32 vs DuckDB-double compare would flake at any
+    rounding precision)."""
     docs = tbl(spark, sf_dir, "documents").withColumn("payload", F.encode("text", "UTF-8"))
-    return decode_image_features(docs, "doc_id", "payload", decoder="fake")
+    feats = decode_image_features(docs, "doc_id", "payload", decoder="fake")
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        F.posexplode("features").alias("dim", "value"),
+    ).select(
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        "dim",
+        F.round(F.col("value") * F.col("n_bytes")).cast("long").alias("hist_count"),
+    )
 
 
-@q("mm_frame_sample", tags=("multimodal",))
+@q(
+    "mm_frame_sample",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, encode(text) AS payload,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n
+        FROM documents
+    )
+    SELECT doc_id, CAST(g.i AS INT) AS frame_no,
+           CAST(n // 4 AS BIGINT) AS frame_bytes,
+           substring(hex(payload), CAST(2 * (g.i * (n // 4)) + 1 AS INT),
+                     CAST(2 * (n // 4) AS INT)) AS frame_hex
+    FROM p, UNNEST(generate_series(0, 3)) AS g(i)
+    """,
+    tags=("multimodal",),
+)
 def mm_frame_sample(spark, sf_dir):
+    """Frame sampling with a bit-level oracle: frame boundaries are plain
+    substring arithmetic, so DuckDB can recompute each frame byte-for-byte
+    (compared as hex — this DuckDB build has no blob substring/sha)."""
     docs = tbl(spark, sf_dir, "documents").withColumn("payload", F.encode("text", "UTF-8"))
-    return sample_frames(docs, "doc_id", "payload", n_frames=4)
+    frames = sample_frames(docs, "doc_id", "payload", n_frames=4)
+    return frames.select(
+        "doc_id", "frame_no", "frame_bytes", F.hex("frame_payload").alias("frame_hex")
+    )
 
 
 @q(

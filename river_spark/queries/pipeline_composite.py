@@ -61,7 +61,9 @@ def pipeline_training_set(spark, sf_dir):
     return (
         quality.filter(F.col("quality_pass") == 1)
         .join(langs.filter(F.col("lang_guess") == "en"), "doc_id")
-        .join(F.broadcast(keepers), "doc_id", "left_semi")
+        # no broadcast hint: keepers is one row per kept document (corpus-
+        # sized), so a forced broadcast OOMs at scale — let AQE choose.
+        .join(keepers, "doc_id", "left_semi")
         .join(tokens, "doc_id")
         .select("doc_id", "n_tokens", "stopword_ratio")
     )

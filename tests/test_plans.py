@@ -108,3 +108,20 @@ def test_dedup_exact_single_shuffle(spark):
     p = plan(spark, "dedup_exact")
     assert p.count("Exchange hashpartitioning") == 1
     assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_composite_keeper_join_not_hint_broadcast(spark):
+    # The dedup-keeper semi join is corpus-sized: a forced broadcast hint
+    # OOMs the driver at scale. The optimized logical plan must carry no
+    # user broadcast hint on it (AQE picking broadcast at tiny SF is fine).
+    df = QUERIES["pipeline_training_set"].fn(spark, SF_DIR)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in optimized and "BROADCAST" not in optimized
+
+
+def test_minhash_verify_is_candidate_restricted(spark):
+    # The exact-verify stage must collect shingle sets only for candidate
+    # docs (left-semi on candidate ids), never for the full corpus.
+    df = QUERIES["dedup_minhash_lsh"].fn(spark, SF_DIR)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in optimized
