@@ -66,9 +66,34 @@ def transport_throughput() -> dict[str, float]:
     }
 
 
+def _sf_key(d: str) -> float:
+    try:
+        return float(d[2:])
+    except ValueError:
+        return float("inf")  # non-numeric sf* dirs sort last, never crash
+
+
+def pick_warmup_dir(sf_dir: str) -> str | None:
+    """Smallest numeric sf* sibling of the target dir (identical plan
+    shapes, ~0 data), or None. Non-numeric sf* names are skipped."""
+    data_root = os.path.dirname(os.path.abspath(sf_dir.rstrip("/")))
+    if not os.path.isdir(data_root):
+        return None
+    siblings = sorted(
+        (d for d in os.listdir(data_root)
+         if d.startswith("sf") and os.path.isdir(os.path.join(data_root, d))
+         and _sf_key(d) != float("inf")),
+        key=_sf_key,
+    )
+    return os.path.join(data_root, siblings[0]) if siblings else None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    except ValueError:
+        sf = -1.0  # unrecognized dir name; still bench, just flag the sf
     spark = get_spark("river_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -78,15 +103,8 @@ def main() -> None:
     bench = {name: q for name, q in QUERIES.items() if q.bench}
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
-    # codegen/JIT warmup at the smallest sibling SF of the target dir:
-    # identical plan shapes, ~0 data
-    data_root = os.path.dirname(os.path.abspath(sf_dir.rstrip("/")))
-    siblings = sorted(
-        (d for d in os.listdir(data_root)
-         if d.startswith("sf") and os.path.isdir(os.path.join(data_root, d))),
-        key=lambda d: float(d[2:] or "inf"),
-    ) if os.path.isdir(data_root) else []
-    warm_dir = os.path.join(data_root, siblings[0]) if siblings else None
+    # codegen/JIT warmup at the smallest sibling SF of the target dir
+    warm_dir = pick_warmup_dir(sf_dir)
     if warm_dir and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
         for name, q in bench.items():
             try:

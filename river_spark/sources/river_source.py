@@ -241,11 +241,20 @@ class RiverStreamReader(DataSourceStreamReader):
         # the first batch after a restart is capped too. Only a query with
         # no history at all (no checkpoint AND no group cursor) falls back
         # to the uncapped full backlog.
+        #
+        # The group cursor is SHARED by every query using this (stream,
+        # group) — Redis consumer-group semantics. A cursor committed by a
+        # different query can therefore sit behind this query's
+        # checkpointed start; self-advancing the cap base below guarantees
+        # that skews the first-batch cap at worst, and can never
+        # permanently stall the window behind the checkpoint.
         avail = self._available()
         cur = getattr(self, "_cursor", None)
         if cur is None:
             return {"index": avail}
-        return {"index": min(avail, max(cur, cur + self.max_per_trigger))}
+        end = min(avail, max(cur, cur + self.max_per_trigger))
+        self._cursor = max(cur, end)
+        return {"index": end}
 
     def partitions(self, start, end):
         lo, hi = start["index"], end["index"]
@@ -369,7 +378,14 @@ class RiverBatchWriter(DataSourceArrowWriter):
     def write(self, iterator):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # Attempt-unique staged filenames: a speculative/zombie attempt of
+        # the same partition must never collide with the attempt whose
+        # commit message wins, or it could clobber a staged chunk between
+        # task success and driver-side promote. taskAttemptId is globally
+        # unique per attempt; the winner's paths travel in its message.
+        self._attempt = ctx.taskAttemptId()
         schema = StreamSchema.from_json(self.stream_schema_json)
         os.makedirs(self.staging, exist_ok=True)
         if schema.has_variable_width_field:
@@ -382,7 +398,9 @@ class RiverBatchWriter(DataSourceArrowWriter):
         # The absolute path travels in the commit message: the driver-side
         # writer instance may be a different instantiation with a different
         # staging uuid (Spark creates the python writer per role).
-        path = os.path.join(self.staging, f"part_{pid:06d}_{j:06d}{ext}")
+        path = os.path.join(
+            self.staging, f"part_{pid:06d}_a{self._attempt}_{j:06d}{ext}"
+        )
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(payload)

@@ -409,3 +409,76 @@ def test_streaming_restart_backlog_capped(spark, store, tmp_path):
 
     per_file = df.groupBy(F2.input_file_name()).count().collect()
     assert max(r["count"] for r in per_file) <= 75
+
+
+def test_sink_duplicate_attempt_cannot_clobber_staged_chunk(spark, store, monkeypatch):
+    """Two attempts of the same partition (speculation / zombie retry) must
+    stage to disjoint paths: if they shared names, a straggler could
+    overwrite the winning attempt's chunk between task success and
+    driver-side promote. Simulates both attempts directly against the
+    writer object, then commits only the winner's message."""
+    import pyarrow as pa
+
+    from river_spark.sources.river_source import RiverBatchWriter
+    from pyspark.sql import types as T2
+
+    schema = T2.StructType(
+        [T2.StructField("a", T2.LongType()), T2.StructField("b", T2.DoubleType())]
+    )
+    w = RiverBatchWriter({"path": store, "stream": "attempts"}, schema)
+
+    class FakeCtx:
+        def __init__(self, attempt):
+            self._attempt = attempt
+
+        def partitionId(self):
+            return 0
+
+        def taskAttemptId(self):
+            return self._attempt
+
+    import pyspark
+
+    def batches(vals):
+        yield pa.record_batch(
+            [pa.array(vals, type=pa.int64()), pa.array([v * 0.5 for v in vals])],
+            names=["a", "b"],
+        )
+
+    monkeypatch.setattr(pyspark.TaskContext, "get", staticmethod(lambda: FakeCtx(101)))
+    winner = w.write(batches(list(range(100))))
+    monkeypatch.setattr(pyspark.TaskContext, "get", staticmethod(lambda: FakeCtx(202)))
+    zombie = w.write(batches([7] * 100))  # same partition, different data
+
+    winner_paths = {p for p, _ in winner.chunks}
+    zombie_paths = {p for p, _ in zombie.chunks}
+    assert winner_paths and winner_paths.isdisjoint(zombie_paths)
+
+    # the zombie wrote AFTER the winner finished; the winner's bytes survive
+    w.commit([winner])
+    back = spark.read.format("river").option("path", store).option("stream", "attempts").load()
+    rows = back.count()
+    assert rows == 100
+    assert back.agg(F.sum("a")).collect()[0][0] == 100 * 99 // 2  # winner's data, not 700
+
+
+def test_stream_reader_foreign_cursor_cannot_stall_window(store):
+    """A consumer-group cursor committed by ANOTHER query can sit far
+    behind this query's checkpointed start. The cap window must keep
+    advancing across latestOffset calls (self-advancing base), so the
+    foreign cursor skews at most the first few batch caps and can never
+    pin the offset window behind the checkpoint forever."""
+    import json
+
+    from river_spark.sources.river_source import RiverStreamReader
+
+    _write_stream(store, "fc", n=1000, batch_size=100)
+    # foreign query committed index 100; OUR checkpoint (not visible to
+    # the reader) would be at 900
+    with open(os.path.join(store, "_cursor_fc_default.json"), "w") as f:
+        json.dump({"index": 100}, f)
+    r = RiverStreamReader({"path": store, "stream": "fc", "maxSamplesPerTrigger": "75"})
+    ends = [r.latestOffset()["index"] for _ in range(20)]
+    assert ends[0] == 175  # capped relative to the adopted cursor
+    assert all(b > a for a, b in zip(ends, ends[1:]) if b < 1000)  # strictly advancing
+    assert ends[-1] == 1000  # reaches the real frontier, no stall
