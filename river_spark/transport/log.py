@@ -41,6 +41,12 @@ import time
 
 import numpy as np
 
+from river_spark.transport.backend import (  # noqa: F401  (re-exported)
+    MemoryBackend,
+    StorageBackend,
+    StreamExistsError,
+)
+
 _BATCH_RE = re.compile(r"^batch_(\d{12})_(\d+)_(\d+)_(\d+)\.(bin|npz)$")
 _SEG_RE = re.compile(r"^segment_(\d{6})$")
 
@@ -59,20 +65,16 @@ def key_timestamp_ms(key: str) -> int:
     return decode_key(key)[0]
 
 
-class StreamExistsError(RuntimeError):
-    pass
-
-
-class StreamLog:
-    """Low-level storage operations for one root directory of streams."""
+class FileBackend(StorageBackend):
+    """Default backend: segmented files under one root directory."""
 
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._lock = threading.Lock()
 
-    # The log is embedded in Spark DataSource readers which get pickled to
-    # executors; the lock is process-local state and is recreated on load.
+    # The backend is embedded in Spark DataSource readers which get pickled
+    # to executors; the lock is process-local state, recreated on load.
     def __getstate__(self):
         return {"root": self.root}
 
@@ -248,6 +250,89 @@ class StreamLog:
         with open(tmp, "w") as f:
             json.dump(obj, f)
         os.replace(tmp, path)
+
+
+class StreamLog:
+    """Storage facade for one logical log of streams.
+
+    ``StreamLog(root)`` keeps the historical file-backed behavior
+    (FileBackend under ``root``); ``StreamLog(backend=...)`` plugs any
+    StorageBackend — the seam where a Redis-wire implementation slots in
+    (the reference speaks RESP: XADD/XRANGE/XREAD-BLOCK,
+    /root/reference/cpp/src/redis.cpp:63-133). Every transport component
+    (StreamWriter, StreamReader, ingester, Spark source/sink) talks only
+    to this facade."""
+
+    def __init__(self, root: str | None = None, backend: StorageBackend | None = None):
+        if backend is None:
+            if root is None:
+                raise ValueError("StreamLog needs a root directory or a backend")
+            backend = FileBackend(root)
+        self.backend = backend
+        self.root = getattr(backend, "root", root)
+
+    # ---- file-layout helpers (FileBackend only: sink rename fast-path,
+    # ingester cleanup). Other backends have no filesystem layout.
+    def stream_dir(self, name: str) -> str:
+        return self._file_backend().stream_dir(name)
+
+    def segment_dir(self, name: str, idx: int) -> str:
+        return self._file_backend().segment_dir(name, idx)
+
+    def metadata_path(self, name: str) -> str:
+        return self._file_backend().metadata_path(name)
+
+    def _file_backend(self) -> FileBackend:
+        if not isinstance(self.backend, FileBackend):
+            raise NotImplementedError(
+                f"{type(self.backend).__name__} has no filesystem layout"
+            )
+        return self.backend
+
+    # ---- delegated storage ops -------------------------------------------
+    def create_stream(self, name, metadata):
+        return self.backend.create_stream(name, metadata)
+
+    def read_metadata(self, name):
+        return self.backend.read_metadata(name)
+
+    def update_metadata(self, name, updates):
+        return self.backend.update_metadata(name, updates)
+
+    def delete_metadata(self, name):
+        return self.backend.delete_metadata(name)
+
+    def list_streams(self):
+        return self.backend.list_streams()
+
+    def append_batch(self, name, segment_idx, start_index, data, n, key_ms, key_seq0, sizes):
+        return self.backend.append_batch(
+            name, segment_idx, start_index, data, n, key_ms, key_seq0, sizes
+        )
+
+    def list_batches(self, name, segment_idx):
+        return self.backend.list_batches(name, segment_idx)
+
+    def read_batch(self, handle):
+        return self.backend.read_batch(handle)
+
+    def delete_batch(self, handle):
+        return self.backend.delete_batch(handle)
+
+    def write_tombstone(self, name, segment_idx, sample_index):
+        return self.backend.write_tombstone(name, segment_idx, sample_index)
+
+    def write_eof(self, name, segment_idx, sample_index):
+        return self.backend.write_eof(name, segment_idx, sample_index)
+
+    def read_control(self, name, segment_idx):
+        return self.backend.read_control(name, segment_idx)
+
+    def list_segments(self, name):
+        return self.backend.list_segments(name)
+
+    def delete_segment(self, name, segment_idx):
+        return self.backend.delete_segment(name, segment_idx)
 
 
 class MonotonicKeyGen:

@@ -8,13 +8,16 @@ import numpy as np
 import pytest
 
 from river_spark.schema import FieldDefinition, FieldType, SchemaError, StreamSchema
-from river_spark.transport import StreamLog, StreamReader, StreamWriter
+from river_spark.transport import MemoryBackend, StreamLog, StreamReader, StreamWriter
 from river_spark.transport.log import StreamExistsError, decode_key
 
 
-@pytest.fixture
-def log(tmp_path):
-    return StreamLog(str(tmp_path / "store"))
+@pytest.fixture(params=["file", "memory"])
+def log(request, tmp_path):
+    # the whole suite runs against BOTH backends: same semantics required
+    if request.param == "file":
+        return StreamLog(str(tmp_path / "store"))
+    return StreamLog(backend=MemoryBackend())
 
 
 def simple_schema():
