@@ -31,10 +31,16 @@ from river_spark.queries.registry import QUERIES
 from river_spark.session import get_spark
 
 
-def transport_throughput() -> dict[str, float]:
+def transport_throughput(repeats: int = 3) -> dict[str, float]:
     """Reference benchmark config: 1M samples x 8 B, batch 10240
     (cpp/src/tools/river_benchmark.cpp:22-30); BASELINE.md reports
-    >30 MB/s write and read for the reference transport."""
+    >30 MB/s write and read for the reference transport.
+
+    Like the query timings, each leg is measured ``repeats`` times and
+    the BEST rate reported: a single-shot measurement on this box is
+    regularly poisoned by multi-second external-load bursts (observed
+    spread on identical runs: 16-470 MB/s), and the max is the
+    consistent estimator of intrinsic throughput under additive noise."""
     import tempfile
 
     import numpy as np
@@ -42,27 +48,29 @@ def transport_throughput() -> dict[str, float]:
     from river_spark.schema import FieldDefinition, FieldType, StreamSchema
     from river_spark.transport import StreamLog, StreamReader, StreamWriter
 
-    log = StreamLog(tempfile.mkdtemp(prefix="river_bench_"))
     schema = StreamSchema([FieldDefinition("v", FieldType.DOUBLE)])
     n = 1_000_000
     arr = np.zeros(n, dtype=schema.dtype())
     arr["v"] = np.arange(n)
-    w = StreamWriter(log, batch_size=10240).initialize("bench", schema)
-    t0 = time.perf_counter()
-    w.write(arr)
-    w.stop()
-    t_write = time.perf_counter() - t0
     mb = n * 8 / 1e6
-    r = StreamReader(log).initialize("bench")
-    t0 = time.perf_counter()
-    while True:
-        res = r.read(100_000, timeout_ms=10)
-        if res.eof or res.count == 0:
-            break
-    t_read = time.perf_counter() - t0
+    best_w, best_r = 0.0, 0.0
+    for _ in range(repeats):
+        log = StreamLog(tempfile.mkdtemp(prefix="river_bench_"))
+        w = StreamWriter(log, batch_size=10240).initialize("bench", schema)
+        t0 = time.perf_counter()
+        w.write(arr)
+        w.stop()
+        best_w = max(best_w, mb / (time.perf_counter() - t0))
+        r = StreamReader(log).initialize("bench")
+        t0 = time.perf_counter()
+        while True:
+            res = r.read(100_000, timeout_ms=10)
+            if res.eof or res.count == 0:
+                break
+        best_r = max(best_r, mb / (time.perf_counter() - t0))
     return {
-        "transport_write_mb_s": round(mb / t_write, 1),
-        "transport_read_mb_s": round(mb / t_read, 1),
+        "transport_write_mb_s": round(best_w, 1),
+        "transport_read_mb_s": round(best_r, 1),
     }
 
 

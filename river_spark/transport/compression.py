@@ -37,6 +37,19 @@ class CompressionMode(enum.Enum):
     DUMMY = "DUMMY"
 
 
+def promote_int16(vals: np.ndarray) -> np.ndarray:
+    """zfp promotes int16 blocks to int32 by shifting into the high bits
+    (mirrors zfp_compressor.cpp:107-123, itself copying zfp_promote*).
+    Ready for a real-zfp backend; kept here so the wire semantics are
+    pinned by tests even while the codec itself is import-gated."""
+    return vals.astype(np.int32) << 15
+
+
+def demote_int16(vals: np.ndarray) -> np.ndarray:
+    """Inverse demotion with clamp (zfp_compressor.cpp:155-170)."""
+    return np.clip(vals >> 15, -0x8000, 0x7FFF).astype(np.int16)
+
+
 class Compressor:
     def __init__(self, mode: CompressionMode, params: dict | None = None):
         self.mode = mode

@@ -163,3 +163,19 @@ def test_quant_lossy_rejects_mixed_dtypes(tmp_path):
     w = StreamWriter(log, compression=Compressor(CompressionMode.QUANT_LOSSY))
     with pytest.raises(SchemaError):
         w.initialize("bad", schema)
+
+
+def test_int16_promote_demote_roundtrip_all_values():
+    """The zfp int16 wire semantics (promote <<15, demote >>15 with clamp,
+    zfp_compressor.cpp:107-123/155-170) must round-trip every int16
+    exactly — this is what makes a future real-zfp backend lossless for
+    int16 streams at tolerance 0."""
+    import numpy as np
+
+    from river_spark.transport.compression import demote_int16, promote_int16
+
+    vals = np.arange(-0x8000, 0x8000, dtype=np.int16)
+    assert (demote_int16(promote_int16(vals)) == vals).all()
+    # demotion clamps out-of-range int32s like the reference
+    hot = np.array([np.iinfo(np.int32).max, np.iinfo(np.int32).min], dtype=np.int32)
+    assert demote_int16(hot).tolist() == [0x7FFF, -0x8000]
