@@ -36,10 +36,11 @@ class Query:
 # first, followed by one representative per already-verified family. The
 # remaining already-verified queries (green in CORRECTNESS_r01) trail.
 _PRIORITY = [
-    # river transport round-trip (A1/A2/A13/A20 proof)
+    # river transport round-trip (A1/A2/A13/A20/A21 proof)
     "river_ingest_roundtrip",
     "river_system_columns",
     "river_sink_roundtrip",
+    "river_compressed_roundtrip",
     # TPC-H wave 2-4 (join/subquery/correlated coverage)
     "q2_min_unit_price_supplier",
     "q7_nation_volume_shipping",

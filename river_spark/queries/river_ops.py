@@ -98,6 +98,54 @@ def river_system_columns(spark, sf_dir):
 
 
 @q(
+    "river_compressed_roundtrip",
+    oracle="SELECT event_id, user_id, round(value, 4) AS value FROM events",
+    tags=("river", "compression", "roundtrip"),
+)
+def river_compressed_roundtrip(spark, sf_dir):
+    """A21 through the driver gate: the same events write→ingest→Parquet
+    round trip as river_ingest_roundtrip, but with ZLIB_LOSSLESS block
+    compression on the wire (byte-transposed zlib, the working stand-in
+    for the reference's ZFP_LOSSLESS, compressor_types.h:24-101). The
+    reader decompresses transparently from the stream's metadata params
+    (cpp/src/reader.cpp:34-79), so the result must still be bit-exact."""
+    from river_spark.transport.compression import CompressionMode, Compressor
+
+    key = ("compressed", sf_dir)
+    if key not in _CACHE or not os.path.isdir(_CACHE[key]):
+        work = tempfile.mkdtemp(prefix="river_spark_comprt_")
+        log = StreamLog(os.path.join(work, "store"))
+        schema = StreamSchema(
+            [
+                FieldDefinition("event_id", FieldType.INT64),
+                FieldDefinition("user_id", FieldType.INT64),
+                FieldDefinition("value", FieldType.DOUBLE),
+            ]
+        )
+        t = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "value"]
+        )
+        arr = np.zeros(t.num_rows, dtype=schema.dtype())
+        for c in ("event_id", "user_id", "value"):
+            arr[c] = t.column(c).to_numpy()
+        w = StreamWriter(log, compression=Compressor(CompressionMode.ZLIB_LOSSLESS))
+        w.initialize("events_comp", schema)
+        w.write(arr)
+        w.stop()
+        ing = StreamIngester(
+            log,
+            os.path.join(work, "out"),
+            IngesterSettings(streams=[StreamIngestionSettings(minimum_age_seconds_before_deletion=0)]),
+        )
+        ing.ingest()
+        ing.wait_all()
+        _CACHE[key] = os.path.join(work, "out", "events_comp")
+        shutil.rmtree(os.path.join(work, "store"), ignore_errors=True)
+    df = spark.read.parquet(os.path.join(_CACHE[key], "data.parquet"))
+    return df.select("event_id", "user_id", F.round("value", 4).alias("value"))
+
+
+@q(
     "river_sink_roundtrip",
     oracle="SELECT doc_id, text FROM documents",
     tags=("river", "sink", "roundtrip"),
