@@ -41,6 +41,8 @@ _PRIORITY = [
     "river_system_columns",
     "river_sink_roundtrip",
     "river_compressed_roundtrip",
+    "river_pruned_ingest",
+    "river_resume_roundtrip",
     # TPC-H wave 2-4 (join/subquery/correlated coverage)
     "q2_min_unit_price_supplier",
     "q7_nation_volume_shipping",

@@ -146,6 +146,118 @@ def river_compressed_roundtrip(spark, sf_dir):
 
 
 @q(
+    "river_pruned_ingest",
+    oracle="SELECT event_id, user_id FROM events",
+    tags=("river", "pruning"),
+)
+def river_pruned_ingest(spark, sf_dir):
+    """A18+A19 through the driver gate: two streams are written; routing
+    settings ingest ONLY the events stream (stream-name regex,
+    ingester.cpp:66-77) and prune its 'value' column at ingest time
+    (field blacklist, ingester_settings.h:30-39). The output must hold
+    exactly the surviving columns of the routed stream."""
+    key = ("pruned", sf_dir)
+    if key not in _CACHE or not os.path.isdir(_CACHE[key]):
+        work = tempfile.mkdtemp(prefix="river_spark_prune_")
+        log = StreamLog(os.path.join(work, "store"))
+        schema = StreamSchema(
+            [
+                FieldDefinition("event_id", FieldType.INT64),
+                FieldDefinition("user_id", FieldType.INT64),
+                FieldDefinition("value", FieldType.DOUBLE),
+            ]
+        )
+        t = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "value"]
+        )
+        arr = np.zeros(t.num_rows, dtype=schema.dtype())
+        for c in ("event_id", "user_id", "value"):
+            arr[c] = t.column(c).to_numpy()
+        for stream in ("events_pruned", "decoy_stream"):
+            w = StreamWriter(log).initialize(stream, schema)
+            w.write(arr if stream == "events_pruned" else arr[:10])
+            w.stop()
+        ing = StreamIngester(
+            log,
+            os.path.join(work, "out"),
+            IngesterSettings(
+                streams=[
+                    StreamIngestionSettings(
+                        stream_name_regex="events_.*",  # routes past the decoy
+                        columns_blacklist=["value"],
+                        minimum_age_seconds_before_deletion=0,
+                    )
+                ]
+            ),
+        )
+        ing.ingest()
+        ing.wait_all()
+        out_root = os.path.join(work, "out")
+        assert not os.path.isdir(os.path.join(out_root, "decoy_stream")), "routing leaked"
+        _CACHE[key] = os.path.join(out_root, "events_pruned")
+        shutil.rmtree(os.path.join(work, "store"), ignore_errors=True)
+    df = spark.read.parquet(os.path.join(_CACHE[key], "data.parquet"))
+    assert "value" not in df.columns, "column pruning failed"
+    return df.select("event_id", "user_id")
+
+
+@q(
+    "river_resume_roundtrip",
+    oracle="SELECT event_id, user_id, round(value, 4) AS value FROM events",
+    tags=("river", "resume"),
+)
+def river_resume_roundtrip(spark, sf_dir):
+    """A14 through the driver gate: ingest runs once against a HALF-written
+    stream (goes IN_PROGRESS at the stall timeout), the writer then
+    finishes, and a second ingest resumes from the persisted frontier
+    (ingester.cpp:649-711 re-reads its own output to find the last key).
+    The union of both passes must be exactly the source table — nothing
+    dropped at the seam, nothing ingested twice."""
+    from river_spark.ingest.ingester import IngestResult, SingleStreamIngester
+
+    key = ("resume", sf_dir)
+    if key not in _CACHE or not os.path.isdir(_CACHE[key]):
+        work = tempfile.mkdtemp(prefix="river_spark_resume_")
+        log = StreamLog(os.path.join(work, "store"))
+        schema = StreamSchema(
+            [
+                FieldDefinition("event_id", FieldType.INT64),
+                FieldDefinition("user_id", FieldType.INT64),
+                FieldDefinition("value", FieldType.DOUBLE),
+            ]
+        )
+        t = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "value"]
+        )
+        arr = np.zeros(t.num_rows, dtype=schema.dtype())
+        for c in ("event_id", "user_id", "value"):
+            arr[c] = t.column(c).to_numpy()
+        half = len(arr) // 2
+        w = StreamWriter(log).initialize("events_res", schema)
+        w.write(arr[:half])
+        settings = StreamIngestionSettings(minimum_age_seconds_before_deletion=0)
+        first = SingleStreamIngester(
+            log, os.path.join(work, "out"), "events_res", settings, stalled_timeout_ms=50
+        ).ingest()
+        assert first is IngestResult.IN_PROGRESS, first
+        w.write(arr[half:])
+        w.stop()
+        second = SingleStreamIngester(
+            log, os.path.join(work, "out"), "events_res", settings, stalled_timeout_ms=1000
+        ).ingest()
+        assert second is IngestResult.COMPLETED, second
+        _CACHE[key] = os.path.join(work, "out", "events_res")
+        shutil.rmtree(os.path.join(work, "store"), ignore_errors=True)
+    files = [
+        os.path.join(_CACHE[key], f)
+        for f in sorted(os.listdir(_CACHE[key]))
+        if f.endswith(".parquet")
+    ]
+    df = spark.read.parquet(*files)
+    return df.select("event_id", "user_id", F.round("value", 4).alias("value"))
+
+
+@q(
     "river_sink_roundtrip",
     oracle="SELECT doc_id, text FROM documents",
     tags=("river", "sink", "roundtrip"),
