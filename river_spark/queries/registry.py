@@ -43,6 +43,8 @@ _PRIORITY = [
     "river_compressed_roundtrip",
     "river_pruned_ingest",
     "river_resume_roundtrip",
+    "river_stale_autoeof",
+    "river_http_read",
     # TPC-H wave 2-4 (join/subquery/correlated coverage)
     "q2_min_unit_price_supplier",
     "q7_nation_volume_shipping",

@@ -258,6 +258,89 @@ def river_resume_roundtrip(spark, sf_dir):
 
 
 @q(
+    "river_stale_autoeof",
+    oracle="SELECT event_id, user_id, round(value, 4) AS value FROM events",
+    tags=("river", "stale_eof"),
+)
+def river_stale_autoeof(spark, sf_dir):
+    """A17 through the driver gate: the writer dies without stop() (no
+    EOF on the wire); its batch keys are stamped in the past, so the
+    orchestrator's stale scan (ingester.cpp:492-539) appends the EOF
+    itself and ingestion runs to completion — the output must still be
+    the whole table."""
+    key = ("stale", sf_dir)
+    if key not in _CACHE or not os.path.isdir(_CACHE[key]):
+        work = tempfile.mkdtemp(prefix="river_spark_stale_")
+        log = StreamLog(os.path.join(work, "store"))
+        schema = StreamSchema(
+            [
+                FieldDefinition("event_id", FieldType.INT64),
+                FieldDefinition("user_id", FieldType.INT64),
+                FieldDefinition("value", FieldType.DOUBLE),
+            ]
+        )
+        t = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "value"]
+        )
+        arr = np.zeros(t.num_rows, dtype=schema.dtype())
+        for c in ("event_id", "user_id", "value"):
+            arr[c] = t.column(c).to_numpy()
+        import time as _time
+
+        past_ms = int(_time.time() * 1000) - 3_600_000  # keys one hour old
+        w = StreamWriter(log, clock=lambda: past_ms)
+        w.initialize("events_stale", schema)
+        w.write(arr)
+        # no w.stop(): the stream is abandoned mid-flight
+        ing = StreamIngester(
+            log,
+            os.path.join(work, "out"),
+            IngesterSettings(
+                streams=[StreamIngestionSettings(minimum_age_seconds_before_deletion=0)],
+                stale_period_ms=60_000,
+            ),
+        )
+        ing.ingest()
+        ing.wait_all()
+        _CACHE[key] = os.path.join(work, "out", "events_stale")
+        shutil.rmtree(os.path.join(work, "store"), ignore_errors=True)
+    df = spark.read.parquet(os.path.join(_CACHE[key], "data.parquet"))
+    return df.select("event_id", "user_id", F.round("value", 4).alias("value"))
+
+
+@q(
+    "river_http_read",
+    oracle="SELECT event_id, user_id, round(value, 4) AS value FROM events",
+    tags=("river", "http"),
+)
+def river_http_read(spark, sf_dir):
+    """A23 through the driver gate: fetch the ingested stream's
+    data.parquet over the HTTP read API (GET /api/streams + GET
+    /api/streams/{name}/data.parquet, ingester_http_server.cpp:19-147)
+    and query the downloaded bytes — must equal the source table."""
+    import json as _json
+    import urllib.request
+
+    from river_spark.tools.http_server import IngesterHttpServer
+
+    key = ("http", sf_dir)
+    if key not in _CACHE or not os.path.isfile(_CACHE[key]):
+        out = _ingested_events_dir(sf_dir)  # .../out/events_rt
+        with IngesterHttpServer(os.path.dirname(out)) as base:
+            listing = _json.loads(urllib.request.urlopen(f"{base}/api/streams").read())
+            assert "events_rt" in listing["streams"], listing
+            fetched = os.path.join(
+                tempfile.mkdtemp(prefix="river_spark_http_"), "data.parquet"
+            )
+            with urllib.request.urlopen(f"{base}/api/streams/events_rt/data.parquet") as r:
+                with open(fetched, "wb") as f:
+                    shutil.copyfileobj(r, f)
+        _CACHE[key] = fetched
+    df = spark.read.parquet(_CACHE[key])
+    return df.select("event_id", "user_id", F.round("value", 4).alias("value"))
+
+
+@q(
     "river_sink_roundtrip",
     oracle="SELECT doc_id, text FROM documents",
     tags=("river", "sink", "roundtrip"),
