@@ -341,6 +341,47 @@ def river_http_read(spark, sf_dir):
 
 
 @q(
+    "river_catalog_scan",
+    oracle="""
+    SELECT 'river_cat_a' AS view_name, CAST(100 AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'river_cat_b', CAST(250 AS BIGINT)
+    """,
+    tags=("river", "catalog"),
+)
+def river_catalog_scan(spark, sf_dir):
+    """A10 through the driver gate: two live streams are surfaced into
+    Spark's catalog as temp views (the SCAN MATCH *-metadata analog,
+    redis.cpp:325-362); SQL over spark.catalog then counts each view's
+    rows — catalog discovery, view registration, and the river source
+    must all agree."""
+    from river_spark.catalog import register_streams
+
+    key = ("catalog", sf_dir)
+    if key not in _CACHE or not os.path.isdir(_CACHE[key]):
+        work = tempfile.mkdtemp(prefix="river_spark_cat_")
+        store = os.path.join(work, "store")
+        log = StreamLog(store)
+        schema = StreamSchema([FieldDefinition("v", FieldType.DOUBLE)])
+        for name, n in (("cat_a", 100), ("cat_b", 250)):
+            w = StreamWriter(log).initialize(name, schema)
+            arr = np.zeros(n, dtype=schema.dtype())
+            arr["v"] = np.arange(n)
+            w.write(arr)
+            w.stop()
+        _CACHE[key] = store
+    views = register_streams(spark, _CACHE[key])
+    assert sorted(views) == ["river_cat_a", "river_cat_b"], views
+    counts = [
+        spark.sql(f"SELECT '{v}' AS view_name, count(*) AS n_rows FROM {v}") for v in sorted(views)
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@q(
     "river_sink_roundtrip",
     oracle="SELECT doc_id, text FROM documents",
     tags=("river", "sink", "roundtrip"),
