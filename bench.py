@@ -41,6 +41,7 @@ def transport_throughput(repeats: int = 3) -> dict[str, float]:
     regularly poisoned by multi-second external-load bursts (observed
     spread on identical runs: 16-470 MB/s), and the max is the
     consistent estimator of intrinsic throughput under additive noise."""
+    import shutil
     import tempfile
 
     import numpy as np
@@ -55,19 +56,23 @@ def transport_throughput(repeats: int = 3) -> dict[str, float]:
     mb = n * 8 / 1e6
     best_w, best_r = 0.0, 0.0
     for _ in range(repeats):
-        log = StreamLog(tempfile.mkdtemp(prefix="river_bench_"))
-        w = StreamWriter(log, batch_size=10240).initialize("bench", schema)
-        t0 = time.perf_counter()
-        w.write(arr)
-        w.stop()
-        best_w = max(best_w, mb / (time.perf_counter() - t0))
-        r = StreamReader(log).initialize("bench")
-        t0 = time.perf_counter()
-        while True:
-            res = r.read(100_000, timeout_ms=10)
-            if res.eof or res.count == 0:
-                break
-        best_r = max(best_r, mb / (time.perf_counter() - t0))
+        root = tempfile.mkdtemp(prefix="river_bench_")
+        try:
+            log = StreamLog(root)
+            w = StreamWriter(log, batch_size=10240).initialize("bench", schema)
+            t0 = time.perf_counter()
+            w.write(arr)
+            w.stop()
+            best_w = max(best_w, mb / (time.perf_counter() - t0))
+            r = StreamReader(log).initialize("bench")
+            t0 = time.perf_counter()
+            while True:
+                res = r.read(100_000, timeout_ms=10)
+                if res.eof or res.count == 0:
+                    break
+            best_r = max(best_r, mb / (time.perf_counter() - t0))
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
     return {
         "transport_write_mb_s": round(best_w, 1),
         "transport_read_mb_s": round(best_r, 1),

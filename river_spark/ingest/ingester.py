@@ -235,9 +235,13 @@ class SingleStreamIngester:
         for seg in self.log.list_segments(self.stream_name):
             self.log.delete_segment(self.stream_name, seg)
         self.log.delete_metadata(self.stream_name)
-        stream_dir = self.log.stream_dir(self.stream_name)
-        if os.path.isdir(stream_dir) and not os.listdir(stream_dir):
-            os.rmdir(stream_dir)
+        try:
+            stream_dir = self.log.stream_dir(self.stream_name)
+        except NotImplementedError:
+            pass  # non-filesystem backend: nothing left to sweep
+        else:
+            if os.path.isdir(stream_dir) and not os.listdir(stream_dir):
+                os.rmdir(stream_dir)
         return IngestResult.COMPLETED
 
 

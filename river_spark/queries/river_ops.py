@@ -19,7 +19,31 @@ from river_spark.queries.relational import q
 from river_spark.schema import FieldDefinition, FieldType, StreamSchema
 from river_spark.transport import StreamLog, StreamWriter
 
-_CACHE: dict[str, str] = {}
+# keys are either sf_dir strings (_ingested_events_dir) or
+# (variant, sf_dir) tuples (the other cached fixtures)
+_CACHE: dict[str | tuple, str] = {}
+
+_EVENT_FIELDS = {
+    "event_id": FieldType.INT64,
+    "ts": FieldType.INT64,
+    "user_id": FieldType.INT64,
+    "value": FieldType.DOUBLE,
+}
+
+
+def _events_array(sf_dir: str, columns: tuple[str, ...]) -> tuple[StreamSchema, np.ndarray]:
+    """(StreamSchema, packed struct array) of the requested events columns
+    — the one staging recipe shared by every transport round-trip query.
+    ts (any physical layout) is packed as INT64 epoch-nanos."""
+    schema = StreamSchema([FieldDefinition(c, _EVENT_FIELDS[c]) for c in columns])
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=list(columns))
+    arr = np.zeros(t.num_rows, dtype=schema.dtype())
+    for c in columns:
+        col = t.column(c).to_numpy()
+        if c == "ts":
+            col = col.astype("datetime64[ns]").astype(np.int64)
+        arr[c] = col
+    return schema, arr
 
 
 def _ingested_events_dir(sf_dir: str) -> str:
@@ -29,20 +53,7 @@ def _ingested_events_dir(sf_dir: str) -> str:
         return _CACHE[sf_dir]
     work = tempfile.mkdtemp(prefix="river_spark_roundtrip_")
     log = StreamLog(os.path.join(work, "store"))
-    schema = StreamSchema(
-        [
-            FieldDefinition("event_id", FieldType.INT64),
-            FieldDefinition("ts", FieldType.INT64),
-            FieldDefinition("user_id", FieldType.INT64),
-            FieldDefinition("value", FieldType.DOUBLE),
-        ]
-    )
-    t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts", "user_id", "value"])
-    arr = np.zeros(t.num_rows, dtype=schema.dtype())
-    arr["event_id"] = t.column("event_id").to_numpy()
-    arr["ts"] = t.column("ts").to_numpy().astype("datetime64[ns]").astype(np.int64)
-    arr["user_id"] = t.column("user_id").to_numpy()
-    arr["value"] = t.column("value").to_numpy()
+    schema, arr = _events_array(sf_dir, ("event_id", "ts", "user_id", "value"))
     w = StreamWriter(log).initialize("events_rt", schema)
     w.write(arr)
     w.stop()
@@ -115,19 +126,7 @@ def river_compressed_roundtrip(spark, sf_dir):
     if key not in _CACHE or not os.path.isdir(_CACHE[key]):
         work = tempfile.mkdtemp(prefix="river_spark_comprt_")
         log = StreamLog(os.path.join(work, "store"))
-        schema = StreamSchema(
-            [
-                FieldDefinition("event_id", FieldType.INT64),
-                FieldDefinition("user_id", FieldType.INT64),
-                FieldDefinition("value", FieldType.DOUBLE),
-            ]
-        )
-        t = pq.read_table(
-            os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "value"]
-        )
-        arr = np.zeros(t.num_rows, dtype=schema.dtype())
-        for c in ("event_id", "user_id", "value"):
-            arr[c] = t.column(c).to_numpy()
+        schema, arr = _events_array(sf_dir, ("event_id", "user_id", "value"))
         w = StreamWriter(log, compression=Compressor(CompressionMode.ZLIB_LOSSLESS))
         w.initialize("events_comp", schema)
         w.write(arr)
@@ -160,19 +159,7 @@ def river_pruned_ingest(spark, sf_dir):
     if key not in _CACHE or not os.path.isdir(_CACHE[key]):
         work = tempfile.mkdtemp(prefix="river_spark_prune_")
         log = StreamLog(os.path.join(work, "store"))
-        schema = StreamSchema(
-            [
-                FieldDefinition("event_id", FieldType.INT64),
-                FieldDefinition("user_id", FieldType.INT64),
-                FieldDefinition("value", FieldType.DOUBLE),
-            ]
-        )
-        t = pq.read_table(
-            os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "value"]
-        )
-        arr = np.zeros(t.num_rows, dtype=schema.dtype())
-        for c in ("event_id", "user_id", "value"):
-            arr[c] = t.column(c).to_numpy()
+        schema, arr = _events_array(sf_dir, ("event_id", "user_id", "value"))
         for stream in ("events_pruned", "decoy_stream"):
             w = StreamWriter(log).initialize(stream, schema)
             w.write(arr if stream == "events_pruned" else arr[:10])
@@ -219,19 +206,7 @@ def river_resume_roundtrip(spark, sf_dir):
     if key not in _CACHE or not os.path.isdir(_CACHE[key]):
         work = tempfile.mkdtemp(prefix="river_spark_resume_")
         log = StreamLog(os.path.join(work, "store"))
-        schema = StreamSchema(
-            [
-                FieldDefinition("event_id", FieldType.INT64),
-                FieldDefinition("user_id", FieldType.INT64),
-                FieldDefinition("value", FieldType.DOUBLE),
-            ]
-        )
-        t = pq.read_table(
-            os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "value"]
-        )
-        arr = np.zeros(t.num_rows, dtype=schema.dtype())
-        for c in ("event_id", "user_id", "value"):
-            arr[c] = t.column(c).to_numpy()
+        schema, arr = _events_array(sf_dir, ("event_id", "user_id", "value"))
         half = len(arr) // 2
         w = StreamWriter(log).initialize("events_res", schema)
         w.write(arr[:half])
@@ -272,19 +247,7 @@ def river_stale_autoeof(spark, sf_dir):
     if key not in _CACHE or not os.path.isdir(_CACHE[key]):
         work = tempfile.mkdtemp(prefix="river_spark_stale_")
         log = StreamLog(os.path.join(work, "store"))
-        schema = StreamSchema(
-            [
-                FieldDefinition("event_id", FieldType.INT64),
-                FieldDefinition("user_id", FieldType.INT64),
-                FieldDefinition("value", FieldType.DOUBLE),
-            ]
-        )
-        t = pq.read_table(
-            os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "value"]
-        )
-        arr = np.zeros(t.num_rows, dtype=schema.dtype())
-        for c in ("event_id", "user_id", "value"):
-            arr[c] = t.column(c).to_numpy()
+        schema, arr = _events_array(sf_dir, ("event_id", "user_id", "value"))
         import time as _time
 
         past_ms = int(_time.time() * 1000) - 3_600_000  # keys one hour old

@@ -40,9 +40,7 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
     testdata this is a passthrough (filters on ts still reach the parquet
     scan); on legacy nanos data it converts once at the read."""
     df = tbl(spark, sf_dir, "events")
-    if not isinstance(df.schema["ts"].dataType, _TS_TYPES):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return df.withColumn("ts", event_ts(df))
 
 
 def r2(col, n: int = 2):

@@ -157,3 +157,30 @@ def test_stale_stream_auto_eof(log, out):
     assert results["stale"] is IngestResult.COMPLETED
     t = pq.read_table(os.path.join(out, "stale", "data.parquet"))
     assert t.num_rows == 20
+
+
+def test_ingest_from_memory_backend(tmp_path):
+    """The ingester must work against any StorageBackend, not just files:
+    finalize's filesystem sweep is a FileBackend-only nicety and must not
+    crash a non-filesystem backend at the very end of a successful run."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from river_spark.ingest.ingester import IngestResult, SingleStreamIngester
+    from river_spark.schema import FieldDefinition, FieldType, StreamSchema
+    from river_spark.transport import MemoryBackend, StreamLog, StreamWriter
+
+    log = StreamLog(backend=MemoryBackend())
+    schema = StreamSchema([FieldDefinition("v", FieldType.DOUBLE)])
+    w = StreamWriter(log, batch_size=32)
+    w.initialize("mem", schema)
+    arr = np.zeros(100, dtype=schema.dtype())
+    arr["v"] = np.arange(100)
+    w.write(arr)
+    w.stop()
+    res = SingleStreamIngester(log, str(tmp_path), "mem", default_settings()).ingest()
+    assert res is IngestResult.COMPLETED
+    t = pq.read_table(str(tmp_path / "mem" / "data.parquet"))
+    np.testing.assert_array_equal(t.column("v").to_numpy(), arr["v"])
+    # stream name freed on the backend too
+    assert log.read_metadata("mem") is None
