@@ -46,6 +46,7 @@ _PRIORITY = [
     "river_stale_autoeof",
     "river_http_read",
     "river_catalog_scan",
+    "river_cli_roundtrip",
     # TPC-H wave 2-4 (join/subquery/correlated coverage)
     "q2_min_unit_price_supplier",
     "q7_nation_volume_shipping",

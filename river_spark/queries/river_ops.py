@@ -345,6 +345,47 @@ def river_catalog_scan(spark, sf_dir):
 
 
 @q(
+    "river_cli_roundtrip",
+    oracle="SELECT event_id, user_id, round(value, 4) AS value FROM events",
+    tags=("river", "cli"),
+)
+def river_cli_roundtrip(spark, sf_dir):
+    """A24 through the driver gate: events rows are piped as CSV through
+    the real `river_spark.tools.cli writer` subprocess (stdin -> stream,
+    cpp/src/tools parity), ingested by the `cli ingest` subprocess, and
+    the parquet output queried — must equal the source table."""
+    import subprocess
+    import sys as _sys
+
+    import river_spark
+
+    key = ("cli", sf_dir)
+    if key not in _CACHE or not os.path.isdir(_CACHE[key]):
+        work = tempfile.mkdtemp(prefix="river_spark_cli_")
+        store, out = os.path.join(work, "store"), os.path.join(work, "out")
+        _, arr = _events_array(sf_dir, ("event_id", "user_id", "value"))
+        csv = "\n".join(
+            f"{int(r['event_id'])},{int(r['user_id'])},{r['value']!r}" for r in arr
+        )
+        env = {**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(river_spark.__file__))}
+        subprocess.run(
+            [_sys.executable, "-m", "river_spark.tools.cli", "writer",
+             "--path", store, "--stream", "events_cli",
+             "--schema", "event_id:INT64,user_id:INT64,value:DOUBLE"],
+            input=csv.encode(), env=env, check=True, capture_output=True,
+        )
+        subprocess.run(
+            [_sys.executable, "-m", "river_spark.tools.cli", "ingest",
+             "--path", store, "--out", out],
+            env=env, check=True, capture_output=True,
+        )
+        _CACHE[key] = os.path.join(out, "events_cli")
+        shutil.rmtree(store, ignore_errors=True)
+    df = spark.read.parquet(os.path.join(_CACHE[key], "data.parquet"))
+    return df.select("event_id", "user_id", F.round("value", 4).alias("value"))
+
+
+@q(
     "river_sink_roundtrip",
     oracle="SELECT doc_id, text FROM documents",
     tags=("river", "sink", "roundtrip"),
