@@ -51,40 +51,27 @@ def dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH candidates verified by EXACT shingle Jaccard — the
     production two-stage shape (cheap probabilistic candidates, exact
     verify). With 64 hashes in 16 bands (4 rows/band) a pair at the 0.9
-    threshold is missed with probability (1-0.9^4)^16 ≈ 4e-8, so the
-    output equals the oracle's exhaustive exact-Jaccard pairs; the
-    verify stage makes precision exact by construction."""
+    threshold is missed with probability (1-0.9^4)^16 ≈ 4e-8, so every
+    true pair's docs land in the candidate set; the verify stage is the
+    exact inverted-index Jaccard (ngram_jaccard_pairs) over ONLY the
+    candidate docs — flat long rows through small shuffles instead of
+    per-doc set arrays, so the verify cost scales with the candidate
+    set, not the corpus. Verifying all pairs among candidate DOCS is a
+    superset of the candidate PAIRS, and the exact >= 0.9 filter makes
+    the output precisely the oracle's exhaustive pair list."""
+    from river_spark.operators.dedup import ngram_jaccard_pairs
+
     docs = tbl(spark, sf_dir, "documents")
-    # distinct=False: both consumers (min-hash mins, collect_set) are
+    # distinct=False: the only consumer here (min-hash mins) is
     # duplicate-insensitive, so the shingle-dedup shuffle is pure waste.
     sh = shingles(docs, "doc_id", "text", 3, hashed=True, distinct=False)
     sigs = minhash_signatures(sh, 64)
     cand = lsh_candidate_pairs(sigs, bands=16)
-    # Exact-verify only candidate docs: semi-join the shingle stream on the
-    # (small) candidate id set BEFORE the collect_set, so the verify stage
-    # shuffles a candidate-sized slice, not the whole shingle corpus.
-    # explode (not union of two projections) keeps this branch's subplan
-    # identical to the final join's — both read cand's full (doc_a, doc_b)
-    # width, so the candidate exchange is computed once and reused.
     cand_ids = cand.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
-    sets = (
-        sh.join(cand_ids, "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("ss"))
-    )
-    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"))
-    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b"))
-    inter = F.size(F.array_intersect("ss_a", "ss_b"))
-    union = F.size(F.array_union("ss_a", "ss_b"))
-    jac = inter * F.lit(1.0) / union
-    return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .filter(jac >= 0.9)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    cand_docs = docs.join(cand_ids, "doc_id", "left_semi")
+    return ngram_jaccard_pairs(cand_docs, "doc_id", "text", 3, threshold=0.9)
 
 
 @q(
