@@ -114,7 +114,10 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     bench = {name: q for name, q in QUERIES.items() if q.bench}
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # 4 repeats: this box shows multi-second external-load bursts that can
+    # poison 2 of 3 runs back-to-back (observed); one extra repeat buys the
+    # min-estimator real protection for ~1 extra minute of wall time.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "4"))
 
     # codegen/JIT warmup at the smallest sibling SF of the target dir
     warm_dir = pick_warmup_dir(sf_dir)
