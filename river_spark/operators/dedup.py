@@ -22,8 +22,13 @@ matters twice over: no executor cache pressure, and the only data
 movement is one hash shuffle on bounded keys. Bucket skew (a shingle or
 band bucket shared by millions of docs) is the known hazard — buckets
 wider than ``max_bucket`` (resp. shingles with document frequency over
-``df_cap``) are dropped before pair expansion, the standard LSH /
-stop-shingle guard, so one hot key can't produce O(n²) pairs.
+``df_cap``) are dropped, the standard LSH / stop-shingle guard, so one
+hot key can't produce O(n²) pairs. The guard is TWO-PHASE
+(:func:`_two_phase_group`): membership is counted per key first — a
+partial-aggregatable ``count(*)`` where a hot key costs one long per
+map task, never an array — and only keys inside ``2..max_bucket`` are
+``collect_list``-ed, so an over-cap key's members are discarded by the
+semi join before any aggregation buffer sees them.
 """
 
 from __future__ import annotations
@@ -102,9 +107,31 @@ def _in_bucket_pairs(grouped: DataFrame, payload: str) -> DataFrame:
     )
 
 
+def _two_phase_group(
+    exploded: DataFrame, keys: list[str], agg_col, max_bucket: int
+) -> DataFrame:
+    """Skew-safe bucket materialization: ``count(*)`` per key first (partial
+    aggregation — a hot key contributes one long per map task, never an
+    array), keep only keys with ``2..max_bucket`` members via a left-semi
+    join, THEN ``collect_list`` the survivors. An over-cap key's rows are
+    dropped by the join before any aggregation buffer sees them, so a
+    stop-shingle shared by 10⁸ docs can no longer build a GB-sized array
+    row just to be filtered out.
+
+    Shuffle cost is unchanged: the count aggregate and the join's left side
+    hash-partition the same child on the same keys, so the exchange is
+    planned once and reused (pinned in tests/test_pipeline_ops.py); the
+    count output is already partitioned by the keys, and the final groupBy
+    runs on join output that kept that partitioning."""
+    counts = exploded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    ok = counts.filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket)).select(*keys)
+    return exploded.join(ok, keys, "left_semi").groupBy(*keys).agg(agg_col.alias("docs"))
+
+
 def _band_buckets(sigs: DataFrame, bands: int, max_bucket: int) -> DataFrame:
     """Band the signature; group docs (carrying their sig) per band-bucket;
-    drop degenerate buckets wider than max_bucket."""
+    degenerate buckets wider than max_bucket are dropped before the array
+    is ever built (two-phase guard)."""
     banded = sigs.select(
         "doc_id",
         "sig",
@@ -115,10 +142,8 @@ def _band_buckets(sigs: DataFrame, bands: int, max_bucket: int) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
-    return (
-        banded.groupBy("band", "bucket")
-        .agg(F.collect_list(F.struct("doc_id", "sig")).alias("docs"))
-        .filter((F.size("docs") > 1) & (F.size("docs") <= max_bucket))
+    return _two_phase_group(
+        banded, ["band", "bucket"], F.collect_list(F.struct("doc_id", "sig")), max_bucket
     )
 
 
@@ -191,16 +216,16 @@ def ngram_jaccard_pairs(
     one sub-cap shingle; set df_cap above the corpus max df for fully
     exact output.
 
-    The index aggregation feeds both the per-doc counts and the pair
-    expansion as the same canonical subplan, so Spark reuses one shuffle
-    (ReusedExchange) — no persist needed."""
+    The inverted index is built through the two-phase guard: shingle
+    document frequencies are counted row-wise first (partial aggregation
+    — no array ever materializes for a hot shingle) and only shingles with
+    df in ``2..df_cap`` are collect_list-ed; the count aggregate and the
+    index build hash-partition the same shingle stream, so the exchange is
+    reused. The per-doc denominator is a separate row-wise count over the
+    shingle stream — also array-free, so no stage can OOM on skew."""
     sh = shingles(df, id_col, text_col, n, hashed=True)
-    index = sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("docs"))
-    cnt = (
-        index.select(F.explode("docs").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("c"))
-    )
+    index = _two_phase_group(sh, ["shingle"], F.collect_list("doc_id"), df_cap)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
     pair_expr = F.explode(
         F.expr(
             "flatten(transform(docs, (x, i) -> "
@@ -209,8 +234,7 @@ def ngram_jaccard_pairs(
         )
     ).alias("p")
     pair = (
-        index.filter((F.size("docs") > 1) & (F.size("docs") <= df_cap))
-        .select(pair_expr)
+        index.select(pair_expr)
         .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count("*").alias("inter"))
     )
@@ -270,11 +294,11 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 12, max_bucket: int = 1000
 
     Chunks travel with the docs through the bucket shuffle and pairs are
     expanded in-bucket, so the signature build runs once — no persist."""
-    grouped = (
-        sigs.select("doc_id", "chunks", F.posexplode("chunks").alias("band", "bucket"))
-        .groupBy("band", "bucket")
-        .agg(F.collect_list(F.struct("doc_id", "chunks")).alias("docs"))
-        .filter((F.size("docs") > 1) & (F.size("docs") <= max_bucket))
+    grouped = _two_phase_group(
+        sigs.select("doc_id", "chunks", F.posexplode("chunks").alias("band", "bucket")),
+        ["band", "bucket"],
+        F.collect_list(F.struct("doc_id", "chunks")),
+        max_bucket,
     )
     pairs = _in_bucket_pairs(grouped, "chunks")
     hamming = F.aggregate(
@@ -321,10 +345,8 @@ def cosine_dedup(
         F.col(vec_col).cast("array<double>").alias("v"),
         F.xxhash64(sig.cast("string")).alias("bucket"),
     )
-    grouped = (
-        vecs.groupBy("bucket")
-        .agg(F.collect_list(F.struct("doc_id", "v")).alias("docs"))
-        .filter((F.size("docs") > 1) & (F.size("docs") <= max_bucket))
+    grouped = _two_phase_group(
+        vecs, ["bucket"], F.collect_list(F.struct("doc_id", "v")), max_bucket
     )
     pairs = _in_bucket_pairs(grouped, "v")
     dot = F.aggregate(

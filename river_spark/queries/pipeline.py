@@ -98,7 +98,12 @@ def dedup_simhash(spark, sf_dir):
     )
     corpus = docs.unionByName(twins)
     sigs = simhash_signatures(corpus, "doc_id", "text")
-    pairs = simhash_pairs(sigs, max_hamming=8)
+    # max_bucket is explicit and corpus-proof: 8-bit chunks give only 256
+    # bucket values per band, so at larger sf a twin's bucket organically
+    # exceeds the default 1000 cap and the skew guard would drop the
+    # planted pair from a CORRECT pipeline. The verification query must
+    # never let the guard fire.
+    pairs = simhash_pairs(sigs, max_hamming=8, max_bucket=1_000_000_000)
     return pairs.filter(F.col("doc_b") - F.col("doc_a") == 10_000_000).select(
         "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
     )
@@ -125,7 +130,12 @@ def emb_cosine_dedup(spark, sf_dir):
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
     corpus = emb.unionByName(twins)
-    pairs = cosine_dedup(corpus, "vec_id", "embedding", n_planes=6, threshold=0.2)
+    # n_planes=6 means only 64 possible sign buckets — explicit max_bucket
+    # so bucket occupancy growing with sf can never trip the skew guard
+    # and drop the planted pair (see dedup_simhash note).
+    pairs = cosine_dedup(
+        corpus, "vec_id", "embedding", n_planes=6, threshold=0.2, max_bucket=1_000_000_000
+    )
     return pairs.filter(F.col("doc_b") - F.col("doc_a") == 1_000_000).select(
         "doc_a", "doc_b", "cos_sim"
     )

@@ -29,14 +29,71 @@ class Query:
     bench: bool
 
 
-# Explicit registration priority. The correctness driver checks queries in
-# registry order with a bounded budget (round 1 covered exactly the first 50
-# registrations), so the front of this list is chosen for OPERATOR-FAMILY
-# coverage: every query that had no driver row in CORRECTNESS_r01 comes
-# first, followed by one representative per already-verified family. The
-# remaining already-verified queries (green in CORRECTNESS_r01) trail.
+# Explicit registration priority. The correctness driver checks the FIRST
+# 50 queries in registry order each round, so the front of this list
+# rotates every round: the 49 queries with no CORRECTNESS_r04 row lead
+# round 5 (they last got a driver row in rounds 1-2), giving every query a
+# fresh driver verification every two rounds — the driver's canonicalizer
+# can catch quirks the local bit-level oracle gate can't. The 50 checked
+# in r4 trail (they stay covered by tests/test_oracle.py each session).
 _PRIORITY = [
-    # river transport round-trip (A1/A2/A13/A20/A21 proof)
+    # round-5 head: everything WITHOUT a CORRECTNESS_r04 row
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_nation_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive_join",
+    # aggregation family
+    "agg_global",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_stats",
+    "agg_percentile",
+    "distinct_proj",
+    # joins / sorts / sets
+    "join_semi",
+    "join_anti",
+    "join_full_outer",
+    "join_cross_small",
+    "topk_global",
+    "set_ops",
+    # window family
+    "win_running_sum",
+    "win_rank_ntile",
+    "win_moving_avg",
+    "win_topk_per_group",
+    # scalar functions
+    "scalar_string",
+    "scalar_date",
+    "scalar_math",
+    "scalar_conditional",
+    "scalar_json",
+    # events (streaming analogs, as-of/range/session)
+    "ev_tumbling_window",
+    "ev_sliding_window",
+    "ev_sessionize",
+    "ev_lag_lead",
+    "ev_dedup_ordered",
+    "ev_asof_join",
+    "ev_range_join",
+    "ev_tail",
+    "ev_seek",
+    # text analysis
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_bpe_tokens",
+    "text_rolling_fingerprint",
+    "dedup_exact",
+    # --- checked green in CORRECTNESS_r04; re-verified locally each session ---
     "river_ingest_roundtrip",
     "river_system_columns",
     "river_sink_roundtrip",
@@ -47,7 +104,6 @@ _PRIORITY = [
     "river_http_read",
     "river_catalog_scan",
     "river_cli_roundtrip",
-    # TPC-H wave 2-4 (join/subquery/correlated coverage)
     "q2_min_unit_price_supplier",
     "q7_nation_volume_shipping",
     "q8_market_share",
@@ -58,31 +114,25 @@ _PRIORITY = [
     "q20_promotion_suppliers",
     "q21_waiting_suppliers",
     "q22_idle_customers",
-    # UDF / UDAF / UDTF (Arrow-batched python path)
     "udf_normalize_text",
     "udaf_weighted_avg",
     "udtf_tokenize",
-    # vectors / ANN
     "emb_knn_cosine",
     "emb_norms",
     "emb_centroid_norms",
     "emb_ann_lsh",
     "emb_ann_ivf",
-    # dedup families
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "emb_cosine_dedup",
-    # multimodal
     "mm_payload_metadata",
     "mm_decode_features",
     "mm_frame_sample",
-    # scale patterns + composite pipeline
     "ev_rollup_cascade",
     "join_salted",
     "agg_approx_distinct",
     "pipeline_training_set",
-    # remaining previously-unchecked relational coverage
     "fn_array_agg",
     "pivot_status_priority",
     "set_ops_all",
@@ -93,16 +143,7 @@ _PRIORITY = [
     "fn_json_struct",
     "win_range_frame",
     "win_value_functions",
-    # one representative per family already green in CORRECTNESS_r01
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "win_topk_per_group",
-    "set_ops",
-    "ev_tumbling_window",
-    "ev_asof_join",
-    "ev_range_join",
-    "dedup_exact",
-    "text_token_stats",
 ]
 
 QUERIES: dict[str, Query] = {}

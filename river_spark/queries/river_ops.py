@@ -31,12 +31,27 @@ _EVENT_FIELDS = {
 }
 
 
+# The staging fixture materializes the events table in DRIVER memory to
+# feed the transport writer — a parity harness for the sf0.001/sf0.01
+# correctness gates, NOT a bulk ingest path (production ingest is the
+# DataSource sink + streaming ingester, which never collect). The cap
+# turns an accidental large-sf invocation into a clear error instead of
+# a driver OOM.
+_MAX_STAGING_ROWS = 2_000_000
+
+
 def _events_array(sf_dir: str, columns: tuple[str, ...]) -> tuple[StreamSchema, np.ndarray]:
     """(StreamSchema, packed struct array) of the requested events columns
     — the one staging recipe shared by every transport round-trip query.
     ts (any physical layout) is packed as INT64 epoch-nanos."""
     schema = StreamSchema([FieldDefinition(c, _EVENT_FIELDS[c]) for c in columns])
     t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=list(columns))
+    if t.num_rows > _MAX_STAGING_ROWS:
+        raise ValueError(
+            f"_events_array is a driver-side parity fixture capped at "
+            f"{_MAX_STAGING_ROWS} rows; {sf_dir} has {t.num_rows}. Use the "
+            f"river DataSource sink / StreamIngester for bulk data."
+        )
     arr = np.zeros(t.num_rows, dtype=schema.dtype())
     for c in columns:
         col = t.column(c).to_numpy()
@@ -364,8 +379,10 @@ def river_cli_roundtrip(spark, sf_dir):
         work = tempfile.mkdtemp(prefix="river_spark_cli_")
         store, out = os.path.join(work, "store"), os.path.join(work, "out")
         _, arr = _events_array(sf_dir, ("event_id", "user_id", "value"))
+        # float() before repr: numpy >= 2.0 reprs scalars as
+        # 'np.float64(0.5)', which would corrupt the CSV wire format.
         csv = "\n".join(
-            f"{int(r['event_id'])},{int(r['user_id'])},{r['value']!r}" for r in arr
+            f"{int(r['event_id'])},{int(r['user_id'])},{float(r['value'])!r}" for r in arr
         )
         env = {**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(river_spark.__file__))}
         subprocess.run(

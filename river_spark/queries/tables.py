@@ -11,6 +11,21 @@ from pyspark.sql.types import TimestampNTZType, TimestampType
 _TS_TYPES = (TimestampType, TimestampNTZType)
 
 
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    """Make TIMESTAMP(NANOS) parquet readable exactly once per session.
+
+    Sessions built by :func:`river_spark.session.get_spark` already carry
+    the conf; driver-supplied sessions get it here on first table read.
+    Guarded per session object so a leaf helper no longer mutates session
+    config on every call — a caller that wants native nanos semantics can
+    flip the conf after their first read and ``tbl`` won't fight them."""
+    if getattr(spark, "_river_nanos_conf_done", False):
+        return
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark._river_nanos_conf_done = True
+
+
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table. Plain ``spark.read.parquet`` so Catalyst sees
     the files directly — filters/projections in the query push down into the
@@ -18,10 +33,10 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     events.ts has shipped as both TIMESTAMP(NANOS) (readable only via
     nanosAsLong → INT64 epoch-nanos) and timestamp[us] (read natively as
-    TIMESTAMP_NTZ). Set nanosAsLong defensively — a no-op for the micros
-    layout — then let callers dtype-dispatch via :func:`event_ts` /
+    TIMESTAMP_NTZ). Ensure nanosAsLong once per session — a no-op for the
+    micros layout — then let callers dtype-dispatch via :func:`event_ts` /
     :func:`events_tbl`."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ensure_nanos_conf(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -29,10 +44,18 @@ def event_ts(df: DataFrame, col: str = "ts") -> Column:
     """Timestamp-typed event time regardless of physical storage: pass
     timestamp columns through untouched (keeps scan pushdown intact); for
     legacy INT64 epoch-nanos, truncate to micros — matches DuckDB
-    TIMESTAMP_NS → TIMESTAMP semantics."""
+    TIMESTAMP_NS → TIMESTAMP semantics.
+
+    The legacy conversion builds TIMESTAMP_NTZ by pure micro-arithmetic on
+    an NTZ epoch base — same type as the native layout, and (unlike
+    ``timestamp_micros``, which yields LTZ) independent of the caller's
+    session timezone, so string literals / window() / date_format() agree
+    across both physical layouts on any session."""
     if isinstance(df.schema[col].dataType, _TS_TYPES):
         return F.col(col)
-    return F.timestamp_micros(F.expr(f"{col} div 1000"))
+    return F.expr(
+        f"timestampadd(MICROSECOND, {col} div 1000, timestamp_ntz'1970-01-01 00:00:00')"
+    )
 
 
 def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:

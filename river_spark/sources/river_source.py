@@ -261,6 +261,12 @@ class RiverStreamReader(DataSourceStreamReader):
         # a stale (lower) group cursor never re-delivers below the
         # checkpointed start
         self._cursor = max(lo, hi)
+        if hi <= lo:
+            # An adopted foreign group cursor can cap latestOffset() below
+            # this query's checkpointed start, so Spark plans a batch with
+            # hi < lo. Emit an empty batch instead of slicing batch files
+            # with a negative window (np.full(hi-lo, ...) would raise).
+            return [None]
         parts = []
         for seg in self._log.list_segments(self.stream):
             for bstart, cnt, ms, seq0, path in self._log.list_batches(self.stream, seg):

@@ -237,3 +237,48 @@ def test_registry_queries_leave_no_cached_rdds(spark):
         QUERIES[name].fn(spark, sf).count()
         cached = spark.sparkContext._jsc.sc().getPersistentRDDs()
         assert cached.isEmpty(), f"{name} left {cached.size()} cached RDDs"
+
+
+def test_two_phase_guard_drops_hot_key_before_aggregation(spark):
+    """The skew guard must be structurally incapable of buffering a hot
+    bucket: in the optimized plan the ONLY collect_list aggregate sits
+    ABOVE the left-semi join (whose right side is the per-key count
+    filter), so an over-cap key's rows are discarded by the join before
+    any aggregation buffer sees them — at 100 TB a stop-shingle in 10⁸
+    docs costs one long per map task, never a GB array row."""
+    from river_spark.operators.dedup import _two_phase_group
+
+    rows = [("hot", i) for i in range(500)] + [("cold", 1), ("cold", 2)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = _two_phase_group(df, ["k"], F.collect_list("v"), max_bucket=100)
+    got = out.collect()
+    assert len(got) == 1 and got[0].k == "cold" and sorted(got[0].docs) == [1, 2]
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    join_at = opt.index("LeftSemi")
+    assert opt.index("collect_list") < join_at, "array agg must be above the semi join"
+    assert "collect_list" not in opt[join_at:], "no array agg may run below the guard"
+    # the guard's count is partial-aggregatable: a hot key is map-side
+    # combined to one long per task before its single shuffled row
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in phys
+
+
+def test_two_phase_guard_hot_bucket_family_end_to_end(spark):
+    """Family-level hot-key drill: 300 byte-identical docs form one
+    over-cap simhash bucket per band; the guard drops them all while the
+    planted under-cap pair still verifies at Hamming 0 — and the
+    signature aggregation's exchange is planned once and reused by the
+    count and bucket branches (no double signature build)."""
+    rows = [(i, "all these hot documents share the very same text body") for i in range(300)]
+    rows += [
+        (9001, "pair doc alpha beta gamma delta epsilon zeta eta theta"),
+        (9002, "pair doc alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = simhash_pairs(
+        simhash_signatures(docs, "doc_id", "text"), max_hamming=8, max_bucket=100
+    )
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in pairs.collect()}
+    assert got == {(9001, 9002, 0)}
+    phys = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in phys, "signature exchange must be reused, not rebuilt"
