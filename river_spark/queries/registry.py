@@ -93,6 +93,9 @@ _PRIORITY = [
     "text_bpe_tokens",
     "text_rolling_fingerprint",
     "dedup_exact",
+    # 50th slot: new-this-round coverage (redis-wire backend) gets a
+    # driver row immediately
+    "river_redis_roundtrip",
     # --- checked green in CORRECTNESS_r04; re-verified locally each session ---
     "river_ingest_roundtrip",
     "river_system_columns",

@@ -403,6 +403,57 @@ def river_cli_roundtrip(spark, sf_dir):
 
 
 @q(
+    "river_redis_roundtrip",
+    oracle="SELECT event_id, user_id, round(value, 4) AS value FROM events",
+    tags=("river", "redis", "roundtrip"),
+)
+def river_redis_roundtrip(spark, sf_dir):
+    """A1+A2+A13 over the REDIS-WIRE backend: the events table travels as
+    per-sample XADD val/i entries through a RESP server (the reference's
+    fallback wire format, cpp/src/writer.cpp:296-354, metadata hash
+    cpp/src/redis.cpp:136-165), is ingested to Parquet from the Redis
+    stream, and must still equal the source bit-exactly. Runs against the
+    in-process RESP-subset server (no redis-server binary here); set
+    RIVER_SPARK_REDIS_URL host:port to run the same path against a real
+    server."""
+    from river_spark.transport import RedisBackend
+
+    key = ("redis", sf_dir)
+    if key not in _CACHE or not os.path.isdir(_CACHE[key]):
+        work = tempfile.mkdtemp(prefix="river_spark_redisrt_")
+        url = os.environ.get("RIVER_SPARK_REDIS_URL")
+        if url:
+            host, _, port = url.rpartition(":")
+            server, addr = None, (host or "127.0.0.1", int(port))
+        else:
+            from river_spark.testing import MiniRedisServer
+
+            server = MiniRedisServer().start()
+            addr = server.address
+        try:
+            log = StreamLog(backend=RedisBackend(*addr))
+            schema, arr = _events_array(sf_dir, ("event_id", "user_id", "value"))
+            w = StreamWriter(log).initialize("events_redis", schema)
+            w.write(arr)
+            w.stop()
+            ing = StreamIngester(
+                log,
+                os.path.join(work, "out"),
+                IngesterSettings(
+                    streams=[StreamIngestionSettings(minimum_age_seconds_before_deletion=0)]
+                ),
+            )
+            ing.ingest()
+            ing.wait_all()
+        finally:
+            if server is not None:
+                server.stop()
+        _CACHE[key] = os.path.join(work, "out", "events_redis")
+    df = spark.read.parquet(os.path.join(_CACHE[key], "data.parquet"))
+    return df.select("event_id", "user_id", F.round("value", 4).alias("value"))
+
+
+@q(
     "river_sink_roundtrip",
     oracle="SELECT doc_id, text FROM documents",
     tags=("river", "sink", "roundtrip"),

@@ -1,0 +1,380 @@
+"""Redis-wire StorageBackend: the stream log over real Redis streams.
+
+Byte-level parity with the reference's non-module ("fallback") wire
+format, so streams written here are readable by a stock reference reader
+pointed at the same server, and vice versa:
+
+- **Appends** are one ``XADD {name}-{segment} <id> val <sample-bytes> i
+  <global-index>`` per sample (``/root/reference/cpp/src/writer.cpp:
+  296-354``). The reference lets the server assign IDs (``*``); we pass
+  the writer's MonotonicKeyGen keys explicitly as ``ms-seq`` entry IDs —
+  legal on the wire (IDs must only be strictly increasing) and it keeps
+  the batch⇄key bookkeeping identical across all three backends. Foreign
+  streams with server-assigned IDs are still readable: consecutive
+  samples that don't share a contiguous ID run simply list as smaller
+  batches.
+- **Metadata** is the ``{name}-metadata`` hash with the reference's field
+  names: ``first_stream_key``, ``schema``, ``initialized_at_us``,
+  ``user_metadata`` (JSON), ``compression_params_json``
+  (``cpp/src/writer.cpp:62-104``, ``cpp/src/redis.cpp:136-165,218-279``).
+- **Segment rollover** appends a ``tombstone 1 / next_stream_key /
+  sample_index`` entry; **EOF** appends ``eof 1 / sample_index``
+  (``cpp/src/writer.cpp:174-189,383-398``).
+- **Catalog** is ``SCAN MATCH *-metadata`` (``cpp/src/redis.cpp:325-362``);
+  deletion is ``UNLINK`` / ``DEL`` (``:364-389``); ``TIME`` backs the A22
+  clock-delta estimate (``:281-291``).
+
+Compressed streams can't use per-sample entries (the payload is an
+opaque batch); the reference refuses compression without its server
+module and the module transports whole batches. Mirroring that split,
+compressed batches here are ONE entry per batch with fields
+``batch_val / i / n`` at the batch's first key ID — documented
+module-path analog, not fallback-parity.
+
+Scale note: one backend instance holds one socket per thread
+(thread-local), and handles are self-contained strings, so Spark
+executors deserializing a pickled backend reconnect and read their own
+XRANGE windows — reads are distributed, there is no driver funnel.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+
+import numpy as np
+
+from river_spark.transport.backend import StorageBackend, StreamExistsError
+from river_spark.transport.resp import RespClient, RespError
+
+_HANDLE_PREFIX = "redis://"
+_PAGE = 4096  # XRANGE pagination size for full-segment listings
+
+
+def _fields_dict(flat_fields: list) -> dict[bytes, bytes]:
+    return {f: v for f, v in zip(flat_fields[::2], flat_fields[1::2])}
+
+
+def _id_tuple(raw: bytes) -> tuple[int, int]:
+    ms, seq = raw.decode().split("-")
+    return int(ms), int(seq)
+
+
+class RedisBackend(StorageBackend):
+    def __init__(self, host: str = "127.0.0.1", port: int = 6379,
+                 password: str | None = None, timeout_s: float = 30.0):
+        self.host, self.port, self.password = host, port, password
+        self.timeout_s = timeout_s
+        self._local = threading.local()
+        self._stream_info: dict[str, dict] = {}
+        # fail fast on an unreachable server, like redisConnectWithTimeout
+        self._conn().command("PING")
+
+    # sockets don't pickle; executors reconnect from the params
+    def __getstate__(self):
+        return {"host": self.host, "port": self.port, "password": self.password,
+                "timeout_s": self.timeout_s}
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._local = threading.local()
+        self._stream_info = {}
+
+    def _conn(self) -> RespClient:
+        c = getattr(self._local, "client", None)
+        if c is None:
+            c = RespClient(self.host, self.port, self.password, self.timeout_s)
+            self._local.client = c
+        return c
+
+    # ---- key naming (wire parity) -----------------------------------------
+    @staticmethod
+    def _meta_key(name: str) -> str:
+        return f"{name}-metadata"
+
+    @staticmethod
+    def _seg_key(name: str, segment_idx: int) -> str:
+        return f"{name}-{segment_idx}"
+
+    # ---- per-stream info cache --------------------------------------------
+    def _info(self, name: str) -> dict:
+        info = self._stream_info.get(name)
+        if info is None:
+            meta = self.read_metadata(name)
+            if meta is None:
+                raise FileNotFoundError(f"stream {name!r} not initialized")
+            from river_spark.schema import StreamSchema
+
+            schema = StreamSchema.from_json(meta["schema"])
+            info = {
+                "variable": schema.has_variable_width_field,
+                "sample_size": None if schema.has_variable_width_field else schema.sample_size(),
+                "compressed": meta.get("compression_params_json") is not None,
+            }
+            self._stream_info[name] = info
+        return info
+
+    # ---- metadata (≈ {name}-metadata hash) --------------------------------
+    def create_stream(self, name: str, metadata: dict) -> None:
+        c = self._conn()
+        if c.command("EXISTS", self._meta_key(name), self._seg_key(name, 0)):
+            raise StreamExistsError(f"stream {name!r} already exists")
+        fields = self._to_wire_fields(name, metadata)
+        # HSETNX on the schema field is the atomic claim; losing the race
+        # surfaces as the same StreamExistsError the reference raises
+        # (cpp/src/writer.cpp:55-60,100-104).
+        if not c.command("HSETNX", self._meta_key(name), "schema", fields.pop("schema")):
+            raise StreamExistsError(f"stream {name!r} already exists")
+        if fields:
+            args = []
+            for k, v in fields.items():
+                args += [k, v]
+            c.command("HSET", self._meta_key(name), *args)
+
+    @staticmethod
+    def _to_wire_fields(name: str, metadata: dict) -> dict:
+        fields = {}
+        for k, v in metadata.items():
+            if k == "first_segment":
+                fields["first_stream_key"] = f"{name}-{int(v)}"
+            elif k == "user_metadata":
+                fields["user_metadata"] = json.dumps(v)
+            else:
+                fields[k] = v if isinstance(v, (str, bytes)) else json.dumps(v)
+        fields.setdefault("first_stream_key", f"{name}-0")
+        fields.setdefault("user_metadata", "{}")
+        return fields
+
+    def read_metadata(self, name: str) -> dict | None:
+        flat = self._conn().command("HGETALL", self._meta_key(name))
+        if not flat:
+            return None
+        meta = {}
+        for f, v in _fields_dict(flat).items():
+            key, val = f.decode(), v.decode()
+            if key == "first_stream_key":
+                meta["first_segment"] = int(val.rsplit("-", 1)[1])
+            elif key == "user_metadata":
+                meta["user_metadata"] = json.loads(val)
+            elif key in ("schema", "compression_params_json"):
+                meta[key] = val
+            else:
+                try:
+                    meta[key] = json.loads(val)
+                except (ValueError, TypeError):
+                    meta[key] = val
+        return meta
+
+    def update_metadata(self, name: str, updates: dict) -> None:
+        c = self._conn()
+        if not c.command("EXISTS", self._meta_key(name)):
+            raise FileNotFoundError(f"stream {name!r} not initialized")
+        args = []
+        for k, v in self._to_wire_fields(name, updates).items():
+            # _to_wire_fields defaults keys the caller didn't touch; drop them
+            if k == "first_stream_key" and "first_segment" not in updates:
+                continue
+            if k == "user_metadata" and "user_metadata" not in updates:
+                continue
+            args += [k, v]
+        if args:
+            c.command("HSET", self._meta_key(name), *args)
+
+    def delete_metadata(self, name: str) -> None:
+        self._conn().command("DEL", self._meta_key(name))
+        self._stream_info.pop(name, None)
+
+    def list_streams(self) -> list[str]:
+        c = self._conn()
+        cursor, names = b"0", []
+        while True:
+            cursor, page = c.command("SCAN", cursor, "MATCH", "*-metadata")
+            names += [k.decode()[: -len("-metadata")] for k in page]
+            if cursor == b"0":
+                break
+        return sorted(names)
+
+    # ---- batches (≈ XADD / XRANGE) ----------------------------------------
+    def append_batch(self, name, segment_idx, start_index, data, n, key_ms, key_seq0, sizes):
+        info = self._info(name)
+        c = self._conn()
+        key = self._seg_key(name, segment_idx)
+        data = bytes(data)
+        first_id = f"{int(key_ms)}-{int(key_seq0)}"
+        if info["compressed"]:
+            # module-path analog: one entry per opaque compressed batch
+            kind = "framed"
+            last_id = first_id
+            c.command("XADD", key, first_id,
+                      "batch_val", data, "i", str(int(start_index)), "n", str(int(n)))
+        else:
+            kind = "var" if sizes is not None else "fixed"
+            if sizes is not None:
+                bounds = np.concatenate([[0], np.cumsum(np.asarray(sizes, dtype=np.int64))])
+            else:
+                ss = info["sample_size"]
+                if len(data) != n * ss:
+                    raise ValueError(f"payload {len(data)}B != {n} x {ss}B samples")
+                bounds = np.arange(n + 1, dtype=np.int64) * ss
+            cmds = []
+            for j in range(n):
+                cmds.append((
+                    "XADD", key, f"{int(key_ms)}-{int(key_seq0) + j}",
+                    "val", data[bounds[j]:bounds[j + 1]], "i", str(int(start_index) + j),
+                ))
+            last_id = f"{int(key_ms)}-{int(key_seq0) + n - 1}"
+            # Pipelined send-then-drain, like cpp/src/writer.cpp:328-353 —
+            # chunked so unread replies can't fill both socket buffers and
+            # deadlock the exchange.
+            chunk = 512
+            for off in range(0, n, chunk):
+                window = cmds[off:off + chunk]
+                c.send_many(window)
+                for _ in range(len(window)):
+                    c.read_reply()
+        return (f"{_HANDLE_PREFIX}{name}/{segment_idx}/{kind}/"
+                f"{int(start_index)}/{int(n)}/{first_id}/{last_id}")
+
+    @staticmethod
+    def _parse_handle(handle: str) -> tuple[str, int, str, int, int, str, str]:
+        body = handle[len(_HANDLE_PREFIX):]
+        name, seg, kind, start, n, first_id, last_id = body.rsplit("/", 6)
+        return name, int(seg), kind, int(start), int(n), first_id, last_id
+
+    def _xrange_all(self, key: str):
+        """Full-key XRANGE, paginated with exclusive cursors."""
+        c = self._conn()
+        lo, out = "-", []
+        while True:
+            page = c.command("XRANGE", key, lo, "+", "COUNT", _PAGE)
+            if not page:
+                return out
+            out += page
+            if len(page) < _PAGE:
+                return out
+            lo = "(" + page[-1][0].decode()
+
+    def list_batches(self, name, segment_idx):
+        info = self._info(name)
+        entries = self._xrange_all(self._seg_key(name, segment_idx))
+        out, run = [], None  # run = [start, n, ms, seq0, last_ms, last_seq]
+        for raw_id, flat in entries:
+            fields = _fields_dict(flat)
+            if b"val" in fields:
+                ms, seq = _id_tuple(raw_id)
+                idx = int(fields[b"i"])
+                if (run is not None and ms == run[4] and seq == run[5] + 1
+                        and idx == run[0] + run[1]):
+                    run[1] += 1
+                    run[5] = seq
+                else:
+                    if run is not None:
+                        out.append(run)
+                    run = [idx, 1, ms, seq, ms, seq]
+            elif b"batch_val" in fields:
+                if run is not None:
+                    out.append(run)
+                    run = None
+                ms, seq = _id_tuple(raw_id)
+                out.append([int(fields[b"i"]), int(fields[b"n"]), ms, seq, ms, seq])
+            # tombstone/eof entries are control markers, not data: skip
+        if run is not None:
+            out.append(run)
+        kind = "framed" if info["compressed"] else ("var" if info["variable"] else "fixed")
+        result = []
+        for start, n, ms, seq0, last_ms, last_seq in out:
+            handle = (f"{_HANDLE_PREFIX}{name}/{segment_idx}/{kind}/"
+                      f"{start}/{n}/{ms}-{seq0}/{last_ms}-{last_seq}")
+            result.append((start, n, ms, seq0, handle))
+        result.sort()
+        return result
+
+    def read_batch(self, handle: str) -> dict:
+        name, seg, kind, start, n, first_id, last_id = self._parse_handle(handle)
+        entries = self._conn().command(
+            "XRANGE", self._seg_key(name, seg), first_id, last_id
+        )
+        payloads, sizes = [], []
+        for _raw_id, flat in entries:
+            fields = _fields_dict(flat)
+            if b"batch_val" in fields:
+                payloads.append(fields[b"batch_val"])
+            elif b"val" in fields:
+                payloads.append(fields[b"val"])
+                sizes.append(len(fields[b"val"]))
+        if not payloads:
+            raise FileNotFoundError(handle)
+        data = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+        if kind == "var":
+            return {"data": data, "sizes": np.asarray(sizes, dtype=np.int64)}
+        return {"data": data}
+
+    def delete_batch(self, handle: str) -> None:
+        name, seg, kind, _start, _n, first_id, last_id = self._parse_handle(handle)
+        c = self._conn()
+        key = self._seg_key(name, seg)
+        entries = c.command("XRANGE", key, first_id, last_id)
+        ids = [e[0] for e in entries]
+        if ids:
+            c.command("XDEL", key, *ids)
+
+    # ---- segments + control markers ---------------------------------------
+    def write_tombstone(self, name, segment_idx, sample_index):
+        self._conn().command(
+            "XADD", self._seg_key(name, segment_idx), "*",
+            "tombstone", "1",
+            "next_stream_key", self._seg_key(name, segment_idx + 1),
+            "sample_index", str(int(sample_index)),
+        )
+
+    def write_eof(self, name, segment_idx, sample_index):
+        self._conn().command(
+            "XADD", self._seg_key(name, segment_idx), "*",
+            "eof", "1", "sample_index", str(int(sample_index)),
+        )
+
+    def read_control(self, name, segment_idx):
+        # the control marker is by construction the newest entry of its
+        # segment key (data stops before tombstone/EOF is appended)
+        entries = self._conn().command(
+            "XREVRANGE", self._seg_key(name, segment_idx), "+", "-", "COUNT", 1
+        )
+        if not entries:
+            return None
+        fields = _fields_dict(entries[0][1])
+        if b"eof" in fields:
+            return {"eof": 1, "sample_index": int(fields[b"sample_index"])}
+        if b"tombstone" in fields:
+            nxt = int(fields[b"next_stream_key"].decode().rsplit("-", 1)[1])
+            return {"tombstone": 1, "next_segment": nxt,
+                    "sample_index": int(fields[b"sample_index"])}
+        return None
+
+    def list_segments(self, name):
+        if not self._conn().command("EXISTS", self._meta_key(name)):
+            return []
+        meta = self.read_metadata(name)
+        seg = int(meta.get("first_segment", 0))
+        out = []
+        while True:
+            out.append(seg)
+            ctrl = self.read_control(name, seg)
+            if ctrl is None or "eof" in ctrl:
+                break
+            seg = ctrl["next_segment"]
+        return out
+
+    def delete_segment(self, name, segment_idx):
+        self._conn().command("UNLINK", self._seg_key(name, segment_idx))
+
+    # ---- clock (≈ TIME, cpp/src/redis.cpp:281-291) -------------------------
+    def time_us(self) -> int:
+        sec, usec = self._conn().command("TIME")
+        return int(sec) * 1_000_000 + int(usec)
+
+    def close(self) -> None:
+        c = getattr(self._local, "client", None)
+        if c is not None:
+            c.close()
+            self._local.client = None

@@ -94,15 +94,28 @@ class StreamWriter:
                 self.compression.params.setdefault("tolerance", 1e-3)
             meta["compression_params_json"] = self.compression.params_json()
         if compute_clock:
-            # A22 (cpp/src/writer.cpp:365-381): midpoint estimate of
-            # (local - server) clock over repeated round trips. Storage and
-            # process share a clock here, so the estimate is 0; kept as
-            # metadata passthrough for API parity (readers surface it).
-            meta["local_minus_server_clock_us"] = 0
+            meta["local_minus_server_clock_us"] = self._estimate_clock_delta_us()
         self.log.create_stream(stream_name, meta)
         self.stream_name = stream_name
         self.schema = schema
         return self
+
+    def _estimate_clock_delta_us(self) -> int:
+        """A22 (cpp/src/writer.cpp:365-381): midpoint estimate of
+        (local - server) clock over repeated round trips against backends
+        with a server clock (RedisBackend ≈ the TIME command,
+        cpp/src/redis.cpp:281-291). File/memory backends share the process
+        clock, so the delta is 0 by construction."""
+        time_us = getattr(self.log.backend, "time_us", None)
+        if time_us is None:
+            return 0
+        rounds, total = 10, 0
+        for _ in range(rounds):
+            before = int(time.time() * 1_000_000)
+            server = time_us()
+            after = int(time.time() * 1_000_000)
+            total += (before + after) // 2 - server
+        return total // rounds
 
     def stop(self) -> None:
         if self._stopped or self.stream_name is None:

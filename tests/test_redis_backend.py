@@ -1,0 +1,223 @@
+"""Redis-wire backend: byte-level wire-format parity with the reference's
+fallback protocol (per-sample XADD val/i entries, {name}-metadata hash,
+tombstone/next_stream_key + eof control entries — cpp/src/writer.cpp:
+296-398, cpp/src/redis.cpp:63-165), foreign-stream interop (server-
+assigned entry IDs), compressed batch framing, executor-side pickling,
+and the full transport→ingest→parquet path on the redis backend."""
+
+import json
+import pickle
+
+import numpy as np
+import pytest
+
+from river_spark.schema import FieldDefinition, FieldType, StreamSchema
+from river_spark.transport import RedisBackend, StreamLog, StreamReader, StreamWriter
+from river_spark.transport.resp import RespClient
+from river_spark.testing import MiniRedisServer
+
+
+@pytest.fixture(scope="module")
+def server():
+    with MiniRedisServer() as addr:
+        yield addr
+
+
+@pytest.fixture
+def backend(server):
+    host, port = server
+    b = RedisBackend(host, port)
+    b._conn().command("FLUSHALL")
+    return b
+
+
+def _schema():
+    return StreamSchema(
+        [FieldDefinition("a", FieldType.INT64), FieldDefinition("b", FieldType.DOUBLE)]
+    )
+
+
+def _write(log, name, n=10, stop=True, **writer_kw):
+    schema = _schema()
+    w = StreamWriter(log, **writer_kw).initialize(name, schema, user_metadata={"k": "v"})
+    arr = np.zeros(n, dtype=schema.dtype())
+    arr["a"] = np.arange(n)
+    arr["b"] = np.arange(n) * 0.5
+    w.write(arr)
+    if stop:
+        w.stop()
+    return schema, arr
+
+
+def test_wire_format_is_reference_fallback(server, backend):
+    """On the wire, an uncompressed stream must look exactly like the
+    reference's non-module writer: one XADD per sample with fields
+    val=<raw sample bytes> / i=<global index> (writer.cpp:296-354), the
+    {name}-metadata hash with first_stream_key/schema/initialized_at_us/
+    user_metadata (writer.cpp:62-104), and a terminal eof/sample_index
+    entry (writer.cpp:383-398)."""
+    schema, arr = _write(StreamLog(backend=backend), "wire", n=5)
+    raw = RespClient(*server)
+    meta = raw.command("HGETALL", "wire-metadata")
+    fields = {f.decode(): v for f, v in zip(meta[::2], meta[1::2])}
+    assert fields["first_stream_key"] == b"wire-0"
+    assert json.loads(fields["user_metadata"]) == {"k": "v"}
+    assert int(fields["initialized_at_us"]) > 0
+    StreamSchema.from_json(fields["schema"].decode())  # parseable schema JSON
+
+    entries = raw.command("XRANGE", "wire-0", "-", "+")
+    data_entries, eof_entries = [], []
+    for entry_id, flat in entries:
+        f = {k: v for k, v in zip(flat[::2], flat[1::2])}
+        (eof_entries if b"eof" in f else data_entries).append((entry_id, f))
+    assert len(data_entries) == 5
+    for j, (entry_id, f) in enumerate(data_entries):
+        assert int(f[b"i"]) == j
+        assert f[b"val"] == arr[j : j + 1].tobytes()  # raw packed sample bytes
+        ms, seq = entry_id.decode().split("-")
+        assert int(ms) > 0 and int(seq) >= 0
+    assert len(eof_entries) == 1
+    assert int(eof_entries[0][1][b"sample_index"]) == 4
+
+
+def test_foreign_reference_stream_is_readable(server, backend):
+    """Interop in the other direction: a stream laid down exactly as the
+    reference's fallback writer would (HSET metadata, per-sample XADD
+    with SERVER-assigned '*' IDs, eof entry) must read back through
+    StreamReader with correct samples, indices, and per-sample keys equal
+    to the server-assigned entry IDs."""
+    raw = RespClient(*server)
+    schema = _schema()
+    raw.command(
+        "HSET", "foreign-metadata",
+        "first_stream_key", "foreign-0",
+        "schema", schema.to_json(),
+        "initialized_at_us", "1723500000000000",
+        "user_metadata", "{}",
+    )
+    arr = np.zeros(7, dtype=schema.dtype())
+    arr["a"] = np.arange(7)
+    arr["b"] = np.arange(7) * 1.5
+    ids = []
+    for j in range(7):
+        ids.append(
+            raw.command("XADD", "foreign-0", "*", "val", arr[j : j + 1].tobytes(), "i", str(j))
+        )
+    raw.command("XADD", "foreign-0", "*", "eof", "1", "sample_index", "6")
+
+    r = StreamReader(StreamLog(backend=backend)).initialize("foreign", timeout_ms=1000)
+    res = r.read(100, timeout_ms=100, with_keys=True)
+    assert res.count == 7
+    np.testing.assert_array_equal(res.samples["a"], arr["a"])
+    np.testing.assert_array_equal(res.samples["b"], arr["b"])
+    assert res.keys == [i.decode() for i in ids]
+    assert r.read(1, timeout_ms=10).eof
+
+
+def test_tombstone_wire_format_and_follow(server, backend):
+    """Segment rollover must appear on the wire as the reference's
+    tombstone entry (tombstone/next_stream_key/sample_index,
+    writer.cpp:174-189) on the OLD stream key, and the reader must follow
+    it across keys."""
+    log = StreamLog(backend=backend)
+    _schema_, arr = _write(log, "roll", n=10, entries_per_segment=4, batch_size=3)
+    raw = RespClient(*server)
+    entries = raw.command("XRANGE", "roll-0", "-", "+")
+    last_id, flat = entries[-1]
+    f = {k: v for k, v in zip(flat[::2], flat[1::2])}
+    assert f[b"tombstone"] == b"1"
+    assert f[b"next_stream_key"] == b"roll-1"
+    # last sample of the OLD segment (reference: total_samples_written - 1)
+    assert int(f[b"sample_index"]) == 3
+    assert raw.command("XRANGE", "roll-2", "-", "+")  # 10 samples / 4 per seg -> 3 keys
+
+    transitions = []
+    r = StreamReader(log).initialize("roll")
+    r.add_listener(lambda old, new: transitions.append((old, new)))
+    res = r.read(100, timeout_ms=100)
+    assert res.count == 10
+    np.testing.assert_array_equal(res.samples["a"], arr["a"])
+    assert transitions == [(0, 1), (1, 2)]
+
+
+def test_compressed_batches_are_framed(server, backend):
+    """Compression can't use per-sample entries (opaque batch payload;
+    the reference requires its server module for this path) — compressed
+    batches must land as single batch_val/i/n entries and round-trip
+    bit-exactly through the reader's transparent decompression."""
+    from river_spark.transport.compression import CompressionMode, Compressor
+
+    log = StreamLog(backend=backend)
+    schema = _schema()
+    w = StreamWriter(log, compression=Compressor(CompressionMode.ZLIB_LOSSLESS))
+    w.initialize("comp", schema)
+    arr = np.zeros(100, dtype=schema.dtype())
+    arr["a"] = np.arange(100)
+    arr["b"] = np.sin(np.arange(100))
+    w.write(arr)
+    w.stop()
+
+    raw = RespClient(*server)
+    entries = raw.command("XRANGE", "comp-0", "-", "+")
+    data_entries = [
+        {k: v for k, v in zip(flat[::2], flat[1::2])}
+        for _id, flat in entries
+        if b"eof" not in dict(zip(flat[::2], flat[1::2]))
+    ]
+    assert len(data_entries) == 1  # one framed entry for the whole batch
+    assert b"batch_val" in data_entries[0] and int(data_entries[0][b"n"]) == 100
+    assert len(data_entries[0][b"batch_val"]) < arr.nbytes  # actually compressed
+
+    res = StreamReader(log).initialize("comp").read(200, timeout_ms=100)
+    assert res.count == 100
+    np.testing.assert_array_equal(res.samples["a"], arr["a"])
+    np.testing.assert_array_equal(res.samples["b"], arr["b"])
+
+
+def test_backend_pickles_and_reconnects(backend):
+    """Spark pickles the backend into executor tasks: the clone must
+    reconnect from connection params alone and read existing data."""
+    log = StreamLog(backend=backend)
+    _schema_, arr = _write(log, "pick", n=8)
+    clone = pickle.loads(pickle.dumps(backend))
+    res = StreamReader(StreamLog(backend=clone)).initialize("pick").read(100, timeout_ms=100)
+    assert res.count == 8
+    np.testing.assert_array_equal(res.samples["a"], arr["a"])
+
+
+def test_clock_delta_recorded_from_server_time(backend):
+    """A22: initialize(compute_clock=True) must estimate local-server
+    clock delta via the backend's TIME round trips; both clocks are this
+    machine, so the estimate is near zero but present and bounded."""
+    log = StreamLog(backend=backend)
+    w = StreamWriter(log).initialize("clk", _schema(), compute_clock=True)
+    w.stop()
+    meta = log.read_metadata("clk")
+    delta = meta["local_minus_server_clock_us"]
+    assert isinstance(delta, int) and abs(delta) < 1_000_000
+
+
+def test_ingest_to_parquet_on_redis(tmp_path, backend):
+    """The full A13 path on the redis backend: transport write → ingester
+    → parquet, output identical to the staged samples."""
+    import pyarrow.parquet as pq
+
+    from river_spark.ingest import IngesterSettings, StreamIngester, StreamIngestionSettings
+
+    log = StreamLog(backend=backend)
+    _schema_, arr = _write(log, "ing", n=5000)
+    ing = StreamIngester(
+        log,
+        str(tmp_path / "out"),
+        IngesterSettings(streams=[StreamIngestionSettings(minimum_age_seconds_before_deletion=0)]),
+    )
+    ing.ingest()
+    ing.wait_all()
+    t = pq.read_table(str(tmp_path / "out" / "ing" / "data.parquet"))
+    assert t.num_rows == 5000
+    np.testing.assert_array_equal(t.column("a").to_numpy(), arr["a"])
+    np.testing.assert_array_equal(t.column("b").to_numpy(), arr["b"])
+    # system columns (A20): contiguous sample_index, unique keys
+    idx = t.column("sample_index").to_numpy()
+    np.testing.assert_array_equal(idx, np.arange(5000))
+    assert len(set(t.column("key").to_pylist())) == 5000

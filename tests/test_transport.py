@@ -4,20 +4,43 @@ per-type round trips, tombstone following + listeners, EOF semantics
 (-1 only when drained), tail skip counts, seek incl. past-EOF,
 write-after-stop, double-initialize."""
 
+import os
+
 import numpy as np
 import pytest
 
 from river_spark.schema import FieldDefinition, FieldType, SchemaError, StreamSchema
-from river_spark.transport import MemoryBackend, StreamLog, StreamReader, StreamWriter
+from river_spark.transport import MemoryBackend, RedisBackend, StreamLog, StreamReader, StreamWriter
 from river_spark.transport.log import StreamExistsError, decode_key
 
 
-@pytest.fixture(params=["file", "memory"])
+@pytest.fixture(scope="module")
+def redis_address():
+    """(host, port) of a Redis-wire server: RIVER_SPARK_REDIS_URL
+    (host:port) when set — a real redis-server — else the in-process
+    RESP-subset server."""
+    url = os.environ.get("RIVER_SPARK_REDIS_URL")
+    if url:
+        host, _, port = url.rpartition(":")
+        yield host or "127.0.0.1", int(port)
+        return
+    from river_spark.testing import MiniRedisServer
+
+    with MiniRedisServer() as (host, port):
+        yield host, port
+
+
+@pytest.fixture(params=["file", "memory", "redis"])
 def log(request, tmp_path):
-    # the whole suite runs against BOTH backends: same semantics required
+    # the whole suite runs against ALL backends: same semantics required
     if request.param == "file":
         return StreamLog(str(tmp_path / "store"))
-    return StreamLog(backend=MemoryBackend())
+    if request.param == "memory":
+        return StreamLog(backend=MemoryBackend())
+    host, port = request.getfixturevalue("redis_address")
+    backend = RedisBackend(host, port)
+    backend._conn().command("FLUSHALL")  # isolate from the previous test
+    return StreamLog(backend=backend)
 
 
 def simple_schema():
