@@ -12,11 +12,25 @@ user pays in steady state. Each query is timed REPEATS times and the
 MINIMUM reported: this box shows multi-second bursts of external load,
 and under purely additive noise the minimum is the consistent estimator
 of intrinsic query cost (a GC pause or noisy-neighbor burst can poison
-a median when the burst outlasts the repeats). ``spark.catalog.clearCache()`` runs between
-runs so operators that persist intermediates (the LSH families) cannot
-leak executor memory into the next measurement. The emitted JSON line
-records the methodology fields (warmup dir or null, repeats, estimator)
-so cross-environment comparisons are auditably like-for-like."""
+a median when the burst outlasts the repeats). Repeats are scheduled
+ROUND-ROBIN across queries — query A run 1, B run 1, ..., A run 2, ... —
+so one multi-second burst overlaps at most one repeat of each query
+instead of every repeat of whichever query it landed on (observed in
+round 4: one query's four back-to-back repeats spread 2.95-13.74 s).
+``spark.catalog.clearCache()`` runs between runs so operators that
+persist intermediates cannot leak executor memory into the next
+measurement. The emitted JSON line records the methodology fields
+(warmup dir or null, repeats, estimator, schedule) so cross-environment
+comparisons are auditably like-for-like.
+
+Scaling probe: after the headline timings, the most expensive queries
+are re-run once against a FACTOR x replica of the target data (fact
+tables replicated with key offsets, document text salted per replica so
+duplicate density stays constant instead of exploding, embeddings
+jittered so LSH bucket occupancy scales naturally) and the wall-time
+ratio recorded — a direct check that the plan shapes the lint asserts
+statically actually scale ~linearly. Disable with
+SPARK_GRAFT_SF1_PROBE=0."""
 
 from __future__ import annotations
 
@@ -101,6 +115,103 @@ def pick_warmup_dir(sf_dir: str) -> str | None:
     return os.path.join(data_root, siblings[0]) if siblings else None
 
 
+_DIMS = ("region", "nation", "customer", "supplier", "part")
+_SCALE_FACTOR = 10
+
+
+def build_scaled_dir(spark, sf_dir: str, factor: int = _SCALE_FACTOR) -> str:
+    """Materialize a factor-x replica of sf_dir's tables (cached in /tmp,
+    keyed by source dir). Facts are replicated with per-replica key
+    offsets so join fan-out stays 1:1 (duplicating orderkey would square
+    the join output, benchmarking a different query); document text gets
+    a per-replica salt token spliced in every 5 tokens so cross-replica
+    Jaccard falls far below dedup thresholds (duplicate DENSITY stays
+    constant — 10x corpus, 10x true pairs, not 45x spurious exact dups);
+    embeddings get deterministic per-replica jitter so LSH/IVF bucket
+    occupancy grows naturally instead of collapsing into exact-twin
+    buckets. Dimensions are copied as-is, like every TPC-style scale-up."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"river_spark_scaled_{factor}x_{tag}"
+    )
+    marker = os.path.join(out, "_BUILT")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for t in _DIMS + ("events",):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{t}.parquet"))
+
+    def replicate(name, build_replica):
+        src = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        parts = [build_replica(src, k) for k in range(factor)]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
+
+    key_off = 1_000_000_000
+    replicate(
+        "orders",
+        lambda df, k: df.withColumn("o_orderkey", F.col("o_orderkey") + k * key_off),
+    )
+    replicate(
+        "lineitem",
+        lambda df, k: df.withColumn("l_orderkey", F.col("l_orderkey") + k * key_off),
+    )
+    replicate(
+        "documents",
+        lambda df, k: df.withColumn("doc_id", F.col("doc_id") + k * 100_000_000).withColumn(
+            "text",
+            F.col("text")
+            if k == 0
+            else F.regexp_replace(F.col("text"), r"((\S+ ){4}\S+)", f"$1 zzrep{k}"),
+        ),
+    )
+    replicate(
+        "embeddings",
+        lambda df, k: df.withColumn("vec_id", F.col("vec_id") + k * 10_000_000).withColumn(
+            "embedding",
+            F.col("embedding")
+            if k == 0
+            else F.expr(
+                f"transform(embedding, (v, d) -> cast(v + 0.003 * "
+                f"(pmod(xxhash64(vec_id, d, {k}), 1000) / 1000.0 - 0.5) as float))"
+            ),
+        ),
+    )
+    with open(marker, "w") as f:
+        f.write(sf_dir)
+    return out
+
+
+def scaling_probe(spark, sf_dir: str, bench, timings: dict, top_n: int = 5) -> dict:
+    """Re-run the top_n most expensive headline queries against the
+    factor-x replica and report sec + ratio vs the headline min. Ratio
+    ~<= factor means the plan scales linearly (shuffle-bound); well
+    above it means something super-linear crept in."""
+    t0 = time.perf_counter()
+    scaled = build_scaled_dir(spark, sf_dir)
+    build_sec = round(time.perf_counter() - t0, 1)
+    out = {}
+    for name in sorted(timings, key=timings.get, reverse=True)[:top_n]:
+        runs = []
+        for _ in range(2):  # min-of-2: one burst can't poison the ratio
+            t0 = time.perf_counter()
+            bench[name].fn(spark, scaled).count()
+            runs.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        sec = round(min(runs), 4)
+        out[name] = {"sec": sec, "ratio": round(sec / max(timings[name], 1e-9), 2)}
+        print(f"# sf-probe {name}: {sec:.3f}s = {out[name]['ratio']}x", file=sys.stderr)
+    return {"factor": _SCALE_FACTOR, "build_sec": build_sec, "queries": out}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -136,25 +247,36 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    timings: dict[str, float] = {}
-    for name, q in bench.items():
-        runs = []
-        n = -1
-        for _ in range(repeats):
+    # round-robin schedule: a load burst overlaps at most ONE repeat of
+    # each query, never all repeats of one query
+    runs: dict[str, list[float]] = {name: [] for name in bench}
+    counts: dict[str, int] = {}
+    for _rep in range(repeats):
+        for name, q in bench.items():
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
-            n = df.count() if df.isStreaming is False else -1
-            runs.append(time.perf_counter() - t0)
+            counts[name] = df.count() if df.isStreaming is False else -1
+            runs[name].append(time.perf_counter() - t0)
             spark.catalog.clearCache()
-        timings[name] = round(min(runs), 4)
+    timings: dict[str, float] = {}
+    for name in bench:
+        timings[name] = round(min(runs[name]), 4)
         print(
-            f"# {name}: best {timings[name]:.3f}s of {[round(r, 3) for r in runs]} ({n} rows)",
+            f"# {name}: best {timings[name]:.3f}s of "
+            f"{[round(r, 3) for r in runs[name]]} ({counts[name]} rows)",
             file=sys.stderr,
         )
     total = round(sum(timings.values()), 4)
 
     tp = transport_throughput()
     print(f"# transport: {tp}", file=sys.stderr)
+
+    probe = None
+    if os.environ.get("SPARK_GRAFT_SF1_PROBE", "1") != "0":
+        try:
+            probe = scaling_probe(spark, sf_dir, bench, timings)
+        except Exception as exc:  # pragma: no cover - probe is best-effort
+            print(f"# scaling probe failed: {exc}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -168,8 +290,10 @@ def main() -> None:
                     "warmup_sf_dir": warm_dir,
                     "repeats": repeats,
                     "estimator": "min",
+                    "schedule": "interleaved",
                     "timed": "full execution via df.count()",
                 },
+                "scaling_probe": probe,
                 **tp,
             }
         )

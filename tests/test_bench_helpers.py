@@ -26,3 +26,39 @@ def test_pick_warmup_dir_ignores_non_numeric(tmp_path):
 def test_pick_warmup_dir_none_when_only_junk(tmp_path):
     (tmp_path / "sf_scratch").mkdir()
     assert pick_warmup_dir(str(tmp_path / "sf_scratch")) is None
+
+
+def test_build_scaled_dir_replicates_without_key_collisions(spark, tmp_path, monkeypatch):
+    """The scaling probe's data builder must produce factor-x fact rows
+    with DISJOINT join keys across replicas (colliding orderkeys would
+    square the join output and benchmark a different query), per-replica
+    salted document text (constant duplicate density), and unchanged
+    dimensions."""
+    import bench
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    src = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    out = bench.build_scaled_dir(spark, src, factor=3)
+
+    def n(d, t):
+        return spark.read.parquet(os.path.join(d, f"{t}.parquet")).count()
+
+    for t in ("orders", "lineitem", "documents", "embeddings"):
+        assert n(out, t) == 3 * n(src, t), t
+    for t in ("region", "nation", "customer"):
+        assert n(out, t) == n(src, t), t
+    ord_scaled = spark.read.parquet(os.path.join(out, "orders.parquet"))
+    assert ord_scaled.select("o_orderkey").distinct().count() == ord_scaled.count()
+    # join fan-out must stay 1:1 per lineitem row: the scaled join yields
+    # exactly 3x the source join's rows, not 9x
+    li_s = spark.read.parquet(os.path.join(out, "lineitem.parquet"))
+    li = spark.read.parquet(os.path.join(src, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(src, "orders.parquet"))
+    base = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    assert li_s.join(ord_scaled, li_s.l_orderkey == ord_scaled.o_orderkey).count() == 3 * base
+    # replica text is salted: replica-1 docs share no high-Jaccard pair
+    # with replica-0 (the salt token appears every 5 tokens)
+    docs = spark.read.parquet(os.path.join(out, "documents.parquet"))
+    assert docs.filter("text LIKE '%zzrep1%'").count() > 0
+    # cached second call is a no-op returning the same dir
+    assert bench.build_scaled_dir(spark, src, factor=3) == out
