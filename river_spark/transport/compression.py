@@ -14,9 +14,21 @@ Codec substitutions for this environment:
 - ZLIB (stdlib) provides the working lossless codec — same role as
   ZFP_LOSSLESS (bit-exact round trip).
 - DUMMY mirrors the reference's no-op mode used in its integration tests.
-- ZFP itself (esp. lossy tolerance) needs the zfp library, absent here —
-  gated behind an import-try exactly like the reference's noop build flag
-  (``cpp/src/compression/zfp_compressor_noop.cpp``).
+- ZFP_LOSSLESS / ZFP_LOSSY are fully implemented against ``zfpy`` with
+  the reference's exact layout — 2-D field of (num_cols x num_rows),
+  full codestream header, reversible mode for lossless / absolute
+  tolerance for lossy, int16 promoted/demoted through int32 high bits
+  (``zfp_compressor.cpp:64-170``) — and the reference's params wire
+  names (``num_cols``/``data_type``/``tolerance``,
+  ``compressor.cpp:56-82``). zfpy is absent in THIS container, so the
+  modes are import-gated exactly like the reference's noop build flag
+  (``zfp_compressor_noop.cpp``); the parity tests skip without zfpy and
+  run verbatim wherever it exists.
+
+``params_json`` uses the reference's metadata wire shape
+``{"name": ..., "params": {str: str}}`` (``cpp/src/writer.cpp:89-95``)
+so a reference reader on the same Redis server self-configures from our
+metadata hash; the legacy flat form is still accepted on read.
 """
 
 from __future__ import annotations
@@ -50,6 +62,15 @@ def demote_int16(vals: np.ndarray) -> np.ndarray:
     return np.clip(vals >> 15, -0x8000, 0x7FFF).astype(np.int16)
 
 
+# reference data_type param values -> numpy dtypes (compressor.cpp:56-82)
+_ZFP_DTYPES = {
+    "int16": np.dtype(np.int16),
+    "int32": np.dtype(np.int32),
+    "float": np.dtype(np.float32),
+    "double": np.dtype(np.float64),
+}
+
+
 class Compressor:
     def __init__(self, mode: CompressionMode, params: dict | None = None):
         self.mode = mode
@@ -63,6 +84,36 @@ class Compressor:
                     "this environment (reference gates this identically via "
                     "zfp_compressor_noop.cpp); use ZLIB_LOSSLESS or DUMMY"
                 ) from e
+
+    # -- real ZFP (zfpy-backed), reference layout ----------------------------
+    def _zfp_compress(self, data: bytes) -> bytes:
+        """Reference layout (zfp_compressor.cpp:64-140): row-major samples
+        viewed as a 2-D field of num_cols x num_rows, int16 promoted into
+        int32 high bits, reversible mode when lossless (tolerance -1) else
+        absolute-accuracy mode, full header in the codestream. zfpy's
+        compress_numpy makes the same C calls (zfp_write_header FULL +
+        zfp_compress), so equal params give the reference's exact bytes."""
+        import zfpy
+
+        dtype = _ZFP_DTYPES[self.params["data_type"]]
+        num_cols = int(self.params["num_cols"])
+        vals = np.frombuffer(data, dtype=dtype)
+        if len(vals) % num_cols:
+            raise ValueError(f"{len(vals)} values not divisible by num_cols={num_cols}")
+        if dtype == np.int16:
+            vals = promote_int16(vals)
+        arr = np.ascontiguousarray(vals.reshape(-1, num_cols))
+        if self.mode is CompressionMode.ZFP_LOSSY:
+            return zfpy.compress_numpy(arr, tolerance=float(self.params["tolerance"]))
+        return zfpy.compress_numpy(arr)  # no constraints -> reversible
+
+    def _zfp_decompress(self, data: bytes) -> bytes:
+        import zfpy
+
+        arr = zfpy.decompress_numpy(bytes(data))
+        if self.params.get("data_type") == "int16":
+            arr = demote_int16(arr)
+        return np.ascontiguousarray(arr).tobytes()
 
     # Like the reference, which hands ZFP a 2-D (num_cols x rows) array
     # (zfp_compressor.cpp:64-110), the sample block is byte-TRANSPOSED
@@ -114,6 +165,8 @@ class Compressor:
             return zlib.compress(self._shuffle(data), int(self.params.get("level", 1)))
         if self.mode is CompressionMode.QUANT_LOSSY:
             return self._quantize(data)
+        if self.mode in (CompressionMode.ZFP_LOSSLESS, CompressionMode.ZFP_LOSSY):
+            return self._zfp_compress(data)
         raise NotImplementedError(self.mode)
 
     def decompress(self, data: bytes) -> bytes:
@@ -123,16 +176,25 @@ class Compressor:
             return self._unshuffle(zlib.decompress(data))
         if self.mode is CompressionMode.QUANT_LOSSY:
             return self._dequantize(data)
+        if self.mode in (CompressionMode.ZFP_LOSSLESS, CompressionMode.ZFP_LOSSY):
+            return self._zfp_decompress(data)
         raise NotImplementedError(self.mode)
 
     # -- metadata wire format ------------------------------------------------
     def params_json(self) -> str:
-        return json.dumps({"mode": self.mode.value, **self.params})
+        """Reference wire shape (cpp/src/writer.cpp:89-95): the name plus a
+        string-valued params map, so a reference reader sharing the Redis
+        server can self-configure from our metadata hash."""
+        return json.dumps(
+            {"name": self.mode.value, "params": {k: str(v) for k, v in self.params.items()}}
+        )
 
     @classmethod
     def from_params_json(cls, s: str | None) -> "Compressor":
         if not s:
             return cls(CompressionMode.UNCOMPRESSED)
         obj = json.loads(s)
-        mode = CompressionMode(obj.pop("mode"))
+        if "name" in obj:  # reference wire form
+            return cls(CompressionMode(obj["name"]), dict(obj.get("params") or {}))
+        mode = CompressionMode(obj.pop("mode"))  # legacy flat form
         return cls(mode, obj)

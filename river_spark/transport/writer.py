@@ -82,16 +82,24 @@ class StreamWriter:
             # record sample_size so readers can invert the byte shuffle
             self.compression.params.setdefault("sample_size", schema.sample_size())
             if self.compression.mode is CompressionMode.QUANT_LOSSY:
-                # lossy quantization needs one uniform numeric dtype, like
-                # the reference's ZFP 2-D layout (zfp_compressor.cpp:64-110)
-                dtypes = {schema.dtype()[name].str for name in schema.field_names()}
-                if len(dtypes) != 1 or next(iter(dtypes))[1] not in "fi":
-                    raise SchemaError(
-                        "QUANT_LOSSY requires a uniform numeric field dtype, "
-                        f"got {sorted(dtypes)}"
-                    )
-                self.compression.params.setdefault("value_dtype", next(iter(dtypes)))
+                self.compression.params.setdefault(
+                    "value_dtype", self._uniform_dtype(schema).str
+                )
                 self.compression.params.setdefault("tolerance", 1e-3)
+            elif self.compression.mode in (
+                CompressionMode.ZFP_LOSSLESS,
+                CompressionMode.ZFP_LOSSY,
+            ):
+                # the reference's ZFP params (compressor.cpp:56-82): the 2-D
+                # field is num_cols x num_rows over one uniform dtype
+                dt = self._uniform_dtype(schema)
+                names = {"<i2": "int16", "<i4": "int32", "<f4": "float", "<f8": "double"}
+                if dt.str not in names:
+                    raise SchemaError(f"ZFP supports int16/int32/float/double, got {dt}")
+                self.compression.params.setdefault("num_cols", len(schema.field_names()))
+                self.compression.params.setdefault("data_type", names[dt.str])
+                if self.compression.mode is CompressionMode.ZFP_LOSSY:
+                    self.compression.params.setdefault("tolerance", 1e-3)
             meta["compression_params_json"] = self.compression.params_json()
         if compute_clock:
             meta["local_minus_server_clock_us"] = self._estimate_clock_delta_us()
@@ -99,6 +107,19 @@ class StreamWriter:
         self.stream_name = stream_name
         self.schema = schema
         return self
+
+    @staticmethod
+    def _uniform_dtype(schema: StreamSchema):
+        """Lossy/ZFP modes need one uniform numeric dtype, like the
+        reference's single-T ZfpCompressor over a 2-D field
+        (zfp_compressor.cpp:64-110)."""
+        dtypes = {schema.dtype()[name] for name in schema.field_names()}
+        if len(dtypes) != 1 or next(iter(dtypes)).kind not in "fi":
+            raise SchemaError(
+                "lossy/ZFP compression requires a uniform numeric field dtype, "
+                f"got {sorted(d.str for d in dtypes)}"
+            )
+        return next(iter(dtypes))
 
     def _estimate_clock_delta_us(self) -> int:
         """A22 (cpp/src/writer.cpp:365-381): midpoint estimate of

@@ -44,10 +44,20 @@ def test_zfp_gated():
 
 
 def test_params_json_roundtrip():
+    import json
+
     c = Compressor(CompressionMode.ZLIB_LOSSLESS, {"level": 6})
+    # reference wire shape (cpp/src/writer.cpp:89-95): name + string params
+    assert json.loads(c.params_json()) == {
+        "name": "ZLIB_LOSSLESS",
+        "params": {"level": "6"},
+    }
     c2 = Compressor.from_params_json(c.params_json())
-    assert c2.mode is CompressionMode.ZLIB_LOSSLESS and c2.params == {"level": 6}
+    assert c2.mode is CompressionMode.ZLIB_LOSSLESS and int(c2.params["level"]) == 6
     assert Compressor.from_params_json(None).mode is CompressionMode.UNCOMPRESSED
+    # legacy flat form still readable
+    legacy = Compressor.from_params_json('{"mode": "ZLIB_LOSSLESS", "level": 6}')
+    assert legacy.mode is CompressionMode.ZLIB_LOSSLESS and legacy.params == {"level": 6}
 
 
 def test_transparent_reader_decompression(tmp_path):
