@@ -66,6 +66,31 @@ def register(spark) -> None:
 
 
 # ---------------------------------------------------------------------------
+# storage locator: every reader/writer/partition carries a small picklable
+# dict saying WHERE the log lives; executors open their own connection from
+# it (a file root, or a redis host:port — reads are then distributed XRANGE
+# windows, one connection per task, no driver funnel).
+# ---------------------------------------------------------------------------
+def _locator(options: dict) -> dict:
+    options = {k.lower(): v for k, v in options.items()}
+    if "redis" in options:
+        host, _, port = options["redis"].rpartition(":")
+        return {"redis": f"{host or '127.0.0.1'}:{int(port)}"}
+    if "path" in options:
+        return {"path": options["path"]}
+    raise ValueError("river source needs option 'path' (log root) or 'redis' (host:port)")
+
+
+def _open_log(locator: dict) -> StreamLog:
+    if "redis" in locator:
+        from river_spark.transport.redis_backend import RedisBackend
+
+        host, _, port = locator["redis"].rpartition(":")
+        return StreamLog(backend=RedisBackend(host, int(port)))
+    return StreamLog(locator["path"])
+
+
+# ---------------------------------------------------------------------------
 # shared helpers (run on executors — everything picklable)
 # ---------------------------------------------------------------------------
 def _arrow_schema_for(schema: StreamSchema) -> pa.schema:
@@ -129,8 +154,8 @@ def _batch_file_to_arrow(
 
 
 class _BatchFilePartition(InputPartition):
-    def __init__(self, root, path, start_index, key_ms, key_seq0, lo, hi, schema_json, comp_json=None):
-        self.root = root
+    def __init__(self, locator, path, start_index, key_ms, key_seq0, lo, hi, schema_json, comp_json=None):
+        self.locator = locator
         self.path = path
         self.start_index = start_index
         self.key_ms = key_ms
@@ -146,14 +171,14 @@ class _BatchFilePartition(InputPartition):
 # ---------------------------------------------------------------------------
 class RiverBatchReader(DataSourceReader):
     def __init__(self, options):
-        self.root = options["path"]
+        self.locator = _locator(options)
         self.stream = options["stream"]
 
     def partitions(self):
-        log = StreamLog(self.root)
+        log = _open_log(self.locator)
         meta = log.read_metadata(self.stream)
         if meta is None:
-            raise ValueError(f"stream {self.stream!r} not found under {self.root}")
+            raise ValueError(f"stream {self.stream!r} not found at {self.locator}")
         schema_json = meta["schema"]
         comp_json = meta.get("compression_params_json")
         parts = []
@@ -161,7 +186,7 @@ class RiverBatchReader(DataSourceReader):
             for start, cnt, ms, seq0, path in log.list_batches(self.stream, seg):
                 parts.append(
                     _BatchFilePartition(
-                        self.root, path, start, ms, seq0, 0, cnt, schema_json, comp_json
+                        self.locator, path, start, ms, seq0, 0, cnt, schema_json, comp_json
                     )
                 )
         return parts or [None]
@@ -172,7 +197,7 @@ class RiverBatchReader(DataSourceReader):
         schema = StreamSchema.from_json(partition.schema_json)
         yield _batch_file_to_arrow(
             schema,
-            StreamLog(partition.root),
+            _open_log(partition.locator),
             partition.path,
             partition.start_index,
             partition.key_ms,
@@ -189,7 +214,7 @@ class RiverBatchReader(DataSourceReader):
 class RiverStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         options = {k.lower(): v for k, v in options.items()}  # Spark lowercases option keys
-        self.root = options["path"]
+        self.locator = _locator(options)
         self.stream = options["stream"]
         self.max_per_trigger = int(options.get("maxsamplespertrigger", 10_000))
         self.retention = options.get("retention", "false").lower() == "true"
@@ -198,26 +223,28 @@ class RiverStreamReader(DataSourceStreamReader):
         # RESTARTED query's first micro-batch is still rate-limited — the
         # Python API's latestOffset() cannot see the checkpointed start.
         self.group = options.get("group", "default")
-        self._log = StreamLog(self.root)
+        self._log = _open_log(self.locator)
         meta = self._log.read_metadata(self.stream)
         if meta is None:
-            raise ValueError(f"stream {self.stream!r} not found under {self.root}")
+            raise ValueError(f"stream {self.stream!r} not found at {self.locator}")
         self._schema_json = meta["schema"]
         self._comp_json = meta.get("compression_params_json")
         cursor = self._read_group_cursor()
         if cursor is not None:
             self._cursor = cursor
 
-    def _group_cursor_path(self) -> str:
-        return os.path.join(self.root, f"_cursor_{self.stream}_{self.group}.json")
+    def _group_cursor_key(self) -> str:
+        return f"cursor/{self.stream}/{self.group}"
 
     def _read_group_cursor(self) -> int | None:
         import json
 
+        raw = self._log.read_aux(self._group_cursor_key())
+        if raw is None:
+            return None
         try:
-            with open(self._group_cursor_path()) as f:
-                return int(json.load(f)["index"])
-        except (OSError, ValueError, KeyError):
+            return int(json.loads(raw)["index"])
+        except (ValueError, KeyError, TypeError):
             return None
 
     def initialOffset(self):
@@ -274,7 +301,7 @@ class RiverStreamReader(DataSourceStreamReader):
                     continue
                 parts.append(
                     _BatchFilePartition(
-                        self.root,
+                        self.locator,
                         path,
                         bstart,
                         ms,
@@ -293,7 +320,7 @@ class RiverStreamReader(DataSourceStreamReader):
         schema = StreamSchema.from_json(partition.schema_json)
         yield _batch_file_to_arrow(
             schema,
-            StreamLog(partition.root),
+            _open_log(partition.locator),
             partition.path,
             partition.start_index,
             partition.key_ms,
@@ -312,11 +339,7 @@ class RiverStreamReader(DataSourceStreamReader):
         committed = end["index"]
         prev = self._read_group_cursor() or 0
         if committed > prev:
-            path = self._group_cursor_path()
-            tmp = path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"index": committed}, f)
-            os.replace(tmp, path)
+            self._log.write_aux(self._group_cursor_key(), json.dumps({"index": committed}))
         if not self.retention:
             return
         segs = self._log.list_segments(self.stream)
@@ -359,14 +382,23 @@ class RiverBatchWriter(DataSourceArrowWriter):
     cpp/src/writer.cpp:149-359, without a single-node data funnel)."""
 
     def __init__(self, options, schema: T.StructType):
-        self.root = options["path"]
+        self.locator = _locator(options)
         self.stream = options["stream"]
         self.batch_size = int(options.get("batchsize", DEFAULT_BATCH_SIZE))
         self.entries_per_segment = int(
             options.get("entriespersegment", DEFAULT_ENTRIES_PER_SEGMENT)
         )
-        self.staging = os.path.join(self.root, f"_staging_{self.stream}_{uuid.uuid4().hex[:8]}")
-        meta = StreamLog(self.root).read_metadata(self.stream)
+        if "path" in self.locator:
+            self.staging = os.path.join(
+                self.locator["path"], f"_staging_{self.stream}_{uuid.uuid4().hex[:8]}"
+            )
+        else:
+            self.staging = None
+            # redis staging: executors append into per-attempt temp STREAMS
+            # on the same server (visible to the driver without a shared
+            # filesystem); commit() re-appends them in partition order
+            self.stg_prefix = f"_stg_{self.stream}_{uuid.uuid4().hex[:8]}"
+        meta = _open_log(self.locator).read_metadata(self.stream)
         if meta is not None:
             # appending: the stream's own schema wins (byte layout must match)
             stream_schema = StreamSchema.from_json(meta["schema"])
@@ -393,12 +425,63 @@ class RiverBatchWriter(DataSourceArrowWriter):
         # unique per attempt; the winner's paths travel in its message.
         self._attempt = ctx.taskAttemptId()
         schema = StreamSchema.from_json(self.stream_schema_json)
+        if self.staging is None:
+            return self._stage_redis(pid, schema, iterator)
         os.makedirs(self.staging, exist_ok=True)
         if schema.has_variable_width_field:
             chunks, total = self._stage_variable(pid, schema, iterator)
         else:
             chunks, total = self._stage_fixed(pid, schema, iterator)
         return _StagedWrite(pid, chunks, total)
+
+    def _stage_redis(self, pid, schema, iterator):
+        """Stage this partition's samples into a per-attempt temp stream on
+        the redis server, in final payload format. Keys are synthetic
+        (ms=1, seq=local index — strictly increasing per temp key); the
+        real key run is assigned at commit."""
+        log = _open_log(self.locator)
+        tmp = f"{self.stg_prefix}_{pid:06d}_a{self._attempt}"
+        meta = {
+            "first_segment": 0,
+            "schema": self.stream_schema_json,
+            "initialized_at_us": 0,
+            "user_metadata": {},
+        }
+        if self.comp_json:
+            meta["compression_params_json"] = self.comp_json
+        log.create_stream(tmp, meta)
+        comp = Compressor.from_params_json(self.comp_json) if self.comp_json else None
+        if schema.has_variable_width_field:
+            name = schema.field_names()[0]
+            vals: list[bytes] = []
+            for batch in iterator:
+                vals.extend(batch.column(batch.schema.get_field_index(name)).to_pylist())
+            for off in range(0, len(vals), self.batch_size):
+                part = vals[off : off + self.batch_size]
+                sizes = np.array([len(v) for v in part], dtype=np.int64)
+                log.append_batch(tmp, 0, off, b"".join(part), len(part), 1, off, sizes)
+            total = len(vals)
+        else:
+            dtype = schema.dtype()
+            arrs = []
+            for batch in iterator:
+                a = np.zeros(batch.num_rows, dtype=dtype)
+                for f in schema.field_definitions:
+                    col = batch.column(batch.schema.get_field_index(f.name))
+                    if f.type in _ARROW_TYPES:
+                        a[f.name] = col.to_numpy(zero_copy_only=False)
+                    else:
+                        a[f.name] = col.to_pylist()
+                arrs.append(a)
+            arr = np.concatenate(arrs) if arrs else np.zeros(0, dtype=dtype)
+            for off in range(0, len(arr), self.batch_size):
+                chunk = np.ascontiguousarray(arr[off : off + self.batch_size])
+                payload = chunk.tobytes()
+                if comp is not None:
+                    payload = comp.compress(payload)
+                log.append_batch(tmp, 0, off, payload, len(chunk), 1, off, None)
+            total = len(arr)
+        return _StagedWrite(pid, [(f"redis-staged:{tmp}", total)], total)
 
     def _stage_file(self, pid: int, j: int, n: int, ext: str, payload: bytes) -> str:
         # The absolute path travels in the commit message: the driver-side
@@ -458,7 +541,7 @@ class RiverBatchWriter(DataSourceArrowWriter):
         import shutil
 
         schema = StreamSchema.from_json(self.stream_schema_json)
-        log = StreamLog(self.root)
+        log = _open_log(self.locator)
         if log.read_metadata(self.stream) is None:
             StreamWriter(log).initialize(self.stream, schema)
         # recover append position + last handed-out key from the log
@@ -474,13 +557,57 @@ class RiverBatchWriter(DataSourceArrowWriter):
         keygen = MonotonicKeyGen()
         if last_ms >= 0:
             keygen.seed(last_ms, last_seq)
-        staging_dirs = {self.staging}
+        staging_dirs = set() if self.staging is None else {self.staging}
         for msg in sorted((m for m in messages if m is not None), key=lambda m: m.partition_id):
             for src, n in msg.chunks:
-                staging_dirs.add(os.path.dirname(src))
-                total = self._promote(log, keygen, schema, src, n, total)
+                if src.startswith("redis-staged:"):
+                    total = self._promote_redis(log, keygen, schema, src[len("redis-staged:"):], total)
+                else:
+                    staging_dirs.add(os.path.dirname(src))
+                    total = self._promote(log, keygen, schema, src, n, total)
         for d in staging_dirs:
             shutil.rmtree(d, ignore_errors=True)
+
+    def _promote_redis(self, log, keygen, schema, tmp: str, total: int) -> int:
+        """Assign index ranges + key runs to one temp stream's staged
+        batches and re-append them to the live stream, then drop the temp
+        stream. Whole-batch payloads move verbatim (compressed stays
+        compressed); only a batch crossing a segment boundary is split."""
+        comp = Compressor.from_params_json(self.comp_json) if self.comp_json else None
+        eps = self.entries_per_segment
+        for _start, n, _ms, _seq0, handle in log.list_batches(tmp, 0):
+            z = log.read_batch(handle)
+            payload = z["data"].tobytes()
+            sizes = z.get("sizes")
+            if total > 0 and total % eps == 0:
+                log.write_tombstone(self.stream, total // eps - 1, total - 1)
+            room = eps - (total % eps)
+            if n <= room:
+                ms, seq0 = keygen.next_keys(n)
+                log.append_batch(self.stream, total // eps, total, payload, n, ms, seq0, sizes)
+                total += n
+                continue
+            raw = comp.decompress(payload) if comp is not None else payload
+            offs = np.concatenate([[0], np.cumsum(sizes)]) if sizes is not None else None
+            ss = None if schema.has_variable_width_field else schema.sample_size()
+            lo = 0
+            while lo < n:
+                take = min(n - lo, eps - (total % eps))
+                if total > 0 and total % eps == 0:
+                    log.write_tombstone(self.stream, total // eps - 1, total - 1)
+                if sizes is not None:
+                    piece, sub = raw[offs[lo] : offs[lo + take]], sizes[lo : lo + take]
+                else:
+                    piece, sub = raw[lo * ss : (lo + take) * ss], None
+                    if comp is not None:
+                        piece = comp.compress(piece)
+                ms, seq0 = keygen.next_keys(take)
+                log.append_batch(self.stream, total // eps, total, piece, take, ms, seq0, sub)
+                total += take
+                lo += take
+        log.delete_segment(tmp, 0)
+        log.delete_metadata(tmp)
+        return total
 
     def _promote(self, log, keygen, schema, src, n, total) -> int:
         """Assign [total, total+n) + a key run to one staged chunk and move
@@ -538,14 +665,26 @@ class RiverBatchWriter(DataSourceArrowWriter):
         return total
 
     def abort(self, messages):
-        # messages may be partial (failed tasks return nothing) — wipe the
-        # whole staging dir so a failed job leaves zero residue
+        # messages may be partial (failed tasks return nothing) — wipe all
+        # staging so a failed job leaves zero residue
         import shutil
 
+        if self.staging is None:
+            log = _open_log(self.locator)
+            # temp streams all share this writer's prefix, so even attempts
+            # that never reported a commit message get cleaned up
+            for name in log.list_streams():
+                if name.startswith(self.stg_prefix):
+                    log.delete_segment(name, 0)
+                    log.delete_metadata(name)
+            return
         dirs = {self.staging}
         for m in messages or []:
             if m is not None:
-                dirs.update(os.path.dirname(p) for p, _n in m.chunks)
+                dirs.update(
+                    os.path.dirname(p) for p, _n in m.chunks
+                    if not p.startswith("redis-staged:")
+                )
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
 
@@ -558,32 +697,26 @@ class RiverStreamWriter(DataSourceStreamArrowWriter):
 
     def __init__(self, options, schema: T.StructType):
         self._batch = RiverBatchWriter(options, schema)
-        self.root = self._batch.root
         self.stream = self._batch.stream
 
     def write(self, iterator):
         return self._batch.write(iterator)
 
-    def _commits_path(self) -> str:
-        return os.path.join(self.root, f"_sink_commits_{self.stream}.json")
+    def _commits_key(self) -> str:
+        return f"sink_commits/{self.stream}"
 
     def commit(self, messages, batchId):
         import json
 
-        path = self._commits_path()
-        committed = {}
-        if os.path.exists(path):
-            with open(path) as f:
-                committed = json.load(f)
+        log = _open_log(self._batch.locator)
+        raw = log.read_aux(self._commits_key())
+        committed = json.loads(raw) if raw else {}
         if str(batchId) in committed:
             self.abort(messages, batchId)  # replay: drop staged files
             return
         self._batch.commit(messages)
         committed[str(batchId)] = sum(m.num_rows for m in messages if m)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(committed, f)
-        os.replace(tmp, path)
+        log.write_aux(self._commits_key(), json.dumps(committed))
 
     def abort(self, messages, batchId):
         self._batch.abort(messages)
@@ -593,15 +726,18 @@ class RiverStreamWriter(DataSourceStreamArrowWriter):
 # the DataSource
 # ---------------------------------------------------------------------------
 class RiverDataSource(DataSource):
-    """format("river") — options: path (log root), stream (stream name),
-    maxSamplesPerTrigger, retention (streaming read)."""
+    """format("river") — options: path (log root) OR redis (host:port),
+    stream (stream name), maxSamplesPerTrigger, retention (streaming
+    read). With the redis locator, each read task opens its own RESP
+    connection and XRANGEs only its batch window — reads scale with the
+    executor count, not the driver."""
 
     @classmethod
     def name(cls):
         return "river"
 
     def schema(self):
-        log = StreamLog(self.options["path"])
+        log = _open_log(_locator(self.options))
         meta = log.read_metadata(self.options["stream"])
         if meta is None:
             raise ValueError(f"stream {self.options['stream']!r} not found")

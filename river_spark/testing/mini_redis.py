@@ -11,7 +11,8 @@ set, against a real server instead).
 
 Implemented commands (the exact surface the reference transport uses,
 ``/root/reference/cpp/src/redis.cpp:63-389``): PING, AUTH, SELECT, TIME,
-EXISTS, DEL, UNLINK, SCAN (MATCH/COUNT), HSET, HSETNX, HGET, HGETALL,
+EXISTS, DEL, UNLINK, SCAN (MATCH/COUNT), GET, SET, HSET, HSETNX, HGET,
+HGETALL,
 XADD (auto ``*`` and explicit IDs with monotonicity enforcement), XLEN,
 XRANGE / XREVRANGE (``-``/``+``, exclusive ``(`` bounds, COUNT), XREAD
 (COUNT/BLOCK/``$``), XDEL, FLUSHALL.
@@ -72,6 +73,7 @@ class _State:
         self.cond = threading.Condition(self.lock)
         self.streams: dict[bytes, _Stream] = {}
         self.hashes: dict[bytes, dict[bytes, bytes]] = {}
+        self.strings: dict[bytes, bytes] = {}
 
 
 class _Handler(socketserver.BaseRequestHandler):
@@ -180,18 +182,25 @@ class _Handler(socketserver.BaseRequestHandler):
         with state.lock:
             state.streams.clear()
             state.hashes.clear()
+            state.strings.clear()
         return SimpleString(b"OK")
 
     def _cmd_exists(self, state, args):
         with state.lock:
-            return sum(1 for k in args if k in state.streams or k in state.hashes)
+            return sum(
+                1
+                for k in args
+                if k in state.streams or k in state.hashes or k in state.strings
+            )
 
     def _cmd_del(self, state, args):
         with state.lock:
             n = 0
             for k in args:
-                n += (state.streams.pop(k, None) is not None) + (
-                    state.hashes.pop(k, None) is not None
+                n += (
+                    (state.streams.pop(k, None) is not None)
+                    + (state.hashes.pop(k, None) is not None)
+                    + (state.strings.pop(k, None) is not None)
                 )
             return n
 
@@ -200,8 +209,18 @@ class _Handler(socketserver.BaseRequestHandler):
     def _cmd_keys(self, state, args):
         pat = args[0].decode()
         with state.lock:
-            names = list(state.streams) + list(state.hashes)
+            names = list(state.streams) + list(state.hashes) + list(state.strings)
         return sorted(k for k in names if fnmatch.fnmatchcase(k.decode(), pat))
+
+    # strings
+    def _cmd_get(self, state, args):
+        with state.lock:
+            return state.strings.get(args[0])
+
+    def _cmd_set(self, state, args):
+        with state.lock:
+            state.strings[args[0]] = args[1]
+        return SimpleString(b"OK")
 
     def _cmd_scan(self, state, args):
         # single-page SCAN: cursor 0 -> (0, all matches); fine for a test box
@@ -214,7 +233,7 @@ class _Handler(socketserver.BaseRequestHandler):
             elif opt == b"COUNT":
                 rest.pop(0)
         with state.lock:
-            names = list(state.streams) + list(state.hashes)
+            names = list(state.streams) + list(state.hashes) + list(state.strings)
         matches = sorted(k for k in names if fnmatch.fnmatchcase(k.decode(), pat))
         return [b"0", matches]
 

@@ -98,6 +98,16 @@ class StorageBackend(abc.ABC):
     @abc.abstractmethod
     def delete_segment(self, name: str, segment_idx: int) -> None: ...
 
+    # ---- small auxiliary KV (consumer-group cursors, sink commit registry).
+    # ≈ plain Redis string keys beside the stream; file backend keeps them
+    # as files under the root. Values are short strings (JSON), written
+    # atomically (last writer wins).
+    @abc.abstractmethod
+    def read_aux(self, key: str) -> str | None: ...
+
+    @abc.abstractmethod
+    def write_aux(self, key: str, value: str) -> None: ...
+
 
 class MemoryBackend(StorageBackend):
     """In-process dict-backed backend. Same semantics as FileBackend for
@@ -111,12 +121,17 @@ class MemoryBackend(StorageBackend):
 
     # locks don't pickle; a pickled copy is an independent snapshot
     def __getstate__(self):
-        return {"streams": self._streams, "payloads": self._payloads}
+        return {
+            "streams": self._streams,
+            "payloads": self._payloads,
+            "aux": getattr(self, "_aux", {}),
+        }
 
     def __setstate__(self, state):
         self._lock = threading.Lock()
         self._streams = state["streams"]
         self._payloads = state["payloads"]
+        self._aux = state.get("aux", {})
 
     def _segment(self, name: str, idx: int, create: bool = False) -> dict | None:
         s = self._streams.get(name)
@@ -232,3 +247,14 @@ class MemoryBackend(StorageBackend):
             if seg:
                 for h in seg["batches"]:
                     self._payloads.pop(h, None)
+
+    # ---- aux KV ------------------------------------------------------------
+    def read_aux(self, key):
+        with self._lock:
+            return getattr(self, "_aux", {}).get(key)
+
+    def write_aux(self, key, value):
+        with self._lock:
+            if not hasattr(self, "_aux"):
+                self._aux = {}
+            self._aux[key] = str(value)

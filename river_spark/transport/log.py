@@ -243,6 +243,24 @@ class FileBackend(StorageBackend):
                 os.remove(os.path.join(seg, fname))
             os.rmdir(seg)
 
+    # ---- aux KV ------------------------------------------------------------
+    def _aux_path(self, key: str) -> str:
+        return os.path.join(self.root, f"_aux_{key.replace('/', '__')}.json")
+
+    def read_aux(self, key: str) -> str | None:
+        try:
+            with open(self._aux_path(key)) as f:
+                return f.read()
+        except OSError:
+            return None
+
+    def write_aux(self, key: str, value: str) -> None:
+        path = self._aux_path(key)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(value))
+        os.replace(tmp, path)
+
     # ---- helpers ----------------------------------------------------------
     @staticmethod
     def _write_json_atomic(path: str, obj: dict) -> None:
@@ -333,6 +351,12 @@ class StreamLog:
 
     def delete_segment(self, name, segment_idx):
         return self.backend.delete_segment(name, segment_idx)
+
+    def read_aux(self, key):
+        return self.backend.read_aux(key)
+
+    def write_aux(self, key, value):
+        return self.backend.write_aux(key, value)
 
 
 class MonotonicKeyGen:

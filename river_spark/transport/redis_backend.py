@@ -368,6 +368,14 @@ class RedisBackend(StorageBackend):
     def delete_segment(self, name, segment_idx):
         self._conn().command("UNLINK", self._seg_key(name, segment_idx))
 
+    # ---- aux KV (plain string keys beside the streams) ---------------------
+    def read_aux(self, key: str) -> str | None:
+        v = self._conn().command("GET", f"river-aux-{key}")
+        return None if v is None else v.decode()
+
+    def write_aux(self, key: str, value: str) -> None:
+        self._conn().command("SET", f"river-aux-{key}", str(value))
+
     # ---- clock (≈ TIME, cpp/src/redis.cpp:281-291) -------------------------
     def time_us(self) -> int:
         sec, usec = self._conn().command("TIME")

@@ -221,3 +221,63 @@ def test_ingest_to_parquet_on_redis(tmp_path, backend):
     idx = t.column("sample_index").to_numpy()
     np.testing.assert_array_equal(idx, np.arange(5000))
     assert len(set(t.column("key").to_pylist())) == 5000
+
+
+def test_spark_sink_and_batch_read_over_redis(spark, server, backend):
+    """format("river") with the redis locator: executors stage into temp
+    streams on the server, the driver assigns contiguous sample_index on
+    commit, and the batch source reads each XRANGE window from its own
+    task connection — no shared filesystem anywhere."""
+    from pyspark.sql import functions as F
+
+    from river_spark.sources import register
+
+    register(spark)
+    host, port = server
+    url = f"{host}:{port}"
+    df = spark.range(0, 1000, 1, 4).selectExpr("id AS a", "CAST(id * 0.5 AS double) AS b")
+    df.write.format("river").option("redis", url).option("stream", "spark_rt").mode(
+        "append"
+    ).save()
+    back = (
+        spark.read.format("river").option("redis", url).option("stream", "spark_rt").load()
+    )
+    agg = back.agg(
+        F.count("*").alias("n"),
+        F.sum("a").alias("sa"),
+        F.min("sample_index").alias("lo"),
+        F.max("sample_index").alias("hi"),
+        F.countDistinct("sample_index").alias("di"),
+        F.countDistinct("key").alias("dk"),
+    ).collect()[0]
+    assert (agg.n, agg.sa, agg.lo, agg.hi, agg.di, agg.dk) == (
+        1000, 999 * 1000 // 2, 0, 999, 1000, 1000,
+    )
+    # no staging residue on the server
+    leftovers = [s for s in StreamLog(backend=backend).list_streams() if s.startswith("_stg_")]
+    assert leftovers == []
+
+
+def test_spark_streaming_read_over_redis(spark, server, backend, tmp_path):
+    """Structured Streaming over the redis locator: availableNow drains
+    the wire stream to EOF through micro-batches with exact contents."""
+    log = StreamLog(backend=backend)
+    _schema_, arr = _write(log, "srs", n=500)
+    host, port = server
+    q = (
+        spark.readStream.format("river")
+        .option("redis", f"{host}:{port}")
+        .option("stream", "srs")
+        .option("maxSamplesPerTrigger", "128")
+        .load()
+        .writeStream.format("memory")
+        .queryName("srs_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT count(*) AS n, sum(a) AS sa, count(DISTINCT sample_index) AS di FROM srs_out"
+    ).collect()[0]
+    assert (out.n, out.sa, out.di) == (500, int(arr["a"].sum()), 500)

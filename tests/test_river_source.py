@@ -475,8 +475,7 @@ def test_stream_reader_foreign_cursor_cannot_stall_window(store):
     _write_stream(store, "fc", n=1000, batch_size=100)
     # foreign query committed index 100; OUR checkpoint (not visible to
     # the reader) would be at 900
-    with open(os.path.join(store, "_cursor_fc_default.json"), "w") as f:
-        json.dump({"index": 100}, f)
+    StreamLog(store).write_aux("cursor/fc/default", json.dumps({"index": 100}))
     r = RiverStreamReader({"path": store, "stream": "fc", "maxSamplesPerTrigger": "75"})
     ends = [r.latestOffset()["index"] for _ in range(20)]
     assert ends[0] == 175  # capped relative to the adopted cursor
