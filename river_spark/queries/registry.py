@@ -92,11 +92,14 @@ _PRIORITY = [
     "text_fingerprint",
     "text_bpe_tokens",
     "text_rolling_fingerprint",
-    "dedup_exact",
-    # 50th slot: new-this-round coverage (redis-wire backend) gets a
-    # driver row immediately
+    # 49th/50th slots: new-this-round coverage (redis-wire backend, real
+    # Structured Streaming run) gets a driver row immediately;
+    # dedup_exact (r1-green, trivial oracle, local-gate covered) yields
+    # its rotation slot and trails instead
     "river_redis_roundtrip",
+    "river_stream_query",
     # --- checked green in CORRECTNESS_r04; re-verified locally each session ---
+    "dedup_exact",
     "river_ingest_roundtrip",
     "river_system_columns",
     "river_sink_roundtrip",

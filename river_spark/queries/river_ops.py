@@ -454,6 +454,62 @@ def river_redis_roundtrip(spark, sf_dir):
 
 
 @q(
+    "river_stream_query",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket, count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY user_id % 10
+    """,
+    tags=("river", "streaming"),
+)
+def river_stream_query(spark, sf_dir):
+    """A real Structured Streaming run through the driver gate (not a
+    batch analog): the events table is written through the transport,
+    then drained by a streaming query over the river source
+    (availableNow, micro-batches capped by maxSamplesPerTrigger ≈ the
+    reference reader's max_fetch_size, cpp/src/reader.h:62) into a
+    memory sink; the drained rows must aggregate to exactly the source
+    table. Proves offsets, micro-batch slicing, EOF-drain termination,
+    and exactly-once delivery end to end."""
+    from river_spark.sources import register
+
+    key = ("stream_query", sf_dir)
+    if key not in _CACHE:
+        register(spark)
+        work = tempfile.mkdtemp(prefix="river_spark_sq_")
+        store = os.path.join(work, "store")
+        log = StreamLog(store)
+        schema, arr = _events_array(sf_dir, ("event_id", "user_id", "value"))
+        w = StreamWriter(log).initialize("events_sq", schema)
+        w.write(arr)
+        w.stop()
+        import re as _re
+
+        table = "river_sq_" + _re.sub(r"\W", "_", sf_dir).strip("_")
+        (
+            spark.readStream.format("river")
+            .option("path", store)
+            .option("stream", "events_sq")
+            .option("maxSamplesPerTrigger", "4096")
+            .load()
+            .writeStream.format("memory")
+            .queryName(table)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(300)
+        )
+        _CACHE[key] = table
+    return spark.sql(
+        f"""
+        SELECT user_id % 10 AS user_bucket, count(*) AS n,
+               round(sum(value), 4) AS sum_value
+        FROM {_CACHE[key]} GROUP BY user_id % 10
+        """
+    )
+
+
+@q(
     "river_sink_roundtrip",
     oracle="SELECT doc_id, text FROM documents",
     tags=("river", "sink", "roundtrip"),

@@ -105,6 +105,22 @@ class StreamReader:
         meta = self.log.read_metadata(self.stream_name)
         return meta.get("user_metadata", {}) if meta else {}
 
+    def _wait_for_data(self, deadline: float | None = None) -> None:
+        """One bounded wait for new data: backends with a server-side
+        blocking primitive (RedisBackend ≈ XREAD BLOCK, the reference
+        reader's adaptive path, cpp/src/reader.cpp:111-137) block there;
+        local backends fall back to a short sleep-poll. Never blocks past
+        the caller's deadline (and never passes 0, which XREAD treats as
+        block-forever)."""
+        wait = getattr(self.log.backend, "wait_for_append", None)
+        if wait is None:
+            time.sleep(_POLL_S)
+            return
+        ms = 50
+        if deadline is not None:
+            ms = max(1, min(ms, int((deadline - time.monotonic()) * 1000)))
+        wait(self.stream_name, self._segment, timeout_ms=ms)
+
     # -- scan helpers ----------------------------------------------------------
     def _available_in_segment(self) -> list[tuple[int, int, int, int, str]]:
         # cache the directory listing; refresh only when it has nothing new
@@ -189,7 +205,7 @@ class StreamReader:
                 continue
             if deadline is not None and time.monotonic() >= deadline:
                 break
-            time.sleep(_POLL_S)
+            self._wait_for_data(deadline)
 
         if got == 0 and self._eof_seen:
             return ReadResult(-1, None, [], np.empty(0, dtype=np.int64))
@@ -219,7 +235,7 @@ class StreamReader:
                 return -1, None
             if deadline is not None and time.monotonic() >= deadline:
                 return 0, None
-            time.sleep(_POLL_S)
+            self._wait_for_data(deadline)
 
     def _newest_available(self) -> int | None:
         segs = self.log.list_segments(self.stream_name)

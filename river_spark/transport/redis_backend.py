@@ -376,6 +376,20 @@ class RedisBackend(StorageBackend):
     def write_aux(self, key: str, value: str) -> None:
         self._conn().command("SET", f"river-aux-{key}", str(value))
 
+    # ---- blocking wait (≈ XREAD BLOCK, cpp/src/redis.cpp:63-84) ------------
+    def wait_for_append(self, name: str, segment_idx: int, timeout_ms: int = 50) -> None:
+        """Block server-side until the segment key receives a new entry or
+        the timeout lapses — the reference reader's XREAD-BLOCK path,
+        replacing client-side sleep-polling (each poll on this backend
+        would otherwise be a full XRANGE). ``$`` waits for entries newer
+        than call time; an entry that landed just before the call is
+        picked up by the caller's next listing either way, so the race
+        costs at most one timeout, never a miss."""
+        self._conn().command(
+            "XREAD", "COUNT", 1, "BLOCK", int(timeout_ms),
+            "STREAMS", self._seg_key(name, segment_idx), "$",
+        )
+
     # ---- clock (≈ TIME, cpp/src/redis.cpp:281-291) -------------------------
     def time_us(self) -> int:
         sec, usec = self._conn().command("TIME")

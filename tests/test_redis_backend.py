@@ -281,3 +281,43 @@ def test_spark_streaming_read_over_redis(spark, server, backend, tmp_path):
         "SELECT count(*) AS n, sum(a) AS sa, count(DISTINCT sample_index) AS di FROM srs_out"
     ).collect()[0]
     assert (out.n, out.sa, out.di) == (500, int(arr["a"].sum()), 500)
+
+
+def test_blocking_read_wakes_on_live_append(server, backend):
+    """A reader blocked in XREAD BLOCK (not sleep-polling) must wake and
+    deliver samples appended by a concurrent writer well inside its
+    timeout budget, and the same read call must keep following the live
+    stream to EOF."""
+    import threading
+    import time as _time
+
+    log = StreamLog(backend=backend)
+    schema = _schema()
+    w = StreamWriter(log).initialize("live", schema)
+    first = np.zeros(3, dtype=schema.dtype())
+    first["a"] = [0, 1, 2]
+    w.write(first)
+
+    results = {}
+
+    def consume():
+        r = StreamReader(StreamLog(backend=RedisBackend(*server))).initialize("live")
+        res = r.read(10, timeout_ms=5000)
+        results["res"] = res
+        results["t"] = _time.monotonic()
+
+    t = threading.Thread(target=consume)
+    t.start()
+    _time.sleep(0.3)  # reader is now blocked waiting for samples 3..9
+    second = np.zeros(7, dtype=schema.dtype())
+    second["a"] = np.arange(3, 10)
+    t0 = _time.monotonic()
+    w.write(second)
+    w.stop()
+    t.join(timeout=10)
+    assert not t.is_alive()
+    res = results["res"]
+    assert res.count == 10
+    np.testing.assert_array_equal(res.samples["a"], np.arange(10))
+    # woke via the blocking wait, not by draining the 5 s timeout
+    assert results["t"] - t0 < 2.0
