@@ -23,6 +23,21 @@ from river_spark.schema import FieldDefinition, FieldType, StreamSchema
 from river_spark.transport import StreamLog, StreamReader, StreamWriter
 
 
+def _open_log(args) -> StreamLog:
+    """--redis host:port connects over the wire (like the reference tools'
+    redis_hostname/redis_port args, cpp/src/tools/river_writer.cpp:11-75);
+    --path uses the local file log."""
+    redis = getattr(args, "redis", None)
+    if redis:
+        from river_spark.transport import RedisBackend
+
+        host, _, port = redis.rpartition(":")
+        return StreamLog(backend=RedisBackend(host or "127.0.0.1", int(port)))
+    if not args.path:
+        raise SystemExit("one of --path or --redis is required")
+    return StreamLog(args.path)
+
+
 def _schema_from_spec(spec: str) -> StreamSchema:
     """'name:TYPE[:size],...' e.g. 'ch:INT32,v:DOUBLE' or 'blob:FIXED_WIDTH_BYTES:16'."""
     fields = []
@@ -35,7 +50,7 @@ def _schema_from_spec(spec: str) -> StreamSchema:
 
 
 def writer_main(args) -> int:
-    log = StreamLog(args.path)
+    log = _open_log(args)
     schema = _schema_from_spec(args.schema)
     w = StreamWriter(log, batch_size=args.batch_size).initialize(args.stream, schema)
     names = schema.field_names()
@@ -62,7 +77,7 @@ def writer_main(args) -> int:
 
 
 def reader_main(args) -> int:
-    log = StreamLog(args.path)
+    log = _open_log(args)
     r = StreamReader(log).initialize(args.stream, timeout_ms=args.timeout_ms)
     names = r.schema.field_names()
     print(",".join(names))
@@ -83,7 +98,9 @@ def benchmark_main(args) -> int:
     """river_benchmark defaults: 1M samples x 8 B, batch 10240."""
     import tempfile
 
-    log = StreamLog(args.path or tempfile.mkdtemp(prefix="river_bench_"))
+    if not args.path and not getattr(args, "redis", None):
+        args.path = tempfile.mkdtemp(prefix="river_bench_")
+    log = _open_log(args)
     schema = StreamSchema([FieldDefinition("v", FieldType.DOUBLE)])
     n = args.num_samples
     arr = np.zeros(n, dtype=schema.dtype())
@@ -117,7 +134,7 @@ def benchmark_main(args) -> int:
 
 
 def ingest_main(args) -> int:
-    log = StreamLog(args.path)
+    log = _open_log(args)
     settings = (
         IngesterSettings.from_json(open(args.settings).read())
         if args.settings
@@ -136,13 +153,15 @@ def main(argv=None) -> int:
     sub = ap.add_subparsers(dest="tool", required=True)
 
     w = sub.add_parser("writer", help="stdin CSV -> stream")
-    w.add_argument("--path", required=True)
+    w.add_argument("--path", default=None)
+    w.add_argument("--redis", default=None, help="host:port of a redis server")
     w.add_argument("--stream", required=True)
     w.add_argument("--schema", required=True, help="name:TYPE[,name:TYPE...]")
     w.add_argument("--batch-size", type=int, default=1536)
 
     r = sub.add_parser("reader", help="stream -> stdout CSV")
-    r.add_argument("--path", required=True)
+    r.add_argument("--path", default=None)
+    r.add_argument("--redis", default=None, help="host:port of a redis server")
     r.add_argument("--stream", required=True)
     r.add_argument("--batch-size", type=int, default=10000)
     r.add_argument("--timeout-ms", type=int, default=1000)
@@ -150,11 +169,13 @@ def main(argv=None) -> int:
 
     b = sub.add_parser("benchmark", help="write/read throughput")
     b.add_argument("--path", default=None)
+    b.add_argument("--redis", default=None, help="host:port of a redis server")
     b.add_argument("--num-samples", type=int, default=1_000_000)
     b.add_argument("--batch-size", type=int, default=10_240)
 
     i = sub.add_parser("ingest", help="run the ingester once")
-    i.add_argument("--path", required=True)
+    i.add_argument("--path", default=None)
+    i.add_argument("--redis", default=None, help="host:port of a redis server")
     i.add_argument("--out", required=True)
     i.add_argument("--settings", default=None)
 

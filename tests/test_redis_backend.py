@@ -321,3 +321,46 @@ def test_blocking_read_wakes_on_live_append(server, backend):
     np.testing.assert_array_equal(res.samples["a"], np.arange(10))
     # woke via the blocking wait, not by draining the 5 s timeout
     assert results["t"] - t0 < 2.0
+
+
+def test_cli_over_redis(server, backend):
+    """The CLI tools accept --redis host:port like the reference tools'
+    redis hostname/port args: stdin CSV → wire stream → stdout CSV."""
+    import os
+    import subprocess
+    import sys
+
+    import river_spark
+
+    host, port = server
+    url = f"{host}:{port}"
+    env = {**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(river_spark.__file__))}
+    csv = "\n".join(f"{i},{i * 0.5!r}" for i in range(100))
+    subprocess.run(
+        [sys.executable, "-m", "river_spark.tools.cli", "writer", "--redis", url,
+         "--stream", "cli_redis", "--schema", "a:INT64,b:DOUBLE"],
+        input=csv.encode(), check=True, capture_output=True, env=env,
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "river_spark.tools.cli", "reader", "--redis", url,
+         "--stream", "cli_redis"],
+        check=True, capture_output=True, env=env,
+    ).stdout.decode()
+    lines = out.strip().splitlines()
+    assert lines[0] == "a,b"
+    assert len(lines) == 101
+    assert lines[1].split(",")[0] == "0" and lines[100].split(",")[0] == "99"
+
+
+def test_catalog_over_redis(spark, server, backend):
+    """A10 over the wire: register_streams('redis://host:port') surfaces
+    every live stream on the server as a queryable Spark view."""
+    from river_spark.catalog import register_streams, stream_metadata
+
+    log = StreamLog(backend=backend)
+    _write(log, "cat_r", n=50)
+    url = f"redis://{server[0]}:{server[1]}"
+    views = register_streams(spark, url)
+    assert "river_cat_r" in views
+    assert spark.table("river_cat_r").count() == 50
+    assert stream_metadata(url, "cat_r")["user_metadata"] == {"k": "v"}
