@@ -134,7 +134,15 @@ def build_scaled_dir(spark, sf_dir: str, factor: int = _SCALE_FACTOR) -> str:
 
     from pyspark.sql import functions as F
 
-    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    # cache key covers source CONTENT identity (path + per-table size/mtime):
+    # the driver can regenerate the testdata between rounds, and a stale
+    # replica would silently benchmark last round's data
+    sig = [os.path.abspath(sf_dir)]
+    for f in sorted(os.listdir(sf_dir)):
+        if f.endswith(".parquet"):
+            st = os.stat(os.path.join(sf_dir, f))
+            sig.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+    tag = hashlib.sha1("|".join(sig).encode()).hexdigest()[:8]
     out = os.path.join(
         os.environ.get("TMPDIR", "/tmp"), f"river_spark_scaled_{factor}x_{tag}"
     )
