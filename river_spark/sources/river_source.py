@@ -567,6 +567,13 @@ class RiverBatchWriter(DataSourceArrowWriter):
                     total = self._promote(log, keygen, schema, src, n, total)
         for d in staging_dirs:
             shutil.rmtree(d, ignore_errors=True)
+        if self.staging is None:
+            # sweep temp streams left by losing/zombie attempts (they share
+            # this writer's prefix but were never promoted)
+            for name in log.list_streams():
+                if name.startswith(self.stg_prefix):
+                    log.delete_segment(name, 0)
+                    log.delete_metadata(name)
 
     def _promote_redis(self, log, keygen, schema, tmp: str, total: int) -> int:
         """Assign index ranges + key runs to one temp stream's staged

@@ -31,7 +31,7 @@ from pyspark.sql import SparkSession
 from river_spark.ingest.settings import IngesterSettings, StreamIngestionSettings
 from river_spark.schema import StreamSchema
 from river_spark.sources import register
-from river_spark.transport.log import StreamLog
+from river_spark.transport.log import locator_option, open_log_root
 
 
 def ingest_stream_continuous(
@@ -44,22 +44,26 @@ def ingest_stream_continuous(
     partition_by_date: bool = False,
 ):
     """Start one streaming ingestion query for ``stream``; returns the
-    StreamingQuery. Default trigger is availableNow (drain + stop), matching
-    an ingester run to EOF; pass ``{"processingTime": "1 second"}`` for the
-    daemon cadence."""
+    StreamingQuery. ``log_root`` is a file root or ``redis://host:port`` —
+    the latter is the reference's production deployment shape (ingester
+    daemon draining a live Redis server to Parquet,
+    cpp/ingester/src/ingester_main.cpp). Default trigger is availableNow
+    (drain + stop), matching an ingester run to EOF; pass
+    ``{"processingTime": "1 second"}`` for the daemon cadence."""
     register(spark)
     settings = settings or StreamIngestionSettings()
-    log = StreamLog(log_root)
+    log = open_log_root(log_root)
     meta = log.read_metadata(stream)
     if meta is None:
-        raise ValueError(f"stream {stream!r} not found under {log_root}")
+        raise ValueError(f"stream {stream!r} not found at {log_root}")
     schema = StreamSchema.from_json(meta["schema"])
     fields = settings.filter_fields(schema.field_names())
     cols = ["sample_index", "key", "timestamp_ms"] + fields
 
+    kind, value = locator_option(log_root)
     df = (
         spark.readStream.format("river")
-        .option("path", log_root)
+        .option(kind, value)
         .option("stream", stream)
         .option("maxSamplesPerTrigger", str(settings.samples_per_read * 1024))
         .option("retention", "true")
@@ -101,7 +105,7 @@ def ingest_streams(
     stream's ``metadata.json`` is emitted beside the data (A13 parity,
     cpp/ingester/src/ingester.cpp:766-793)."""
     settings = settings or IngesterSettings.catch_all()
-    log = StreamLog(log_root)
+    log = open_log_root(log_root)
     queries = {}
     for name in log.list_streams():
         s = settings.settings_for(name)
@@ -121,7 +125,7 @@ def write_output_metadata(
     """Emit out/{stream}/metadata.json from the live stream metadata."""
     import json
 
-    log = StreamLog(log_root)
+    log = open_log_root(log_root)
     meta = log.read_metadata(stream) or {}
     schema_json = meta.get("schema")
     fields = None

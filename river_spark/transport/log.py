@@ -51,6 +51,26 @@ _BATCH_RE = re.compile(r"^batch_(\d{12})_(\d+)_(\d+)_(\d+)\.(bin|npz)$")
 _SEG_RE = re.compile(r"^segment_(\d{6})$")
 
 
+def locator_option(log_root: str) -> tuple[str, str]:
+    """Split a log-root string into the DataSource option it maps to:
+    ``redis://host:port`` → ("redis", "host:port"); anything else is a
+    file root → ("path", root)."""
+    if log_root.startswith("redis://"):
+        return "redis", log_root[len("redis://"):]
+    return "path", log_root
+
+
+def open_log_root(log_root: str) -> "StreamLog":
+    """StreamLog for a root string — file directory or redis://host:port."""
+    kind, value = locator_option(log_root)
+    if kind == "redis":
+        from river_spark.transport.redis_backend import RedisBackend
+
+        host, _, port = value.rpartition(":")
+        return StreamLog(backend=RedisBackend(host or "127.0.0.1", int(port)))
+    return StreamLog(value)
+
+
 def encode_key(ms: int, seq: int) -> str:
     return f"{ms}-{seq}"
 

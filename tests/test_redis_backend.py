@@ -364,3 +364,23 @@ def test_catalog_over_redis(spark, server, backend):
     assert "river_cat_r" in views
     assert spark.table("river_cat_r").count() == 50
     assert stream_metadata(url, "cat_r")["user_metadata"] == {"k": "v"}
+
+
+def test_streaming_ingester_drains_redis_to_parquet(spark, server, backend, tmp_path):
+    """The reference's production deployment shape: the ingester-as-
+    streaming-query drains a live Redis server to Parquet (regex-routed
+    orchestration, system columns, EOF termination)."""
+    from river_spark.streaming import ingest_streams
+
+    log = StreamLog(backend=backend)
+    _schema_, arr = _write(log, "daemon", n=2000)
+    url = f"redis://{server[0]}:{server[1]}"
+    queries = ingest_streams(spark, url, str(tmp_path / "out"))
+    assert "daemon" in queries
+    out = spark.read.parquet(str(tmp_path / "out" / "daemon"))
+    assert out.count() == 2000
+    got = out.orderBy("sample_index").agg(
+        __import__("pyspark.sql.functions", fromlist=["sum"]).sum("a")
+    ).collect()[0][0]
+    assert got == int(arr["a"].sum())
+    assert set(out.columns) >= {"sample_index", "key", "timestamp_ms", "a", "b"}
