@@ -118,6 +118,8 @@ class RedisBackend(StorageBackend):
     # ---- metadata (≈ {name}-metadata hash) --------------------------------
     def create_stream(self, name: str, metadata: dict) -> None:
         c = self._conn()
+        # a recreated stream may carry a different schema than a cached one
+        self._stream_info.pop(name, None)
         if c.command("EXISTS", self._meta_key(name), self._seg_key(name, 0)):
             raise StreamExistsError(f"stream {name!r} already exists")
         fields = self._to_wire_fields(name, metadata)
