@@ -254,11 +254,20 @@ class RiverStreamReader(DataSourceStreamReader):
         return {"index": 0}
 
     def _available(self) -> int:
-        """Highest sample index+1 currently in the log."""
+        """Highest sample index+1 currently in the log. Backends with a
+        tail probe (RedisBackend.last_index — an XREVRANGE of a few tail
+        entries) answer in O(1) per segment; otherwise fall back to the
+        full batch listing. This runs once per micro-batch trigger, so on
+        a live wire stream the difference is a constant-size poll vs
+        rescanning every entry every second."""
+        last = getattr(self._log.backend, "last_index", None)
         total = 0
         for seg in self._log.list_segments(self.stream):
-            for start, cnt, _ms, _seq, _path in self._log.list_batches(self.stream, seg):
-                total = max(total, start + cnt)
+            if last is not None:
+                total = max(total, last(self.stream, seg))
+            else:
+                for start, cnt, _ms, _seq, _path in self._log.list_batches(self.stream, seg):
+                    total = max(total, start + cnt)
         return total
 
     def latestOffset(self):

@@ -378,6 +378,25 @@ class RedisBackend(StorageBackend):
     def write_aux(self, key: str, value: str) -> None:
         self._conn().command("SET", f"river-aux-{key}", str(value))
 
+    def last_index(self, name: str, segment_idx: int) -> int:
+        """Highest sample index + 1 present in one segment, from the TAIL
+        of the stream key only (XREVRANGE COUNT k): every entry kind
+        carries enough to answer — ``i``(+``n``) on data entries,
+        ``sample_index`` on control markers — so a live poller pays O(1)
+        per segment instead of an O(entries) XRANGE scan."""
+        entries = self._conn().command(
+            "XREVRANGE", self._seg_key(name, segment_idx), "+", "-", "COUNT", 8
+        )
+        for _raw_id, flat in entries:
+            f = _fields_dict(flat)
+            if b"batch_val" in f:
+                return int(f[b"i"]) + int(f[b"n"])
+            if b"val" in f:
+                return int(f[b"i"]) + 1
+            if b"sample_index" in f:  # tombstone/EOF marker
+                return int(f[b"sample_index"]) + 1
+        return 0
+
     # ---- blocking wait (≈ XREAD BLOCK, cpp/src/redis.cpp:63-84) ------------
     def wait_for_append(self, name: str, segment_idx: int, timeout_ms: int = 50) -> None:
         """Block server-side until the segment key receives a new entry or

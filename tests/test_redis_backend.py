@@ -384,3 +384,30 @@ def test_streaming_ingester_drains_redis_to_parquet(spark, server, backend, tmp_
     ).collect()[0][0]
     assert got == int(arr["a"].sum())
     assert set(out.columns) >= {"sample_index", "key", "timestamp_ms", "a", "b"}
+
+
+def test_last_index_tail_probe_matches_full_scan(server, backend):
+    """The O(1) tail probe must agree with the full batch listing for
+    every segment shape: data tail, tombstone tail, EOF tail, and
+    framed (compressed) batches."""
+    from river_spark.transport.compression import CompressionMode, Compressor
+
+    log = StreamLog(backend=backend)
+    # rolling stream: segments ending in tombstones, last one in data+EOF
+    _write(log, "probe", n=10, entries_per_segment=4, batch_size=3)
+    # framed stream
+    w = StreamWriter(log, compression=Compressor(CompressionMode.ZLIB_LOSSLESS))
+    w.initialize("probe_c", _schema())
+    arr = np.zeros(50, dtype=_schema().dtype())
+    w.write(arr)  # no stop: data entry is the tail
+
+    for name in ("probe", "probe_c"):
+        for seg in log.list_segments(name):
+            full = max(
+                (s + c for s, c, _m, _q, _h in log.list_batches(name, seg)), default=0
+            )
+            probe = backend.last_index(name, seg)
+            # control markers may push the probe to the segment's true end
+            # even when the last batch listing stops earlier; both views
+            # must agree here because markers trail the data they describe
+            assert probe == full, (name, seg, probe, full)
