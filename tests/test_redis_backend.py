@@ -411,3 +411,49 @@ def test_last_index_tail_probe_matches_full_scan(server, backend):
             # even when the last batch listing stops earlier; both views
             # must agree here because markers trail the data they describe
             assert probe == full, (name, seg, probe, full)
+
+
+def test_batch_framing_roundtrip_and_throughput(server):
+    """batch_framing=True (the server-module analog: one entry per batch)
+    must round-trip fixed AND variable-width streams exactly, and beat
+    the per-sample fallback wire by a wide margin."""
+    import time as _time
+
+    host, port = server
+    framed = RedisBackend(host, port, batch_framing=True)
+    framed._conn().command("FLUSHALL")
+    log = StreamLog(backend=framed)
+    # fixed width
+    _schema_, arr = _write(log, "bf", n=50_000, batch_size=10_240)
+    res = StreamReader(log, max_fetch_size=60_000).initialize("bf").read(60_000, timeout_ms=100)
+    assert res.count == 50_000
+    np.testing.assert_array_equal(res.samples["a"], arr["a"])
+    # variable width
+    from river_spark.schema import FieldDefinition as FD, FieldType as FT
+
+    vschema = StreamSchema([FD("payload", FT.VARIABLE_WIDTH_BYTES, size=8)])
+    vals = [b"x" * (i % 7 + 1) for i in range(500)]
+    w = StreamWriter(log).initialize("bfv", vschema)
+    w.write(np.frombuffer(b"".join(vals), dtype=np.uint8),
+            sizes=np.array([len(v) for v in vals], dtype=np.int64))
+    w.stop()
+    vres = StreamReader(log).initialize("bfv").read(1000, timeout_ms=100)
+    assert vres.count == 500
+    np.testing.assert_array_equal(vres.sizes, [len(v) for v in vals])
+    assert vres.samples.tobytes() == b"".join(vals)
+    # throughput: framed write must be >10x the per-sample wire
+    n = 100_000
+    schema = StreamSchema([FD("v", FT.DOUBLE)])
+    big = np.zeros(n, dtype=schema.dtype())
+
+    def rate(backend, name):
+        wl = StreamLog(backend=backend)
+        ww = StreamWriter(wl, batch_size=10_240).initialize(name, schema)
+        t0 = _time.perf_counter()
+        ww.write(big)
+        ww.stop()
+        return n / (_time.perf_counter() - t0)
+
+    framed_rate = rate(framed, "tp_framed")
+    sample_rate = rate(RedisBackend(host, port), "tp_sample")
+    assert framed_rate > 10 * sample_rate, (framed_rate, sample_rate)
