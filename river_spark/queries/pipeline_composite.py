@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from river_spark.queries.relational import q
+from river_spark.queries.tables import tbl
 from river_spark.queries.text import (
     dedup_exact,
     text_lang_id,
@@ -66,4 +67,51 @@ def pipeline_training_set(spark, sf_dir):
         .join(keepers, "doc_id", "left_semi")
         .join(tokens, "doc_id")
         .select("doc_id", "n_tokens", "stopword_ratio")
+    )
+
+
+@q(
+    "pipeline_train_split",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 4)) AS INT) % 100 AS bucket,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS toks
+        FROM documents)
+    SELECT CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split,
+           count(*) AS n_docs,
+           round(avg(toks), 4) AS avg_tokens,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM b GROUP BY 1
+    """,
+    tags=("pipeline", "split"),
+)
+def pipeline_train_split(spark, sf_dir):
+    """Deterministic hash-bucketed train/val split — the standard
+    leakage-safe pipeline split: assignment depends only on the document
+    id (md5 prefix -> bucket 0..99, 90/10), so it is stable across runs,
+    engines, and data order — no sampling state to coordinate at 100 TB,
+    and a document can never drift between splits as the corpus grows.
+    md5/conv are evaluated identically by Spark and DuckDB, so the
+    oracle checks the actual assignment, not just the proportions."""
+    docs = tbl(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+    )
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        docs.select(
+            F.when(bucket < 90, "train").otherwise("val").alias("split"),
+            toks.alias("toks"),
+            "doc_id",
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("toks"), 4).alias("avg_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
     )
