@@ -17,6 +17,7 @@ import river_spark.queries.scale_ops as _scale_ops  # noqa: F401
 import river_spark.queries.relational3 as _relational3  # noqa: F401
 import river_spark.queries.relational4 as _relational4  # noqa: F401
 import river_spark.queries.pipeline_composite as _pipeline_composite  # noqa: F401
+import river_spark.queries.curation as _curation  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -85,20 +86,29 @@ _PRIORITY = [
     "ev_range_join",
     "ev_tail",
     "ev_seek",
-    # text analysis
+    # never-driver-checked queries outrank the r1-checked text family:
+    # the six curation/corpus ops added this round plus the train split
+    # (added late in r4, landed past the 50-query gate) take the text
+    # block's head slots; text_* stays covered by the local oracle gate
+    # every session and rotates back next round
+    "decontam_ngram_overlap",
+    "pipeline_seq_pack",
+    "text_tfidf_top_terms",
+    "pipeline_stratified_sample",
+    "text_unigram_logprob",
+    "pipeline_train_split",
+    # new-this-round coverage (redis-wire backend, real Structured
+    # Streaming run) gets a driver row immediately
+    "river_redis_roundtrip",
+    "river_stream_query",
+    # --- driver-checked green in earlier rounds; re-verified locally each
+    # session by tests/test_oracle.py ---
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
     "text_bpe_tokens",
     "text_rolling_fingerprint",
-    # 49th/50th slots: new-this-round coverage (redis-wire backend, real
-    # Structured Streaming run) gets a driver row immediately;
-    # dedup_exact (r1-green, trivial oracle, local-gate covered) yields
-    # its rotation slot and trails instead
-    "river_redis_roundtrip",
-    "river_stream_query",
-    # --- checked green in CORRECTNESS_r04; re-verified locally each session ---
     "dedup_exact",
     "river_ingest_roundtrip",
     "river_system_columns",

@@ -21,6 +21,8 @@ CROSS_OK = {
     "q22_idle_customers",   # broadcast scalar average
     "emb_cosine_dedup",     # bucket-width literal join
     "emb_ann_ivf",          # tiny query-row x centroid routing cross
+    "text_tfidf_top_terms", # broadcast 1-row corpus doc count (N for idf)
+    "text_unigram_logprob", # broadcast 1-row corpus token total
 }
 
 
