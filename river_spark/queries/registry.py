@@ -62,7 +62,6 @@ _PRIORITY = [
     "join_semi",
     "join_anti",
     "join_full_outer",
-    "join_cross_small",
     "topk_global",
     "set_ops",
     # window family
@@ -98,9 +97,12 @@ _PRIORITY = [
     "text_unigram_logprob",
     "pipeline_train_split",
     # new-this-round coverage (redis-wire backend, real Structured
-    # Streaming run) gets a driver row immediately
+    # Streaming runs incl. a live stream-stream join) gets a driver row
+    # immediately; join_cross_small (r1-green, intentionally trivial)
+    # yields its head slot to the stream-stream join and trails
     "river_redis_roundtrip",
     "river_stream_query",
+    "river_stream_join",
     # --- driver-checked green in earlier rounds; re-verified locally each
     # session by tests/test_oracle.py ---
     "text_token_stats",
@@ -109,6 +111,7 @@ _PRIORITY = [
     "text_fingerprint",
     "text_bpe_tokens",
     "text_rolling_fingerprint",
+    "join_cross_small",
     "dedup_exact",
     "river_ingest_roundtrip",
     "river_system_columns",

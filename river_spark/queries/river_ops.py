@@ -510,6 +510,89 @@ def river_stream_query(spark, sf_dir):
 
 
 @q(
+    "river_stream_join",
+    oracle="""
+    WITH uw AS (SELECT DISTINCT user_id, (user_id % 7) * 0.5 AS weight FROM events)
+    SELECT e.user_id % 10 AS user_bucket,
+           count(*) AS n,
+           round(sum(e.value * uw.weight), 4) AS sum_weighted
+    FROM events e JOIN uw USING (user_id)
+    GROUP BY e.user_id % 10
+    """,
+    tags=("river", "streaming", "join"),
+)
+def river_stream_join(spark, sf_dir):
+    """A REAL stream-stream join through the driver gate: two live river
+    streams — the events fact stream and a per-user weight dimension
+    stream — are drained by ONE Structured Streaming query that joins
+    them on user_id (inner equi-join, append mode) into a memory sink;
+    the joined rows must aggregate to the batch join over the source
+    table. An equi-join keeps no watermark in the plan, so the result is
+    independent of micro-batch slicing (no late-data eviction); state is
+    bounded by availableNow's finite drain. Proves per-source offset
+    tracking, two-source checkpointing, and exactly-once delivery of
+    both streams end to end."""
+    from river_spark.sources import register
+
+    key = ("stream_join", sf_dir)
+    if key not in _CACHE:
+        register(spark)
+        work = tempfile.mkdtemp(prefix="river_spark_sj_")
+        store = os.path.join(work, "store")
+        log = StreamLog(store)
+        schema, arr = _events_array(sf_dir, ("event_id", "user_id", "value"))
+        w = StreamWriter(log).initialize("events_sj", schema)
+        w.write(arr)
+        w.stop()
+        users = np.unique(arr["user_id"])  # sorted + distinct
+        wschema = StreamSchema(
+            [FieldDefinition("user_id", FieldType.INT64), FieldDefinition("weight", FieldType.DOUBLE)]
+        )
+        warr = np.zeros(len(users), dtype=wschema.dtype())
+        warr["user_id"] = users
+        warr["weight"] = (users % 7) * 0.5
+        w2 = StreamWriter(log).initialize("weights_sj", wschema)
+        w2.write(warr)
+        w2.stop()
+        import re as _re
+
+        table = "river_sj_" + _re.sub(r"\W", "_", sf_dir).strip("_")
+        ev = (
+            spark.readStream.format("river")
+            .option("path", store)
+            .option("stream", "events_sj")
+            .option("maxSamplesPerTrigger", "4096")
+            .load()
+            .select("user_id", "value")
+        )
+        uw = (
+            spark.readStream.format("river")
+            .option("path", store)
+            .option("stream", "weights_sj")
+            .load()
+            .select(F.col("user_id").alias("w_user_id"), "weight")
+        )
+        (
+            ev.join(uw, ev.user_id == uw.w_user_id, "inner")
+            .select("user_id", "value", "weight")
+            .writeStream.format("memory")
+            .queryName(table)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(300)
+        )
+        _CACHE[key] = table
+    return spark.sql(
+        f"""
+        SELECT user_id % 10 AS user_bucket, count(*) AS n,
+               round(sum(value * weight), 4) AS sum_weighted
+        FROM {_CACHE[key]} GROUP BY user_id % 10
+        """
+    )
+
+
+@q(
     "river_sink_roundtrip",
     oracle="SELECT doc_id, text FROM documents",
     tags=("river", "sink", "roundtrip"),
