@@ -137,7 +137,10 @@ def build_scaled_dir(spark, sf_dir: str, factor: int = _SCALE_FACTOR) -> str:
     # cache key covers source CONTENT identity (path + per-table size/mtime):
     # the driver can regenerate the testdata between rounds, and a stale
     # replica would silently benchmark last round's data
-    sig = [os.path.abspath(sf_dir)]
+    # v2: events became a replicated fact (disjoint user/event ids) — the
+    # recipe version keeps a cached v1 replica (unscaled events) from
+    # being reused for the probe
+    sig = ["recipe-v2", os.path.abspath(sf_dir)]
     for f in sorted(os.listdir(sf_dir)):
         if f.endswith(".parquet"):
             st = os.stat(os.path.join(sf_dir, f))
@@ -150,7 +153,7 @@ def build_scaled_dir(spark, sf_dir: str, factor: int = _SCALE_FACTOR) -> str:
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
-    for t in _DIMS + ("events",):
+    for t in _DIMS:
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).write.mode(
             "overwrite"
         ).parquet(os.path.join(out, f"{t}.parquet"))
@@ -164,6 +167,17 @@ def build_scaled_dir(spark, sf_dir: str, factor: int = _SCALE_FACTOR) -> str:
         df.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
 
     key_off = 1_000_000_000
+    # events is a FACT: replicas get disjoint event ids AND disjoint user
+    # ids, so per-user state (sessions, as-of, lag/lead) stays identical
+    # per replica while window/aggregate row counts scale by `factor` —
+    # copying it unscaled would hand every events-based probe query a
+    # meaningless ~1x "scaling" ratio
+    replicate(
+        "events",
+        lambda df, k: df.withColumn("event_id", F.col("event_id") + k * key_off).withColumn(
+            "user_id", F.col("user_id") + k * 100_000_000
+        ),
+    )
     replicate(
         "orders",
         lambda df, k: df.withColumn("o_orderkey", F.col("o_orderkey") + k * key_off),

@@ -29,9 +29,14 @@ def _shingles3(df, id_col="doc_id", text_col="text"):
     """Distinct 3-token shingles per document, built with one JVM
     higher-order-function pass (no explode of raw tokens first)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # Guard short docs: sequence(1, 0) yields the DESCENDING [1, 0], not
+    # an empty array, so an unguarded transform would index out of bounds
+    # (ANSI error) on 1-2-token documents. Mirrors the oracle's
+    # generate_series(1, len-2), which IS empty for len < 3.
     sh = F.expr(
-        "transform(sequence(1, greatest(size(t) - 2, 0)), "
-        "i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
+        "CASE WHEN size(t) >= 3 THEN transform(sequence(1, size(t) - 2), "
+        "i -> concat_ws(' ', t[i-1], t[i], t[i+1])) "
+        "ELSE cast(array() as array<string>) END"
     )
     return (
         df.select(F.col(id_col), toks.alias("t"))

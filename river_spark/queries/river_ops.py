@@ -430,17 +430,29 @@ def river_redis_roundtrip(spark, sf_dir):
 
             server = MiniRedisServer().start()
             addr = server.address
+        # Unique stream name per run: against a real (persistent) server a
+        # fixed name would collide with the previous run's metadata hash
+        # (StreamExistsError); the ingester regex is pinned to exactly this
+        # stream so a shared server's unrelated streams are never touched.
+        import uuid
+
+        stream = f"events_redis_{uuid.uuid4().hex[:8]}"
         try:
             log = StreamLog(backend=RedisBackend(*addr))
             schema, arr = _events_array(sf_dir, ("event_id", "user_id", "value"))
-            w = StreamWriter(log).initialize("events_redis", schema)
+            w = StreamWriter(log).initialize(stream, schema)
             w.write(arr)
             w.stop()
             ing = StreamIngester(
                 log,
                 os.path.join(work, "out"),
                 IngesterSettings(
-                    streams=[StreamIngestionSettings(minimum_age_seconds_before_deletion=0)]
+                    streams=[
+                        StreamIngestionSettings(
+                            stream_name_regex=stream,
+                            minimum_age_seconds_before_deletion=0,
+                        )
+                    ]
                 ),
             )
             ing.ingest()
@@ -448,7 +460,7 @@ def river_redis_roundtrip(spark, sf_dir):
         finally:
             if server is not None:
                 server.stop()
-        _CACHE[key] = os.path.join(work, "out", "events_redis")
+        _CACHE[key] = os.path.join(work, "out", stream)
     df = spark.read.parquet(os.path.join(_CACHE[key], "data.parquet"))
     return df.select("event_id", "user_id", F.round("value", 4).alias("value"))
 

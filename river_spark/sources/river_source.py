@@ -72,10 +72,12 @@ def register(spark) -> None:
 # windows, one connection per task, no driver funnel).
 # ---------------------------------------------------------------------------
 def _locator(options: dict) -> dict:
+    from river_spark.transport.log import parse_redis_hostport
+
     options = {k.lower(): v for k, v in options.items()}
     if "redis" in options:
-        host, _, port = options["redis"].rpartition(":")
-        return {"redis": f"{host or '127.0.0.1'}:{int(port)}"}
+        host, port = parse_redis_hostport(options["redis"])
+        return {"redis": f"{host}:{port}"}
     if "path" in options:
         return {"path": options["path"]}
     raise ValueError("river source needs option 'path' (log root) or 'redis' (host:port)")
@@ -83,10 +85,10 @@ def _locator(options: dict) -> dict:
 
 def _open_log(locator: dict) -> StreamLog:
     if "redis" in locator:
+        from river_spark.transport.log import parse_redis_hostport
         from river_spark.transport.redis_backend import RedisBackend
 
-        host, _, port = locator["redis"].rpartition(":")
-        return StreamLog(backend=RedisBackend(host, int(port)))
+        return StreamLog(backend=RedisBackend(*parse_redis_hostport(locator["redis"])))
     return StreamLog(locator["path"])
 
 

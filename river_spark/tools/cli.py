@@ -29,10 +29,9 @@ def _open_log(args) -> StreamLog:
     --path uses the local file log."""
     redis = getattr(args, "redis", None)
     if redis:
-        from river_spark.transport import RedisBackend
+        from river_spark.transport.log import open_log_root
 
-        host, _, port = redis.rpartition(":")
-        return StreamLog(backend=RedisBackend(host or "127.0.0.1", int(port)))
+        return open_log_root(f"redis://{redis}")
     if not args.path:
         raise SystemExit("one of --path or --redis is required")
     return StreamLog(args.path)

@@ -60,14 +60,21 @@ def locator_option(log_root: str) -> tuple[str, str]:
     return "path", log_root
 
 
+def parse_redis_hostport(value: str) -> tuple[str, int]:
+    """``host:port`` / ``:port`` / bare ``port`` → (host, port), host
+    defaulting to 127.0.0.1 — THE one parser for redis locators (CLI
+    --redis, DataSource option("redis"), redis:// log roots)."""
+    host, _, port = value.rpartition(":")
+    return host or "127.0.0.1", int(port)
+
+
 def open_log_root(log_root: str) -> "StreamLog":
     """StreamLog for a root string — file directory or redis://host:port."""
     kind, value = locator_option(log_root)
     if kind == "redis":
         from river_spark.transport.redis_backend import RedisBackend
 
-        host, _, port = value.rpartition(":")
-        return StreamLog(backend=RedisBackend(host or "127.0.0.1", int(port)))
+        return StreamLog(backend=RedisBackend(*parse_redis_hostport(value)))
     return StreamLog(value)
 
 
@@ -272,7 +279,21 @@ class FileBackend(StorageBackend):
             with open(self._aux_path(key)) as f:
                 return f.read()
         except OSError:
+            pass
+        # Migration: group cursors / sink-commit registries written before
+        # the aux-key scheme lived at _cursor_{stream}_{group}.json /
+        # _sink_commits_{stream}.json — exactly "_" + key.replace("/","_").
+        # Reading them (and promoting to the new path) preserves
+        # exactly-once replay protection across the upgrade; without this a
+        # restarted streaming query re-appends its last micro-batch.
+        legacy = os.path.join(self.root, "_" + key.replace("/", "_") + ".json")
+        try:
+            with open(legacy) as f:
+                value = f.read()
+        except OSError:
             return None
+        self.write_aux(key, value)
+        return value
 
     def write_aux(self, key: str, value: str) -> None:
         path = self._aux_path(key)

@@ -64,7 +64,7 @@ def _id_tuple(raw: bytes) -> tuple[int, int]:
 class RedisBackend(StorageBackend):
     def __init__(self, host: str = "127.0.0.1", port: int = 6379,
                  password: str | None = None, timeout_s: float = 30.0,
-                 batch_framing: bool = False):
+                 batch_framing: bool = False, db: int = 0):
         """``batch_framing=True`` stores one entry PER BATCH (fields
         batch_val/i/n) instead of the reference's per-sample val/i
         fallback — the same trade its server module makes (its
@@ -75,6 +75,10 @@ class RedisBackend(StorageBackend):
         self.host, self.port, self.password = host, port, password
         self.timeout_s = timeout_s
         self.batch_framing = batch_framing
+        # Redis logical database index (SELECT on connect). Lets callers —
+        # and the test suite — scope all keys to a dedicated db on a
+        # shared server instead of key-squatting db 0.
+        self.db = int(db)
         self._local = threading.local()
         self._stream_info: dict[str, dict] = {}
         # fail fast on an unreachable server, like redisConnectWithTimeout
@@ -83,11 +87,13 @@ class RedisBackend(StorageBackend):
     # sockets don't pickle; executors reconnect from the params
     def __getstate__(self):
         return {"host": self.host, "port": self.port, "password": self.password,
-                "timeout_s": self.timeout_s, "batch_framing": self.batch_framing}
+                "timeout_s": self.timeout_s, "batch_framing": self.batch_framing,
+                "db": self.db}
 
     def __setstate__(self, state):
         self.__dict__.update(state)
         self.batch_framing = state.get("batch_framing", False)
+        self.db = state.get("db", 0)
         self._local = threading.local()
         self._stream_info = {}
 
@@ -95,6 +101,8 @@ class RedisBackend(StorageBackend):
         c = getattr(self._local, "client", None)
         if c is None:
             c = RespClient(self.host, self.port, self.password, self.timeout_s)
+            if self.db:
+                c.command("SELECT", str(self.db))
             self._local.client = c
         return c
 
@@ -323,7 +331,11 @@ class RedisBackend(StorageBackend):
         if not payloads:
             raise FileNotFoundError(handle)
         data = np.frombuffer(b"".join(payloads), dtype=np.uint8)
-        if kind == "var":
+        # "var" always carries per-sample sizes; a "framed" batch does too
+        # when it was a variable-width batch under batch_framing (the
+        # entry's explicit sizes field) — dropping them there would hand
+        # the reader a payload with no sample boundaries.
+        if kind == "var" or (kind == "framed" and sizes):
             return {"data": data, "sizes": np.asarray(sizes, dtype=np.int64)}
         return {"data": data}
 

@@ -58,6 +58,26 @@ def test_decontam_flags_planted_contamination(spark, planted_dir):
     assert 0 not in got and 97 not in got
 
 
+def test_decontam_short_docs_do_not_crash_or_match(spark, tmp_path_factory):
+    """1-2-token (and empty) documents must produce zero shingles — an
+    unguarded sequence(1, size-2) yields the descending [1, 0] and either
+    crashes under ANSI or emits bogus short 'shingles' that spuriously
+    match other short docs."""
+    tmp = tmp_path_factory.mktemp("short_docs")
+    sf = _write_documents(
+        spark,
+        tmp,
+        [
+            (0, "one two", "en"),        # eval (0 % 97 == 0), 2 tokens
+            (1, "one", "en"),            # 1 token
+            (2, "", "en"),               # empty
+            (3, "one two", "en"),        # identical 2-token train doc
+            (4, "alpha beta gamma delta", "en"),
+        ],
+    )
+    assert decontam_ngram_overlap(spark, sf).collect() == []
+
+
 def test_seq_pack_invariants(spark, sf_dir):
     rows = pipeline_seq_pack(spark, sf_dir).collect()
     import duckdb

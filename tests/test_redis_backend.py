@@ -413,6 +413,28 @@ def test_last_index_tail_probe_matches_full_scan(server, backend):
             assert probe == full, (name, seg, probe, full)
 
 
+def test_framed_append_handle_carries_sizes(server):
+    """read_batch on the handle append_batch RETURNS (kind 'framed' under
+    batch_framing) must include per-sample sizes for variable-width
+    batches — the backend ABC's handle contract; dropping them would
+    leave the payload with no sample boundaries."""
+    host, port = server
+    framed = RedisBackend(host, port, batch_framing=True)
+    framed._conn().command("FLUSHALL")
+    log = StreamLog(backend=framed)
+    from river_spark.schema import FieldDefinition as FD, FieldType as FT
+
+    vschema = StreamSchema([FD("payload", FT.VARIABLE_WIDTH_BYTES, size=8)])
+    StreamWriter(log).initialize("fh", vschema)  # metadata so _info works
+    sizes = np.array([1, 3, 2], dtype=np.int64)
+    handle = framed.append_batch(
+        "fh", 0, 0, b"abbbcc", 3, key_ms=1, key_seq0=0, sizes=sizes
+    )
+    z = framed.read_batch(handle)
+    np.testing.assert_array_equal(z["sizes"], sizes)
+    assert bytes(z["data"]) == b"abbbcc"
+
+
 def test_batch_framing_roundtrip_and_throughput(server):
     """batch_framing=True (the server-module analog: one entry per batch)
     must round-trip fixed AND variable-width streams exactly, and beat

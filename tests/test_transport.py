@@ -38,8 +38,16 @@ def log(request, tmp_path):
     if request.param == "memory":
         return StreamLog(backend=MemoryBackend())
     host, port = request.getfixturevalue("redis_address")
-    backend = RedisBackend(host, port)
-    backend._conn().command("FLUSHALL")  # isolate from the previous test
+    if os.environ.get("RIVER_SPARK_REDIS_URL"):
+        # Real server: NEVER flush the whole instance — scope the suite to
+        # a dedicated logical db (default 15, RIVER_SPARK_REDIS_TEST_DB to
+        # override) and clear only that db between tests.
+        db = int(os.environ.get("RIVER_SPARK_REDIS_TEST_DB", "15"))
+        backend = RedisBackend(host, port, db=db)
+        backend._conn().command("FLUSHDB")
+    else:
+        backend = RedisBackend(host, port)
+        backend._conn().command("FLUSHALL")  # in-process server: ours to flush
     return StreamLog(backend=backend)
 
 
@@ -226,3 +234,29 @@ def test_list_streams(log):
 def test_reader_initialize_timeout(log):
     with pytest.raises(TimeoutError):
         StreamReader(log).initialize("missing", timeout_ms=30)
+
+
+def test_read_aux_migrates_legacy_flat_paths(tmp_path):
+    """Group cursors / sink-commit registries written before the aux-key
+    scheme (_cursor_{stream}_{group}.json, _sink_commits_{stream}.json)
+    must still be readable — and get promoted to the new _aux_ path — so
+    a restarted streaming query keeps its exactly-once replay guard
+    across the upgrade."""
+    import json
+    import os as _os
+
+    root = str(tmp_path / "store")
+    log = StreamLog(root)
+    StreamWriter(log).initialize("mig", simple_schema())
+    # legacy layouts, written by the pre-aux code verbatim
+    with open(_os.path.join(root, "_cursor_mig_g1.json"), "w") as f:
+        f.write(json.dumps({"index": 7}))
+    with open(_os.path.join(root, "_sink_commits_mig.json"), "w") as f:
+        f.write(json.dumps({"3": 700}))
+    assert json.loads(log.read_aux("cursor/mig/g1"))["index"] == 7
+    assert json.loads(log.read_aux("sink_commits/mig"))["3"] == 700
+    # promoted: the new path now exists and wins over the legacy file
+    assert _os.path.exists(_os.path.join(root, "_aux_cursor__mig__g1.json"))
+    with open(_os.path.join(root, "_cursor_mig_g1.json"), "w") as f:
+        f.write(json.dumps({"index": 1}))  # stale legacy write is ignored
+    assert json.loads(log.read_aux("cursor/mig/g1"))["index"] == 7
