@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 from river_spark.sources import register
-from river_spark.transport.log import locator_option, open_log_root
+from river_spark.transport.log import is_reserved_stream, locator_option, open_log_root
 
 
 def register_streams(spark: SparkSession, log_root: str, prefix: str = "river_") -> list[str]:
@@ -23,6 +23,8 @@ def register_streams(spark: SparkSession, log_root: str, prefix: str = "river_")
     kind, value = locator_option(log_root)
     views = []
     for name in log.list_streams():
+        if is_reserved_stream(name):
+            continue  # in-flight sink staging streams are not catalog entries
         view = prefix + name
         (
             spark.read.format("river")

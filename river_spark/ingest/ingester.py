@@ -38,7 +38,7 @@ import pyarrow.parquet as pq
 
 from river_spark.ingest.settings import IngesterSettings, StreamIngestionSettings
 from river_spark.schema import FieldType, StreamSchema
-from river_spark.transport.log import StreamLog, key_timestamp_ms
+from river_spark.transport.log import StreamLog, is_reserved_stream, key_timestamp_ms
 from river_spark.transport.reader import StreamReader
 
 _ARROW_TYPES = {
@@ -92,20 +92,20 @@ class SingleStreamIngester:
         self.stalled_timeout_ms = stalled_timeout_ms
 
     # -- resume (ingester.cpp:649-711) ----------------------------------------
-    def _read_existing_files(self) -> tuple[int, str | None, int]:
-        """Returns (next_file_idx, last_key, next_sample_index)."""
+    def _read_existing_files(self) -> tuple[int, str | None]:
+        """Returns (next_file_idx, last_key) — resume positioning is done
+        entirely by ``reader.seek(last_key)``."""
         if not os.path.isdir(self.out_dir):
-            return 0, None, 0
+            return 0, None
         parts = sorted(
             f for f in os.listdir(self.out_dir) if f.startswith("data_") and f.endswith(".parquet")
         )
         if not parts:
-            return 0, None, 0
-        last = pq.read_table(os.path.join(self.out_dir, parts[-1]), columns=["key", "sample_index"])
+            return 0, None
+        last = pq.read_table(os.path.join(self.out_dir, parts[-1]), columns=["key"])
         last_key = last.column("key")[-1].as_py()
-        next_index = last.column("sample_index")[-1].as_py() + 1
         next_file_idx = int(parts[-1][len("data_") : -len(".parquet")]) + 1
-        return next_file_idx, last_key, next_index
+        return next_file_idx, last_key
 
     # -- main loop (ingester.cpp:213-422) --------------------------------------
     def ingest(self) -> IngestResult:
@@ -115,7 +115,7 @@ class SingleStreamIngester:
         os.makedirs(self.out_dir, exist_ok=True)
         fields = self.settings.filter_fields(schema.field_names())
 
-        file_idx, last_key, next_index = self._read_existing_files()
+        file_idx, last_key = self._read_existing_files()
         if last_key is not None:
             if reader.seek(last_key) == -1:
                 # everything already persisted and stream EOF'd
@@ -167,12 +167,17 @@ class SingleStreamIngester:
         ts = np.fromiter((key_timestamp_ms(k) for k in keys), dtype=np.int64, count=len(keys))
         arrays = [pa.array(idx, pa.int64()), pa.array(keys, pa.string()), pa.array(ts, pa.int64())]
         if schema.has_variable_width_field:
-            flat = np.concatenate(raws) if raws else np.empty(0, np.uint8)
-            sz = np.concatenate(sizes) if sizes else np.empty(0, np.int64)
-            offs = np.concatenate([[0], np.cumsum(sz)])
-            buf = flat.tobytes()
-            vals = [buf[offs[i] : offs[i + 1]] for i in range(len(sz))]
-            arrays.append(pa.array(vals, pa.binary()))
+            # honor column pruning here too: _arrow_schema already drops a
+            # pruned variable-width field, so appending its values array
+            # unconditionally would crash from_arrays on a field-count
+            # mismatch
+            if schema.field_definitions[0].name in fields:
+                flat = np.concatenate(raws) if raws else np.empty(0, np.uint8)
+                sz = np.concatenate(sizes) if sizes else np.empty(0, np.int64)
+                offs = np.concatenate([[0], np.cumsum(sz)])
+                buf = flat.tobytes()
+                vals = [buf[offs[i] : offs[i + 1]] for i in range(len(sz))]
+                arrays.append(pa.array(vals, pa.binary()))
         else:
             data = np.concatenate(raws) if raws else np.empty(0, schema.dtype())
             for f in schema.field_definitions:
@@ -265,6 +270,12 @@ class StreamIngester:
 
     def ingest(self) -> None:
         for name in self.log.list_streams():
+            if is_reserved_stream(name):
+                # in-flight Spark sink staging streams have metadata and an
+                # ancient synthetic key_ms — a catch-all daemon would
+                # stale-EOF and finalize (delete) them mid-write, losing
+                # the staged batch
+                continue
             if name in self._in_progress:
                 continue
             s = self.settings.settings_for(name)
@@ -283,7 +294,10 @@ class StreamIngester:
     def get_result(self, name: str):
         fut = self._in_progress.get(name)
         if fut is None:
-            return self._results.get(name)
+            res = self._results.get(name)
+            if isinstance(res, Exception):
+                raise res  # a failure stays a failure on every call
+            return res
         if not fut.done():
             return IngestResult.IN_PROGRESS
         res = fut.result()

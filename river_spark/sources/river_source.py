@@ -417,6 +417,21 @@ class RiverBatchWriter(DataSourceArrowWriter):
             got = [f.name for f in schema.fields if f.name not in _SYSTEM_COLUMNS]
             if want != got:
                 raise ValueError(f"schema mismatch: stream has fields {want}, DataFrame has {got}")
+            # Names are not enough: a DoubleType column appended into an
+            # INT32 field would be silently value-cast into the stream's
+            # byte layout (3.7 -> 3, NaN -> garbage) — reject type drift
+            # the way the reference rejects sizeof mismatches
+            # (cpp/src/writer.h:144-150).
+            expected = {f.name: f.dataType for f in stream_schema.to_struct_type().fields}
+            for f in schema.fields:
+                if f.name in _SYSTEM_COLUMNS:
+                    continue
+                if f.dataType != expected[f.name]:
+                    raise ValueError(
+                        f"schema mismatch: stream field {f.name!r} is "
+                        f"{expected[f.name].simpleString()}, DataFrame has "
+                        f"{f.dataType.simpleString()}"
+                    )
             self.comp_json = meta.get("compression_params_json")
         else:
             stream_schema = StreamSchema.from_struct_type(schema)
@@ -716,12 +731,23 @@ class RiverStreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, options, schema: T.StructType):
         self._batch = RiverBatchWriter(options, schema)
         self.stream = self._batch.stream
+        # Replay registry scope: batchIds restart at 0 for every NEW query,
+        # so a registry keyed by stream alone would silently drop a fresh
+        # query's early batches as "replays" of a previous query's. Scope
+        # it by the query identity — checkpointLocation when present (the
+        # thing replays are actually relative to), or an explicit
+        # sink_group option; bare "default" keeps legacy behavior for
+        # checkpoint-less writes.
+        import hashlib
+
+        grp = options.get("sink_group") or options.get("checkpointlocation") or ""
+        self._sink_scope = hashlib.sha1(grp.encode()).hexdigest()[:12] if grp else "default"
 
     def write(self, iterator):
         return self._batch.write(iterator)
 
     def _commits_key(self) -> str:
-        return f"sink_commits/{self.stream}"
+        return f"sink_commits/{self.stream}/{self._sink_scope}"
 
     def commit(self, messages, batchId):
         import json

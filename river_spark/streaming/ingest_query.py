@@ -31,7 +31,7 @@ from pyspark.sql import SparkSession
 from river_spark.ingest.settings import IngesterSettings, StreamIngestionSettings
 from river_spark.schema import StreamSchema
 from river_spark.sources import register
-from river_spark.transport.log import locator_option, open_log_root
+from river_spark.transport.log import is_reserved_stream, locator_option, open_log_root
 
 
 def ingest_stream_continuous(
@@ -108,6 +108,8 @@ def ingest_streams(
     log = open_log_root(log_root)
     queries = {}
     for name in log.list_streams():
+        if is_reserved_stream(name):
+            continue  # never ingest an in-flight sink staging stream
         s = settings.settings_for(name)
         if s is None:
             continue

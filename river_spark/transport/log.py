@@ -60,6 +60,15 @@ def locator_option(log_root: str) -> tuple[str, str]:
     return "path", log_root
 
 
+def is_reserved_stream(name: str) -> bool:
+    """True for internal staging streams/dirs the Spark sink creates while
+    a batch is in flight (``_stg_*`` on redis, ``_staging_*`` on files).
+    They carry metadata like real streams, so catalogs and catch-all
+    ingesters must skip them — a daemon that ingests one mid-write would
+    stale-EOF and delete the staged batch out from under the writer."""
+    return name.startswith(("_stg_", "_staging_"))
+
+
 def parse_redis_hostport(value: str) -> tuple[str, int]:
     """``host:port`` / ``:port`` / bare ``port`` → (host, port), host
     defaulting to 127.0.0.1 — THE one parser for redis locators (CLI

@@ -25,7 +25,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from river_spark.schema import StreamSchema
-from river_spark.transport.compression import Compressor
+from river_spark.transport.compression import CompressionMode, Compressor
 from river_spark.transport.log import StreamLog, decode_key, encode_key
 
 DEFAULT_MAX_FETCH = 10_000  # cpp/src/reader.h:62
@@ -173,8 +173,12 @@ class StreamReader:
                 if got >= n:
                     break
                 z = self.log.read_batch(path)
-                raw = self._compressor.decompress(z["data"].tobytes())
-                z = {**z, "data": np.frombuffer(raw, dtype=np.uint8)}
+                if self._compressor.mode is not CompressionMode.UNCOMPRESSED:
+                    raw = self._compressor.decompress(z["data"].tobytes())
+                    z = {**z, "data": np.frombuffer(raw, dtype=np.uint8)}
+                # uncompressed: use the batch payload as-is — tobytes() +
+                # frombuffer would full-copy every batch for an identity
+                # transform on the hot read path
                 lo = max(0, self._next_index - start)
                 take = min(cnt - lo, n - got)
                 if variable:
@@ -238,10 +242,21 @@ class StreamReader:
             self._wait_for_data(deadline)
 
     def _newest_available(self) -> int | None:
+        """Newest sample index in the log. Backends with a tail probe
+        (RedisBackend.last_index — XREVRANGE of a few tail entries) answer
+        in O(1) per segment; a live tail() poll loop must not pay a full
+        XRANGE scan of a million-entry segment every ~50 ms just to read
+        the last entry. Local backends fall back to the batch listing."""
+        last = getattr(self.log.backend, "last_index", None)
         segs = self.log.list_segments(self.stream_name)
         for seg in reversed(segs):
             if seg < self._segment:
                 break
+            if last is not None:
+                n = last(self.stream_name, seg)
+                if n > 0:
+                    return n - 1
+                continue
             batches = self.log.list_batches(self.stream_name, seg)
             if batches:
                 start, cnt = batches[-1][0], batches[-1][1]

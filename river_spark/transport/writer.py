@@ -79,6 +79,15 @@ class StreamWriter:
             "user_metadata": user_metadata or {},
         }
         if self.compression.mode is not CompressionMode.UNCOMPRESSED:
+            # Bind a per-stream COPY before filling schema-derived defaults:
+            # setdefault on a caller-shared Compressor would burn the FIRST
+            # stream's sample_size/value_dtype into every later stream's
+            # metadata (silent payload corruption for a reused compressor).
+            # Caller-provided params still win; only the gaps are filled.
+            import copy
+
+            self.compression = copy.copy(self.compression)
+            self.compression.params = dict(self.compression.params)
             # record sample_size so readers can invert the byte shuffle
             self.compression.params.setdefault("sample_size", schema.sample_size())
             if self.compression.mode is CompressionMode.QUANT_LOSSY:
