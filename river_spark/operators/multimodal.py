@@ -91,6 +91,63 @@ def decode_image_features(
     return src.mapInPandas(decode, schema=_DECODE_SCHEMA)
 
 
+def resize_image(
+    df: DataFrame,
+    id_col: str,
+    bin_col: str,
+    target_w: int = 8,
+    target_h: int = 8,
+    resizer: str = "fake",
+) -> DataFrame:
+    """Arrow-batched image resize over mapInPandas — the brief's third
+    multimodal primitive beside decode and frame-sample.
+
+    resizer='fake' -> deterministic nearest-neighbor over the pseudo
+    byte-grid: source dims derive from content length exactly like the
+    fake decoder ((L % 1920)+1 x (L % 1080)+1), pixel (r, c) reads byte
+    ``(r*w + c) % L``, and the target grid samples source rows/cols at
+    ``(r*h) div th`` / ``(c*w) div tw`` — a pure function of the payload,
+    so the output is bit-reproducible cross-engine. resizer='pillow' is
+    the production slot — stubbed (no image libraries in this container).
+    Empty payloads resize to empty with 1x1 source dims."""
+    if resizer != "fake":
+        raise NotImplementedError(
+            f"resizer {resizer!r} requires an image library not present in "
+            "this environment; the 'fake' resizer exercises the same "
+            "mapInPandas plumbing deterministically"
+        )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("src_w", T.IntegerType()),
+            T.StructField("src_h", T.IntegerType()),
+            T.StructField("resized", T.BinaryType()),
+        ]
+    )
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(bin_col).alias("payload"))
+    rr = np.arange(target_h)[:, None]
+    cc = np.arange(target_w)[None, :]
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, outs = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                L = len(buf)
+                ids.append(doc_id)
+                if L == 0:
+                    ws.append(1), hs.append(1), outs.append(b"")
+                    continue
+                w, h = (L % 1920) + 1, (L % 1080) + 1
+                sr = (rr * h) // target_h
+                sc = (cc * w) // target_w
+                pos = (sr * w + sc) % L
+                ws.append(w), hs.append(h), outs.append(buf[pos].tobytes())
+            yield pd.DataFrame({"doc_id": ids, "src_w": ws, "src_h": hs, "resized": outs})
+
+    return src.mapInPandas(rz, schema=out_schema)
+
+
 def sample_frames(df: DataFrame, id_col: str, bin_col: str, n_frames: int = 4) -> DataFrame:
     """Frame sampling for 'video' payloads: split the byte stream into
     n equal chunks (JVM-side substring arithmetic), one row per frame —

@@ -16,7 +16,12 @@ from river_spark.operators.dedup import (
     simhash_pairs,
     simhash_signatures,
 )
-from river_spark.operators.multimodal import decode_image_features, sample_frames, with_payload_metadata
+from river_spark.operators.multimodal import (
+    decode_image_features,
+    resize_image,
+    sample_frames,
+    with_payload_metadata,
+)
 from river_spark.operators.similarity import lsh_topk
 from river_spark.queries.relational import q
 from river_spark.queries.tables import tbl
@@ -274,6 +279,38 @@ def mm_frame_sample(spark, sf_dir):
     return frames.select(
         "doc_id", "frame_no", "frame_bytes", F.hex("frame_payload").alias("frame_hex")
     )
+
+
+@q(
+    "mm_resize",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS L
+        FROM documents),
+    d AS (SELECT doc_id, hx, L, (L % 1920) + 1 AS w, (L % 1080) + 1 AS h FROM p)
+    SELECT doc_id,
+           CAST(w AS INT) AS src_w,
+           CAST(h AS INT) AS src_h,
+           list_aggregate(
+             list_transform(generate_series(0, 63), i ->
+               substring(hx,
+                         CAST(2 * ((((i // 8) * h // 8) * w + ((i % 8) * w // 8)) % L) + 1 AS INT),
+                         2)),
+             'string_agg', '') AS resized_hex
+    FROM d
+    """,
+    tags=("multimodal",),
+)
+def mm_resize(spark, sf_dir):
+    """Arrow-batched fake resize (nearest-neighbor over the pseudo
+    byte-grid) with a bit-level oracle: every output byte is plain index
+    arithmetic on the payload, so DuckDB recomputes the full 8x8 resize
+    byte-for-byte from the hex encoding (no blob substring in this
+    build)."""
+    docs = tbl(spark, sf_dir, "documents").withColumn("payload", F.encode("text", "UTF-8"))
+    rz = resize_image(docs, "doc_id", "payload", target_w=8, target_h=8)
+    return rz.select("doc_id", "src_w", "src_h", F.hex("resized").alias("resized_hex"))
 
 
 @q(

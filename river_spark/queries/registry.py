@@ -57,7 +57,6 @@ _PRIORITY = [
     "agg_grouping_sets",
     "agg_stats",
     "agg_percentile",
-    "distinct_proj",
     # joins / sorts / sets
     "join_semi",
     "join_anti",
@@ -103,6 +102,7 @@ _PRIORITY = [
     "river_redis_roundtrip",
     "river_stream_query",
     "river_stream_join",
+    "mm_resize",
     # --- driver-checked green in earlier rounds; re-verified locally each
     # session by tests/test_oracle.py ---
     "text_token_stats",
@@ -112,6 +112,7 @@ _PRIORITY = [
     "text_bpe_tokens",
     "text_rolling_fingerprint",
     "join_cross_small",
+    "distinct_proj",
     "dedup_exact",
     "river_ingest_roundtrip",
     "river_system_columns",

@@ -166,6 +166,35 @@ def test_frame_sampling(payloads):
     assert joined == (b"PNG!" + b"x" * 100)[: 4 * (104 // 4)]
 
 
+def test_resize_matches_reference_arithmetic(payloads):
+    """Fake resize is a pure function of the payload: recompute the
+    nearest-neighbor byte picks in plain Python and compare byte-for-byte;
+    empty payloads resize to empty."""
+    from river_spark.operators.multimodal import resize_image
+
+    got = {r.doc_id: r for r in resize_image(payloads, "doc_id", "payload", 8, 8).collect()}
+    for r in payloads.collect():
+        buf = bytes(r.payload)
+        L = len(buf)
+        out = got[r.doc_id]
+        if L == 0:
+            assert (out.src_w, out.src_h, bytes(out.resized)) == (1, 1, b"")
+            continue
+        w, h = (L % 1920) + 1, (L % 1080) + 1
+        expect = bytes(
+            buf[((rr * h // 8) * w + (cc * w // 8)) % L] for rr in range(8) for cc in range(8)
+        )
+        assert (out.src_w, out.src_h) == (w, h)
+        assert bytes(out.resized) == expect
+
+
+def test_resize_real_codec_slot_is_stubbed(payloads):
+    from river_spark.operators.multimodal import resize_image
+
+    with pytest.raises(NotImplementedError):
+        resize_image(payloads, "doc_id", "payload", resizer="pillow")
+
+
 def test_ivf_topk_vs_brute_force(vectors):
     from river_spark.operators.similarity import ivf_topk
 
