@@ -70,7 +70,9 @@ def decode_image_features(
         for pdf in batches:
             ids, sizes, widths, heights, feats = [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                buf = np.frombuffer(payload, dtype=np.uint8)
+                # NULL binary cells arrive as None — treat as empty so one
+                # bad row can't fail the whole job
+                buf = np.frombuffer(payload or b"", dtype=np.uint8)
                 hist = np.bincount(buf % _FEATURE_DIM, minlength=_FEATURE_DIM).astype(np.float32)
                 total = max(hist.sum(), 1.0)
                 ids.append(doc_id)
@@ -132,7 +134,7 @@ def resize_image(
         for pdf in batches:
             ids, ws, hs, outs = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                buf = np.frombuffer(payload, dtype=np.uint8)
+                buf = np.frombuffer(payload or b"", dtype=np.uint8)  # NULL -> empty
                 L = len(buf)
                 ids.append(doc_id)
                 if L == 0:

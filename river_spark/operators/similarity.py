@@ -90,15 +90,16 @@ def lsh_topk(
     q = query.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), lsh_signature(vec_col, n_planes).alias("qsig")
     )
-    # probe set: all bucket ids within hamming distance (0..probe_hamming)
+    # probe set: all bucket ids within hamming distance (0..probe_hamming),
+    # generated generically — a hardcoded h<=2 expansion would silently
+    # cap larger probe_hamming values and degrade recall with no signal
+    from itertools import combinations
+
     flips = [F.col("qsig")]
-    if probe_hamming >= 1:
-        flips += [F.col("qsig").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
-    if probe_hamming >= 2:
+    for h in range(1, probe_hamming + 1):
         flips += [
-            F.col("qsig").bitwiseXOR(F.lit((1 << i) | (1 << j)))
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
+            F.col("qsig").bitwiseXOR(F.lit(sum(1 << i for i in bits)))
+            for bits in combinations(range(n_planes), h)
         ]
     probes = q.select("query_id", "qv", F.explode(F.array(*flips)).alias("bucket"))
     cos = _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))

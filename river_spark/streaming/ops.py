@@ -36,11 +36,12 @@ def windowed_counts(
     key_col: str = "event_type",
     window: str = "1 hour",
     watermark: str = "10 minutes",
+    value_col: str = "value",
 ) -> DataFrame:
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"), key_col)
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .agg(F.count("*").alias("n"), F.sum(value_col).alias("total_value"))
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
@@ -57,11 +58,12 @@ def sliding_avg(
     window: str = "1 hour",
     slide: str = "15 minutes",
     watermark: str = "10 minutes",
+    value_col: str = "value",
 ) -> DataFrame:
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window, slide).alias("w"))
-        .agg(F.avg("value").alias("avg_value"), F.count("*").alias("n"))
+        .agg(F.avg(value_col).alias("avg_value"), F.count("*").alias("n"))
         .select(F.col("w.start").alias("window_start"), "avg_value", "n")
     )
 

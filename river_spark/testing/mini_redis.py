@@ -33,15 +33,20 @@ import time
 
 
 class _Stream:
-    __slots__ = ("entries",)
+    __slots__ = ("entries", "max_id")
 
     def __init__(self):
         # sorted list of ((ms, seq), [(field_bytes, value_bytes), ...])
         self.entries: list[tuple[tuple[int, int], list]] = []
+        # last-GENERATED id: real Redis persists this high-water mark
+        # across XDEL of the tail, so re-adding a deleted id must still be
+        # rejected — deriving it from entries[-1] would let tests pass on
+        # writes a stock server refuses
+        self.max_id: tuple[int, int] = (0, 0)
 
     @property
     def last_id(self) -> tuple[int, int]:
-        return self.entries[-1][0] if self.entries else (0, 0)
+        return self.max_id
 
 
 def _parse_id(raw: bytes, default_seq: int) -> tuple[int, int]:
@@ -279,11 +284,12 @@ class _Handler(socketserver.BaseRequestHandler):
         with state.cond:
             st = state.streams.setdefault(key, _Stream())
             last_ms, last_seq = st.last_id
+            ever = st.max_id != (0, 0)
             if raw_id == b"*":
                 ms = int(time.time() * 1000)
                 if ms < last_ms:
                     ms = last_ms
-                seq = last_seq + 1 if ms == last_ms and st.entries else 0
+                seq = last_seq + 1 if ms == last_ms and ever else 0
             else:
                 s = raw_id.decode()
                 if s.endswith("-*"):
@@ -293,14 +299,17 @@ class _Handler(socketserver.BaseRequestHandler):
                             "The ID specified in XADD is equal or smaller than "
                             "the target stream top item"
                         )
-                    seq = last_seq + 1 if ms == last_ms and st.entries else 0
+                    seq = last_seq + 1 if ms == last_ms and ever else 0
                 else:
                     ms, seq = _parse_id(raw_id, 0)
-                if st.entries and (ms, seq) <= (last_ms, last_seq):
+                # vs the persisted high-water mark, like real Redis; this
+                # also rejects explicit 0-0 on an empty stream
+                if (ms, seq) <= (last_ms, last_seq):
                     raise ValueError(
                         "The ID specified in XADD is equal or smaller than "
                         "the target stream top item"
                     )
+            st.max_id = (ms, seq)
             st.entries.append(((ms, seq), fields))
             state.cond.notify_all()
         return b"%d-%d" % (ms, seq)
@@ -407,7 +416,7 @@ class _Handler(socketserver.BaseRequestHandler):
                 if raw == b"$":
                     st = state.streams.get(key)
                     resolved.append(
-                        (b"%d-%d" % st.last_id) if st and st.entries else b"0-0"
+                        (b"%d-%d" % st.last_id) if st else b"0-0"
                     )
                 else:
                     resolved.append(raw)

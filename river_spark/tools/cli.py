@@ -53,23 +53,30 @@ def writer_main(args) -> int:
     schema = _schema_from_spec(args.schema)
     w = StreamWriter(log, batch_size=args.batch_size).initialize(args.stream, schema)
     names = schema.field_names()
+    dtype = schema.dtype()  # hoisted: rebuilt per-field-per-line otherwise
+    kinds = [dtype[name].kind for name in names]
     buf = []
-    for line in sys.stdin:
+    for lineno, line in enumerate(sys.stdin, 1):
         line = line.strip()
         if not line:
             continue
         vals = line.split(",")
+        if len(vals) != len(names):
+            # zip() would silently truncate extra columns (data loss) or
+            # defer a short row to a confusing np.array error at flush time
+            raise SystemExit(
+                f"line {lineno}: expected {len(names)} fields {names}, got {len(vals)}"
+            )
         row = tuple(
-            float(v) if schema.dtype()[name].kind == "f" else int(v)
-            for name, v in zip(names, vals)
+            float(v) if kind == "f" else int(v) for kind, v in zip(kinds, vals)
         )
         buf.append(row)
         if len(buf) >= args.batch_size:
-            arr = np.array(buf, dtype=schema.dtype())
+            arr = np.array(buf, dtype=dtype)
             w.write(arr)
             buf = []
     if buf:
-        w.write(np.array(buf, dtype=schema.dtype()))
+        w.write(np.array(buf, dtype=dtype))
     w.stop()
     print(f"wrote {w.total_samples_written} samples to {args.stream}", file=sys.stderr)
     return 0
@@ -125,7 +132,10 @@ def benchmark_main(args) -> int:
                 "write_items_per_sec": round(n / t_write),
                 "write_mb_per_sec": round(mb / t_write, 1),
                 "read_items_per_sec": round(got / t_read),
-                "read_mb_per_sec": round(mb / t_read, 1),
+                # MB from samples actually read: the loop can exit early on
+                # a slow wire (count==0 before EOF) and a full-count MB
+                # figure would overstate throughput
+                "read_mb_per_sec": round(got * schema.sample_size() / 1e6 / t_read, 1),
             }
         )
     )

@@ -58,6 +58,11 @@ def _make_handler(out_root: str):
                             streams[name] = meta
                 return self._json(200, {"streams": streams})
             name = parts[2]
+            # the URL segment becomes a filesystem path component: reject
+            # traversal ('..', separators) so /api/streams/.. can't serve
+            # files above the output root
+            if name in ("", ".", "..") or "/" in name or "\\" in name or os.sep in name:
+                return self._json(404, {"error": "not found"})
             meta = self._stream_meta(name)
             if meta is None:
                 return self._json(404, {"error": f"stream {name!r} not found"})

@@ -213,7 +213,9 @@ class RedisBackend(StorageBackend):
             names += [k.decode()[: -len("-metadata")] for k in page]
             if cursor == b"0":
                 break
-        return sorted(names)
+        # SCAN's contract allows the same key on multiple cursor pages
+        # (rehashing keyspace) — dedupe so catalogs never list a stream twice
+        return sorted(set(names))
 
     # ---- batches (≈ XADD / XRANGE) ----------------------------------------
     def append_batch(self, name, segment_idx, start_index, data, n, key_ms, key_seq0, sizes):
@@ -249,13 +251,25 @@ class RedisBackend(StorageBackend):
             last_id = f"{int(key_ms)}-{int(key_seq0) + n - 1}"
             # Pipelined send-then-drain, like cpp/src/writer.cpp:328-353 —
             # chunked so unread replies can't fill both socket buffers and
-            # deadlock the exchange.
+            # deadlock the exchange. Every reply of a sent window MUST be
+            # drained even when one is an -ERR: raising mid-drain would
+            # leave the remaining replies in the socket and permanently
+            # desynchronize this thread's cached connection (every later
+            # command would read a stale XADD reply as its own answer).
+            from river_spark.transport.resp import RespError
+
             chunk = 512
+            first_err = None
             for off in range(0, n, chunk):
                 window = cmds[off:off + chunk]
                 c.send_many(window)
                 for _ in range(len(window)):
-                    c.read_reply()
+                    try:
+                        c.read_reply()
+                    except RespError as e:
+                        first_err = first_err or e
+            if first_err is not None:
+                raise first_err
         return (f"{_HANDLE_PREFIX}{name}/{segment_idx}/{kind}/"
                 f"{int(start_index)}/{int(n)}/{first_id}/{last_id}")
 

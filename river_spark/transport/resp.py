@@ -51,7 +51,10 @@ class RespClient:
         self.host, self.port = host, port
         self._sock = socket.create_connection((host, port), timeout=timeout_s)
         self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-        self._buf = b""
+        # bytearray accumulator: `bytes += chunk` would copy the whole
+        # growing buffer per recv — O(n²) bytes copied while reading one
+        # multi-MB framed batch_val reply
+        self._buf = bytearray()
         if password:
             self.command("AUTH", password)
 
@@ -75,7 +78,8 @@ class RespClient:
         while True:
             i = self._buf.find(b"\r\n")
             if i >= 0:
-                line, self._buf = self._buf[:i], self._buf[i + 2:]
+                line = bytes(self._buf[:i])
+                del self._buf[: i + 2]
                 return line
             chunk = self._sock.recv(65536)
             if not chunk:
@@ -88,7 +92,8 @@ class RespClient:
             if not chunk:
                 raise RespConnectionError("connection closed by server")
             self._buf += chunk
-        out, self._buf = self._buf[:n], self._buf[n:]
+        out = bytes(self._buf[:n])
+        del self._buf[:n]
         return out
 
     def read_reply(self):

@@ -57,3 +57,17 @@ def test_http_endpoints(ingested):
         with pytest.raises(urllib.error.HTTPError) as e:
             _get(f"{base}/api/streams/nope")
         assert e.value.code == 404
+
+
+def test_http_rejects_path_traversal(ingested, tmp_path):
+    """The stream-name URL segment is a filesystem component: '..' (and
+    anything with a separator) must 404, never serve files above the
+    output root."""
+    # plant a secret beside the output root that ../ would reach
+    with open(os.path.join(os.path.dirname(ingested), "metadata.json"), "w") as f:
+        f.write('{"secret": true}')
+    with IngesterHttpServer(ingested) as base:
+        for evil in ("..", "%2e%2e", "..%2fweb_a"):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _get(f"{base}/api/streams/{evil}")
+            assert e.value.code == 404, evil

@@ -311,3 +311,23 @@ def test_two_phase_guard_hot_bucket_family_end_to_end(spark):
     assert got == {(9001, 9002, 0)}
     phys = pairs._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in phys, "signature exchange must be reused, not rebuilt"
+
+
+def test_decode_and_resize_tolerate_null_payloads(spark):
+    """A NULL binary cell must not fail the job — it decodes/resizes as
+    empty instead of crashing np.frombuffer(None)."""
+    from river_spark.operators.multimodal import decode_image_features, resize_image
+
+    df = spark.createDataFrame([(1, b"abc"), (2, None)], "doc_id long, payload binary")
+    feats = {r.doc_id: r for r in decode_image_features(df, "doc_id", "payload").collect()}
+    assert feats[2].n_bytes == 0 and feats[2].width == 1
+    rz = {r.doc_id: r for r in resize_image(df, "doc_id", "payload").collect()}
+    assert bytes(rz[2].resized) == b"" and rz[2].src_w == 1
+
+
+def test_lsh_topk_probe_hamming_three(vectors):
+    """probe_hamming > 2 must actually probe distance-3 buckets (the flip
+    set is generated generically, not hardcoded to h <= 2)."""
+    queries = vectors.filter(F.col("vec_id") < 3)
+    got = lsh_topk(vectors, queries, "vec_id", "embedding", k=5, n_planes=8, probe_hamming=3)
+    assert got.count() > 0  # runs and retrieves beyond the h<=2 probe set

@@ -479,3 +479,42 @@ def test_batch_framing_roundtrip_and_throughput(server):
     framed_rate = rate(framed, "tp_framed")
     sample_rate = rate(RedisBackend(host, port), "tp_sample")
     assert framed_rate > 10 * sample_rate, (framed_rate, sample_rate)
+
+
+def test_xadd_rejects_reused_id_after_xdel(server):
+    """Real Redis persists the last-generated id across XDEL of the tail;
+    mini-redis must too, or tests would pass on writes a stock server
+    rejects (the sink abort/re-append path)."""
+    from river_spark.transport.resp import RespClient, RespError
+
+    host, port = server
+    c = RespClient(host, port)
+    c.command("XADD", "hw", "5-0", "val", "x")
+    c.command("XDEL", "hw", "5-0")
+    with pytest.raises(RespError):
+        c.command("XADD", "hw", "5-0", "val", "y")
+    with pytest.raises(RespError):  # equal-or-smaller still enforced
+        c.command("XADD", "hw", "4-9", "val", "y")
+    c.command("XADD", "hw", "5-1", "val", "z")  # strictly newer: fine
+    # explicit 0-0 on a fresh stream is rejected like real redis
+    with pytest.raises(RespError):
+        c.command("XADD", "hw2", "0-0", "val", "x")
+
+
+def test_pipelined_drain_survives_mid_window_error(server):
+    """An -ERR reply inside a pipelined XADD window must not desync the
+    shared connection: every reply is drained, the first error raises,
+    and the connection still answers the next command correctly."""
+    from river_spark.transport.resp import RespError
+
+    host, port = server
+    b = RedisBackend(host, port)
+    b._conn().command("FLUSHALL")
+    log = StreamLog(backend=b)
+    _schema_, arr = _write(log, "drain", n=10, batch_size=100)
+    # re-appending the same ids -> every XADD in the window errors
+    with pytest.raises(RespError):
+        b.append_batch("drain", 0, 0, arr.tobytes(), 10, key_ms=1, key_seq0=0, sizes=None)
+    # connection is still in sync: a normal command answers sanely
+    assert b.read_metadata("drain") is not None
+    assert log.list_streams() == ["drain"]
