@@ -186,13 +186,20 @@ def build_scaled_dir(spark, sf_dir: str, factor: int = _SCALE_FACTOR) -> str:
         "lineitem",
         lambda df, k: df.withColumn("l_orderkey", F.col("l_orderkey") + k * key_off),
     )
+    def _salted(k):
+        # splice a replica salt every 5 tokens; docs too short (or not
+        # space-separated) for the pattern get the salt APPENDED instead —
+        # an unmatched doc would replicate byte-identical and hand the
+        # dedup probes a quadratic spurious-pair workload
+        spliced = F.regexp_replace(F.col("text"), r"((\S+ ){4}\S+)", f"$1 zzrep{k}")
+        return F.when(spliced == F.col("text"), F.concat(F.col("text"), F.lit(f" zzrep{k}"))).otherwise(
+            spliced
+        )
+
     replicate(
         "documents",
         lambda df, k: df.withColumn("doc_id", F.col("doc_id") + k * 100_000_000).withColumn(
-            "text",
-            F.col("text")
-            if k == 0
-            else F.regexp_replace(F.col("text"), r"((\S+ ){4}\S+)", f"$1 zzrep{k}"),
+            "text", F.col("text") if k == 0 else _salted(k)
         ),
     )
     replicate(

@@ -29,7 +29,13 @@ def normalize_text_udf():
 
     @pandas_udf(T.StringType())
     def _normalize(s: pd.Series) -> pd.Series:
-        return s.str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+        # Explicit ASCII whitespace class + space-only strip: Python's \s
+        # and str.strip() are Unicode-aware while the RE2/SQL oracle's \s
+        # and trim() are not — NBSP/U+2028 must normalize identically on
+        # both sides of the parity gate.
+        return (
+            s.str.lower().str.replace(r"[\t\n\f\r ]+", " ", regex=True).str.strip(" ")
+        )
 
     return _normalize
 
@@ -50,12 +56,20 @@ def weighted_avg_udaf():
 def tokenize_udtf():
     from pyspark.sql.functions import udtf
 
+    import re
+
+    # RE2's \s (the oracle's regexp_split_to_array class) — ASCII only,
+    # and split semantics that yield [''] for empty input, exactly like
+    # regexp_split_to_array(''): str.split() would emit NO rows for an
+    # empty/whitespace-only document while the oracle emits one.
+    ws = re.compile(r"[\t\n\f\r ]+")
+
     @udtf(returnType="pos: int, token: string", useArrow=True)
     class _Tokenize:
         def eval(self, text: str):
             if text is None:
                 return
-            for pos, token in enumerate(text.split()):
+            for pos, token in enumerate(ws.split(text)):
                 yield (pos, token)
 
     return _Tokenize

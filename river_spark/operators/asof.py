@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_K, _T, _SIDE = "__asof_k", "__asof_t", "__asof_side"
+_K, _T, _SIDE, _RS = "__asof_k", "__asof_t", "__asof_side", "__asof_rs"
 
 
 def asof_join(
@@ -50,26 +50,39 @@ def asof_join(
     # semantics, after left (rank 2) for strict semantics.
     right_side_rank = 2 if strict else 0
 
+    # The right payload travels as ONE struct: per-column
+    # last(ignorenulls=True) would fill each column independently and
+    # stitch values from DIFFERENT right rows into a row that never
+    # existed whenever the true match carries a NULL payload column. The
+    # struct itself is non-null for every right row (even all-NULL
+    # payloads), so the whole matched row propagates together —
+    # equi-ASOF semantics like DuckDB's ASOF JOIN.
+    struct_type = right.select(*[F.col(c) for c in right_cols]).schema
     l_tagged = left.select(
         F.col(left_on).alias(_K),
         F.col(left_ts).alias(_T),
         F.lit(1).alias(_SIDE),
         *[F.col(c) for c in left_payload],
-        *[F.lit(None).alias(c) for c in right_cols],
+        F.lit(None).cast(struct_type).alias(_RS),
     )
-    r_tagged = right.select(
+    # A NULL join key never matches under equi-join semantics: dropping
+    # NULL-key right rows means the NULL-key window partition holds only
+    # left rows, which then correctly get no match.
+    r_tagged = right.filter(F.col(right_on).isNotNull()).select(
         F.col(right_on).alias(_K),
         F.col(right_ts).alias(_T),
         F.lit(right_side_rank).alias(_SIDE),
         *[F.lit(None).alias(c) for c in left_payload],
-        *[F.col(c) for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias(_RS),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
+    # Final tiebreak on the payload struct: equal (key, ts, side) right
+    # rows otherwise attach nondeterministically across runs/retries.
     if direction == "backward":
-        order = [F.col(_T).asc(), F.col(_SIDE).asc()]
+        order = [F.col(_T).asc(), F.col(_SIDE).asc(), F.col(_RS).asc()]
     else:
-        order = [F.col(_T).desc(), F.col(_SIDE).asc()]
+        order = [F.col(_T).desc(), F.col(_SIDE).asc(), F.col(_RS).desc()]
     w = (
         Window.partitionBy(_K)
         .orderBy(*order)
@@ -78,6 +91,12 @@ def asof_join(
     filled = unioned.select(
         _SIDE,
         *[F.col(c) for c in left_payload],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+        F.last(_RS, ignorenulls=True).over(w).alias(_RS),
     )
-    return filled.filter(F.col(_SIDE) == 1).drop(_SIDE)
+    return (
+        filled.filter(F.col(_SIDE) == 1)
+        .select(
+            *[F.col(c) for c in left_payload],
+            *[F.col(f"{_RS}.{c}").alias(c) for c in right_cols],
+        )
+    )

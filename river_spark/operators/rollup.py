@@ -25,7 +25,13 @@ def time_rollup(
 ) -> DataFrame:
     """Returns a stacked frame [resolution, bucket_start, *key_cols, n,
     total, vmin, vmax] where each coarser level is re-aggregated from the
-    finer one, never from raw."""
+    finer one, never from raw.
+
+    ``materialize=True`` persists each level so the N output branches
+    don't recompute finer levels; the caches belong to the returned
+    plan's lifetime — call :func:`unpersist_rollup` (or
+    ``spark.catalog.clearCache()``) once the dependent actions finish,
+    or the cached partitions live until session end."""
     for r in resolutions:
         if r not in _RESOLUTIONS:
             raise ValueError(f"unsupported resolution {r!r}; choose from {list(_RESOLUTIONS)}")
@@ -35,9 +41,19 @@ def time_rollup(
             raise ValueError(f"{b}s bucket is not a multiple of {a}s")
     by_name = {v: k for k, v in _RESOLUTIONS.items()}
 
-    def bucket(col, s):
-        return F.timestamp_seconds((F.unix_timestamp(col) / s).cast("long") * s)
+    # Bucket arithmetic is pure NTZ epoch math: unix_timestamp() would
+    # interpret the wall-clock through the SESSION timezone (a non-UTC
+    # caller would see day buckets land on 19:00 of the previous day) and
+    # .cast('long') truncates toward zero, mis-bucketing pre-1970
+    # timestamps; timestampdiff + floor + timestampadd is timezone-free
+    # and floors correctly for negative epochs.
+    ntz_epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
 
+    def bucket(col, s):
+        secs_since = F.timestamp_diff("SECOND", ntz_epoch, col.cast("timestamp_ntz"))
+        return F.timestamp_add("SECOND", (F.floor(secs_since / s) * s).cast("long"), ntz_epoch)
+
+    persisted: list[DataFrame] = []
     finest = secs[0]
     level = (
         df.groupBy(bucket(F.col(ts_col), finest).alias("bucket_start"), *key_cols)
@@ -55,6 +71,7 @@ def time_rollup(
     # scale recompute is cheaper than caching — hence opt-in.
     if materialize:
         level = level.persist()
+        persisted.append(level)
     out = level.select(F.lit(by_name[finest]).alias("resolution"), "*")
     prev = level
     for s in secs[1:]:
@@ -70,6 +87,17 @@ def time_rollup(
         )
         if materialize:
             level = level.persist()
+            persisted.append(level)
         out = out.unionByName(level.select(F.lit(by_name[s]).alias("resolution"), "*"))
         prev = level
+    # handles for cache release — persisted levels are otherwise
+    # unreachable to the caller and would stay cached for the session
+    out._river_rollup_levels = persisted
     return out
+
+
+def unpersist_rollup(rolled: DataFrame) -> None:
+    """Release the caches a ``time_rollup(..., materialize=True)`` result
+    is holding; call after the dependent actions finish."""
+    for level in getattr(rolled, "_river_rollup_levels", []):
+        level.unpersist()

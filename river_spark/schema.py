@@ -197,13 +197,32 @@ class StreamSchema:
             T.IntegerType(): FieldType.INT32,
             T.LongType(): FieldType.INT64,
         }
+        # Strip the ingestion system columns ONLY when the full trio is
+        # present (an ingested frame fed back in). Skipping by bare name
+        # would silently drop a USER column that happens to be called
+        # 'key' — schema/data loss with no error on the sink create path.
+        names = {sf.name for sf in st.fields}
+        system = (
+            {"sample_index", "key", "timestamp_ms"}
+            if {"sample_index", "key", "timestamp_ms"} <= names
+            else set()
+        )
         fields = []
         for sf in st.fields:
-            if sf.name in ("sample_index", "key", "timestamp_ms"):
+            if sf.name in system:
                 continue
             if sf.dataType in rev:
                 fields.append(FieldDefinition(name=sf.name, type=rev[sf.dataType]))
             elif isinstance(sf.dataType, T.BinaryType):
+                # BinaryType cannot distinguish the two byte field types and
+                # carries no width; only the sole-field variable-width shape
+                # is inferable (its size is a max-size hint, not a layout).
+                if len(st.fields) - len(system) > 1:
+                    raise SchemaError(
+                        f"binary field {sf.name!r} in a multi-field schema: "
+                        "FIXED_WIDTH_BYTES needs an explicit size — declare a "
+                        "StreamSchema instead of inferring from a StructType"
+                    )
                 fields.append(
                     FieldDefinition(name=sf.name, type=FieldType.VARIABLE_WIDTH_BYTES, size=1)
                 )

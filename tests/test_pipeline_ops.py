@@ -331,3 +331,33 @@ def test_lsh_topk_probe_hamming_three(vectors):
     queries = vectors.filter(F.col("vec_id") < 3)
     got = lsh_topk(vectors, queries, "vec_id", "embedding", k=5, n_planes=8, probe_hamming=3)
     assert got.count() > 0  # runs and retrieves beyond the h<=2 probe set
+
+
+def test_asof_null_payload_null_key_and_ties(spark):
+    """Three equi-ASOF semantics pinned: (1) the matched row's NULL payload
+    columns stay NULL (no franken-row from older rows), (2) NULL join keys
+    never match, (3) equal-(key, ts) right rows attach deterministically."""
+    left = spark.createDataFrame(
+        [(1, 3), (None, 10)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 1, 5, None), (1, 2, None, 7), (None, 5, 1, 1)],
+        "k2 long, t2 long, x long, y long",
+    )
+    got = {r.k: r for r in asof_join(left, right, "k", "k2", "t", "t2", ["x", "y"]).collect()}
+    # true match is (t2=2, x=NULL, y=7): x must NOT be backfilled from t2=1
+    assert got[1].x is None and got[1].y == 7
+    # NULL key matches nothing, even though a NULL-key right row exists
+    assert got[None].x is None and got[None].y is None
+    # ties: two right rows at the same (k, ts) — attachment is the
+    # deterministic struct-max, stable across repeated runs
+    right_t = spark.createDataFrame(
+        [(1, 2, 100), (1, 2, 200)], "k2 long, t2 long, v long"
+    )
+    vals = {
+        asof_join(left.filter("k = 1"), right_t, "k", "k2", "t", "t2", ["v"])
+        .collect()[0]
+        .v
+        for _ in range(3)
+    }
+    assert vals == {200}

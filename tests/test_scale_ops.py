@@ -115,3 +115,36 @@ def test_partitioned_ingest_layout(spark, tmp_path):
     pruned = df.filter(F.col("date") == one_day)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert df.filter(F.col("date") == one_day).count() < 40
+
+
+def test_rollup_buckets_are_session_timezone_independent(spark):
+    """Bucket boundaries are pure NTZ epoch math — a non-UTC caller
+    session must produce the same day/hour buckets as UTC (unix_timestamp
+    would shift day buckets to 19:00 of the previous day on EST)."""
+    from pyspark.sql import functions as F
+
+    from river_spark.operators.rollup import time_rollup
+
+    df = spark.createDataFrame(
+        [("2024-01-15 10:30:45", "a", 1.0), ("2024-01-15 11:00:05", "a", 2.0)],
+        "ts string, k string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    def run():
+        rolled = time_rollup(df, "ts", ["k"], "v", resolutions=["1 hour", "1 day"])
+        rows = rolled.select(
+            "resolution", F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("b")
+        ).collect()
+        return sorted((r.resolution, r.b) for r in rows)
+
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = run()
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        est = run()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    assert utc == est
+    assert ("1 day", "2024-01-15 00:00:00") in utc
+    assert ("1 hour", "2024-01-15 10:00:00") in utc

@@ -101,3 +101,40 @@ def test_stream_name_validation():
         validate_stream_name("")
     with pytest.raises(SchemaError):
         validate_stream_name("x" * 300)
+
+
+def test_from_struct_type_keeps_user_columns_named_like_system_columns():
+    """A user column named 'key' must survive unless the full system trio
+    is present (an ingested frame): silent drops lose data on the sink
+    create path."""
+    from pyspark.sql import types as T
+
+    st = T.StructType(
+        [T.StructField("key", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+    s = StreamSchema.from_struct_type(st)
+    assert s.field_names() == ["key", "value"]
+    # full trio -> stripped (ingested-frame round trip)
+    st2 = T.StructType(
+        [
+            T.StructField("sample_index", T.LongType()),
+            T.StructField("key", T.StringType()),
+            T.StructField("timestamp_ms", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    assert StreamSchema.from_struct_type(st2).field_names() == ["v"]
+
+
+def test_from_struct_type_rejects_binary_in_multifield_schema():
+    from pyspark.sql import types as T
+
+    st = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.BinaryType())]
+    )
+    with pytest.raises(SchemaError, match="explicit size"):
+        StreamSchema.from_struct_type(st)
+    # sole binary field still infers the variable-width shape
+    lone = T.StructType([T.StructField("payload", T.BinaryType())])
+    s = StreamSchema.from_struct_type(lone)
+    assert s.field_definitions[0].type is FieldType.VARIABLE_WIDTH_BYTES
