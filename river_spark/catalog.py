@@ -22,10 +22,15 @@ def register_streams(spark: SparkSession, log_root: str, prefix: str = "river_")
     log = open_log_root(log_root)
     kind, value = locator_option(log_root)
     views = []
+    import re
+
     for name in log.list_streams():
         if is_reserved_stream(name):
             continue  # in-flight sink staging streams are not catalog entries
-        view = prefix + name
+        # view names must be SQL identifiers; a foreign stream named
+        # 'my-stream' would otherwise raise ParseException and abort
+        # registration of every remaining stream
+        view = prefix + re.sub(r"\W", "_", name)
         (
             spark.read.format("river")
             .option(kind, value)

@@ -423,8 +423,9 @@ def river_redis_roundtrip(spark, sf_dir):
         work = tempfile.mkdtemp(prefix="river_spark_redisrt_")
         url = os.environ.get("RIVER_SPARK_REDIS_URL")
         if url:
-            host, _, port = url.rpartition(":")
-            server, addr = None, (host or "127.0.0.1", int(port))
+            from river_spark.transport.log import parse_redis_hostport
+
+            server, addr = None, parse_redis_hostport(url)
         else:
             from river_spark.testing import MiniRedisServer
 
@@ -498,7 +499,7 @@ def river_stream_query(spark, sf_dir):
         import re as _re
 
         table = "river_sq_" + _re.sub(r"\W", "_", sf_dir).strip("_")
-        (
+        done = (
             spark.readStream.format("river")
             .option("path", store)
             .option("stream", "events_sq")
@@ -511,6 +512,11 @@ def river_stream_query(spark, sf_dir):
             .start()
             .awaitTermination(300)
         )
+        # awaitTermination returns False on timeout (it does not raise):
+        # reading the memory sink mid-drain — and caching the table name —
+        # would turn a slow machine into a confusing partial-result mismatch
+        if not done:
+            raise TimeoutError("river_stream_query: streaming drain exceeded 300s")
         _CACHE[key] = table
     return spark.sql(
         f"""
@@ -584,7 +590,7 @@ def river_stream_join(spark, sf_dir):
             .load()
             .select(F.col("user_id").alias("w_user_id"), "weight")
         )
-        (
+        done = (
             ev.join(uw, ev.user_id == uw.w_user_id, "inner")
             .select("user_id", "value", "weight")
             .writeStream.format("memory")
@@ -594,6 +600,8 @@ def river_stream_join(spark, sf_dir):
             .start()
             .awaitTermination(300)
         )
+        if not done:  # see river_stream_query: timeout must not cache a partial table
+            raise TimeoutError("river_stream_join: streaming drain exceeded 300s")
         _CACHE[key] = table
     return spark.sql(
         f"""

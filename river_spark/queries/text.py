@@ -34,12 +34,11 @@ def _tokens(col="text"):
 )
 def text_token_stats(spark, sf_dir):
     toks = _tokens()
-    sw_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
     return tbl(spark, sf_dir, "documents").select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_text"),
         F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.expr(f"filter(split(trim(text), '\\\\s+'), t -> t IN ({sw_list}))"))
+        F.size(F.expr(f"filter(split(trim(text), '\\\\s+'), t -> t IN ({_SW_SQL}))"))
         .cast("long")
         .alias("n_stopwords"),
     )
@@ -67,12 +66,11 @@ def text_token_stats(spark, sf_dir):
     tags=("text", "quality"),
 )
 def text_quality_score(spark, sf_dir):
-    sw_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
     d = tbl(spark, sf_dir, "documents").select(
         "doc_id",
         F.length("text").cast("double").alias("n"),
         F.size(_tokens()).cast("double").alias("toks"),
-        F.size(F.expr(f"filter(split(trim(text), '\\\\s+'), x -> x IN ({sw_list}))"))
+        F.size(F.expr(f"filter(split(trim(text), '\\\\s+'), x -> x IN ({_SW_SQL}))"))
         .cast("double")
         .alias("sw"),
         F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("double").alias("punct"),
@@ -290,10 +288,12 @@ def text_rolling_fingerprint(spark, sf_dir):
     "dedup_ngram_jaccard",
     oracle="""
     WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
     sh AS (
-        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)),
+        -- mirror operators/dedup.shingles(): lowercase, and short docs
+        -- (< n tokens) produce one truncated shingle (slice clamps)
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)),
     cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
     pair AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter

@@ -248,3 +248,9 @@ MAX_STREAM_NAME_LEN = 255  # cpp/src/writer.cpp:44-47
 def validate_stream_name(name: str) -> None:
     if not name or len(name) > MAX_STREAM_NAME_LEN:
         raise SchemaError(f"stream name must be 1..{MAX_STREAM_NAME_LEN} chars: {name!r}")
+    # Names become filesystem path components on the file backend: a '/'
+    # (or '..') would write segments outside the log root or nest them
+    # where list_streams can never find them — written but never
+    # ingestable. NUL is invalid in both filenames and redis keys.
+    if "/" in name or "\\" in name or "\x00" in name or name in (".", ".."):
+        raise SchemaError(f"stream name must not contain path separators: {name!r}")

@@ -738,6 +738,14 @@ class RiverStreamWriter(DataSourceStreamArrowWriter):
         # thing replays are actually relative to), or an explicit
         # sink_group option; bare "default" keeps legacy behavior for
         # checkpoint-less writes.
+        #
+        # Upgrade note: pre-scope registries (key sink_commits/{stream})
+        # are deliberately NOT read — falling back to the shared registry
+        # would reintroduce the new-query drop for exactly the deployments
+        # that have one. The cost is a one-time at-least-once edge: a
+        # query restarted across the upgrade with its last batch's commit
+        # un-logged re-appends that batch once. Duplication-on-upgrade is
+        # recoverable; silent data loss is not.
         import hashlib
 
         grp = options.get("sink_group") or options.get("checkpointlocation") or ""

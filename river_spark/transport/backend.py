@@ -118,13 +118,14 @@ class MemoryBackend(StorageBackend):
         # name -> {"metadata": dict|None, "segments": {idx: {"batches": {handle: meta}, "control": dict|None}}}
         self._streams: dict[str, dict] = {}
         self._payloads: dict[str, dict] = {}
+        self._aux: dict[str, str] = {}
 
     # locks don't pickle; a pickled copy is an independent snapshot
     def __getstate__(self):
         return {
             "streams": self._streams,
             "payloads": self._payloads,
-            "aux": getattr(self, "_aux", {}),
+            "aux": self._aux,
         }
 
     def __setstate__(self, state):
@@ -251,10 +252,8 @@ class MemoryBackend(StorageBackend):
     # ---- aux KV ------------------------------------------------------------
     def read_aux(self, key):
         with self._lock:
-            return getattr(self, "_aux", {}).get(key)
+            return self._aux.get(key)
 
     def write_aux(self, key, value):
         with self._lock:
-            if not hasattr(self, "_aux"):
-                self._aux = {}
             self._aux[key] = str(value)

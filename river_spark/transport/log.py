@@ -289,12 +289,13 @@ class FileBackend(StorageBackend):
                 return f.read()
         except OSError:
             pass
-        # Migration: group cursors / sink-commit registries written before
-        # the aux-key scheme lived at _cursor_{stream}_{group}.json /
-        # _sink_commits_{stream}.json — exactly "_" + key.replace("/","_").
-        # Reading them (and promoting to the new path) preserves
-        # exactly-once replay protection across the upgrade; without this a
-        # restarted streaming query re-appends its last micro-batch.
+        # Migration: group cursors written before the aux-key scheme lived
+        # at _cursor_{stream}_{group}.json — exactly
+        # "_" + key.replace("/","_") — so a pre-upgrade cursor keeps its
+        # position. (Sink-commit registries do NOT migrate: their key
+        # gained a per-query scope, deliberately superseding the old
+        # shared registry — see RiverStreamWriter — so the generic
+        # fallback below simply never finds a legacy file for them.)
         legacy = os.path.join(self.root, "_" + key.replace("/", "_") + ".json")
         try:
             with open(legacy) as f:

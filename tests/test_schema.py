@@ -138,3 +138,10 @@ def test_from_struct_type_rejects_binary_in_multifield_schema():
     lone = T.StructType([T.StructField("payload", T.BinaryType())])
     s = StreamSchema.from_struct_type(lone)
     assert s.field_definitions[0].type is FieldType.VARIABLE_WIDTH_BYTES
+
+
+def test_stream_name_rejects_path_separators():
+    for bad in ("../escape", "a/b", "a\\b", ".", "..", "nul\x00byte"):
+        with pytest.raises(SchemaError, match="path separators|1\\.\\."):
+            validate_stream_name(bad)
+    validate_stream_name("fine-name_2")  # hyphens/underscores stay legal

@@ -237,11 +237,11 @@ def test_reader_initialize_timeout(log):
 
 
 def test_read_aux_migrates_legacy_flat_paths(tmp_path):
-    """Group cursors / sink-commit registries written before the aux-key
-    scheme (_cursor_{stream}_{group}.json, _sink_commits_{stream}.json)
-    must still be readable — and get promoted to the new _aux_ path — so
-    a restarted streaming query keeps its exactly-once replay guard
-    across the upgrade."""
+    """Group cursors written before the aux-key scheme
+    (_cursor_{stream}_{group}.json) must still be readable — and get
+    promoted to the new _aux_ path — so a pre-upgrade cursor keeps its
+    position. (Sink-commit registries intentionally do NOT migrate:
+    their key gained a per-query scope; see river_source.py.)"""
     import json
     import os as _os
 
