@@ -303,6 +303,15 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 12, max_bucket: int = 1000
     for Hamming < n_chunks); exact Hamming verifies. Returns
     [doc_a, doc_b, hamming] with hamming <= max_hamming.
 
+    COMPLETENESS BOUND: candidate generation guarantees every pair at
+    Hamming distance < n_chunks (the length of the ``chunks`` array — 8
+    by default, so distance <= 7). A ``max_hamming`` at or above
+    n_chunks is best-effort recall: a pair whose flips spread across
+    every chunk shares no chunk value and is never co-bucketed, while a
+    same-distance pair with clustered flips is returned. Callers needing
+    guaranteed recall at larger distances must build signatures with
+    more (smaller) chunks.
+
     Chunks travel with the docs through the bucket shuffle and pairs are
     expanded in-bucket, so the signature build runs once — no persist."""
     grouped = _two_phase_group(
