@@ -62,12 +62,16 @@ def plan_compaction(parts: list[tuple[str, int]], target_bytes: int) -> list[lis
                 groups.append(cur)
             cur, cur_bytes = [], 0
             continue
-        if cur and cur_bytes + size > target_bytes:
+        # a group may overshoot target by its last member (merged size is
+        # "~target"): closing BEFORE adding would never merge adjacent
+        # parts each larger than target/2 — e.g. 70 MB parts at a 128 MB
+        # target would make compaction a permanent no-op
+        cur.append(name)
+        cur_bytes += size
+        if cur_bytes >= target_bytes:
             if len(cur) >= 2:
                 groups.append(cur)
             cur, cur_bytes = [], 0
-        cur.append(name)
-        cur_bytes += size
     if len(cur) >= 2:
         groups.append(cur)
     return groups
@@ -75,7 +79,10 @@ def plan_compaction(parts: list[tuple[str, int]], target_bytes: int) -> list[lis
 
 def recover(out_dir: str) -> int:
     """Finish (or roll back) any compaction interrupted mid-group. Safe to
-    call any time; returns the number of journals resolved.
+    call any time while no OTHER compaction is running on the same
+    directory (one maintenance job per directory, like the reference's
+    one-ingester-per-stream rule); returns the number of artifacts
+    resolved.
 
     Crash before the atomic replace: the merged tmp is discarded, nothing
     changed. Crash after: the target already holds the merged data, so the
@@ -83,10 +90,17 @@ def recover(out_dir: str) -> int:
     if not os.path.isdir(out_dir):
         return 0
     resolved = 0
-    for j in sorted(os.listdir(out_dir)):
+    names = sorted(os.listdir(out_dir))
+    for j in names:
         if not j.startswith(_JOURNAL_PREFIX):
             continue
         jpath = os.path.join(out_dir, j)
+        if not j.endswith(".json"):
+            # a crash mid-journal-write leaves a truncated .json.tmp —
+            # nothing was switched yet, so it (and its data tmp) roll back
+            os.unlink(jpath)
+            resolved += 1
+            continue
         with open(jpath) as f:
             entry = json.load(f)
         tmp = os.path.join(out_dir, entry["target"] + ".compact.tmp")
@@ -99,6 +113,15 @@ def recover(out_dir: str) -> int:
                     os.unlink(p)
         os.unlink(jpath)
         resolved += 1
+    # merged tmps orphaned by a crash BEFORE the journal write (no journal
+    # refers to them anymore): plain rollbacks, delete so they can't leak
+    # a target-size file per incident
+    for n in names:
+        if n.endswith(".compact.tmp"):
+            p = os.path.join(out_dir, n)
+            if os.path.exists(p):
+                os.unlink(p)
+                resolved += 1
     return resolved
 
 

@@ -709,7 +709,7 @@ def set_ops(spark, sf_dir):
     return (
         mk("union", a.union(b).distinct())
         .unionAll(mk("intersect", a.intersect(b)))
-        .unionAll(mk("except", a.exceptAll(b).distinct()))
+        .unionAll(mk("except", a.subtract(b)))  # set EXCEPT; exceptAll().distinct() keeps left-side dupes the oracle's EXCEPT removes
     )
 
 

@@ -7,12 +7,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from river_spark.queries.relational import q
+from river_spark.queries.relational import _rev, q
 from river_spark.queries.tables import r2, tbl
-
-
-def _rev():
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 @q(

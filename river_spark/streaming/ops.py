@@ -93,8 +93,14 @@ def dedup_stream(
     events: DataFrame, ts_col: str = "tstamp", id_cols: tuple = ("event_id",), watermark: str = "10 minutes"
 ) -> DataFrame:
     """Exactly-once-per-id stream: dedup state is dropped once the watermark
-    passes, so memory stays bounded at (ids seen within the delay)."""
-    return events.withWatermark(ts_col, watermark).dropDuplicates([*id_cols, ts_col])
+    passes, so memory stays bounded at (ids seen within the delay).
+
+    Keys on the id columns ALONE via dropDuplicatesWithinWatermark — a
+    retried event re-stamped with a different timestamp is still the same
+    id and must be dropped; including ts_col in the key (the
+    dropDuplicates way to get bounded state) would let every re-stamped
+    retry through."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(id_cols))
 
 
 _RUNNING_SCHEMA = T.StructType(
@@ -118,10 +124,13 @@ def running_totals(events: DataFrame, timeout_ms: int = 300_000) -> DataFrame:
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
-        n, total = state.get() if state.exists else (0, 0.0)
         if state.hasTimedOut:
             state.remove()
             return iter(())
+        # GroupState.get/exists are PROPERTIES on PySpark 4 — `state.get()`
+        # would call the returned tuple and crash on the first multi-batch
+        # run (single-batch availableNow tests never have existing state)
+        n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())

@@ -136,3 +136,30 @@ def test_compact_parts_runs_recovery_first(parts_dir):
     stats = compact_parts(d, target_bytes=10_000_000)
     assert stats["recovered"] == 1
     np.testing.assert_array_equal(_read_all(d), arr["v"])
+
+
+def test_plan_merges_parts_larger_than_half_target():
+    """A group may overshoot the target by its last member — otherwise
+    adjacent 70MB parts at a 128MB target would never compact."""
+    parts = [(f"data_{i}", 70) for i in range(4)]
+    assert plan_compaction(parts, target_bytes=128) == [
+        ["data_0", "data_1"],
+        ["data_2", "data_3"],
+    ]
+
+
+def test_recover_cleans_truncated_journal_and_orphan_tmp(parts_dir):
+    _log, d, arr, _w, _out = parts_dir
+    names = _part_names(d)
+    # crash mid-journal-write: truncated .json.tmp + its data tmp
+    with open(os.path.join(d, f"_compact_journal_{names[1]}.json.tmp"), "w") as f:
+        f.write('{"target": "data_')  # truncated JSON
+    with open(os.path.join(d, names[1] + ".compact.tmp"), "wb") as f:
+        f.write(b"merged-but-unjournaled")
+    # crash before ANY journal: orphan tmp alone
+    with open(os.path.join(d, names[3] + ".compact.tmp"), "wb") as f:
+        f.write(b"orphan")
+    assert recover(d) == 3
+    leftovers = [f for f in os.listdir(d) if ".compact.tmp" in f or "_compact_journal_" in f]
+    assert leftovers == []
+    np.testing.assert_array_equal(_read_all(d), arr["v"])

@@ -187,6 +187,31 @@ def test_running_totals_stateful(spark, event_stream):
     assert rows[2].total_value == 60.0
 
 
+def test_running_totals_state_survives_multiple_batches(spark, event_stream):
+    """The MULTI-batch path: maxSamplesPerTrigger slices the drain into
+    several micro-batches, so batch 2+ reads EXISTING state —
+    GroupState.get is a property on PySpark 4, and calling it
+    (state.get()) crashed exactly here while single-batch tests passed."""
+    register(spark)
+    df = (
+        spark.readStream.format("river")
+        .option("path", event_stream)
+        .option("stream", "ev")
+        .option("maxSamplesPerTrigger", "50")  # 182 rows -> 4+ micro-batches
+        .load()
+        .withColumn("tstamp", F.timestamp_millis("ts_ms"))
+    )
+    out = _run_to_memory(spark, running_totals(df), "rt_mb", mode="update")
+    # update mode emits one row per (user, batch); the LAST emission per
+    # user carries the full running total
+    import pyspark.sql.functions as F2
+
+    last = (
+        out.groupBy("user_id").agg(F2.max("n_events").alias("n")).orderBy("user_id").collect()
+    )
+    assert [r.n for r in last] == [61, 61, 60]
+
+
 def test_windowed_counts_batch_parity(spark, event_stream):
     """The same windowed aggregation in batch mode must agree with the
     sum over the streaming output (completeness check)."""
