@@ -51,7 +51,6 @@ _PRIORITY = [
     "q18_large_orders",
     "q19_disjunctive_join",
     # aggregation family
-    "agg_global",
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
@@ -103,6 +102,7 @@ _PRIORITY = [
     "river_stream_query",
     "river_stream_join",
     "mm_resize",
+    "emb_cluster_assign",
     # --- driver-checked green in earlier rounds; re-verified locally each
     # session by tests/test_oracle.py ---
     "text_token_stats",
@@ -113,6 +113,7 @@ _PRIORITY = [
     "text_rolling_fingerprint",
     "join_cross_small",
     "distinct_proj",
+    "agg_global",
     "dedup_exact",
     "river_ingest_roundtrip",
     "river_system_columns",

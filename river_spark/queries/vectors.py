@@ -105,3 +105,63 @@ def emb_centroid_norms(spark, sf_dir):
         .join(F.broadcast(n), "label")
         .select("label", "centroid_norm", "n")
     )
+
+
+@q(
+    "emb_cluster_assign",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 8),
+    d AS (
+        SELECT e.vec_id, c.c_id,
+               round(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                     - 2 * list_dot_product(e.embedding::DOUBLE[], c.cv)
+                     + list_dot_product(c.cv, c.cv), 6) AS dist2
+        FROM embeddings e CROSS JOIN c),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_id) AS rn
+        FROM d)
+    SELECT c_id AS cluster_id,
+           count(*) AS n_members,
+           CAST(min(vec_id) AS BIGINT) AS min_member,
+           round(avg(dist2), 4) AS avg_dist2
+    FROM r WHERE rn = 1 GROUP BY c_id
+    """,
+    tags=("vector", "cluster"),
+)
+def emb_cluster_assign(spark, sf_dir):
+    """Deterministic-centroid clustering: every vector is assigned to the
+    nearest of K fixed centroids (the first 8 vectors by id — one Lloyd
+    assignment step with deterministic init, so the full assignment is
+    SQL-checkable, unlike free-running KMeans). Squared distance expands
+    to dot products (the cross-engine-proven primitive from
+    emb_knn_cosine), rounded before the argmin so ulp drift can't flip
+    an assignment; ties break on centroid id.
+
+    100 TB posture: the K-row centroid table is broadcast (the IVF
+    operator's routing join, operators/similarity.py, is the same
+    shape); per-vector work is K dot products, and the only shuffles are
+    the per-vector argmin window and the cluster-stats aggregation."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")
+        )
+    )
+    e, c = F.col("embedding"), F.col("cv")
+    dist2 = F.round(_dot(e, e) - 2 * _dot(e, c) + _dot(c, c), 6)
+    d = emb.crossJoin(cents).select("vec_id", "c_id", dist2.alias("dist2"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy("dist2", "c_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("c_id").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("vec_id").cast("long").alias("min_member"),
+            F.round(F.avg("dist2"), 4).alias("avg_dist2"),
+        )
+    )

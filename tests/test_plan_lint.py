@@ -23,6 +23,7 @@ CROSS_OK = {
     "emb_ann_ivf",          # tiny query-row x centroid routing cross
     "text_tfidf_top_terms", # broadcast 1-row corpus doc count (N for idf)
     "text_unigram_logprob", # broadcast 1-row corpus token total
+    "emb_cluster_assign",   # broadcast K-row centroid table (K=8)
 }
 
 
