@@ -377,6 +377,77 @@ class _StagedWrite(WriterCommitMessage):
         self.num_rows = num_rows
 
 
+def _arrow_to_struct(schema: StreamSchema, batch) -> "np.ndarray":
+    """One arrow batch → packed structured array, enforcing the stream's
+    contract: NO nulls anywhere (a nulled int column silently round-trips
+    through float64/NaN into garbage ints otherwise — the reference's
+    fields are non-nullable, ingester.cpp:729-760), and FIXED_WIDTH_BYTES
+    values must match the declared size exactly (numpy void assignment
+    silently zero-pads short and truncates long values)."""
+    a = np.zeros(batch.num_rows, dtype=schema.dtype())
+    for f in schema.field_definitions:
+        col = batch.column(batch.schema.get_field_index(f.name))
+        if col.null_count:
+            raise ValueError(
+                f"field {f.name!r}: NULLs cannot be written to a river stream "
+                "(non-nullable schema contract)"
+            )
+        if f.type in _ARROW_TYPES:
+            a[f.name] = col.to_numpy(zero_copy_only=False)
+        else:  # FIXED_WIDTH_BYTES → void field; columnwise bulk assign
+            vals = col.to_pylist()
+            for v in vals:
+                if len(v) != f.size:
+                    raise ValueError(
+                        f"field {f.name!r}: FIXED_WIDTH_BYTES({f.size}) got a "
+                        f"{len(v)}-byte value (padding/truncation is data "
+                        "corruption, not a cast)"
+                    )
+            a[f.name] = vals
+    return a
+
+
+def _struct_chunks(schema: StreamSchema, iterator, batch_size: int):
+    """Yield contiguous structured-array chunks of exactly ``batch_size``
+    rows (last chunk smaller) from an arrow-batch iterator — peak memory
+    is O(batch_size + one arrow batch), not O(partition)."""
+    pending: list[np.ndarray] = []
+    pending_rows = 0
+    for batch in iterator:
+        if batch.num_rows == 0:
+            continue
+        pending.append(_arrow_to_struct(schema, batch))
+        pending_rows += pending[-1].shape[0]
+        while pending_rows >= batch_size:
+            arr = pending[0] if len(pending) == 1 else np.concatenate(pending)
+            yield np.ascontiguousarray(arr[:batch_size])
+            rest = arr[batch_size:]
+            pending = [rest] if rest.shape[0] else []
+            pending_rows = rest.shape[0]
+    if pending_rows:
+        arr = pending[0] if len(pending) == 1 else np.concatenate(pending)
+        yield np.ascontiguousarray(arr)
+
+
+def _variable_chunks(schema: StreamSchema, iterator, batch_size: int):
+    """Yield lists of <= batch_size byte values for the sole
+    variable-width field, rejecting NULLs; O(batch_size) memory."""
+    name = schema.field_names()[0]
+    pending: list[bytes] = []
+    for batch in iterator:
+        col = batch.column(batch.schema.get_field_index(name))
+        if col.null_count:
+            raise ValueError(
+                f"field {name!r}: NULLs cannot be written to a river stream"
+            )
+        pending.extend(col.to_pylist())
+        while len(pending) >= batch_size:
+            yield pending[:batch_size]
+            pending = pending[batch_size:]
+    if pending:
+        yield pending
+
+
 class RiverBatchWriter(DataSourceArrowWriter):
     """Two-phase append: executors stage partition payloads, the driver
     commits them into the log in partition order. Order within a partition
@@ -413,6 +484,18 @@ class RiverBatchWriter(DataSourceArrowWriter):
         if meta is not None:
             # appending: the stream's own schema wins (byte layout must match)
             stream_schema = StreamSchema.from_json(meta["schema"])
+            # ...and so does its segment geometry: appending with a
+            # different rollover period would route batches into
+            # already-tombstoned segments and break the chain
+            eps_meta = meta.get("entries_per_segment")
+            if eps_meta is not None:
+                eps_meta = int(eps_meta)
+                if "entriespersegment" in options and self.entries_per_segment != eps_meta:
+                    raise ValueError(
+                        f"entriesPerSegment={self.entries_per_segment} conflicts "
+                        f"with stream {self.stream!r}'s recorded geometry {eps_meta}"
+                    )
+                self.entries_per_segment = eps_meta
             want = stream_schema.field_names()
             got = [f.name for f in schema.fields if f.name not in _SYSTEM_COLUMNS]
             if want != got:
@@ -477,36 +560,19 @@ class RiverBatchWriter(DataSourceArrowWriter):
             meta["compression_params_json"] = self.comp_json
         log.create_stream(tmp, meta)
         comp = Compressor.from_params_json(self.comp_json) if self.comp_json else None
+        total = 0
         if schema.has_variable_width_field:
-            name = schema.field_names()[0]
-            vals: list[bytes] = []
-            for batch in iterator:
-                vals.extend(batch.column(batch.schema.get_field_index(name)).to_pylist())
-            for off in range(0, len(vals), self.batch_size):
-                part = vals[off : off + self.batch_size]
+            for part in _variable_chunks(schema, iterator, self.batch_size):
                 sizes = np.array([len(v) for v in part], dtype=np.int64)
-                log.append_batch(tmp, 0, off, b"".join(part), len(part), 1, off, sizes)
-            total = len(vals)
+                log.append_batch(tmp, 0, total, b"".join(part), len(part), 1, total, sizes)
+                total += len(part)
         else:
-            dtype = schema.dtype()
-            arrs = []
-            for batch in iterator:
-                a = np.zeros(batch.num_rows, dtype=dtype)
-                for f in schema.field_definitions:
-                    col = batch.column(batch.schema.get_field_index(f.name))
-                    if f.type in _ARROW_TYPES:
-                        a[f.name] = col.to_numpy(zero_copy_only=False)
-                    else:
-                        a[f.name] = col.to_pylist()
-                arrs.append(a)
-            arr = np.concatenate(arrs) if arrs else np.zeros(0, dtype=dtype)
-            for off in range(0, len(arr), self.batch_size):
-                chunk = np.ascontiguousarray(arr[off : off + self.batch_size])
+            for chunk in _struct_chunks(schema, iterator, self.batch_size):
                 payload = chunk.tobytes()
                 if comp is not None:
                     payload = comp.compress(payload)
-                log.append_batch(tmp, 0, off, payload, len(chunk), 1, off, None)
-            total = len(arr)
+                log.append_batch(tmp, 0, total, payload, len(chunk), 1, total, None)
+                total += len(chunk)
         return _StagedWrite(pid, [(f"redis-staged:{tmp}", total)], total)
 
     def _stage_file(self, pid: int, j: int, n: int, ext: str, payload: bytes) -> str:
@@ -523,44 +589,28 @@ class RiverBatchWriter(DataSourceArrowWriter):
         return path
 
     def _stage_fixed(self, pid, schema, iterator):
-        dtype = schema.dtype()
         comp = Compressor.from_params_json(self.comp_json) if self.comp_json else None
-        arrs = []
-        for batch in iterator:
-            a = np.zeros(batch.num_rows, dtype=dtype)
-            for f in schema.field_definitions:
-                col = batch.column(batch.schema.get_field_index(f.name))
-                if f.type in _ARROW_TYPES:
-                    a[f.name] = col.to_numpy(zero_copy_only=False)
-                else:  # FIXED_WIDTH_BYTES → void field; columnwise bulk assign
-                    a[f.name] = col.to_pylist()
-            arrs.append(a)
-        arr = np.concatenate(arrs) if arrs else np.zeros(0, dtype=dtype)
-        chunks = []
-        for j, off in enumerate(range(0, len(arr), self.batch_size)):
-            chunk = np.ascontiguousarray(arr[off : off + self.batch_size])
+        chunks, total = [], 0
+        for j, chunk in enumerate(_struct_chunks(schema, iterator, self.batch_size)):
             payload = chunk.tobytes()
             if comp is not None:
                 payload = comp.compress(payload)
             chunks.append((self._stage_file(pid, j, len(chunk), ".bin", payload), len(chunk)))
-        return chunks, len(arr)
+            total += len(chunk)
+        return chunks, total
 
     def _stage_variable(self, pid, schema, iterator):
         import io
 
-        name = schema.field_names()[0]
-        vals: list[bytes] = []
-        for batch in iterator:
-            vals.extend(batch.column(batch.schema.get_field_index(name)).to_pylist())
-        chunks = []
-        for j, off in enumerate(range(0, len(vals), self.batch_size)):
-            part = vals[off : off + self.batch_size]
+        chunks, total = [], 0
+        for j, part in enumerate(_variable_chunks(schema, iterator, self.batch_size)):
             sizes = np.array([len(v) for v in part], dtype=np.int64)
             buf = io.BytesIO()
             # exact log .npz batch format (transport/log.py append_batch)
             np.savez(buf, data=np.frombuffer(b"".join(part), dtype=np.uint8), sizes=sizes)
             chunks.append((self._stage_file(pid, j, len(part), ".npz", buf.getvalue()), len(part)))
-        return chunks, len(vals)
+            total += len(part)
+        return chunks, total
 
     # -- driver side ----------------------------------------------------------
     def commit(self, messages):
@@ -568,18 +618,28 @@ class RiverBatchWriter(DataSourceArrowWriter):
 
         schema = StreamSchema.from_json(self.stream_schema_json)
         log = _open_log(self.locator)
-        if log.read_metadata(self.stream) is None:
-            StreamWriter(log).initialize(self.stream, schema)
-        # recover append position + last handed-out key from the log
-        total, last_ms, last_seq = 0, -1, -1
-        for seg in log.list_segments(self.stream):
-            ctrl = log.read_control(self.stream, seg)
+        meta = log.read_metadata(self.stream)
+        if meta is None:
+            # record THIS writer's geometry so later appenders route
+            # rollovers identically
+            StreamWriter(log, entries_per_segment=self.entries_per_segment).initialize(
+                self.stream, schema
+            )
+        elif meta.get("entries_per_segment") is not None:
+            self.entries_per_segment = int(meta["entries_per_segment"])
+        segs = log.list_segments(self.stream)
+        if meta is not None and meta.get("entries_per_segment") is None and len(segs) > 1:
+            # legacy/foreign stream that already rolled over without
+            # recording geometry: segment 0's tombstone index defines it
+            ctrl0 = log.read_control(self.stream, segs[0])
+            if ctrl0 is not None and "tombstone" in ctrl0:
+                self.entries_per_segment = int(ctrl0["sample_index"]) + 1
+        # EOF only ever terminates the last segment
+        if segs:
+            ctrl = log.read_control(self.stream, segs[-1])
             if ctrl is not None and "eof" in ctrl:
                 raise RuntimeError(f"stream {self.stream!r} has EOF'd; append rejected")
-            for start, cnt, ms, seq0, _p in log.list_batches(self.stream, seg):
-                total = max(total, start + cnt)
-                if (ms, seq0 + cnt - 1) > (last_ms, last_seq):
-                    last_ms, last_seq = ms, seq0 + cnt - 1
+        total, last_ms, last_seq = self._recover_position(log, segs)
         keygen = MonotonicKeyGen()
         if last_ms >= 0:
             keygen.seed(last_ms, last_seq)
@@ -591,15 +651,49 @@ class RiverBatchWriter(DataSourceArrowWriter):
                 else:
                     staging_dirs.add(os.path.dirname(src))
                     total = self._promote(log, keygen, schema, src, n, total)
+        # carry the position forward: the next commit of THIS writer
+        # (streaming sinks reuse one RiverBatchWriter per query) skips the
+        # log recovery entirely — single-writer-per-stream, like the
+        # reference (docs/intro.rst one-writer rule)
+        self._position = (total, keygen._last_ms, keygen._seq - 1)
         for d in staging_dirs:
             shutil.rmtree(d, ignore_errors=True)
         if self.staging is None:
             # sweep temp streams left by losing/zombie attempts (they share
-            # this writer's prefix but were never promoted)
+            # this writer's prefix but were never promoted). Metadata goes
+            # FIRST: a zombie attempt's pipelined XADD can recreate the
+            # data key after our UNLINK, but a key without its metadata
+            # hash is at least rediscoverable garbage only while the
+            # zombie lives — with metadata deleted last, a fully-formed
+            # stream could reappear and be mistaken for live data.
             for name in log.list_streams():
                 if name.startswith(self.stg_prefix):
-                    log.delete_segment(name, 0)
                     log.delete_metadata(name)
+                    log.delete_segment(name, 0)
+
+    def _recover_position(self, log, segs) -> tuple[int, int, int]:
+        """(total samples, last key ms, last key seq) — from the carried
+        cache when this writer committed before, else an O(1) backend tail
+        probe when available, else the full batch listing (cheap on local
+        backends; on redis the full listing would XRANGE the entire
+        stream every micro-batch commit)."""
+        cached = getattr(self, "_position", None)
+        if cached is not None:
+            return cached
+        probe = getattr(log.backend, "last_batch_info", None)
+        if probe is not None:
+            for seg in reversed(segs):
+                info = probe(self.stream, seg)
+                if info is not None:
+                    return info
+            return 0, -1, -1
+        total, last_ms, last_seq = 0, -1, -1
+        for seg in segs:
+            for start, cnt, ms, seq0, _p in log.list_batches(self.stream, seg):
+                total = max(total, start + cnt)
+                if (ms, seq0 + cnt - 1) > (last_ms, last_seq):
+                    last_ms, last_seq = ms, seq0 + cnt - 1
+        return total, last_ms, last_seq
 
     def _promote_redis(self, log, keygen, schema, tmp: str, total: int) -> int:
         """Assign index ranges + key runs to one temp stream's staged
@@ -608,7 +702,21 @@ class RiverBatchWriter(DataSourceArrowWriter):
         compressed); only a batch crossing a segment boundary is split."""
         comp = Compressor.from_params_json(self.comp_json) if self.comp_json else None
         eps = self.entries_per_segment
+        # per-sample staged entries coalesce into ONE run per partition in
+        # list_batches — split the handle back into batch_size slices so
+        # the driver never holds more than one chunk's payload (an
+        # unpaginated XRANGE of a multi-GB partition OOMs the driver and
+        # stalls the server)
+        split = getattr(log.backend, "split_handle", None)
+        runs: list[tuple[str, int]] = []
         for _start, n, _ms, _seq0, handle in log.list_batches(tmp, 0):
+            subs = [handle] if split is None else split(handle, self.batch_size)
+            if len(subs) == 1:
+                runs.append((handle, n))
+            else:
+                for i, h in enumerate(subs):
+                    runs.append((h, min(self.batch_size, n - i * self.batch_size)))
+        for handle, n in runs:
             z = log.read_batch(handle)
             payload = z["data"].tobytes()
             sizes = z.get("sizes")
@@ -746,10 +854,21 @@ class RiverStreamWriter(DataSourceStreamArrowWriter):
         # query restarted across the upgrade with its last batch's commit
         # un-logged re-appends that batch once. Duplication-on-upgrade is
         # recoverable; silent data loss is not.
+        #
+        # No identity at all (checkpointLocation set via SESSION CONF
+        # never reaches sink options): fall back to a per-writer-instance
+        # scope, NOT a shared constant — a shared scope would drop a new
+        # query's early batches as "replays" of the previous query's.
+        # The per-instance scope still dedups intra-run retries (the
+        # common replay); cross-RESTART replay detection needs an
+        # explicit option("checkpointLocation", ...) or option
+        # ("sink_group", ...).
         import hashlib
 
-        grp = options.get("sink_group") or options.get("checkpointlocation") or ""
-        self._sink_scope = hashlib.sha1(grp.encode()).hexdigest()[:12] if grp else "default"
+        grp = options.get("sink_group") or options.get("checkpointlocation")
+        self._sink_scope = (
+            hashlib.sha1(grp.encode()).hexdigest()[:12] if grp else f"run_{uuid.uuid4().hex[:12]}"
+        )
 
     def write(self, iterator):
         return self._batch.write(iterator)
@@ -762,13 +881,19 @@ class RiverStreamWriter(DataSourceStreamArrowWriter):
 
         log = _open_log(self._batch.locator)
         raw = log.read_aux(self._commits_key())
-        committed = json.loads(raw) if raw else {}
-        if str(batchId) in committed:
+        prev = json.loads(raw) if raw else {}
+        # O(1) registry: batchIds are monotonic per scope, so the max
+        # committed id is a complete replay record — a per-batch map
+        # would grow (and be rewritten) forever on a long-lived query.
+        # Legacy per-batch maps read back as max(numeric keys).
+        max_committed = prev.get(
+            "max", max((int(k) for k in prev if k.lstrip("-").isdigit()), default=-1)
+        )
+        if batchId <= max_committed:
             self.abort(messages, batchId)  # replay: drop staged files
             return
         self._batch.commit(messages)
-        committed[str(batchId)] = sum(m.num_rows for m in messages if m)
-        log.write_aux(self._commits_key(), json.dumps(committed))
+        log.write_aux(self._commits_key(), json.dumps({"max": batchId}))
 
     def abort(self, messages, batchId):
         self._batch.abort(messages)

@@ -77,6 +77,12 @@ class StreamWriter:
             "schema": schema.to_json(),
             "initialized_at_us": self._initialized_at_us,
             "user_metadata": user_metadata or {},
+            # Segment geometry is a property of the STREAM, not of whoever
+            # appends later: a second appender (the Spark sink) must route
+            # batches with the same rollover period or it would write past
+            # a tombstone into a closed segment. Extra hash field on the
+            # wire — foreign reference readers ignore it.
+            "entries_per_segment": int(self.entries_per_segment),
         }
         if self.compression.mode is not CompressionMode.UNCOMPRESSED:
             # Bind a per-stream COPY before filling schema-derived defaults:

@@ -171,3 +171,99 @@ def test_sink_replay_registry_scoped_per_query(spark, tmp_path):
     )
     assert back.count() == 150
     assert back.select("sample_index").distinct().count() == 150
+
+
+def test_sink_rejects_nulls_and_fixed_width_mismatch(spark, tmp_path):
+    """NULL cells would round-trip through float64/NaN into garbage ints,
+    and numpy void assignment silently pads/truncates fixed-width bytes —
+    both must raise instead."""
+    from river_spark.sources import register
+
+    register(spark)
+    store = str(tmp_path / "store")
+    df_null = spark.createDataFrame([(1,), (None,)], "x long")
+    with pytest.raises(Exception, match="NULL"):
+        (
+            df_null.write.format("river")
+            .option("path", store)
+            .option("stream", "nulls")
+            .mode("append")
+            .save()
+        )
+    log = StreamLog(store)
+    fw = StreamSchema([FieldDefinition("b", FieldType.FIXED_WIDTH_BYTES, size=4)])
+    StreamWriter(log).initialize("fw", fw).write(
+        np.array([(b"abcd",)], dtype=fw.dtype())
+    )
+    df_bad = spark.createDataFrame([(b"toolong",)], "b binary")
+    with pytest.raises(Exception, match="FIXED_WIDTH_BYTES"):
+        (
+            df_bad.write.format("river")
+            .option("path", store)
+            .option("stream", "fw")
+            .mode("append")
+            .save()
+        )
+
+
+def test_sink_append_respects_stream_segment_geometry(spark, tmp_path):
+    """A stream created with a small entries_per_segment must keep that
+    rollover period for sink appends — the default 2^24 would route new
+    batches into already-tombstoned segments and break the chain."""
+    from river_spark.sources import register
+    from river_spark.transport import StreamReader
+
+    register(spark)
+    store = str(tmp_path / "store")
+    log = StreamLog(store)
+    schema = StreamSchema([FieldDefinition("x", FieldType.INT64)])
+    w = StreamWriter(log, entries_per_segment=25).initialize("geo", schema)
+    arr = np.zeros(60, dtype=schema.dtype())
+    arr["x"] = np.arange(60)
+    w.write(arr)  # 60 rows -> segments 0,1 full (tombstoned), 2 live
+    df = spark.createDataFrame([(int(i),) for i in range(60, 90)], "x long")
+    df.repartition(1).write.format("river").option("path", store).option(
+        "stream", "geo"
+    ).mode("append").save()
+    # geometry honored: rollovers continued at 25
+    assert log.list_segments("geo") == [0, 1, 2, 3]
+    r = StreamReader(log).initialize("geo")
+    res = r.read(1000, timeout_ms=100)
+    assert res.count == 90
+    np.testing.assert_array_equal(res.samples["x"], np.arange(90))
+    np.testing.assert_array_equal(res.indices, np.arange(90))
+    # explicit conflicting option is rejected outright
+    with pytest.raises(Exception, match="geometry"):
+        (
+            df.write.format("river")
+            .option("path", store)
+            .option("stream", "geo")
+            .option("entriesPerSegment", "1000")
+            .mode("append")
+            .save()
+        )
+
+
+def test_split_handle_slices_per_sample_runs(tmp_path):
+    from river_spark.testing import MiniRedisServer
+    from river_spark.transport import RedisBackend
+
+    with MiniRedisServer() as (host, port):
+        b = RedisBackend(host, port)
+        log = StreamLog(backend=b)
+        schema = StreamSchema([FieldDefinition("v", FieldType.DOUBLE)])
+        w = StreamWriter(log).initialize("sh", schema)
+        arr = np.zeros(10, dtype=schema.dtype())
+        arr["v"] = np.arange(10.0)
+        w.write(arr)
+        (start, n, _ms, _seq, handle), *_ = log.list_batches("sh", 0)
+        assert (start, n) == (0, 10)
+        subs = b.split_handle(handle, 4)
+        assert len(subs) == 3  # 4 + 4 + 2
+        got = []
+        for h, take in zip(subs, (4, 4, 2)):
+            z = b.read_batch(h)
+            vals = np.frombuffer(bytes(z["data"]), dtype=np.float64)
+            assert len(vals) == take
+            got.extend(vals.tolist())
+        assert got == list(np.arange(10.0))
