@@ -18,6 +18,7 @@ import river_spark.queries.relational3 as _relational3  # noqa: F401
 import river_spark.queries.relational4 as _relational4  # noqa: F401
 import river_spark.queries.pipeline_composite as _pipeline_composite  # noqa: F401
 import river_spark.queries.curation as _curation  # noqa: F401
+import river_spark.queries.curation2 as _curation2  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -67,11 +68,10 @@ _PRIORITY = [
     "win_rank_ntile",
     "win_moving_avg",
     "win_topk_per_group",
-    # scalar functions
-    "scalar_string",
-    "scalar_date",
-    "scalar_math",
-    "scalar_conditional",
+    # scalar functions (string/date/math/conditional ceded their head
+    # slots to the four new-this-round curation ops below — scalar_* is
+    # r1-green, trivially low driver-risk, and stays under the local
+    # oracle gate every session; it rotates back in round 6)
     "scalar_json",
     # events (streaming analogs, as-of/range/session)
     "ev_tumbling_window",
@@ -103,8 +103,16 @@ _PRIORITY = [
     "river_stream_join",
     "mm_resize",
     "emb_cluster_assign",
+    "text_repetition_filter",
+    "text_pii_redact",
+    "text_chunk_sliding",
+    "pipeline_domain_mix",
     # --- driver-checked green in earlier rounds; re-verified locally each
     # session by tests/test_oracle.py ---
+    "scalar_string",
+    "scalar_date",
+    "scalar_math",
+    "scalar_conditional",
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",
