@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from river_spark.operators.components import connected_components
 from river_spark.queries.relational import q
 from river_spark.queries.tables import tbl
 
@@ -224,6 +225,91 @@ def text_chunk_sliding(spark, sf_dir):
         "chunk_id",
         F.length("chunk").cast("long").alias("chunk_len"),
         F.md5(F.col("chunk").cast("binary")).alias("chunk_md5"),
+    )
+
+
+@q(
+    "dedup_components",
+    oracle="""
+    WITH RECURSIVE fp AS (
+        SELECT doc_id, md5(trim(text)) AS f FROM documents),
+    gm AS (SELECT f, min(doc_id) AS m FROM fp GROUP BY f),
+    star AS (
+        SELECT fp.doc_id AS src, gm.m AS dst
+        FROM fp JOIN gm ON fp.f = gm.f WHERE fp.doc_id <> gm.m),
+    chain AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id - 1
+        WHERE a.doc_id % 20 <> 0),
+    skip AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id - 140
+        WHERE a.doc_id % 100 = 7),
+    e0 AS (
+        SELECT src, dst FROM star
+        UNION SELECT src, dst FROM chain
+        UNION SELECT src, dst FROM skip),
+    edges AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+    reach(id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+    comp AS (SELECT id AS doc_id, min(label) AS component_id FROM reach GROUP BY id)
+    SELECT doc_id, component_id,
+           CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT) AS comp_size,
+           (doc_id = component_id) AS is_canonical
+    FROM comp
+    """,
+    tags=("pipeline", "dedup", "graph"),
+)
+def dedup_components(spark, sf_dir):
+    """Near-dup cluster assignment: transitive closure over a pair graph,
+    component id = min reachable doc_id, one canonical doc per cluster —
+    the step that turns LSH pair output into retention decisions (a~b,
+    b~c must keep exactly one of {a,b,c} even though a~c was never a
+    pair). Runs :func:`connected_components` (min-label propagation with
+    path compression, O(log diameter) rounds; see operators/components.py
+    for the 100 TB posture).
+
+    Edge set (deterministic, both engines build it identically): exact-
+    duplicate stars (every doc -> its fingerprint group's min id; empty
+    on this corpus but the production edge family), within-block chains
+    (doc_id -> doc_id - 1 unless doc_id % 20 == 0: diameter-19 paths
+    that single-hop closure would get wrong), and cross-block skip links
+    (doc_id % 100 == 7 -> doc_id - 140: merges distant chains, so the
+    closure is genuinely multi-hop). The oracle is an independent
+    algorithm entirely — DuckDB's recursive-CTE transitive closure —
+    so agreement checks the fixpoint itself, not a reimplementation.
+    """
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.trim(F.col("text")).cast("binary")).alias("f")
+    )
+    gm = docs.groupBy("f").agg(F.min("doc_id").alias("m"))
+    star = (
+        docs.join(gm, "f")
+        .where(F.col("doc_id") != F.col("m"))
+        .select(F.col("doc_id").alias("src"), F.col("m").alias("dst"))
+    )
+    ids = docs.select("doc_id")
+    b = ids.select(F.col("doc_id").alias("b_id"))
+    chain = (
+        ids.where(F.col("doc_id") % 20 != 0)
+        .join(b, F.col("b_id") == F.col("doc_id") - 1)
+        .select(F.col("doc_id").alias("src"), F.col("b_id").alias("dst"))
+    )
+    skip = (
+        ids.where(F.col("doc_id") % 100 == 7)
+        .join(b, F.col("b_id") == F.col("doc_id") - 140)
+        .select(F.col("doc_id").alias("src"), F.col("b_id").alias("dst"))
+    )
+    edges = star.union(chain).union(skip)
+    comp = connected_components(ids, edges, id_col="doc_id")
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("component_id"),
+        F.count("*").over(w).cast("long").alias("comp_size"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
     )
 
 

@@ -68,11 +68,10 @@ _PRIORITY = [
     "win_rank_ntile",
     "win_moving_avg",
     "win_topk_per_group",
-    # scalar functions (string/date/math/conditional ceded their head
-    # slots to the four new-this-round curation ops below — scalar_* is
-    # r1-green, trivially low driver-risk, and stays under the local
-    # oracle gate every session; it rotates back in round 6)
-    "scalar_json",
+    # scalar functions ceded their head slots to the five new-this-round
+    # curation/graph ops below — scalar_* is r1-green, trivially low
+    # driver-risk, and stays under the local oracle gate every session;
+    # it rotates back in round 6
     # events (streaming analogs, as-of/range/session)
     "ev_tumbling_window",
     "ev_sliding_window",
@@ -107,12 +106,14 @@ _PRIORITY = [
     "text_pii_redact",
     "text_chunk_sliding",
     "pipeline_domain_mix",
+    "dedup_components",
     # --- driver-checked green in earlier rounds; re-verified locally each
     # session by tests/test_oracle.py ---
     "scalar_string",
     "scalar_date",
     "scalar_math",
     "scalar_conditional",
+    "scalar_json",
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",

@@ -1,0 +1,133 @@
+"""Semantic invariants for the second curation wave (curation2.py) and
+the connected-components operator — properties the cross-engine oracle
+can't state directly (closure correctness on handcrafted graphs, chunk
+reconstruction, planted-PII hit guarantees, weight normalization)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from river_spark.operators.components import connected_components
+from river_spark.queries.curation2 import (
+    dedup_components,
+    pipeline_domain_mix,
+    text_chunk_sliding,
+    text_pii_redact,
+    text_repetition_filter,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _cc(spark, nodes, edges):
+    n = spark.createDataFrame([(i,) for i in nodes], "id long")
+    e = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(None, None)], "src long, dst long"
+    )
+    if not edges:
+        e = e.where(F.col("src").isNotNull())
+    out = connected_components(n, e)
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+def test_cc_chain_merges_end_to_end(spark):
+    # a 12-node chain: single-hop propagation alone needs 11 rounds;
+    # convergence inside max_rounds proves the compression hop works
+    got = _cc(spark, range(12), [(i, i + 1) for i in range(11)])
+    assert got == {i: 0 for i in range(12)}
+
+
+def test_cc_isolated_nodes_are_singletons(spark):
+    got = _cc(spark, [5, 9, 11], [])
+    assert got == {5: 5, 9: 9, 11: 11}
+
+
+def test_cc_two_components_and_bridge(spark):
+    edges = [(1, 2), (2, 3), (10, 11)]
+    got = _cc(spark, [1, 2, 3, 10, 11, 20], edges)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+    # adding one bridge merges the two non-trivial components
+    got2 = _cc(spark, [1, 2, 3, 10, 11, 20], edges + [(3, 10)])
+    assert got2 == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 20: 20}
+
+
+def test_cc_direction_insensitive(spark):
+    # edges are undirected: reversing every pair changes nothing
+    edges = [(4, 2), (2, 7), (9, 7)]
+    fwd = _cc(spark, [2, 4, 7, 9], edges)
+    rev = _cc(spark, [2, 4, 7, 9], [(b, a) for a, b in edges])
+    assert fwd == rev == {2: 2, 4: 2, 7: 2, 9: 2}
+
+
+def test_dedup_components_cluster_shape(spark):
+    out = dedup_components(spark, SF_DIR).toPandas()
+    # every component's canonical doc is its min member, exactly once
+    for cid, g in out.groupby("component_id"):
+        assert cid == g["doc_id"].min()
+        assert g["is_canonical"].sum() == 1
+        assert (g["comp_size"] == len(g)).all()
+    # the three planted skip links (207->67, 307->167, 407->267) merge
+    # block pairs: those six blocks form 3 components of 40
+    sizes = sorted(out.drop_duplicates("component_id")["comp_size"])
+    assert sizes.count(40) == 3
+
+
+def test_chunk_reconstruction(spark):
+    """Chunks at stride 150 with 200-char windows: the first 150 chars of
+    every chunk plus the tail of the last reconstruct the document."""
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    chunks = text_chunk_sliding(spark, SF_DIR).toPandas()
+    # verify against recomputed chunk md5s
+    import hashlib
+
+    for doc_id, g in chunks.groupby("doc_id"):
+        text = docs[doc_id]
+        g = g.sort_values("chunk_id")
+        rebuilt = ""
+        n = len(g)
+        for _, row in g.iterrows():
+            start = (row["chunk_id"] - 1) * 150
+            piece = text[start : start + 200]
+            assert hashlib.md5(piece.encode()).hexdigest() == row["chunk_md5"]
+            assert len(piece) == row["chunk_len"]
+            rebuilt = rebuilt[: start] + piece
+        assert rebuilt == text, doc_id
+        # every char position covered exactly by construction
+        assert n >= 1
+
+
+def test_pii_redaction_hits_planted_slice(spark):
+    out = text_pii_redact(spark, SF_DIR).toPandas()
+    planted = out[out["doc_id"] % 7 == 0]
+    organic = out[out["doc_id"] % 7 != 0]
+    assert (planted["n_emails"] >= 1).all()
+    assert (planted["n_ips"] >= 1).all()
+    # synthetic corpus has no organic PII
+    assert (organic["n_emails"] == 0).all()
+    assert (organic["n_ips"] == 0).all()
+
+
+def test_domain_mix_weights_normalize(spark):
+    out = pipeline_domain_mix(spark, SF_DIR).toPandas()
+    assert abs(out["mix_weight"].sum() - 1.0) < 1e-4
+    assert (out["mix_weight"] > 0).all()
+    # sqrt temperature flattens: max/min weight ratio below raw token ratio
+    t = out["n_tokens"]
+    if t.max() > t.min():
+        assert (
+            out["mix_weight"].max() / out["mix_weight"].min()
+            < float(t.max()) / float(t.min()) + 1e-9
+        )
+
+
+def test_repetition_filter_bounds(spark):
+    out = text_repetition_filter(spark, SF_DIR).toPandas()
+    assert (out["dup_token_frac"] >= 0).all() and (out["dup_token_frac"] <= 1).all()
+    assert (out["top_bigram_frac"] > 0).all()
+    assert (out["top_bigram_count"] >= 1).all()
+    # keep flag is exactly the documented threshold on the rounded metric
+    assert (out["keep"] == (out["top_bigram_frac"] <= 0.08)).all()
