@@ -355,3 +355,76 @@ def pipeline_domain_mix(spark, sf_dir):
         "n_tokens",
         F.round(F.sqrt(F.col("n_tokens")) / total, 6).alias("mix_weight"),
     )
+
+
+@q(
+    "pipeline_dedup_retention",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)),
+    cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    pair AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    dup AS (
+        SELECT doc_a, doc_b FROM pair
+        JOIN cnt ca ON ca.doc_id = doc_a
+        JOIN cnt cb ON cb.doc_id = doc_b
+        WHERE inter * 1.0 / (ca.c + cb.c - inter) >= 0.9),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+              UNION SELECT doc_b AS src, doc_a AS dst FROM dup),
+    reach(id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+    comp AS (SELECT id AS doc_id, min(label) AS component_id FROM reach GROUP BY id)
+    SELECT doc_id, component_id,
+           CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT) AS comp_size,
+           (doc_id = component_id) AS kept
+    FROM comp
+    """,
+    tags=("pipeline", "dedup", "graph"),
+)
+def pipeline_dedup_retention(spark, sf_dir):
+    """The COMPLETE production dedup pipeline in one plan: MinHash-LSH
+    candidates -> exact-Jaccard verify (>= 0.9, the dedup_minhash_lsh
+    two-stage shape) -> connected components over the verified pairs ->
+    keep exactly the min-id doc of every duplicate cluster. This is the
+    composition users actually run; each stage is individually gated
+    elsewhere (dedup_minhash_lsh, dedup_components) and the whole chain
+    is verified here against an end-to-end SQL oracle: exhaustive
+    O(n^2) Jaccard pairs closed by DuckDB's recursive CTE — both dedup
+    stages AND the closure recomputed by an independent engine."""
+    from river_spark.operators.dedup import ngram_jaccard_pairs
+    from river_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", 3, hashed=True, distinct=False)
+    sigs = minhash_signatures(sh, 64)
+    cand = lsh_candidate_pairs(sigs, bands=16)
+    cand_ids = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    cand_docs = docs.join(cand_ids, "doc_id", "left_semi")
+    dup = ngram_jaccard_pairs(cand_docs, "doc_id", "text", 3, threshold=0.9)
+    ids = docs.select("doc_id")
+    comp = connected_components(
+        ids,
+        dup.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        id_col="doc_id",
+    )
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("component_id"),
+        F.count("*").over(w).cast("long").alias("comp_size"),
+        (F.col("id") == F.col("component")).alias("kept"),
+    )

@@ -267,3 +267,80 @@ def ev_sliding_window(spark, sf_dir):
             "total_value",
         )
     )
+
+
+@q(
+    "ev_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS ts_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS ts_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.ts_view
+        GROUP BY e.user_id),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS ts_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.ts_click
+        GROUP BY e.user_id)
+    SELECT v.user_id,
+           strftime(v.ts_view, '%Y-%m-%d %H:%M:%S.%f') AS first_view,
+           strftime(c.ts_click, '%Y-%m-%d %H:%M:%S.%f') AS first_click_after,
+           strftime(p.ts_purchase, '%Y-%m-%d %H:%M:%S.%f') AS first_purchase_after,
+           CASE WHEN p.user_id IS NOT NULL THEN 3
+                WHEN c.user_id IS NOT NULL THEN 2
+                ELSE 1 END AS funnel_depth
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON c.user_id = p.user_id
+    """,
+    tags=("events", "funnel"),
+)
+def ev_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view -> click -> purchase): per user,
+    the first view, the first click strictly AFTER that view, and the
+    first purchase strictly after that click — the sequential-pattern
+    query every product-analytics engine ships (and the reference leaves
+    to its consumers). Each stage is a per-user min over a filtered
+    slice joined back to the previous stage's anchor: three partial-agg
+    hash aggregations on the same user_id key, so AQE coalesces them
+    into co-partitioned joins with no extra exchange. No window over
+    raw events, no per-user arrays — state per stage is one row."""
+    ev = events_tbl(spark, sf_dir).select("user_id", "event_type", "ts")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("ts_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("ts_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_purchase"))
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.date_format("ts_view", fmt).alias("first_view"),
+            F.date_format("ts_click", fmt).alias("first_click_after"),
+            F.date_format("ts_purchase", fmt).alias("first_purchase_after"),
+            F.when(F.col("ts_purchase").isNotNull(), 3)
+            .when(F.col("ts_click").isNotNull(), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("funnel_depth"),
+        )
+    )

@@ -55,8 +55,6 @@ _PRIORITY = [
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
-    "agg_stats",
-    "agg_percentile",
     # joins / sorts / sets
     "join_semi",
     "join_anti",
@@ -107,6 +105,8 @@ _PRIORITY = [
     "text_chunk_sliding",
     "pipeline_domain_mix",
     "dedup_components",
+    "pipeline_dedup_retention",
+    "ev_funnel",
     # --- driver-checked green in earlier rounds; re-verified locally each
     # session by tests/test_oracle.py ---
     "scalar_string",
@@ -114,6 +114,8 @@ _PRIORITY = [
     "scalar_math",
     "scalar_conditional",
     "scalar_json",
+    "agg_stats",
+    "agg_percentile",
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",
