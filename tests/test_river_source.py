@@ -481,3 +481,28 @@ def test_stream_reader_foreign_cursor_cannot_stall_window(store):
     assert ends[0] == 175  # capped relative to the adopted cursor
     assert all(b > a for a, b in zip(ends, ends[1:]) if b < 1000)  # strictly advancing
     assert ends[-1] == 1000  # reaches the real frontier, no stall
+
+
+def test_foreign_cursor_inverted_window_yields_empty_batch(store):
+    """The crash variant of the foreign-cursor scenario: with a batch
+    file SPANNING both offsets (big batch_size), a planned batch with
+    hi < lo used to pass the overlap filter and slice the file with a
+    negative window (np.full(hi - lo, ...) raises). partitions() must
+    short-circuit to an empty batch instead."""
+    import json
+
+    from river_spark.sources.river_source import RiverStreamReader
+
+    # one 10240-sample batch file spans every offset in play
+    _write_stream(store, "fcspan", n=1000, batch_size=10240)
+    StreamLog(store).write_aux("cursor/fcspan/default", json.dumps({"index": 100}))
+    r = RiverStreamReader(
+        {"path": store, "stream": "fcspan", "maxSamplesPerTrigger": "75"}
+    )
+    # Spark plans a batch from the checkpointed start (900) to an end
+    # capped relative to the adopted foreign cursor (175): hi < lo
+    parts = r.partitions({"index": 900}, {"index": 175})
+    assert parts == [None]
+    assert list(r.read(None)) == []
+    # and the cap base self-advances: the inverted window cannot recur
+    assert r.latestOffset()["index"] >= 900
