@@ -37,6 +37,35 @@ from pyspark.sql import functions as F
 _MAX_ROUNDS = 50
 
 
+def _cached_ids(spark) -> set[int]:
+    return {
+        int(i)
+        for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+
+
+def _unpersist_ids(spark, ids) -> None:
+    """Free specific checkpoint block sets by RDD id. DataFrame.unpersist
+    cannot do this: localCheckpoint registers at the RDD layer, not the
+    SQL CacheManager, so the DataFrame-level call is a no-op on it."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        r = jmap.get(i)
+        if r is not None:
+            r.unpersist(False)
+
+
+def _ckpt(df):
+    """localCheckpoint(eager) + record which persistent RDD ids it
+    created, so superseded iterations can be freed precisely. Id capture
+    is a before/after delta — callers must not checkpoint concurrently
+    in the same session (queries here are single-flight)."""
+    spark = df.sparkSession
+    before = _cached_ids(spark)
+    out = df.localCheckpoint(eager=True)
+    return out, _cached_ids(spark) - before
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -60,10 +89,11 @@ def connected_components(
     # time blows up exponentially. On a cluster use checkpoint() with a
     # reliable dir for fault tolerance; localCheckpoint keeps blocks on
     # executors, which is the right trade for an O(log d)-round loop.
-    sym = sym.localCheckpoint(eager=True)
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
+    sym, sym_ids = _ckpt(sym)
+    labels, labels_ids = _ckpt(
+        nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    )
+    spark = labels.sparkSession
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_rounds):
         # neighbour-min: the smallest label adjacent to each node
@@ -81,22 +111,26 @@ def connected_components(
         lab2 = stepped.select(
             F.col("id").alias("lid"), F.col("label").alias("llabel")
         )
-        compressed = (
-            stepped.join(lab2, stepped["label"] == lab2["lid"], "left")
-            .select(
+        compressed, new_ids = _ckpt(
+            stepped.join(lab2, stepped["label"] == lab2["lid"], "left").select(
                 "id",
                 F.least("label", F.coalesce("llabel", "label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         cur_sum = compressed.agg(F.sum("label")).collect()[0][0]
-        labels = compressed
+        # the new checkpoint is materialized — the superseded round's
+        # blocks are dead; free them NOW so round count never translates
+        # into executor storage growth
+        _unpersist_ids(spark, labels_ids)
+        labels, labels_ids = compressed, new_ids
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     else:
         raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
-    out = labels.withColumnRenamed("label", "component")
-    # hand the caller an unpersisted logical result; the iteration cache
-    # stays alive only until the session clears it
-    return out
+    _unpersist_ids(spark, sym_ids)
+    # The FINAL round's blocks stay cached: the returned DataFrame's
+    # lineage was truncated to them, so they must live until the caller
+    # consumes the result; Spark's ContextCleaner frees them once the
+    # caller's reference is garbage collected.
+    return labels.withColumnRenamed("label", "component")

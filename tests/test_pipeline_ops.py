@@ -256,6 +256,14 @@ def test_registry_queries_leave_no_cached_rdds(spark):
     from river_spark.queries import QUERIES
 
     sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    # start from a clean slate: an earlier test in this shared session may
+    # legitimately hold the FINAL iteration blocks of a graph query
+    # (connected_components' result lineage is its last localCheckpoint,
+    # freed by the ContextCleaner only after the consumer drops it)
+    sc = spark.sparkContext._jsc.sc()
+    it = sc.getPersistentRDDs().values().iterator()
+    while it.hasNext():
+        it.next().unpersist(False)
     for name in (
         "dedup_minhash_lsh",
         "dedup_simhash",
