@@ -344,3 +344,44 @@ def ev_funnel(spark, sf_dir):
             .alias("funnel_depth"),
         )
     )
+
+
+@q(
+    "ev_cohort_retention",
+    oracle="""
+    WITH first AS (
+        SELECT user_id, min(date_trunc('day', ts)) AS cohort
+        FROM events GROUP BY user_id),
+    act AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+           datediff('day', f.cohort, a.d) AS day_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM act a JOIN first f ON a.user_id = f.user_id
+    GROUP BY f.cohort, day_offset
+    """,
+    tags=("events", "cohort"),
+)
+def ev_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    on each later active day as an offset from their cohort — the
+    product-analytics staple behind every retention curve. Two per-user
+    aggregations (first-seen min, distinct active days) meet in a
+    co-partitioned user_id join; the output matrix is tiny (days x
+    offsets), so the final count-distinct shuffle is bounded by the
+    calendar, not the event volume."""
+    ev = events_tbl(spark, sf_dir).select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    act = ev.distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy("cohort", F.datediff(F.col("d"), F.col("cohort")).alias("day_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+            "n_users",
+        )
+    )

@@ -59,8 +59,6 @@ _PRIORITY = [
     "join_semi",
     "join_anti",
     "join_full_outer",
-    "topk_global",
-    "set_ops",
     # window family
     "win_running_sum",
     "win_rank_ntile",
@@ -107,6 +105,8 @@ _PRIORITY = [
     "dedup_components",
     "pipeline_dedup_retention",
     "ev_funnel",
+    "ev_cohort_retention",
+    "emb_quantize_int8",
     # --- driver-checked green in earlier rounds; re-verified locally each
     # session by tests/test_oracle.py ---
     "scalar_string",
@@ -116,6 +116,8 @@ _PRIORITY = [
     "scalar_json",
     "agg_stats",
     "agg_percentile",
+    "topk_global",
+    "set_ops",
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",

@@ -165,3 +165,73 @@ def emb_cluster_assign(spark, sf_dir):
             F.round(F.avg("dist2"), 4).alias("avg_dist2"),
         )
     )
+
+
+@q(
+    "emb_quantize_int8",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               list_min(embedding)::DOUBLE AS mn,
+               list_max(embedding)::DOUBLE AS mx
+        FROM embeddings),
+    enc AS (
+        SELECT vec_id, mn, mx,
+               CASE WHEN mx = mn THEN list_transform(e, x -> 0)
+                    ELSE list_transform(e, x ->
+                        CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS INT))
+               END AS codes,
+               e
+        FROM base)
+    SELECT vec_id,
+           round(mn, 6) AS qmin, round(mx, 6) AS qmax,
+           md5(array_to_string(codes, ',')) AS codes_md5,
+           round(list_sum(list_transform(list_zip(e, codes), p ->
+                 abs(p[1] - (mn + p[2] * (CASE WHEN mx = mn THEN 0.0
+                                          ELSE (mx - mn) / 255.0 END))))) / len(e),
+                 6) AS recon_mae
+    FROM enc
+    """,
+    tags=("vector", "quantize"),
+)
+def emb_quantize_int8(spark, sf_dir):
+    """Scalar int8 quantization of the embedding column — the standard
+    4x vector-store compression before ANN serving (asymmetric per-vector
+    min/max codes, as in FAISS's SQ8). Codes use explicit
+    floor(x + 0.5) so both engines round identically; the md5 of the
+    code array pins the full encode bit-level, and recon_mae bounds the
+    dequantization error. All JVM higher-order functions; zero shuffles
+    — embarrassingly parallel over vectors.
+
+    At 100 TB the same expression runs as a projection inside whatever
+    scan feeds the ANN index build: no extra pass, no Python."""
+    base = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+        F.expr("cast(array_min(embedding) as double)").alias("mn"),
+        F.expr("cast(array_max(embedding) as double)").alias("mx"),
+    )
+    enc = base.select(
+        "vec_id",
+        "mn",
+        "mx",
+        "e",
+        F.expr(
+            "CASE WHEN mx = mn THEN transform(e, x -> 0) "
+            "ELSE transform(e, x -> cast(floor((x - mn) * 255.0 / (mx - mn) + 0.5) as int)) END"
+        ).alias("codes"),
+    )
+    mae = F.expr(
+        "aggregate(zip_with(e, codes, (x, c) -> "
+        "abs(x - (mn + c * (CASE WHEN mx = mn THEN 0.0D ELSE (mx - mn) / 255.0D END)))), "
+        "0.0D, (acc, v) -> acc + v) / size(e)"
+    )
+    return enc.select(
+        "vec_id",
+        F.round("mn", 6).alias("qmin"),
+        F.round("mx", 6).alias("qmax"),
+        F.md5(F.concat_ws(",", F.col("codes").cast("array<string>")).cast("binary")).alias(
+            "codes_md5"
+        ),
+        F.round(mae, 6).alias("recon_mae"),
+    )
