@@ -377,7 +377,11 @@ def ev_cohort_retention(spark, sf_dir):
     act = ev.distinct()
     return (
         act.join(first, "user_id")
-        .groupBy("cohort", F.datediff(F.col("d"), F.col("cohort")).alias("day_offset"))
+        .groupBy(
+            "cohort",
+            # long: DuckDB's datediff is BIGINT, Spark's is INT — match widths
+            F.datediff(F.col("d"), F.col("cohort")).cast("long").alias("day_offset"),
+        )
         .agg(F.count_distinct("user_id").alias("n_users"))
         .select(
             F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
