@@ -204,7 +204,7 @@ def text_tfidf_top_terms(spark, sf_dir):
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
-        s.withColumn("rnk", F.row_number().over(w))
+        s.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
     )

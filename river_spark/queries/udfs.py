@@ -56,5 +56,7 @@ def udtf_tokenize(spark, sf_dir):
     spark.udtf.register("rs_tokenize", tokenize_udtf())
     tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).createOrReplaceTempView("docs_tok")
     return spark.sql(
-        "SELECT doc_id, t.pos, t.token FROM docs_tok, LATERAL rs_tokenize(trim(text)) t"
+        # BIGINT pos: the oracle's generate_series arithmetic is BIGINT
+        "SELECT doc_id, CAST(t.pos AS BIGINT) AS pos, t.token "
+        "FROM docs_tok, LATERAL rs_tokenize(trim(text)) t"
     )

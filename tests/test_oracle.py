@@ -49,6 +49,16 @@ def test_oracle_match(name, spark, ddb, sf_dir):
     assert sorted(got.columns) == sorted(exp.columns), (
         f"{name}: columns {sorted(got.columns)} != {sorted(exp.columns)}"
     )
+    # dtype-width parity: the driver's canonicalizer has tolerated
+    # int32/int64 drift so far, but it is a standing schema-gate risk —
+    # pin that both engines agree on physical width (e.g. Spark datediff
+    # is INT while DuckDB's is BIGINT; cast in the query, not here)
+    dtype_diff = [
+        (c, str(got[c].dtype), str(exp[c].dtype))
+        for c in got.columns
+        if str(got[c].dtype) != str(exp[c].dtype)
+    ]
+    assert not dtype_diff, f"{name}: dtype drift {dtype_diff}"
     g, e = _canon(got), _canon(exp)
     for c in g.columns:
         gv, ev = g[c].tolist(), e[c].tolist()
