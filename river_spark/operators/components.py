@@ -11,21 +11,25 @@ entirely (its analytics surface is pandas groupby/merge,
 Algorithm: iterative min-label propagation with path compression —
 each round every node takes the min label over {itself} ∪ neighbours
 (one shuffle join + hash aggregate), then labels are compressed one
-pointer hop (label := label's label, a second join). Compression makes
-label trees collapse geometrically, so convergence is O(log diameter)
-rounds, the same bound as the small-star/large-star formulation of
-Kiveris et al., "Connected Components in MapReduce and Beyond" (SOCC
-'14) — but with two fixed-shape joins per round that AQE can plan
-(broadcast when the frontier shrinks). Convergence is detected by the
-label-sum aggregate, which is strictly decreasing until fixpoint —
-a one-row jobside check, no collect of data rows.
+pointer hop against the PREVIOUS round's checkpointed mapping (label :=
+prev_label(label), a second join whose right side is already
+materialized, so the neighbour-min stage executes once per round).
+Compression makes label trees collapse geometrically, so convergence is
+O(log diameter) rounds, the same bound as the small-star/large-star
+formulation of Kiveris et al., "Connected Components in MapReduce and
+Beyond" (SOCC '14) — but with two fixed-shape joins per round that AQE
+can plan (broadcast when the frontier shrinks). Convergence is an exact
+changed-label count against the previous round (type-agnostic: ids may
+be numeric, string fingerprints, anything with a total order under
+``least``/``min``), costing one co-partitioned join of two checkpointed
+frames — no collect of data rows.
 
 At 100 TB: every round is |E| + |V| shuffle traffic, ~log(diameter)
 rounds (near-dup graphs have tiny diameters — dup clusters are dense),
-each iteration's result is persisted and the previous unpersisted so
-lineage stays O(1) deep. Skewed super-nodes (one doc near-dup of
-millions) cost a hot key in the neighbour-min aggregate — that
-aggregate is partial-agg friendly (min), so the hot key combines
+each iteration's result is checkpointed and the previous freed so
+lineage AND executor storage stay O(1) deep. Skewed super-nodes (one
+doc near-dup of millions) cost a hot key in the neighbour-min aggregate
+— that aggregate is partial-agg friendly (min), so the hot key combines
 map-side and never builds a row list.
 """
 
@@ -62,7 +66,13 @@ def _ckpt(df):
     in the same session (queries here are single-flight)."""
     spark = df.sparkSession
     before = _cached_ids(spark)
-    out = df.localCheckpoint(eager=True)
+    try:
+        out = df.localCheckpoint(eager=True)
+    except BaseException:
+        # localCheckpoint registers persistence BEFORE running the job:
+        # a failed materialization strands a half-cached RDD entry
+        _unpersist_ids(spark, _cached_ids(spark) - before)
+        raise
     return out, _cached_ids(spark) - before
 
 
@@ -77,7 +87,8 @@ def connected_components(
     """Return (id, component) where component = min node id reachable
     from ``id`` over the undirected ``edges``. ``nodes`` must contain
     every endpoint (isolated nodes allowed and kept, as their own
-    singleton component)."""
+    singleton component). Ids may be any orderable type — numeric doc
+    ids or string fingerprints alike."""
     sym = (
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
@@ -90,44 +101,70 @@ def connected_components(
     # reliable dir for fault tolerance; localCheckpoint keeps blocks on
     # executors, which is the right trade for an O(log d)-round loop.
     sym, sym_ids = _ckpt(sym)
-    labels, labels_ids = _ckpt(
-        nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
-    )
-    spark = labels.sparkSession
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_rounds):
-        # neighbour-min: the smallest label adjacent to each node
-        nbr = (
-            sym.join(labels.withColumnRenamed("id", "s"), "s")
-            .groupBy("d")
-            .agg(F.min("label").alias("nl"))
-            .withColumnRenamed("d", "id")
+    spark = sym.sparkSession
+    live = set(sym_ids)  # every block set this call owns
+    try:
+        labels, labels_ids = _ckpt(
+            nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
         )
-        stepped = (
-            labels.join(nbr, "id", "left")
-            .select("id", F.least("label", F.coalesce("nl", "label")).alias("label"))
-        )
-        # path compression: one pointer hop, label := label(label)
-        lab2 = stepped.select(
-            F.col("id").alias("lid"), F.col("label").alias("llabel")
-        )
-        compressed, new_ids = _ckpt(
-            stepped.join(lab2, stepped["label"] == lab2["lid"], "left").select(
-                "id",
-                F.least("label", F.coalesce("llabel", "label")).alias("label"),
+        live |= set(labels_ids)
+        for _ in range(max_rounds):
+            # neighbour-min: the smallest label adjacent to each node
+            nbr = (
+                sym.join(labels.withColumnRenamed("id", "s"), "s")
+                .groupBy("d")
+                .agg(F.min("label").alias("nl"))
+                .withColumnRenamed("d", "id")
             )
-        )
-        cur_sum = compressed.agg(F.sum("label")).collect()[0][0]
-        # the new checkpoint is materialized — the superseded round's
-        # blocks are dead; free them NOW so round count never translates
-        # into executor storage growth
-        _unpersist_ids(spark, labels_ids)
-        labels, labels_ids = compressed, new_ids
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:
-        raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+            stepped = labels.join(nbr, "id", "left").select(
+                "id", F.least("label", F.coalesce("nl", "label")).alias("label")
+            )
+            # path compression: one pointer hop through the PREVIOUS
+            # round's checkpointed mapping (prev_label(x) <= x, so this
+            # is a monotone improvement and the exact fixpoint check
+            # below still decides convergence). Using `labels` — already
+            # materialized — as the lookup side means `stepped`'s
+            # neighbour-min stage appears exactly once in this plan;
+            # compressing through `stepped` itself would re-execute it
+            # on both join branches every round.
+            lab2 = labels.select(
+                F.col("id").alias("lid"), F.col("label").alias("llabel")
+            )
+            compressed, new_ids = _ckpt(
+                stepped.join(lab2, stepped["label"] == lab2["lid"], "left").select(
+                    "id",
+                    F.least("label", F.coalesce("llabel", "label")).alias("label"),
+                )
+            )
+            live |= set(new_ids)
+            # exact, type-agnostic convergence: count labels that changed
+            # since the previous round (both sides checkpointed, the join
+            # is co-partitioned on id; a sum-of-labels shortcut would
+            # break — or silently mislabel with ANSI off — on string ids)
+            changed = (
+                compressed.join(
+                    labels.withColumnRenamed("label", "prev_label"), "id"
+                )
+                .where(F.col("label") != F.col("prev_label"))
+                .count()
+            )
+            # the new checkpoint is materialized — the superseded round's
+            # blocks are dead; free them NOW so round count never
+            # translates into executor storage growth
+            _unpersist_ids(spark, labels_ids)
+            live -= set(labels_ids)
+            labels, labels_ids = compressed, new_ids
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_rounds} rounds"
+            )
+    except BaseException:
+        # failure paths must not strand checkpoint blocks in the session
+        # (non-convergence, a mid-loop job failure, cancellation)
+        _unpersist_ids(spark, live)
+        raise
     _unpersist_ids(spark, sym_ids)
     # The FINAL round's blocks stay cached: the returned DataFrame's
     # lineage was truncated to them, so they must live until the caller

@@ -50,10 +50,15 @@ from river_spark.queries.tables import tbl
     tb AS (SELECT doc_id, max(c) AS top_bigram_count FROM bc GROUP BY doc_id)
     SELECT d.doc_id, d.n_tokens,
            round(d.dup_tokens * 1.0 / d.n_tokens, 6) AS dup_token_frac,
-           tb.top_bigram_count,
-           round(tb.top_bigram_count * 1.0 / (d.n_tokens - 1), 6) AS top_bigram_frac,
-           (round(tb.top_bigram_count * 1.0 / (d.n_tokens - 1), 6) <= 0.08) AS keep
-    FROM d JOIN tb ON d.doc_id = tb.doc_id
+           CAST(coalesce(tb.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+           CASE WHEN d.n_tokens < 2 THEN 0.0
+                ELSE round(coalesce(tb.top_bigram_count, 0) * 1.0 / (d.n_tokens - 1), 6)
+           END AS top_bigram_frac,
+           (round(d.dup_tokens * 1.0 / d.n_tokens, 6) <= 0.9
+            AND (CASE WHEN d.n_tokens < 2 THEN 0.0
+                 ELSE round(coalesce(tb.top_bigram_count, 0) * 1.0 / (d.n_tokens - 1), 6)
+                 END) <= 0.08) AS keep
+    FROM d LEFT JOIN tb ON d.doc_id = tb.doc_id
     """,
     tags=("pipeline", "quality"),
 )
@@ -91,14 +96,34 @@ def text_repetition_filter(spark, sf_dir):
     bc = bigrams.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
     tb = bc.groupBy("doc_id").agg(F.max("c").alias("top_bigram_count"))
     frac = F.round(F.col("dup_tokens") * 1.0 / F.col("n_tokens"), 6)
-    bfrac = F.round(F.col("top_bigram_count") * 1.0 / (F.col("n_tokens") - 1), 6)
-    return per_doc.join(tb, "doc_id").select(
+    # LEFT join + guards: a 1-token doc has no bigram row but a curation
+    # FILTER must still emit a verdict for it (top_bigram_frac := 0.0,
+    # never a divide-by-zero on n_tokens - 1)
+    tbc = F.coalesce(F.col("top_bigram_count"), F.lit(0)).cast("long")
+    bfrac = F.when(F.col("n_tokens") < 2, F.lit(0.0)).otherwise(
+        F.round(tbc * 1.0 / (F.col("n_tokens") - 1), 6)
+    )
+    return per_doc.join(tb, "doc_id", "left").select(
         "doc_id",
         "n_tokens",
         frac.alias("dup_token_frac"),
-        "top_bigram_count",
+        tbc.alias("top_bigram_count"),
         bfrac.alias("top_bigram_frac"),
-        (bfrac <= 0.08).alias("keep"),
+        # both signals gate, as documented: heavy in-doc repetition OR a
+        # single dominating bigram drops the doc
+        ((frac <= 0.9) & (bfrac <= 0.08)).alias("keep"),
+    )
+
+
+def _cluster_output(comp, flag_alias: str):
+    """Shared epilogue of the two clustering gates: component id, size
+    (window count over one row per doc), and the min-member flag."""
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("component_id"),
+        F.count("*").over(w).cast("long").alias("comp_size"),
+        (F.col("id") == F.col("component")).alias(flag_alias),
     )
 
 
@@ -304,13 +329,7 @@ def dedup_components(spark, sf_dir):
     )
     edges = star.union(chain).union(skip)
     comp = connected_components(ids, edges, id_col="doc_id")
-    w = Window.partitionBy("component")
-    return comp.select(
-        F.col("id").alias("doc_id"),
-        F.col("component").alias("component_id"),
-        F.count("*").over(w).cast("long").alias("comp_size"),
-        (F.col("id") == F.col("component")).alias("is_canonical"),
-    )
+    return _cluster_output(comp, "is_canonical")
 
 
 @q(
@@ -398,7 +417,17 @@ def pipeline_dedup_retention(spark, sf_dir):
     elsewhere (dedup_minhash_lsh, dedup_components) and the whole chain
     is verified here against an end-to-end SQL oracle: exhaustive
     O(n^2) Jaccard pairs closed by DuckDB's recursive CTE — both dedup
-    stages AND the closure recomputed by an independent engine."""
+    stages AND the closure recomputed by an independent engine.
+
+    Honest caveat on the gate (not the operator): LSH recall is
+    probabilistic. A pair at exactly the 0.9 threshold shares no band
+    w.p. (1 - 0.9^4)^16 ~= 4e-8, and Spark's candidate stage hashes
+    shingles (xxhash64) while the oracle compares shingle STRINGS — with
+    fixed seeds any miss/collision is deterministic per corpus, so a
+    regenerated testdata set could in principle disagree here while both
+    engines are internally correct. The exact-verify stage makes false
+    POSITIVES impossible; only a vanishing near-threshold false negative
+    could differ."""
     from river_spark.operators.dedup import ngram_jaccard_pairs
     from river_spark.operators.dedup import (
         lsh_candidate_pairs,
@@ -421,10 +450,4 @@ def pipeline_dedup_retention(spark, sf_dir):
         dup.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
         id_col="doc_id",
     )
-    w = Window.partitionBy("component")
-    return comp.select(
-        F.col("id").alias("doc_id"),
-        F.col("component").alias("component_id"),
-        F.count("*").over(w).cast("long").alias("comp_size"),
-        (F.col("id") == F.col("component")).alias("kept"),
-    )
+    return _cluster_output(comp, "kept")

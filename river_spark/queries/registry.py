@@ -64,10 +64,11 @@ _PRIORITY = [
     "win_rank_ntile",
     "win_moving_avg",
     "win_topk_per_group",
-    # scalar functions ceded their head slots to the five new-this-round
-    # curation/graph ops below — scalar_* is r1-green, trivially low
-    # driver-risk, and stays under the local oracle gate every session;
-    # it rotates back in round 6
+    # scalar_* / agg_stats / agg_percentile / topk_global / set_ops
+    # ceded their head slots to the NINE new-this-round curation/graph/
+    # event/vector ops below — all nine displaced queries are r1-green,
+    # trivially low driver-risk, stay under the local oracle gate every
+    # session, and rotate back in round 6
     # events (streaming analogs, as-of/range/session)
     "ev_tumbling_window",
     "ev_sliding_window",
