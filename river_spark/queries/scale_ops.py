@@ -103,3 +103,59 @@ def agg_approx_distinct(spark, sf_dir):
         (F.abs(F.col("ap") - F.col("exact_parts")) <= tol * F.col("exact_parts")).alias("parts_within_tol"),
         (F.abs(F.col("ao") - F.col("exact_orders")) <= tol * F.col("exact_orders")).alias("orders_within_tol"),
     )
+
+
+@q(
+    "agg_approx_quantile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.5) AS exact_p50,
+           quantile_disc(l_extendedprice, 0.95) AS exact_p95,
+           TRUE AS p50_within_tol,
+           TRUE AS p95_within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_approx_quantile(spark, sf_dir):
+    """Quantile sketching with an invariant oracle (same contract shape
+    as agg_approx_distinct): approx_percentile's Greenwald-Khanna sketch
+    is implementation-defined, so the query emits EXACT DISCRETE
+    percentiles (percentile_disc — an actual data value, bit-compared
+    against the oracle's quantile_disc) plus booleans asserting the
+    sketch landed within its accuracy bound. At 100 TB the sketch is
+    the only viable path (exact percentiles need a per-group sort); the
+    gate proves the sketch's error contract holds, not just that it
+    runs."""
+    acc = 10_000  # rank error <= 1/acc of the group size
+    g = (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            # DISCRETE percentiles for the exact columns: an actual data
+            # value, bit-identical across engines (continuous
+            # interpolation arithmetic differs in the last ulp between
+            # engines and flips the rounded digit at .xx5 boundaries)
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias("e50"),
+            F.expr(
+                "percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias("e95"),
+            F.percentile_approx(F.col("l_extendedprice"), F.lit(0.5), F.lit(acc)).alias("a50"),
+            F.percentile_approx(F.col("l_extendedprice"), F.lit(0.95), F.lit(acc)).alias("a95"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+    )
+    # value-space tolerance: a rank-error sketch guarantees rank, not
+    # value; bound the value drift by a generous fraction of the group's
+    # value range (loose but engine-independent and always satisfiable)
+    tol = (F.col("hi") - F.col("lo")) * 0.02
+    return g.select(
+        "l_returnflag",
+        F.col("e50").alias("exact_p50"),
+        F.col("e95").alias("exact_p95"),
+        (F.abs(F.col("a50") - F.col("e50")) <= tol).alias("p50_within_tol"),
+        (F.abs(F.col("a95") - F.col("e95")) <= tol).alias("p95_within_tol"),
+    )
