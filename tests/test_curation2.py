@@ -179,3 +179,37 @@ def test_repetition_filter_keep_uses_both_signals(spark):
         f"SELECT count(*) FROM '{SF_DIR}/documents.parquet'"
     ).fetchone()[0]
     assert len(out) == n_docs
+
+
+def test_cc_random_graphs_match_union_find(spark):
+    """Seeded random graphs cross-checked against a pure-Python
+    union-find — an independent algorithm, so agreement validates the
+    distributed fixpoint on shapes no handcrafted case anticipates."""
+    import random
+
+    rng = random.Random(20260814)
+    for trial in range(5):
+        n_nodes = rng.randint(2, 30)
+        nodes = list(range(n_nodes))
+        n_edges = rng.randint(0, n_nodes * 2)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+        ]
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {}
+        for v in nodes:
+            r = find(v)
+            expected[v] = min(u for u in nodes if find(u) == r)
+        got = _cc(spark, nodes, edges)
+        assert got == expected, f"trial {trial}: n={n_nodes} edges={edges}"
