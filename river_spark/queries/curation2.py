@@ -438,7 +438,7 @@ def pipeline_dedup_retention(spark, sf_dir):
     docs = tbl(spark, sf_dir, "documents")
     sh = shingles(docs, "doc_id", "text", 3, hashed=True, distinct=False)
     sigs = minhash_signatures(sh, 64)
-    cand = lsh_candidate_pairs(sigs, bands=16)
+    cand = lsh_candidate_pairs(sigs, bands=16, sig_len=64)
     cand_ids = cand.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()

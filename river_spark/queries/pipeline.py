@@ -71,7 +71,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     # duplicate-insensitive, so the shingle-dedup shuffle is pure waste.
     sh = shingles(docs, "doc_id", "text", 3, hashed=True, distinct=False)
     sigs = minhash_signatures(sh, 64)
-    cand = lsh_candidate_pairs(sigs, bands=16)
+    cand = lsh_candidate_pairs(sigs, bands=16, sig_len=64)
     cand_ids = cand.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
