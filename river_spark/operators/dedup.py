@@ -268,7 +268,12 @@ def ngram_jaccard_pairs(
         .groupBy("shingle")
         .agg(F.collect_list("doc_id").alias("docs"))
     )
-    cnt = shw.groupBy("doc_id").agg(F.count("*").alias("c"))
+    # denominator from the RAW shingle stream: counting through `shw`
+    # would drag the cnt branch through the window's sort (measured ~8%
+    # slower end-to-end); re-evaluating the explode is cheaper than
+    # re-reading the sorted exchange, and the count shuffles by doc_id
+    # either way
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
     pair_expr = F.explode(
         F.expr(
             "flatten(transform(docs, (x, i) -> "
