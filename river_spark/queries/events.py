@@ -389,3 +389,47 @@ def ev_cohort_retention(spark, sf_dir):
             "n_users",
         )
     )
+
+
+@q(
+    "ev_gap_detect",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events)
+    SELECT user_id,
+           strftime(prev_ts, '%Y-%m-%d %H:%M:%S.%f') AS gap_start,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS gap_end,
+           epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+    FROM seq
+    WHERE prev_ts IS NOT NULL AND epoch_us(ts) - epoch_us(prev_ts) > 3600000000
+    """,
+    tags=("events", "gaps"),
+)
+def ev_gap_detect(spark, sf_dir):
+    """Per-user silence gaps over one hour — the analytics twin of the
+    transport's stale-stream detection (A17 auto-EOFs a quiet stream;
+    this measures the quiet). One window over (user_id, ts) — the lag
+    is computed inside the same sort the sessionizer family uses, no
+    self-join. Ties on ts break by event_id so both engines pick the
+    same predecessor; the gap is exact epoch-microsecond arithmetic
+    (second-granular date_diff counts BOUNDARY CROSSINGS in DuckDB but
+    truncated elapsed time in Spark — off by one around fractional
+    seconds)."""
+    ev = events_tbl(spark, sf_dir).select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    gaps = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    # NTZ-safe exact micros: timestampdiff at MICROSECOND granularity is
+    # elapsed-time truncation-free (unix_micros rejects TIMESTAMP_NTZ)
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    return (
+        gaps.where(F.col("prev_ts").isNotNull() & (gap_us > 3_600_000_000))
+        .select(
+            "user_id",
+            F.date_format("prev_ts", fmt).alias("gap_start"),
+            F.date_format("ts", fmt).alias("gap_end"),
+            gap_us.alias("gap_us"),
+        )
+    )

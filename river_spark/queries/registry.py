@@ -108,8 +108,9 @@ _PRIORITY = [
     "ev_funnel",
     "ev_cohort_retention",
     "emb_quantize_int8",
-    # first in line past the 50-query driver cutoff; rotates in next round
+    # first in line past the 50-query driver cutoff; rotate in next round
     "agg_approx_quantile",
+    "ev_gap_detect",
     # --- driver-checked green in earlier rounds; re-verified locally each
     # session by tests/test_oracle.py ---
     "scalar_string",
