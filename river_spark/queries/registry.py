@@ -59,8 +59,8 @@ _PRIORITY = [
     "join_semi",
     "join_anti",
     "join_full_outer",
-    # window family
-    "win_running_sum",
+    # window family (win_running_sum ceded its slot to the live
+    # streaming-window gate; rotates back in round 6)
     "win_rank_ntile",
     "win_moving_avg",
     "win_topk_per_group",
@@ -97,6 +97,7 @@ _PRIORITY = [
     "river_redis_roundtrip",
     "river_stream_query",
     "river_stream_join",
+    "river_stream_window",
     "mm_resize",
     "emb_cluster_assign",
     "text_repetition_filter",
@@ -122,6 +123,7 @@ _PRIORITY = [
     "agg_percentile",
     "topk_global",
     "set_ops",
+    "win_running_sum",
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",

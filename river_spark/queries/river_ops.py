@@ -657,3 +657,71 @@ def river_sink_roundtrip(spark, sf_dir):
         F.substring(F.col("s"), F.lit(1), sep - 1).cast("long").alias("doc_id"),
         F.substring(F.col("s"), sep + 1, F.lit(2_000_000_000)).alias("text"),
     )
+
+
+@q(
+    "river_stream_window",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1
+    """,
+    tags=("river", "streaming", "window_agg"),
+)
+def river_stream_window(spark, sf_dir):
+    """Event-time windowed aggregation over a REAL streaming drain (live
+    gate #3, after the plain drain and the stream-stream join): events
+    flow write→wire→river source micro-batches; the streaming query
+    groups them into 1-hour event-time windows (the stream carries ts as
+    int64 epoch-nanos — the transport's native layout — converted to
+    timestamp inside the stream) and must reproduce the batch per-hour
+    aggregate exactly. Complete output mode so every window is emitted at
+    drain end; watermark/late-data semantics are pinned separately by the
+    batch-parity tests in tests/test_streaming_ops.py."""
+    from river_spark.sources import register
+
+    key = ("stream_window", sf_dir)
+    if key not in _CACHE:
+        register(spark)
+        work = tempfile.mkdtemp(prefix="river_spark_sw_")
+        store = os.path.join(work, "store")
+        log = StreamLog(store)
+        schema, arr = _events_array(sf_dir, ("event_id", "ts", "user_id", "value"))
+        w = StreamWriter(log).initialize("events_sw", schema)
+        w.write(arr)
+        w.stop()
+        import re as _re
+
+        table = "river_sw_" + _re.sub(r"\W", "_", sf_dir).strip("_")
+        done = (
+            spark.readStream.format("river")
+            .option("path", store)
+            .option("stream", "events_sw")
+            .option("maxSamplesPerTrigger", "4096")
+            .load()
+            .withColumn(
+                "ets",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, timestamp_ntz'1970-01-01 00:00:00')"
+                ),
+            )
+            .groupBy(F.window("ets", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+            .writeStream.format("memory")
+            .queryName(table)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(300)
+        )
+        if not done:  # see river_stream_query: timeout must not cache a partial table
+            raise TimeoutError("river_stream_window: streaming drain exceeded 300s")
+        _CACHE[key] = table
+    return spark.sql(
+        f"""
+        SELECT date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS hour_start,
+               n, round(sv, 4) AS sum_value
+        FROM {_CACHE[key]}
+        """
+    )
