@@ -112,6 +112,7 @@ _PRIORITY = [
     # first in line past the 50-query driver cutoff; rotate in next round
     "agg_approx_quantile",
     "ev_gap_detect",
+    "profile_lineitem",
     # --- driver-checked green in earlier rounds; re-verified locally each
     # session by tests/test_oracle.py ---
     "scalar_string",

@@ -159,3 +159,68 @@ def agg_approx_quantile(spark, sf_dir):
         (F.abs(F.col("a50") - F.col("e50")) <= tol).alias("p50_within_tol"),
         (F.abs(F.col("a95") - F.col("e95")) <= tol).alias("p95_within_tol"),
     )
+
+
+@q(
+    "profile_lineitem",
+    oracle="""
+    SELECT 'l_orderkey' AS col, count(*) AS n_rows,
+           count(*) - count(l_orderkey) AS n_nulls,
+           count(DISTINCT l_orderkey) AS n_distinct,
+           CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+           CAST(max(l_orderkey) AS VARCHAR) AS max_value
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+           count(DISTINCT l_quantity),
+           CAST(CAST(min(l_quantity) AS BIGINT) AS VARCHAR),
+           CAST(CAST(max(l_quantity) AS BIGINT) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+           count(DISTINCT l_returnflag), min(l_returnflag), max(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+           count(DISTINCT l_linestatus), min(l_linestatus), max(l_linestatus)
+    FROM lineitem
+    """,
+    tags=("profiling",),
+)
+def profile_lineitem(spark, sf_dir):
+    """ANALYZE-style data profiling: per-column row/null/ndv/min/max in
+    ONE scan — the stats pass every ingestion pipeline runs before
+    trusting a new drop of data. Spark computes all 4 columns' stats in
+    a single aggregation (one pass, partial-agg friendly) and unpivots
+    with stack(); the oracle recomputes each column independently.
+    Numeric min/max stringified via BIGINT so both engines print
+    identically (DuckDB prints doubles as '1.0', Spark as '1.0' too,
+    but BIGINT avoids any formatting dialect)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    g = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("l_orderkey").alias("c_ok"),
+        F.countDistinct("l_orderkey").alias("d_ok"),
+        F.min("l_orderkey").alias("mn_ok"),
+        F.max("l_orderkey").alias("mx_ok"),
+        F.count("l_quantity").alias("c_q"),
+        F.countDistinct("l_quantity").alias("d_q"),
+        F.min("l_quantity").alias("mn_q"),
+        F.max("l_quantity").alias("mx_q"),
+        F.count("l_returnflag").alias("c_rf"),
+        F.countDistinct("l_returnflag").alias("d_rf"),
+        F.min("l_returnflag").alias("mn_rf"),
+        F.max("l_returnflag").alias("mx_rf"),
+        F.count("l_linestatus").alias("c_ls"),
+        F.countDistinct("l_linestatus").alias("d_ls"),
+        F.min("l_linestatus").alias("mn_ls"),
+        F.max("l_linestatus").alias("mx_ls"),
+    )
+    return g.selectExpr(
+        """stack(4,
+           'l_orderkey',  n, n - c_ok, d_ok, cast(mn_ok as string), cast(mx_ok as string),
+           'l_quantity',  n, n - c_q,  d_q,  cast(cast(mn_q as bigint) as string), cast(cast(mx_q as bigint) as string),
+           'l_returnflag',n, n - c_rf, d_rf, mn_rf, mx_rf,
+           'l_linestatus',n, n - c_ls, d_ls, mn_ls, mx_ls
+        ) AS (col, n_rows, n_nulls, n_distinct, min_value, max_value)"""
+    )
