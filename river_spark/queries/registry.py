@@ -62,7 +62,6 @@ _PRIORITY = [
     # window family (win_running_sum ceded its slot to the live
     # streaming-window gate; rotates back in round 6)
     "win_rank_ntile",
-    "win_moving_avg",
     "win_topk_per_group",
     # scalar_* / agg_stats / agg_percentile / topk_global / set_ops
     # ceded their head slots to the NINE new-this-round curation/graph/
@@ -98,6 +97,7 @@ _PRIORITY = [
     "river_stream_query",
     "river_stream_join",
     "river_stream_window",
+    "river_stream_stateful",
     "mm_resize",
     "emb_cluster_assign",
     "text_repetition_filter",
@@ -125,6 +125,7 @@ _PRIORITY = [
     "topk_global",
     "set_ops",
     "win_running_sum",
+    "win_moving_avg",
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",

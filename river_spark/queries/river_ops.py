@@ -725,3 +725,68 @@ def river_stream_window(spark, sf_dir):
         FROM {_CACHE[key]}
         """
     )
+
+
+@q(
+    "river_stream_stateful",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("river", "streaming", "stateful"),
+)
+def river_stream_stateful(spark, sf_dir):
+    """Custom STATEFUL streaming through the driver gate (live gate #4):
+    events drain through river-source micro-batches into
+    applyInPandasWithState running totals (streaming/ops.running_totals
+    — the reference's stale-entity timeout semantics); each micro-batch
+    emits every touched user's running (count, sum) in update mode, so
+    the memory sink holds one row per (user, update). Event values are
+    strictly positive, so the running totals are monotone and the FINAL
+    state per user is the max over its updates — which must equal the
+    batch per-user aggregate exactly. Multi-batch state continuation is
+    the precise path the round-3 GroupState crash hid, now load-bearing
+    in the driver gate."""
+    from river_spark.sources import register
+    from river_spark.streaming.ops import running_totals
+
+    key = ("stream_stateful", sf_dir)
+    if key not in _CACHE:
+        register(spark)
+        work = tempfile.mkdtemp(prefix="river_spark_ss_")
+        store = os.path.join(work, "store")
+        log = StreamLog(store)
+        schema, arr = _events_array(sf_dir, ("event_id", "user_id", "value"))
+        w = StreamWriter(log).initialize("events_ss", schema)
+        w.write(arr)
+        w.stop()
+        import re as _re
+
+        table = "river_ss_" + _re.sub(r"\W", "_", sf_dir).strip("_")
+        stream = (
+            spark.readStream.format("river")
+            .option("path", store)
+            .option("stream", "events_ss")
+            .option("maxSamplesPerTrigger", "4096")
+            .load()
+        )
+        done = (
+            running_totals(stream)
+            .writeStream.format("memory")
+            .queryName(table)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(300)
+        )
+        if not done:  # see river_stream_query: timeout must not cache a partial table
+            raise TimeoutError("river_stream_stateful: streaming drain exceeded 300s")
+        _CACHE[key] = table
+    return spark.sql(
+        f"""
+        SELECT user_id, max(n_events) AS n_events,
+               round(max(total_value), 4) AS total_value
+        FROM {_CACHE[key]} GROUP BY user_id
+        """
+    )
