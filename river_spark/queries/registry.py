@@ -113,6 +113,7 @@ _PRIORITY = [
     "agg_approx_quantile",
     "ev_gap_detect",
     "profile_lineitem",
+    "agg_value_histogram",
     # --- driver-checked green in earlier rounds; re-verified locally each
     # session by tests/test_oracle.py ---
     "scalar_string",

@@ -224,3 +224,44 @@ def profile_lineitem(spark, sf_dir):
            'l_linestatus',n, n - c_ls, d_ls, mn_ls, mx_ls
         ) AS (col, n_rows, n_nulls, n_distinct, min_value, max_value)"""
     )
+
+
+@q(
+    "agg_value_histogram",
+    oracle="""
+    WITH s AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+               FROM lineitem)
+    SELECT least(CAST(floor((l_extendedprice - mn) * 20.0 / (mx - mn)) AS BIGINT), 19) AS bin,
+           count(*) AS n,
+           round(min(l_extendedprice), 2) AS bin_min,
+           round(max(l_extendedprice), 2) AS bin_max
+    FROM lineitem, s
+    GROUP BY 1
+    """,
+    tags=("agg", "histogram"),
+)
+def agg_value_histogram(spark, sf_dir):
+    """Equi-width 20-bin histogram of l_extendedprice — the distribution
+    pass behind every profiling UI and partition-size planner. The
+    global [min, max] comes from a 1-row broadcast scalar join (no
+    second full scan through a window); bin arithmetic is the IDENTICAL
+    double expression on both engines, so edge values land in the same
+    bin bit-for-bit. Top bin is closed via least(..., 19)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    s = li.agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+    )
+    binned = li.join(F.broadcast(s)).select(
+        "l_extendedprice",
+        F.least(
+            F.floor(
+                (F.col("l_extendedprice") - F.col("mn")) * 20.0 / (F.col("mx") - F.col("mn"))
+            ),
+            F.lit(19),
+        ).cast("long").alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("bin_min"),
+        F.round(F.max("l_extendedprice"), 2).alias("bin_max"),
+    )

@@ -24,6 +24,7 @@ CROSS_OK = {
     "text_tfidf_top_terms", # broadcast 1-row corpus doc count (N for idf)
     "text_unigram_logprob", # broadcast 1-row corpus token total
     "emb_cluster_assign",   # broadcast K-row centroid table (K=8)
+    "agg_value_histogram",  # broadcast 1-row global [min, max] for binning
 }
 
 
