@@ -433,3 +433,45 @@ def ev_gap_detect(spark, sf_dir):
             gap_us.alias("gap_us"),
         )
     )
+
+
+@q(
+    "ev_session_window_native",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+    tags=("events", "session", "native"),
+)
+def ev_session_window_native(spark, sf_dir):
+    """Spark's NATIVE session_window in batch mode, pinned against the
+    hand-rolled gaps-and-islands formulation (the ev_sessionize oracle
+    family): both must carve identical 30-minute-gap sessions. This
+    pins the semantic equivalence that lets the streaming surface use
+    session_window while batch parity checks use window functions —
+    if Spark's merge semantics ever drift from the lag-based islands,
+    this gate catches it."""
+    ev = events_tbl(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            "n_events",
+        )
+    )

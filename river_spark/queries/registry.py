@@ -114,6 +114,7 @@ _PRIORITY = [
     "ev_gap_detect",
     "profile_lineitem",
     "agg_value_histogram",
+    "ev_session_window_native",
     # --- driver-checked green in earlier rounds; re-verified locally each
     # session by tests/test_oracle.py ---
     "scalar_string",
