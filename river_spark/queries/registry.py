@@ -115,6 +115,7 @@ _PRIORITY = [
     "profile_lineitem",
     "agg_value_histogram",
     "ev_session_window_native",
+    "river_stream_dedup",
     # --- driver-checked green in earlier rounds; re-verified locally each
     # session by tests/test_oracle.py ---
     "scalar_string",

@@ -790,3 +790,60 @@ def river_stream_stateful(spark, sf_dir):
         FROM {_CACHE[key]} GROUP BY user_id
         """
     )
+
+
+@q(
+    "river_stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, round(value, 4) AS value FROM events
+    """,
+    tags=("river", "streaming", "dedup"),
+)
+def river_stream_dedup(spark, sf_dir):
+    """Live streaming DEDUPLICATION gate (live gate #5): the events
+    array is written onto the wire TWICE (two appends — the at-least-
+    once delivery a crashed producer retry produces), and the streaming
+    drain must recover exactly the original table via dropDuplicates on
+    the event key. Proves streaming dedup state works across micro-
+    batches AND that duplicate payloads arriving in different batches
+    collapse to one row — the semantics the reference's monotone-index
+    check enforces wire-side (cpp/src/reader.h:326-336), recovered here
+    engine-side when a producer can't guarantee it."""
+    from river_spark.sources import register
+
+    key = ("stream_dedup", sf_dir)
+    if key not in _CACHE:
+        register(spark)
+        work = tempfile.mkdtemp(prefix="river_spark_sd_")
+        store = os.path.join(work, "store")
+        log = StreamLog(store)
+        schema, arr = _events_array(sf_dir, ("event_id", "user_id", "value"))
+        w = StreamWriter(log).initialize("events_sd", schema)
+        w.write(arr)
+        w.write(arr)  # duplicate delivery
+        w.stop()
+        import re as _re
+
+        table = "river_sd_" + _re.sub(r"\W", "_", sf_dir).strip("_")
+        done = (
+            spark.readStream.format("river")
+            .option("path", store)
+            .option("stream", "events_sd")
+            .option("maxSamplesPerTrigger", "4096")
+            .load()
+            .dropDuplicates(["event_id"])
+            .writeStream.format("memory")
+            .queryName(table)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(300)
+        )
+        if not done:  # see river_stream_query: timeout must not cache a partial table
+            raise TimeoutError("river_stream_dedup: streaming drain exceeded 300s")
+        _CACHE[key] = table
+    return spark.sql(
+        f"""
+        SELECT event_id, user_id, round(value, 4) AS value FROM {_CACHE[key]}
+        """
+    )
