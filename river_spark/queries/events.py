@@ -439,7 +439,7 @@ def ev_gap_detect(spark, sf_dir):
     "ev_session_window_native",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, event_id, ts,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_sess
@@ -447,7 +447,11 @@ def ev_gap_detect(spark, sf_dir):
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
         SELECT user_id, ts,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               -- event_id tie-break: with ORDER BY ts alone a duplicate
+               -- timestamp could order a new_sess=0 row before its
+               -- session's opener in the running sum and split what
+               -- session_window always co-sessions
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         FROM flagged)
     SELECT user_id,

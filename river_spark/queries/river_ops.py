@@ -85,6 +85,32 @@ def _ingested_events_dir(sf_dir: str) -> str:
     return out
 
 
+def _memory_table_name(prefix: str, sf_dir: str) -> str:
+    import re as _re
+
+    return prefix + _re.sub(r"\W", "_", sf_dir).strip("_")
+
+
+def _drain_to_memory(streaming_df, work: str, table: str, output_mode: str | None = None) -> str:
+    """Shared drain scaffold of every live streaming gate: availableNow
+    into a memory sink named ``table``. On timeout the query is STOPPED
+    before raising — leaving it running would hold the query name, so a
+    same-session retry would die on 'query with that name is already
+    active' instead of surfacing the real timeout."""
+    wr = (
+        streaming_df.writeStream.format("memory")
+        .queryName(table)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+    )
+    if output_mode:
+        wr = wr.outputMode(output_mode)
+    q = wr.trigger(availableNow=True).start()
+    if not q.awaitTermination(300):
+        q.stop()  # release the name; a partial table must never be cached
+        raise TimeoutError(f"{table}: streaming drain exceeded 300s")
+    return table
+
+
 @q(
     "river_ingest_roundtrip",
     oracle="SELECT event_id, user_id, round(value, 4) AS value FROM events",
@@ -496,28 +522,14 @@ def river_stream_query(spark, sf_dir):
         w = StreamWriter(log).initialize("events_sq", schema)
         w.write(arr)
         w.stop()
-        import re as _re
-
-        table = "river_sq_" + _re.sub(r"\W", "_", sf_dir).strip("_")
-        done = (
+        stream = (
             spark.readStream.format("river")
             .option("path", store)
             .option("stream", "events_sq")
             .option("maxSamplesPerTrigger", "4096")
             .load()
-            .writeStream.format("memory")
-            .queryName(table)
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination(300)
         )
-        # awaitTermination returns False on timeout (it does not raise):
-        # reading the memory sink mid-drain — and caching the table name —
-        # would turn a slow machine into a confusing partial-result mismatch
-        if not done:
-            raise TimeoutError("river_stream_query: streaming drain exceeded 300s")
-        _CACHE[key] = table
+        _CACHE[key] = _drain_to_memory(stream, work, _memory_table_name("river_sq_", sf_dir))
     return spark.sql(
         f"""
         SELECT user_id % 10 AS user_bucket, count(*) AS n,
@@ -572,9 +584,6 @@ def river_stream_join(spark, sf_dir):
         w2 = StreamWriter(log).initialize("weights_sj", wschema)
         w2.write(warr)
         w2.stop()
-        import re as _re
-
-        table = "river_sj_" + _re.sub(r"\W", "_", sf_dir).strip("_")
         ev = (
             spark.readStream.format("river")
             .option("path", store)
@@ -590,19 +599,10 @@ def river_stream_join(spark, sf_dir):
             .load()
             .select(F.col("user_id").alias("w_user_id"), "weight")
         )
-        done = (
-            ev.join(uw, ev.user_id == uw.w_user_id, "inner")
-            .select("user_id", "value", "weight")
-            .writeStream.format("memory")
-            .queryName(table)
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination(300)
+        joined = ev.join(uw, ev.user_id == uw.w_user_id, "inner").select(
+            "user_id", "value", "weight"
         )
-        if not done:  # see river_stream_query: timeout must not cache a partial table
-            raise TimeoutError("river_stream_join: streaming drain exceeded 300s")
-        _CACHE[key] = table
+        _CACHE[key] = _drain_to_memory(joined, work, _memory_table_name("river_sj_", sf_dir))
     return spark.sql(
         f"""
         SELECT user_id % 10 AS user_bucket, count(*) AS n,
@@ -690,10 +690,7 @@ def river_stream_window(spark, sf_dir):
         w = StreamWriter(log).initialize("events_sw", schema)
         w.write(arr)
         w.stop()
-        import re as _re
-
-        table = "river_sw_" + _re.sub(r"\W", "_", sf_dir).strip("_")
-        done = (
+        windowed = (
             spark.readStream.format("river")
             .option("path", store)
             .option("stream", "events_sw")
@@ -707,17 +704,10 @@ def river_stream_window(spark, sf_dir):
             )
             .groupBy(F.window("ets", "1 hour").alias("w"))
             .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
-            .writeStream.format("memory")
-            .queryName(table)
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination(300)
         )
-        if not done:  # see river_stream_query: timeout must not cache a partial table
-            raise TimeoutError("river_stream_window: streaming drain exceeded 300s")
-        _CACHE[key] = table
+        _CACHE[key] = _drain_to_memory(
+            windowed, work, _memory_table_name("river_sw_", sf_dir), output_mode="complete"
+        )
     return spark.sql(
         f"""
         SELECT date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS hour_start,
@@ -760,9 +750,6 @@ def river_stream_stateful(spark, sf_dir):
         w = StreamWriter(log).initialize("events_ss", schema)
         w.write(arr)
         w.stop()
-        import re as _re
-
-        table = "river_ss_" + _re.sub(r"\W", "_", sf_dir).strip("_")
         stream = (
             spark.readStream.format("river")
             .option("path", store)
@@ -770,19 +757,12 @@ def river_stream_stateful(spark, sf_dir):
             .option("maxSamplesPerTrigger", "4096")
             .load()
         )
-        done = (
-            running_totals(stream)
-            .writeStream.format("memory")
-            .queryName(table)
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination(300)
+        _CACHE[key] = _drain_to_memory(
+            running_totals(stream),
+            work,
+            _memory_table_name("river_ss_", sf_dir),
+            output_mode="update",
         )
-        if not done:  # see river_stream_query: timeout must not cache a partial table
-            raise TimeoutError("river_stream_stateful: streaming drain exceeded 300s")
-        _CACHE[key] = table
     return spark.sql(
         f"""
         SELECT user_id, max(n_events) AS n_events,
@@ -822,26 +802,15 @@ def river_stream_dedup(spark, sf_dir):
         w.write(arr)
         w.write(arr)  # duplicate delivery
         w.stop()
-        import re as _re
-
-        table = "river_sd_" + _re.sub(r"\W", "_", sf_dir).strip("_")
-        done = (
+        deduped = (
             spark.readStream.format("river")
             .option("path", store)
             .option("stream", "events_sd")
             .option("maxSamplesPerTrigger", "4096")
             .load()
             .dropDuplicates(["event_id"])
-            .writeStream.format("memory")
-            .queryName(table)
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination(300)
         )
-        if not done:  # see river_stream_query: timeout must not cache a partial table
-            raise TimeoutError("river_stream_dedup: streaming drain exceeded 300s")
-        _CACHE[key] = table
+        _CACHE[key] = _drain_to_memory(deduped, work, _memory_table_name("river_sd_", sf_dir))
     return spark.sql(
         f"""
         SELECT event_id, user_id, round(value, 4) AS value FROM {_CACHE[key]}
