@@ -116,6 +116,7 @@ _PRIORITY = [
     "agg_value_histogram",
     "ev_session_window_native",
     "river_stream_dedup",
+    "win_distribution_functions",
     # --- driver-checked green in earlier rounds; re-verified locally each
     # session by tests/test_oracle.py ---
     "scalar_string",

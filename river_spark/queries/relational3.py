@@ -163,3 +163,29 @@ def win_value_functions(spark, sf_dir):
         F.last("o_orderkey").over(w).alias("last_order"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
     )
+
+
+@q(
+    "win_distribution_functions",
+    oracle="""
+    SELECT c_custkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window", "distribution"),
+)
+def win_distribution_functions(spark, sf_dir):
+    """The two distribution window functions the rank family doesn't
+    cover: percent_rank ((rank-1)/(n-1)) and cume_dist (rank/n) over
+    account balance within each nation — deterministic under the
+    c_custkey tie-break, rounded identically on both engines."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return tbl(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
