@@ -117,6 +117,8 @@ _PRIORITY = [
     "ev_session_window_native",
     "river_stream_dedup",
     "win_distribution_functions",
+    "scalar_bitwise",
+    "scalar_levenshtein",
     # --- driver-checked green in earlier rounds; re-verified locally each
     # session by tests/test_oracle.py ---
     "scalar_string",

@@ -189,3 +189,60 @@ def win_distribution_functions(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@q(
+    "scalar_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255       AS low_byte,
+           o_orderkey | 4096      AS with_flag,
+           xor(o_orderkey, 21845) AS toggled,
+           o_orderkey << 3        AS shifted_up,
+           o_orderkey >> 2        AS shifted_down
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+    tags=("scalar", "bitwise"),
+)
+def scalar_bitwise(spark, sf_dir):
+    """Bitwise scalar coverage (&, |, xor, shifts) — the ops behind flag
+    packing, bucket routing, and the engine's own band hashing, pinned
+    cross-engine on integer keys. (DuckDB spells exclusive-or ``xor()``
+    because ``^`` is exponentiation there.)"""
+    o = tbl(spark, sf_dir, "orders").where(F.col("o_orderkey") % 97 == 0)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("toggled"),
+        F.shiftleft(k, 3).alias("shifted_up"),
+        F.shiftright(k, 2).alias("shifted_down"),
+    )
+
+
+@q(
+    "scalar_levenshtein",
+    oracle="""
+    SELECT doc_id,
+           levenshtein(substring(text, 1, 24), substring(text, 25, 24)) AS self_dist,
+           levenshtein(lower(substring(text, 1, 16)), 'the fast key order') AS probe_dist
+    FROM documents
+    """,
+    tags=("scalar", "fuzzy"),
+)
+def scalar_levenshtein(spark, sf_dir):
+    """Edit-distance coverage — the fuzzy-matching primitive behind
+    entity resolution and typo-tolerant dedup. Both engines implement
+    classic Levenshtein (unit insert/delete/substitute), pinned here on
+    adjacent text windows and a fixed probe string."""
+    d = tbl(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.levenshtein(
+            F.substring("text", 1, 24), F.substring("text", 25, 24)
+        ).cast("long").alias("self_dist"),
+        F.levenshtein(
+            F.lower(F.substring("text", 1, 16)), F.lit("the fast key order")
+        ).cast("long").alias("probe_dist"),
+    )
