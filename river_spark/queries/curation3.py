@@ -1,0 +1,505 @@
+"""Third curation wave: BM25 relevance ranking, cross-corpus MinHash
+decontamination, per-domain document caps, statistical aggregates
+(median / deterministic mode / linear regression), URL parsing, and
+per-type z-score anomaly flagging.
+
+BM25 and cross-corpus decontamination close the last two search/curation
+gaps a pre-training pipeline hits in practice: ranking a corpus against
+ad-hoc query terms (the retrieval face of the TF-IDF family in
+``curation.py``) and scrubbing the training set of documents that
+near-duplicate an EVALUATION benchmark — the asymmetric cousin of
+in-corpus dedup, whose scale posture is different (the benchmark side is
+tiny, so every join against it broadcasts). The reference's analytics
+surface is pandas-level (``/root/reference/performance/performance.py``);
+everything here is JVM-side DataFrame code under the same cross-engine
+determinism rules as the rest of the registry: identical aliases both
+sides, ``round(x, k)`` applied to a single identical arithmetic
+expression, ranking ties broken on the ROUNDED score plus an id column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from river_spark.operators.dedup import (
+    _band_hash_expr,
+    minhash_signatures,
+    shingles,
+)
+from river_spark.queries.relational import q
+from river_spark.queries.tables import tbl
+
+# ---------------------------------------------------------------------------
+# BM25 ranking
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("spark", "hash", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@q(
+    "text_bm25_rank",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM toks),
+    tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM tok WHERE term IN ({_TERMS_SQL})
+        GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    s AS (
+        SELECT tf.doc_id,
+               round(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * ({_BM25_K1} + 1)
+                     / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                        + {_BM25_B} * dl.dl / stats.avgdl)), 6) AS s
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl USING (doc_id), stats),
+    total AS (
+        SELECT doc_id, round(sum(s), 6) AS score, count(*) AS n_terms
+        FROM s GROUP BY doc_id),
+    rk AS (
+        SELECT doc_id, score, n_terms,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+        FROM total)
+    SELECT doc_id, score, n_terms, rnk FROM rk WHERE rnk <= {_BM25_TOPK}
+    """,
+    tags=("text", "ranking"),
+)
+def text_bm25_rank(spark, sf_dir):
+    """Top-20 documents by BM25 (k1=1.2, b=0.75) against a fixed query
+    term set — the retrieval-side twin of ``text_tfidf_top_terms``.
+
+    Shape at scale: one tokenize pass feeds BOTH the per-doc length and
+    the term frequencies (tf is a hash aggregation over the exploded
+    stream pre-filtered to the query terms, so the aggregated state is
+    |terms| x |docs-containing|, not the vocabulary); df re-aggregates
+    FROM tf; df and the 1-row corpus stats broadcast; the final top-k is
+    a TakeOrderedAndProject, never a global sort. Ranking orders by the
+    ROUNDED score with doc_id tiebreak so ulp-level ln() differences
+    cannot flip ranks."""
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    dl = docs.select("doc_id", F.size("t").alias("dl"))
+    stats = docs.agg(
+        F.count("*").alias("n"), F.avg(F.size("t")).alias("avgdl")
+    )
+    tok = docs.select("doc_id", F.explode("t").alias("term"))
+    tf = (
+        tok.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfn = (
+        F.col("tf")
+        * (_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    s = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select("doc_id", F.round(idf * tfn, 6).alias("s"))
+    )
+    total = s.groupBy("doc_id").agg(
+        F.round(F.sum("s"), 6).alias("score"), F.count("*").alias("n_terms")
+    )
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition top-k,
+    # merged on the driver); the rank window then runs over <= TOPK rows,
+    # never a global sort of the corpus
+    top = total.orderBy(F.col("score").desc(), F.col("doc_id")).limit(_BM25_TOPK)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.select(
+        "doc_id", "score", "n_terms", F.row_number().over(w).cast("long").alias("rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus decontamination (near-dup vs a benchmark set)
+# ---------------------------------------------------------------------------
+def cross_corpus_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    bench_id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Corpus documents whose n-shingle Jaccard against ANY benchmark
+    document reaches ``threshold``, with their best match:
+    [doc_id, bench_id, jaccard], one row per contaminated corpus doc
+    (best = highest rounded Jaccard, benchmark id as tiebreak).
+
+    The asymmetric-scale shape: the benchmark is tiny relative to the
+    corpus (eval sets are thousands of docs; the corpus is billions), so
+    every benchmark-side table — band buckets, shingle set, lengths —
+    is explicitly broadcast and the corpus is NEVER shuffled by bucket
+    or shingle. Candidates come from a broadcast equi-join of corpus
+    band buckets against benchmark band buckets (same 16-band/64-hash
+    geometry as ``dedup_minhash_lsh``: a pair at threshold 0.9 is missed
+    with probability (1-0.9^4)^16 ~ 4e-8); the exact verify joins the
+    candidate corpus docs' shingles against the broadcast benchmark
+    shingle table — all-vs-all over the restricted sets, a SUPERSET of
+    the candidate pairs, so the exact >= threshold filter makes the
+    output exhaustive over candidate docs."""
+    band_expr = F.expr(_band_hash_expr(bands, num_hashes))
+
+    def banded(df, idc):
+        sh = shingles(df, idc, text_col, n, hashed=True, distinct=False)
+        sigs = minhash_signatures(sh, num_hashes)
+        return sigs.select(
+            F.col("doc_id").alias(idc),
+            F.posexplode(band_expr).alias("band", "bucket"),
+        )
+
+    c_banded = banded(corpus, "doc_id")
+    b_banded = banded(bench, "bench_id")
+    cand_docs = (
+        c_banded.join(F.broadcast(b_banded), ["band", "bucket"])
+        .select("doc_id")
+        .distinct()
+    )
+    # exact verify over candidate corpus docs x full benchmark
+    c_sh = shingles(
+        corpus.join(
+            cand_docs.withColumnRenamed("doc_id", id_col), [id_col], "left_semi"
+        ),
+        id_col,
+        text_col,
+        n,
+        hashed=True,
+    )
+    b_sh = shingles(bench, bench_id_col, text_col, n, hashed=True).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    c_cnt = c_sh.groupBy("doc_id").agg(F.count("*").alias("ca"))
+    b_cnt = b_sh.groupBy("bench_id").agg(F.count("*").alias("cb"))
+    inter = (
+        c_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") * 1.0 / (F.col("ca") + F.col("cb") - F.col("inter"))
+    scored = (
+        inter.join(c_cnt, "doc_id")
+        .join(F.broadcast(b_cnt), "bench_id")
+        .filter(jac >= threshold)
+        .select("doc_id", "bench_id", F.round(jac, 6).alias("jaccard"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("jaccard").desc(), F.col("bench_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "bench_id", "jaccard")
+    )
+
+
+@q(
+    "decontam_minhash_bench",
+    oracle="""
+    WITH bench AS (
+        SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 50 = 0),
+    corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+        UNION ALL
+        SELECT doc_id + 10000000, text || ' planted'
+        FROM documents WHERE doc_id % 50 = 0),
+    ctoks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM corpus),
+    csh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        FROM ctoks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)),
+    btoks AS (
+        SELECT bench_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM bench),
+    bsh AS (
+        SELECT DISTINCT bench_id, array_to_string(t[i:i+2], ' ') AS s
+        FROM btoks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)),
+    ccnt AS (SELECT doc_id, count(*) AS ca FROM csh GROUP BY 1),
+    bcnt AS (SELECT bench_id, count(*) AS cb FROM bsh GROUP BY 1),
+    inter AS (
+        SELECT c.doc_id, b.bench_id, count(*) AS i
+        FROM csh c JOIN bsh b ON c.s = b.s
+        GROUP BY 1, 2),
+    j AS (
+        SELECT doc_id, bench_id,
+               round(i * 1.0 / (ccnt.ca + bcnt.cb - i), 6) AS jaccard
+        FROM inter
+        JOIN ccnt USING (doc_id)
+        JOIN bcnt USING (bench_id)
+        WHERE i * 1.0 / (ccnt.ca + bcnt.cb - i) >= 0.9)
+    SELECT doc_id, bench_id, jaccard FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY jaccard DESC, bench_id) AS rn
+        FROM j) WHERE rn = 1
+    """,
+    tags=("dedup", "decontam"),
+    bench=True,
+)
+def decontam_minhash_bench(spark, sf_dir):
+    """Benchmark decontamination through the full cross-corpus MinHash
+    pipeline, verified by an exhaustive exact-Jaccard oracle. Every 50th
+    document plays the held-out benchmark; the corpus is everything else
+    PLUS a planted near-dup of each benchmark doc (one token appended,
+    so Jaccard = S/(S+1) — above 0.9 exactly when the doc has >= 9
+    distinct shingles, which the oracle recomputes independently). The
+    planted twins guarantee the gate checks real matches; organic
+    cross-matches (if any) are covered identically by both engines."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    planted = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" planted")).alias("text"),
+    )
+    corpus = docs.filter(F.col("doc_id") % 50 != 0).unionByName(planted)
+    return cross_corpus_contamination(
+        corpus, bench, "doc_id", "bench_id", "text", threshold=0.9
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain document cap
+# ---------------------------------------------------------------------------
+_DOMAIN_CAP = 10
+
+
+@q(
+    "pipeline_domain_cap",
+    oracle=f"""
+    SELECT doc_id, source, rnk, rnk <= {_DOMAIN_CAP} AS kept FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rnk
+        FROM documents)
+    """,
+    tags=("pipeline", "sampling"),
+)
+def pipeline_domain_cap(spark, sf_dir):
+    """Per-domain document cap — the standard guard against one crawl
+    domain dominating the training mixture: rank each source's docs by
+    length (doc_id tiebreak) and keep the top 10. One window over the
+    source partition; output size equals input (the verdict travels with
+    every row), so downstream stages filter on `kept` without a join."""
+    docs = tbl(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("long").alias("rnk"),
+    ).withColumn("kept", F.col("rnk") <= _DOMAIN_CAP)
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates: median + deterministic mode, linear regression
+# ---------------------------------------------------------------------------
+@q(
+    "agg_median_mode",
+    oracle="""
+    WITH med AS (
+        SELECT l_returnflag,
+               round(CAST(median(l_quantity) AS DOUBLE), 4) AS median_qty,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag),
+    cnt AS (
+        SELECT l_returnflag, l_linestatus, count(*) AS c
+        FROM lineitem GROUP BY 1, 2),
+    md AS (
+        SELECT l_returnflag, l_linestatus AS mode_status, c AS mode_count
+        FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                           ORDER BY c DESC, l_linestatus) AS rn
+              FROM cnt) WHERE rn = 1)
+    SELECT med.l_returnflag, median_qty, mode_status,
+           CAST(mode_count AS BIGINT) AS mode_count, n
+    FROM med JOIN md USING (l_returnflag)
+    """,
+    tags=("agg", "stats"),
+)
+def agg_median_mode(spark, sf_dir):
+    """Exact interpolated median plus a DETERMINISTIC mode per group.
+    The builtin mode() is tie-arbitrary in both engines, so the mode here
+    is the argmax of the (group, value) count with the value itself as
+    tiebreak — two hash aggregations and a window over the tiny count
+    table, the distributed shape that stays correct under ties. median()
+    is the builtin (exact, interpolated) in both engines."""
+    li = tbl(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("median_qty"),
+        F.count("*").alias("n"),
+    )
+    cnt = li.groupBy("l_returnflag", "l_linestatus").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("c").desc(), F.col("l_linestatus")
+    )
+    md = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_linestatus").alias("mode_status"),
+            F.col("c").alias("mode_count"),
+        )
+    )
+    return med.join(md, "l_returnflag").select(
+        "l_returnflag", "median_qty", "mode_status", "mode_count", "n"
+    )
+
+
+@q(
+    "agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           round(covar_samp(l_quantity, l_extendedprice), 2)     AS cov_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_regression(spark, sf_dir):
+    """Per-group OLS regression of extended price on quantity via the
+    SQL-standard regr_* aggregate family (y-then-x argument order in both
+    engines) plus sample covariance. All single-pass distributive
+    aggregates — partial aggregation applies, no second scan."""
+    li = tbl(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n"),
+        F.round(F.covar_samp(x, y), 2).alias("cov_qty_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL parsing
+# ---------------------------------------------------------------------------
+@q(
+    "scalar_url",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/' || lang || '/'
+                 || CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&id='
+                 || CAST(doc_id AS VARCHAR) || '#frag' AS url
+        FROM documents)
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1)            AS proto,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)     AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1)              AS query,
+           regexp_extract(url, '[?&]id=([^&#]*)', 1)         AS id_param,
+           regexp_extract(url, '#(.*)$', 1)                  AS fragment
+    FROM u
+    """,
+    tags=("scalar", "url"),
+)
+def scalar_url(spark, sf_dir):
+    """URL component extraction with the builtin parse_url (JVM-side,
+    codegen'd); the oracle decomposes the same synthesized URLs with
+    regexes, so every component is independently derived. Pure
+    projection — zero shuffles."""
+    docs = tbl(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&id="),
+        F.col("doc_id").cast("string"),
+        F.lit("#frag"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("id")).alias("id_param"),
+        F.parse_url(F.col("url"), F.lit("REF")).alias("fragment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-type z-score anomaly profile
+# ---------------------------------------------------------------------------
+@q(
+    "ev_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               count(*) AS n,
+               avg(value) AS mu,
+               stddev_samp(value) AS sd
+        FROM events GROUP BY event_type)
+    SELECT s.event_type,
+           n,
+           round(mu, 6) AS mean_value,
+           round(sd, 6) AS sd_value,
+           count(*) FILTER (abs((e.value - mu) / sd) > 2) AS n_outliers,
+           round(max(abs((e.value - mu) / sd)), 4) AS max_abs_z
+    FROM events e JOIN s USING (event_type)
+    GROUP BY s.event_type, n, mu, sd
+    """,
+    tags=("events", "anomaly"),
+)
+def ev_anomaly_zscore(spark, sf_dir):
+    """Per-event-type z-score anomaly profile: distribution stats in one
+    aggregation, then a broadcast join of the (|event-types|-row) stats
+    back onto the stream to count |z| > 2 outliers — the standard
+    two-pass standardization that never shuffles the fact table twice
+    (the second pass re-aggregates by the same key, and the tiny stats
+    side broadcasts). Outlier COUNTS rather than outlier rows keep the
+    gate deterministic: a boundary-straddling ulp would need |z| within
+    1e-12 of 2 to flip a count."""
+    ev = tbl(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sd"),
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sd"))
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .groupBy("event_type", "n", "mu", "sd")
+        .agg(
+            F.sum(F.when(z > 2, 1).otherwise(0)).alias("n_outliers"),
+            F.round(F.max(z), 4).alias("max_abs_z"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("mu"), 6).alias("mean_value"),
+            F.round(F.col("sd"), 6).alias("sd_value"),
+            "n_outliers",
+            "max_abs_z",
+        )
+    )

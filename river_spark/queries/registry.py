@@ -19,6 +19,7 @@ import river_spark.queries.relational4 as _relational4  # noqa: F401
 import river_spark.queries.pipeline_composite as _pipeline_composite  # noqa: F401
 import river_spark.queries.curation as _curation  # noqa: F401
 import river_spark.queries.curation2 as _curation2  # noqa: F401
+import river_spark.queries.curation3 as _curation3  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -39,77 +40,18 @@ class Query:
 # can catch quirks the local bit-level oracle gate can't. The 50 checked
 # in r4 trail (they stay covered by tests/test_oracle.py each session).
 _PRIORITY = [
-    # round-5 head: everything WITHOUT a CORRECTNESS_r04 row
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_nation_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive_join",
-    # aggregation family
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    # joins / sorts / sets
-    "join_semi",
-    "join_anti",
-    "join_full_outer",
-    # window family (win_running_sum ceded its slot to the live
-    # streaming-window gate; rotates back in round 6)
-    "win_rank_ntile",
-    "win_topk_per_group",
-    # scalar_* / agg_stats / agg_percentile / topk_global / set_ops
-    # ceded their head slots to the NINE new-this-round curation/graph/
-    # event/vector ops below — all nine displaced queries are r1-green,
-    # trivially low driver-risk, stay under the local oracle gate every
-    # session, and rotate back in round 6
-    # events (streaming analogs, as-of/range/session)
-    "ev_tumbling_window",
-    "ev_sliding_window",
-    "ev_sessionize",
-    "ev_lag_lead",
-    "ev_dedup_ordered",
-    "ev_asof_join",
-    "ev_range_join",
-    "ev_tail",
-    "ev_seek",
-    # never-driver-checked queries outrank the r1-checked text family:
-    # the six curation/corpus ops added this round plus the train split
-    # (added late in r4, landed past the 50-query gate) take the text
-    # block's head slots; text_* stays covered by the local oracle gate
-    # every session and rotates back next round
-    "decontam_ngram_overlap",
-    "pipeline_seq_pack",
-    "text_tfidf_top_terms",
-    "pipeline_stratified_sample",
-    "text_unigram_logprob",
-    "pipeline_train_split",
-    # new-this-round coverage (redis-wire backend, real Structured
-    # Streaming runs incl. a live stream-stream join) gets a driver row
-    # immediately; join_cross_small (r1-green, intentionally trivial)
-    # yields its head slot to the stream-stream join and trails
-    "river_redis_roundtrip",
-    "river_stream_query",
-    "river_stream_join",
-    "river_stream_window",
-    "river_stream_stateful",
-    "mm_resize",
-    "emb_cluster_assign",
-    "text_repetition_filter",
-    "text_pii_redact",
-    "text_chunk_sliding",
-    "pipeline_domain_mix",
-    "dedup_components",
-    "pipeline_dedup_retention",
-    "ev_funnel",
-    "ev_cohort_retention",
-    "emb_quantize_int8",
-    # first in line past the 50-query driver cutoff; rotate in next round
+    # round-6 head: the 80 queries NOT in the round-5 driver window
+    # (the driver checks the first 50 in registry order; round 5's
+    # head rotates to the tail so every query gets a fresh driver row
+    # at most two rounds apart). New round-6 coverage is inserted at
+    # the very top as it lands.
+    "decontam_minhash_bench",
+    "text_bm25_rank",
+    "pipeline_domain_cap",
+    "agg_median_mode",
+    "agg_regression",
+    "scalar_url",
+    "ev_anomaly_zscore",
     "agg_approx_quantile",
     "ev_gap_detect",
     "profile_lineitem",
@@ -119,8 +61,6 @@ _PRIORITY = [
     "win_distribution_functions",
     "scalar_bitwise",
     "scalar_levenshtein",
-    # --- driver-checked green in earlier rounds; re-verified locally each
-    # session by tests/test_oracle.py ---
     "scalar_string",
     "scalar_date",
     "scalar_math",
@@ -192,6 +132,58 @@ _PRIORITY = [
     "win_range_frame",
     "win_value_functions",
     "q1_pricing_summary",
+    # --- driver-checked green in round 5; re-verified locally each
+    # session by tests/test_oracle.py ---
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_nation_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive_join",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "join_semi",
+    "join_anti",
+    "join_full_outer",
+    "win_rank_ntile",
+    "win_topk_per_group",
+    "ev_tumbling_window",
+    "ev_sliding_window",
+    "ev_sessionize",
+    "ev_lag_lead",
+    "ev_dedup_ordered",
+    "ev_asof_join",
+    "ev_range_join",
+    "ev_tail",
+    "ev_seek",
+    "decontam_ngram_overlap",
+    "pipeline_seq_pack",
+    "text_tfidf_top_terms",
+    "pipeline_stratified_sample",
+    "text_unigram_logprob",
+    "pipeline_train_split",
+    "river_redis_roundtrip",
+    "river_stream_query",
+    "river_stream_join",
+    "river_stream_window",
+    "river_stream_stateful",
+    "mm_resize",
+    "emb_cluster_assign",
+    "text_repetition_filter",
+    "text_pii_redact",
+    "text_chunk_sliding",
+    "pipeline_domain_mix",
+    "dedup_components",
+    "pipeline_dedup_retention",
+    "ev_funnel",
+    "ev_cohort_retention",
+    "emb_quantize_int8",
 ]
 
 QUERIES: dict[str, Query] = {}
