@@ -20,6 +20,7 @@ import river_spark.queries.pipeline_composite as _pipeline_composite  # noqa: F4
 import river_spark.queries.curation as _curation  # noqa: F401
 import river_spark.queries.curation2 as _curation2  # noqa: F401
 import river_spark.queries.curation3 as _curation3  # noqa: F401
+import river_spark.queries.relational5 as _relational5  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -52,6 +53,10 @@ _PRIORITY = [
     "agg_regression",
     "scalar_url",
     "ev_anomaly_zscore",
+    "agg_bool_bit",
+    "ev_locf_fill",
+    "fn_higher_order",
+    "ev_event_trigrams",
     "agg_approx_quantile",
     "ev_gap_detect",
     "profile_lineitem",

@@ -1,0 +1,181 @@
+"""Fifth relational wave: bool/bit aggregates, IGNORE NULLS gap-fill
+(last-observation-carried-forward), explicit higher-order array
+functions, and per-user event-sequence (trigram) mining.
+
+LOCF is the time-series face of the reference's ordered-stream contract
+(a monotone sample stream with dropouts — `cpp/src/reader.h:326-336`
+enforces the ordering this fill relies on); sequence mining is the
+classic event-analytics op over the same ordered stream. The rest close
+the remaining SQL-surface gaps: the SQL-standard bool_and/bool_or and
+bitwise aggregate family, and the lambda higher-order functions
+(transform/filter/exists/aggregate) as first-class scalar coverage
+rather than implementation detail of the vector operators.
+
+Same cross-engine determinism rules as the rest of the registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from river_spark.queries.relational import q
+from river_spark.queries.tables import events_tbl, tbl
+
+
+@q(
+    "agg_bool_bit",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_discount <= 0.1)                       AS all_low_disc,
+           bool_or(l_tax > 0.07)                             AS any_high_tax,
+           CAST(bit_and(CAST(l_orderkey % 256 AS BIGINT)) AS BIGINT) AS key_bit_and,
+           CAST(bit_or(CAST(l_orderkey % 256 AS BIGINT)) AS BIGINT)  AS key_bit_or,
+           CAST(bit_xor(CAST(l_orderkey % 256 AS BIGINT)) AS BIGINT) AS key_bit_xor,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "bool", "bitwise"),
+)
+def agg_bool_bit(spark, sf_dir):
+    """SQL-standard boolean aggregates (EVERY/ANY) and the bitwise
+    aggregate family — all distributive single-pass aggregates with
+    map-side partials; bit_xor is the classic distributed checksum."""
+    li = tbl(spark, sf_dir, "lineitem")
+    key8 = (F.col("l_orderkey") % 256).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_discount") <= 0.1).alias("all_low_disc"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.bit_and(key8).alias("key_bit_and"),
+        F.bit_or(key8).alias("key_bit_or"),
+        F.bit_xor(key8).alias("key_bit_xor"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "ev_locf_fill",
+    oracle="""
+    WITH g AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        FROM events)
+    SELECT event_id, user_id, v AS raw_value,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM g
+    """,
+    tags=("events", "window", "gapfill"),
+)
+def ev_locf_fill(spark, sf_dir):
+    """Last-observation-carried-forward gap fill: sensor dropouts
+    (planted deterministically on every 7th event) take the most recent
+    non-null reading in event order — `last(..., ignorenulls=True)` over
+    a running frame, one window per user partition, values passed
+    through bit-identically (no arithmetic). Leading nulls stay null in
+    both engines."""
+    g = events_tbl(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        "event_id",
+        "user_id",
+        F.col("v").alias("raw_value"),
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+@q(
+    "fn_higher_order",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings)
+    SELECT vec_id,
+           CAST(len(list_filter(e, x -> x > 0)) AS INT)                  AS n_pos,
+           round(list_sum(list_transform(e, x -> x * x)), 6)             AS sum_sq,
+           round(list_max(list_transform(e, x -> abs(x))), 6)            AS max_abs,
+           round(list_sum(list_transform(e, x -> least(abs(x), 0.5))), 6) AS l1_clip,
+           len(list_filter(e, x -> abs(x) > 2)) > 0                      AS has_outlier,
+           len(list_filter(e, x -> abs(x) <= 4)) = len(e)                AS all_bounded
+    FROM e
+    """,
+    tags=("scalar", "array", "lambda"),
+)
+def fn_higher_order(spark, sf_dir):
+    """The lambda higher-order function family as first-class coverage:
+    transform / filter / exists / forall / aggregate, all JVM-side over
+    the embedding arrays (the oracle derives each via DuckDB list
+    lambdas). Pure projection — zero shuffles; float32 entries are
+    widened to double FIRST so both engines fold the same doubles in the
+    same list order."""
+    e = F.expr("transform(embedding, x -> cast(x as double))")
+    emb = tbl(spark, sf_dir, "embeddings").select("vec_id", e.alias("e"))
+    sum_ = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("e", lambda x: x > 0)).alias("n_pos"),
+        F.round(sum_(F.transform("e", lambda x: x * x)), 6).alias("sum_sq"),
+        F.round(F.array_max(F.transform("e", F.abs)), 6).alias("max_abs"),
+        F.round(sum_(F.transform("e", lambda x: F.least(F.abs(x), F.lit(0.5)))), 6).alias(
+            "l1_clip"
+        ),
+        F.exists("e", lambda x: F.abs(x) > 2).alias("has_outlier"),
+        F.forall("e", lambda x: F.abs(x) <= 4).alias("all_bounded"),
+    )
+
+
+_TRIGRAM_TOPK = 10
+
+
+@q(
+    "ev_event_trigrams",
+    oracle=f"""
+    WITH t AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    tri AS (
+        SELECT event_type || '>' || t1 || '>' || t2 AS trigram
+        FROM t WHERE t2 IS NOT NULL),
+    cnt AS (SELECT trigram, count(*) AS n FROM tri GROUP BY 1)
+    SELECT trigram, n, rnk FROM (
+        SELECT trigram, n,
+               row_number() OVER (ORDER BY n DESC, trigram) AS rnk
+        FROM cnt) WHERE rnk <= {_TRIGRAM_TOPK}
+    """,
+    tags=("events", "sequence"),
+)
+def ev_event_trigrams(spark, sf_dir):
+    """Per-user event-sequence mining: the 10 most common 3-event
+    chains. Trigrams form inside each user's ordered partition (two
+    leads over ONE window — no self-joins), counts are one hash
+    aggregation over the trigram strings, and the global top-k is
+    orderBy+limit (TakeOrderedAndProject) with the rank window running
+    over <= k rows."""
+    ev = events_tbl(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    ).filter(F.col("t2").isNotNull())
+    cnt = t.select(
+        F.concat_ws(">", "event_type", "t1", "t2").alias("trigram")
+    ).groupBy("trigram").agg(F.count("*").alias("n"))
+    top = cnt.orderBy(F.col("n").desc(), F.col("trigram")).limit(_TRIGRAM_TOPK)
+    w2 = Window.orderBy(F.col("n").desc(), F.col("trigram"))
+    return top.select(
+        "trigram", "n", F.row_number().over(w2).cast("long").alias("rnk")
+    )
