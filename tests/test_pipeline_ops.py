@@ -369,3 +369,62 @@ def test_asof_null_payload_null_key_and_ties(spark):
         for _ in range(3)
     }
     assert vals == {200}
+
+
+def test_cross_corpus_contamination_planted_and_clean(spark):
+    from river_spark.queries.curation3 import cross_corpus_contamination
+
+    bench_rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi"),
+        (1, "one two three four five six seven eight nine ten eleven twelve thirteen"),
+    ]
+    corpus_rows = [
+        # near-dup of bench 0 (one token appended)
+        (100, bench_rows[0][1] + " tail"),
+        # near-dup of bench 1 (one token substituted)
+        (101, bench_rows[1][1].replace("seven", "sevens")),
+        # clean docs sharing no shingles with the benchmark
+        (102, "totally unrelated content about distributed query engines and shuffles"),
+        (103, "another clean document with its own private vocabulary entirely"),
+    ]
+    bench = spark.createDataFrame(bench_rows, ["bench_id", "text"])
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    out = cross_corpus_contamination(
+        corpus, bench, "doc_id", "bench_id", "text", threshold=0.5
+    ).collect()
+    hits = {r["doc_id"]: r["bench_id"] for r in out}
+    assert hits == {100: 0, 101: 1}
+    # one row per contaminated doc, jaccard in range and above threshold
+    for r in out:
+        assert 0.5 <= r["jaccard"] <= 1.0
+
+
+def test_cross_corpus_contamination_no_matches(spark):
+    from river_spark.queries.curation3 import cross_corpus_contamination
+
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")], ["bench_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [(1, "completely different words with no shingle overlap at all here")],
+        ["doc_id", "text"],
+    )
+    out = cross_corpus_contamination(
+        corpus, bench, "doc_id", "bench_id", "text", threshold=0.5
+    )
+    assert out.count() == 0
+
+
+def test_cross_corpus_best_match_tiebreak(spark):
+    """Two identical benchmark docs: the best match must pick the lower
+    bench_id (rounded-jaccard tie broken on id)."""
+    from river_spark.queries.curation3 import cross_corpus_contamination
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    bench = spark.createDataFrame([(7, text), (3, text)], ["bench_id", "text"])
+    corpus = spark.createDataFrame([(500, text + " tail")], ["doc_id", "text"])
+    out = cross_corpus_contamination(
+        corpus, bench, "doc_id", "bench_id", "text", threshold=0.5
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["bench_id"] == 3
