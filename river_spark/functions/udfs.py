@@ -73,3 +73,34 @@ def tokenize_udtf():
                 yield (pos, token)
 
     return _Tokenize
+
+
+@functools.cache
+def clickstream_cogroup_fn():
+    """Cogrouped ``applyInPandas`` body (FlatMapCoGroupsInPandas — the
+    fourth Python-boundary flavor): per-user merge of two event streams.
+    For every purchase, the number of strictly-earlier clicks and the
+    value of the latest one (ties on ts broken by event_id, matching the
+    oracle's ORDER BY cts DESC, cid DESC). Vectorized via searchsorted
+    over the sorted click timestamps — no Python-level row loop."""
+    import numpy as np
+
+    def _merge(purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataFrame:
+        c = clicks.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        p = purchases.reset_index(drop=True)
+        cts = c["ts"].to_numpy()
+        n_prior = np.searchsorted(cts, p["ts"].to_numpy(), side="left")
+        lastv = np.full(len(p), np.nan)
+        mask = n_prior > 0
+        if len(c) and mask.any():
+            lastv[mask] = c["value"].to_numpy()[n_prior[mask] - 1]
+        return pd.DataFrame(
+            {
+                "event_id": p["event_id"].astype("int64"),
+                "user_id": p["user_id"].astype("int64"),
+                "n_prior_clicks": n_prior.astype("int64"),
+                "last_click_value": lastv,
+            }
+        )
+
+    return _merge

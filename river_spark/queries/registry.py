@@ -35,11 +35,10 @@ class Query:
 
 # Explicit registration priority. The correctness driver checks the FIRST
 # 50 queries in registry order each round, so the front of this list
-# rotates every round: the 49 queries with no CORRECTNESS_r04 row lead
-# round 5 (they last got a driver row in rounds 1-2), giving every query a
-# fresh driver verification every two rounds — the driver's canonicalizer
-# can catch quirks the local bit-level oracle gate can't. The 50 checked
-# in r4 trail (they stay covered by tests/test_oracle.py each session).
+# rotates every round — every query gets a fresh driver verification at
+# most a few rounds apart; the driver's canonicalizer can catch quirks
+# the local bit-level oracle gate can't. Queries checked last round trail
+# (they stay covered by tests/test_oracle.py each session).
 _PRIORITY = [
     # round-6 head: the 80 queries NOT in the round-5 driver window
     # (the driver checks the first 50 in registry order; round 5's
@@ -57,6 +56,7 @@ _PRIORITY = [
     "ev_locf_fill",
     "fn_higher_order",
     "ev_event_trigrams",
+    "udf_cogroup_clickstream",
     "agg_approx_quantile",
     "ev_gap_detect",
     "profile_lineitem",

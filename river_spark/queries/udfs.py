@@ -60,3 +60,54 @@ def udtf_tokenize(spark, sf_dir):
         "SELECT doc_id, CAST(t.pos AS BIGINT) AS pos, t.token "
         "FROM docs_tok, LATERAL rs_tokenize(trim(text)) t"
     )
+
+
+@q(
+    "udf_cogroup_clickstream",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (
+        SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'),
+    j AS (
+        SELECT p.event_id, p.user_id, c.ts AS cts, c.event_id AS cid, c.value AS cv
+        FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts < p.ts),
+    agg AS (
+        SELECT event_id, user_id, count(cid) AS n_prior_clicks
+        FROM j GROUP BY 1, 2),
+    lastc AS (
+        SELECT event_id, cv FROM (
+            SELECT event_id, cv,
+                   row_number() OVER (PARTITION BY event_id
+                                      ORDER BY cts DESC, cid DESC) AS rn
+            FROM j WHERE cid IS NOT NULL) WHERE rn = 1)
+    SELECT agg.event_id, agg.user_id, agg.n_prior_clicks,
+           lastc.cv AS last_click_value
+    FROM agg LEFT JOIN lastc USING (event_id)
+    """,
+    tags=("udf", "cogroup"),
+)
+def udf_cogroup_clickstream(spark, sf_dir):
+    """Cogrouped applyInPandas (the fourth and last Python-boundary
+    flavor alongside scalar pandas_udf / grouped-agg / UDTF): purchases
+    and clicks cogrouped per user, merged vectorized in Arrow batches.
+    The oracle recomputes the merge relationally (inequality join +
+    count + argmax-by-window) — the Python boundary must byte-match it.
+    Both sides shuffle ONCE on user_id; at 100 TB the pandas merge sees
+    one user's events at a time, never the corpus."""
+    from river_spark.functions import clickstream_cogroup_fn
+    from river_spark.queries.tables import events_tbl
+
+    ev = events_tbl(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return (
+        p.groupBy("user_id")
+        .cogroup(c.groupBy("user_id"))
+        .applyInPandas(
+            clickstream_cogroup_fn(),
+            "event_id long, user_id long, n_prior_clicks long, last_click_value double",
+        )
+    )
