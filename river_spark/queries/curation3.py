@@ -142,6 +142,7 @@ def cross_corpus_contamination(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.9,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Corpus documents whose n-shingle Jaccard against ANY benchmark
     document reaches ``threshold``, with their best match:
@@ -159,7 +160,20 @@ def cross_corpus_contamination(
     candidate corpus docs' shingles against the broadcast benchmark
     shingle table — all-vs-all over the restricted sets, a SUPERSET of
     the candidate pairs, so the exact >= threshold filter makes the
-    output exhaustive over candidate docs."""
+    output exhaustive over candidate docs.
+
+    Pre-distinct candidate volume is bounded by |corpus-bucket-width| x
+    |bench-bucket-width| per (band, bucket); the bench side caps every
+    bucket at |bench|, so no max_bucket guard is needed while the
+    benchmark is broadcastable. ``broadcast_bench=False`` is the
+    cross-SNAPSHOT shape — deduping one crawl against a previous
+    corpus-sized one: identical plan, but the bucket equi-join and the
+    shingle verify become shuffle joins co-partitioned on (band, bucket)
+    and shingle, and the LSH candidate restriction (not the broadcast)
+    is what keeps the pair space sub-quadratic — exactly why this
+    operator exists alongside the exact broadcast-set decontamination in
+    ``decontam_ngram_overlap``."""
+    bc = F.broadcast if broadcast_bench else (lambda df: df)
     band_expr = F.expr(_band_hash_expr(bands, num_hashes))
 
     def banded(df, idc):
@@ -173,7 +187,7 @@ def cross_corpus_contamination(
     c_banded = banded(corpus, "doc_id")
     b_banded = banded(bench, "bench_id")
     cand_docs = (
-        c_banded.join(F.broadcast(b_banded), ["band", "bucket"])
+        c_banded.join(bc(b_banded), ["band", "bucket"])
         .select("doc_id")
         .distinct()
     )
@@ -193,14 +207,14 @@ def cross_corpus_contamination(
     c_cnt = c_sh.groupBy("doc_id").agg(F.count("*").alias("ca"))
     b_cnt = b_sh.groupBy("bench_id").agg(F.count("*").alias("cb"))
     inter = (
-        c_sh.join(F.broadcast(b_sh), "shingle")
+        c_sh.join(bc(b_sh), "shingle")
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").alias("inter"))
     )
     jac = F.col("inter") * 1.0 / (F.col("ca") + F.col("cb") - F.col("inter"))
     scored = (
         inter.join(c_cnt, "doc_id")
-        .join(F.broadcast(b_cnt), "bench_id")
+        .join(bc(b_cnt), "bench_id")
         .filter(jac >= threshold)
         .select("doc_id", "bench_id", F.round(jac, 6).alias("jaccard"))
     )

@@ -428,3 +428,34 @@ def test_cross_corpus_best_match_tiebreak(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["bench_id"] == 3
+
+
+def test_cross_corpus_shuffle_path_matches_broadcast(spark):
+    """broadcast_bench=False (the cross-snapshot shape) must produce the
+    exact same matches as the broadcast path."""
+    from river_spark.queries.curation3 import cross_corpus_contamination
+
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        ["bench_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa tail"),
+            (101, "no overlap with the benchmark corpus in any shingle window"),
+        ],
+        ["doc_id", "text"],
+    )
+    kw = dict(n=3, threshold=0.5)
+    a = sorted(
+        cross_corpus_contamination(
+            corpus, bench, "doc_id", "bench_id", "text", **kw
+        ).collect()
+    )
+    b = sorted(
+        cross_corpus_contamination(
+            corpus, bench, "doc_id", "bench_id", "text", broadcast_bench=False, **kw
+        ).collect()
+    )
+    assert a == b
+    assert [r["doc_id"] for r in a] == [100]
