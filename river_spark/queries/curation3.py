@@ -304,19 +304,22 @@ _DOMAIN_CAP = 10
     SELECT doc_id, source, rnk, rnk <= {_DOMAIN_CAP} AS kept FROM (
         SELECT doc_id, source,
                row_number() OVER (PARTITION BY source
-                                  ORDER BY n_chars DESC, doc_id) AS rnk
+                                  ORDER BY doc_id) AS rnk
         FROM documents)
     """,
     tags=("pipeline", "sampling"),
 )
 def pipeline_domain_cap(spark, sf_dir):
     """Per-domain document cap — the standard guard against one crawl
-    domain dominating the training mixture: rank each source's docs by
-    length (doc_id tiebreak) and keep the top 10. One window over the
-    source partition; output size equals input (the verdict travels with
-    every row), so downstream stages filter on `kept` without a join."""
+    domain dominating the training mixture: keep each source's first 10
+    documents in crawl (doc_id) order. One window over the source
+    partition; output size equals input (the verdict travels with every
+    row), so downstream stages filter on `kept` without a join.
+    Crawl-order ranking keeps the cap independent of document length, so
+    it composes orthogonally with the length-sensitive quality gates
+    (pipeline_curation_v2)."""
     docs = tbl(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    w = Window.partitionBy("source").orderBy("doc_id")
     return docs.select(
         "doc_id",
         "source",
@@ -516,4 +519,57 @@ def ev_anomaly_zscore(spark, sf_dir):
             "n_outliers",
             "max_abs_z",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated-span detection (exact-substring dedup metric)
+# ---------------------------------------------------------------------------
+_SPAN_N = 15
+
+
+@q(
+    "dedup_repeated_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents),
+    sp AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+{_SPAN_N - 1}], ' ') AS s
+        FROM toks,
+             UNNEST(generate_series(1, greatest(len(t) - {_SPAN_N - 1}, 1))) AS g(i)),
+    d AS (SELECT s, count(*) AS df FROM sp GROUP BY 1)
+    SELECT doc_id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS shared_frac
+    FROM sp JOIN d USING (s)
+    GROUP BY doc_id
+    """,
+    tags=("dedup", "substring"),
+)
+def dedup_repeated_spans(spark, sf_dir):
+    """Exact-substring duplication metric (the Lee et al. 2022 'deduplicating
+    training data' primitive): for every document, the fraction of its
+    15-token spans that appear verbatim in ANY other document — the signal
+    used to cut boilerplate/licensing blocks that MinHash's whole-document
+    granularity misses.
+
+    One span explode feeds both sides: span document-frequency is a window
+    count over the span partition (same windowed-guard idiom as
+    ngram_jaccard_pairs — the spillable WindowExec buffer, never a
+    collect_list array), and the per-doc rollup re-aggregates the SAME
+    windowed stream by doc_id. Two exchanges total, both over flat long
+    rows (spans travel as xxhash64 fingerprints)."""
+    from pyspark.sql import Window as W
+
+    docs = tbl(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", _SPAN_N, hashed=True)
+    shw = sh.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
+    shared = F.sum(F.when(F.col("_df") >= 2, 1).otherwise(0))
+    return shw.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        shared.alias("n_shared"),
+        F.round(shared * 1.0 / F.count("*"), 6).alias("shared_frac"),
     )

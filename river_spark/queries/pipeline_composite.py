@@ -115,3 +115,117 @@ def pipeline_train_split(spark, sf_dir):
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+@q(
+    "pipeline_curation_v2",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+    w AS (
+        SELECT doc_id, t[i] AS w
+        FROM toks, UNNEST(generate_series(1, len(t))) AS g(i)),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+    d AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_tokens
+        FROM wc GROUP BY doc_id),
+    bg AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)),
+    bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+    tb AS (SELECT doc_id, max(c) AS top_bigram_count FROM bc GROUP BY doc_id),
+    rep AS (
+        SELECT d.doc_id, d.n_tokens
+        FROM d LEFT JOIN tb ON d.doc_id = tb.doc_id
+        WHERE round(d.dup_tokens * 1.0 / d.n_tokens, 6) <= 0.9
+          AND (CASE WHEN d.n_tokens < 2 THEN 0.0
+               ELSE round(coalesce(tb.top_bigram_count, 0) * 1.0 / (d.n_tokens - 1), 6)
+               END) <= 0.08),
+    cap AS (
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY doc_id) AS rnk
+            FROM documents) WHERE rnk <= 10),
+    ltoks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents),
+    sp AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+14], ' ') AS s
+        FROM ltoks, UNNEST(generate_series(1, greatest(len(t) - 14, 1))) AS g(i)),
+    dfq AS (SELECT s, count(*) AS df FROM sp GROUP BY 1),
+    spans AS (
+        SELECT doc_id,
+               round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                   AS shared_frac
+        FROM sp JOIN dfq USING (s)
+        GROUP BY doc_id
+        HAVING round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) <= 0.5),
+    cont AS (
+        SELECT DISTINCT doc_id FROM sp
+        WHERE doc_id % 97 <> 0
+          AND s IN (SELECT s FROM sp WHERE doc_id % 97 = 0))
+    SELECT rep.doc_id, cap.source, rep.n_tokens, spans.shared_frac
+    FROM rep
+    JOIN cap USING (doc_id)
+    JOIN spans USING (doc_id)
+    WHERE rep.doc_id % 97 <> 0
+      AND rep.doc_id NOT IN (SELECT doc_id FROM cont)
+    """,
+    tags=("pipeline", "composite"),
+    bench=True,
+)
+def pipeline_curation_v2(spark, sf_dir):
+    """The round-5/6 curation stages fused into ONE declarative plan:
+    Gopher-style repetition gate ∧ per-domain cap ∧ repeated-span
+    duplication gate ∧ exact-substring benchmark decontamination (the
+    eval slice itself is excluded from the output, and every training
+    doc sharing a verbatim 15-token span with it is anti-joined away —
+    the span grain, unlike 3-shingles, cannot be tripped by chance
+    phrase collisions as the eval set grows, so the gate stays
+    meaningful at every scale factor). Each stage is oracle-verified
+    standalone; the composition joins all four verdict streams
+    co-partitioned on doc_id (AQE picks broadcast for the small
+    survivor sets), and the decontamination stage rides the SAME
+    15-span stream as the duplication gate rather than shingling
+    again."""
+    from pyspark.sql import Window as W
+
+    from river_spark.operators.dedup import shingles
+    from river_spark.queries.curation2 import text_repetition_filter
+    from river_spark.queries.curation3 import pipeline_domain_cap
+
+    rep = (
+        text_repetition_filter(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id", "n_tokens")
+    )
+    cap = (
+        pipeline_domain_cap(spark, sf_dir)
+        .filter(F.col("kept"))
+        .select("doc_id", "source")
+    )
+    sh15 = shingles(tbl(spark, sf_dir, "documents"), "doc_id", "text", 15, hashed=True)
+    shw = sh15.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
+    shared = F.sum(F.when(F.col("_df") >= 2, 1).otherwise(0))
+    spans = (
+        shw.groupBy("doc_id")
+        .agg(F.round(shared * 1.0 / F.count("*"), 6).alias("shared_frac"))
+        .filter(F.col("shared_frac") <= 0.5)
+    )
+    evs = sh15.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    cont = (
+        sh15.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(evs), "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        rep.filter(F.col("doc_id") % 97 != 0)
+        .join(cap, "doc_id")
+        .join(spans, "doc_id")
+        .join(cont, "doc_id", "left_anti")
+        .select("doc_id", "source", "n_tokens", "shared_frac")
+    )

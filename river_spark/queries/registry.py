@@ -57,6 +57,8 @@ _PRIORITY = [
     "fn_higher_order",
     "ev_event_trigrams",
     "udf_cogroup_clickstream",
+    "dedup_repeated_spans",
+    "pipeline_curation_v2",
     "agg_approx_quantile",
     "ev_gap_detect",
     "profile_lineitem",
