@@ -59,6 +59,9 @@ _PRIORITY = [
     "udf_cogroup_clickstream",
     "dedup_repeated_spans",
     "pipeline_curation_v2",
+    "agg_listagg",
+    "fn_unpivot",
+    "scalar_decimal",
     "agg_approx_quantile",
     "ev_gap_detect",
     "profile_lineitem",

@@ -179,3 +179,93 @@ def ev_event_trigrams(spark, sf_dir):
     return top.select(
         "trigram", "n", F.row_number().over(w2).cast("long").alias("rnk")
     )
+
+
+@q(
+    "agg_listagg",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           count(*) AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    tags=("agg", "listagg"),
+)
+def agg_listagg(spark, sf_dir):
+    """SQL:2016 LISTAGG ... WITHIN GROUP — the ordered string aggregate
+    (DuckDB spells it string_agg ORDER BY). The WITHIN GROUP ordering is
+    what makes the result deterministic and therefore oracle-checkable;
+    an unordered collect would be engine-arbitrary."""
+    tbl(spark, sf_dir, "nation").createOrReplaceTempView("nation_la")
+    tbl(spark, sf_dir, "region").createOrReplaceTempView("region_la")
+    return spark.sql(
+        "SELECT r_name, listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations, "
+        "count(*) AS n "
+        "FROM nation_la JOIN region_la ON n_regionkey = r_regionkey "
+        "GROUP BY r_name"
+    )
+
+
+@q(
+    "fn_unpivot",
+    oracle="""
+    WITH agg AS (
+        SELECT l_returnflag,
+               round(sum(l_quantity), 2)      AS sum_qty,
+               round(sum(l_discount), 2)      AS sum_disc,
+               round(sum(l_tax), 2)           AS sum_tax
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, metric, amount
+    FROM agg UNPIVOT (amount FOR metric IN (sum_qty, sum_disc, sum_tax))
+    """,
+    tags=("relational", "unpivot"),
+)
+def fn_unpivot(spark, sf_dir):
+    """UNPIVOT (melt) — the inverse of pivot_status_priority: wide
+    per-group aggregates rotated into (group, metric, amount) rows.
+    The unpivot runs AFTER the aggregation, so it rotates |groups| x 3
+    rows, never the fact table."""
+    agg = (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+            F.round(F.sum("l_tax"), 2).alias("sum_tax"),
+        )
+    )
+    return agg.unpivot(
+        "l_returnflag", ["sum_qty", "sum_disc", "sum_tax"], "metric", "amount"
+    )
+
+
+@q(
+    "scalar_decimal",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS exact_price_sum,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS exact_disc_sum,
+           CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+           CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("scalar", "decimal"),
+)
+def scalar_decimal(spark, sf_dir):
+    """Exact DECIMAL money arithmetic — the engine face double-based
+    aggregation can't give: sums accumulate in fixed-point with NO
+    float rounding drift, so both engines produce the identical exact
+    value regardless of partial-aggregation order (the whole point of
+    decimal: the double path would need round() to parity at all).
+    Cast back to double only at the very end for a uniform gate dtype."""
+    li = tbl(spark, sf_dir, "lineitem")
+    dp = F.col("l_extendedprice").cast("decimal(18,2)")
+    dd = (1 - F.col("l_discount")).cast("decimal(18,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(dp).cast("double").alias("exact_price_sum"),
+        F.sum(dp * dd).cast("double").alias("exact_disc_sum"),
+        F.min(dp).cast("double").alias("min_price"),
+        F.max(dp).cast("double").alias("max_price"),
+    )
