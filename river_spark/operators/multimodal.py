@@ -166,3 +166,37 @@ def sample_frames(df: DataFrame, id_col: str, bin_col: str, n_frames: int = 4) -
         F.col(id_col).alias("doc_id"),
         F.posexplode(frames).alias("frame_no", "frame_payload"),
     ).withColumn("frame_bytes", F.octet_length("frame_payload").cast("long"))
+
+
+def window_signal(
+    df: DataFrame,
+    id_col: str,
+    bin_col: str,
+    window_bytes: int = 64,
+    hop_bytes: int = 32,
+) -> DataFrame:
+    """Overlapping fixed-size windows over an opaque signal payload —
+    the audio analog of ``sample_frames`` (50% overlap at the defaults,
+    the standard STFT hop): one row per window with its byte offset.
+    Pure JVM substring arithmetic over the binary column, partition-
+    preserving explode; payloads shorter than one window emit no rows
+    (a real frontend would zero-pad — byte-level parity is cleaner to
+    verify without padding). A real codec would decode PCM first; the
+    windowing math is identical either way."""
+    wins = F.expr(
+        f"""
+        CASE WHEN octet_length({bin_col}) >= {window_bytes} THEN
+          transform(sequence(0, (octet_length({bin_col}) - {window_bytes}) div {hop_bytes}),
+                    i -> substring({bin_col}, i * {hop_bytes} + 1, {window_bytes}))
+        ELSE cast(array() as array<binary>) END
+        """
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(wins).alias("win_no", "window_payload"),
+    ).select(
+        "doc_id",
+        "win_no",
+        (F.col("win_no").cast("long") * hop_bytes).alias("start_byte"),
+        "window_payload",
+    )

@@ -479,3 +479,45 @@ def ev_session_window_native(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@q(
+    "ev_markov_transitions",
+    oracle="""
+    WITH nxt AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events),
+    cnt AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM nxt WHERE to_type IS NOT NULL
+        GROUP BY 1, 2),
+    tot AS (SELECT from_type, sum(n) AS row_n FROM cnt GROUP BY 1)
+    SELECT cnt.from_type, cnt.to_type, cnt.n,
+           round(cnt.n * 1.0 / tot.row_n, 6) AS p
+    FROM cnt JOIN tot USING (from_type)
+    """,
+    tags=("events", "sequence"),
+)
+def ev_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of the event stream: P(next
+    type | type), transitions formed inside each user's ordered
+    partition (one lead over one window — users never mix), then one
+    hash aggregation; row totals re-aggregate from the |types|²-row
+    count table and broadcast back. The |types|² output is scale-free —
+    it never grows with event volume."""
+    ev = events_tbl(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = nxt.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return cnt.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.col("row_n"), 6).alias("p"),
+    )

@@ -345,3 +345,32 @@ def emb_ann_ivf(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("query_id", F.col("doc_id").alias("top1_doc_id"), F.round("cos_sim", 6).alias("top1_cos"))
     )
+
+
+@q(
+    "mm_audio_windows",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, encode(text) AS payload,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n
+        FROM documents)
+    SELECT doc_id, CAST(g.i AS INT) AS win_no,
+           CAST(g.i * 32 AS BIGINT) AS start_byte,
+           substring(hex(payload), CAST(2 * (g.i * 32) + 1 AS INT), 128) AS win_hex
+    FROM p, UNNEST(generate_series(0, (n - 64) // 32)) AS g(i)
+    WHERE n >= 64
+    """,
+    tags=("multimodal", "audio"),
+)
+def mm_audio_windows(spark, sf_dir):
+    """Overlapping signal windows (64-byte window, 32-byte hop) with a
+    bit-level oracle: every window is substring arithmetic DuckDB
+    recomputes byte-for-byte over the hex encoding. Payloads shorter
+    than one window drop out identically on both sides."""
+    from river_spark.operators.multimodal import window_signal
+
+    docs = tbl(spark, sf_dir, "documents").withColumn("payload", F.encode("text", "UTF-8"))
+    wins = window_signal(docs, "doc_id", "payload", window_bytes=64, hop_bytes=32)
+    return wins.select(
+        "doc_id", "win_no", "start_byte", F.hex("window_payload").alias("win_hex")
+    )

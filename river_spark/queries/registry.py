@@ -62,6 +62,9 @@ _PRIORITY = [
     "agg_listagg",
     "fn_unpivot",
     "scalar_decimal",
+    "mm_audio_windows",
+    "emb_pq_codes",
+    "ev_markov_transitions",
     "agg_approx_quantile",
     "ev_gap_detect",
     "profile_lineitem",

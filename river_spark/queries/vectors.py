@@ -235,3 +235,79 @@ def emb_quantize_int8(spark, sf_dir):
         ),
         F.round(mae, 6).alias("recon_mae"),
     )
+
+
+@q(
+    "emb_pq_codes",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS k, embedding::DOUBLE[] AS v
+          FROM embeddings WHERE vec_id < 4),
+    m AS (SELECT unnest(generate_series(0, 3)) AS m),
+    d AS (
+        SELECT e.vec_id, m.m, c.k,
+               round(list_sum(list_transform(
+                   list_zip(e.v[m.m*16+1:m.m*16+16], c.v[m.m*16+1:m.m*16+16]),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist2
+        FROM e CROSS JOIN m CROSS JOIN c),
+    best AS (
+        SELECT vec_id, m, k FROM (
+            SELECT vec_id, m, k,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dist2, k) AS rn
+            FROM d) WHERE rn = 1)
+    SELECT vec_id,
+           CAST(max(CASE WHEN m = 0 THEN k END) AS INT) AS code0,
+           CAST(max(CASE WHEN m = 1 THEN k END) AS INT) AS code1,
+           CAST(max(CASE WHEN m = 2 THEN k END) AS INT) AS code2,
+           CAST(max(CASE WHEN m = 3 THEN k END) AS INT) AS code3
+    FROM best GROUP BY vec_id
+    """,
+    tags=("vector", "pq"),
+)
+def emb_pq_codes(spark, sf_dir):
+    """Product-quantization codebook assignment (the FAISS IVF-PQ
+    building block): the 64-dim space splits into 4 subspaces of 16
+    dims; each subvector takes the id of its nearest codebook centroid
+    (deterministic codebook: the first 4 vectors, so both engines derive
+    it from data — at production scale the codebook comes from a
+    trained k-means and broadcasts identically).
+
+    Shape: vectors explode to (vec_id, m, subvector) rows; the M x K =
+    16-row subspace codebook broadcasts; distances compute map-side on
+    the equi-join by subspace; argmin is min(struct(dist2, k)) — a
+    partial-aggregation-friendly tie-deterministic argmin, no window
+    over the corpus. Output is 4 int8-range codes per vector: 64 floats
+    -> 4 bytes, the 64x compression PQ exists for."""
+    M, S, K = 4, 16, 4
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    subs = F.expr(f"transform(sequence(0, {M - 1}), m -> slice(v, m * {S} + 1, {S}))")
+    sub_e = emb.select("vec_id", F.posexplode(subs).alias("m", "sv"))
+    sub_c = (
+        emb.filter(F.col("vec_id") < K)
+        .select(F.col("vec_id").alias("k"), F.posexplode(subs).alias("m", "cv"))
+    )
+    dist2 = F.round(
+        F.aggregate(
+            F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    d = sub_e.join(F.broadcast(sub_c), "m").select(
+        "vec_id", "m", "k", dist2.alias("dist2")
+    )
+    best = d.groupBy("vec_id", "m").agg(
+        F.min(F.struct("dist2", "k")).getField("k").alias("code")
+    )
+    return best.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("m") == m, F.col("code")))
+            .cast("int")
+            .alias(f"code{m}")
+            for m in range(M)
+        ]
+    )
