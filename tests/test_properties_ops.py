@@ -1,0 +1,130 @@
+"""Property-based checks for round-6 operators: randomized inputs
+against independent in-process references (pandas / brute force).
+Example counts stay small — every example runs Spark jobs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # user
+            st.integers(0, 50),  # ts offset
+            st.one_of(st.none(), st.floats(-10, 10, allow_nan=False)),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_locf_matches_pandas_ffill(spark, rows):
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "user_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "v": [r[2] for r in rows],
+        }
+    )
+    df = spark.createDataFrame(pdf.astype({"v": "float64"}))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = (
+        df.select(
+            "event_id", F.last("v", ignorenulls=True).over(w).alias("filled")
+        )
+        .toPandas()
+        .set_index("event_id")["filled"]
+        .sort_index()
+    )
+    exp = (
+        pdf.sort_values(["user_id", "ts", "event_id"])
+        .groupby("user_id")["v"]
+        .ffill()
+        .reindex(pdf.index)
+    )
+    exp.index = pdf["event_id"]
+    pd.testing.assert_series_equal(
+        got, exp.sort_index(), check_names=False, check_dtype=False
+    )
+
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+def _jaccard(a: str, b: str, n: int = 3) -> float:
+    def sh(t):
+        toks = t.lower().split()
+        k = max(len(toks) - n + 1, 1)
+        return {" ".join(toks[i : i + n]) for i in range(k)}
+
+    sa, sb = sh(a), sh(b)
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+@given(
+    data=st.data(),
+    n_corpus=st.integers(1, 5),
+    n_bench=st.integers(1, 3),
+)
+@settings(**_SETTINGS)
+def test_cross_corpus_matches_brute_force(spark, data, n_corpus, n_bench):
+    from river_spark.queries.curation3 import cross_corpus_contamination
+
+    doc = st.lists(st.sampled_from(_WORDS), min_size=4, max_size=12).map(" ".join)
+    corpus_rows = [(100 + i, data.draw(doc)) for i in range(n_corpus)]
+    bench_rows = [(i, data.draw(doc)) for i in range(n_bench)]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    bench = spark.createDataFrame(bench_rows, ["bench_id", "text"])
+    got = {
+        r["doc_id"]: r["bench_id"]
+        for r in cross_corpus_contamination(
+            corpus, bench, "doc_id", "bench_id", "text", threshold=0.6
+        ).collect()
+    }
+    exp = {}
+    for cid, ct in corpus_rows:
+        best = None
+        for bid, bt in sorted(bench_rows):
+            j = round(_jaccard(ct, bt), 6)
+            if j >= 0.6 and (best is None or j > best[1]):
+                best = (bid, j)
+        if best:
+            exp[cid] = best[0]
+    assert got == exp
+
+
+@given(
+    vals=st.lists(st.floats(-100, 100, allow_nan=False), min_size=2, max_size=30)
+)
+@settings(**_SETTINGS)
+def test_decimal_sum_is_exact(spark, vals):
+    """DECIMAL aggregation must equal exact Fraction arithmetic after
+    2-dp quantization, independent of partition order."""
+    from decimal import Decimal
+
+    q = [Decimal(str(round(v, 2))) for v in vals]
+    df = spark.createDataFrame([(float(round(v, 2)),) for v in vals], ["x"])
+    got = (
+        df.repartition(8)
+        .agg(F.sum(F.col("x").cast("decimal(18,2)")).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert got == sum(q)
