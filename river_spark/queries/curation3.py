@@ -101,20 +101,19 @@ def text_bm25_rank(spark, sf_dir):
         .agg(F.count("*").alias("tf"))
     )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # operation GROUPING mirrors the oracle's left-to-right SQL parse —
+    # ((idf * tf) * (k1+1)) / denom — so both engines evaluate the
+    # identical float expression tree and round(., 6) can never flip
     idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    tfn = (
-        F.col("tf")
-        * (_BM25_K1 + 1)
-        / (
-            F.col("tf")
-            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-        )
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
     )
+    score = F.round(idf * F.col("tf") * (_BM25_K1 + 1) / denom, 6)
     s = (
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")
         .join(F.broadcast(stats))
-        .select("doc_id", F.round(idf * tfn, 6).alias("s"))
+        .select("doc_id", score.alias("s"))
     )
     total = s.groupBy("doc_id").agg(
         F.round(F.sum("s"), 6).alias("score"), F.count("*").alias("n_terms")
@@ -176,16 +175,18 @@ def cross_corpus_contamination(
     bc = F.broadcast if broadcast_bench else (lambda df: df)
     band_expr = F.expr(_band_hash_expr(bands, num_hashes))
 
-    def banded(df, idc):
-        sh = shingles(df, idc, text_col, n, hashed=True, distinct=False)
+    def banded(df, src_id, out_id):
+        # shingles() canonicalizes the id column to "doc_id"; re-alias to
+        # the side-specific name so the bucket join can't self-collide
+        sh = shingles(df, src_id, text_col, n, hashed=True, distinct=False)
         sigs = minhash_signatures(sh, num_hashes)
         return sigs.select(
-            F.col("doc_id").alias(idc),
+            F.col("doc_id").alias(out_id),
             F.posexplode(band_expr).alias("band", "bucket"),
         )
 
-    c_banded = banded(corpus, "doc_id")
-    b_banded = banded(bench, "bench_id")
+    c_banded = banded(corpus, id_col, "doc_id")
+    b_banded = banded(bench, bench_id_col, "bench_id")
     cand_docs = (
         c_banded.join(bc(b_banded), ["band", "bucket"])
         .select("doc_id")
@@ -528,6 +529,26 @@ def ev_anomaly_zscore(spark, sf_dir):
 _SPAN_N = 15
 
 
+def span_shared_stats(sh):
+    """Per-doc repeated-span rollup over a hashed span stream
+    [doc_id, shingle]: span document-frequency is a window count over the
+    span partition (same windowed-guard idiom as ngram_jaccard_pairs —
+    the spillable WindowExec buffer, never a collect_list array), and
+    the per-doc rollup re-aggregates the SAME windowed stream by doc_id.
+    Two exchanges total, both over flat long rows. Shared by
+    dedup_repeated_spans and pipeline_curation_v2 so the span-df idiom
+    cannot drift between the standalone gate and the composite."""
+    from pyspark.sql import Window as W
+
+    shw = sh.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
+    shared = F.sum(F.when(F.col("_df") >= 2, 1).otherwise(0))
+    return shw.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        shared.alias("n_shared"),
+        F.round(shared * 1.0 / F.count("*"), 6).alias("shared_frac"),
+    )
+
+
 @q(
     "dedup_repeated_spans",
     oracle=f"""
@@ -554,22 +575,7 @@ def dedup_repeated_spans(spark, sf_dir):
     training data' primitive): for every document, the fraction of its
     15-token spans that appear verbatim in ANY other document — the signal
     used to cut boilerplate/licensing blocks that MinHash's whole-document
-    granularity misses.
-
-    One span explode feeds both sides: span document-frequency is a window
-    count over the span partition (same windowed-guard idiom as
-    ngram_jaccard_pairs — the spillable WindowExec buffer, never a
-    collect_list array), and the per-doc rollup re-aggregates the SAME
-    windowed stream by doc_id. Two exchanges total, both over flat long
-    rows (spans travel as xxhash64 fingerprints)."""
-    from pyspark.sql import Window as W
-
+    granularity misses. Spans travel as xxhash64 fingerprints; plan shape
+    in span_shared_stats."""
     docs = tbl(spark, sf_dir, "documents")
-    sh = shingles(docs, "doc_id", "text", _SPAN_N, hashed=True)
-    shw = sh.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
-    shared = F.sum(F.when(F.col("_df") >= 2, 1).otherwise(0))
-    return shw.groupBy("doc_id").agg(
-        F.count("*").alias("n_spans"),
-        shared.alias("n_shared"),
-        F.round(shared * 1.0 / F.count("*"), 6).alias("shared_frac"),
-    )
+    return span_shared_stats(shingles(docs, "doc_id", "text", _SPAN_N, hashed=True))

@@ -191,11 +191,12 @@ def pipeline_curation_v2(spark, sf_dir):
     survivor sets), and the decontamination stage rides the SAME
     15-span stream as the duplication gate rather than shingling
     again."""
-    from pyspark.sql import Window as W
-
     from river_spark.operators.dedup import shingles
     from river_spark.queries.curation2 import text_repetition_filter
-    from river_spark.queries.curation3 import pipeline_domain_cap
+    from river_spark.queries.curation3 import (
+        pipeline_domain_cap,
+        span_shared_stats,
+    )
 
     rep = (
         text_repetition_filter(spark, sf_dir)
@@ -208,11 +209,9 @@ def pipeline_curation_v2(spark, sf_dir):
         .select("doc_id", "source")
     )
     sh15 = shingles(tbl(spark, sf_dir, "documents"), "doc_id", "text", 15, hashed=True)
-    shw = sh15.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
-    shared = F.sum(F.when(F.col("_df") >= 2, 1).otherwise(0))
     spans = (
-        shw.groupBy("doc_id")
-        .agg(F.round(shared * 1.0 / F.count("*"), 6).alias("shared_frac"))
+        span_shared_stats(sh15)
+        .select("doc_id", "shared_frac")
         .filter(F.col("shared_frac") <= 0.5)
     )
     evs = sh15.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()

@@ -225,7 +225,10 @@ def fn_unpivot(spark, sf_dir):
     """UNPIVOT (melt) — the inverse of pivot_status_priority: wide
     per-group aggregates rotated into (group, metric, amount) rows.
     The unpivot runs AFTER the aggregation, so it rotates |groups| x 3
-    rows, never the fact table."""
+    rows, never the fact table. NULL metrics are filtered explicitly:
+    Spark's unpivot RETAINS null values while DuckDB's UNPIVOT excludes
+    them by default — invisible on this data (every group aggregates
+    non-null doubles) but a real cross-engine semantic difference."""
     agg = (
         tbl(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
@@ -237,7 +240,7 @@ def fn_unpivot(spark, sf_dir):
     )
     return agg.unpivot(
         "l_returnflag", ["sum_qty", "sum_disc", "sum_tax"], "metric", "amount"
-    )
+    ).filter(F.col("amount").isNotNull())
 
 
 @q(

@@ -379,10 +379,12 @@ def test_cross_corpus_contamination_planted_and_clean(spark):
         (1, "one two three four five six seven eight nine ten eleven twelve thirteen"),
     ]
     corpus_rows = [
-        # near-dup of bench 0 (one token appended)
+        # near-dup of bench 0 (one token appended: J = S/(S+1) ~ 0.92,
+        # LSH miss probability ~3e-9 — deterministic in practice)
         (100, bench_rows[0][1] + " tail"),
-        # near-dup of bench 1 (one token substituted)
-        (101, bench_rows[1][1].replace("seven", "sevens")),
+        # near-dup of bench 1 (same construction; a mid-doc substitution
+        # would only give J ~ 0.57, where band-miss odds are real)
+        (101, bench_rows[1][1] + " extra"),
         # clean docs sharing no shingles with the benchmark
         (102, "totally unrelated content about distributed query engines and shuffles"),
         (103, "another clean document with its own private vocabulary entirely"),

@@ -81,22 +81,34 @@ def _jaccard(a: str, b: str, n: int = 3) -> float:
 
 @given(
     data=st.data(),
-    n_corpus=st.integers(1, 5),
+    n_corpus=st.integers(1, 4),
     n_bench=st.integers(1, 3),
 )
 @settings(**_SETTINGS)
 def test_cross_corpus_matches_brute_force(spark, data, n_corpus, n_bench):
+    """Brute-force parity at threshold 0.9, where the 16-band/64-hash
+    geometry's miss probability is ~4e-8 per qualifying pair — the
+    expectation is therefore exact, not merely likely, regardless of
+    which examples hypothesis generates. Near-dup pairs are PLANTED
+    (benchmark doc + one appended token: J = S/(S+1) >= 0.93 at >= 15
+    tokens) because random draws essentially never reach 0.9."""
     from river_spark.queries.curation3 import cross_corpus_contamination
 
-    doc = st.lists(st.sampled_from(_WORDS), min_size=4, max_size=12).map(" ".join)
-    corpus_rows = [(100 + i, data.draw(doc)) for i in range(n_corpus)]
+    doc = st.lists(st.sampled_from(_WORDS), min_size=15, max_size=25).map(" ".join)
     bench_rows = [(i, data.draw(doc)) for i in range(n_bench)]
+    corpus_rows = []
+    for i in range(n_corpus):
+        if data.draw(st.booleans()):
+            base = data.draw(st.sampled_from(bench_rows))[1]
+            corpus_rows.append((100 + i, base + " tail"))
+        else:
+            corpus_rows.append((100 + i, data.draw(doc)))
     corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
     bench = spark.createDataFrame(bench_rows, ["bench_id", "text"])
     got = {
         r["doc_id"]: r["bench_id"]
         for r in cross_corpus_contamination(
-            corpus, bench, "doc_id", "bench_id", "text", threshold=0.6
+            corpus, bench, "doc_id", "bench_id", "text", threshold=0.9
         ).collect()
     }
     exp = {}
@@ -104,7 +116,7 @@ def test_cross_corpus_matches_brute_force(spark, data, n_corpus, n_bench):
         best = None
         for bid, bt in sorted(bench_rows):
             j = round(_jaccard(ct, bt), 6)
-            if j >= 0.6 and (best is None or j > best[1]):
+            if _jaccard(ct, bt) >= 0.9 and (best is None or j > best[1]):
                 best = (bid, j)
         if best:
             exp[cid] = best[0]

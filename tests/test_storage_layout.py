@@ -35,6 +35,7 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
     # AQE wraps everything in AdaptiveSparkPlan; disable broadcast so the
     # join actually exercises the bucket co-location (a broadcast would
     # trivially avoid the exchange for this small side)
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         joined = read_table(spark, ev).join(read_table(spark, prof), "user_id")
@@ -44,7 +45,9 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
         n = joined.count()
         assert n == 1_000
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        # restore the SESSION's configured value — unset() would fall back
+        # to Spark's 10MB default, not river_spark.session's 64MB
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
 
 
 def test_bucketed_aggregation_has_no_exchange(spark, bucketed_tables):
@@ -60,12 +63,13 @@ def test_unbucketed_baseline_does_shuffle(spark):
     no-Exchange asserts above prove the layout, not a quirk."""
     a = spark.range(0, 10_000).select(F.col("id").alias("user_id"))
     b = spark.range(0, 1_000).select(F.col("id").alias("user_id"))
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plan = a.join(b, "user_id")._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" in plan
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
 
 
 @pytest.fixture(scope="module")
