@@ -169,8 +169,8 @@ def win_value_functions(spark, sf_dir):
     "win_distribution_functions",
     oracle="""
     SELECT c_custkey,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cume
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     """,
@@ -180,14 +180,18 @@ def win_distribution_functions(spark, sf_dir):
     """The two distribution window functions the rank family doesn't
     cover: percent_rank ((rank-1)/(n-1)) and cume_dist (rank/n) over
     account balance within each nation — deterministic under the
-    c_custkey tie-break, rounded identically on both engines."""
+    c_custkey tie-break. Emitted RAW, not rounded: both engines compute
+    the identical integer-ratio division (verified bit-level), while
+    round(., 6) would DIVERGE on exact midpoints — with 640-row
+    partitions cume hits values like 0.5203125, which Spark rounds
+    half-up (0.520313) and DuckDB half-even (0.520312)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     return tbl(spark, sf_dir, "customer").select(
         "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
     )
 
 

@@ -2,7 +2,15 @@
 query on Spark AND its DuckDB oracle, compare row count, column names,
 and order-insensitive values. Float columns must match EXACTLY after the
 in-query rounding — any residual diff is a value-hash risk flagged here
-before the driver sees it."""
+before the driver sees it.
+
+Rounding-midpoint hazard (learned from win_distribution_functions at
+sf0.1): round(x, k) on a value that is an EXACT decimal midpoint
+(e.g. cume_dist = 333/640 = 0.5203125 at k=6) diverges between engines —
+Spark rounds half-up, DuckDB half-even. Pure integer-ratio outputs are
+bit-identical across engines UNROUNDED (IEEE division of identical
+ints), so when a ratio's denominator can be dyadic (2^a*5^b groups),
+emit the raw double instead of rounding."""
 
 import math
 import os
