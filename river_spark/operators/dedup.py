@@ -294,7 +294,10 @@ def ngram_jaccard_pairs(
         pair.join(ca, "doc_a")
         .join(cb, "doc_b")
         .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        # RAW ratio, not round(,6): integer-ratio doubles are bit-identical
+        # across engines, while round() diverges on exact decimal midpoints
+        # (e.g. 115/128) — see tests/test_oracle.py docstring
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
 
 

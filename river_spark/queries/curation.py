@@ -229,7 +229,7 @@ _RATE_SQL = "CASE lang " + " ".join(
     SELECT lang,
            count(*)                                    AS n_docs,
            count(*) FILTER (bucket < rate)             AS n_kept,
-           round(count(*) FILTER (bucket < rate) * 1.0 / count(*), 4) AS kept_ratio,
+           count(*) FILTER (bucket < rate) * 1.0 / count(*) AS kept_ratio,
            CAST(COALESCE(sum(doc_id) FILTER (bucket < rate), 0) AS BIGINT) AS kept_id_sum
     FROM b GROUP BY lang
     """,
@@ -256,7 +256,7 @@ def pipeline_stratified_sample(spark, sf_dir):
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("keep").alias("n_kept"),
-            F.round(F.sum("keep") * 1.0 / F.count("*"), 4).alias("kept_ratio"),
+            (F.sum("keep") * 1.0 / F.count("*")).alias("kept_ratio"),
             F.coalesce(F.sum(F.when(F.col("keep") == 1, F.col("doc_id"))), F.lit(0)).alias(
                 "kept_id_sum"
             ),

@@ -49,14 +49,14 @@ from river_spark.queries.tables import tbl
     bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
     tb AS (SELECT doc_id, max(c) AS top_bigram_count FROM bc GROUP BY doc_id)
     SELECT d.doc_id, d.n_tokens,
-           round(d.dup_tokens * 1.0 / d.n_tokens, 6) AS dup_token_frac,
+           d.dup_tokens * 1.0 / d.n_tokens AS dup_token_frac,
            CAST(coalesce(tb.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
            CASE WHEN d.n_tokens < 2 THEN 0.0
-                ELSE round(coalesce(tb.top_bigram_count, 0) * 1.0 / (d.n_tokens - 1), 6)
+                ELSE coalesce(tb.top_bigram_count, 0) * 1.0 / (d.n_tokens - 1)
            END AS top_bigram_frac,
-           (round(d.dup_tokens * 1.0 / d.n_tokens, 6) <= 0.9
+           (d.dup_tokens * 1.0 / d.n_tokens <= 0.9
             AND (CASE WHEN d.n_tokens < 2 THEN 0.0
-                 ELSE round(coalesce(tb.top_bigram_count, 0) * 1.0 / (d.n_tokens - 1), 6)
+                 ELSE coalesce(tb.top_bigram_count, 0) * 1.0 / (d.n_tokens - 1)
                  END) <= 0.08) AS keep
     FROM d LEFT JOIN tb ON d.doc_id = tb.doc_id
     """,
@@ -95,13 +95,13 @@ def text_repetition_filter(spark, sf_dir):
     )
     bc = bigrams.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
     tb = bc.groupBy("doc_id").agg(F.max("c").alias("top_bigram_count"))
-    frac = F.round(F.col("dup_tokens") * 1.0 / F.col("n_tokens"), 6)
+    frac = F.col("dup_tokens") * 1.0 / F.col("n_tokens")
     # LEFT join + guards: a 1-token doc has no bigram row but a curation
     # FILTER must still emit a verdict for it (top_bigram_frac := 0.0,
     # never a divide-by-zero on n_tokens - 1)
     tbc = F.coalesce(F.col("top_bigram_count"), F.lit(0)).cast("long")
     bfrac = F.when(F.col("n_tokens") < 2, F.lit(0.0)).otherwise(
-        F.round(tbc * 1.0 / (F.col("n_tokens") - 1), 6)
+        tbc * 1.0 / (F.col("n_tokens") - 1)
     )
     return per_doc.join(tb, "doc_id", "left").select(
         "doc_id",

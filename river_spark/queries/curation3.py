@@ -217,7 +217,7 @@ def cross_corpus_contamination(
         inter.join(c_cnt, "doc_id")
         .join(bc(b_cnt), "bench_id")
         .filter(jac >= threshold)
-        .select("doc_id", "bench_id", F.round(jac, 6).alias("jaccard"))
+        .select("doc_id", "bench_id", jac.alias("jaccard"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("jaccard").desc(), F.col("bench_id"))
     return (
@@ -257,7 +257,7 @@ def cross_corpus_contamination(
         GROUP BY 1, 2),
     j AS (
         SELECT doc_id, bench_id,
-               round(i * 1.0 / (ccnt.ca + bcnt.cb - i), 6) AS jaccard
+               i * 1.0 / (ccnt.ca + bcnt.cb - i) AS jaccard
         FROM inter
         JOIN ccnt USING (doc_id)
         JOIN bcnt USING (bench_id)
@@ -545,7 +545,7 @@ def span_shared_stats(sh):
     return shw.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),
         shared.alias("n_shared"),
-        F.round(shared * 1.0 / F.count("*"), 6).alias("shared_frac"),
+        (shared * 1.0 / F.count("*")).alias("shared_frac"),
     )
 
 
@@ -563,7 +563,7 @@ def span_shared_stats(sh):
     SELECT doc_id,
            count(*) AS n_spans,
            CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
-           round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+           sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*)
                AS shared_frac
     FROM sp JOIN d USING (s)
     GROUP BY doc_id

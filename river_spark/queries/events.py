@@ -495,7 +495,7 @@ def ev_session_window_native(spark, sf_dir):
         GROUP BY 1, 2),
     tot AS (SELECT from_type, sum(n) AS row_n FROM cnt GROUP BY 1)
     SELECT cnt.from_type, cnt.to_type, cnt.n,
-           round(cnt.n * 1.0 / tot.row_n, 6) AS p
+           cnt.n * 1.0 / tot.row_n AS p
     FROM cnt JOIN tot USING (from_type)
     """,
     tags=("events", "sequence"),
@@ -519,5 +519,5 @@ def ev_markov_transitions(spark, sf_dir):
         "from_type",
         "to_type",
         "n",
-        F.round(F.col("n") * 1.0 / F.col("row_n"), 6).alias("p"),
+        (F.col("n") * 1.0 / F.col("row_n")).alias("p"),
     )

@@ -43,7 +43,7 @@ from river_spark.queries.tables import tbl
         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
     SELECT doc_a, doc_b,
-           round(inter * 1.0 / (ca.c + cb.c - inter), 6) AS jaccard
+           inter * 1.0 / (ca.c + cb.c - inter) AS jaccard
     FROM pair
     JOIN cnt ca ON ca.doc_id = doc_a
     JOIN cnt cb ON cb.doc_id = doc_b

@@ -44,7 +44,7 @@ _SW_SQL = ", ".join(
         FROM documents),
     keep AS (SELECT fp, min(doc_id) AS keep_id FROM stats GROUP BY fp)
     SELECT s.doc_id, CAST(s.toks AS BIGINT) AS n_tokens,
-           round(s.sw / s.toks, 6) AS stopword_ratio
+           s.sw / s.toks AS stopword_ratio
     FROM stats s JOIN keep k ON s.fp = k.fp AND s.doc_id = k.keep_id
     WHERE s.toks >= 20 AND s.sw / s.toks BETWEEN 0.05 AND 0.6
       AND s.punct / s.n < 0.1
@@ -139,9 +139,9 @@ def pipeline_train_split(spark, sf_dir):
     rep AS (
         SELECT d.doc_id, d.n_tokens
         FROM d LEFT JOIN tb ON d.doc_id = tb.doc_id
-        WHERE round(d.dup_tokens * 1.0 / d.n_tokens, 6) <= 0.9
+        WHERE d.dup_tokens * 1.0 / d.n_tokens <= 0.9
           AND (CASE WHEN d.n_tokens < 2 THEN 0.0
-               ELSE round(coalesce(tb.top_bigram_count, 0) * 1.0 / (d.n_tokens - 1), 6)
+               ELSE coalesce(tb.top_bigram_count, 0) * 1.0 / (d.n_tokens - 1)
                END) <= 0.08),
     cap AS (
         SELECT doc_id, source FROM (
@@ -158,11 +158,11 @@ def pipeline_train_split(spark, sf_dir):
     dfq AS (SELECT s, count(*) AS df FROM sp GROUP BY 1),
     spans AS (
         SELECT doc_id,
-               round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*)
                    AS shared_frac
         FROM sp JOIN dfq USING (s)
         GROUP BY doc_id
-        HAVING round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) <= 0.5),
+        HAVING sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*) <= 0.5),
     cont AS (
         SELECT DISTINCT doc_id FROM sp
         WHERE doc_id % 97 <> 0

@@ -56,8 +56,8 @@ def text_token_stats(spark, sf_dir):
                CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS punct
         FROM documents)
     SELECT doc_id,
-           round(punct / n, 6)              AS punct_ratio,
-           round(sw / toks, 6)              AS stopword_ratio,
+           punct / n                        AS punct_ratio,
+           sw / toks                        AS stopword_ratio,
            round((n - toks + 1) / toks, 4)  AS avg_word_len,
            CASE WHEN toks >= 20 AND sw / toks BETWEEN 0.05 AND 0.6 AND punct / n < 0.1
                 THEN 1 ELSE 0 END           AS quality_pass
@@ -77,8 +77,8 @@ def text_quality_score(spark, sf_dir):
     )
     return d.select(
         "doc_id",
-        F.round(F.col("punct") / F.col("n"), 6).alias("punct_ratio"),
-        F.round(F.col("sw") / F.col("toks"), 6).alias("stopword_ratio"),
+        (F.col("punct") / F.col("n")).alias("punct_ratio"),
+        (F.col("sw") / F.col("toks")).alias("stopword_ratio"),
         F.round((F.col("n") - F.col("toks") + 1) / F.col("toks"), 4).alias("avg_word_len"),
         F.when(
             (F.col("toks") >= 20)
@@ -300,7 +300,7 @@ def text_rolling_fingerprint(spark, sf_dir):
         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
     SELECT doc_a, doc_b,
-           round(inter * 1.0 / (ca.c + cb.c - inter), 6) AS jaccard
+           inter * 1.0 / (ca.c + cb.c - inter) AS jaccard
     FROM pair
     JOIN cnt ca ON ca.doc_id = doc_a
     JOIN cnt cb ON cb.doc_id = doc_b
