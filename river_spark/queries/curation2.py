@@ -14,9 +14,11 @@ higher-order functions — with no Python in the hot path.
 
 Cross-engine determinism rules (same as the rest of the registry):
 identical aliases both sides, doubles produced by a single arithmetic
-expression then ``round(x, 6)`` on both sides, ``md5`` for content
-digests (bit-identical hex in Spark and DuckDB), and integer division
-spelled ``div`` / ``//`` so chunk counts are exact.
+expression then ``round(x, 6)`` on both sides — except pure integer
+ratios, emitted RAW because IEEE int-ratio division is bit-identical
+across engines while round() diverges on exact decimal midpoints —
+``md5`` for content digests (bit-identical hex in Spark and DuckDB),
+and integer division spelled ``div`` / ``//`` so chunk counts are exact.
 """
 
 from __future__ import annotations

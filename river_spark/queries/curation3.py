@@ -14,7 +14,10 @@ surface is pandas-level (``/root/reference/performance/performance.py``);
 everything here is JVM-side DataFrame code under the same cross-engine
 determinism rules as the rest of the registry: identical aliases both
 sides, ``round(x, k)`` applied to a single identical arithmetic
-expression, ranking ties broken on the ROUNDED score plus an id column.
+expression — EXCEPT pure integer ratios, which are emitted raw (IEEE
+division of identical ints is bit-identical across engines, while
+round() diverges on exact decimal midpoints; see tests/test_oracle.py) —
+and ranking ties broken on an id column.
 """
 
 from __future__ import annotations
@@ -579,3 +582,48 @@ def dedup_repeated_spans(spark, sf_dir):
     in span_shared_stats."""
     docs = tbl(spark, sf_dir, "documents")
     return span_shared_stats(shingles(docs, "doc_id", "text", _SPAN_N, hashed=True))
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit
+# ---------------------------------------------------------------------------
+@q(
+    "text_zipf_slope",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+        FROM documents),
+    freq AS (SELECT term, count(*) AS f FROM tok GROUP BY 1),
+    ranked AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, term) AS r
+        FROM freq)
+    SELECT round(regr_slope(ln(f), ln(r)), 4)     AS zipf_slope,
+           round(regr_intercept(ln(f), ln(r)), 4) AS zipf_intercept,
+           round(regr_r2(ln(f), ln(r)), 6)        AS fit_r2,
+           count(*)                               AS n_vocab
+    FROM ranked
+    """,
+    tags=("text", "stats"),
+)
+def text_zipf_slope(spark, sf_dir):
+    """Zipf rank-frequency fit: OLS slope of ln(frequency) on ln(rank)
+    over the corpus vocabulary — the one-number corpus-health statistic
+    (natural text sits near -1; synthetic/spammy corpora drift off).
+    The rank window is a global sort of the VOCABULARY (frequency desc,
+    term tiebreak) — vocabulary is millions of rows when the corpus is
+    billions, so the one single-partition window is deliberate and
+    bounded; everything corpus-sized stays in the preceding hash
+    aggregation."""
+    tok = tbl(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+    )
+    freq = tok.groupBy("term").agg(F.count("*").alias("f"))
+    w = Window.orderBy(F.col("f").desc(), F.col("term"))
+    ranked = freq.select("f", F.row_number().over(w).alias("r"))
+    lf, lr = F.log("f"), F.log("r")
+    return ranked.agg(
+        F.round(F.regr_slope(lf, lr), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(lf, lr), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2(lf, lr), 6).alias("fit_r2"),
+        F.count("*").alias("n_vocab"),
+    )

@@ -65,6 +65,7 @@ _PRIORITY = [
     "mm_audio_windows",
     "emb_pq_codes",
     "ev_markov_transitions",
+    "text_zipf_slope",
     "agg_approx_quantile",
     "ev_gap_detect",
     "profile_lineitem",
