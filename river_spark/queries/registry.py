@@ -66,6 +66,7 @@ _PRIORITY = [
     "emb_pq_codes",
     "ev_markov_transitions",
     "text_zipf_slope",
+    "river_stream_locf",
     "agg_approx_quantile",
     "ev_gap_detect",
     "profile_lineitem",

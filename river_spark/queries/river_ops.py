@@ -816,3 +816,68 @@ def river_stream_dedup(spark, sf_dir):
         SELECT event_id, user_id, round(value, 4) AS value FROM {_CACHE[key]}
         """
     )
+
+
+@q(
+    "river_stream_locf",
+    oracle="""
+    WITH g AS (
+        SELECT event_id, user_id,
+               CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        FROM events)
+    SELECT event_id, user_id, v AS raw_value,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM g
+    """,
+    tags=("river", "streaming", "stateful"),
+)
+def river_stream_locf(spark, sf_dir):
+    """Live streaming GAP-FILL gate (live gate #7): events drain through
+    river-source micro-batches into the stateful LOCF operator
+    (streaming/ops.locf_fill_stream) — sensor dropouts planted on every
+    7th event take the most recent non-null reading, carried across
+    micro-batch boundaries in ONE double of per-user state. The oracle
+    is the batch IGNORE NULLS window over the same planted stream, so
+    every filled value must match bit-for-bit (ffill copies doubles, no
+    arithmetic). Each event is emitted exactly once (update mode, one
+    batch per sample range), so the memory sink IS the filled table."""
+    from pyspark.sql import functions as F
+
+    from river_spark.sources import register
+    from river_spark.streaming.ops import locf_fill_stream
+
+    key = ("stream_locf", sf_dir)
+    if key not in _CACHE:
+        register(spark)
+        work = tempfile.mkdtemp(prefix="river_spark_locf_")
+        store = os.path.join(work, "store")
+        log = StreamLog(store)
+        schema, arr = _events_array(sf_dir, ("event_id", "user_id", "value"))
+        w = StreamWriter(log).initialize("events_locf", schema)
+        w.write(arr)
+        w.stop()
+        stream = (
+            spark.readStream.format("river")
+            .option("path", store)
+            .option("stream", "events_locf")
+            .option("maxSamplesPerTrigger", "4096")
+            .load()
+        )
+        planted = stream.select(
+            "event_id",
+            "user_id",
+            F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+            .otherwise(F.col("value"))
+            .alias("v"),
+        )
+        _CACHE[key] = _drain_to_memory(
+            locf_fill_stream(planted),
+            work,
+            _memory_table_name("river_locf_", sf_dir),
+            output_mode="update",
+        )
+    return spark.sql(
+        f"SELECT event_id, user_id, raw_value, filled_value FROM {_CACHE[key]}"
+    )

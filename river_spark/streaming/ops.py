@@ -175,3 +175,67 @@ def interval_join(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
     )
     return lw.join(rw, cond, how)
+
+
+_LOCF_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("raw_value", T.DoubleType()),
+        T.StructField("filled_value", T.DoubleType()),
+    ]
+)
+_LOCF_STATE = T.StructType([T.StructField("last", T.DoubleType())])
+
+
+def locf_fill_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "v",
+    timeout_ms: int = 300_000,
+) -> DataFrame:
+    """Stateful last-observation-carried-forward over a live stream: the
+    streaming twin of the batch ``ev_locf_fill`` window. Per-key state is
+    ONE double (the last non-null reading) — O(keys) state regardless of
+    stream length; each micro-batch's rows are filled vectorized
+    (pandas ffill seeded with the carried state) in arrival order
+    (``order_col`` sorts within the batch; the river source delivers
+    batches in ascending sample ranges, so cross-batch order is the
+    stream order). NaN is the "no reading yet" sentinel so the state
+    tuple never stores SQL NULL; leading gaps stay null in the output.
+    Idle keys time out like the reference's stale-stream janitor."""
+    import math
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        (last,) = state.get if state.exists else (float("nan"),)
+        pdf = pd.concat(list(pdfs)).sort_values(order_col)
+        seeded = pd.concat(
+            [pd.Series([last], dtype="float64"), pdf[value_col].astype("float64")],
+            ignore_index=True,
+        )
+        filled = seeded.ffill().iloc[1:].reset_index(drop=True)
+        new_last = seeded.ffill().iloc[-1]
+        state.update((float(new_last) if not math.isnan(new_last) else float("nan"),))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "event_id": pdf[order_col].to_numpy(),
+                "user_id": [key[0]] * len(pdf),
+                "raw_value": pdf[value_col].to_numpy(dtype="float64"),
+                "filled_value": filled.to_numpy(dtype="float64"),
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=_LOCF_SCHEMA,
+        stateStructType=_LOCF_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
