@@ -311,3 +311,74 @@ def test_interval_join_stream_stream(spark, tmp_path):
         .select("imp_id", "clk_id")
     )
     assert {(r.imp_id, r.clk_id) for r in b.collect()} == rows
+
+
+def test_locf_stream_multibatch_carry_and_leading_nulls(spark, tmp_path):
+    """Stateful LOCF across micro-batch boundaries: a value observed in
+    batch 1 must fill a dropout that arrives in a LATER batch, and a key
+    whose first readings are all null stays null until its first real
+    value. Built with explicit per-user sequences so every expectation
+    is hand-checkable."""
+    import numpy as np
+
+    from river_spark.schema import FieldDefinition, FieldType, StreamSchema
+    from river_spark.sources import register
+    from river_spark.streaming.ops import locf_fill_stream
+    from river_spark.transport.log import StreamLog
+    from river_spark.transport.writer import StreamWriter
+
+    register(spark)
+    store = str(tmp_path / "locf_store")
+    log = StreamLog(store)
+    schema = StreamSchema(
+        [
+            FieldDefinition("event_id", FieldType.INT64),
+            FieldDefinition("user_id", FieldType.INT64),
+            FieldDefinition("value", FieldType.DOUBLE),
+        ]
+    )
+    # user 7: value at event 0, dropouts at 2, 4 (batches 1 and 2)
+    # user 8: leading dropouts at 1, 3; first value at event 5; dropout at 7
+    rows = [
+        (0, 7, 10.0),
+        (1, 8, np.nan),
+        (2, 7, np.nan),
+        (3, 8, np.nan),
+        (4, 7, np.nan),
+        (5, 8, 20.0),
+        (6, 7, 11.0),
+        (7, 8, np.nan),
+    ]
+    w = StreamWriter(log, batch_size=4).initialize("locf_ev", schema)
+    buf = w.new_buffer(len(rows))
+    buf["event_id"] = [r[0] for r in rows]
+    buf["user_id"] = [r[1] for r in rows]
+    buf["value"] = [r[2] for r in rows]
+    w.write(buf)
+    w.stop()
+    sdf = (
+        spark.readStream.format("river")
+        .option("path", store)
+        .option("stream", "locf_ev")
+        .option("maxSamplesPerTrigger", "3")  # 8 rows -> 3 micro-batches
+        .load()
+        .select(
+            "event_id",
+            "user_id",
+            F.when(F.isnan("value"), F.lit(None).cast("double"))
+            .otherwise(F.col("value"))
+            .alias("v"),
+        )
+    )
+    out = _run_to_memory(spark, locf_fill_stream(sdf), "locf_mb", mode="update")
+    got = {r.event_id: r.filled_value for r in out.collect()}
+    assert got == {
+        0: 10.0,
+        1: None,   # leading dropout: nothing to carry
+        2: 10.0,   # filled from batch-1 state
+        3: None,   # still nothing for user 8
+        4: 10.0,   # carried across ANOTHER batch boundary
+        5: 20.0,
+        6: 11.0,
+        7: 20.0,   # user 8's first real value carried forward
+    }
