@@ -514,10 +514,14 @@ def ev_markov_transitions(spark, sf_dir):
         F.lead("event_type").over(w).alias("to_type"),
     ).filter(F.col("to_type").isNotNull())
     cnt = nxt.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
-    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("row_n"))
-    return cnt.join(F.broadcast(tot), "from_type").select(
+    # row totals as a window over the |types|^2-row count table — NOT a
+    # re-aggregation joined back, which would recompute the lead window
+    # over the fact table a second time (verified: the join form planned
+    # two WindowExecs with no exchange reuse)
+    row_n = F.sum("n").over(Window.partitionBy("from_type"))
+    return cnt.select(
         "from_type",
         "to_type",
         "n",
-        (F.col("n") * 1.0 / F.col("row_n")).alias("p"),
+        (F.col("n") * 1.0 / row_n).alias("p"),
     )
