@@ -504,9 +504,10 @@ def ev_markov_transitions(spark, sf_dir):
     """First-order Markov transition matrix of the event stream: P(next
     type | type), transitions formed inside each user's ordered
     partition (one lead over one window — users never mix), then one
-    hash aggregation; row totals re-aggregate from the |types|²-row
-    count table and broadcast back. The |types|² output is scale-free —
-    it never grows with event volume."""
+    hash aggregation; row totals come from a window over the
+    |types|²-row count table, so the fact table is scanned and windowed
+    exactly once. The |types|² output is scale-free — it never grows
+    with event volume."""
     ev = events_tbl(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = ev.select(

@@ -80,7 +80,7 @@ def pipeline_training_set(spark, sf_dir):
         FROM documents)
     SELECT CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split,
            count(*) AS n_docs,
-           round(avg(toks), 4) AS avg_tokens,
+           sum(toks) * 1.0 / count(*) AS avg_tokens,
            min(doc_id) AS min_doc,
            max(doc_id) AS max_doc
     FROM b GROUP BY 1
@@ -110,7 +110,7 @@ def pipeline_train_split(spark, sf_dir):
         .groupBy("split")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("toks"), 4).alias("avg_tokens"),
+            (F.sum("toks") * 1.0 / F.count("*")).alias("avg_tokens"),
             F.min("doc_id").alias("min_doc"),
             F.max("doc_id").alias("max_doc"),
         )

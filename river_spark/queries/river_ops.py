@@ -834,7 +834,7 @@ def river_stream_dedup(spark, sf_dir):
     tags=("river", "streaming", "stateful"),
 )
 def river_stream_locf(spark, sf_dir):
-    """Live streaming GAP-FILL gate (live gate #7): events drain through
+    """Live streaming GAP-FILL gate (live gate #6): events drain through
     river-source micro-batches into the stateful LOCF operator
     (streaming/ops.locf_fill_stream) — sensor dropouts planted on every
     7th event take the most recent non-null reading, carried across
@@ -843,8 +843,6 @@ def river_stream_locf(spark, sf_dir):
     every filled value must match bit-for-bit (ffill copies doubles, no
     arithmetic). Each event is emitted exactly once (update mode, one
     batch per sample range), so the memory sink IS the filled table."""
-    from pyspark.sql import functions as F
-
     from river_spark.sources import register
     from river_spark.streaming.ops import locf_fill_stream
 

@@ -58,7 +58,7 @@ def text_token_stats(spark, sf_dir):
     SELECT doc_id,
            punct / n                        AS punct_ratio,
            sw / toks                        AS stopword_ratio,
-           round((n - toks + 1) / toks, 4)  AS avg_word_len,
+           (n - toks + 1) / toks            AS avg_word_len,
            CASE WHEN toks >= 20 AND sw / toks BETWEEN 0.05 AND 0.6 AND punct / n < 0.1
                 THEN 1 ELSE 0 END           AS quality_pass
     FROM t
@@ -79,7 +79,7 @@ def text_quality_score(spark, sf_dir):
         "doc_id",
         (F.col("punct") / F.col("n")).alias("punct_ratio"),
         (F.col("sw") / F.col("toks")).alias("stopword_ratio"),
-        F.round((F.col("n") - F.col("toks") + 1) / F.col("toks"), 4).alias("avg_word_len"),
+        ((F.col("n") - F.col("toks") + 1) / F.col("toks")).alias("avg_word_len"),
         F.when(
             (F.col("toks") >= 20)
             & (F.col("sw") / F.col("toks")).between(0.05, 0.6)

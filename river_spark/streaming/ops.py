@@ -188,23 +188,22 @@ _LOCF_SCHEMA = T.StructType(
 _LOCF_STATE = T.StructType([T.StructField("last", T.DoubleType())])
 
 
-def locf_fill_stream(
-    events: DataFrame,
-    key_col: str = "user_id",
-    order_col: str = "event_id",
-    value_col: str = "v",
-    timeout_ms: int = 300_000,
-) -> DataFrame:
-    """Stateful last-observation-carried-forward over a live stream: the
-    streaming twin of the batch ``ev_locf_fill`` window. Per-key state is
-    ONE double (the last non-null reading) — O(keys) state regardless of
-    stream length; each micro-batch's rows are filled vectorized
-    (pandas ffill seeded with the carried state) in arrival order
-    (``order_col`` sorts within the batch; the river source delivers
-    batches in ascending sample ranges, so cross-batch order is the
-    stream order). NaN is the "no reading yet" sentinel so the state
-    tuple never stores SQL NULL; leading gaps stay null in the output.
-    Idle keys time out like the reference's stale-stream janitor."""
+def locf_fill_stream(events: DataFrame, timeout_ms: int = 300_000) -> DataFrame:
+    """Stateful last-observation-carried-forward over a live stream of
+    ``(event_id, user_id, v)`` rows: the streaming twin of the batch
+    ``ev_locf_fill`` window. Per-user state is ONE double (the last
+    observed reading) — O(keys) state regardless of stream length; each
+    micro-batch's rows are filled vectorized (pandas ffill seeded with
+    the carried state) in event_id order within the batch (the river
+    source delivers batches in ascending sample ranges, so cross-batch
+    order is the stream order). Idle keys time out like the reference's
+    stale-stream janitor.
+
+    Missing-reading contract: a dropout is SQL NULL (or NaN — the
+    transport's typed arrays cannot carry NULL, so NaN is the on-wire
+    dropout sentinel and is treated as missing, not as an observation;
+    this intentionally differs from SQL ``IGNORE NULLS``, which would
+    carry a NaN forward as a real reading). Leading gaps stay null."""
     import math
 
     def update(key, pdfs, state: GroupState):
@@ -214,25 +213,25 @@ def locf_fill_stream(
             state.remove()
             return iter(())
         (last,) = state.get if state.exists else (float("nan"),)
-        pdf = pd.concat(list(pdfs)).sort_values(order_col)
+        pdf = pd.concat(list(pdfs)).sort_values("event_id")
         seeded = pd.concat(
-            [pd.Series([last], dtype="float64"), pdf[value_col].astype("float64")],
+            [pd.Series([last], dtype="float64"), pdf["v"].astype("float64")],
             ignore_index=True,
         )
         filled = seeded.ffill().iloc[1:].reset_index(drop=True)
-        new_last = seeded.ffill().iloc[-1]
+        new_last = filled.iloc[-1] if len(filled) else last
         state.update((float(new_last) if not math.isnan(new_last) else float("nan"),))
         state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
             {
-                "event_id": pdf[order_col].to_numpy(),
+                "event_id": pdf["event_id"].to_numpy(),
                 "user_id": [key[0]] * len(pdf),
-                "raw_value": pdf[value_col].to_numpy(dtype="float64"),
+                "raw_value": pdf["v"].to_numpy(dtype="float64"),
                 "filled_value": filled.to_numpy(dtype="float64"),
             }
         )
 
-    return events.groupBy(key_col).applyInPandasWithState(
+    return events.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=_LOCF_SCHEMA,
         stateStructType=_LOCF_STATE,

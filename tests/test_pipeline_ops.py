@@ -419,7 +419,7 @@ def test_cross_corpus_contamination_no_matches(spark):
 
 def test_cross_corpus_best_match_tiebreak(spark):
     """Two identical benchmark docs: the best match must pick the lower
-    bench_id (rounded-jaccard tie broken on id)."""
+    bench_id (raw-jaccard tie broken on id)."""
     from river_spark.queries.curation3 import cross_corpus_contamination
 
     text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
