@@ -104,3 +104,29 @@ def clickstream_cogroup_fn():
         )
 
     return _merge
+
+
+@functools.cache
+def payload_stats_arrow_fn():
+    """``mapInArrow`` body (the zero-copy Arrow-batch flavor — one level
+    below mapInPandas: RecordBatch in, RecordBatch out, no pandas
+    conversion): per-document byte statistics computed with pyarrow
+    compute kernels. The oracle recomputes each statistic in SQL, so the
+    Arrow path must byte-match the JVM expressions."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _stats(batches):
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.binary_length(pc.cast(text, pa.binary())), pa.int64()),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.count_substring(text, "a"), pa.int64()),
+                ],
+                names=["doc_id", "n_bytes", "n_chars", "n_a"],
+            )
+
+    return _stats

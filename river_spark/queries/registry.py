@@ -67,6 +67,8 @@ _PRIORITY = [
     "ev_markov_transitions",
     "text_zipf_slope",
     "river_stream_locf",
+    "agg_argminmax",
+    "udf_arrow_stats",
     "agg_approx_quantile",
     "ev_gap_detect",
     "profile_lineitem",

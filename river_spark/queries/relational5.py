@@ -272,3 +272,30 @@ def scalar_decimal(spark, sf_dir):
         F.min(dp).cast("double").alias("min_price"),
         F.max(dp).cast("double").alias("max_price"),
     )
+
+
+@q(
+    "agg_argminmax",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_min(o_orderpriority, o_orderkey) AS first_priority,
+           arg_max(o_orderpriority, o_orderkey) AS last_priority,
+           CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+           count(*)                             AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "argminmax"),
+)
+def agg_argminmax(spark, sf_dir):
+    """arg-min/arg-max aggregates (min_by/max_by — DuckDB spells them
+    arg_min/arg_max) plus conditional counting. Deterministic because
+    the ordering key (o_orderkey) is unique — with ties both engines
+    would pick arbitrarily; unique-key argmin is the only
+    oracle-checkable form, and the production-safe one."""
+    o = tbl(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.min_by("o_orderpriority", "o_orderkey").alias("first_priority"),
+        F.max_by("o_orderpriority", "o_orderkey").alias("last_priority"),
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.count("*").alias("n"),
+    )

@@ -111,3 +111,35 @@ def udf_cogroup_clickstream(spark, sf_dir):
             "event_id long, user_id long, n_prior_clicks long, last_click_value double",
         )
     )
+
+
+@q(
+    "udf_arrow_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(length(text) AS BIGINT)               AS n_chars,
+           CAST(length(text) - length(replace(text, 'a', '')) AS BIGINT) AS n_a
+    FROM documents
+    """,
+    tags=("udf", "arrow"),
+)
+def udf_arrow_stats(spark, sf_dir):
+    """mapInArrow — the fifth Python-boundary flavor (zero-copy Arrow
+    RecordBatches, below even mapInPandas): per-doc byte/char/substring
+    statistics from pyarrow compute kernels, byte-matched against pure
+    SQL. Partition-preserving map, no shuffle, no pandas conversion."""
+    from pyspark.sql import types as T
+
+    from river_spark.functions import payload_stats_arrow_fn
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("n_a", T.LongType()),
+        ]
+    )
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(payload_stats_arrow_fn(), out_schema)
