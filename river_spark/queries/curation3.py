@@ -627,3 +627,69 @@ def text_zipf_slope(spark, sf_dir):
         F.round(F.regr_r2(lf, lr), 6).alias("fit_r2"),
         F.count("*").alias("n_vocab"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model scoring (add-one smoothed)
+# ---------------------------------------------------------------------------
+@q(
+    "text_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents),
+    bg AS (
+        SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+    v AS (SELECT count(DISTINCT term) AS v
+          FROM (SELECT unnest(t) AS term FROM toks) u)
+    SELECT bg.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln((c2.c2 + 1) * 1.0 / (c1.c1 + v.v))), 6) AS avg_logprob
+    FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+    GROUP BY bg.doc_id
+    """,
+    tags=("text", "lm"),
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Add-one-smoothed bigram language-model scoring — the next rung
+    above ``text_unigram_logprob`` on the cheap-perplexity ladder:
+    each document's mean ln P(w2|w1) under the corpus's own bigram
+    distribution, Laplace-smoothed over the vocabulary. One bigram
+    explode feeds the per-doc stream AND both count tables (c2
+    re-aggregated from the stream, c1 re-aggregated from c2's input
+    grain); the bigram-count and prefix-count tables broadcast
+    (vocabulary-sized, not corpus-sized), as does the 1-row vocabulary
+    cardinality. ln of an integer ratio is computed identically by both
+    engines; the per-doc mean rounds at 6."""
+    toks = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), "
+                "i -> struct(t[i-1] AS w1, t[i] AS w2)) "
+                "ELSE cast(array() as array<struct<w1:string,w2:string>>) END"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = toks.select(F.explode("t").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    lp = F.log((F.col("c2") + 1) * 1.0 / (F.col("c1") + F.col("v")))
+    return (
+        bg.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(lp), 6).alias("avg_logprob"),
+        )
+    )

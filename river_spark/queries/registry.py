@@ -69,6 +69,8 @@ _PRIORITY = [
     "river_stream_locf",
     "agg_argminmax",
     "udf_arrow_stats",
+    "text_bigram_logprob",
+    "agg_grouping_id",
     "agg_approx_quantile",
     "ev_gap_detect",
     "profile_lineitem",

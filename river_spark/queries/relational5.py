@@ -299,3 +299,43 @@ def agg_argminmax(spark, sf_dir):
         F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
         F.count("*").alias("n"),
     )
+
+
+@q(
+    "agg_grouping_id",
+    oracle="""
+    SELECT coalesce(l_returnflag, '(all)') AS rf,
+           coalesce(l_linestatus, '(all)') AS ls,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup", "grouping"),
+)
+def agg_grouping_id(spark, sf_dir):
+    """grouping()/grouping_id() over a rollup — the functions that make
+    super-aggregate rows distinguishable from genuine NULL groups (both
+    engines bit-pack the grouping list MSB-first). Coalesced labels plus
+    the explicit flags give the gate full visibility into which rows are
+    subtotals."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.grouping("l_returnflag").cast("long").alias("g_rf"),
+            F.grouping("l_linestatus").cast("long").alias("g_ls"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("ls"),
+            "gid",
+            "g_rf",
+            "g_ls",
+            "n",
+        )
+    )

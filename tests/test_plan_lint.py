@@ -26,6 +26,7 @@ CROSS_OK = {
     "emb_cluster_assign",   # broadcast K-row centroid table (K=8)
     "agg_value_histogram",  # broadcast 1-row global [min, max] for binning
     "text_bm25_rank",       # broadcast 1-row corpus stats (N, avgdl)
+    "text_bigram_logprob",  # broadcast 1-row vocabulary cardinality (V)
 }
 
 
