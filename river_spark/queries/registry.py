@@ -43,8 +43,9 @@ _PRIORITY = [
     # round-6 head: the 80 queries NOT in the round-5 driver window
     # (the driver checks the first 50 in registry order; round 5's
     # head rotates to the tail so every query gets a fresh driver row
-    # at most two rounds apart). New round-6 coverage is inserted at
-    # the very top as it lands.
+    # at most two rounds apart). New round-6 coverage lands at the head
+    # of this block (appended in arrival order, all inside the driver's
+    # first-50 window).
     "decontam_minhash_bench",
     "text_bm25_rank",
     "pipeline_domain_cap",
