@@ -693,3 +693,65 @@ def text_bigram_logprob(spark, sf_dir):
             F.round(F.avg(lp), 6).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# The reference's own latency-analysis query
+# ---------------------------------------------------------------------------
+@q(
+    "river_latency_analysis",
+    oracle="""
+    WITH w AS (
+        SELECT event_id AS sample_index,
+               epoch_us(ts) AS sample_written_at
+        FROM events),
+    r AS (
+        SELECT event_id AS sample_index,
+               epoch_us(ts) + (event_id % 7) * 1000 AS sample_received_at
+        FROM events
+        UNION ALL
+        SELECT event_id,
+               epoch_us(ts) + (event_id % 11) * 1000
+        FROM events),
+    agg AS (
+        SELECT sample_index, max(sample_received_at) AS sample_received_at
+        FROM r GROUP BY sample_index)
+    SELECT w.sample_index, w.sample_written_at, agg.sample_received_at,
+           agg.sample_received_at - w.sample_written_at AS latency_us
+    FROM w JOIN agg USING (sample_index)
+    """,
+    tags=("river", "latency"),
+)
+def river_latency_analysis(spark, sf_dir):
+    """The ONE analytics query the reference itself runs
+    (/root/reference/performance/performance.py:124-148): union the
+    per-reader frames, take the latest received time per sample_index,
+    merge with the writer frame on sample_index, and project the
+    latency. Re-expressed Spark-first: unionByName → hash aggregate →
+    co-partitioned join → projection; the two synthetic reader frames
+    use deterministic integer-microsecond skews so the gate checks the
+    exact relational shape (concat / groupby-max / merge / assign) on
+    reproducible data rather than wall-clock noise."""
+    ev = tbl(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = ev.select(
+        F.col("event_id").alias("sample_index"),
+        us.alias("sample_written_at"),
+    )
+    readers = [
+        ev.select(
+            F.col("event_id").alias("sample_index"),
+            (us + (F.col("event_id") % skew) * 1000).alias("sample_received_at"),
+        )
+        for skew in (7, 11)
+    ]
+    r = readers[0].unionByName(readers[1])
+    agg = r.groupBy("sample_index").agg(
+        F.max("sample_received_at").alias("sample_received_at")
+    )
+    return w.join(agg, "sample_index").select(
+        "sample_index",
+        "sample_written_at",
+        "sample_received_at",
+        (F.col("sample_received_at") - F.col("sample_written_at")).alias("latency_us"),
+    )

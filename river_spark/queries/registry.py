@@ -72,6 +72,7 @@ _PRIORITY = [
     "udf_arrow_stats",
     "text_bigram_logprob",
     "agg_grouping_id",
+    "river_latency_analysis",
     "agg_approx_quantile",
     "ev_gap_detect",
     "profile_lineitem",
