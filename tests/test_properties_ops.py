@@ -140,3 +140,56 @@ def test_decimal_sum_is_exact(spark, vals):
         .collect()[0]["s"]
     )
     assert got == sum(q)
+
+
+@given(
+    data=st.data(),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+@settings(**_SETTINGS)
+def test_asof_matches_pandas_merge_asof(spark, data, direction):
+    """asof_join against pandas merge_asof as an independent reference,
+    randomized keys/timestamps. Right timestamps are unique per key so
+    tie-among-duplicates conventions (where the two references
+    legitimately differ) can't muddy the comparison."""
+    from river_spark.operators.asof import asof_join
+
+    n_left = data.draw(st.integers(1, 15))
+    left_rows = [
+        (i, data.draw(st.integers(0, 2)), data.draw(st.integers(0, 50)))
+        for i in range(n_left)
+    ]
+    right_rows = []
+    for k in range(3):
+        ts_set = data.draw(st.sets(st.integers(0, 50), max_size=8))
+        right_rows += [(k, t, float(k * 100 + t)) for t in sorted(ts_set)]
+    left = spark.createDataFrame(left_rows, ["row_id", "k", "t"])
+    if right_rows:
+        right = spark.createDataFrame(right_rows, ["k", "rt", "payload"])
+    else:
+        right = spark.createDataFrame([], "k long, rt long, payload double")
+    got = {
+        r["row_id"]: r["payload"]
+        for r in asof_join(
+            left, right, "k", "k", "t", "rt", ["payload"], direction=direction
+        ).collect()
+    }
+    if not right_rows:
+        assert got == {i: None for i, _, _ in left_rows}
+        return
+    lp = pd.DataFrame(left_rows, columns=["row_id", "k", "t"]).sort_values("t")
+    rp = pd.DataFrame(right_rows, columns=["k", "rt", "payload"]).sort_values("rt")
+    exp_df = pd.merge_asof(
+        lp,
+        rp,
+        left_on="t",
+        right_on="rt",
+        by="k",
+        direction=direction,
+        allow_exact_matches=True,
+    )
+    exp = {
+        int(r.row_id): (None if pd.isna(r.payload) else float(r.payload))
+        for r in exp_df.itertuples()
+    }
+    assert got == exp
