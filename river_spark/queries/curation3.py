@@ -755,3 +755,49 @@ def river_latency_analysis(spark, sf_dir):
         "sample_received_at",
         (F.col("sample_received_at") - F.col("sample_written_at")).alias("latency_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted (importance) sampling
+# ---------------------------------------------------------------------------
+@q(
+    "pipeline_quality_sample",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(doc_id::VARCHAR), 9, 4)) AS INT) % 10000
+                   AS bucket,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents),
+    p AS (
+        SELECT doc_id, bucket, n_tokens,
+               CAST(least(n_tokens * 25, 10000) AS BIGINT) AS keep_bp
+        FROM s)
+    SELECT doc_id, n_tokens, keep_bp, bucket < keep_bp AS kept
+    FROM p
+    """,
+    tags=("pipeline", "sampling"),
+)
+def pipeline_quality_sample(spark, sf_dir):
+    """Importance sampling by a quality proxy: each document's keep
+    probability scales with its token count (capped at 1.0 — 400+
+    tokens always kept, shorter docs kept proportionally), decided by a
+    deterministic md5 bucket against the per-doc threshold. The same
+    leakage-safe property as the train/val split: assignment depends
+    only on doc_id and the doc's own features, so it is reproducible
+    across runs, engines, and data order, and needs no sampling state
+    at 100 TB. Pure projection — zero shuffles."""
+    docs = tbl(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 9, 4), 16, 10)
+        .cast("int") % 10000
+    )
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    keep_bp = F.least(n_tokens * 25, F.lit(10000)).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        keep_bp.alias("keep_bp"),
+        (bucket < keep_bp).alias("kept"),
+    )

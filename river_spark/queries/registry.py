@@ -73,6 +73,8 @@ _PRIORITY = [
     "text_bigram_logprob",
     "agg_grouping_id",
     "river_latency_analysis",
+    "pipeline_quality_sample",
+    "emb_matryoshka_truncate",
     "agg_approx_quantile",
     "ev_gap_detect",
     "profile_lineitem",

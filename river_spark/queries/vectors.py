@@ -311,3 +311,59 @@ def emb_pq_codes(spark, sf_dir):
             for m in range(M)
         ]
     )
+
+
+@q(
+    "emb_matryoshka_truncate",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+    t AS (
+        SELECT vec_id, v[1:16] AS tv FROM e),
+    n AS (
+        SELECT vec_id, tv,
+               sqrt(list_sum(list_transform(tv, x -> x * x))) AS nrm
+        FROM t)
+    SELECT vec_id,
+           round(nrm, 6) AS trunc_norm,
+           round(CASE WHEN nrm = 0 THEN 0.0 ELSE tv[1] / nrm END, 6) AS unit_d0,
+           round(CASE WHEN nrm = 0 THEN 0.0 ELSE tv[16] / nrm END, 6) AS unit_d15,
+           CAST(len(tv) AS INT) AS trunc_dim
+    FROM n
+    """,
+    tags=("vector", "matryoshka"),
+)
+def emb_matryoshka_truncate(spark, sf_dir):
+    """Matryoshka-style prefix truncation: keep the first 16 of 64
+    dimensions and re-normalize to unit length — the serving-time
+    memory/recall trade MRL embeddings are trained for (prefix dims
+    carry the coarse signal; a 4x smaller ANN index re-uses the same
+    vectors). Pure projection over array slices — zero shuffles; the
+    re-normalized entries are spot-checked at both ends of the prefix
+    and the norm itself is verified."""
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("slice(transform(embedding, x -> cast(x as double)), 1, 16)").alias("tv"),
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("tv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    unit = lambda i: F.round(  # noqa: E731
+        F.when(F.col("nrm") == 0, F.lit(0.0)).otherwise(
+            F.element_at("tv", i) / F.col("nrm")
+        ),
+        6,
+    )
+    return (
+        emb.withColumn("nrm", nrm)
+        .select(
+            "vec_id",
+            F.round(F.col("nrm"), 6).alias("trunc_norm"),
+            unit(1).alias("unit_d0"),
+            unit(16).alias("unit_d15"),
+            F.size("tv").alias("trunc_dim"),
+        )
+    )
