@@ -51,10 +51,29 @@ def brute_force_topk(
     )
 
 
-def lsh_signature(vec_col: str, n_planes: int = 12):
+def lsh_signature(vec_col: str, n_planes: int = 12, weights=None):
     """Deterministic random-hyperplane signature as an int bucket id.
-    Plane weights derive from xxhash64(plane, dim) — reproducible across
-    executors with no broadcast state."""
+
+    Default plane weights derive from xxhash64(plane, dim) — reproducible
+    across executors with no broadcast state. Pass ``weights`` (a list of
+    ``n_planes`` integer lists, e.g. from :func:`lcg_plane_weights`) to pin
+    the planes to explicit literals instead — that makes the signature
+    re-computable by an external engine (the DuckDB oracle for
+    ``emb_ann_recall`` runs the identical planes), at the cost of inlining
+    n_planes × dim literals into the plan (fine for index-build-time use)."""
+    if weights is not None:
+        if len(weights) != n_planes:
+            raise ValueError(f"expected {n_planes} weight rows, got {len(weights)}")
+        sig = F.lit(0)
+        for p, row in enumerate(weights):
+            w = F.array(*[F.lit(float(x)) for x in row])
+            dot = F.aggregate(
+                F.zip_with(F.col(vec_col), w, lambda v, wv: v.cast("double") * wv),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            sig = sig + F.when(dot > 0.0, F.lit(1 << p)).otherwise(F.lit(0))
+        return sig
     return F.expr(
         f"""
         aggregate(
@@ -69,6 +88,22 @@ def lsh_signature(vec_col: str, n_planes: int = 12):
     )
 
 
+def lcg_plane_weights(n_planes: int, dim: int, seed: int = 0xC0FFEE):
+    """Deterministic integer hyperplane weights in [-1000, 1000] from a
+    64-bit LCG (Knuth MMIX constants). Pure arithmetic — the same rows can
+    be emitted as SQL literals for an external oracle engine, which is the
+    whole point: engine-independent reproducibility, unlike xxhash64."""
+    s = seed & ((1 << 64) - 1)
+    out = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            s = (6364136223846793005 * s + 1442695040888963407) % (1 << 64)
+            row.append(int((s >> 33) % 2001) - 1000)
+        out.append(row)
+    return out
+
+
 def lsh_topk(
     corpus: DataFrame,
     query: DataFrame,
@@ -77,18 +112,24 @@ def lsh_topk(
     k: int = 10,
     n_planes: int = 12,
     probe_hamming: int = 2,
+    weights=None,
 ) -> DataFrame:
     """ANN top-k: probe corpus buckets whose signature is within
     ``probe_hamming`` bits of the query's. Bucket join is an equi-join on
     the bucket id after expanding the query's probe set (≤ Σ C(planes,h)
-    buckets) — no full-corpus scan."""
+    buckets) — no full-corpus scan. ``weights`` pins explicit hyperplanes
+    (see lsh_signature) for oracle-reproducible runs."""
     from pyspark.sql import Window
 
     c = corpus.select(
-        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("cv"), lsh_signature(vec_col, n_planes).alias("bucket")
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_signature(vec_col, n_planes, weights).alias("bucket"),
     )
     q = query.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), lsh_signature(vec_col, n_planes).alias("qsig")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_signature(vec_col, n_planes, weights).alias("qsig"),
     )
     # probe set: all bucket ids within hamming distance (0..probe_hamming),
     # generated generically — a hardcoded h<=2 expansion would silently

@@ -22,9 +22,109 @@ from river_spark.operators.multimodal import (
     sample_frames,
     with_payload_metadata,
 )
-from river_spark.operators.similarity import lsh_topk
+from river_spark.operators.similarity import brute_force_topk, lcg_plane_weights, lsh_topk
 from river_spark.queries.relational import q
 from river_spark.queries.tables import tbl
+
+# Pinned hyperplanes for the ANN recall gate: explicit integer literals so
+# the DuckDB oracle runs the IDENTICAL planes (xxhash64-derived planes are
+# Spark-only). 8 planes x 64 dims, LCG-deterministic.
+_ANN_RECALL_PLANES = 8
+_ANN_RECALL_WEIGHTS = lcg_plane_weights(_ANN_RECALL_PLANES, 64)
+# probe masks for hamming<=2 over 8 planes: 1 + 8 + 28 = 37 buckets/query
+_ANN_RECALL_MASKS = [0] + [1 << i for i in range(_ANN_RECALL_PLANES)] + [
+    (1 << i) | (1 << j)
+    for i in range(_ANN_RECALL_PLANES)
+    for j in range(i + 1, _ANN_RECALL_PLANES)
+]
+
+
+def _ann_recall_oracle() -> str:
+    weight_rows = ",\n        ".join(
+        f"({p}, [{', '.join(str(x) for x in row)}]::DOUBLE[])"
+        for p, row in enumerate(_ANN_RECALL_WEIGHTS)
+    )
+    masks = ", ".join(str(m) for m in _ANN_RECALL_MASKS)
+    return f"""
+    WITH w(plane, pw) AS (VALUES
+        {weight_rows}),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sigv AS (
+        SELECT c.vec_id,
+               CAST(sum(CASE WHEN list_dot_product(c.v, w.pw) > 0 THEN 1 << w.plane ELSE 0 END) AS BIGINT) AS bucket
+        FROM corpus c, w GROUP BY c.vec_id),
+    sig AS (SELECT c.vec_id, c.v, s.bucket FROM corpus c JOIN sigv s USING (vec_id)),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qsig FROM sig WHERE vec_id < 20),
+    probes AS (
+        SELECT query_id, qv, xor(qsig, CAST(t.m AS BIGINT)) AS bucket
+        FROM q, UNNEST([{masks}]) AS t(m)),
+    cand AS (
+        SELECT p.query_id, s.vec_id AS doc_id,
+               list_dot_product(s.v, p.qv)
+                 / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(p.qv, p.qv))) AS cos
+        FROM sig s JOIN probes p ON s.bucket = p.bucket
+        WHERE s.vec_id <> p.query_id),
+    ann AS (
+        SELECT query_id, doc_id FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rn
+            FROM cand) WHERE rn <= 10),
+    bf AS (
+        SELECT query_id, doc_id FROM (
+            SELECT q.query_id, c.vec_id AS doc_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                     list_dot_product(c.v, q.qv)
+                       / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                     c.vec_id) AS rn
+            FROM corpus c, q WHERE c.vec_id <> q.query_id) WHERE rn <= 10)
+    SELECT b.query_id,
+           CAST(count(a.doc_id) AS BIGINT) AS ann_hits,
+           CAST(count(*) AS BIGINT) AS exact_k
+    FROM bf b LEFT JOIN ann a ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+    GROUP BY b.query_id
+    """
+
+
+@q(
+    "emb_ann_recall",
+    oracle=_ann_recall_oracle(),
+    tags=("vector", "ann", "recall"),
+    bench=True,
+)
+def emb_ann_recall(spark, sf_dir):
+    """Recall@10 of LSH-ANN against brute force, as exact integer counts
+    per query — the regression gate the planted-twin checks can't give:
+    probe-count or band-geometry changes move these numbers instead of
+    flipping a pass/fail. The planes are pinned integer literals
+    (lcg_plane_weights) so the DuckDB oracle replays the IDENTICAL ANN
+    pipeline — signature, probe expansion, candidate scoring, ranking —
+    making organic (non-planted) recall bit-level verifiable.
+
+    100 TB posture: same as emb_ann_lsh — corpus bucketed once by an
+    equi-join key, query probe set broadcast; brute force on the small
+    query set is the documented broadcast-crossJoin scan."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    ann = lsh_topk(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        k=10,
+        n_planes=_ANN_RECALL_PLANES,
+        probe_hamming=2,
+        weights=_ANN_RECALL_WEIGHTS,
+    )
+    bf = brute_force_topk(emb, queries, "vec_id", "embedding", k=10)
+    hits = bf.select("query_id", "doc_id").join(
+        ann.select("query_id", "doc_id").withColumn("hit", F.lit(1)),
+        ["query_id", "doc_id"],
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("ann_hits"),
+        F.count("*").cast("long").alias("exact_k"),
+    )
 
 
 @q(

@@ -40,62 +40,67 @@ class Query:
 # the local bit-level oracle gate can't. Queries checked last round trail
 # (they stay covered by tests/test_oracle.py each session).
 _PRIORITY = [
-    # round-6 head: the 80 queries NOT in the round-5 driver window
-    # (the driver checks the first 50 in registry order; round 5's
-    # head rotates to the tail so every query gets a fresh driver row
-    # at most two rounds apart). New round-6 coverage lands at the head
-    # of this block (appended in arrival order, all inside the driver's
-    # first-50 window).
-    "decontam_minhash_bench",
-    "text_bm25_rank",
-    "pipeline_domain_cap",
-    "agg_median_mode",
-    "agg_regression",
-    "scalar_url",
-    "ev_anomaly_zscore",
-    "agg_bool_bit",
-    "ev_locf_fill",
-    "fn_higher_order",
-    "ev_event_trigrams",
-    "udf_cogroup_clickstream",
-    "dedup_repeated_spans",
-    "pipeline_curation_v2",
-    "agg_listagg",
-    "fn_unpivot",
-    "scalar_decimal",
-    "mm_audio_windows",
-    "emb_pq_codes",
-    "ev_markov_transitions",
-    "text_zipf_slope",
-    "river_stream_locf",
-    "agg_argminmax",
-    "udf_arrow_stats",
-    "text_bigram_logprob",
-    "agg_grouping_id",
-    "river_latency_analysis",
-    "pipeline_quality_sample",
-    "emb_matryoshka_truncate",
-    "agg_approx_quantile",
-    "ev_gap_detect",
-    "profile_lineitem",
-    "agg_value_histogram",
-    "ev_session_window_native",
-    "river_stream_dedup",
-    "win_distribution_functions",
-    "scalar_bitwise",
-    "scalar_levenshtein",
-    "scalar_string",
-    "scalar_date",
-    "scalar_math",
-    "scalar_conditional",
-    "scalar_json",
-    "agg_stats",
-    "agg_percentile",
-    "topk_global",
-    "set_ops",
-    "win_running_sum",
-    "win_moving_avg",
-    "text_token_stats",
+    # round-7 head: the CORRECTNESS_r05.json artifact never landed in the
+    # repo, so these 22 queries (only ever in round 5's window) have no
+    # driver-verified row on disk — they lead this round so the driver's
+    # canonicalizer sees them first. New round-7 coverage lands at the
+    # very head (arrival order), still keeping the 22 inside the first-50
+    # window.
+    "emb_ann_recall",
+    "decontam_ngram_overlap",
+    "dedup_components",
+    "emb_cluster_assign",
+    "emb_quantize_int8",
+    "ev_cohort_retention",
+    "ev_funnel",
+    "mm_resize",
+    "pipeline_dedup_retention",
+    "pipeline_domain_mix",
+    "pipeline_seq_pack",
+    "pipeline_stratified_sample",
+    "pipeline_train_split",
+    "river_redis_roundtrip",
+    "river_stream_join",
+    "river_stream_query",
+    "river_stream_stateful",
+    "river_stream_window",
+    "text_chunk_sliding",
+    "text_pii_redact",
+    "text_repetition_filter",
+    "text_tfidf_top_terms",
+    "text_unigram_logprob",
+    # next-stalest: round 5's window also covered these, so their newest
+    # on-disk driver row is round 4 — they fill the rest of the first-50
+    # window.
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_nation_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive_join",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "join_semi",
+    "join_anti",
+    "join_full_outer",
+    "win_rank_ntile",
+    "win_topk_per_group",
+    "ev_tumbling_window",
+    "ev_sliding_window",
+    "ev_sessionize",
+    "ev_lag_lead",
+    "ev_dedup_ordered",
+    "ev_asof_join",
+    "ev_range_join",
+    "ev_tail",
+    "ev_seek",
+    # --- round-4-verified block (driver rows on disk in r4) ---
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
@@ -155,58 +160,59 @@ _PRIORITY = [
     "win_range_frame",
     "win_value_functions",
     "q1_pricing_summary",
-    # --- driver-checked green in round 5; re-verified locally each
-    # session by tests/test_oracle.py ---
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_nation_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive_join",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "join_semi",
-    "join_anti",
-    "join_full_outer",
-    "win_rank_ntile",
-    "win_topk_per_group",
-    "ev_tumbling_window",
-    "ev_sliding_window",
-    "ev_sessionize",
-    "ev_lag_lead",
-    "ev_dedup_ordered",
-    "ev_asof_join",
-    "ev_range_join",
-    "ev_tail",
-    "ev_seek",
-    "decontam_ngram_overlap",
-    "pipeline_seq_pack",
-    "text_tfidf_top_terms",
-    "pipeline_stratified_sample",
-    "text_unigram_logprob",
-    "pipeline_train_split",
-    "river_redis_roundtrip",
-    "river_stream_query",
-    "river_stream_join",
-    "river_stream_window",
-    "river_stream_stateful",
-    "mm_resize",
-    "emb_cluster_assign",
-    "text_repetition_filter",
-    "text_pii_redact",
-    "text_chunk_sliding",
-    "pipeline_domain_mix",
-    "dedup_components",
-    "pipeline_dedup_retention",
-    "ev_funnel",
-    "ev_cohort_retention",
-    "emb_quantize_int8",
+    # --- round-6 driver window (CORRECTNESS_r06 rows on disk, all
+    # green) — freshest, so they trail; re-verified locally each session
+    # by tests/test_oracle.py. ---
+    "decontam_minhash_bench",
+    "text_bm25_rank",
+    "pipeline_domain_cap",
+    "agg_median_mode",
+    "agg_regression",
+    "scalar_url",
+    "ev_anomaly_zscore",
+    "agg_bool_bit",
+    "ev_locf_fill",
+    "fn_higher_order",
+    "ev_event_trigrams",
+    "udf_cogroup_clickstream",
+    "dedup_repeated_spans",
+    "pipeline_curation_v2",
+    "agg_listagg",
+    "fn_unpivot",
+    "scalar_decimal",
+    "mm_audio_windows",
+    "emb_pq_codes",
+    "ev_markov_transitions",
+    "text_zipf_slope",
+    "river_stream_locf",
+    "agg_argminmax",
+    "udf_arrow_stats",
+    "text_bigram_logprob",
+    "agg_grouping_id",
+    "river_latency_analysis",
+    "pipeline_quality_sample",
+    "emb_matryoshka_truncate",
+    "agg_approx_quantile",
+    "ev_gap_detect",
+    "profile_lineitem",
+    "agg_value_histogram",
+    "ev_session_window_native",
+    "river_stream_dedup",
+    "win_distribution_functions",
+    "scalar_bitwise",
+    "scalar_levenshtein",
+    "scalar_string",
+    "scalar_date",
+    "scalar_math",
+    "scalar_conditional",
+    "scalar_json",
+    "agg_stats",
+    "agg_percentile",
+    "topk_global",
+    "set_ops",
+    "win_running_sum",
+    "win_moving_avg",
+    "text_token_stats",
 ]
 
 QUERIES: dict[str, Query] = {}

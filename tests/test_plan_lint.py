@@ -27,6 +27,7 @@ CROSS_OK = {
     "agg_value_histogram",  # broadcast 1-row global [min, max] for binning
     "text_bm25_rank",       # broadcast 1-row corpus stats (N, avgdl)
     "text_bigram_logprob",  # broadcast 1-row vocabulary cardinality (V)
+    "emb_ann_recall",       # brute-force side: 20 broadcast query rows
 }
 
 
