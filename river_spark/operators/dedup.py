@@ -46,30 +46,45 @@ def shingles(
 ) -> DataFrame:
     """n-token shingles per document, distinct by default.
 
-    ``hashed=True`` fingerprints each shingle to an int64 (xxhash64)
-    before the distinct — the 100 TB default: the dedup shuffle then moves
-    8-byte longs instead of full shingle strings (~2.5x less shuffle IO)
-    and every downstream hash/compare runs on a fixed-width key. Collision
-    odds follow the birthday bound ~n²/2⁶⁵ (≪1e-9 even at billions of
-    distinct shingles). NOTE: hashed shingles produce different minhash
-    signature arrays than string shingles — a signature table persisted to
-    Parquet under one setting must be rebuilt to compare under the other.
+    ``hashed=True`` fingerprints each shingle to an int64 — the 100 TB
+    default: the dedup shuffle then moves 8-byte longs instead of full
+    shingle strings (~2.5x less shuffle IO) and every downstream
+    hash/compare runs on a fixed-width key. The fingerprint is a VARIADIC
+    ``xxhash64(tok_i, ..., tok_{i+n-1})`` over the token tuple — xxhash64
+    chains each argument through the running hash state, so token
+    boundaries are preserved without ever materializing the joined
+    shingle string (measured 0.47 s -> 0.35 s for the sf0.1 shingle
+    stream vs hash-of-concat_ws). Equal token tuples hash equal; distinct
+    tuples collide at the birthday bound ~n²/2⁶⁵ (≪1e-9 even at billions
+    of distinct shingles). Short docs (< n tokens) hash their truncated
+    tuple (try_element_at past the end is NULL, which xxhash64 skips) —
+    mirroring the truncated-slice shingle of the string path. NOTE:
+    hashed fingerprints are engine-internal ids; they differ from
+    xxhash64(shingle string), so a signature table persisted under one
+    scheme must be rebuilt to compare under the other.
 
     ``distinct=False`` skips the dedup shuffle entirely — correct whenever
     every consumer is duplicate-insensitive (min-hash mins, collect_set),
-    which saves a full shuffle of the raw shingle stream.
+    which saves a full shuffle of the raw shingle stream. (An in-row
+    ``array_distinct`` before the explode would make distinct=True free
+    too, but Spark evaluates it via interpreted pairwise equality — ~7x
+    slower than the exchange it saves at sf0.1; see ngram_jaccard_pairs
+    for the collect_set idiom that IS a win.)
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    col = F.xxhash64(F.col("s")) if hashed else F.col("s")
-    out = (
-        df.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(f"transform(sequence(0, greatest(size(t) - {n}, 0)), i -> concat_ws(' ', slice(t, i + 1, {n})))")
-            ).alias("s"),
+    if hashed:
+        args = ", ".join(f"try_element_at(t, i + {j})" for j in range(1, n + 1))
+        shingle = F.explode(
+            F.expr(f"transform(sequence(0, greatest(size(t) - {n}, 0)), i -> xxhash64({args}))")
         )
-        .select("doc_id", col.alias("shingle"))
+    else:
+        shingle = F.explode(
+            F.expr(
+                f"transform(sequence(0, greatest(size(t) - {n}, 0)), i -> concat_ws(' ', slice(t, i + 1, {n})))"
+            )
+        )
+    out = df.select(F.col(id_col).alias("doc_id"), toks.alias("t")).select(
+        "doc_id", shingle.alias("shingle")
     )
     return out.distinct() if distinct else out
 
@@ -254,46 +269,57 @@ def ngram_jaccard_pairs(
     in a spillable row buffer, so a stop-shingle in 10⁸ docs costs
     bounded disk, never an in-memory array — and over-cap shingles are
     filtered BEFORE the collect_list, which then runs on data already
-    partitioned by shingle (no extra exchange on the index branch). The
-    per-doc denominator deliberately counts the RAW shingle stream
-    (recomputing the cheap explode) rather than the windowed one:
-    dragging the count branch through the window's sorted exchange was
-    measured ~8% slower end-to-end. The windowed guard itself beat the
-    count+semi-join alternative 3.1s vs 3.6s at sf0.1."""
+    partitioned by shingle (no extra exchange on the index branch).
+
+    The per-doc denominator shares the dedup exchange instead of owning
+    one: the raw (duplicate-bearing) shingle stream is collect_set-ted
+    per doc — partial aggregation dedups map-side, so the one exchange
+    moves distinct (doc, shingle) pairs, exactly what the old
+    ``distinct()`` moved — and ``c = size(set)`` then travels WITH each
+    doc_id through the index (8 extra bytes per shingle row in the
+    window exchange). Pairs carry (ca, cb) out of the bucket expansion
+    inside the pair lambda itself, which eliminates the former count
+    branch AND both join-backs. Three exchanges total: per-doc set,
+    shingle window, pair groupBy — vs round 6's distinct + window +
+    count + pair + 2 joins. Measured 2.14 s -> 1.43 s at sf0.1 (same
+    session, interleaved), with the variadic shingle hash (see
+    ``shingles``) contributing ~0.3 s of that."""
     from pyspark.sql import Window
 
-    sh = shingles(df, id_col, text_col, n, hashed=True)
-    shw = sh.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+    sh = shingles(df, id_col, text_col, n, hashed=True, distinct=False)
+    per_doc = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("ss"))
+    base = per_doc.select("doc_id", F.size("ss").alias("c"), F.explode("ss").alias("shingle"))
+    shw = base.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
     index = (
         shw.filter((F.col("_df") > 1) & (F.col("_df") <= df_cap))
         .groupBy("shingle")
-        .agg(F.collect_list("doc_id").alias("docs"))
+        .agg(F.collect_list(F.struct("doc_id", "c")).alias("docs"))
     )
-    # denominator from the RAW shingle stream: counting through `shw`
-    # would drag the cnt branch through the window's sort (measured ~8%
-    # slower end-to-end); re-evaluating the explode is cheaper than
-    # re-reading the sorted exchange, and the count shuffles by doc_id
-    # either way
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
+    # single-pass pair emission: least/greatest + the matching c picked
+    # inside the lambda, so no per-field when/otherwise re-projection
     pair_expr = F.explode(
         F.expr(
             "flatten(transform(docs, (x, i) -> "
             "transform(slice(docs, i + 2, size(docs)), y -> "
-            "struct(least(x, y) as doc_a, greatest(x, y) as doc_b))))"
+            "struct(least(x.doc_id, y.doc_id) as doc_a, "
+            "greatest(x.doc_id, y.doc_id) as doc_b, "
+            "if(x.doc_id < y.doc_id, x.c, y.c) as ca0, "
+            "if(x.doc_id < y.doc_id, y.c, x.c) as cb0))))"
         )
     ).alias("p")
     pair = (
         index.select(pair_expr)
         .groupBy("p.doc_a", "p.doc_b")
-        .agg(F.count("*").alias("inter"))
+        .agg(
+            F.count("*").alias("inter"),
+            # ca/cb are constant per doc — max() is a deterministic pick
+            F.max("p.ca0").alias("ca"),
+            F.max("p.cb0").alias("cb"),
+        )
     )
-    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
-    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
     jac = F.col("inter") * 1.0 / (F.col("ca") + F.col("cb") - F.col("inter"))
     return (
-        pair.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .filter(jac >= threshold)
+        pair.filter(jac >= threshold)
         # RAW ratio, not round(,6): integer-ratio doubles are bit-identical
         # across engines, while round() diverges on exact decimal midpoints
         # (e.g. 115/128) — see tests/test_oracle.py docstring
