@@ -15,7 +15,10 @@ EXISTS, DEL, UNLINK, SCAN (MATCH/COUNT), GET, SET, HSET, HSETNX, HGET,
 HGETALL,
 XADD (auto ``*`` and explicit IDs with monotonicity enforcement), XLEN,
 XRANGE / XREVRANGE (``-``/``+``, exclusive ``(`` bounds, COUNT), XREAD
-(COUNT/BLOCK/``$``), XDEL, FLUSHALL.
+(COUNT/BLOCK/``$``), XDEL, FLUSHALL — plus the reference server module's
+three commands (``RIVER.batch_xadd`` / ``_variable`` / ``_compressed``,
+``river_redismodule.c``), so module wire layouts are testable without a
+compiled module.
 
 Entry IDs follow the documented ``ms-seq`` ordering rules: ``*`` assigns
 ``max(now_ms, last_ms)`` with seq rollover, explicit IDs must be
@@ -156,7 +159,8 @@ class _Handler(socketserver.BaseRequestHandler):
             if not args:
                 continue
             cmd = args[0].upper().decode()
-            method = getattr(self, f"_cmd_{cmd.lower()}", None)
+            # module commands carry a dot (RIVER.batch_xadd) — map to _
+            method = getattr(self, "_cmd_" + cmd.lower().replace(".", "_"), None)
             try:
                 if method is None:
                     reply = Error(f"ERR unknown command '{cmd}'")
@@ -313,6 +317,57 @@ class _Handler(socketserver.BaseRequestHandler):
             st.entries.append(((ms, seq), fields))
             state.cond.notify_all()
         return b"%d-%d" % (ms, seq)
+
+    # ---- reference server-module commands (river_redismodule.c) -----------
+    # The reference ships a Redis module whose three commands expand one
+    # client round trip into many entries server-side; implementing them
+    # here lets the transport suite exercise the module WIRE LAYOUTS —
+    # including the compressed blob + `reference` entry chain — without a
+    # real redis-server + compiled module.
+    def _xadd_auto(self, state, key: bytes, fields: list[bytes]) -> bytes:
+        return self._cmd_xadd(state, [key, b"*", *fields])
+
+    def _cmd_river_batch_xadd(self, state, args):
+        """RIVER.batch_xadd <key> <index_start> <num_samples> <sample_size>
+        <value>: one (i, val) entry per fixed-width sample, auto IDs
+        (river_redismodule.c:12-61)."""
+        key, index_start, num_samples, sample_size, value = args
+        start, n, ss = int(index_start), int(num_samples), int(sample_size)
+        for i in range(n):
+            self._xadd_auto(
+                state, key, [b"i", b"%d" % (start + i), b"val", value[i * ss:(i + 1) * ss]]
+            )
+        return SimpleString(b"OK")
+
+    def _cmd_river_batch_xadd_compressed(self, state, args):
+        """RIVER.batch_xadd_compressed <key> <index_start> <num_samples>
+        <blob>: the first entry holds the whole batch's compressed blob
+        under (i=index_start, val=blob); each remaining logical sample is
+        an (i, reference=<blob entry id>) entry
+        (river_redismodule.c:63-131)."""
+        key, index_start, num_samples, blob = args
+        start, n = int(index_start), int(num_samples)
+        blob_id = self._xadd_auto(state, key, [b"i", b"%d" % start, b"val", blob])
+        for i in range(1, n):
+            self._xadd_auto(
+                state, key, [b"i", b"%d" % (start + i), b"reference", blob_id]
+            )
+        return SimpleString(b"OK")
+
+    def _cmd_river_batch_xadd_variable(self, state, args):
+        """RIVER.batch_xadd_variable <key> <index_start> <sizes> <value>:
+        per-sample (i, val) entries, sample boundaries given by the native
+        int32 sizes array (river_redismodule.c:134-184)."""
+        key, index_start, sizes_raw, value = args
+        start = int(index_start)
+        sizes = memoryview(sizes_raw).cast("i")
+        off = 0
+        for i, sz in enumerate(sizes):
+            self._xadd_auto(
+                state, key, [b"i", b"%d" % (start + i), b"val", value[off:off + sz]]
+            )
+            off += sz
+        return SimpleString(b"OK")
 
     def _cmd_xlen(self, state, args):
         with state.lock:

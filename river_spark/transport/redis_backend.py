@@ -26,10 +26,20 @@ pointed at the same server, and vice versa:
 
 Compressed streams can't use per-sample entries (the payload is an
 opaque batch); the reference refuses compression without its server
-module and the module transports whole batches. Mirroring that split,
-compressed batches here are ONE entry per batch with fields
-``batch_val / i / n`` at the batch's first key ID — documented
-module-path analog, not fallback-parity.
+module, and the module stores one batch like this
+(``river_redismodule.c:63-131``): the FIRST entry carries the whole
+batch's compressed blob under ``i <index_start> / val <blob>``, and each
+remaining logical sample is an ``i <index> / reference <blob-entry-id>``
+entry (the reference reader chases ``reference`` into its lookahead
+cache, ``cpp/src/reader.cpp:291-334``). This backend READS that layout
+unconditionally (a ``val`` entry on a compressed stream is a batch blob;
+``reference`` entries extend the batch), and WRITES it when
+``module_framing=True`` — via the module's own
+``RIVER.batch_xadd_compressed`` command, so a reference reader with the
+matching decompressor consumes our compressed streams too. The default
+write layout remains ONE entry per batch with fields ``batch_val / i /
+n`` at the batch's first key ID — a module-free analog for servers
+without the module loaded.
 
 Scale note: one backend instance holds one socket per thread
 (thread-local), and handles are self-contained strings, so Spark
@@ -64,17 +74,27 @@ def _id_tuple(raw: bytes) -> tuple[int, int]:
 class RedisBackend(StorageBackend):
     def __init__(self, host: str = "127.0.0.1", port: int = 6379,
                  password: str | None = None, timeout_s: float = 30.0,
-                 batch_framing: bool = False, db: int = 0):
+                 batch_framing: bool = False, db: int = 0,
+                 module_framing: bool = False):
         """``batch_framing=True`` stores one entry PER BATCH (fields
         batch_val/i/n) instead of the reference's per-sample val/i
         fallback — the same trade its server module makes (its
         RIVER.batch_xadd exists because per-sample XADD is the wire
         bottleneck, river_redismodule.c:13-61). Opt-in: framed streams
         are ~100x faster on the wire but are NOT readable by a stock
-        reference reader; leave False for byte-level interop."""
+        reference reader; leave False for byte-level interop.
+
+        ``module_framing=True`` writes COMPRESSED batches through the
+        reference server module's ``RIVER.batch_xadd_compressed`` command
+        (blob entry + per-sample ``reference`` entries, auto-assigned
+        IDs) — full wire parity for compressed streams on a server with
+        the module loaded. Requires the module (or this repo's
+        mini_redis, which implements the command); reading that layout
+        needs no flag, it is always on."""
         self.host, self.port, self.password = host, port, password
         self.timeout_s = timeout_s
         self.batch_framing = batch_framing
+        self.module_framing = module_framing
         # Redis logical database index (SELECT on connect). Lets callers —
         # and the test suite — scope all keys to a dedicated db on a
         # shared server instead of key-squatting db 0.
@@ -88,11 +108,12 @@ class RedisBackend(StorageBackend):
     def __getstate__(self):
         return {"host": self.host, "port": self.port, "password": self.password,
                 "timeout_s": self.timeout_s, "batch_framing": self.batch_framing,
-                "db": self.db}
+                "db": self.db, "module_framing": self.module_framing}
 
     def __setstate__(self, state):
         self.__dict__.update(state)
         self.batch_framing = state.get("batch_framing", False)
+        self.module_framing = state.get("module_framing", False)
         self.db = state.get("db", 0)
         self._local = threading.local()
         self._stream_info = {}
@@ -224,7 +245,18 @@ class RedisBackend(StorageBackend):
         key = self._seg_key(name, segment_idx)
         data = bytes(data)
         first_id = f"{int(key_ms)}-{int(key_seq0)}"
-        if info["compressed"] or self.batch_framing:
+        if info["compressed"] and self.module_framing:
+            # reference module layout: blob entry + (n-1) reference
+            # entries, IDs assigned server-side (river_redismodule.c:63-131)
+            kind = "modframed"
+            c.command(
+                "RIVER.batch_xadd_compressed", key,
+                str(int(start_index)), str(int(n)), data,
+            )
+            tail = c.command("XREVRANGE", key, "+", "-", "COUNT", int(n))
+            ids = [e[0].decode() for e in reversed(tail)]  # oldest -> newest
+            first_id, last_id = ids[0], ids[-1]
+        elif info["compressed"] or self.batch_framing:
             # module-path analog: one entry per batch (opaque compressed
             # payload, or raw batch payload under batch_framing)
             kind = "framed"
@@ -294,33 +326,50 @@ class RedisBackend(StorageBackend):
 
     def list_batches(self, name, segment_idx):
         info = self._info(name)
+        sample_kind = "var" if info["variable"] else "fixed"
         entries = self._xrange_all(self._seg_key(name, segment_idx))
-        out, run = [], None  # run = [start, n, ms, seq0, last_ms, last_seq]
+        # run = [start, n, ms, seq0, last_ms, last_seq, kind]
+        out, run = [], None
         for raw_id, flat in entries:
             fields = _fields_dict(flat)
             if b"val" in fields:
                 ms, seq = _id_tuple(raw_id)
                 idx = int(fields[b"i"])
-                if (run is not None and ms == run[4] and seq == run[5] + 1
+                if info["compressed"]:
+                    # module layout (river_redismodule.c:63-131): a `val`
+                    # entry on a compressed stream IS a batch blob; the
+                    # logical samples follow as `reference` entries
+                    if run is not None:
+                        out.append(run)
+                    run = [idx, 1, ms, seq, ms, seq, "modframed"]
+                elif (run is not None and run[6] == sample_kind
+                        and ms == run[4] and seq == run[5] + 1
                         and idx == run[0] + run[1]):
                     run[1] += 1
                     run[5] = seq
                 else:
                     if run is not None:
                         out.append(run)
-                    run = [idx, 1, ms, seq, ms, seq]
+                    run = [idx, 1, ms, seq, ms, seq, sample_kind]
+            elif b"reference" in fields:
+                # module compressed layout: one more logical sample of the
+                # current blob batch. An orphan reference (no preceding
+                # blob in this listing) is unreadable — skip it.
+                if run is not None and run[6] == "modframed":
+                    ms, seq = _id_tuple(raw_id)
+                    run[1] += 1
+                    run[4], run[5] = ms, seq
             elif b"batch_val" in fields:
                 if run is not None:
                     out.append(run)
                     run = None
                 ms, seq = _id_tuple(raw_id)
-                out.append([int(fields[b"i"]), int(fields[b"n"]), ms, seq, ms, seq])
+                out.append([int(fields[b"i"]), int(fields[b"n"]), ms, seq, ms, seq, "framed"])
             # tombstone/eof entries are control markers, not data: skip
         if run is not None:
             out.append(run)
-        kind = "framed" if info["compressed"] else ("var" if info["variable"] else "fixed")
         result = []
-        for start, n, ms, seq0, last_ms, last_seq in out:
+        for start, n, ms, seq0, last_ms, last_seq, kind in out:
             handle = (f"{_HANDLE_PREFIX}{name}/{segment_idx}/{kind}/"
                       f"{start}/{n}/{ms}-{seq0}/{last_ms}-{last_seq}")
             result.append((start, n, ms, seq0, handle))
@@ -333,6 +382,18 @@ class RedisBackend(StorageBackend):
             "XRANGE", self._seg_key(name, seg), first_id, last_id
         )
         payloads, sizes = [], []
+        if kind == "modframed":
+            # module compressed layout: the payload is the single blob
+            # entry's `val`; the trailing `reference` entries only mark
+            # the batch's logical samples (decompression happens in the
+            # reader, like cpp/src/reader.cpp:215-232)
+            for _raw_id, flat in entries:
+                fields = _fields_dict(flat)
+                if b"val" in fields:
+                    payloads.append(fields[b"val"])
+            if not payloads:
+                raise FileNotFoundError(handle)
+            return {"data": np.frombuffer(b"".join(payloads), dtype=np.uint8)}
         for _raw_id, flat in entries:
             fields = _fields_dict(flat)
             if b"batch_val" in fields:
@@ -434,7 +495,9 @@ class RedisBackend(StorageBackend):
                 ms, seq = _id_tuple(raw_id)
                 n = int(f[b"n"])
                 return int(f[b"i"]) + n, ms, seq + n - 1
-            if b"val" in f:
+            if b"val" in f or b"reference" in f:
+                # a `reference` entry is a module compressed batch's tail
+                # sample — the next append starts a fresh batch after it
                 ms, seq = _id_tuple(raw_id)
                 return int(f[b"i"]) + 1, ms, seq
         return None
@@ -443,9 +506,10 @@ class RedisBackend(StorageBackend):
         """Split a per-sample-entry handle into <= max_n-sample slices so a
         promote can read a partition-sized run in bounded pieces (one
         giant unpaginated XRANGE reply would hold the whole partition in
-        memory). Framed handles are indivisible and return as-is."""
+        memory). Framed handles (either layout) are indivisible and
+        return as-is."""
         name, seg, kind, start, n, first_id, last_id = self._parse_handle(handle)
-        if kind == "framed" or n <= max_n:
+        if kind in ("framed", "modframed") or n <= max_n:
             return [handle]
         ms, seq0 = (int(x) for x in first_id.split("-"))
         out = []
@@ -470,7 +534,7 @@ class RedisBackend(StorageBackend):
             f = _fields_dict(flat)
             if b"batch_val" in f:
                 return int(f[b"i"]) + int(f[b"n"])
-            if b"val" in f:
+            if b"val" in f or b"reference" in f:
                 return int(f[b"i"]) + 1
             if b"sample_index" in f:  # tombstone/EOF marker
                 return int(f[b"sample_index"]) + 1

@@ -17,8 +17,22 @@ from river_spark.transport.resp import RespClient
 from river_spark.testing import MiniRedisServer
 
 
-@pytest.fixture(scope="module")
-def server():
+from river_spark.testing import redis_server_binary as _redis_binary
+
+# "real" only parametrizes in when a redis-server binary exists, so this
+# container sees no extra skips while redis-equipped environments run the
+# whole suite on both axes (mini_redis semantics drift would fail there).
+_SERVER_PARAMS = ["mini"] + (["real"] if _redis_binary() else [])
+
+
+@pytest.fixture(scope="module", params=_SERVER_PARAMS)
+def server(request):
+    if request.param == "real":
+        from river_spark.testing import spawn_redis_server
+
+        with spawn_redis_server() as addr:
+            yield addr
+        return
     with MiniRedisServer() as addr:
         yield addr
 
@@ -518,3 +532,114 @@ def test_pipelined_drain_survives_mid_window_error(server):
     # connection is still in sync: a normal command answers sanely
     assert b.read_metadata("drain") is not None
     assert log.list_streams() == ["drain"]
+
+
+def _require_river_module(host, port):
+    """Skip on real servers without the compiled river module loaded
+    (mini_redis always implements the commands)."""
+    from river_spark.transport.resp import RespError
+
+    c = RespClient(host, port)
+    try:
+        c.command("RIVER.batch_xadd_compressed", "__module_probe", "0", "0", b"")
+    except RespError as e:
+        if "unknown command" in str(e).lower():
+            pytest.skip("server lacks the river redis module")
+    finally:
+        c.close()
+
+
+def test_module_compressed_write_layout_and_roundtrip(server):
+    """module_framing=True must put compressed batches on the wire in the
+    reference server module's exact layout (river_redismodule.c:63-131):
+    per batch, ONE blob entry with fields i=<index_start>/val=<blob>
+    followed by n-1 entries with i=<index>/reference=<blob entry id> —
+    the shape the reference reader's lookahead cache consumes
+    (cpp/src/reader.cpp:215-232,291-334) — and still round-trip
+    bit-exactly through our own reader."""
+    from river_spark.transport.compression import CompressionMode, Compressor
+
+    host, port = server
+    _require_river_module(host, port)
+    b = RedisBackend(host, port, module_framing=True)
+    b._conn().command("FLUSHALL")
+    log = StreamLog(backend=b)
+    schema = _schema()
+    w = StreamWriter(
+        log, compression=Compressor(CompressionMode.ZLIB_LOSSLESS), batch_size=40
+    )
+    w.initialize("modcomp", schema)
+    arr = np.zeros(100, dtype=schema.dtype())
+    arr["a"] = np.arange(100)
+    arr["b"] = np.cos(np.arange(100))
+    w.write(arr)
+    w.stop()
+
+    raw = RespClient(host, port)
+    entries = raw.command("XRANGE", "modcomp-0", "-", "+")
+    batches, cur = [], None  # cur = (blob_id, [sample indices])
+    for raw_id, flat in entries:
+        f = {k: v for k, v in zip(flat[::2], flat[1::2])}
+        if b"eof" in f:
+            continue
+        if b"val" in f:
+            if cur:
+                batches.append(cur)
+            cur = (raw_id, [int(f[b"i"])])
+            assert len(f[b"val"]) > 0 and b"n" not in f  # module layout, not batch_val/n
+        else:
+            assert f[b"reference"] == cur[0]  # points at its batch's blob entry
+            cur[1].append(int(f[b"i"]))
+    if cur:
+        batches.append(cur)
+    # 100 samples in batches of 40 -> 40/40/20; indices are contiguous runs
+    assert [len(idx) for _bid, idx in batches] == [40, 40, 20]
+    flat_idx = [i for _bid, idx in batches for i in idx]
+    assert flat_idx == list(range(100))
+
+    res = StreamReader(StreamLog(backend=RedisBackend(host, port))).initialize(
+        "modcomp"
+    ).read(200, timeout_ms=100)
+    assert res.count == 100
+    np.testing.assert_array_equal(res.samples["a"], arr["a"])
+    np.testing.assert_array_equal(res.samples["b"], arr["b"])
+
+
+def test_foreign_module_compressed_stream_is_readable(server, backend):
+    """A compressed stream laid down exactly as the reference writer +
+    server module would (metadata hash with compression_params_json,
+    RIVER.batch_xadd_compressed per batch, eof entry) must read back
+    through StreamReader with transparent decompression — the round-6
+    parity gap: both the entry layout (blob + reference chain) and the
+    codec self-configuration from metadata."""
+    from river_spark.transport.compression import CompressionMode, Compressor
+
+    _require_river_module(backend.host, backend.port)
+    raw = RespClient(backend.host, backend.port)
+    schema = _schema()
+    comp = Compressor(CompressionMode.ZLIB_LOSSLESS, {"sample_size": schema.sample_size()})
+    raw.command(
+        "HSET", "fcomp-metadata",
+        "first_stream_key", "fcomp-0",
+        "schema", schema.to_json(),
+        "initialized_at_us", "1723500000000000",
+        "user_metadata", "{}",
+        "compression_params_json", comp.params_json(),
+    )
+    arr = np.zeros(90, dtype=schema.dtype())
+    arr["a"] = np.arange(90) * 3
+    arr["b"] = np.sin(np.arange(90) / 7)
+    for lo in (0, 40, 80):  # three module batches: 40 + 40 + 10 samples
+        n = min(40, 90 - lo)
+        blob = comp.compress(arr[lo:lo + n].tobytes())
+        raw.command(
+            "RIVER.batch_xadd_compressed", "fcomp-0", str(lo), str(n), blob
+        )
+    raw.command("XADD", "fcomp-0", "*", "eof", "1", "sample_index", "89")
+
+    r = StreamReader(StreamLog(backend=backend)).initialize("fcomp", timeout_ms=1000)
+    res = r.read(200, timeout_ms=100)
+    assert res.count == 90
+    np.testing.assert_array_equal(res.samples["a"], arr["a"])
+    np.testing.assert_array_equal(res.samples["b"], arr["b"])
+    assert r.read(1, timeout_ms=10).eof

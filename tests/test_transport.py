@@ -30,13 +30,35 @@ def redis_address():
         yield host, port
 
 
-@pytest.fixture(params=["file", "memory", "redis"])
+@pytest.fixture(scope="module")
+def real_redis_address():
+    """A private spawned redis-server (real binary). Only parametrized in
+    when the binary exists, so environments without it (this container)
+    see no extra skips."""
+    from river_spark.testing import spawn_redis_server
+
+    with spawn_redis_server() as addr:
+        yield addr
+
+
+from river_spark.testing import redis_server_binary as _redis_binary  # noqa: E402
+
+_LOG_PARAMS = ["file", "memory", "redis"] + (["redis-real"] if _redis_binary() else [])
+
+
+@pytest.fixture(params=_LOG_PARAMS)
 def log(request, tmp_path):
     # the whole suite runs against ALL backends: same semantics required
     if request.param == "file":
         return StreamLog(str(tmp_path / "store"))
     if request.param == "memory":
         return StreamLog(backend=MemoryBackend())
+    if request.param == "redis-real":
+        # real-binary axis: private instance, ours to flush
+        host, port = request.getfixturevalue("real_redis_address")
+        backend = RedisBackend(host, port)
+        backend._conn().command("FLUSHALL")
+        return StreamLog(backend=backend)
     host, port = request.getfixturevalue("redis_address")
     if os.environ.get("RIVER_SPARK_REDIS_URL"):
         # Real server: NEVER flush the whole instance — scope the suite to
@@ -260,3 +282,19 @@ def test_read_aux_migrates_legacy_flat_paths(tmp_path):
     with open(_os.path.join(root, "_cursor_mig_g1.json"), "w") as f:
         f.write(json.dumps({"index": 1}))  # stale legacy write is ignored
     assert json.loads(log.read_aux("cursor/mig/g1"))["index"] == 7
+
+
+def test_compression_refuses_variable_width(log):
+    """The reference refuses to compress variable-width streams
+    (cpp/src/writer.cpp:131-146: compression requires a fixed sample
+    size); the guard must hold with the same error on every backend and
+    for every non-UNCOMPRESSED mode, and must fire BEFORE any stream
+    state is created."""
+    from river_spark.transport.compression import CompressionMode, Compressor
+
+    schema = StreamSchema([FieldDefinition("blob", FieldType.VARIABLE_WIDTH_BYTES, size=64)])
+    for mode in (CompressionMode.ZLIB_LOSSLESS, CompressionMode.QUANT_LOSSY):
+        w = StreamWriter(log, compression=Compressor(mode))
+        with pytest.raises(SchemaError, match="compression is not supported for variable-width"):
+            w.initialize("novarcomp", schema)
+    assert log.list_streams() == []  # refusal left no metadata behind
