@@ -119,7 +119,7 @@ _DIMS = ("region", "nation", "customer", "supplier", "part")
 _SCALE_FACTOR = 10
 
 
-def build_scaled_dir(spark, sf_dir: str, factor: int = _SCALE_FACTOR) -> str:
+def build_scaled_dir(spark, sf_dir: str, factor: int = _SCALE_FACTOR, tables=None) -> str:
     """Materialize a factor-x replica of sf_dir's tables (cached in /tmp,
     keyed by source dir). Facts are replicated with per-replica key
     offsets so join fan-out stays 1:1 (duplicating orderkey would square
@@ -129,7 +129,11 @@ def build_scaled_dir(spark, sf_dir: str, factor: int = _SCALE_FACTOR) -> str:
     constant — 10x corpus, 10x true pairs, not 45x spurious exact dups);
     embeddings get deterministic per-replica jitter so LSH/IVF bucket
     occupancy grows naturally instead of collapsing into exact-twin
-    buckets. Dimensions are copied as-is, like every TPC-style scale-up."""
+    buckets. Dimensions are copied as-is, like every TPC-style scale-up.
+
+    ``tables``: optional subset of table names to materialize (the deep
+    probe replicates only ``documents`` at 30x — queries run against a
+    subset dir must not touch any other table)."""
     import hashlib
 
     from pyspark.sql import functions as F
@@ -140,7 +144,8 @@ def build_scaled_dir(spark, sf_dir: str, factor: int = _SCALE_FACTOR) -> str:
     # v2: events became a replicated fact (disjoint user/event ids) — the
     # recipe version keeps a cached v1 replica (unscaled events) from
     # being reused for the probe
-    sig = ["recipe-v2", os.path.abspath(sf_dir)]
+    subset = "" if tables is None else "-" + "-".join(sorted(tables))
+    sig = ["recipe-v2", os.path.abspath(sf_dir), subset]
     for f in sorted(os.listdir(sf_dir)):
         if f.endswith(".parquet"):
             st = os.stat(os.path.join(sf_dir, f))
@@ -153,12 +158,19 @@ def build_scaled_dir(spark, sf_dir: str, factor: int = _SCALE_FACTOR) -> str:
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
+
+    def _want(name: str) -> bool:
+        return tables is None or name in tables
+
     for t in _DIMS:
-        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(out, f"{t}.parquet"))
+        if _want(t):
+            spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out, f"{t}.parquet"))
 
     def replicate(name, build_replica):
+        if not _want(name):
+            return
         src = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         parts = [build_replica(src, k) for k in range(factor)]
         df = parts[0]
@@ -241,6 +253,100 @@ def scaling_probe(spark, sf_dir: str, bench, timings: dict, top_n: int = 5) -> d
     return {"factor": _SCALE_FACTOR, "build_sec": build_sec, "queries": out}
 
 
+_DEEP_FACTOR = 30
+
+
+def _dedup_candidate_counts(spark, d: str) -> dict[str, int]:
+    """Candidate-set sizes for the two heaviest dedup queries — the
+    super-linear failure mode a wall-clock ratio can hide (a candidate
+    explosion can sit inside an otherwise shuffle-bound plan until it
+    detonates at the next scale-up). Mirrors the queries' own candidate
+    stages exactly (dedup_minhash_lsh: banded pair generation,
+    queries/pipeline.py; decontam_minhash_bench: corpus-bucket x
+    broadcast-bench-bucket join, queries/curation3.py)."""
+    from pyspark.sql import functions as F
+
+    from river_spark.operators.dedup import (
+        _band_hash_expr,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+    from river_spark.queries.tables import tbl
+
+    docs = tbl(spark, d, "documents").select("doc_id", "text")
+    sh = shingles(docs, "doc_id", "text", 3, hashed=True, distinct=False)
+    minhash_pairs = lsh_candidate_pairs(
+        minhash_signatures(sh, 64), bands=16, sig_len=64
+    ).count()
+
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bid"), "text"
+    )
+    planted = bench.select(
+        (F.col("bid") + 10_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" planted")).alias("text"),
+    )
+    corpus = docs.filter(F.col("doc_id") % 50 != 0).unionByName(planted)
+    band_expr = F.expr(_band_hash_expr(16, 64))
+
+    def banded(df, src, out_id):
+        s = shingles(df, src, "text", 3, hashed=True, distinct=False)
+        return minhash_signatures(s, 64).select(
+            F.col("doc_id").alias(out_id), F.posexplode(band_expr).alias("band", "bucket")
+        )
+
+    decontam_docs = (
+        banded(corpus, "doc_id", "doc_id")
+        .join(F.broadcast(banded(bench, "bid", "bench_id")), ["band", "bucket"])
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    return {"minhash_candidate_pairs": minhash_pairs, "decontam_candidate_docs": decontam_docs}
+
+
+def deep_probe(spark, sf_dir: str, bench, timings: dict) -> dict:
+    """One-off 30x probe on the two heaviest dedup-family queries, with
+    candidate-set growth recorded alongside the wall ratio. Only the
+    documents table is replicated (both queries read nothing else), so
+    the build stays proportionate. Candidate growth ~= factor means LSH
+    banding is behaving (pairs scale with true-duplicate density);
+    growth >> factor is the quadratic-bucket signature even when wall
+    time still looks linear. Disable with SPARK_GRAFT_DEEP_PROBE=0."""
+    targets = [n for n in ("dedup_minhash_lsh", "decontam_minhash_bench") if n in bench]
+    if not targets:
+        return {}
+    t0 = time.perf_counter()
+    scaled = build_scaled_dir(spark, sf_dir, factor=_DEEP_FACTOR, tables={"documents"})
+    build_sec = round(time.perf_counter() - t0, 1)
+    base_counts = _dedup_candidate_counts(spark, sf_dir)
+    scaled_counts = _dedup_candidate_counts(spark, scaled)
+    out = {}
+    for name in targets:
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            bench[name].fn(spark, scaled).count()
+            runs.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        sec = round(min(runs), 4)
+        out[name] = {"sec": sec, "ratio": round(sec / max(timings[name], 1e-9), 2)}
+        print(f"# deep-probe {name}: {sec:.3f}s = {out[name]['ratio']}x", file=sys.stderr)
+    growth = {
+        k: round(scaled_counts[k] / max(base_counts[k], 1), 2) for k in base_counts
+    }
+    print(f"# deep-probe candidates: base={base_counts} scaled={scaled_counts}", file=sys.stderr)
+    return {
+        "factor": _DEEP_FACTOR,
+        "build_sec": build_sec,
+        "queries": out,
+        "candidates_base": base_counts,
+        "candidates_scaled": scaled_counts,
+        "candidate_growth": growth,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -307,6 +413,13 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover - probe is best-effort
             print(f"# scaling probe failed: {exc}", file=sys.stderr)
 
+    deep = None
+    if os.environ.get("SPARK_GRAFT_DEEP_PROBE", "1") != "0":
+        try:
+            deep = deep_probe(spark, sf_dir, bench, timings)
+        except Exception as exc:  # pragma: no cover - probe is best-effort
+            print(f"# deep probe failed: {exc}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -323,6 +436,7 @@ def main() -> None:
                     "timed": "full execution via df.count()",
                 },
                 "scaling_probe": probe,
+                "deep_probe": deep,
                 **tp,
             }
         )

@@ -149,7 +149,7 @@ def cross_corpus_contamination(
     """Corpus documents whose n-shingle Jaccard against ANY benchmark
     document reaches ``threshold``, with their best match:
     [doc_id, bench_id, jaccard], one row per contaminated corpus doc
-    (best = highest rounded Jaccard, benchmark id as tiebreak).
+    (best = highest Jaccard, benchmark id as tiebreak).
 
     The asymmetric-scale shape: the benchmark is tiny relative to the
     corpus (eval sets are thousands of docs; the corpus is billions), so

@@ -21,6 +21,7 @@ import river_spark.queries.curation as _curation  # noqa: F401
 import river_spark.queries.curation2 as _curation2  # noqa: F401
 import river_spark.queries.curation3 as _curation3  # noqa: F401
 import river_spark.queries.relational5 as _relational5  # noqa: F401
+import river_spark.queries.curation4 as _curation4  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -47,6 +48,9 @@ _PRIORITY = [
     # very head (arrival order), still keeping the 22 inside the first-50
     # window.
     "emb_ann_recall",
+    "pipeline_dsir_weights",
+    "emb_semdedup",
+    "text_cdc_chunks",
     "decontam_ngram_overlap",
     "dedup_components",
     "emb_cluster_assign",

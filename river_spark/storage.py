@@ -35,11 +35,13 @@ def write_bucketed(
     bucket_cols: list[str],
     num_buckets: int = 32,
     sort_cols: list[str] | None = None,
-    mode: str = "overwrite",
+    mode: str = "error",
 ) -> None:
     """Persist ``df`` hash-bucketed on ``bucket_cols`` (optionally
     sorted within buckets — sorted buckets additionally let sort-merge
-    joins skip their sort). ``num_buckets`` should match the downstream
+    joins skip their sort). ``mode`` follows Spark's own writer default
+    (errorifexists): replacing a live table is a destructive act the
+    caller must opt into with mode="overwrite". ``num_buckets`` should match the downstream
     join fan-in, not the cluster size: both sides of a co-located join
     must use the SAME bucket count and columns."""
     w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
@@ -52,11 +54,12 @@ def write_partitioned(
     df: DataFrame,
     table: str,
     partition_cols: list[str],
-    mode: str = "overwrite",
+    mode: str = "error",
 ) -> None:
     """Persist ``df`` directory-partitioned on ``partition_cols`` (low
     cardinality only: every distinct value becomes a directory; date /
-    event-type / language are right, user_id is wrong)."""
+    event-type / language are right, user_id is wrong). ``mode`` defaults
+    to Spark's errorifexists; pass "overwrite" explicitly to replace."""
     df.write.mode(mode).partitionBy(*partition_cols).saveAsTable(table)
 
 

@@ -188,22 +188,11 @@ _LOCF_SCHEMA = T.StructType(
 _LOCF_STATE = T.StructType([T.StructField("last", T.DoubleType())])
 
 
-def locf_fill_stream(events: DataFrame, timeout_ms: int = 300_000) -> DataFrame:
-    """Stateful last-observation-carried-forward over a live stream of
-    ``(event_id, user_id, v)`` rows: the streaming twin of the batch
-    ``ev_locf_fill`` window. Per-user state is ONE double (the last
-    observed reading) — O(keys) state regardless of stream length; each
-    micro-batch's rows are filled vectorized (pandas ffill seeded with
-    the carried state) in event_id order within the batch (the river
-    source delivers batches in ascending sample ranges, so cross-batch
-    order is the stream order). Idle keys time out like the reference's
-    stale-stream janitor.
-
-    Missing-reading contract: a dropout is SQL NULL (or NaN — the
-    transport's typed arrays cannot carry NULL, so NaN is the on-wire
-    dropout sentinel and is treated as missing, not as an observation;
-    this intentionally differs from SQL ``IGNORE NULLS``, which would
-    carry a NaN forward as a real reading). Leading gaps stay null."""
+def _locf_update_fn(timeout_ms: int):
+    """The LOCF state-update function, module-level so the post-timeout
+    reset contract is unit-testable against a fake GroupState (a real
+    ProcessingTimeTimeout needs wall-clock idle + a continuous trigger,
+    which no hermetic test should wait on)."""
     import math
 
     def update(key, pdfs, state: GroupState):
@@ -231,8 +220,36 @@ def locf_fill_stream(events: DataFrame, timeout_ms: int = 300_000) -> DataFrame:
             }
         )
 
+    return update
+
+
+def locf_fill_stream(events: DataFrame, timeout_ms: int = 300_000) -> DataFrame:
+    """Stateful last-observation-carried-forward over a live stream of
+    ``(event_id, user_id, v)`` rows: the streaming twin of the batch
+    ``ev_locf_fill`` window. Per-user state is ONE double (the last
+    observed reading) — O(keys) state regardless of stream length; each
+    micro-batch's rows are filled vectorized (pandas ffill seeded with
+    the carried state) in event_id order within the batch (the river
+    source delivers batches in ascending sample ranges, so cross-batch
+    order is the stream order). Idle keys time out like the reference's
+    stale-stream janitor.
+
+    Missing-reading contract: a dropout is SQL NULL (or NaN — the
+    transport's typed arrays cannot carry NULL, so NaN is the on-wire
+    dropout sentinel and is treated as missing, not as an observation;
+    this intentionally differs from SQL ``IGNORE NULLS``, which would
+    carry a NaN forward as a real reading). Leading gaps stay null.
+
+    Post-timeout reset: when a key idles past ``timeout_ms`` its carried
+    value is REMOVED, so in a continuous deployment the first dropout
+    after a long gap is emitted null (as if the user were new) rather
+    than filled from a stale pre-gap reading — deliberate divergence
+    from the batch oracle, which has no notion of staleness. Under
+    availableNow (how the gates run) processing-time timeouts never
+    fire, so batch and stream agree there. Exercised in
+    tests/test_streaming_ops.py::test_locf_stream_timeout_resets_state."""
     return events.groupBy("user_id").applyInPandasWithState(
-        update,
+        _locf_update_fn(timeout_ms),
         outputStructType=_LOCF_SCHEMA,
         stateStructType=_LOCF_STATE,
         outputMode="update",

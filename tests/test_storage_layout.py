@@ -22,9 +22,9 @@ def bucketed_tables(spark, tmp_path_factory):
         (F.col("id") % 7).alias("segment"),
     )
     write_bucketed(events, "ev_bucketed", ["user_id"], num_buckets=8,
-                   sort_cols=["user_id"])
+                   sort_cols=["user_id"], mode="overwrite")
     write_bucketed(profile, "prof_bucketed", ["user_id"], num_buckets=8,
-                   sort_cols=["user_id"])
+                   sort_cols=["user_id"], mode="overwrite")
     yield "ev_bucketed", "prof_bucketed"
     spark.sql("DROP TABLE IF EXISTS ev_bucketed")
     spark.sql("DROP TABLE IF EXISTS prof_bucketed")
@@ -79,7 +79,7 @@ def partitioned_table(spark):
         (F.col("id") % 5).cast("string").alias("etype"),
         (F.col("id") % 1000).alias("payload"),
     )
-    write_partitioned(df, "ev_partitioned", ["etype"])
+    write_partitioned(df, "ev_partitioned", ["etype"], mode="overwrite")
     yield "ev_partitioned"
     spark.sql("DROP TABLE IF EXISTS ev_partitioned")
 
@@ -99,3 +99,18 @@ def test_partition_pruning_skips_io(spark, partitioned_table):
     pruned = full.filter(F.col("etype").isin("0", "1"))
     assert len(pruned.inputFiles()) < len(full.inputFiles())
     assert pruned.count() == 4_000
+
+
+def test_write_helpers_default_to_errorifexists(spark):
+    """The layout helpers follow Spark's own writer default: a second
+    save to the same table must raise instead of silently replacing it
+    (overwrite is an explicit opt-in)."""
+    from pyspark.sql.utils import AnalysisException
+
+    df = spark.range(0, 10).select(F.col("id").alias("user_id"))
+    write_bucketed(df, "dflt_bucketed", ["user_id"], num_buckets=2, mode="overwrite")
+    try:
+        with pytest.raises(AnalysisException):
+            write_bucketed(df, "dflt_bucketed", ["user_id"], num_buckets=2)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dflt_bucketed")

@@ -382,3 +382,56 @@ def test_locf_stream_multibatch_carry_and_leading_nulls(spark, tmp_path):
         6: 11.0,
         7: 20.0,   # user 8's first real value carried forward
     }
+
+
+def test_locf_stream_timeout_resets_state():
+    """Documents the post-timeout reset contract (see locf_fill_stream
+    docstring): once a key's state times out, its carried value is
+    REMOVED — a dropout arriving after the idle gap is emitted null
+    (fresh-key behavior), NOT filled from the stale pre-gap reading.
+    Driven against a fake GroupState because a real ProcessingTimeTimeout
+    needs wall-clock idle under a continuous trigger."""
+    import math
+
+    import pandas as pd
+
+    from river_spark.streaming.ops import _locf_update_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self.exists = v, True
+
+        def remove(self):
+            self._v, self.exists = None, False
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    update = _locf_update_fn(1000)
+    state = FakeState()
+    # batch 1: an observation, then a dropout -> dropout filled with 2.5
+    out1 = pd.concat(list(update(
+        (7,), iter([pd.DataFrame({"event_id": [1, 2], "v": [2.5, math.nan]})]), state
+    )))
+    assert list(out1["filled_value"]) == [2.5, 2.5]
+    assert state.exists and state.get == (2.5,)
+    # idle gap: the timeout fires -> state removed, nothing emitted
+    state.hasTimedOut = True
+    assert list(update((7,), iter(()), state)) == []
+    assert not state.exists
+    # batch 2 after the gap: leading dropout is NULL again, not 2.5
+    state.hasTimedOut = False
+    out2 = pd.concat(list(update(
+        (7,), iter([pd.DataFrame({"event_id": [3, 4], "v": [math.nan, 9.0]})]), state
+    )))
+    assert math.isnan(out2["filled_value"].iloc[0])
+    assert out2["filled_value"].iloc[1] == 9.0
