@@ -268,6 +268,7 @@ def _dedup_candidate_counts(spark, d: str) -> dict[str, int]:
 
     from river_spark.operators.dedup import (
         _band_hash_expr,
+        estimate_filtered_candidates,
         lsh_candidate_pairs,
         minhash_signatures,
         shingles,
@@ -276,9 +277,10 @@ def _dedup_candidate_counts(spark, d: str) -> dict[str, int]:
 
     docs = tbl(spark, d, "documents").select("doc_id", "text")
     sh = shingles(docs, "doc_id", "text", 3, hashed=True, distinct=False)
-    minhash_pairs = lsh_candidate_pairs(
-        minhash_signatures(sh, 64), bands=16, sig_len=64
-    ).count()
+    sigs = minhash_signatures(sh, 64)
+    cand = lsh_candidate_pairs(sigs, bands=16, sig_len=64)
+    minhash_pairs = cand.count()
+    minhash_surv = estimate_filtered_candidates(sigs, cand, margin_est=0.65).count()
 
     bench = docs.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("bid"), "text"
@@ -303,7 +305,11 @@ def _dedup_candidate_counts(spark, d: str) -> dict[str, int]:
         .distinct()
         .count()
     )
-    return {"minhash_candidate_pairs": minhash_pairs, "decontam_candidate_docs": decontam_docs}
+    return {
+        "minhash_candidate_pairs": minhash_pairs,
+        "minhash_estfiltered_pairs": minhash_surv,
+        "decontam_candidate_docs": decontam_docs,
+    }
 
 
 def deep_probe(spark, sf_dir: str, bench, timings: dict) -> dict:

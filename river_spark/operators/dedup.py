@@ -205,6 +205,45 @@ def lsh_candidate_pairs(
     return grouped.select(pair_expr).select("p.doc_a", "p.doc_b").distinct()
 
 
+def estimate_filtered_candidates(
+    sigs: DataFrame, cand: DataFrame, margin_est: float = 0.65
+) -> DataFrame:
+    """Signature-overlap estimate prefilter between LSH banding and the
+    exact verify — the stage that keeps near-duplicate FAMILIES from
+    melting the verify at scale.
+
+    Banding geometry is tuned for recall at the target threshold, and its
+    s-curve has a fat false-positive tail at mid Jaccard: with 16 bands x
+    4 rows, a pair at J=0.5 becomes a candidate w.p. ~0.64. A corpus with
+    w-wide families of semi-duplicates (boilerplate variants, templated
+    pages — and this repo's own 30x scaling replica) therefore produces
+    O(families x w²) candidates; the round-7 deep probe measured 2045x
+    candidate growth for 30x data, and the doc-restricted exact verify
+    degenerated toward full-corpus cost (64 s vs ~3 s linear).
+
+    The fix is O(1) per candidate: both 64-long signatures are already
+    computed, so the pair's estimated Jaccard (matching-minhash fraction)
+    filters BEFORE any shingle-level work. At ``margin_est=0.65`` with 64
+    hashes, a true pair at J>=0.9 is dropped w.p. = exact binomial tail
+    P(Bin(64, 0.9) <= 41) ~= 2.4e-8 — the same order as the banding miss
+    probability (~4e-8) the pipelines already document — while a J=0.5
+    family pair passes w.p. only 0.016 (98.4% candidate reduction).
+    Soundness is untouched: the exact verify still decides membership."""
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(matches / F.size("sig_a") >= margin_est)
+        .select("doc_a", "doc_b")
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,

@@ -432,6 +432,7 @@ def pipeline_dedup_retention(spark, sf_dir):
     could differ."""
     from river_spark.operators.dedup import ngram_jaccard_pairs
     from river_spark.operators.dedup import (
+        estimate_filtered_candidates,
         lsh_candidate_pairs,
         minhash_signatures,
         shingles,
@@ -441,6 +442,10 @@ def pipeline_dedup_retention(spark, sf_dir):
     sh = shingles(docs, "doc_id", "text", 3, hashed=True, distinct=False)
     sigs = minhash_signatures(sh, 64)
     cand = lsh_candidate_pairs(sigs, bands=16, sig_len=64)
+    # estimate prefilter: family-pair guard, miss 2.4e-8 (see
+    # estimate_filtered_candidates) — same order as the banding miss
+    # documented above
+    cand = estimate_filtered_candidates(sigs, cand, margin_est=0.65)
     cand_ids = cand.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()

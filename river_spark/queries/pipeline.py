@@ -153,18 +153,26 @@ def emb_ann_recall(spark, sf_dir):
     bench=True,
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH candidates verified by EXACT shingle Jaccard — the
-    production two-stage shape (cheap probabilistic candidates, exact
-    verify). With 64 hashes in 16 bands (4 rows/band) a pair at the 0.9
-    threshold is missed with probability (1-0.9^4)^16 ≈ 4e-8, so every
-    true pair's docs land in the candidate set; the verify stage is the
-    exact inverted-index Jaccard (ngram_jaccard_pairs) over ONLY the
-    candidate docs — flat long rows through small shuffles instead of
-    per-doc set arrays, so the verify cost scales with the candidate
-    set, not the corpus. Verifying all pairs among candidate DOCS is a
-    superset of the candidate PAIRS, and the exact >= 0.9 filter makes
-    the output precisely the oracle's exhaustive pair list."""
-    from river_spark.operators.dedup import ngram_jaccard_pairs
+    """MinHash-LSH candidates, THREE-stage production shape: band-bucket
+    candidates → signature-estimate prefilter → exact verify. With 64
+    hashes in 16 bands (4 rows/band) a pair at the 0.9 threshold is
+    missed with probability (1-0.9^4)^16 ≈ 4e-8, so every true pair's
+    docs land in the candidate set. The estimate prefilter
+    (estimate_filtered_candidates, margin 0.65 — miss 2.4e-8, the same
+    order as the banding miss) then drops the mid-Jaccard family pairs
+    the banding s-curve lets through, which is what keeps the exact
+    stage candidate-bounded on corpora with semi-duplicate families
+    (the round-7 deep probe's 2045x candidate blowup). The verify is
+    the exact inverted-index Jaccard (ngram_jaccard_pairs) over ONLY
+    the surviving docs; verifying all pairs among surviving DOCS is a
+    superset of the surviving PAIRS — and any extra pair it finds at
+    >= 0.9 is itself a true pair caught independently by its own docs —
+    so the exact >= 0.9 filter makes the output precisely the oracle's
+    exhaustive pair list."""
+    from river_spark.operators.dedup import (
+        estimate_filtered_candidates,
+        ngram_jaccard_pairs,
+    )
 
     docs = tbl(spark, sf_dir, "documents")
     # distinct=False: the only consumer here (min-hash mins) is
@@ -172,7 +180,8 @@ def dedup_minhash_lsh(spark, sf_dir):
     sh = shingles(docs, "doc_id", "text", 3, hashed=True, distinct=False)
     sigs = minhash_signatures(sh, 64)
     cand = lsh_candidate_pairs(sigs, bands=16, sig_len=64)
-    cand_ids = cand.select(
+    surv = estimate_filtered_candidates(sigs, cand, margin_est=0.65)
+    cand_ids = surv.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
     cand_docs = docs.join(cand_ids, "doc_id", "left_semi")
