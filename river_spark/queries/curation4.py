@@ -282,3 +282,46 @@ def text_cdc_chunks(spark, sf_dir):
             ).alias("chunk_md5"),
         )
     )
+
+
+@q(
+    "text_char_entropy",
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, substring(lower(text), i, 1) AS c
+        FROM documents, UNNEST(generate_series(1, len(text))) AS g(i)),
+    cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+    agg AS (SELECT doc_id, sum(k) AS l, sum(k * ln(k)) AS s FROM cnt GROUP BY 1)
+    SELECT doc_id, CAST(l AS BIGINT) AS n_chars,
+           round(ln(l) - s / l, 6) AS char_entropy
+    FROM agg
+    """,
+    tags=("text", "quality", "entropy"),
+)
+def text_char_entropy(spark, sf_dir):
+    """Per-document character-level Shannon entropy — the classic cheap
+    gibberish/boilerplate detector (low entropy = repeated filler, high
+    entropy = encrypted/binary junk). Uses the aggregation identity
+    H = ln L - (Σ k·ln k)/L so the whole thing is two hash aggregations
+    with map-side partials — no per-doc arrays, no window, no sort.
+    Characters come from identical substring arithmetic on both engines
+    (split-on-empty-string differs between them)."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "if(length(text) < 1, array(), "
+                "transform(sequence(1, length(text)), i -> substring(lower(text), i, 1)))"
+            )
+        ).alias("c"),
+    )
+    cnt = ch.groupBy("doc_id", "c").agg(F.count("*").alias("k"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("k").alias("l"), F.sum(F.col("k") * F.log("k")).alias("s")
+    )
+    return agg.select(
+        "doc_id",
+        F.col("l").cast("long").alias("n_chars"),
+        F.round(F.log("l") - F.col("s") / F.col("l"), 6).alias("char_entropy"),
+    )

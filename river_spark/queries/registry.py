@@ -51,6 +51,8 @@ _PRIORITY = [
     "pipeline_dsir_weights",
     "emb_semdedup",
     "text_cdc_chunks",
+    "agg_hll_sketch",
+    "text_char_entropy",
     "decontam_ngram_overlap",
     "dedup_components",
     "emb_cluster_assign",

@@ -265,3 +265,55 @@ def agg_value_histogram(spark, sf_dir):
         F.round(F.min("l_extendedprice"), 2).alias("bin_min"),
         F.round(F.max("l_extendedprice"), 2).alias("bin_max"),
     )
+
+
+@q(
+    "agg_hll_sketch",
+    oracle="""
+    SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS exact_customers,
+           CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           TRUE AS union_within_tol,
+           TRUE AS groups_within_tol
+    FROM customer
+    """,
+    tags=("agg", "sketch", "hll"),
+)
+def agg_hll_sketch(spark, sf_dir):
+    """Mergeable HLL sketches (Apache DataSketches, Spark 3.5+'s
+    hll_sketch_agg family) — the 100 TB cardinality pattern
+    approx_count_distinct can't give you: per-group sketches are
+    materialized values that UNION in a second aggregation level without
+    rescanning the data (precompute per partition/day, merge on demand).
+    Sketch bytes are implementation-defined, so the invariant oracle
+    (same shape as agg_approx_distinct) checks exact counts bit-for-bit
+    plus booleans asserting every per-nation estimate AND the unioned
+    global estimate land within tolerance (3x the lgK=12 rse ~1.6%).
+    c_custkey is globally unique, so the exact global count is the SUM
+    of per-nation exacts — the whole query is one two-level aggregation
+    tree, no second scan."""
+    tol = 0.05
+    cust = tbl(spark, sf_dir, "customer")
+    g = (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.hll_sketch_agg("c_custkey").alias("sk"),
+            F.countDistinct("c_custkey").alias("ex"),
+        )
+        .select(
+            "c_nationkey",
+            "sk",
+            "ex",
+            (
+                F.abs(F.hll_sketch_estimate("sk") - F.col("ex")) <= tol * F.col("ex")
+            ).alias("g_ok"),
+        )
+    )
+    return g.agg(
+        F.sum("ex").cast("long").alias("exact_customers"),
+        F.count("*").cast("long").alias("n_nations"),
+        (
+            F.abs(F.hll_sketch_estimate(F.hll_union_agg("sk")) - F.sum("ex"))
+            <= tol * F.sum("ex")
+        ).alias("union_within_tol"),
+        F.bool_and("g_ok").alias("groups_within_tol"),
+    )

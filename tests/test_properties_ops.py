@@ -193,3 +193,94 @@ def test_asof_matches_pandas_merge_asof(spark, data, direction):
         for r in exp_df.itertuples()
     }
     assert got == exp
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=12).map(
+            lambda toks: " ".join(toks)
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.05, 0.3, 0.9]),
+)
+@settings(**_SETTINGS)
+def test_ngram_jaccard_matches_brute_force(spark, docs, threshold):
+    """The round-7 ngram_jaccard_pairs rewrite (map-side shingle sets,
+    carried denominators, single-pass pair lambda) against an
+    independent pure-python exhaustive Jaccard over the same truncated
+    3-token shingle definition. Tiny vocab ('a'..'g') forces heavy
+    shingle sharing, exercising the inverted index hard."""
+    from river_spark.operators.dedup import ngram_jaccard_pairs
+
+    def shingle_set(text):
+        t = text.strip().lower().split()
+        n = 3
+        return {" ".join(t[i : i + n]) for i in range(max(len(t) - n, 0) + 1)}
+
+    expected = {}
+    sets = [shingle_set(d) for d in docs]
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            inter = len(sets[i] & sets[j])
+            if inter == 0:
+                continue
+            jac = inter / len(sets[i] | sets[j])
+            if jac >= threshold:
+                expected[(i, j)] = jac
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=threshold
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert abs(got[k] - v) < 1e-12, (k, got[k], v)
+
+
+@given(
+    base=st.lists(
+        st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+                 min_size=4, max_size=10).map(lambda t: " ".join(t)),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_minhash_pipeline_with_prefilter_finds_planted_dups(spark, base):
+    """End-to-end three-stage minhash pipeline (banding -> estimate
+    prefilter -> exact verify) on a corpus with planted exact duplicates:
+    every planted pair must surface at Jaccard 1.0 — the estimate
+    prefilter (margin 0.65) may only ever drop sub-threshold pairs."""
+    from river_spark.operators.dedup import (
+        estimate_filtered_candidates,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    rows = [(i, d) for i, d in enumerate(base)]
+    rows += [(100 + i, d) for i, d in enumerate(base)]  # exact twins
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = shingles(docs, "doc_id", "text", 3, hashed=True, distinct=False)
+    sigs = minhash_signatures(sh, 64)
+    cand = lsh_candidate_pairs(sigs, bands=16, sig_len=64)
+    surv = estimate_filtered_candidates(sigs, cand, margin_est=0.65)
+    ids = surv.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs.join(ids, "doc_id", "left_semi"), "doc_id", "text", 3, threshold=0.9
+        ).collect()
+    }
+    for i, d in enumerate(base):
+        # identical text => Jaccard exactly 1.0; duplicate texts in `base`
+        # itself may add more valid pairs, so check membership not equality
+        assert pairs.get((i, 100 + i)) == 1.0, (i, pairs)
