@@ -53,6 +53,7 @@ _PRIORITY = [
     "text_cdc_chunks",
     "agg_hll_sketch",
     "text_char_entropy",
+    "river_stream_static_join",
     "decontam_ngram_overlap",
     "dedup_components",
     "emb_cluster_assign",

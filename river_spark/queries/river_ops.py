@@ -613,6 +613,60 @@ def river_stream_join(spark, sf_dir):
 
 
 @q(
+    "river_stream_static_join",
+    oracle="""
+    SELECT n.n_name, count(*) AS n, round(sum(e.value), 4) AS sum_value
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("river", "streaming", "join", "static"),
+)
+def river_stream_static_join(spark, sf_dir):
+    """A REAL stream-STATIC join through the driver gate: the live river
+    events stream is enriched against the static nation parquet
+    dimension inside the streaming query (broadcast hash join in every
+    micro-batch — the canonical streaming-enrichment shape: the static
+    side is planned once and needs no state, no watermark, and survives
+    any micro-batch slicing). Complements river_stream_join (stream ×
+    stream): together they cover both join sources Structured Streaming
+    distinguishes. The drained, enriched rows must aggregate to the
+    batch join over the source tables."""
+    from river_spark.sources import register
+
+    key = ("stream_static_join", sf_dir)
+    if key not in _CACHE:
+        register(spark)
+        work = tempfile.mkdtemp(prefix="river_spark_ssj_")
+        store = os.path.join(work, "store")
+        log = StreamLog(store)
+        schema, arr = _events_array(sf_dir, ("event_id", "user_id", "value"))
+        w = StreamWriter(log).initialize("events_ssj", schema)
+        w.write(arr)
+        w.stop()
+        ev = (
+            spark.readStream.format("river")
+            .option("path", store)
+            .option("stream", "events_ssj")
+            .option("maxSamplesPerTrigger", "4096")
+            .load()
+            .select((F.col("user_id") % 25).alias("nk"), "value")
+        )
+        nat = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+            F.col("n_nationkey").alias("nk"), "n_name"
+        )
+        joined = ev.join(F.broadcast(nat), "nk").select("n_name", "value")
+        _CACHE[key] = _drain_to_memory(
+            joined, work, _memory_table_name("river_ssj_", sf_dir)
+        )
+    return spark.sql(
+        f"""
+        SELECT n_name, count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM {_CACHE[key]} GROUP BY n_name
+        """
+    )
+
+
+@q(
     "river_sink_roundtrip",
     oracle="SELECT doc_id, text FROM documents",
     tags=("river", "sink", "roundtrip"),
