@@ -54,6 +54,7 @@ _PRIORITY = [
     "agg_hll_sketch",
     "text_char_entropy",
     "river_stream_static_join",
+    "pipeline_cdc_merge",
     "decontam_ngram_overlap",
     "dedup_components",
     "emb_cluster_assign",

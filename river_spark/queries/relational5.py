@@ -339,3 +339,79 @@ def agg_grouping_id(spark, sf_dir):
             "n",
         )
     )
+
+
+@q(
+    "pipeline_cdc_merge",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 <> 0),
+    changes AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 4 = 0 THEN 'I'
+                    WHEN o_orderkey % 8 = 1 THEN 'U'
+                    ELSE 'D' END AS op,
+               round(o_totalprice + 10.0, 2) AS new_price
+        FROM orders
+        WHERE o_orderkey % 4 = 0 OR o_orderkey % 8 = 1 OR o_orderkey % 8 = 2)
+    SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+           round(CASE WHEN c.op IN ('U', 'I') THEN c.new_price
+                      ELSE b.o_totalprice END, 2) AS price,
+           CASE WHEN c.op IS NULL THEN 'kept'
+                WHEN c.op = 'U' THEN 'updated'
+                ELSE 'inserted' END AS row_source
+    FROM base b FULL OUTER JOIN changes c USING (o_orderkey)
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+    tags=("pipeline", "cdc", "merge"),
+)
+def pipeline_cdc_merge(spark, sf_dir):
+    """MERGE/upsert (CDC apply) without a table format: a deterministic
+    changes feed (inserts = the held-out quarter of orders, updates =
+    keys ≡1 mod 8 with +10 price, deletes = keys ≡2 mod 8) applied onto
+    the base snapshot via ONE full-outer join — insert rows surface from
+    the change side, updates override the base value, deletes drop, and
+    untouched base rows pass through. The classic batch-upsert shape
+    Delta/Iceberg MERGE compiles down to; expressed directly so it runs
+    on plain parquet.
+
+    100 TB posture: one shuffle per side on the merge key (AQE handles
+    skewed keys); at scale the base side would be bucketed on the key
+    (storage.write_bucketed) making the merge exchange-free on that
+    side. No collect, no driver loop — the whole apply is one plan."""
+    orders = tbl(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    changes = (
+        orders.filter(
+            (F.col("o_orderkey") % 4 == 0)
+            | (F.col("o_orderkey") % 8 == 1)
+            | (F.col("o_orderkey") % 8 == 2)
+        )
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 4 == 0, F.lit("I"))
+            .when(F.col("o_orderkey") % 8 == 1, F.lit("U"))
+            .otherwise(F.lit("D"))
+            .alias("op"),
+            F.round(F.col("o_totalprice") + 10.0, 2).alias("new_price"),
+        )
+    )
+    merged = base.join(changes, "o_orderkey", "full_outer")
+    return (
+        merged.filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            "o_orderkey",
+            F.round(
+                F.when(F.col("op").isin("U", "I"), F.col("new_price")).otherwise(
+                    F.col("o_totalprice")
+                ),
+                2,
+            ).alias("price"),
+            F.when(F.col("op").isNull(), F.lit("kept"))
+            .when(F.col("op") == "U", F.lit("updated"))
+            .otherwise(F.lit("inserted"))
+            .alias("row_source"),
+        )
+    )
