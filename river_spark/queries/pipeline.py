@@ -168,7 +168,18 @@ def dedup_minhash_lsh(spark, sf_dir):
     superset of the surviving PAIRS — and any extra pair it finds at
     >= 0.9 is itself a true pair caught independently by its own docs —
     so the exact >= 0.9 filter makes the output precisely the oracle's
-    exhaustive pair list."""
+    exhaustive pair list.
+
+    Shape choice (measured): carrying the signatures THROUGH the bucket
+    shuffle and estimating in-bucket (minhash_dedup's shape) avoids the
+    two est-join re-executions of the signature aggregation and ran ~10%
+    faster here (3.07 vs 3.43 s at sf0.1; 12.9 vs 14.0 s at 30x,
+    identical output) — but it shuffles the 64-long signature with every
+    band row (~8.3 KB/doc vs 128 B/doc ids-only, 65x the bytes).
+    local[32] shuffles at memory speed; a network-bound 1000-executor
+    shuffle does not, so the ids-only join shape is the 100 TB choice,
+    and the in-bucket variant remains one call away as
+    minhash_dedup(threshold=margin)."""
     from river_spark.operators.dedup import (
         estimate_filtered_candidates,
         ngram_jaccard_pairs,
