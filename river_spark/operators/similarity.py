@@ -64,7 +64,25 @@ def lsh_signature(vec_col: str, n_planes: int = 12, weights=None):
     if weights is not None:
         if len(weights) != n_planes:
             raise ValueError(f"expected {n_planes} weight rows, got {len(weights)}")
-        sig = F.lit(0)
+        dim = len(weights[0])
+        if any(len(row) != dim for row in weights):
+            raise ValueError("weight rows must all have the same length")
+        # Loud dimension guard: a vector shorter/longer than the weight
+        # rows would zip_with-pad with NULLs, NULL the dot product, and
+        # silently zero every plane bit (collapsing LSH to one bucket).
+        # raise_error turns that silent degradation into a job failure,
+        # matching the DuckDB oracle side, which errors on the mismatch.
+        guard = F.when(
+            F.size(F.col(vec_col)) != F.lit(dim),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"lsh_signature: vector dim != weight dim {dim} (got "),
+                    F.size(F.col(vec_col)).cast("string"),
+                    F.lit(")"),
+                )
+            ).cast("int"),
+        ).otherwise(F.lit(0))
+        sig = guard
         for p, row in enumerate(weights):
             w = F.array(*[F.lit(float(x)) for x in row])
             dot = F.aggregate(

@@ -78,8 +78,11 @@ _PRIORITY = [
     "text_tfidf_top_terms",
     "text_unigram_logprob",
     # next-stalest: round 5's window also covered these, so their newest
-    # on-disk driver row is round 4 — they fill the rest of the first-50
-    # window.
+    # on-disk driver row is round 4. With 7 new round-7 queries + the 22
+    # above, only the first 21 of this 28-query block fit inside the
+    # driver's first-50 window (through ev_sliding_window); the trailing
+    # 7 (ev_sessionize..ev_seek) stay round-4-stale and MUST lead round
+    # 8's rotation.
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_nation_volume",

@@ -280,43 +280,50 @@ class _Handler(socketserver.BaseRequestHandler):
             return out
 
     # streams
+    def _xadd_locked(self, state, key, raw_id, fields) -> bytes:
+        """XADD core; caller must hold state.cond. Split out so the
+        module commands can expand one client command into many entries
+        ATOMICALLY (real Redis module commands are atomic — a reader must
+        never observe a compressed blob without its reference chain)."""
+        st = state.streams.setdefault(key, _Stream())
+        last_ms, last_seq = st.last_id
+        ever = st.max_id != (0, 0)
+        if raw_id == b"*":
+            ms = int(time.time() * 1000)
+            if ms < last_ms:
+                ms = last_ms
+            seq = last_seq + 1 if ms == last_ms and ever else 0
+        else:
+            s = raw_id.decode()
+            if s.endswith("-*"):
+                ms = int(s[:-2])
+                if ms < last_ms:
+                    raise ValueError(
+                        "The ID specified in XADD is equal or smaller than "
+                        "the target stream top item"
+                    )
+                seq = last_seq + 1 if ms == last_ms and ever else 0
+            else:
+                ms, seq = _parse_id(raw_id, 0)
+            # vs the persisted high-water mark, like real Redis; this
+            # also rejects explicit 0-0 on an empty stream
+            if (ms, seq) <= (last_ms, last_seq):
+                raise ValueError(
+                    "The ID specified in XADD is equal or smaller than "
+                    "the target stream top item"
+                )
+        st.max_id = (ms, seq)
+        st.entries.append(((ms, seq), fields))
+        state.cond.notify_all()
+        return b"%d-%d" % (ms, seq)
+
     def _cmd_xadd(self, state, args):
         key, raw_id, fv = args[0], args[1], args[2:]
         if len(fv) % 2:
             raise ValueError("wrong number of arguments for 'xadd' command")
         fields = list(zip(fv[::2], fv[1::2]))
         with state.cond:
-            st = state.streams.setdefault(key, _Stream())
-            last_ms, last_seq = st.last_id
-            ever = st.max_id != (0, 0)
-            if raw_id == b"*":
-                ms = int(time.time() * 1000)
-                if ms < last_ms:
-                    ms = last_ms
-                seq = last_seq + 1 if ms == last_ms and ever else 0
-            else:
-                s = raw_id.decode()
-                if s.endswith("-*"):
-                    ms = int(s[:-2])
-                    if ms < last_ms:
-                        raise ValueError(
-                            "The ID specified in XADD is equal or smaller than "
-                            "the target stream top item"
-                        )
-                    seq = last_seq + 1 if ms == last_ms and ever else 0
-                else:
-                    ms, seq = _parse_id(raw_id, 0)
-                # vs the persisted high-water mark, like real Redis; this
-                # also rejects explicit 0-0 on an empty stream
-                if (ms, seq) <= (last_ms, last_seq):
-                    raise ValueError(
-                        "The ID specified in XADD is equal or smaller than "
-                        "the target stream top item"
-                    )
-            st.max_id = (ms, seq)
-            st.entries.append(((ms, seq), fields))
-            state.cond.notify_all()
-        return b"%d-%d" % (ms, seq)
+            return self._xadd_locked(state, key, raw_id, fields)
 
     # ---- reference server-module commands (river_redismodule.c) -----------
     # The reference ships a Redis module whose three commands expand one
@@ -324,49 +331,61 @@ class _Handler(socketserver.BaseRequestHandler):
     # here lets the transport suite exercise the module WIRE LAYOUTS —
     # including the compressed blob + `reference` entry chain — without a
     # real redis-server + compiled module.
-    def _xadd_auto(self, state, key: bytes, fields: list[bytes]) -> bytes:
-        return self._cmd_xadd(state, [key, b"*", *fields])
-
     def _cmd_river_batch_xadd(self, state, args):
         """RIVER.batch_xadd <key> <index_start> <num_samples> <sample_size>
-        <value>: one (i, val) entry per fixed-width sample, auto IDs
-        (river_redismodule.c:12-61)."""
+        <value>: one (i, val) entry per fixed-width sample, auto IDs,
+        expanded atomically (river_redismodule.c:12-61)."""
         key, index_start, num_samples, sample_size, value = args
         start, n, ss = int(index_start), int(num_samples), int(sample_size)
-        for i in range(n):
-            self._xadd_auto(
-                state, key, [b"i", b"%d" % (start + i), b"val", value[i * ss:(i + 1) * ss]]
-            )
+        with state.cond:
+            for i in range(n):
+                self._xadd_locked(
+                    state, key, b"*",
+                    [(b"i", b"%d" % (start + i)), (b"val", value[i * ss:(i + 1) * ss])],
+                )
         return SimpleString(b"OK")
 
     def _cmd_river_batch_xadd_compressed(self, state, args):
         """RIVER.batch_xadd_compressed <key> <index_start> <num_samples>
         <blob>: the first entry holds the whole batch's compressed blob
         under (i=index_start, val=blob); each remaining logical sample is
-        an (i, reference=<blob entry id>) entry
+        an (i, reference=<blob entry id>) entry — all appended atomically,
+        so no reader can see a blob without its reference chain
         (river_redismodule.c:63-131)."""
         key, index_start, num_samples, blob = args
         start, n = int(index_start), int(num_samples)
-        blob_id = self._xadd_auto(state, key, [b"i", b"%d" % start, b"val", blob])
-        for i in range(1, n):
-            self._xadd_auto(
-                state, key, [b"i", b"%d" % (start + i), b"reference", blob_id]
+        with state.cond:
+            blob_id = self._xadd_locked(
+                state, key, b"*", [(b"i", b"%d" % start), (b"val", blob)]
             )
+            for i in range(1, n):
+                self._xadd_locked(
+                    state, key, b"*",
+                    [(b"i", b"%d" % (start + i)), (b"reference", blob_id)],
+                )
         return SimpleString(b"OK")
 
     def _cmd_river_batch_xadd_variable(self, state, args):
         """RIVER.batch_xadd_variable <key> <index_start> <sizes> <value>:
-        per-sample (i, val) entries, sample boundaries given by the native
-        int32 sizes array (river_redismodule.c:134-184)."""
+        per-sample (i, val) entries, sample boundaries from the int32
+        sizes array, expanded atomically (river_redismodule.c:134-184 —
+        the C module casts client bytes to `const int *`, i.e. the
+        server's native order; every supported platform here is
+        little-endian, so decode explicitly as '<i4' rather than
+        inheriting whatever this host's C int happens to be)."""
+        import struct
+
         key, index_start, sizes_raw, value = args
         start = int(index_start)
-        sizes = memoryview(sizes_raw).cast("i")
+        sizes = struct.unpack(f"<{len(sizes_raw) // 4}i", sizes_raw)
         off = 0
-        for i, sz in enumerate(sizes):
-            self._xadd_auto(
-                state, key, [b"i", b"%d" % (start + i), b"val", value[off:off + sz]]
-            )
-            off += sz
+        with state.cond:
+            for i, sz in enumerate(sizes):
+                self._xadd_locked(
+                    state, key, b"*",
+                    [(b"i", b"%d" % (start + i)), (b"val", value[off:off + sz])],
+                )
+                off += sz
         return SimpleString(b"OK")
 
     def _cmd_xlen(self, state, args):

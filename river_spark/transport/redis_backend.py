@@ -253,9 +253,16 @@ class RedisBackend(StorageBackend):
                 "RIVER.batch_xadd_compressed", key,
                 str(int(start_index)), str(int(n)), data,
             )
-            tail = c.command("XREVRANGE", key, "+", "-", "COUNT", int(n))
-            ids = [e[0].decode() for e in reversed(tail)]  # oldest -> newest
-            first_id, last_id = ids[0], ids[-1]
+            # Server-assigned IDs: read back ONLY the newest entry. For
+            # n>1 that's the last `reference` entry — its id is last_id
+            # and its reference field IS the blob entry id (first_id);
+            # for n==1 the newest entry is the (small-blob) entry itself.
+            # XREVRANGE COUNT n here would echo the whole compressed blob
+            # back over the wire, doubling hot-path write bytes.
+            newest_id, flat = c.command("XREVRANGE", key, "+", "-", "COUNT", 1)[0]
+            f = _fields_dict(flat)
+            last_id = newest_id.decode()
+            first_id = f[b"reference"].decode() if b"reference" in f else last_id
         elif info["compressed"] or self.batch_framing:
             # module-path analog: one entry per batch (opaque compressed
             # payload, or raw batch payload under batch_framing)

@@ -643,3 +643,67 @@ def test_foreign_module_compressed_stream_is_readable(server, backend):
     np.testing.assert_array_equal(res.samples["a"], arr["a"])
     np.testing.assert_array_equal(res.samples["b"], arr["b"])
     assert r.read(1, timeout_ms=10).eof
+
+
+def test_foreign_module_fixed_and_variable_streams_readable(server, backend):
+    """Streams laid down through the module's PER-SAMPLE commands
+    (RIVER.batch_xadd / RIVER.batch_xadd_variable — the reference
+    writer's module fast path for uncompressed data) must read back
+    through StreamReader exactly: server-assigned IDs, i/val field
+    layout, little-endian int32 sizes framing on the variable path."""
+    import struct
+
+    _require_river_module(backend.host, backend.port)
+    raw = RespClient(backend.host, backend.port)
+
+    # fixed-width via RIVER.batch_xadd
+    schema = _schema()
+    raw.command(
+        "HSET", "modfix-metadata",
+        "first_stream_key", "modfix-0",
+        "schema", schema.to_json(),
+        "initialized_at_us", "1723500000000000",
+        "user_metadata", "{}",
+    )
+    arr = np.zeros(25, dtype=schema.dtype())
+    arr["a"] = np.arange(25) * 2
+    arr["b"] = np.arange(25) * 0.25
+    raw.command(
+        "RIVER.batch_xadd", "modfix-0", "0", "25",
+        str(schema.sample_size()), arr.tobytes(),
+    )
+    raw.command("XADD", "modfix-0", "*", "eof", "1", "sample_index", "24")
+    res = StreamReader(StreamLog(backend=backend)).initialize("modfix").read(
+        100, timeout_ms=100
+    )
+    assert res.count == 25
+    np.testing.assert_array_equal(res.samples["a"], arr["a"])
+    np.testing.assert_array_equal(res.samples["b"], arr["b"])
+
+    # variable-width via RIVER.batch_xadd_variable (int32 LE sizes)
+    vschema = StreamSchema(
+        [FieldDefinition("v", FieldType.VARIABLE_WIDTH_BYTES, size=32)]
+    )
+    raw.command(
+        "HSET", "modvar-metadata",
+        "first_stream_key", "modvar-0",
+        "schema", vschema.to_json(),
+        "initialized_at_us", "1723500000000000",
+        "user_metadata", "{}",
+    )
+    payloads = [b"alpha", b"", b"bee", b"longest-payload!"]
+    sizes = struct.pack(f"<{len(payloads)}i", *[len(p) for p in payloads])
+    raw.command(
+        "RIVER.batch_xadd_variable", "modvar-0", "0", sizes, b"".join(payloads)
+    )
+    raw.command(
+        "XADD", "modvar-0", "*", "eof", "1", "sample_index", str(len(payloads) - 1)
+    )
+    vres = StreamReader(StreamLog(backend=backend)).initialize("modvar").read(
+        100, timeout_ms=100
+    )
+    assert vres.count == len(payloads)
+    np.testing.assert_array_equal(vres.sizes, [len(p) for p in payloads])
+    offs = np.concatenate([[0], np.cumsum([len(p) for p in payloads])])
+    got = [vres.samples[offs[i]:offs[i + 1]].tobytes() for i in range(len(payloads))]
+    assert got == payloads
