@@ -55,6 +55,9 @@ _PRIORITY = [
     "text_char_entropy",
     "river_stream_static_join",
     "pipeline_cdc_merge",
+    "rec_cte_ancestry",
+    "scalar_variant",
+    "join_lateral_topk",
     "decontam_ngram_overlap",
     "dedup_components",
     "emb_cluster_assign",
@@ -78,11 +81,11 @@ _PRIORITY = [
     "text_tfidf_top_terms",
     "text_unigram_logprob",
     # next-stalest: round 5's window also covered these, so their newest
-    # on-disk driver row is round 4. With 7 new round-7 queries + the 22
-    # above, only the first 21 of this 28-query block fit inside the
-    # driver's first-50 window (through ev_sliding_window); the trailing
-    # 7 (ev_sessionize..ev_seek) stay round-4-stale and MUST lead round
-    # 8's rotation.
+    # on-disk driver row is round 4. With 10 new round-7 queries + the
+    # 22 above, only the first 18 of this 28-query block fit inside the
+    # driver's first-50 window (through win_rank_ntile); the trailing 10
+    # (win_topk_per_group..ev_seek) stay round-4-stale and MUST lead
+    # round 8's rotation.
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_nation_volume",

@@ -415,3 +415,110 @@ def pipeline_cdc_merge(spark, sf_dir):
             .alias("row_source"),
         )
     )
+
+
+@q(
+    "rec_cte_ancestry",
+    oracle="""
+    WITH RECURSIVE anc AS (
+        SELECT s_suppkey, s_suppkey AS cur, 0 AS depth FROM supplier
+        UNION ALL
+        SELECT s_suppkey, cur // 2, depth + 1 FROM anc WHERE cur > 1
+    )
+    SELECT s_suppkey, CAST(max(depth) AS BIGINT) AS depth_to_root,
+           CAST(count(*) AS BIGINT) AS chain_len
+    FROM anc GROUP BY s_suppkey
+    """,
+    tags=("relational", "recursive"),
+)
+def rec_cte_ancestry(spark, sf_dir):
+    """Recursive CTE (Spark 4.0's WITH RECURSIVE): every supplier walks
+    its implicit binary-tree ancestry (parent = key DIV 2) to the root
+    and reports depth + chain length — the org-chart/BOM traversal shape
+    SQL engines express recursively. Runs as Catalyst's iterative
+    union-loop (driver coordinates one distributed step per level, ~log2
+    N levels here); contrast operators/components.py, which hand-rolls
+    the same fixpoint pattern with localCheckpoint lineage truncation
+    for the graph case where per-iteration dedup matters."""
+    tbl(spark, sf_dir, "supplier").createOrReplaceTempView("rec_supplier_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+            SELECT s_suppkey, s_suppkey AS cur, 0 AS depth FROM rec_supplier_v
+            UNION ALL
+            SELECT s_suppkey, cur DIV 2, depth + 1 FROM anc WHERE cur > 1
+        )
+        SELECT s_suppkey, CAST(max(depth) AS BIGINT) AS depth_to_root,
+               CAST(count(*) AS BIGINT) AS chain_len
+        FROM anc GROUP BY s_suppkey
+        """
+    )
+
+
+@q(
+    "scalar_variant",
+    oracle="""
+    SELECT o_orderkey, o_totalprice AS v_price, o_orderstatus AS v_status,
+           CAST(o_orderkey % 5 AS BIGINT) AS v_bucket
+    FROM orders
+    """,
+    tags=("scalar", "variant", "json"),
+)
+def scalar_variant(spark, sf_dir):
+    """VARIANT round trip (Spark 4.0's semi-structured type): each order
+    is serialized to JSON, parsed into a VARIANT value (binary
+    semi-structured encoding — the fast path for schemaless columns),
+    and the fields extracted back with typed variant_get paths,
+    including a nested object. The oracle reads the SAME values straight
+    from the base columns, so the whole encode→parse→extract loop must
+    be lossless."""
+    o = tbl(spark, sf_dir, "orders")
+    j = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("p"),
+            F.struct(
+                F.col("o_orderstatus").alias("s"),
+                (F.col("o_orderkey") % 5).alias("b"),
+            ).alias("nest"),
+        )
+    )
+    v = F.parse_json(j)
+    return o.select(
+        "o_orderkey",
+        F.variant_get(v, "$.p", "double").alias("v_price"),
+        F.variant_get(v, "$.nest.s", "string").alias("v_status"),
+        F.variant_get(v, "$.nest.b", "bigint").alias("v_bucket"),
+    )
+
+
+@q(
+    "join_lateral_topk",
+    oracle="""
+    SELECT n.n_name, c.c_custkey, c.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+    """,
+    tags=("join", "lateral"),
+)
+def join_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery join (per-nation top-2 customers by
+    balance): the SQL-standard way to express per-group top-k as a join.
+    Catalyst decorrelates the lateral limit into a window under the
+    hood, so the physical plan is the same rank-filter shape as
+    win_topk_per_group — the point here is the SURFACE: a user porting
+    lateral SQL runs it unchanged. Ties broken by c_custkey both
+    engines."""
+    tbl(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation_v")
+    tbl(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer_v")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, c.c_acctbal
+        FROM lat_nation_v n, LATERAL (
+            SELECT c_custkey, c_acctbal FROM lat_customer_v
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        """
+    )
