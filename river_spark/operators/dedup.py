@@ -263,7 +263,9 @@ def minhash_dedup(
     persisted; the only quadratic-risk stage is bounded by max_bucket."""
     sh = shingles(df, id_col, text_col, n, hashed=True, distinct=False)
     sigs = minhash_signatures(sh, num_hashes)
-    pairs = _in_bucket_pairs(_band_buckets(sigs, bands, max_bucket), "sig")
+    # num_hashes is known here, so band hashing always takes the variadic
+    # fast path (see _band_hash_expr)
+    pairs = _in_bucket_pairs(_band_buckets(sigs, bands, max_bucket, sig_len=num_hashes), "sig")
     matches = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
