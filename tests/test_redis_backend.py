@@ -707,3 +707,41 @@ def test_foreign_module_fixed_and_variable_streams_readable(server, backend):
     offs = np.concatenate([[0], np.cumsum([len(p) for p in payloads])])
     got = [vres.samples[offs[i]:offs[i + 1]].tobytes() for i in range(len(payloads))]
     assert got == payloads
+
+
+def test_module_compressed_rollover_and_tail_probes(server):
+    """Module-framed compressed batches interleaved with segment
+    rollover: tombstones sit between blob/reference chains, the reader
+    follows every transition bit-exactly, and the O(1) tail probes
+    (last_index / last_batch_info) understand reference entries."""
+    from river_spark.transport.compression import CompressionMode, Compressor
+
+    host, port = server
+    _require_river_module(host, port)
+    b = RedisBackend(host, port, module_framing=True)
+    b._conn().command("FLUSHALL")
+    log = StreamLog(backend=b)
+    schema = StreamSchema([FieldDefinition("x", FieldType.DOUBLE)])
+    w = StreamWriter(
+        log,
+        compression=Compressor(CompressionMode.ZLIB_LOSSLESS),
+        batch_size=32,
+        entries_per_segment=64,
+    )
+    w.initialize("mod_roll", schema)
+    arr = np.zeros(300, dtype=schema.dtype())
+    arr["x"] = np.arange(300.0)
+    w.write(arr)
+    w.stop()
+
+    r = StreamReader(StreamLog(backend=RedisBackend(host, port))).initialize("mod_roll")
+    transitions = []
+    r.add_listener(lambda old, new: transitions.append((old, new)))
+    res = r.read(1000, timeout_ms=200)
+    assert res.count == 300
+    np.testing.assert_array_equal(res.samples["x"], arr["x"])
+    assert transitions == [(0, 1), (1, 2), (2, 3), (3, 4)]
+    # tail probes must parse reference entries (64 samples per segment)
+    assert b.last_index("mod_roll", 0) == 64
+    info = b.last_batch_info("mod_roll", 0)
+    assert info is not None and info[0] == 64
