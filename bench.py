@@ -87,9 +87,45 @@ def transport_throughput(repeats: int = 3) -> dict[str, float]:
             best_r = max(best_r, mb / (time.perf_counter() - t0))
         finally:
             shutil.rmtree(root, ignore_errors=True)
-    return {
+    out = {
         "transport_write_mb_s": round(best_w, 1),
         "transport_read_mb_s": round(best_r, 1),
+    }
+    out.update(_redis_transport_throughput(schema, arr, mb, repeats))
+    return out
+
+
+def _redis_transport_throughput(schema, arr, mb: float, repeats: int) -> dict[str, float]:
+    """Same 1M x 8 B workload over the REDIS wire (in-process RESP-subset
+    server, batch framing — the server-module analog the reference's own
+    benchmark uses): the published >30 MB/s baseline is measured through
+    Redis, so this leg is the same-substrate comparison; the file-backend
+    numbers above show the log-structured path."""
+    from river_spark.testing import MiniRedisServer
+    from river_spark.transport import RedisBackend, StreamLog, StreamReader, StreamWriter
+
+    best_w, best_r = 0.0, 0.0
+    with MiniRedisServer() as (host, port):
+        for rep in range(repeats):
+            backend = RedisBackend(host, port, batch_framing=True)
+            log = StreamLog(backend=backend)
+            name = f"bench_redis_{rep}"
+            w = StreamWriter(log, batch_size=10240).initialize(name, schema)
+            t0 = time.perf_counter()
+            w.write(arr)
+            w.stop()
+            best_w = max(best_w, mb / (time.perf_counter() - t0))
+            r = StreamReader(log).initialize(name)
+            t0 = time.perf_counter()
+            while True:
+                res = r.read(100_000, timeout_ms=10)
+                if res.eof or res.count == 0:
+                    break
+            best_r = max(best_r, mb / (time.perf_counter() - t0))
+            backend._conn().command("FLUSHALL")
+    return {
+        "transport_redis_write_mb_s": round(best_w, 1),
+        "transport_redis_read_mb_s": round(best_r, 1),
     }
 
 
