@@ -312,6 +312,26 @@ class RedisBackend(StorageBackend):
         return (f"{_HANDLE_PREFIX}{name}/{segment_idx}/{kind}/"
                 f"{int(start_index)}/{int(n)}/{first_id}/{last_id}")
 
+    def _cached_range(self, name: str, seg: int, first_id: str, last_id: str):
+        """Serve an id-range slice from the thread-local segment cache
+        populated by the latest list_batches call (None on miss). The
+        cache is a snapshot: XDEL-behind retention after the listing
+        can't invalidate a read of a batch the listing reported — exactly
+        the guarantee the handle itself gives."""
+        cached = getattr(self._local, "seg_cache", None)
+        if cached is None or cached[0] != name or cached[1] != seg:
+            return None
+        lo, hi = _id_tuple(first_id.encode()), _id_tuple(last_id.encode())
+        out = [e for e in cached[2] if lo <= _id_tuple(e[0]) <= hi]
+        # serve only when the slice provably covers the requested range:
+        # handle boundary ids are exact entry ids by construction, so a
+        # handle reaching past the cached snapshot (e.g. built after a
+        # later append) falls through to a live XRANGE instead of
+        # silently returning a partial batch
+        if not out or _id_tuple(out[0][0]) != lo or _id_tuple(out[-1][0]) != hi:
+            return None
+        return out
+
     @staticmethod
     def _parse_handle(handle: str) -> tuple[str, int, str, int, int, str, str]:
         body = handle[len(_HANDLE_PREFIX):]
@@ -335,6 +355,13 @@ class RedisBackend(StorageBackend):
         info = self._info(name)
         sample_kind = "var" if info["variable"] else "fixed"
         entries = self._xrange_all(self._seg_key(name, segment_idx))
+        # Listing already transferred every entry's payload; stash the
+        # segment's raw entries (thread-local, one segment deep) so a
+        # read_batch that immediately follows — the reader's hot loop —
+        # serves from it instead of re-XRANGE-ing the same bytes. Halves
+        # wire transfer on sequential reads; executors that read handles
+        # without listing are unaffected.
+        self._local.seg_cache = (name, segment_idx, entries)
         # run = [start, n, ms, seq0, last_ms, last_seq, kind]
         out, run = [], None
         for raw_id, flat in entries:
@@ -385,9 +412,11 @@ class RedisBackend(StorageBackend):
 
     def read_batch(self, handle: str) -> dict:
         name, seg, kind, start, n, first_id, last_id = self._parse_handle(handle)
-        entries = self._conn().command(
-            "XRANGE", self._seg_key(name, seg), first_id, last_id
-        )
+        entries = self._cached_range(name, seg, first_id, last_id)
+        if entries is None:
+            entries = self._conn().command(
+                "XRANGE", self._seg_key(name, seg), first_id, last_id
+            )
         payloads, sizes = [], []
         if kind == "modframed":
             # module compressed layout: the payload is the single blob
