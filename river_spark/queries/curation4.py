@@ -69,28 +69,32 @@ def pipeline_dsir_weights(spark, sf_dir):
     log w = Σ_features [ln p_target(b) - ln p_raw(b)]. Top-100 raw docs
     by weight — the resampling shortlist.
 
-    100 TB posture: two map-side tokenize passes (bucket stats, then
-    per-doc counts — DSIR is two-pass by construction; production would
-    estimate the stats from a sample). The λ table is 256 rows and the
-    feature-total row is 1 — both broadcast; heavy shuffles are the two
-    partial-aggregated groupBys on bounded keys (256 buckets; doc_id×256).
-    Weight math is double ln on identical integer ratios, rounded to 6
-    only at output — ordering uses the raw double."""
+    100 TB posture: exactly two scans/tokenize passes (bucket stats,
+    then per-doc counts — DSIR is two-pass by construction; production
+    would estimate the stats from a sample), with unigrams+bigrams fused
+    into one in-row concat per pass and the feature totals taken as a
+    window over the fixed 256-row bucket table (no third pass, no cross
+    join). The 256-row λ table broadcasts into the per-doc join; heavy
+    shuffles are the two partial-aggregated groupBys on bounded keys
+    (256 buckets; doc_id×256). Weight math is double ln on identical
+    integer ratios, rounded to 6 only at output — ordering uses the raw
+    double."""
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
     base = docs.select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
     )
-    uni = base.select("doc_id", F.explode("t").alias("f"))
-    bi = base.select(
+    # unigrams + bigrams fused into ONE in-row concat before the explode,
+    # so each of the two DSIR passes costs a single scan + tokenize
+    # (separate uni/bi branches would double every scan)
+    feats = base.select(
         "doc_id",
         F.explode(
             F.expr(
-                "if(size(t) < 2, array(), "
-                "transform(sequence(0, size(t) - 2), i -> concat(t[i], '_', t[i+1])))"
+                "concat(t, if(size(t) < 2, array(), "
+                "transform(sequence(0, size(t) - 2), i -> concat(t[i], '_', t[i+1]))))"
             )
         ).alias("f"),
-    )
-    feats = uni.unionByName(bi).select(
+    ).select(
         "doc_id",
         (F.conv(F.substring(F.md5("f"), 5, 4), 16, 10).cast("int") % 256).alias("b"),
     )
@@ -98,8 +102,17 @@ def pipeline_dsir_weights(spark, sf_dir):
         F.sum(F.when(F.col("doc_id") % 10 == 0, 1).otherwise(0)).alias("tb"),
         F.sum(F.when(F.col("doc_id") % 10 != 0, 1).otherwise(0)).alias("rb"),
     )
-    tot = bc.agg(F.sum("tb").alias("tt"), F.sum("rb").alias("rt"))
-    lam = bc.crossJoin(F.broadcast(tot)).select(
+    # feature totals via an unpartitioned window over the 256-row bucket
+    # table (fixed size at any corpus scale) — a separate bc.agg() would
+    # re-execute the whole feature scan a third time
+    wall = Window.partitionBy()
+    lam = bc.select(
+        "b",
+        "tb",
+        "rb",
+        F.sum("tb").over(wall).alias("tt"),
+        F.sum("rb").over(wall).alias("rt"),
+    ).select(
         "b",
         (
             F.log((F.col("tb") + 1.0) / (F.col("tt") + 256))

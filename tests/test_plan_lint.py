@@ -28,7 +28,6 @@ CROSS_OK = {
     "text_bm25_rank",       # broadcast 1-row corpus stats (N, avgdl)
     "text_bigram_logprob",  # broadcast 1-row vocabulary cardinality (V)
     "emb_ann_recall",       # brute-force side: 20 broadcast query rows
-    "pipeline_dsir_weights",  # broadcast 1-row feature totals (T, R)
     "emb_semdedup",         # broadcast 8-row centroid table
 }
 
