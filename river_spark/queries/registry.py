@@ -81,10 +81,10 @@ _PRIORITY = [
     "text_tfidf_top_terms",
     "text_unigram_logprob",
     # next-stalest: round 5's window also covered these, so their newest
-    # on-disk driver row is round 4. With 10 new round-7 queries + the
-    # 22 above, only the first 18 of this 28-query block fit inside the
-    # driver's first-50 window (through win_rank_ntile); the trailing 10
-    # (win_topk_per_group..ev_seek) stay round-4-stale and MUST lead
+    # on-disk driver row is round 4. With 11 new round-7 queries + the
+    # 22 above, only the first 17 of this 28-query block fit inside the
+    # driver's first-50 window (through join_full_outer); the trailing
+    # 11 (win_rank_ntile..ev_seek) stay round-4-stale and MUST lead
     # round 8's rotation.
     "q3_shipping_priority",
     "q4_order_priority",
