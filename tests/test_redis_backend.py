@@ -745,3 +745,37 @@ def test_module_compressed_rollover_and_tail_probes(server):
     assert b.last_index("mod_roll", 0) == 64
     info = b.last_batch_info("mod_roll", 0)
     assert info is not None and info[0] == 64
+
+
+def test_spark_batch_read_module_compressed_stream(spark, server):
+    """format('river') batch read over a MODULE-layout compressed redis
+    stream: the DataSource's per-batch transparent decompression must
+    compose with the blob+reference entry layout (executors read
+    modframed handles, decompress from compression_params_json)."""
+    from river_spark.sources import register
+    from river_spark.transport.compression import CompressionMode, Compressor
+
+    host, port = server
+    _require_river_module(host, port)
+    register(spark)
+    b = RedisBackend(host, port, module_framing=True)
+    b._conn().command("FLUSHALL")
+    log = StreamLog(backend=b)
+    schema = _schema()
+    w = StreamWriter(
+        log, compression=Compressor(CompressionMode.ZLIB_LOSSLESS), batch_size=100
+    )
+    w.initialize("spark_modcomp", schema)
+    arr = np.zeros(500, dtype=schema.dtype())
+    arr["a"] = np.arange(500)
+    arr["b"] = np.arange(500) * 0.5
+    w.write(arr)
+    w.stop()
+    df = (
+        spark.read.format("river")
+        .option("redis", f"{host}:{port}")
+        .option("stream", "spark_modcomp")
+        .load()
+    )
+    assert df.count() == 500
+    assert df.agg({"a": "sum"}).collect()[0][0] == sum(range(500))
