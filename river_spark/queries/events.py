@@ -526,3 +526,74 @@ def ev_markov_transitions(spark, sf_dir):
         "n",
         (F.col("n") * 1.0 / row_n).alias("p"),
     )
+
+
+@q(
+    "ev_interval_merge",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               CAST(epoch_us(ts) AS BIGINT) AS s,
+               CAST(epoch_us(ts) AS BIGINT)
+                 + (1 + event_id % 7) * 60 * 1000000 AS e
+        FROM events),
+    flagged AS (
+        SELECT user_id, event_id, s, e,
+               CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         OR max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv),
+    numbered AS (
+        SELECT user_id, event_id, s, e,
+               CAST(sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS island_id
+        FROM flagged)
+    SELECT user_id, island_id, CAST(count(*) AS BIGINT) AS n_events,
+           min(event_id) AS first_event,
+           CAST(max(e) - min(s) AS BIGINT) AS span_us
+    FROM numbered GROUP BY user_id, island_id
+    """,
+    tags=("events", "intervals"),
+)
+def ev_interval_merge(spark, sf_dir):
+    """Overlapping-interval coalescing (gaps-and-islands over
+    variable-LENGTH intervals): each event spawns an interval
+    [ts, ts + (1 + event_id % 7) minutes]; intervals on one user that
+    overlap a RUNNING MAX of prior interval ends merge into one island.
+    Distinct from ev_sessionize, which flags gaps between POINTS — here
+    a long interval can bridge events whose start-to-start gap alone
+    would split them, which is why the flag compares against max(end)
+    over the preceding frame, not lag(end). Everything is epoch-µs long
+    arithmetic (no timestamp-type arithmetic to drift cross-engine);
+    one shuffle on user_id serves both windows and the final group."""
+    ev = events_tbl(spark, sf_dir)
+    # ts may be TIMESTAMP_NTZ (unix_micros requires TIMESTAMP); the cast
+    # interprets the naive value in the session tz, which session.py pins
+    # to UTC — exactly DuckDB's epoch_us semantics on the same naive value
+    s = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        s.alias("s"),
+        (s + (F.lit(1) + F.col("event_id") % 7) * 60 * 1_000_000).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prior_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prior_max_e.isNull() | (F.col("s") > prior_max_e), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "island_id",
+        F.sum("new_island")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return numbered.groupBy("user_id", "island_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        (F.max("e") - F.min("s")).cast("long").alias("span_us"),
+    )

@@ -58,6 +58,7 @@ _PRIORITY = [
     "rec_cte_ancestry",
     "scalar_variant",
     "join_lateral_topk",
+    "ev_interval_merge",
     "decontam_ngram_overlap",
     "dedup_components",
     "emb_cluster_assign",
