@@ -59,6 +59,7 @@ _PRIORITY = [
     "scalar_variant",
     "join_lateral_topk",
     "ev_interval_merge",
+    "dq_expectations",
     "decontam_ngram_overlap",
     "dedup_components",
     "emb_cluster_assign",
@@ -82,11 +83,11 @@ _PRIORITY = [
     "text_tfidf_top_terms",
     "text_unigram_logprob",
     # next-stalest: round 5's window also covered these, so their newest
-    # on-disk driver row is round 4. With 12 new round-7 queries + the
-    # 22 above, only the first 16 of this 28-query block fit inside the
-    # driver's first-50 window (through join_anti); the trailing 12
-    # (join_full_outer..ev_seek) stay round-4-stale and MUST lead round
-    # 8's rotation.
+    # on-disk driver row is round 4. With 13 new round-7 queries + the
+    # 22 above, only the first 15 of this 28-query block fit inside the
+    # driver's first-50 window (through join_semi); the trailing 13
+    # (join_anti..ev_seek) stay round-4-stale and MUST lead round 8's
+    # rotation.
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_nation_volume",

@@ -522,3 +522,84 @@ def join_lateral_topk(spark, sf_dir):
             ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
         """
     )
+
+
+@q(
+    "dq_expectations",
+    oracle="""
+    SELECT 'orders_pk_unique' AS rule,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations,
+           CAST(count(*) AS BIGINT) AS checked
+    FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_not_null',
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_customer_fk',
+           CAST(count(*) AS BIGINT), (SELECT CAST(count(*) AS BIGINT) FROM orders)
+    FROM orders o WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_quantity_positive',
+           CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    """,
+    tags=("quality", "dq"),
+)
+def dq_expectations(spark, sf_dir):
+    """Deequ-style data-quality expectations in one submitted job: primary
+    -key uniqueness, not-null, referential integrity (orders→customer,
+    LEFT ANTI join count), and value-range invariants — each reported as (rule, violations, checked). The
+    per-table rules fuse into single scans (one aggregate pass per
+    table); the FK check is the only join and broadcasts the customer
+    key column. This is the acceptance gate a pipeline runs before
+    trusting a new data drop — at 100 TB the same plan holds because
+    every rule is a partial-aggregatable count."""
+    orders = tbl(spark, sf_dir, "orders")
+    cust = tbl(spark, sf_dir, "customer").select("c_custkey")
+    li = tbl(spark, sf_dir, "lineitem")
+    n_orders = orders.count()
+
+    o_rules = orders.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("long").alias("pk"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).cast("long").alias("nn"),
+        F.count("*").cast("long").alias("n"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("orders_pk_unique").alias("rule"), F.col("pk").alias("violations"), F.col("n").alias("checked")),
+                F.struct(F.lit("orders_custkey_not_null").alias("rule"), F.col("nn").alias("violations"), F.col("n").alias("checked")),
+            )
+        ).alias("r")
+    ).select("r.rule", "r.violations", "r.checked")
+
+    fk = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_anti").agg(
+        F.lit("orders_customer_fk").alias("rule"),
+        F.count("*").cast("long").alias("violations"),
+        F.lit(n_orders).cast("long").alias("checked"),
+    )
+
+    li_rules = li.agg(
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
+        ).cast("long").alias("rng"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).cast("long").alias("ord"),
+        F.count("*").cast("long").alias("n"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("lineitem_discount_range").alias("rule"), F.col("rng").alias("violations"), F.col("n").alias("checked")),
+                F.struct(F.lit("lineitem_quantity_positive").alias("rule"), F.col("ord").alias("violations"), F.col("n").alias("checked")),
+            )
+        ).alias("r")
+    ).select("r.rule", "r.violations", "r.checked")
+
+    return o_rules.unionByName(fk).unionByName(li_rules)
