@@ -22,6 +22,8 @@ import river_spark.queries.curation2 as _curation2  # noqa: F401
 import river_spark.queries.curation3 as _curation3  # noqa: F401
 import river_spark.queries.relational5 as _relational5  # noqa: F401
 import river_spark.queries.curation4 as _curation4  # noqa: F401
+import river_spark.queries.relational6 as _relational6  # noqa: F401
+import river_spark.queries.curation5 as _curation5  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -34,75 +36,19 @@ class Query:
     bench: bool
 
 
-# Explicit registration priority. The correctness driver checks the FIRST
-# 50 queries in registry order each round, so the front of this list
-# rotates every round — every query gets a fresh driver verification at
-# most a few rounds apart; the driver's canonicalizer can catch quirks
-# the local bit-level oracle gate can't. Queries checked last round trail
-# (they stay covered by tests/test_oracle.py each session).
+# Explicit registration priority: see rotation comment below.
 _PRIORITY = [
-    # round-7 head: the CORRECTNESS_r05.json artifact never landed in the
-    # repo, so these 22 queries (only ever in round 5's window) have no
-    # driver-verified row on disk — they lead this round so the driver's
-    # canonicalizer sees them first. New round-7 coverage lands at the
-    # very head (arrival order), still keeping the 22 inside the first-50
-    # window.
-    "emb_ann_recall",
-    "pipeline_dsir_weights",
-    "emb_semdedup",
-    "text_cdc_chunks",
-    "agg_hll_sketch",
-    "text_char_entropy",
-    "river_stream_static_join",
-    "pipeline_cdc_merge",
-    "rec_cte_ancestry",
-    "scalar_variant",
-    "join_lateral_topk",
-    "ev_interval_merge",
-    "dq_expectations",
-    "decontam_ngram_overlap",
-    "dedup_components",
-    "emb_cluster_assign",
-    "emb_quantize_int8",
-    "ev_cohort_retention",
-    "ev_funnel",
-    "mm_resize",
-    "pipeline_dedup_retention",
-    "pipeline_domain_mix",
-    "pipeline_seq_pack",
-    "pipeline_stratified_sample",
-    "pipeline_train_split",
-    "river_redis_roundtrip",
-    "river_stream_join",
-    "river_stream_query",
-    "river_stream_stateful",
-    "river_stream_window",
-    "text_chunk_sliding",
-    "text_pii_redact",
-    "text_repetition_filter",
-    "text_tfidf_top_terms",
-    "text_unigram_logprob",
-    # next-stalest: round 5's window also covered these, so their newest
-    # on-disk driver row is round 4. With 13 new round-7 queries + the
-    # 22 above, only the first 15 of this 28-query block fit inside the
-    # driver's first-50 window (through join_semi); the trailing 13
-    # (join_anti..ev_seek) stay round-4-stale and MUST lead round 8's
-    # rotation.
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_nation_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive_join",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "join_semi",
+    # Round-8 rotation. The driver checks the FIRST 50 queries each
+    # round. Artifact inventory on disk: r1-r4, r6, r7 (round 5's file
+    # never landed — see README correctness methodology). Newest-row
+    # ages after round 7: 50 queries r7, 50 r6, 50 r4, and 22 whose
+    # newest row is r1-r3 (the 13 the round-7 verdict names —
+    # join_anti..ev_seek — plus 9 more from the same early block).
+    # Head order: those 13 first (round-7 directive #1), then the 7 new
+    # round-8 queries, then the rest of the stale r1-r4 block oldest
+    # chunk; the ~29 r4 queries that miss this window lead round 9.
+    # Freshest (r6, then r7) trail; every query stays covered each
+    # session by tests/test_oracle.py regardless of driver position.
     "join_anti",
     "join_full_outer",
     "win_rank_ntile",
@@ -116,7 +62,13 @@ _PRIORITY = [
     "ev_range_join",
     "ev_tail",
     "ev_seek",
-    # --- round-4-verified block (driver rows on disk in r4) ---
+    "scalar_try_arith",
+    "agg_filter_clause",
+    "ev_gap_fill_interp",
+    "emb_kmeans_update",
+    "mm_phash_dedup",
+    "dedup_minhash_recall",
+    "river_stream_outer_join",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
@@ -176,9 +128,21 @@ _PRIORITY = [
     "win_range_frame",
     "win_value_functions",
     "q1_pricing_summary",
-    # --- round-6 driver window (CORRECTNESS_r06 rows on disk, all
-    # green) — freshest, so they trail; re-verified locally each session
-    # by tests/test_oracle.py. ---
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_nation_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive_join",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "join_semi",
     "decontam_minhash_bench",
     "text_bm25_rank",
     "pipeline_domain_cap",
@@ -229,6 +193,41 @@ _PRIORITY = [
     "win_running_sum",
     "win_moving_avg",
     "text_token_stats",
+    "emb_ann_recall",
+    "pipeline_dsir_weights",
+    "emb_semdedup",
+    "text_cdc_chunks",
+    "agg_hll_sketch",
+    "text_char_entropy",
+    "river_stream_static_join",
+    "pipeline_cdc_merge",
+    "rec_cte_ancestry",
+    "scalar_variant",
+    "join_lateral_topk",
+    "ev_interval_merge",
+    "dq_expectations",
+    "decontam_ngram_overlap",
+    "dedup_components",
+    "emb_cluster_assign",
+    "emb_quantize_int8",
+    "ev_cohort_retention",
+    "ev_funnel",
+    "mm_resize",
+    "pipeline_dedup_retention",
+    "pipeline_domain_mix",
+    "pipeline_seq_pack",
+    "pipeline_stratified_sample",
+    "pipeline_train_split",
+    "river_redis_roundtrip",
+    "river_stream_join",
+    "river_stream_query",
+    "river_stream_stateful",
+    "river_stream_window",
+    "text_chunk_sliding",
+    "text_pii_redact",
+    "text_repetition_filter",
+    "text_tfidf_top_terms",
+    "text_unigram_logprob",
 ]
 
 QUERIES: dict[str, Query] = {}

@@ -667,6 +667,161 @@ def river_stream_static_join(spark, sf_dir):
 
 
 @q(
+    "river_stream_outer_join",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id, user_id * 0.1 + 1 AS bonus
+        FROM events WHERE user_id % 2 = 0)
+    SELECT e.user_id % 2 AS parity,
+           count(*) AS n,
+           count(uw.bonus) AS n_matched,
+           round(sum(e.value), 4) AS sum_value,
+           round(sum(coalesce(uw.bonus, 0)), 4) AS sum_bonus
+    FROM events e LEFT JOIN uw USING (user_id)
+    GROUP BY e.user_id % 2
+    """,
+    tags=("river", "streaming", "join", "outer", "watermark"),
+)
+def river_stream_outer_join(spark, sf_dir):
+    """The watermark-bounded LEFT OUTER stream-stream join — the one
+    Structured Streaming join shape whose hard semantic is
+    null-padding EMISSION ON WATERMARK CLOSE: an unmatched left row is
+    only released once the global watermark proves no future right row
+    can still match it, so the result depends on watermark mechanics,
+    not just join logic. Events stream left-outer-joins a per-even-user
+    promo stream on user_id plus the mandatory event-time range
+    (ets BETWEEN promo_ts AND promo_ts + 60 days); odd-user events must
+    surface exactly once, null-padded.
+
+    Determinism engineering: each stream carries two far-future
+    sentinel rows (keys -1/-2, never joinable) and sets
+    maxSamplesPerTrigger = n_data + 1, so availableNow slices exactly
+    two micro-batches per source — batch 1 = all data + sentinel A
+    (advances both watermarks ~4 months past the data when it
+    completes), batch 2 = sentinel B (the state-cleanup pass that
+    evicts every closed left row and emits the null-padded results).
+    The sentinels themselves stay above the final watermark, are never
+    emitted, and are excluded by the user_id >= 0 filter regardless.
+    The drained rows must aggregate to the batch LEFT JOIN."""
+    from river_spark.sources import register
+
+    key = ("stream_outer_join", sf_dir)
+    if key not in _CACHE:
+        register(spark)
+        work = tempfile.mkdtemp(prefix="river_spark_soj_")
+        store = os.path.join(work, "store")
+        log = StreamLog(store)
+        schema, arr = _events_array(sf_dir, ("event_id", "ts", "user_id", "value"))
+        far_a = np.datetime64("2024-06-01T00:00:00").astype("datetime64[ns]").astype(np.int64)
+        far_b = np.datetime64("2024-06-01T00:00:01").astype("datetime64[ns]").astype(np.int64)
+        sent = np.zeros(2, dtype=schema.dtype())
+        sent["event_id"] = [-1, -2]
+        sent["ts"] = [far_a, far_b]
+        sent["user_id"] = -1
+        w = StreamWriter(log).initialize("events_soj", schema)
+        w.write(np.concatenate([arr, sent]))
+        w.stop()
+
+        users = np.unique(arr["user_id"])
+        users = users[users % 2 == 0]
+        pschema = StreamSchema(
+            [
+                FieldDefinition("ts", FieldType.INT64),
+                FieldDefinition("user_id", FieldType.INT64),
+                FieldDefinition("bonus", FieldType.DOUBLE),
+            ]
+        )
+        promo_ts = (
+            np.datetime64("2023-12-31T00:00:00").astype("datetime64[ns]").astype(np.int64)
+        )
+        parr = np.zeros(len(users) + 2, dtype=pschema.dtype())
+        parr["ts"][: len(users)] = promo_ts
+        parr["ts"][len(users) :] = [far_a, far_b]
+        parr["user_id"][: len(users)] = users
+        parr["user_id"][len(users) :] = -2
+        parr["bonus"][: len(users)] = users * 0.1 + 1
+        w2 = StreamWriter(log).initialize("promos_soj", pschema)
+        w2.write(parr)
+        w2.stop()
+
+        ets = F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        ev = (
+            spark.readStream.format("river")
+            .option("path", store)
+            .option("stream", "events_soj")
+            .option("maxSamplesPerTrigger", str(len(arr) + 1))
+            .load()
+            .select("user_id", "value", ets.alias("ets"))
+            .withWatermark("ets", "1 second")
+        )
+        pr = (
+            spark.readStream.format("river")
+            .option("path", store)
+            .option("stream", "promos_soj")
+            .option("maxSamplesPerTrigger", str(len(users) + 1))
+            .load()
+            .select(
+                F.col("user_id").alias("p_user_id"),
+                "bonus",
+                ets.alias("pts"),
+            )
+            .withWatermark("pts", "1 second")
+        )
+        cond = (
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("ets") >= F.col("pts"))
+            & (F.col("ets") <= F.col("pts") + F.expr("interval 60 days"))
+        )
+        joined = ev.join(pr, cond, "left_outer").select("user_id", "value", "bonus")
+        # The Python DataSource API has no AvailableNow support (the
+        # engine logs a fallback to single-batch execution), and outer
+        # null-padding is only emitted by a LATER batch's state-cleanup
+        # pass — a single batch would hold the unmatched rows in state
+        # forever. So this gate drains with a continuous processingTime
+        # trigger and polls the sink until every data row (matched or
+        # null-padded) has surfaced: the sentinel batch advances the
+        # watermark, and the engine's no-data batches then run the
+        # eviction that releases the outer rows.
+        table = _memory_table_name("river_soj_", sf_dir)
+        qy = (
+            joined.writeStream.format("memory")
+            .queryName(table)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        import time as _time
+
+        want = len(arr)
+        deadline = _time.monotonic() + 300
+        try:
+            while True:
+                n = spark.sql(
+                    f"SELECT count(*) FROM {table} WHERE user_id >= 0"
+                ).first()[0]
+                if n >= want:
+                    break
+                if _time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"{table}: outer-join drain surfaced {n}/{want} rows in 300s"
+                    )
+                _time.sleep(0.25)
+        finally:
+            qy.stop()
+            qy.awaitTermination()
+        _CACHE[key] = table
+    return spark.sql(
+        f"""
+        SELECT user_id % 2 AS parity, count(*) AS n, count(bonus) AS n_matched,
+               round(sum(value), 4) AS sum_value,
+               round(sum(coalesce(bonus, 0)), 4) AS sum_bonus
+        FROM {_CACHE[key]} WHERE user_id >= 0
+        GROUP BY user_id % 2
+        """
+    )
+
+
+@q(
     "river_sink_roundtrip",
     oracle="SELECT doc_id, text FROM documents",
     tags=("river", "sink", "roundtrip"),

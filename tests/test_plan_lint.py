@@ -2,7 +2,14 @@
 for scale anti-patterns — an accidental CartesianProduct /
 BroadcastNestedLoopJoin (outside the queries that intend one) or a
 row-at-a-time Python UDF (BatchEvalPython) would melt at 100 TB even
-though the local answer is right."""
+though the local answer is right.
+
+Queries that legitimately need a cross/NL join are not blanket-exempted:
+CROSS_OK maps each to the maximum row count its SMALL side may reach,
+and the test executes the query and reads the join's real runtime
+numOutputRows metrics — a regression that turns a broadcast-small side
+into a big side now fails the gate instead of hiding behind the
+allowlist (round-7 verdict directive #5)."""
 
 import os
 
@@ -12,24 +19,88 @@ from river_spark.queries import QUERIES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
-# queries whose semantics legitimately need a broadcast cross/NL join
+# queries whose semantics legitimately need a broadcast cross/NL join,
+# mapped to the max rows the join's smaller side may produce at test SF.
+# Every bound is the documented cardinality of the intended broadcast
+# relation (1-row global scalars, K-row codebooks/centroids, literal
+# probe sets) with NO slack — growth past it is a real plan regression.
 CROSS_OK = {
-    "join_cross_small",     # intentional tiny cross join
-    "emb_knn_cosine",       # 1-row broadcast query vector
-    "q11_supplier_balance_share",  # broadcast scalar threshold
-    "q15_top_supplier",     # broadcast scalar max
-    "q22_idle_customers",   # broadcast scalar average
-    "emb_cosine_dedup",     # bucket-width literal join
-    "emb_ann_ivf",          # tiny query-row x centroid routing cross
-    "text_tfidf_top_terms", # broadcast 1-row corpus doc count (N for idf)
-    "text_unigram_logprob", # broadcast 1-row corpus token total
-    "emb_cluster_assign",   # broadcast K-row centroid table (K=8)
-    "agg_value_histogram",  # broadcast 1-row global [min, max] for binning
-    "text_bm25_rank",       # broadcast 1-row corpus stats (N, avgdl)
-    "text_bigram_logprob",  # broadcast 1-row vocabulary cardinality (V)
-    "emb_ann_recall",       # brute-force side: 20 broadcast query rows
-    "emb_semdedup",         # broadcast 8-row centroid table
+    "join_cross_small": 5,          # intentional tiny cross join (region)
+    "emb_knn_cosine": 1,            # 1-row broadcast query vector
+    "q11_supplier_balance_share": 1,  # broadcast scalar threshold
+    "q15_top_supplier": 1,          # broadcast scalar max
+    "q22_idle_customers": 1,        # broadcast scalar average
+    "emb_cosine_dedup": 8,          # bucket-width literal join
+    "emb_ann_ivf": 8,               # query rows x centroid routing cross
+    "text_tfidf_top_terms": 1,      # broadcast 1-row corpus doc count (idf N)
+    "text_unigram_logprob": 1,      # broadcast 1-row corpus token total
+    "emb_cluster_assign": 8,        # broadcast K-row centroid table (K=8)
+    "agg_value_histogram": 1,       # broadcast 1-row global [min, max]
+    "text_bm25_rank": 1,            # broadcast 1-row corpus stats (N, avgdl)
+    "text_bigram_logprob": 1,       # broadcast 1-row vocabulary cardinality
+    "emb_ann_recall": 20,           # brute-force side: 20 broadcast queries
+    "emb_semdedup": 8,              # broadcast 8-row centroid table
+    "emb_kmeans_update": 8,         # broadcast K-row centroid table (K=8)
 }
+
+
+def _final_plan(df):
+    plan = df._jdf.queryExecution().executedPlan()
+    if "AdaptiveSparkPlan" in plan.nodeName():
+        plan = plan.executedPlan()
+    return plan
+
+
+def _walk(node):
+    yield node
+    # unwrap AQE stages so traversal reaches the materialized subtrees
+    name = node.nodeName()
+    if "AdaptiveSparkPlan" in name:
+        yield from _walk(node.executedPlan())
+        return
+    if "QueryStage" in name:
+        yield from _walk(node.plan())
+        return
+    if "ReusedExchange" in name:
+        # leaf that aliases another exchange — follow it for the metric
+        yield from _walk(node.child())
+        return
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk(children.apply(i))
+
+
+def _num_output_rows(node):
+    """First numOutputRows metric found in this subtree, else None."""
+    for n in _walk(node):
+        opt = n.metrics().get("numOutputRows")
+        if opt.isDefined():
+            v = opt.get().value()
+            if v >= 0:
+                return v
+    return None
+
+
+def _small_side_rows(df):
+    """Execute the query and return the max over its cross/NL joins of
+    the smaller input's real runtime row count (None if no such join
+    survived optimization)."""
+    df.collect()
+    worst = None
+    for node in _walk(_final_plan(df)):
+        name = node.nodeName()
+        if "BroadcastNestedLoopJoin" not in name and "CartesianProduct" not in name:
+            continue
+        children = node.children()
+        sides = []
+        for i in range(children.size()):
+            rows = _num_output_rows(children.apply(i))
+            if rows is not None:
+                sides.append(rows)
+        if sides:
+            small = min(sides)
+            worst = small if worst is None else max(worst, small)
+    return worst
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -39,5 +110,14 @@ def test_no_scale_antipatterns(name, spark):
     if name not in CROSS_OK:
         assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: NL join in plan"
+    else:
+        small = _small_side_rows(df)
+        bound = CROSS_OK[name]
+        if small is not None:
+            assert small <= bound, (
+                f"{name}: cross/NL join small side produced {small} rows, "
+                f"bound is {bound} — the broadcast-small justification no "
+                f"longer holds"
+            )
     # row-at-a-time Python UDFs never allowed; Arrow-batched ones are fine
     assert "BatchEvalPython" not in plan, f"{name}: non-Arrow Python UDF in plan"
