@@ -104,12 +104,49 @@ class Compressor:
             vals = promote_int16(vals)
         arr = np.ascontiguousarray(vals.reshape(-1, num_cols))
         if self.mode is CompressionMode.ZFP_LOSSY:
-            return zfpy.compress_numpy(arr, tolerance=float(self.params["tolerance"]))
-        return zfpy.compress_numpy(arr)  # no constraints -> reversible
+            comp = zfpy.compress_numpy(arr, tolerance=float(self.params["tolerance"]))
+        else:
+            comp = zfpy.compress_numpy(arr)  # no constraints -> reversible
+        # parity bridge: the emitted codestream must open with exactly the
+        # header our pure-Python layout predicts (transport/zfp_header.py)
+        # — any drift in field/mode wiring vs the reference's params
+        # surfaces here, in every environment that has zfpy at all.
+        want = self.expected_zfp_header(num_rows=arr.shape[0])
+        if comp[: len(want)] != want:
+            raise AssertionError(
+                f"zfpy header {comp[:len(want)].hex()} != predicted {want.hex()}"
+            )
+        return comp
+
+    def expected_zfp_header(self, num_rows: int) -> bytes:
+        """The 12 bytes any conforming writer (zfpy, the reference's C++)
+        puts in front of a block with these params — pure Python, usable
+        (and tested) without zfpy."""
+        from river_spark.transport.zfp_header import expected_header
+
+        data_type = self.params["data_type"]
+        field_type = "int32" if data_type == "int16" else data_type  # promoted
+        tol = (
+            float(self.params["tolerance"])
+            if self.mode is CompressionMode.ZFP_LOSSY
+            else None
+        )
+        return expected_header(int(self.params["num_cols"]), num_rows, field_type, tol)
 
     def _zfp_decompress(self, data: bytes) -> bytes:
         import zfpy
 
+        from river_spark.transport.zfp_header import parse_header
+
+        # zfpy-free sanity gate first: reject blobs whose header doesn't
+        # match this stream's metadata params, with a readable error
+        # instead of a codec-level failure.
+        hdr = parse_header(bytes(data[:12]))
+        num_cols = int(self.params["num_cols"])
+        if hdr.get("nx") != num_cols:
+            raise ValueError(
+                f"zfp blob header nx={hdr.get('nx')} != stream num_cols={num_cols}"
+            )
         arr = zfpy.decompress_numpy(bytes(data))
         if self.params.get("data_type") == "int16":
             arr = demote_int16(arr)
