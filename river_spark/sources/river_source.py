@@ -77,7 +77,17 @@ def _locator(options: dict) -> dict:
     options = {k.lower(): v for k, v in options.items()}
     if "redis" in options:
         host, port = parse_redis_hostport(options["redis"])
-        return {"redis": f"{host}:{port}"}
+        loc = {"redis": f"{host}:{port}"}
+        # wire-framing knobs travel WITH the locator so every log opened
+        # from it — executor stage, driver commit, reader partition —
+        # speaks the same entry layout. moduleFraming selects the server
+        # module's compressed blob+reference layout
+        # (/root/reference/cpp/src/redismodule/river_redismodule.c:63-131)
+        # for appends into compressed streams; reads are layout-agnostic.
+        for knob in ("moduleframing", "batchframing"):
+            if options.get(knob, "false").lower() == "true":
+                loc[knob] = True
+        return loc
     if "path" in options:
         return {"path": options["path"]}
     raise ValueError("river source needs option 'path' (log root) or 'redis' (host:port)")
@@ -88,7 +98,12 @@ def _open_log(locator: dict) -> StreamLog:
         from river_spark.transport.log import parse_redis_hostport
         from river_spark.transport.redis_backend import RedisBackend
 
-        return StreamLog(backend=RedisBackend(*parse_redis_hostport(locator["redis"])))
+        backend = RedisBackend(
+            *parse_redis_hostport(locator["redis"]),
+            batch_framing=bool(locator.get("batchframing")),
+            module_framing=bool(locator.get("moduleframing")),
+        )
+        return StreamLog(backend=backend)
     return StreamLog(locator["path"])
 
 

@@ -779,3 +779,90 @@ def test_spark_batch_read_module_compressed_stream(spark, server):
     )
     assert df.count() == 500
     assert df.agg({"a": "sum"}).collect()[0][0] == sum(range(500))
+
+
+def test_spark_sink_module_framing_emits_reference_layout(spark, server):
+    """End-to-end DataSource pin for the module wire contract: a
+    ``format("river")`` WRITE with ``moduleFraming=true`` into a
+    compressed stream must land on the wire in the reference server
+    module's exact entry layout — one blob entry (fields i/val) per
+    batch followed by per-sample reference entries
+    (/root/reference/cpp/src/redismodule/river_redismodule.c:63-131) —
+    not the plain per-sample or batch_val fallback. Pinning this at the
+    Spark level keeps the DataSource path from drifting off the
+    backend contract test_module_compressed_write_layout_and_roundtrip
+    already pins at the transport level."""
+    from river_spark.sources import register
+    from river_spark.transport.compression import CompressionMode, Compressor
+
+    host, port = server
+    _require_river_module(host, port)
+    register(spark)
+    b = RedisBackend(host, port, module_framing=True)
+    b._conn().command("FLUSHALL")
+    schema = _schema()
+    # seed a compressed stream (left open: no EOF) so the sink inherits
+    # compression_params_json from stream metadata on append
+    w = StreamWriter(
+        StreamLog(backend=b),
+        compression=Compressor(CompressionMode.ZLIB_LOSSLESS),
+        batch_size=50,
+    )
+    w.initialize("spark_modsink", schema)
+    seed = np.zeros(50, dtype=schema.dtype())
+    seed["a"] = np.arange(50)
+    seed["b"] = np.arange(50) * 2.0
+    w.write(seed)
+
+    df = spark.range(50, 250, 1, 4).selectExpr("id AS a", "CAST(id * 2.0 AS double) AS b")
+    (
+        df.write.format("river")
+        .option("redis", f"{host}:{port}")
+        .option("stream", "spark_modsink")
+        .option("moduleFraming", "true")
+        .option("batchSize", "50")
+        .mode("append")
+        .save()
+    )
+
+    # raw wire: every data entry is a blob (i/val) or a reference —
+    # 50-sample batches => 5 blobs total (1 seed + 4 spark partitions),
+    # each followed by 49 references at contiguous indices
+    raw = RespClient(host, port)
+    entries = raw.command("XRANGE", "spark_modsink-0", "-", "+")
+    raw.close()
+    blobs, refs, indices = [], 0, []
+    for raw_id, flat in entries:
+        f = {k: v for k, v in zip(flat[::2], flat[1::2])}
+        if b"eof" in f or b"tombstone" in f:
+            continue
+        indices.append(int(f[b"i"]))
+        if b"val" in f:
+            assert b"n" not in f and b"batch_val" not in f  # module, not fallback
+            blobs.append(raw_id)
+        else:
+            assert f[b"reference"] in blobs  # points at an earlier blob entry
+            refs += 1
+    assert len(blobs) == 5 and refs == 245
+    assert sorted(indices) == list(range(250))
+    # blob payloads are genuinely compressed (decompressible, 800 B raw)
+    comp = Compressor(CompressionMode.ZLIB_LOSSLESS)
+    for raw_id, flat in entries:
+        f = {k: v for k, v in zip(flat[::2], flat[1::2])}
+        if b"val" in f and b"eof" not in f:
+            assert len(comp.decompress(f[b"val"])) == 50 * 16
+
+    # ...and both read paths agree on the values
+    res = StreamReader(StreamLog(backend=RedisBackend(host, port))).initialize(
+        "spark_modsink"
+    ).read(500, timeout_ms=200)
+    assert res.count == 250
+    np.testing.assert_array_equal(np.sort(res.samples["a"]), np.arange(250))
+    back = (
+        spark.read.format("river")
+        .option("redis", f"{host}:{port}")
+        .option("stream", "spark_modsink")
+        .load()
+    )
+    assert back.count() == 250
+    assert back.agg({"a": "sum"}).collect()[0][0] == sum(range(250))
