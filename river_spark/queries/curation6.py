@@ -1,0 +1,416 @@
+"""Curation wave 6 (round 8): a Bloom-filter decontamination prefilter,
+Misra-Gries heavy hitters with exact verification, Johnson-Lindenstrauss
+random projection, and a median-absolute-deviation robust outlier gate —
+four more LLM-pipeline staples, each with a bit-level DuckDB oracle.
+
+The common engineering rule of this wave is the one rounds 7's recall
+gates established: every approximate structure (the Bloom bitmap, the
+per-batch sketch summaries) is either SQL-replayable (md5-prefix hashing
+the oracle recomputes bit-for-bit) or followed by an exact verify whose
+output is partition-independent — so the sketch can never silently ship
+a wrong answer, only waste bounded work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from river_spark.queries.relational import q
+from river_spark.queries.tables import tbl
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination prefilter
+# ---------------------------------------------------------------------------
+# 65536-position Bloom filter packed 63 bits per int64 word (bit 63 is
+# never used: 1<<63 overflows DuckDB's BIGINT shift, and staying under
+# the sign bit keeps every word arithmetic identical across engines).
+_BLOOM_M = 65536
+_BLOOM_K = 3
+_BLOOM_WORD = 63
+
+
+def _bloom_pos_sql(gram: str, seed: str, dialect: str) -> str:
+    """md5-prefix position hash, identical across engines: first 8 hex
+    chars of md5("<gram>~<seed>") parsed as an int, mod the bit-space."""
+    if dialect == "spark":
+        return (
+            f"pmod(cast(conv(substring(md5(concat({gram}, '~', cast({seed} as string))), 1, 8), 16, 10)"
+            f" as bigint), {_BLOOM_M})"
+        )
+    return f"(('0x' || substr(md5({gram} || '~' || CAST({seed} AS VARCHAR)), 1, 8))::BIGINT % {_BLOOM_M})"
+
+
+@q(
+    "decontam_bloom_prefilter",
+    oracle=f"""
+    WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 40 = 0),
+    corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 40 <> 0
+        UNION ALL
+        SELECT doc_id + 20000000, text FROM bench),
+    bt AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM bench),
+    bg AS (
+        SELECT DISTINCT array_to_string(t[i:i+3], ' ') AS g
+        FROM bt, UNNEST(generate_series(1, greatest(len(t) - 3, 1))) AS s(i)),
+    bpos AS (
+        SELECT DISTINCT {_bloom_pos_sql('g', 'k', 'duckdb')} AS pos
+        FROM bg, UNNEST(generate_series(0, {_BLOOM_K - 1})) AS s(k)),
+    bitmap AS (
+        SELECT pos // {_BLOOM_WORD} AS word_idx,
+               bit_or(1::BIGINT << (pos % {_BLOOM_WORD})) AS wrd
+        FROM bpos GROUP BY 1),
+    ct AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM corpus),
+    cg AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS g
+        FROM ct, UNNEST(generate_series(1, greatest(len(t) - 3, 1))) AS s(i)),
+    cpos AS (
+        SELECT doc_id, g, {_bloom_pos_sql('g', 'k', 'duckdb')} AS pos
+        FROM cg, UNNEST(generate_series(0, {_BLOOM_K - 1})) AS s(k)),
+    hits AS (
+        SELECT c.doc_id, c.g,
+               CASE WHEN b.wrd IS NOT NULL
+                    AND ((b.wrd >> (c.pos % {_BLOOM_WORD})) & 1) = 1
+                    THEN 1 ELSE 0 END AS hit
+        FROM cpos c LEFT JOIN bitmap b ON b.word_idx = c.pos // {_BLOOM_WORD}),
+    gpass AS (
+        SELECT doc_id, g, CASE WHEN sum(hit) = {_BLOOM_K} THEN 1 ELSE 0 END AS pass
+        FROM hits GROUP BY doc_id, g),
+    exact AS (
+        SELECT p.doc_id, p.g, p.pass,
+               CASE WHEN p.pass = 1 AND bg.g IS NOT NULL THEN 1 ELSE 0 END AS ex
+        FROM gpass p LEFT JOIN bg ON bg.g = p.g),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_grams,
+               CAST(sum(pass) AS BIGINT) AS n_bloom_pass,
+               CAST(sum(ex) AS BIGINT) AS n_exact
+        FROM exact GROUP BY doc_id)
+    SELECT doc_id, n_grams, n_bloom_pass, n_exact,
+           CAST(CASE WHEN n_exact * 2 >= n_grams THEN 1 ELSE 0 END AS BIGINT)
+               AS contaminated
+    FROM per_doc WHERE n_bloom_pass > 0
+    """,
+    tags=("decontam", "bloom", "pipeline"),
+)
+def decontam_bloom_prefilter(spark, sf_dir):
+    """Bloom-bitmap decontamination: the corpus is screened against an
+    evaluation benchmark through a 65536-bit / 3-hash Bloom filter of
+    the benchmark's word 4-grams, then every Bloom-passing gram is
+    EXACTLY verified against the benchmark gram set. Output per
+    flagged doc: total grams, Bloom passes, exact hits, and the
+    contamination verdict — so the filter's false-positive count
+    (n_bloom_pass - n_exact) is itself a bit-checked integer: a hash or
+    packing regression moves a number through the gate instead of
+    silently widening the verify stage.
+
+    100 TB posture: this is the shape that replaces broadcasting the
+    raw benchmark gram SET (decontam_ngram_overlap) when the benchmark
+    grows past broadcast size — the bitmap is FIXED-size (~8 KB here;
+    2 GB covers ~10^9 grams at 1% fpp), built by one aggregation over
+    the benchmark side and broadcast-joined on word index, so the
+    corpus is never shuffled and the exact verify only sees the
+    Bloom-surviving sliver. md5-prefix positions (not xxhash64) keep
+    the bitmap SQL-replayable; bits pack 63-per-int64 because bit 63
+    would overflow the oracle engine's shift.
+
+    Reference parity: the reference has no curation layer (its
+    analytics surface is /root/reference/performance/performance.py);
+    this extends the decontamination family the brief requires."""
+    docs = tbl(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 40 == 0).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 40 != 0).select("doc_id", "text").union(
+        bench.select((F.col("doc_id") + 20000000).alias("doc_id"), "text")
+    )
+
+    def grams(df):
+        t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        return (
+            df.select("doc_id", t.alias("t"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, greatest(size(t) - 3, 1)), "
+                        "i -> array_join(slice(t, i, 4), ' '))"
+                    )
+                ).alias("g"),
+            )
+            .distinct()
+        )
+
+    bg = grams(bench).select("g").distinct()
+    pos = F.expr(_bloom_pos_sql("g", "k", "spark"))
+    bpos = (
+        bg.select("g", F.explode(F.expr(f"sequence(0, {_BLOOM_K - 1})")).alias("k"))
+        .select(pos.alias("pos"))
+        .distinct()
+    )
+    bitmap = bpos.groupBy(
+        F.expr(f"pos div {_BLOOM_WORD}").alias("word_idx")
+    ).agg(
+        F.bit_or(
+            F.expr(f"shiftleft(cast(1 as bigint), cast(pos % {_BLOOM_WORD} as int))")
+        ).alias("wrd")
+    )
+
+    cg = grams(corpus)
+    cpos = cg.select(
+        "doc_id", "g", F.explode(F.expr(f"sequence(0, {_BLOOM_K - 1})")).alias("k")
+    ).select("doc_id", "g", pos.alias("pos"))
+    hits = cpos.join(
+        F.broadcast(bitmap),
+        F.expr(f"pos div {_BLOOM_WORD}") == F.col("word_idx"),
+        "left",
+    ).select(
+        "doc_id",
+        "g",
+        F.when(
+            F.col("wrd").isNotNull()
+            & (
+                F.expr(
+                    f"shiftright(wrd, cast(pos % {_BLOOM_WORD} as int)) & 1"
+                )
+                == 1
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("hit"),
+    )
+    gpass = hits.groupBy("doc_id", "g").agg(
+        F.when(F.sum("hit") == _BLOOM_K, 1).otherwise(0).alias("pass")
+    )
+    exact = gpass.join(
+        F.broadcast(bg.withColumn("in_bench", F.lit(1))), "g", "left"
+    ).select(
+        "doc_id",
+        "pass",
+        F.when((F.col("pass") == 1) & F.col("in_bench").isNotNull(), 1)
+        .otherwise(0)
+        .alias("ex"),
+    )
+    per_doc = exact.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum("pass").alias("n_bloom_pass"),
+        F.sum("ex").alias("n_exact"),
+    )
+    return per_doc.filter(F.col("n_bloom_pass") > 0).select(
+        "doc_id",
+        "n_grams",
+        "n_bloom_pass",
+        "n_exact",
+        F.when(F.col("n_exact") * 2 >= F.col("n_grams"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: mergeable per-batch summaries + exact verify
+# ---------------------------------------------------------------------------
+_HH_INV = 200  # report terms with count > N / _HH_INV
+_HH_CAP = _HH_INV - 1  # per-batch summary capacity
+
+
+@q(
+    "agg_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+        FROM documents),
+    tot AS (SELECT count(*) AS n FROM tok),
+    c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term)
+    SELECT term, cnt, CAST(cnt AS DOUBLE) / n AS share
+    FROM c, tot WHERE cnt * {_HH_INV} > n
+    """,
+    tags=("agg", "sketch", "heavy-hitters"),
+)
+def agg_heavy_hitters(spark, sf_dir):
+    """Frequent-items (phi = 1/200) via the sketch-then-verify shape:
+    each Arrow batch of the token stream is reduced IN PYTHON to its
+    top-199 terms by batch count — a Space-Saving/Misra-Gries summary
+    whose soundness is the pigeonhole bound: at most 199 terms can
+    exceed a 1/200 share of any batch, so every GLOBAL heavy hitter
+    (count > N/200 overall implies > N_b/200 in at least one batch)
+    survives at least one batch summary. The candidate union is tiny
+    and partition-dependent; the output is NOT — candidates are
+    exact-counted with one semi-joined aggregation and filtered on the
+    true total, so the result is independent of batch slicing and
+    bit-checked against the oracle's exhaustive count. share is the
+    raw integer ratio (IEEE division of identical ints — exact both
+    engines).
+
+    100 TB posture: the full-vocabulary groupBy this replaces shuffles
+    every (term, 1); here the shuffle carries only per-batch summaries
+    (<=199 rows each) plus the exact recount restricted to candidates
+    — the canonical two-pass heavy-hitter plan. Python is Arrow-batched
+    mapInPandas (value_counts per batch), never row-at-a-time."""
+    import pandas as pd  # noqa: F401 (schema hint for mapInPandas closure)
+
+    docs = tbl(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+    )
+
+    def batch_summary(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield pdf["term"].value_counts().head(_HH_CAP).reset_index()[["term"]]
+
+    candidates = tok.mapInPandas(batch_summary, schema="term string").distinct()
+    total = tok.agg(F.count("*").alias("n"))
+    counts = (
+        tok.join(F.broadcast(candidates), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("cnt") * _HH_INV > F.col("n"))
+        .select(
+            "term", "cnt", (F.col("cnt").cast("double") / F.col("n")).alias("share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection
+# ---------------------------------------------------------------------------
+_JL_IN = 64
+_JL_OUT = 16
+
+
+def _jl_weight(i: str, j: str, dialect: str) -> str:
+    """Rademacher +-1 weight from md5 parity of "<i>_<j>" — the pinned,
+    SQL-replayable analog of a seeded RNG matrix."""
+    if dialect == "spark":
+        h = (
+            f"cast(conv(substring(md5(concat(cast({i} as string), '_', "
+            f"cast({j} as string))), 1, 8), 16, 10) as bigint)"
+        )
+    else:
+        h = f"('0x' || substr(md5(CAST({i} AS VARCHAR) || '_' || CAST({j} AS VARCHAR)), 1, 8))::BIGINT"
+    return f"(case when {h} % 2 = 0 then 1.0 else -1.0 end)"
+
+
+@q(
+    "emb_random_projection",
+    oracle=f"""
+    SELECT vec_id, CAST(j AS BIGINT) AS dim,
+           round(0.25 * list_sum(list_transform(generate_series(1, {_JL_IN}),
+                 i -> embedding[i]::DOUBLE * {_jl_weight('(i - 1)', 'j', 'duckdb')})),
+                 6) AS val
+    FROM embeddings, UNNEST(generate_series(0, {_JL_OUT - 1})) AS g(j)
+    """,
+    tags=("vector", "projection", "jl"),
+)
+def emb_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss dimensionality reduction 64 -> 16 with a
+    Rademacher +-1 matrix derived from md5 parity (scale 1/sqrt(16) =
+    0.25) — the standard cheap pre-ANN step: JL preserves pairwise
+    distances within (1 +- eps) w.h.p., so the LSH/IVF stages
+    (emb_ann_lsh / emb_ann_ivf) can run in the reduced space at a
+    quarter of the vector bandwidth. The pinned hash matrix makes the
+    projection a pure function of (i, j), so the oracle replays it
+    bit-for-bit and both engines evaluate the identical left-to-right
+    sum before the single round.
+
+    100 TB posture: entirely IN-ROW — one transform/zip_with/aggregate
+    lambda chain per vector, no explode, no shuffle, no Python; the
+    projection matrix is never materialized (each weight is recomputed
+    from its indices, the distributed-friendly trade: 64x16 md5 calls
+    per row beat shipping and joining a matrix at any scale)."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    proj = F.expr(
+        f"transform(sequence(0, {_JL_OUT - 1}), j -> "
+        f"round(0.25 * aggregate(zip_with(embedding, sequence(0, {_JL_IN - 1}), "
+        f"(x, i) -> cast(x as double) * {_jl_weight('i', 'j', 'spark')}), "
+        f"cast(0.0 as double), (acc, v) -> acc + v), 6))"
+    )
+    return emb.select("vec_id", F.posexplode(proj).alias("dim", "val")).withColumn(
+        "dim", F.col("dim").cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Median-absolute-deviation robust outliers
+# ---------------------------------------------------------------------------
+@q(
+    "ev_mad_outliers",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_id, event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events),
+    med AS (
+        SELECT event_type, value AS med FROM ranked WHERE rn = (n + 1) // 2),
+    dev AS (
+        SELECT e.event_id, e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)),
+    dranked AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM dev),
+    mad AS (
+        SELECT event_type, adev AS mad FROM dranked WHERE rn = (n + 1) // 2)
+    SELECT d.event_id, d.event_type, round(d.value, 4) AS val,
+           round(d.med, 4) AS med, round(m.mad, 4) AS mad
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE d.adev > 3 * m.mad
+    """,
+    tags=("events", "robust", "outlier"),
+)
+def ev_mad_outliers(spark, sf_dir):
+    """Robust outlier detection: events whose |value - median| exceeds
+    3x the median absolute deviation of their event_type — the
+    MAD-based twin of ev_anomaly_zscore (mean/stddev break down under
+    the very outliers being hunted; median/MAD have a 50% breakdown
+    point). Both medians are LOWER medians — pure order statistics
+    picked by row_number, zero interpolation arithmetic — so the cut
+    values are bit-identical across engines by construction; the 3*MAD
+    comparison then runs on identical doubles.
+
+    100 TB posture: two sort-within-group exchanges partitioned by
+    event_type (groups are parallel; AQE splits a skewed type), each
+    followed by a broadcast of the tiny per-type cut table back onto
+    the event stream. An exact-median gate like this pins semantics;
+    a production monitor at 10^12 rows would swap percentile_approx
+    into the same plan shape."""
+    ev = tbl(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wt = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wv).alias("rn"),
+        F.count("*").over(wt).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == ((F.col("n") + 1) / 2).cast("long")
+    ).select("event_type", F.col("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("adev", "event_id")
+    dranked = dev.select(
+        "event_type",
+        "adev",
+        F.row_number().over(wd).alias("rn"),
+        F.count("*").over(wt).alias("n"),
+    )
+    mad = dranked.filter(
+        F.col("rn") == ((F.col("n") + 1) / 2).cast("long")
+    ).select("event_type", F.col("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > 3 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("val"),
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+        )
+    )

@@ -24,6 +24,7 @@ import river_spark.queries.relational5 as _relational5  # noqa: F401
 import river_spark.queries.curation4 as _curation4  # noqa: F401
 import river_spark.queries.relational6 as _relational6  # noqa: F401
 import river_spark.queries.curation5 as _curation5  # noqa: F401
+import river_spark.queries.curation6 as _curation6  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -44,9 +45,9 @@ _PRIORITY = [
     # ages after round 7: 50 queries r7, 50 r6, 50 r4, and 22 whose
     # newest row is r1-r3 (the 13 the round-7 verdict names —
     # join_anti..ev_seek — plus 9 more from the same early block).
-    # Head order: those 13 first (round-7 directive #1), then the 7 new
+    # Head order: those 13 first (round-7 directive #1), then the 13 new
     # round-8 queries, then the rest of the stale r1-r4 block oldest
-    # chunk; the ~29 r4 queries that miss this window lead round 9.
+    # chunk; the r4 queries that miss this window lead round 9.
     # Freshest (r6, then r7) trail; every query stays covered each
     # session by tests/test_oracle.py regardless of driver position.
     "join_anti",
@@ -69,6 +70,12 @@ _PRIORITY = [
     "mm_phash_dedup",
     "dedup_minhash_recall",
     "river_stream_outer_join",
+    "decontam_bloom_prefilter",
+    "agg_heavy_hitters",
+    "emb_random_projection",
+    "ev_mad_outliers",
+    "scalar_xml",
+    "river_stream_window_chain",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",

@@ -231,3 +231,54 @@ def ev_gap_fill_interp(spark, sf_dir):
         F.date_format("t", "yyyy-MM-dd HH:00").alias("grid_ts"),
         F.round(interp, 6).alias("interp_value"),
     )
+
+
+@q(
+    "scalar_xml",
+    oracle="""
+    SELECT o_orderstatus AS status, count(*) AS n,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+           count(DISTINCT o_orderpriority) AS n_prio,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("scalar", "xml"),
+)
+def scalar_xml(spark, sf_dir):
+    """XML scalar surface as an equivalence gate: each order is encoded
+    into an XML fragment (status as an attribute, keys and priority as
+    child elements), then parsed BACK with Spark's XPath family —
+    xpath_string over an attribute axis, xpath_long over element text,
+    xpath()[0] over a text() node — and the recovered columns must
+    aggregate exactly like the raw table. Any unescape/axis/type bug in
+    the round trip moves a bit-checked integer. (The oracle reads the
+    raw columns; XML construction is the thing under test, so it only
+    exists on the Spark side.)
+
+    100 TB posture: encode and parse are both in-row string expressions
+    inside whole-stage codegen — no UDF, no shuffle beyond the final
+    4-group aggregate."""
+    o = tbl(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit('<o k="'),
+        F.col("o_orderstatus"),
+        F.lit('"><id>'),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</id><c>"),
+        F.col("o_custkey").cast("string"),
+        F.lit("</c><p>"),
+        F.col("o_orderpriority"),
+        F.lit("</p></o>"),
+    )
+    parsed = o.select(xml.alias("xml")).select(
+        F.expr("xpath_string(xml, 'o/@k')").alias("status"),
+        F.expr("xpath_long(xml, 'o/id')").alias("okey"),
+        F.expr("xpath_long(xml, 'o/c')").alias("ckey"),
+        F.expr("xpath(xml, 'o/p/text()')[0]").alias("prio"),
+    )
+    return parsed.groupBy("status").agg(
+        F.count("*").alias("n"),
+        F.sum("ckey").alias("sum_cust"),
+        F.count_distinct(F.col("prio")).alias("n_prio"),
+        F.sum("okey").alias("sum_key"),
+    )

@@ -1088,3 +1088,116 @@ def river_stream_locf(spark, sf_dir):
     return spark.sql(
         f"SELECT event_id, user_id, raw_value, filled_value FROM {_CACHE[key]}"
     )
+
+
+@q(
+    "river_stream_window_chain",
+    oracle="""
+    WITH b AS (
+        SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS b5,
+               count(*) AS n5, sum(value) AS sv5
+        FROM events GROUP BY 1)
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, b5), '%Y-%m-%d %H:%M:%S')
+               AS hour_start,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n5) AS BIGINT) AS n_events,
+           round(sum(sv5), 4) AS sum_value
+    FROM b GROUP BY 1
+    """,
+    tags=("river", "streaming", "window_agg", "chained"),
+)
+def river_stream_window_chain(spark, sf_dir):
+    """CHAINED stateful streaming (Spark 3.4+ multiple-stateful-operator
+    support): a 5-minute tumbling count/sum per event-time window feeds
+    a SECOND windowed aggregation that rolls the closed 5-minute
+    buckets into 1-hour windows via window_time() — the streaming
+    rollup-cascade shape (pre-aggregate fine, re-aggregate coarse)
+    that makes high-frequency telemetry affordable at scale because
+    the second operator's input is already
+    |windows|-sized, not |events|-sized. Both operators run in APPEND
+    mode under one watermark, so each hour emits exactly once, when
+    the watermark proves its last 5-minute bucket closed.
+
+    Determinism engineering mirrors river_stream_outer_join: two
+    far-future sentinel rows and maxSamplesPerTrigger = n_data + 1
+    slice the drain so batch 1 = all data + sentinel A (advancing the
+    watermark months past every real window) and the engine's
+    state-cleanup batches then cascade the evictions: agg1 emits the
+    closed 5-minute buckets, agg2 absorbs them and emits the closed
+    hours. The sentinels' own windows never close (the watermark stops
+    1s short) and are belt-and-suspenders filtered by the cutoff
+    (data is Jan 2024; sentinels sit at 2024-06). The drained hours must match the batch two-level rollup."""
+    from river_spark.sources import register
+
+    key = ("stream_window_chain", sf_dir)
+    if key not in _CACHE:
+        register(spark)
+        work = tempfile.mkdtemp(prefix="river_spark_swc_")
+        store = os.path.join(work, "store")
+        log = StreamLog(store)
+        schema, arr = _events_array(sf_dir, ("event_id", "ts", "value"))
+        far_a = np.datetime64("2024-06-01T00:00:00").astype("datetime64[ns]").astype(np.int64)
+        far_b = np.datetime64("2024-06-01T00:00:01").astype("datetime64[ns]").astype(np.int64)
+        sent = np.zeros(2, dtype=schema.dtype())
+        sent["event_id"] = [-1, -2]
+        sent["ts"] = [far_a, far_b]
+        w = StreamWriter(log).initialize("events_swc", schema)
+        w.write(np.concatenate([arr, sent]))
+        w.stop()
+        n_hours = len(np.unique(arr["ts"] // (3600 * 10**9)))
+
+        ets = F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        five = (
+            spark.readStream.format("river")
+            .option("path", store)
+            .option("stream", "events_swc")
+            .option("maxSamplesPerTrigger", str(len(arr) + 1))
+            .load()
+            .select(ets.alias("ets"), "value")
+            .withWatermark("ets", "1 second")
+            .groupBy(F.window("ets", "5 minutes"))
+            .agg(F.count("*").alias("n5"), F.sum("value").alias("sv5"))
+        )
+        hourly = (
+            five.groupBy(F.window(F.window_time("window"), "1 hour").alias("w"))
+            .agg(
+                F.count("*").alias("n_buckets"),
+                F.sum("n5").alias("n_events"),
+                F.sum("sv5").alias("sv"),
+            )
+        )
+        table = _memory_table_name("river_swc_", sf_dir)
+        qy = (
+            hourly.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        import time as _time
+
+        deadline = _time.monotonic() + 300
+        try:
+            while True:
+                n = spark.sql(
+                    f"SELECT count(*) FROM {table} WHERE w.start < timestamp'2024-03-01'"
+                ).first()[0]
+                if n >= n_hours:
+                    break
+                if _time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"{table}: window-chain drain surfaced {n}/{n_hours} hours in 300s"
+                    )
+                _time.sleep(0.25)
+        finally:
+            qy.stop()
+            qy.awaitTermination()
+        _CACHE[key] = table
+    return spark.sql(
+        f"""
+        SELECT date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS hour_start,
+               n_buckets, n_events, round(sv, 4) AS sum_value
+        FROM {_CACHE[key]} WHERE w.start < timestamp'2024-03-01'
+        """
+    )

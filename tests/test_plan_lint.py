@@ -41,6 +41,7 @@ CROSS_OK = {
     "emb_ann_recall": 20,           # brute-force side: 20 broadcast queries
     "emb_semdedup": 8,              # broadcast 8-row centroid table
     "emb_kmeans_update": 8,         # broadcast K-row centroid table (K=8)
+    "agg_heavy_hitters": 1,         # broadcast 1-row corpus token total
 }
 
 
