@@ -25,6 +25,8 @@ import river_spark.queries.curation4 as _curation4  # noqa: F401
 import river_spark.queries.relational6 as _relational6  # noqa: F401
 import river_spark.queries.curation5 as _curation5  # noqa: F401
 import river_spark.queries.curation6 as _curation6  # noqa: F401
+import river_spark.queries.relational7 as _relational7  # noqa: F401
+import river_spark.queries.curation7 as _curation7  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -76,6 +78,15 @@ _PRIORITY = [
     "ev_mad_outliers",
     "scalar_xml",
     "river_stream_window_chain",
+    # Session-2 additions (no driver row yet -> window head):
+    "layout_zorder",
+    "agg_salted_twophase",
+    "pipeline_scd2",
+    "pipeline_incremental_agg",
+    "mb_copurchase_pairs",
+    "er_fuzzy_match",
+    "agg_bitmap_audience",
+    "text_ngram_containment",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
