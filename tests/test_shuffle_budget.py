@@ -1,0 +1,71 @@
+"""Shuffle-budget regression gate.
+
+Every `groupBy`/`join`/`distinct`/global-window in a plan is an Exchange,
+and at 100 TB each Exchange is the dominant cost — a rewrite that
+silently adds one (a lost broadcast, a window that stops sharing its
+partitioning, a distinct that no longer rides an existing exchange) is a
+performance regression even when every correctness gate stays green.
+
+This test pins the SHUFFLE exchange count (hash/range/single-partition;
+broadcast exchanges excluded — they're the cheap alternative we WANT
+plans to pick) of the headline and structurally interesting queries to
+the value the current design produces. The budget is an upper bound, not
+an equality: Catalyst is free to get smarter, never quietly dumber.
+
+Notable budgets and why they are what they are:
+- q1/q3/q5 = 1: one fact-table agg shuffle; all dimension joins
+  broadcast (test_plans.py pins the join strategies themselves).
+- pipeline_scd2 = 1: both SCD windows and the change filter share the
+  per-customer partitioning — the whole history build is ONE shuffle.
+- dedup_ngram_jaccard / text_ngram_containment = 3: per-doc set, shingle
+  window, pair groupBy (the exchange-sharing rewrite of round 7).
+- agg_salted_twophase = 2: the salt split IS the point — phase-1
+  (key, salt) exchange + phase-2 merge exchange.
+- agg_bitmap_audience = 10: the exact-verify arm (distinct-join) is
+  deliberately carried next to the bitmap arm; production drops it.
+"""
+
+import os
+import re
+
+import pytest
+
+from river_spark.queries import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+_SHUFFLE = re.compile(r"Exchange (hash|range|Single)")
+
+# query -> max shuffle exchanges (current plan's count; see module doc)
+BUDGETS = {
+    "q1_pricing_summary": 1,
+    "q3_shipping_priority": 1,
+    "q5_nation_volume": 1,
+    "pipeline_training_set": 1,
+    "er_fuzzy_match": 1,
+    "emb_ann_lsh": 1,
+    "pipeline_scd2": 1,
+    "layout_zorder": 2,
+    "agg_salted_twophase": 2,
+    "dedup_ngram_jaccard": 3,
+    "text_ngram_containment": 3,
+    "pipeline_incremental_agg": 3,
+    "ev_rollup_cascade": 6,
+    "mb_copurchase_pairs": 7,
+    "agg_bitmap_audience": 10,
+    "dedup_minhash_lsh": 11,
+    "pipeline_curation_v2": 11,
+    "decontam_minhash_bench": 15,
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_shuffle_budget(spark, name):
+    df = QUERIES[name].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = len(_SHUFFLE.findall(plan))
+    assert n <= BUDGETS[name], (
+        f"{name}: {n} shuffle exchanges > budget {BUDGETS[name]} — a "
+        f"rewrite added a shuffle; either restore the sharing or justify "
+        f"the new exchange and raise the budget here"
+    )
