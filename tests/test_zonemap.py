@@ -1,0 +1,127 @@
+"""Zone-map data-skipping index: stats collection, conservative
+pruning, and result equivalence with a full scan."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from river_spark.ingest.zonemap import (
+    build_zonemap,
+    list_parquet_files,
+    prune_files,
+    read_pruned,
+    write_zonemap,
+)
+
+N_FILES = 6
+ROWS_PER_FILE = 100
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    """6 stat-bearing files with disjoint key ranges (file i holds keys
+    [i*100, i*100+99]) plus one file written WITHOUT statistics — the
+    conservative-keep case."""
+    root = str(tmp_path_factory.mktemp("zm_dataset"))
+    for i in range(N_FILES):
+        keys = list(range(i * 100, i * 100 + ROWS_PER_FILE))
+        t = pa.table(
+            {
+                "key": pa.array(keys, type=pa.int64()),
+                "tag": pa.array([f"t{k % 7}" for k in keys]),
+                "val": pa.array([k * 0.5 for k in keys], type=pa.float64()),
+            }
+        )
+        pq.write_table(t, os.path.join(root, f"part-{i:03d}.parquet"))
+    nostat = pa.table(
+        {
+            "key": pa.array([9000, 9001], type=pa.int64()),
+            "tag": pa.array(["zz", "zz"]),
+            "val": pa.array([1.0, 2.0], type=pa.float64()),
+        }
+    )
+    pq.write_table(
+        nostat,
+        os.path.join(root, "part-nostat.parquet"),
+        write_statistics=False,
+    )
+    return root
+
+
+def test_listing_skips_side_files(dataset):
+    os.makedirs(os.path.join(dataset, "_zonemap"), exist_ok=True)
+    with open(os.path.join(dataset, "_zonemap", "x.parquet"), "w") as f:
+        f.write("not data")
+    files = list_parquet_files(dataset)
+    assert len(files) == N_FILES + 1
+    assert all("_zonemap" not in f for f in files)
+
+
+def test_build_collects_footer_stats(spark, dataset):
+    zm = build_zonemap(spark, dataset).toPandas()
+    # every (file, column) appears
+    assert set(zm["column"]) == {"key", "tag", "val"}
+    assert zm["file"].nunique() == N_FILES + 1
+    k3 = zm[(zm["column"] == "key") & (zm["file"].str.contains("part-003"))]
+    assert k3.iloc[0]["num_lo"] == 300.0 and k3.iloc[0]["num_hi"] == 399.0
+    assert k3.iloc[0]["has_stats"] == 1
+    assert k3.iloc[0]["num_rows"] == ROWS_PER_FILE
+    ns = zm[(zm["column"] == "key") & (zm["file"].str.contains("nostat"))]
+    assert ns.iloc[0]["has_stats"] == 0
+
+
+def test_prune_numeric_range(spark, dataset):
+    zm = build_zonemap(spark, dataset).toPandas()
+    kept = prune_files(zm, "key", lo=250, hi=320)
+    names = [os.path.basename(f) for f in kept]
+    # files 2 and 3 intersect; the stats-less file is kept conservatively
+    assert names == ["part-002.parquet", "part-003.parquet", "part-nostat.parquet"]
+
+
+def test_prune_half_open_and_empty(spark, dataset):
+    zm = build_zonemap(spark, dataset).toPandas()
+    ge = prune_files(zm, "key", lo=480)
+    assert [os.path.basename(f) for f in ge] == [
+        "part-004.parquet",
+        "part-005.parquet",
+        "part-nostat.parquet",
+    ]
+    none_match = prune_files(zm, "key", lo=20000)
+    # only the conservative keep survives
+    assert [os.path.basename(f) for f in none_match] == ["part-nostat.parquet"]
+
+
+def test_prune_string_bounds(spark, dataset):
+    zm = build_zonemap(spark, dataset).toPandas()
+    kept = prune_files(zm, "tag", lo="u", hi="zzz")
+    # every stat-bearing file spans t0..t6 < "u"; only nostat survives
+    assert [os.path.basename(f) for f in kept] == ["part-nostat.parquet"]
+
+
+def test_read_pruned_equals_full_scan(spark, dataset):
+    zm = build_zonemap(spark, dataset).toPandas()
+    got = (
+        read_pruned(spark, dataset, "key", lo=250, hi=320, zonemap=zm)
+        .orderBy("key")
+        .toPandas()
+    )
+    full = (
+        spark.read.parquet(dataset)
+        .filter("key >= 250 and key <= 320")
+        .orderBy("key")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), full.reset_index(drop=True)
+    )
+    assert len(got) == 71  # 250..320 inclusive
+
+
+def test_persisted_index_roundtrip(spark, dataset):
+    path = write_zonemap(spark, dataset)
+    assert os.path.basename(path) == "_zonemap"
+    got = read_pruned(spark, dataset, "key", lo=0, hi=50).orderBy("key").toPandas()
+    assert got["key"].tolist() == list(range(0, 51))
