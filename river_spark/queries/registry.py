@@ -27,6 +27,8 @@ import river_spark.queries.curation5 as _curation5  # noqa: F401
 import river_spark.queries.curation6 as _curation6  # noqa: F401
 import river_spark.queries.relational7 as _relational7  # noqa: F401
 import river_spark.queries.curation7 as _curation7  # noqa: F401
+import river_spark.queries.relational8 as _relational8  # noqa: F401
+import river_spark.queries.curation8 as _curation8  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -87,6 +89,16 @@ _PRIORITY = [
     "er_fuzzy_match",
     "agg_bitmap_audience",
     "text_ngram_containment",
+    # Session-3 additions (no driver row yet -> window head):
+    "graph_triangle_count",
+    "agg_countmin_sketch",
+    "agg_weighted_median",
+    "ev_candle_ohlc",
+    "ev_sequence_pattern",
+    "geo_grid_proximity",
+    "graph_pagerank",
+    "text_bpe_pair_counts",
+    "emb_power_iteration",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",

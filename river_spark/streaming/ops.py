@@ -255,3 +255,79 @@ def locf_fill_stream(events: DataFrame, timeout_ms: int = 300_000) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4.0 stateful API) — protobuf-gated
+# ---------------------------------------------------------------------------
+def has_tws_runtime() -> bool:
+    """True when transformWithStateInPandas can actually RUN here.
+
+    The operator's Python state server speaks protobuf to the JVM
+    (pyspark.sql.streaming.proto); pyspark only imports it lazily, so a
+    session can BUILD a TWS query and then crash its driver worker with
+    ``ImportError: google.protobuf`` at start. Same honesty contract as
+    the zfpy gate in transport/compression.py: the capability is fully
+    implemented, and environments without the optional dependency skip
+    instead of pretending."""
+    try:  # pragma: no cover - environment probe
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum) via ``transformWithStateInPandas``
+    — Spark 4.0's arbitrary-state API (SPARK-49564), the successor of
+    ``running_totals``'s applyInPandasWithState. Functionally the same
+    gate semantics (update-mode monotone totals, so max-per-key equals
+    the batch aggregate); operationally different where it matters at
+    100 TB: state lives in RocksDB with changelog checkpointing (state
+    larger than executor memory, incremental commits), schema evolution
+    is supported, and the same processor could register timers/TTL
+    instead of a coarse GroupStateTimeout.
+
+    Requires the RocksDB state store provider::
+
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+
+    and a protobuf-enabled Python env (see :func:`has_tws_runtime`).
+    Exercised by tests/test_streaming_ops.py::test_running_totals_tws,
+    which skips — like the zfpy byte-parity suite — where protobuf is
+    absent (it is absent in this container; pyspark ships the TWS proto
+    bindings but not protobuf itself)."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._tot = handle.getValueState("tot", "n BIGINT, s DOUBLE")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, s = tuple(self._tot.get()) if self._tot.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._tot.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _Totals(), out_schema, "Update", "None"
+    )

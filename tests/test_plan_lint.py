@@ -42,6 +42,7 @@ CROSS_OK = {
     "emb_semdedup": 8,              # broadcast 8-row centroid table
     "emb_kmeans_update": 8,         # broadcast K-row centroid table (K=8)
     "agg_heavy_hitters": 1,         # broadcast 1-row corpus token total
+    "graph_triangle_count": 1,      # 1-row stats x 1-row triangle count
 }
 
 

@@ -435,3 +435,35 @@ def test_locf_stream_timeout_resets_state():
     )))
     assert math.isnan(out2["filled_value"].iloc[0])
     assert out2["filled_value"].iloc[1] == 9.0
+
+
+def test_running_totals_tws(spark, event_stream):
+    """transformWithStateInPandas running totals (Spark 4.0 arbitrary
+    state API). Skips where protobuf is absent — pyspark's TWS driver
+    worker imports google.protobuf at query START (the build succeeds,
+    the first micro-batch crashes), so the gate probes the import, not
+    the API surface. Same honesty contract as the zfpy parity skips."""
+    from river_spark.streaming.ops import has_tws_runtime, running_totals_tws
+
+    if not has_tws_runtime():
+        pytest.skip("google.protobuf absent: TWS state server cannot start")
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        sdf = running_totals_tws(_stream_df(spark, event_stream))
+        out = _run_to_memory(spark, sdf, "rt_tws", mode="update")
+        last = (
+            out.groupBy("user_id")
+            .agg(F.max("n_events").alias("n"))
+            .orderBy("user_id")
+            .collect()
+        )
+        assert [r.n for r in last] == [61, 61, 60]
+    finally:
+        if old:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
