@@ -67,3 +67,76 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Catalog read — REQUIRED for bucketed tables (a path-based parquet
     read drops the bucket spec and the join shuffles again)."""
     return spark.table(table)
+
+
+def _interleave_expr(cols: list[str], bits: int) -> str:
+    """SQL expression interleaving ``bits`` low bits of each column in
+    ``cols`` round-robin (Morton order): bit k of column j lands at
+    position k * len(cols) + j. Pure integer arithmetic, whole-stage
+    codegen friendly."""
+    n = len(cols)
+    terms = []
+    for k in range(bits):
+        for j, c in enumerate(cols):
+            terms.append(f"shiftleft(shiftright({c}, {k}) & 1, {k * n + j})")
+    return " + ".join(terms)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 10,
+    mode: str = "error",
+) -> None:
+    """Persist ``df`` as parquet physically clustered along the Morton
+    (Z-order) curve over ``cols`` — the multi-dimensional layout lever
+    next to bucketing (join locality) and partitioning (directory
+    pruning): after z-ordering, each file's min/max footer stats form a
+    tight box over EVERY z-ordered column, so range predicates on ANY of
+    them skip most files (via the `_zonemap` index or any engine's
+    footer-stats skipping). This is what Delta's OPTIMIZE ZORDER BY and
+    Iceberg's sort orders do; `layout_zorder` (queries/relational7.py)
+    gate-checks the box math, this is the write path that realizes it.
+
+    Mechanics: each column is affinely scaled into [0, 2^bits) using its
+    global min/max (one lightweight agg job — the analog of the range
+    sampling `repartitionByRange` does anyway), the scaled values are
+    bit-interleaved into one z-value, and the rows are range-partitioned
+    AND sorted by it. Range partitioning makes the per-file z-ranges
+    disjoint; the within-file sort tightens row-group stats too.
+
+    100 TB posture: one exchange (the range partitioner samples, then
+    shuffles once), no global sort barrier — sorting is per-file. The
+    min/max pre-scan reads only the z columns (column-pruned) and is
+    O(data) but cheap; production systems persist these bounds in table
+    metadata instead of re-scanning."""
+    from pyspark.sql import functions as F
+
+    lo_hi = df.agg(
+        *[F.min(c).alias(f"lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    span = (1 << bits) - 1
+    scaled = []
+    zdf = df
+    for i, c in enumerate(cols):
+        lo, hi = lo_hi[f"lo_{i}"], lo_hi[f"hi_{i}"]
+        rng = (hi - lo) or 1
+        sc = f"__z{i}"
+        zdf = zdf.withColumn(
+            sc,
+            F.expr(
+                f"cast((cast({c} as double) - {lo}) * {span} / {rng} as bigint)"
+            ),
+        )
+        scaled.append(sc)
+    zdf = zdf.withColumn("__zv", F.expr(_interleave_expr(scaled, bits)))
+    (
+        zdf.repartitionByRange(n_files, "__zv")
+        .sortWithinPartitions("__zv")
+        .drop("__zv", *scaled)
+        .write.mode(mode)
+        .parquet(path)
+    )
