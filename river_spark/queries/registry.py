@@ -29,6 +29,7 @@ import river_spark.queries.relational7 as _relational7  # noqa: F401
 import river_spark.queries.curation7 as _curation7  # noqa: F401
 import river_spark.queries.relational8 as _relational8  # noqa: F401
 import river_spark.queries.curation8 as _curation8  # noqa: F401
+import river_spark.queries.relational9 as _relational9  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -99,6 +100,9 @@ _PRIORITY = [
     "graph_pagerank",
     "text_bpe_pair_counts",
     "emb_power_iteration",
+    "scalar_collation",
+    "ev_attribution_last_touch",
+    "pipeline_rfm_segments",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
