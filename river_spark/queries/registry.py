@@ -50,11 +50,14 @@ _PRIORITY = [
     # ages after round 7: 50 queries r7, 50 r6, 50 r4, and 22 whose
     # newest row is r1-r3 (the 13 the round-7 verdict names —
     # join_anti..ev_seek — plus 9 more from the same early block).
-    # Head order: those 13 first (round-7 directive #1), then the 13 new
-    # round-8 queries, then the rest of the stale r1-r4 block oldest
-    # chunk; the r4 queries that miss this window lead round 9.
-    # Freshest (r6, then r7) trail; every query stays covered each
-    # session by tests/test_oracle.py regardless of driver position.
+    # Head order: those 13 first (round-7 directive #1), then the 13
+    # session-1/2 round-8 queries, then the 12 session-3 additions
+    # (graph/sketch/spatial/collation waves — no driver row can exist
+    # before they do), then the oldest chunk of the stale r1-r3 block
+    # up to position 50. The stale block's tail (text_lang_id ..
+    # river_cli_roundtrip) plus the r4 cohort lead round 9. Freshest (r6, then r7) trail; every query stays covered
+    # each session by tests/test_oracle.py regardless of driver
+    # position.
     "join_anti",
     "join_full_outer",
     "win_rank_ntile",
@@ -103,6 +106,9 @@ _PRIORITY = [
     "scalar_collation",
     "ev_attribution_last_touch",
     "pipeline_rfm_segments",
+    "ab_welch_ttest",
+    "ev_cusum_changepoint",
+    "pipeline_url_canonical_dedup",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",

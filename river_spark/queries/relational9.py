@@ -215,3 +215,302 @@ def pipeline_rfm_segments(spark, sf_dir):
         .cast("long")
         .alias("rfm_code"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test (A/B experiment readout)
+# ---------------------------------------------------------------------------
+@q(
+    "ab_welch_ttest",
+    oracle="""
+    WITH assigned AS (
+        SELECT CASE WHEN (('0x' || substr(md5('exp7~' || CAST(user_id AS
+                   VARCHAR)), 1, 8))::BIGINT % 2) = 0 THEN 'A' ELSE 'B'
+               END AS arm,
+               value
+        FROM events WHERE event_type = 'purchase'),
+    stats AS (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n,
+               round(avg(value), 6) AS mean,
+               round(var_samp(value), 6) AS var
+        FROM assigned GROUP BY arm),
+    wide AS (
+        SELECT max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+               max(CASE WHEN arm = 'A' THEN mean END) AS mean_a,
+               max(CASE WHEN arm = 'A' THEN var END) AS var_a,
+               max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+               max(CASE WHEN arm = 'B' THEN mean END) AS mean_b,
+               max(CASE WHEN arm = 'B' THEN var END) AS var_b
+        FROM stats)
+    SELECT n_a, mean_a, var_a, n_b, mean_b, var_b,
+           round((mean_a - mean_b) /
+                 sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat,
+           round(pow(var_a / n_a + var_b / n_b, 2) /
+                 (pow(var_a / n_a, 2) / (n_a - 1)
+                  + pow(var_b / n_b, 2) / (n_b - 1)), 4) AS welch_df
+    FROM wide
+    """,
+    tags=("analytics", "abtest", "stats"),
+)
+def ab_welch_ttest(spark, sf_dir):
+    """The A/B experiment readout: users are assigned to arms by an
+    md5 hash of (salt, user_id) — the stateless, leakage-safe assignment
+    every experimentation platform uses (and the same idiom as
+    pipeline_train_split) — and purchase values are compared with
+    Welch's unequal-variance t-test: per-arm n/mean/var from ONE hash
+    aggregation, then the t statistic and Welch-Satterthwaite degrees
+    of freedom computed on the 2-row result. Means/vars are rounded
+    BEFORE the t computation so both engines feed identical doubles
+    into the identical closed form — the gate then checks t and df
+    bit-level.
+
+    100 TB posture: the entire test is one partial-aggregatable scan
+    (count/sum/sumsq per arm) reduced to 2 rows — the canonical
+    sufficient-statistics pattern: no event ever crosses the network
+    except inside map-side partial aggregates. A thousand parallel
+    experiments would group by (experiment_id, arm) in the same
+    single scan."""
+    arm = F.when(
+        F.expr(
+            "pmod(cast(conv(substring(md5(concat('exp7~', cast(user_id as string))), "
+            "1, 8), 16, 10) as bigint), 2)"
+        )
+        == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    assigned = (
+        events_tbl(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(arm.alias("arm"), "value")
+    )
+    stats = assigned.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.round(F.var_samp("value"), 6).alias("var"),
+    )
+    wide = stats.agg(
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(c))).alias(f"{c}_{a.lower()}")
+            for a in ("A", "B")
+            for c in ("n", "mean", "var")
+        ]
+    )
+    se2 = F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    return wide.select(
+        "n_a",
+        "mean_a",
+        "var_a",
+        "n_b",
+        "mean_b",
+        "var_b",
+        F.round((F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("var_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+                + F.pow(F.col("var_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)
+            ),
+            4,
+        ).alias("welch_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM offline change-point detection
+# ---------------------------------------------------------------------------
+@q(
+    "ev_cusum_changepoint",
+    oracle="""
+    WITH mu AS (
+        SELECT event_type, round(avg(value), 6) AS mean_r
+        FROM events GROUP BY event_type),
+    cusum AS (
+        SELECT e.event_type, e.ts, e.event_id,
+               round(sum(e.value - mu.mean_r) OVER (
+                   PARTITION BY e.event_type
+                   ORDER BY e.ts, e.event_id), 4) AS s
+        FROM events e JOIN mu USING (event_type)),
+    ranked AS (
+        SELECT event_type, ts, event_id, s, abs(s) AS mag,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY abs(s) DESC, ts, event_id) AS rn
+        FROM cusum)
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS change_ts,
+           event_id AS change_event_id, s AS cusum_value, mag AS magnitude
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("events", "changepoint", "window"),
+)
+def ev_cusum_changepoint(spark, sf_dir):
+    """Offline CUSUM change-point detection per event type: the
+    cumulative sum of deviations from the (rounded) series mean peaks in
+    magnitude exactly where the level shifts — the classic two-pass
+    formulation (Page's test, batch form). Pass 1 is a per-type mean
+    (rounded to 6 so both engines subtract the identical constant);
+    pass 2 is one ordered per-type window cumsum, rounded to 4 before
+    the argmax rank so cross-engine window-accumulation order (running
+    vs segment-tree) cannot flip the winner; ties break on (ts,
+    event_id).
+
+    100 TB posture: state is one running double per event type; the
+    window partitions by type so a thousand series process in parallel
+    (in production you'd partition by (series, day) and stitch — the
+    ev_interval_merge pattern). No self-join, no collect; the output is
+    one row per series."""
+    ev = events_tbl(spark, sf_dir)
+    mu = ev.groupBy("event_type").agg(F.round(F.avg("value"), 6).alias("mean_r"))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    cusum = ev.join(F.broadcast(mu), "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.sum(F.col("value") - F.col("mean_r")).over(w), 4).alias("s"),
+    )
+    ranked = cusum.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "s",
+        F.abs("s").alias("mag"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                F.abs("s").desc(), "ts", "event_id"
+            )
+        )
+        .alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("change_ts"),
+        F.col("event_id").alias("change_event_id"),
+        F.col("s").alias("cusum_value"),
+        F.col("mag").alias("magnitude"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup (crawl pipeline)
+# ---------------------------------------------------------------------------
+def _url_raw_sql(dialect: str) -> str:
+    """Deterministic raw-URL synthesis from doc_id/source: five docs
+    share one canonical page, each dressed in different crawl noise —
+    scheme/host case, an explicit default port, a trailing slash,
+    utm_* tracking params, and shuffled query-param order."""
+    if dialect == "spark":
+        host = "concat('www.site', cast((doc_id div 5) % 23 as string), '.example.com')"
+        return f"""concat(
+            CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'http' END, '://',
+            CASE WHEN doc_id % 3 = 1 THEN upper({host}) ELSE {host} END,
+            CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END,
+            '/page/', cast(doc_id div 5 as string),
+            CASE WHEN doc_id % 5 = 1 THEN '/' ELSE '' END,
+            CASE WHEN doc_id % 5 = 2 THEN '?utm_source=feed&v=1'
+                 WHEN doc_id % 5 = 3 THEN '?v=1&utm_campaign=x'
+                 WHEN doc_id % 5 = 4 THEN '?v=1'
+                 ELSE '' END)"""
+    host = "('www.site' || CAST((doc_id // 5) % 23 AS VARCHAR) || '.example.com')"
+    return f"""(
+        CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'http' END || '://' ||
+        CASE WHEN doc_id % 3 = 1 THEN upper({host}) ELSE {host} END ||
+        CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END ||
+        '/page/' || CAST(doc_id // 5 AS VARCHAR) ||
+        CASE WHEN doc_id % 5 = 1 THEN '/' ELSE '' END ||
+        CASE WHEN doc_id % 5 = 2 THEN '?utm_source=feed&v=1'
+             WHEN doc_id % 5 = 3 THEN '?v=1&utm_campaign=x'
+             WHEN doc_id % 5 = 4 THEN '?v=1'
+             ELSE '' END)"""
+
+
+@q(
+    "pipeline_url_canonical_dedup",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, {_url_raw_sql('duckdb')} AS url FROM documents),
+    parts AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(url, '^[hH][tT][tT][pP]://([^/:?]+)', 1))
+                   AS host,
+               regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/]+([^?]*)', 1),
+                              '/$', '') AS path,
+               coalesce(regexp_extract(url, '\\?(.*)$', 1), '') AS q
+        FROM raw),
+    canon AS (
+        SELECT doc_id, url,
+               'http://' || host || path ||
+               CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canonical
+        FROM (
+            SELECT *, coalesce(array_to_string(list_sort(list_filter(
+                       str_split(q, '&'),
+                       x -> NOT starts_with(x, 'utm_') AND x <> '')), '&'), '')
+                   AS kept
+            FROM parts))
+    SELECT canonical,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+    FROM canon GROUP BY canonical
+    """,
+    tags=("pipeline", "url", "crawl"),
+)
+def pipeline_url_canonical_dedup(spark, sf_dir):
+    """Crawl-frontier URL canonicalization — the dedup stage BEFORE
+    content dedup in every web-scale pipeline: five raw variants per
+    page (scheme/host case, explicit :80, trailing slash, utm_*
+    tracking params, shuffled param order) must collapse to ONE
+    canonical URL. The pipeline is pure string algebra — lowercase
+    host, strip default port, strip trailing slash, drop utm_* params,
+    SORT surviving params — each step an in-row regexp/HOF expression,
+    and the oracle replays every step bit-for-bit (the same Java-regex/
+    RE2 agreement idiom as text_pii_redact). Group-by-canonical then
+    yields variant counts and the min-doc_id representative (the
+    keep-lowest rule every dedup stage here uses).
+
+    100 TB posture: canonicalization is embarrassingly parallel in-row
+    compute (no UDF — regexp + higher-order functions stay in codegen);
+    the only shuffle is the final hash agg on the canonical key. At
+    frontier scale the same key feeds a bloom/exact seen-set join
+    (decontam_bloom_prefilter's shape) instead of a full group-by."""
+    raw = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_url_raw_sql("spark")).alias("url")
+    )
+    parts = raw.select(
+        "doc_id",
+        "url",
+        F.lower(F.regexp_extract("url", "^[hH][tT][tT][pP]://([^/:?]+)", 1)).alias(
+            "host"
+        ),
+        F.regexp_replace(
+            F.regexp_extract("url", "^[a-zA-Z]+://[^/]+([^?]*)", 1), "/$", ""
+        ).alias("path"),
+        F.regexp_extract("url", r"\?(.*)$", 1).alias("q"),
+    )
+    canon = parts.withColumn(
+        "kept",
+        F.array_join(
+            F.array_sort(
+                F.expr(
+                    "filter(split(q, '&'), x -> NOT startswith(x, 'utm_') AND x <> '')"
+                )
+            ),
+            "&",
+        ),
+    ).select(
+        "doc_id",
+        "url",
+        F.concat(
+            F.lit("http://"),
+            F.col("host"),
+            F.col("path"),
+            F.when(F.col("kept") == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), F.col("kept"))
+            ),
+        ).alias("canonical"),
+    )
+    return canon.groupBy("canonical").agg(
+        F.count("*").alias("n_variants"),
+        F.countDistinct("url").alias("n_distinct_raw"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
