@@ -153,17 +153,19 @@ _CMS_TOPK = 20
 
 
 def _cms_bucket_sql(row: str, key: str, dialect: str) -> str:
-    """md5-prefix bucket in [0, _CMS_W) for hash row ``row`` over int
-    column ``key`` — SQL-replayable in both engines (at scale this is
-    xxhash64(row, key); md5 keeps the oracle exact)."""
+    """md5-slice bucket in [0, _CMS_W) for hash row ``row`` over int
+    column ``key``: ONE md5 per key, hash row i reads hex slice
+    [1+8i, 8] — 4 independent-enough hash rows for the price of one
+    digest (at scale this is xxhash64(key, seed_i); md5 keeps the
+    oracle exact). ``row`` may be a column reference."""
     if dialect == "spark":
         return (
-            f"pmod(cast(conv(substring(md5(concat(cast({row} as string), '#', "
-            f"cast({key} as string))), 1, 8), 16, 10) as bigint), {_CMS_W})"
+            f"pmod(cast(conv(substring(md5(cast({key} as string)), "
+            f"1 + 8 * {row}, 8), 16, 10) as bigint), {_CMS_W})"
         )
     return (
-        f"(('0x' || substr(md5(CAST({row} AS VARCHAR) || '#' || "
-        f"CAST({key} AS VARCHAR)), 1, 8))::BIGINT % {_CMS_W})"
+        f"(('0x' || substr(md5(CAST({key} AS VARCHAR)), "
+        f"1 + 8 * {row}, 8))::BIGINT % {_CMS_W})"
     )
 
 
@@ -171,12 +173,12 @@ def _cms_bucket_sql(row: str, key: str, dialect: str) -> str:
     "agg_countmin_sketch",
     oracle=f"""
     WITH rows_d AS (SELECT unnest(range({_CMS_D})) AS hrow),
-    cms AS (
-        SELECT hrow, {_cms_bucket_sql('hrow', 'l_suppkey', 'duckdb')} AS bucket,
-               count(*) AS cnt
-        FROM lineitem, rows_d GROUP BY 1, 2),
     exact AS (
         SELECT l_suppkey, count(*) AS exact_cnt FROM lineitem GROUP BY 1),
+    cms AS (
+        SELECT hrow, {_cms_bucket_sql('hrow', 'l_suppkey', 'duckdb')} AS bucket,
+               sum(exact_cnt) AS cnt
+        FROM exact, rows_d GROUP BY 1, 2),
     probe AS (
         SELECT l_suppkey, exact_cnt FROM exact
         ORDER BY exact_cnt DESC, l_suppkey LIMIT {_CMS_TOPK}),
@@ -194,6 +196,7 @@ def _cms_bucket_sql(row: str, key: str, dialect: str) -> str:
     FROM est
     """,
     tags=("sketch", "cms", "scale"),
+    bench=True,
 )
 def agg_countmin_sketch(spark, sf_dir):
     """Count-min sketch built entirely from relational operators: the
@@ -211,17 +214,26 @@ def agg_countmin_sketch(spark, sf_dir):
     100 TB posture: the sketch build is a map-side-combinable hash agg
     whose output is 1024 rows NO MATTER the input volume — this is the
     precompute-small/probe-cheap pattern for frequency queries over
-    streams too hot to index. The probe join broadcasts the 1024-row
-    sketch; the explode-by-d happens before the partial agg, so the
-    shuffle moves at most d*w rows per mapper."""
+    streams too hot to index. Two build shapes exist: when a per-key
+    groupBy is affordable (here — it is computed anyway as ground
+    truth), the sketch aggregates the VOCABULARY-sized count table (one
+    md5 per key, explode x d over |keys| rows, exchange reuse shares
+    the scan); when keys are too hot to group, the same expression runs
+    directly on the raw stream and the d x w partial agg caps what any
+    mapper ships at d*w rows. The probe join broadcasts the 1024-row
+    sketch. All four hash rows slice ONE digest — hashing cost is per
+    key, not per (key, row)."""
     li = tbl(spark, sf_dir, "lineitem").select("l_suppkey")
     rows_d = F.array(*[F.lit(i) for i in range(_CMS_D)])
-    cms = (
-        li.select("l_suppkey", F.explode(rows_d).alias("hrow"))
-        .groupBy("hrow", F.expr(_cms_bucket_sql("hrow", "l_suppkey", "spark")).alias("bucket"))
-        .agg(F.count("*").alias("cnt"))
-    )
     exact = li.groupBy("l_suppkey").agg(F.count("*").alias("exact_cnt"))
+    cms = (
+        exact.select("l_suppkey", "exact_cnt", F.explode(rows_d).alias("hrow"))
+        .groupBy(
+            "hrow",
+            F.expr(_cms_bucket_sql("hrow", "l_suppkey", "spark")).alias("bucket"),
+        )
+        .agg(F.sum("exact_cnt").alias("cnt"))
+    )
     probe = exact.orderBy(F.desc("exact_cnt"), "l_suppkey").limit(_CMS_TOPK)
     probed = (
         probe.select("l_suppkey", "exact_cnt", F.explode(rows_d).alias("hrow"))
@@ -496,6 +508,7 @@ def _geo_coord_sql(key: str, axis: str, dialect: str) -> str:
     WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {_GEO_R2}
     """,
     tags=("geo", "spatial", "scale"),
+    bench=True,
 )
 def geo_grid_proximity(spark, sf_dir):
     """Spatial proximity self-join without the cross product — the

@@ -454,6 +454,7 @@ def _url_raw_sql(dialect: str) -> str:
     FROM canon GROUP BY canonical
     """,
     tags=("pipeline", "url", "crawl"),
+    bench=True,
 )
 def pipeline_url_canonical_dedup(spark, sf_dir):
     """Crawl-frontier URL canonicalization — the dedup stage BEFORE
