@@ -247,6 +247,13 @@ class SingleStreamIngester:
         else:
             if os.path.isdir(stream_dir) and not os.listdir(stream_dir):
                 os.rmdir(stream_dir)
+        if self.settings.build_zonemap:
+            # Write-side data skipping: index the finalized files'
+            # footers so range readers can prune without scanning
+            # (read side: ingest/zonemap.py prune_files/read_pruned).
+            from river_spark.ingest.zonemap import write_zonemap_local
+
+            write_zonemap_local(self.out_dir)
         return IngestResult.COMPLETED
 
 

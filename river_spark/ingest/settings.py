@@ -33,6 +33,12 @@ class StreamIngestionSettings:
     minimum_age_seconds_before_deletion: int = DEFAULT_MINIMUM_AGE_S
     columns_whitelist: list[str] = field(default_factory=list)
     columns_blacklist: list[str] = field(default_factory=list)
+    # Opt-in: build a file-level min/max data-skipping index (_zonemap)
+    # when the stream finalizes — the write-side half of zonemap.py's
+    # read-side pruning, produced by the ingest path itself so river
+    # streams land as skippable parquet. Off by default: one footer
+    # re-read per finalized file.
+    build_zonemap: bool = False
 
     def matches(self, stream_name: str) -> bool:
         return re.fullmatch(self.stream_name_regex, stream_name) is not None

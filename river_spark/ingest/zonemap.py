@@ -221,3 +221,44 @@ def read_pruned(
     if hi is not None:
         df = df.filter(F.col(column) <= F.lit(hi))
     return df
+
+
+def write_zonemap_local(root: str) -> str | None:
+    """Driver/ingester-side zone-map build with NO SparkSession: collect
+    `_file_stats` for every data file sequentially and persist the same
+    `_zonemap` parquet `write_zonemap` produces. For the ingest path —
+    `SingleStreamIngester` finalizes with pyarrow only, and a
+    just-finalized stream is one-to-few files, so a distributed build
+    would be overhead. Readers cannot tell which builder wrote the
+    index. Returns the index path, or None when the root has no data
+    files yet."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    paths = list_parquet_files(root)
+    if not paths:
+        return None
+    rows: list[dict] = []
+    for p in paths:
+        rows.extend(_file_stats(p))
+    cols = [f.name for f in _ZM_SCHEMA.fields]
+    pdf = pd.DataFrame(rows, columns=cols)
+    out = os.path.join(root, "_zonemap")
+    os.makedirs(out, exist_ok=True)
+    schema = pa.schema(
+        [
+            ("file", pa.string()),
+            ("column", pa.string()),
+            ("num_rows", pa.int64()),
+            ("null_count", pa.int64()),
+            ("num_lo", pa.float64()),
+            ("num_hi", pa.float64()),
+            ("str_lo", pa.string()),
+            ("str_hi", pa.string()),
+            ("has_stats", pa.int64()),
+        ]
+    )
+    tmp = os.path.join(out, ".part-0.parquet.inprogress")
+    pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), tmp)
+    os.replace(tmp, os.path.join(out, "part-0.parquet"))
+    return out

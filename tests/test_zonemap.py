@@ -125,3 +125,38 @@ def test_persisted_index_roundtrip(spark, dataset):
     assert os.path.basename(path) == "_zonemap"
     got = read_pruned(spark, dataset, "key", lo=0, hi=50).orderBy("key").toPandas()
     assert got["key"].tolist() == list(range(0, 51))
+
+
+def test_ingester_builds_zonemap_on_finalize(spark, tmp_path):
+    """StreamIngestionSettings(build_zonemap=True): the ingest path
+    itself lands a _zonemap index next to the finalized parquet, and
+    pruned reads through it equal a full scan."""
+    import numpy as np
+
+    from river_spark.ingest.ingester import SingleStreamIngester
+    from river_spark.ingest.settings import StreamIngestionSettings
+    from river_spark.schema import FieldDefinition, FieldType, StreamSchema
+    from river_spark.transport import StreamLog, StreamWriter
+
+    log = StreamLog(str(tmp_path / "store"))
+    schema = StreamSchema(
+        [FieldDefinition("x", FieldType.INT64), FieldDefinition("v", FieldType.DOUBLE)]
+    )
+    w = StreamWriter(log, batch_size=256).initialize("zm_stream", schema)
+    arr = np.zeros(1000, dtype=schema.dtype())
+    arr["x"] = np.arange(1000)
+    arr["v"] = np.arange(1000) * 0.5
+    w.write(arr)
+    w.stop()
+    out_root = str(tmp_path / "out")
+    ing = SingleStreamIngester(
+        log, out_root, "zm_stream", StreamIngestionSettings(build_zonemap=True)
+    )
+    ing.ingest()
+    root = os.path.join(out_root, "zm_stream")
+    zm_path = os.path.join(root, "_zonemap")
+    assert os.path.isdir(zm_path)
+    zm = pd.read_parquet(zm_path)
+    assert set(zm[zm["column"] == "x"]["file"]) == set(list_parquet_files(root))
+    got = read_pruned(spark, root, "x", lo=100, hi=200, zonemap=zm)
+    assert got.count() == 101
