@@ -56,6 +56,30 @@ BUDGETS = {
     "dedup_minhash_lsh": 11,
     "pipeline_curation_v2": 11,
     "decontam_minhash_bench": 15,
+    # session-3 additions
+    "geo_grid_proximity": 0,        # cell-key broadcast join, zero shuffles
+    "pipeline_url_canonical_dedup": 2,
+    "agg_weighted_median": 2,       # histogram agg + histogram window
+    "ev_candle_ohlc": 2,            # window + agg share (type, hour) keys
+    "ab_welch_ttest": 2,            # per-arm partials + 2-row reduce
+    "ev_cusum_changepoint": 2,      # mean agg + per-type window (mu broadcast)
+    "pipeline_rfm_segments": 2,     # orders agg + shared dimension windows
+    "agg_countmin_sketch": 3,       # exact agg + sketch agg + top-k
+    "scalar_sql_udf": 1,            # inlined UDFs: plain one-shuffle agg
+}
+
+# The graph family's plan TREE repeats the edge-construction subtree
+# (ori appears three times in the triangle query), so the static
+# Exchange count is inflated ~5x; at runtime AQE's exchange reuse
+# executes each distinct shuffle ONCE (observed: 15 executed / 14
+# reused for triangles). These budgets therefore pin the RUNTIME
+# exchange count of the final adaptive plan — the number that models
+# actual shuffle work — and would catch a regression that breaks
+# exchange reuse (e.g. a non-deterministic expression sneaking into the
+# edge builder and de-canonicalizing the subtrees).
+RUNTIME_BUDGETS = {
+    "graph_triangle_count": 15,
+    "graph_pagerank": 16,
 }
 
 
@@ -69,3 +93,17 @@ def test_shuffle_budget(spark, name):
         f"rewrite added a shuffle; either restore the sharing or justify "
         f"the new exchange and raise the budget here"
     )
+
+
+@pytest.mark.parametrize("name", sorted(RUNTIME_BUDGETS))
+def test_runtime_shuffle_budget(spark, name):
+    df = QUERIES[name].fn(spark, SF_DIR)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().executedPlan().toString()
+    n = len(_SHUFFLE.findall(final))
+    assert n <= RUNTIME_BUDGETS[name], (
+        f"{name}: {n} runtime shuffle exchanges > budget "
+        f"{RUNTIME_BUDGETS[name]} — exchange reuse regressed or a rewrite "
+        f"added a shuffle"
+    )
+    assert "ReusedExchange" in final, f"{name}: expected exchange reuse"
