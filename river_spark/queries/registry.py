@@ -54,8 +54,9 @@ _PRIORITY = [
     # session-1/2 round-8 queries, then the 12 session-3 additions
     # (graph/sketch/spatial/collation waves — no driver row can exist
     # before they do), then the oldest chunk of the stale r1-r3 block
-    # up to position 50 (the 16 session-3 queries fill it exactly: 26
-    # r1-r4-stale + 8 session-2 + 16 session-3 = 50). The stale block
+    # up to position 50 (the 17 session-3 queries overfill it by one:
+    # 26 r1-r4-stale + 8 session-2 + 17 session-3 = 51 — never-driver-
+    # checked queries outrank the old-row stale block). The stale block
     # (text_quality_score .. river_cli_roundtrip) plus the r4 cohort
     # lead round 9. Freshest (r6, then r7) trail; every query stays covered
     # each session by tests/test_oracle.py regardless of driver
@@ -112,6 +113,7 @@ _PRIORITY = [
     "ev_cusum_changepoint",
     "pipeline_url_canonical_dedup",
     "scalar_sql_udf",
+    "agg_benford_digits",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",

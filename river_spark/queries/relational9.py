@@ -571,3 +571,59 @@ def scalar_sql_udf(spark, sf_dir):
         GROUP BY 1
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford's-law digit audit
+# ---------------------------------------------------------------------------
+@q(
+    "agg_benford_digits",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+        WHERE o_totalprice > 0),
+    digits AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS d,
+               count(*) AS obs,
+               sum(count(*)) OVER () AS n
+        FROM cents GROUP BY 1)
+    SELECT d, CAST(obs AS BIGINT) AS observed,
+           round(n * log10(1.0 + 1.0 / d), 4) AS expected,
+           round(pow(obs - n * log10(1.0 + 1.0 / d), 2)
+                 / (n * log10(1.0 + 1.0 / d)), 6) AS chi2_term
+    FROM digits
+    """,
+    tags=("analytics", "benford", "audit"),
+)
+def agg_benford_digits(spark, sf_dir):
+    """Benford's-law leading-digit audit over order totals — the
+    classic forensic-accounting screen (fabricated numbers flunk the
+    log distribution). The leading digit is taken from the INTEGER cents
+    string (never from float log10 of the value, whose boundary cases
+    like 100.0 -> 1.9999... flip digits between engines), so the digit
+    histogram is bit-exact; expected counts and per-digit chi-square
+    terms are closed-form functions of the integer counts, rounded
+    in-query.
+
+    100 TB posture: one hash aggregation to a 9-row histogram (the
+    window for n runs over 9 rows); the audit cost is one scan no
+    matter the ledger size — the same sufficient-statistics shape as
+    ab_welch_ttest."""
+    cents = (
+        tbl(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(F.round(F.col("o_totalprice") * 100).cast("long").alias("c"))
+    )
+    digits = (
+        cents.select(F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").alias("obs"))
+        .withColumn("n", F.sum("obs").over(Window.partitionBy()))
+    )
+    exp = F.col("n") * F.log10(1.0 + 1.0 / F.col("d"))
+    return digits.select(
+        "d",
+        F.col("obs").alias("observed"),
+        F.round(exp, 4).alias("expected"),
+        F.round(F.pow(F.col("obs") - exp, 2) / exp, 6).alias("chi2_term"),
+    )
