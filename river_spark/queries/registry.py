@@ -114,6 +114,7 @@ _PRIORITY = [
     "pipeline_url_canonical_dedup",
     "scalar_sql_udf",
     "agg_benford_digits",
+    "scalar_pipe_syntax",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",

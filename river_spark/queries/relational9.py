@@ -627,3 +627,44 @@ def agg_benford_digits(spark, sf_dir):
         F.round(exp, 4).alias("expected"),
         F.round(F.pow(F.col("obs") - exp, 2) / exp, 6).alias("chi2_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4.0)
+# ---------------------------------------------------------------------------
+@q(
+    "scalar_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("scalar", "pipesql", "spark4"),
+)
+def scalar_pipe_syntax(spark, sf_dir):
+    """SQL pipe syntax — Spark 4.0's `|>` operator chains (SPARK-49555,
+    the GoogleSQL pipe-query model): the same pricing rollup written as
+    a linear FROM -> WHERE -> AGGREGATE flow instead of inside-out
+    SELECT nesting. The parser desugars pipes to the identical logical
+    plan, so the oracle is the standard-SQL form and the gate proves
+    the two surfaces are one engine — exact integer measures, zero
+    plan difference.
+
+    100 TB posture: purely syntactic — same Catalyst plan, same single
+    agg shuffle as q1. Matters operationally because pipe queries
+    compose top-down like DataFrame chains, which is how 100-stage ETL
+    SQL stays reviewable."""
+    li = tbl(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_pipe_lineitem")
+    return spark.sql(
+        """
+        FROM _pipe_lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |> EXTEND cast(round(l_quantity) as bigint) AS qty
+        |> AGGREGATE sum(qty) AS sum_qty, count(*) AS n
+           GROUP BY l_returnflag, l_linestatus
+        """
+    )
