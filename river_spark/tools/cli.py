@@ -157,6 +157,35 @@ def ingest_main(args) -> int:
     return 0
 
 
+def zonemap_main(args) -> int:
+    """Build (or rebuild) the file-level min/max skipping index for a
+    parquet dataset root — the ops-side entry to ingest/zonemap.py
+    (Spark-free local builder; readers prune via read_pruned)."""
+    from river_spark.ingest.zonemap import list_parquet_files, write_zonemap_local
+
+    out = write_zonemap_local(args.root)
+    if out is None:
+        print("no parquet files found", file=sys.stderr)
+        return 1
+    print(
+        json.dumps(
+            {"zonemap": out, "files_indexed": len(list_parquet_files(args.root))}
+        )
+    )
+    return 0
+
+
+def compact_main(args) -> int:
+    """Size-tiered compaction of a finalized stream's part files
+    (ingest/compact.py) — bin-packs adjacent small parts into
+    target-size files, preserving sample order and resume safety."""
+    from river_spark.ingest.compact import compact_parts
+
+    stats = compact_parts(args.dir, target_bytes=args.target_bytes)
+    print(json.dumps({"dir": args.dir, **stats}))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="river_spark.tools.cli")
     sub = ap.add_subparsers(dest="tool", required=True)
@@ -188,8 +217,22 @@ def main(argv=None) -> int:
     i.add_argument("--out", required=True)
     i.add_argument("--settings", default=None)
 
+    z = sub.add_parser("zonemap", help="build the min/max skipping index")
+    z.add_argument("--root", required=True, help="parquet dataset root")
+
+    c = sub.add_parser("compact", help="size-tiered part-file compaction")
+    c.add_argument("--dir", required=True, help="ingested stream directory")
+    c.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
+
     args = ap.parse_args(argv)
-    return {"writer": writer_main, "reader": reader_main, "benchmark": benchmark_main, "ingest": ingest_main}[args.tool](args)
+    return {
+        "writer": writer_main,
+        "reader": reader_main,
+        "benchmark": benchmark_main,
+        "ingest": ingest_main,
+        "zonemap": zonemap_main,
+        "compact": compact_main,
+    }[args.tool](args)
 
 
 if __name__ == "__main__":

@@ -56,3 +56,33 @@ def test_writer_bad_schema_errors(tmp_path):
         stdin="",
     )
     assert res.returncode != 0
+
+
+def test_compact_and_zonemap_subcommands(tmp_path):
+    """Ops tooling round trip: write parts -> compact -> index -> the
+    index covers exactly the surviving files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    for i in range(6):
+        pq.write_table(
+            pa.table({"key": list(range(i * 10, i * 10 + 10)), "v": [1.0] * 10}),
+            str(d / f"data_{i:05d}.parquet"),
+        )
+    res = run_cli(["compact", "--dir", str(d), "--target-bytes", "4096"])
+    assert res.returncode == 0
+    stats = json.loads(res.stdout.strip().splitlines()[-1])
+    assert stats["files_before"] == 6 and stats["files_after"] < 6
+
+    res = run_cli(["zonemap", "--root", str(d)])
+    assert res.returncode == 0
+    out = json.loads(res.stdout.strip().splitlines()[-1])
+    assert out["files_indexed"] == stats["files_after"]
+
+    import pandas as pd
+
+    zm = pd.read_parquet(out["zonemap"])
+    key_stats = zm[zm["column"] == "key"]
+    assert key_stats["num_lo"].min() == 0 and key_stats["num_hi"].max() == 59
