@@ -453,6 +453,13 @@ def deep_probe(spark, sf_dir: str, bench, timings: dict) -> dict:
             "rows_base": rows_base,
             "rows_scaled": rows_scaled,
             "rows_growth": round(rows_scaled / max(rows_base, 1), 2),
+            # wall per 1k OUTPUT rows, base vs scaled: when the true
+            # answer is quadratic in replication (ngram's exact-Jaccard
+            # families), the wall ratio alone reads as super-linear;
+            # per-output cost falling shows the engine is sublinear in
+            # the work the answer actually requires.
+            "ms_per_k_rows_base": round(1000 * timings[name] / max(rows_base / 1000, 1e-9), 1),
+            "ms_per_k_rows_scaled": round(1000 * sec / max(rows_scaled / 1000, 1e-9), 1),
         }
         print(f"# deep-probe {name}: {sec:.3f}s = {out[name]['ratio']}x {out[name]['runs']} rows {rows_base}->{rows_scaled}", file=sys.stderr)
     growth = {
