@@ -115,6 +115,7 @@ _PRIORITY = [
     "scalar_sql_udf",
     "agg_benford_digits",
     "scalar_pipe_syntax",
+    "ev_seasonal_decompose",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",

@@ -668,3 +668,75 @@ def scalar_pipe_syntax(spark, sf_dir):
            GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition (classical additive)
+# ---------------------------------------------------------------------------
+@q(
+    "ev_seasonal_decompose",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1),
+    trended AS (
+        SELECT h, y,
+               round(avg(CAST(y AS DOUBLE)) OVER (
+                   ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING), 6)
+                   AS trend
+        FROM hourly),
+    seasonal AS (
+        SELECT *, round(avg(y - trend) OVER (
+                   PARTITION BY extract(hour FROM h)), 6) AS seas
+        FROM trended)
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket_hour, y,
+           trend, seas AS seasonal,
+           round(y - trend - seas, 6) AS remainder
+    FROM seasonal
+    """,
+    tags=("events", "timeseries", "decompose"),
+)
+def ev_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition of the hourly event
+    volume (the moving-average method behind statsmodels'
+    seasonal_decompose): trend = centered 25-hour moving average,
+    seasonal = mean detrended residual per hour-of-day, remainder =
+    what neither explains. Trend and seasonal are rounded to 6 before
+    the remainder subtraction, so the remainder is an exact function of
+    gate-identical inputs on both engines.
+
+    100 TB posture: the only data-sized stage is the per-hour count
+    (one hash agg); every window then runs over the SERIES — bounded
+    by the calendar (24 x days rows), not by event volume — the same
+    series-not-stream discipline as ev_cohort_retention and
+    agg_weighted_median's histogram. The single-partition ordered
+    window is over that bounded series; production shards by
+    (series_id) across thousands of metrics, giving each task one
+    series."""
+    hourly = (
+        events_tbl(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("y"))
+    )
+    w_trend = Window.orderBy("h").rowsBetween(-12, 12)
+    trended = hourly.select(
+        "h",
+        "y",
+        F.round(F.avg(F.col("y").cast("double")).over(w_trend), 6).alias("trend"),
+    )
+    seasonal = trended.withColumn(
+        "seas",
+        F.round(
+            F.avg(F.col("y") - F.col("trend")).over(
+                Window.partitionBy(F.hour("h"))
+            ),
+            6,
+        ),
+    )
+    return seasonal.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bucket_hour"),
+        "y",
+        "trend",
+        F.col("seas").alias("seasonal"),
+        F.round(F.col("y") - F.col("trend") - F.col("seas"), 6).alias("remainder"),
+    )
