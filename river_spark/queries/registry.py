@@ -116,6 +116,8 @@ _PRIORITY = [
     "agg_benford_digits",
     "scalar_pipe_syntax",
     "ev_seasonal_decompose",
+    "agg_gini_spend",
+    "text_pmi_cooccurrence",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",

@@ -740,3 +740,160 @@ def ev_seasonal_decompose(spark, sf_dir):
         F.col("seas").alias("seasonal"),
         F.round(F.col("y") - F.col("trend") - F.col("seas"), 6).alias("remainder"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer spend
+# ---------------------------------------------------------------------------
+@q(
+    "agg_gini_spend",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, o_custkey) AS i,
+               count(*) OVER () AS n,
+               sum(cents) OVER () AS total
+        FROM spend)
+    SELECT CAST(min(n) AS BIGINT) AS n_customers,
+           CAST(min(total) AS BIGINT) AS total_cents,
+           CAST(CAST(2 * sum(i * cents) - (min(n) + 1) * min(total) AS BIGINT)
+                AS DOUBLE)
+               / CAST(CAST(min(n) * min(total) AS BIGINT) AS DOUBLE) AS gini
+    FROM ranked
+    """,
+    tags=("analytics", "gini", "inequality"),
+)
+def agg_gini_spend(spark, sf_dir):
+    """Gini coefficient of customer lifetime spend — the standard
+    concentration measure (revenue inequality, whale detection) via the
+    rank formula G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over
+    spend sorted ascending with a custkey tiebreak. Numerator and
+    denominator are computed ENTIRELY in integers (cents, ranks) and
+    divided once — found the hard way: mixing the big integer sums into
+    double arithmetic early diverged by one ulp at sf0.1 because
+    DuckDB's HUGEINT->double conversion and the JVM's long->double
+    round differently on >2^53 intermediates; a single cast of the
+    identical BIGINT on both sides is bit-identical, so the gate needs
+    no rounding at all.
+
+    100 TB posture: the data-sized stage is the per-customer hash agg;
+    the rank window runs over the customer DIMENSION (the
+    pipeline_rfm_segments discipline), and at extreme customer counts
+    the same statistic is computable from an approx-quantile Lorenz
+    grid instead of exact ranks."""
+    spend = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    ranked = spend.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+        F.sum("cents").over(Window.partitionBy()).alias("total"),
+    )
+    return ranked.agg(
+        F.min("n").cast("long").alias("n_customers"),
+        F.min("total").cast("long").alias("total_cents"),
+        (
+            (
+                2 * F.sum(F.col("i").cast("long") * F.col("cents"))
+                - (F.min("n") + 1) * F.min("total")
+            ).cast("double")
+            / (F.min("n") * F.min("total")).cast("double")
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI token co-occurrence
+# ---------------------------------------------------------------------------
+_PMI_MIN_DF = 50  # frequent-token floor before pair expansion
+
+
+@q(
+    "text_pmi_cooccurrence",
+    oracle=f"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id,
+               lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+        FROM documents),
+    freq AS (
+        SELECT tok, count(*) AS df FROM dt GROUP BY tok
+        HAVING count(*) >= {_PMI_MIN_DF}),
+    fdt AS (SELECT dt.doc_id, dt.tok FROM dt JOIN freq USING (tok)),
+    n AS (SELECT count(DISTINCT doc_id) AS docs FROM dt),
+    pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_ab
+        FROM fdt a JOIN fdt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT p.tok_a, p.tok_b,
+               CAST(p.n_ab AS BIGINT) AS n_ab,
+               CAST(fa.df AS BIGINT) AS n_a,
+               CAST(fb.df AS BIGINT) AS n_b,
+               round(ln(p.n_ab * 1.0 * (SELECT docs FROM n)
+                        / (fa.df * 1.0 * fb.df)), 6) AS pmi
+        FROM pairs p
+        JOIN freq fa ON fa.tok = p.tok_a
+        JOIN freq fb ON fb.tok = p.tok_b)
+    SELECT * FROM scored ORDER BY pmi DESC, tok_a, tok_b LIMIT 30
+    """,
+    tags=("text", "pmi", "cooccurrence"),
+)
+def text_pmi_cooccurrence(spark, sf_dir):
+    """Pointwise mutual information over token co-occurrence — the
+    collocation / phrase-mining statistic (which word pairs appear
+    together more than chance): PMI = ln(P(a,b) / P(a)P(b)) from
+    distinct (doc, token) incidence. The a-priori discipline from
+    mb_copurchase_pairs caps the quadratic stage: only tokens with
+    df >= {_PMI_MIN_DF} enter pair expansion, so per-doc fan-out is
+    bounded by the FREQUENT vocabulary, not document length. Counts are
+    integers; the single ln of an integer ratio is rounded to 6 (libm
+    vs JVM last-bit differences sit ~1e-16).
+
+    100 TB posture: the pair self-join co-partitions on doc_id (one
+    shuffle each side), the frequent-vocab table broadcasts, and the
+    top-30 is TakeOrderedAndProject over the vocabulary-bounded pair
+    table."""
+    dt = (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("t0"))
+        .select("doc_id", F.lower("t0").alias("tok"))
+        .distinct()
+    )
+    freq = dt.groupBy("tok").agg(F.count("*").alias("df")).filter(
+        F.col("df") >= _PMI_MIN_DF
+    )
+    fdt = dt.join(F.broadcast(freq.select("tok")), "tok")
+    n_docs = dt.select("doc_id").distinct().count()
+    a = fdt.select(F.col("doc_id"), F.col("tok").alias("tok_a"))
+    b = fdt.select(F.col("doc_id"), F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    fa = freq.select(F.col("tok").alias("tok_a"), F.col("df").alias("n_a"))
+    fb = freq.select(F.col("tok").alias("tok_b"), F.col("df").alias("n_b"))
+    scored = (
+        pairs.join(F.broadcast(fa), "tok_a")
+        .join(F.broadcast(fb), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.log(F.col("n_ab") * float(n_docs) / (F.col("n_a") * 1.0 * F.col("n_b"))),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "tok_a", "tok_b").limit(30)
