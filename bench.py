@@ -476,6 +476,74 @@ def deep_probe(spark, sf_dir: str, bench, timings: dict) -> dict:
     }
 
 
+def layout_probe(spark, sf_dir: str) -> dict | None:
+    """Bucketed-layout evidence: the SAME lineitem x orders join keyed
+    on l_orderkey, run (a) from plain parquet (pays two shuffles every
+    query) and (b) from tables hash-bucketed on the join key at write
+    time (ZERO exchanges — the shuffle was paid once, at ingest). Both
+    walls and both plans' shuffle-exchange counts are recorded, making
+    the storage.py layout-lever claim a measured per-round number
+    instead of a test-only plan assertion. Broadcast is disabled for
+    the probe so the join actually exercises co-location.
+    Disable with SPARK_GRAFT_LAYOUT_PROBE=0."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from river_spark.storage import read_table, write_bucketed
+
+    shuffle_pat = _re.compile(r"Exchange (hash|range|Single)")
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+    def _join(left, right):
+        return (
+            left.join(right, left.l_orderkey == right.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+        )
+
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t0 = time.perf_counter()
+        write_bucketed(li, "bench_li_b", ["l_orderkey"], num_buckets=32,
+                       sort_cols=["l_orderkey"], mode="overwrite")
+        write_bucketed(orders, "bench_ord_b", ["o_orderkey"], num_buckets=32,
+                       sort_cols=["o_orderkey"], mode="overwrite")
+        build_sec = round(time.perf_counter() - t0, 2)
+
+        out = {}
+        for label, left, right in (
+            ("parquet", li, orders),
+            ("bucketed", read_table(spark, "bench_li_b"), read_table(spark, "bench_ord_b")),
+        ):
+            df = _join(left, right)
+            shuffles = len(shuffle_pat.findall(
+                df._jdf.queryExecution().executedPlan().toString()))
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df = _join(left, right)
+                df.count()
+                sec = time.perf_counter() - t0
+                best = sec if best is None else min(best, sec)
+                spark.catalog.clearCache()
+            out[label] = {"sec": round(best, 4), "shuffle_exchanges": shuffles}
+        out["bucket_build_sec"] = build_sec
+        out["speedup"] = round(out["parquet"]["sec"] / max(out["bucketed"]["sec"], 1e-9), 2)
+        print(f"# layout probe: {out}", file=sys.stderr)
+        return out
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        for t in ("bench_li_b", "bench_ord_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -542,6 +610,13 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover - probe is best-effort
             print(f"# scaling probe failed: {exc}", file=sys.stderr)
 
+    layout = None
+    if os.environ.get("SPARK_GRAFT_LAYOUT_PROBE", "1") != "0":
+        try:
+            layout = layout_probe(spark, sf_dir)
+        except Exception as exc:  # pragma: no cover - probe is best-effort
+            print(f"# layout probe failed: {exc}", file=sys.stderr)
+
     deep = None
     if os.environ.get("SPARK_GRAFT_DEEP_PROBE", "1") != "0":
         try:
@@ -566,6 +641,7 @@ def main() -> None:
                 },
                 "scaling_probe": probe,
                 "deep_probe": deep,
+                "layout_probe": layout,
                 **tp,
             }
         )
