@@ -30,6 +30,7 @@ import river_spark.queries.curation7 as _curation7  # noqa: F401
 import river_spark.queries.relational8 as _relational8  # noqa: F401
 import river_spark.queries.curation8 as _curation8  # noqa: F401
 import river_spark.queries.relational9 as _relational9  # noqa: F401
+import river_spark.queries.relational10 as _relational10  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -118,6 +119,13 @@ _PRIORITY = [
     "ev_seasonal_decompose",
     "agg_gini_spend",
     "text_pmi_cooccurrence",
+    # Session-4 additions (no driver row yet -> just past the round-8
+    # window; they lead round 9 together with the stale r1-r3 block):
+    "agg_pareto_frontier",
+    "ev_vwap",
+    "pipeline_global_shuffle",
+    "pipeline_curriculum_order",
+    "graph_bfs_hops",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",

@@ -66,6 +66,15 @@ BUDGETS = {
     "pipeline_rfm_segments": 2,     # orders agg + shared dimension windows
     "agg_countmin_sketch": 3,       # exact agg + sketch agg + top-k
     "scalar_sql_udf": 1,            # inlined UDFs: plain one-shuffle agg
+    # session-4 additions
+    "agg_pareto_frontier": 6,       # pts join+agg, distinct-point agg,
+                                    # grid agg + tiny windows (survivors only)
+    "ev_vwap": 2,                   # month agg + per-flag window
+    "pipeline_global_shuffle": 1,   # per-shard window is the only exchange
+    "pipeline_curriculum_order": 2,  # phase agg + 10-row window
+    # graph_bfs_hops is excluded: its returned plan is built over
+    # localCheckpoint'ed lineage, so the static Exchange count is 0 by
+    # construction — the per-hop shuffles happen during iteration.
 }
 
 # The graph family's plan TREE repeats the edge-construction subtree
