@@ -31,6 +31,7 @@ import river_spark.queries.relational8 as _relational8  # noqa: F401
 import river_spark.queries.curation8 as _curation8  # noqa: F401
 import river_spark.queries.relational9 as _relational9  # noqa: F401
 import river_spark.queries.relational10 as _relational10  # noqa: F401
+import river_spark.queries.relational11 as _relational11  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -126,6 +127,11 @@ _PRIORITY = [
     "pipeline_global_shuffle",
     "pipeline_curriculum_order",
     "graph_bfs_hops",
+    "agg_corr_exact",
+    "graph_degree_histogram",
+    "join_salted_skew",
+    "pipeline_epoch_recipe",
+    "text_vocab_coverage",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",

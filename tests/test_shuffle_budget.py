@@ -75,6 +75,12 @@ BUDGETS = {
     # graph_bfs_hops is excluded: its returned plan is built over
     # localCheckpoint'ed lineage, so the static Exchange count is 0 by
     # construction — the per-hop shuffles happen during iteration.
+    "agg_corr_exact": 1,            # one fact agg; stats math is expressions
+    "graph_degree_histogram": 8,    # shared co-purchase subtree (AQE reuses)
+    "join_salted_skew": 4,          # salted shuffle-hash join IS the point
+    "pipeline_epoch_recipe": 2,     # token agg + one-row-per-domain window
+    "text_vocab_coverage": 2,       # vocab top-K agg + per-doc agg (vocab
+                                    # broadcast: token stream never shuffled)
 }
 
 # The graph family's plan TREE repeats the edge-construction subtree
