@@ -32,6 +32,7 @@ import river_spark.queries.curation8 as _curation8  # noqa: F401
 import river_spark.queries.relational9 as _relational9  # noqa: F401
 import river_spark.queries.relational10 as _relational10  # noqa: F401
 import river_spark.queries.relational11 as _relational11  # noqa: F401
+import river_spark.queries.relational12 as _relational12  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -132,6 +133,9 @@ _PRIORITY = [
     "join_salted_skew",
     "pipeline_epoch_recipe",
     "text_vocab_coverage",
+    "agg_ols_multi",
+    "ev_ltv_halflife",
+    "ev_rolling_distinct",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",

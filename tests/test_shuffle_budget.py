@@ -81,6 +81,10 @@ BUDGETS = {
     "pipeline_epoch_recipe": 2,     # token agg + one-row-per-domain window
     "text_vocab_coverage": 2,       # vocab top-K agg + per-doc agg (vocab
                                     # broadcast: token stream never shuffled)
+    "agg_ols_multi": 1,             # nine integer partials, one shuffle
+    "ev_ltv_halflife": 1,           # one per-user agg; decay is expressions
+    "ev_rolling_distinct": 4,       # distinct grid + day grid + 2-phase
+                                    # distinct count over the 7x explode
 }
 
 # The graph family's plan TREE repeats the edge-construction subtree
