@@ -33,6 +33,7 @@ import river_spark.queries.relational9 as _relational9  # noqa: F401
 import river_spark.queries.relational10 as _relational10  # noqa: F401
 import river_spark.queries.relational11 as _relational11  # noqa: F401
 import river_spark.queries.relational12 as _relational12  # noqa: F401
+import river_spark.queries.relational13 as _relational13  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -136,6 +137,10 @@ _PRIORITY = [
     "agg_ols_multi",
     "ev_ltv_halflife",
     "ev_rolling_distinct",
+    "ev_peak_concurrency",
+    "pipeline_shard_manifest",
+    "agg_mutual_info",
+    "text_sentence_dedup",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",

@@ -85,6 +85,10 @@ BUDGETS = {
     "ev_ltv_halflife": 1,           # one per-user agg; decay is expressions
     "ev_rolling_distinct": 4,       # distinct grid + day grid + 2-phase
                                     # distinct count over the 7x explode
+    "ev_peak_concurrency": 2,       # day-partitioned sweep + peak agg
+    "pipeline_shard_manifest": 1,   # per-source window, agg reuses keys
+    "agg_mutual_info": 2,           # contingency agg + cell-table windows
+    "text_sentence_dedup": 4,       # inverted index: grid, df agg, join-back
 }
 
 # The graph family's plan TREE repeats the edge-construction subtree
