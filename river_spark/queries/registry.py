@@ -141,6 +141,7 @@ _PRIORITY = [
     "pipeline_shard_manifest",
     "agg_mutual_info",
     "text_sentence_dedup",
+    "river_stream_foreach_upsert",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",

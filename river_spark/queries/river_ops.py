@@ -1201,3 +1201,132 @@ def river_stream_window_chain(spark, sf_dir):
         FROM {_CACHE[key]} WHERE w.start < timestamp'2024-03-01'
         """
     )
+
+
+@q(
+    "river_stream_foreach_upsert",
+    oracle="""
+    SELECT user_id % 16 AS user_bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+           CAST(max(event_id) AS BIGINT) AS last_event
+    FROM events GROUP BY user_id % 16
+    """,
+    tags=("river", "streaming", "sink", "exactly_once"),
+)
+def river_stream_foreach_upsert(spark, sf_dir):
+    """Exactly-once streaming UPSERT sink via foreachBatch — the one
+    Structured Streaming sink shape the memory-sink gates don't
+    exercise: each micro-batch folds its per-bucket deltas into a
+    versioned keyed state table (read state_v{n-1}, merge, write
+    state_v{n}, then commit a batch-id marker — writes land BEFORE the
+    marker, so a crash between them is re-executed and idempotently
+    skipped, never lost or doubled). After the drain, a deliberately
+    REPLAYED batch (same batch id, reconstructed from a batch read of
+    the same transport stream) must leave the state untouched — the
+    at-least-once-delivery / exactly-once-effect contract every
+    production foreachBatch sink (JDBC upsert, Delta MERGE) relies on.
+    The final state table must equal the plain batch aggregate of the
+    source — counts and cent-sums are integers, so cross-batch folding
+    is exact regardless of batch slicing.
+
+    100 TB posture: per-batch deltas are pre-aggregated (map-side) to
+    the key grid BEFORE touching state, so state I/O is O(|keys|), not
+    O(|batch|); versioned-directory state is the parquet stand-in for
+    a real MERGE target (Delta/Iceberg), whose commit protocol replaces
+    the marker file one-for-one."""
+    from river_spark.sources import register
+
+    key = ("stream_feb", sf_dir)
+    if key not in _CACHE:
+        register(spark)
+        work = tempfile.mkdtemp(prefix="river_spark_feb_")
+        store = os.path.join(work, "store")
+        log = StreamLog(store)
+        schema, arr = _events_array(sf_dir, ("event_id", "user_id", "value"))
+        w = StreamWriter(log).initialize("events_feb", schema)
+        w.write(arr)
+        w.stop()
+        commits = os.path.join(work, "commits")
+        os.makedirs(commits)
+        state = {"version": -1}
+
+        def _state_dir(v: int) -> str:
+            return os.path.join(work, f"state_v{v}")
+
+        def _delta(batch_df):
+            return batch_df.groupBy(
+                (F.col("user_id") % 16).alias("user_bucket")
+            ).agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                    "value_cents"
+                ),
+                F.max("event_id").alias("last_event"),
+            )
+
+        def upsert(batch_df, batch_id):
+            marker = os.path.join(commits, str(batch_id))
+            if os.path.exists(marker):
+                return  # replayed delivery: idempotent skip
+            delta = _delta(batch_df)
+            sess = batch_df.sparkSession
+            if state["version"] >= 0:
+                cur = sess.read.parquet(_state_dir(state["version"]))
+                merged = (
+                    cur.unionByName(delta)
+                    .groupBy("user_bucket")
+                    .agg(
+                        F.sum("n_events").alias("n_events"),
+                        F.sum("value_cents").alias("value_cents"),
+                        F.max("last_event").alias("last_event"),
+                    )
+                )
+            else:
+                merged = delta
+            merged.coalesce(1).write.mode("errorifexists").parquet(
+                _state_dir(state["version"] + 1)
+            )
+            state["version"] += 1
+            with open(marker, "w"):
+                pass
+
+        stream = (
+            spark.readStream.format("river")
+            .option("path", store)
+            .option("stream", "events_feb")
+            .option("maxSamplesPerTrigger", "4096")
+            .load()
+        )
+        qy = (
+            stream.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not qy.awaitTermination(300):
+            qy.stop()
+            raise TimeoutError("river_stream_foreach_upsert: drain exceeded 300s")
+        if state["version"] < 0:
+            raise RuntimeError("river_stream_foreach_upsert: no batch committed")
+        # Replay proof: re-deliver batch 0 (reconstructed from a batch
+        # read of the same stream — at-least-once delivery in miniature)
+        # and require the state version NOT to advance.
+        v_before = state["version"]
+        replay = (
+            spark.read.format("river")
+            .option("path", store)
+            .option("stream", "events_feb")
+            .load()
+            .limit(4096)
+        )
+        upsert(replay, 0)
+        if state["version"] != v_before:
+            raise AssertionError(
+                "replayed batch 0 mutated state: exactly-once contract broken"
+            )
+        _CACHE[key] = _state_dir(state["version"])
+    return (
+        spark.read.parquet(_CACHE[key])
+        .select("user_bucket", "n_events", "value_cents", "last_event")
+    )
