@@ -187,8 +187,21 @@ def build_scaled_dir(spark, sf_dir: str, factor: int = _SCALE_FACTOR, tables=Non
     # v2: events became a replicated fact (disjoint user/event ids) — the
     # recipe version keeps a cached v1 replica (unscaled events) from
     # being reused for the probe
+    # v4: replica documents get a per-replica INJECTIVE TOKEN RENAMING
+    # (every token suffixed with ~r{k}) instead of salt-token insertion.
+    # A bijection on the token universe preserves every within-replica
+    # shingle-set size and intersection EXACTLY (each replica is an
+    # isomorphic copy of the base corpus similarity graph) while making
+    # cross-replica trigram/minhash similarity exactly zero. The two
+    # salt-insertion recipes both failed one side of that contract at
+    # dedup_ngram_jaccard's 0.05 operating point: every-5 salts left
+    # cross-replica trigram J ~ 1/3 (30x probe emitted 2.45M pairs,
+    # 4160x growth — quadratic TRUE workload); every-2 salts zeroed
+    # cross-replica overlap but the shared salt token welded unrelated
+    # same-replica docs together through salt-adjacent trigrams (4.45M
+    # pairs, 808M pair emissions). Renaming has neither failure mode.
     subset = "" if tables is None else "-" + "-".join(sorted(tables))
-    sig = ["recipe-v2", os.path.abspath(sf_dir), subset]
+    sig = ["recipe-v4", os.path.abspath(sf_dir), subset]
     for f in sorted(os.listdir(sf_dir)):
         if f.endswith(".parquet"):
             st = os.stat(os.path.join(sf_dir, f))
@@ -241,20 +254,17 @@ def build_scaled_dir(spark, sf_dir: str, factor: int = _SCALE_FACTOR, tables=Non
         "lineitem",
         lambda df, k: df.withColumn("l_orderkey", F.col("l_orderkey") + k * key_off),
     )
-    def _salted(k):
-        # splice a replica salt every 5 tokens; docs too short (or not
-        # space-separated) for the pattern get the salt APPENDED instead —
-        # an unmatched doc would replicate byte-identical and hand the
-        # dedup probes a quadratic spurious-pair workload
-        spliced = F.regexp_replace(F.col("text"), r"((\S+ ){4}\S+)", f"$1 zzrep{k}")
-        return F.when(spliced == F.col("text"), F.concat(F.col("text"), F.lit(f" zzrep{k}"))).otherwise(
-            spliced
-        )
+    def _renamed(k):
+        # per-replica injective token renaming (recipe-v4 note above):
+        # suffix EVERY token with ~r{k}. Bijective on the token universe,
+        # so within-replica shingle-set Jaccard is preserved exactly and
+        # cross-replica similarity is exactly zero at any threshold.
+        return F.regexp_replace(F.col("text"), r"(\S+)", f"$1~r{k}")
 
     replicate(
         "documents",
         lambda df, k: df.withColumn("doc_id", F.col("doc_id") + k * 100_000_000).withColumn(
-            "text", F.col("text") if k == 0 else _salted(k)
+            "text", F.col("text") if k == 0 else _renamed(k)
         ),
     )
     replicate(
@@ -425,13 +435,14 @@ def deep_probe(spark, sf_dir: str, bench, timings: dict) -> dict:
     out = {}
     for name in targets:
         # Output-pair growth is the denominator that makes candidate
-        # growth interpretable: exact Jaccard's TRUE output is itself
-        # quadratic in per-family replication (30 salted copies of a
-        # doc at threshold 0.05 are genuine near-dups of each other —
-        # cross-replica shingle overlap ~2/5 puts pairwise Jaccard
-        # ~0.25), so emissions growing ~factor² is honest whenever
-        # rows grow the same way; emissions >> rows is the waste
-        # signature a prefilter should claw back.
+        # growth interpretable. Under recipe-v4's per-replica token
+        # renaming each replica is an exact isomorphic copy of the base
+        # similarity graph and cross-replica similarity is exactly
+        # zero, so TRUE output must grow ~factor. rows_growth >> factor
+        # now means the recipe regressed; emissions >> rows is the
+        # waste signature a prefilter should claw back. (The two salt-
+        # insertion recipes measured the wrong workload — see the
+        # recipe-v4 note in build_scaled_dir.)
         rows_base = bench[name].fn(spark, sf_dir).count()
         runs = []
         rows_scaled = 0
