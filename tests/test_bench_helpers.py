@@ -32,7 +32,8 @@ def test_build_scaled_dir_replicates_without_key_collisions(spark, tmp_path, mon
     """The scaling probe's data builder must produce factor-x fact rows
     with DISJOINT join keys across replicas (colliding orderkeys would
     square the join output and benchmark a different query), per-replica
-    salted document text (constant duplicate density), and unchanged
+    token-renamed document text (recipe-v4: within-replica similarity
+    preserved exactly, cross-replica exactly zero), and unchanged
     dimensions."""
     import bench
 
@@ -56,9 +57,15 @@ def test_build_scaled_dir_replicates_without_key_collisions(spark, tmp_path, mon
     orders = spark.read.parquet(os.path.join(src, "orders.parquet"))
     base = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
     assert li_s.join(ord_scaled, li_s.l_orderkey == ord_scaled.o_orderkey).count() == 3 * base
-    # replica text is salted: replica-1 docs share no high-Jaccard pair
-    # with replica-0 (the salt token appears every 5 tokens)
+    # replica text is injectively renamed: every replica-1 token carries
+    # the ~r1 suffix, so replica-1 shares NO token (hence no shingle)
+    # with replica-0 — cross-replica similarity is exactly zero while
+    # within-replica Jaccard is preserved by the bijection
+    from pyspark.sql import functions as F
+
     docs = spark.read.parquet(os.path.join(out, "documents.parquet"))
-    assert docs.filter("text LIKE '%zzrep1%'").count() > 0
+    r1 = docs.filter((F.col("doc_id") >= 100_000_000) & (F.col("doc_id") < 200_000_000))
+    assert r1.count() > 0
+    assert r1.filter(~F.col("text").rlike(r"~r1(\s|$)")).count() == 0
     # cached second call is a no-op returning the same dir
     assert bench.build_scaled_dir(spark, src, factor=3) == out
