@@ -34,6 +34,7 @@ import river_spark.queries.relational10 as _relational10  # noqa: F401
 import river_spark.queries.relational11 as _relational11  # noqa: F401
 import river_spark.queries.relational12 as _relational12  # noqa: F401
 import river_spark.queries.relational13 as _relational13  # noqa: F401
+import river_spark.queries.relational14 as _relational14  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -142,6 +143,8 @@ _PRIORITY = [
     "agg_mutual_info",
     "text_sentence_dedup",
     "river_stream_foreach_upsert",
+    "ev_funnel_latency",
+    "pipeline_dataset_card",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",

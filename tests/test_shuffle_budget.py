@@ -89,6 +89,8 @@ BUDGETS = {
     "pipeline_shard_manifest": 1,   # per-source window, agg reuses keys
     "agg_mutual_info": 2,           # contingency agg + cell-table windows
     "text_sentence_dedup": 4,       # inverted index: grid, df agg, join-back
+    "ev_funnel_latency": 7,         # three per-user min-reductions + unions
+    "pipeline_dataset_card": 2,     # corpus agg + tens-of-rows share window
 }
 
 # The graph family's plan TREE repeats the edge-construction subtree
