@@ -35,6 +35,7 @@ import river_spark.queries.relational11 as _relational11  # noqa: F401
 import river_spark.queries.relational12 as _relational12  # noqa: F401
 import river_spark.queries.relational13 as _relational13  # noqa: F401
 import river_spark.queries.relational14 as _relational14  # noqa: F401
+import river_spark.queries.relational15 as _relational15  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -145,6 +146,8 @@ _PRIORITY = [
     "river_stream_foreach_upsert",
     "ev_funnel_latency",
     "pipeline_dataset_card",
+    "text_readability",
+    "graph_common_neighbors",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",

@@ -91,6 +91,8 @@ BUDGETS = {
     "text_sentence_dedup": 4,       # inverted index: grid, df agg, join-back
     "ev_funnel_latency": 7,         # three per-user min-reductions + unions
     "pipeline_dataset_card": 2,     # corpus agg + tens-of-rows share window
+    "text_readability": 0,          # pure map-side codegen expressions
+    # graph_common_neighbors: see RUNTIME_BUDGETS (shared edge subtree)
 }
 
 # The graph family's plan TREE repeats the edge-construction subtree
@@ -105,6 +107,7 @@ BUDGETS = {
 RUNTIME_BUDGETS = {
     "graph_triangle_count": 15,
     "graph_pagerank": 16,
+    "graph_common_neighbors": 11,  # static 34 -> 8 reused at runtime
 }
 
 
