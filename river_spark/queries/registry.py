@@ -124,8 +124,14 @@ _PRIORITY = [
     "ev_seasonal_decompose",
     "agg_gini_spend",
     "text_pmi_cooccurrence",
-    # Session-4 additions (no driver row yet -> just past the round-8
-    # window; they lead round 9 together with the stale r1-r3 block):
+    # Session-4 additions (18 queries, waves 10-15; no driver row yet).
+    # They sit just past the round-8 window and should lead round 9
+    # together with the stale r1-r3 block and the overflow session-2/3
+    # entries above (positions 51+ of this list): after round 8 lands,
+    # ~66 queries will lack an r6+ row, so rounds 9-10 fully cycle the
+    # backlog at 50/round. The local bit-level oracle sweep
+    # (tests/test_oracle.py) covers every query every session
+    # regardless of driver position.
     "agg_pareto_frontier",
     "ev_vwap",
     "pipeline_global_shuffle",
