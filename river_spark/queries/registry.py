@@ -36,6 +36,7 @@ import river_spark.queries.relational12 as _relational12  # noqa: F401
 import river_spark.queries.relational13 as _relational13  # noqa: F401
 import river_spark.queries.relational14 as _relational14  # noqa: F401
 import river_spark.queries.relational15 as _relational15  # noqa: F401
+import river_spark.queries.relational16 as _relational16  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -154,6 +155,9 @@ _PRIORITY = [
     "pipeline_dataset_card",
     "text_readability",
     "graph_common_neighbors",
+    "emb_mips",
+    "text_ocr_artifacts",
+    "pipeline_pref_pairs",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",

@@ -43,6 +43,7 @@ CROSS_OK = {
     "emb_kmeans_update": 8,         # broadcast K-row centroid table (K=8)
     "agg_heavy_hitters": 1,         # broadcast 1-row corpus token total
     "graph_triangle_count": 1,      # 1-row stats x 1-row triangle count
+    "emb_mips": 1,                  # 1-row query vector x 1-row max-norm M2
 }
 
 

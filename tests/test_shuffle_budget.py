@@ -93,6 +93,10 @@ BUDGETS = {
     "pipeline_dataset_card": 2,     # corpus agg + tens-of-rows share window
     "text_readability": 0,          # pure map-side codegen expressions
     # graph_common_neighbors: see RUNTIME_BUDGETS (shared edge subtree)
+    "emb_mips": 1,                  # M2 scalar agg; scoring is map-side
+    "text_ocr_artifacts": 0,        # pure map-side codegen expressions
+    "pipeline_pref_pairs": 2,       # one per-source exchange feeds both
+                                    # rank windows + the rank equi-join
 }
 
 # The graph family's plan TREE repeats the edge-construction subtree
