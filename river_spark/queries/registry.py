@@ -37,6 +37,7 @@ import river_spark.queries.relational13 as _relational13  # noqa: F401
 import river_spark.queries.relational14 as _relational14  # noqa: F401
 import river_spark.queries.relational15 as _relational15  # noqa: F401
 import river_spark.queries.relational16 as _relational16  # noqa: F401
+import river_spark.queries.relational17 as _relational17  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -158,6 +159,8 @@ _PRIORITY = [
     "emb_mips",
     "text_ocr_artifacts",
     "pipeline_pref_pairs",
+    "ev_asof_tolerance",
+    "text_ngram_novelty",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",

@@ -1,0 +1,153 @@
+"""Relational wave 17 (round 8, session 4): tolerance-bounded as-of
+joins and n-gram novelty curves.
+
+- ``ev_asof_tolerance``: as-of join with a maximum-staleness bound —
+  the telemetry semantic ("join the latest sensor reading unless it is
+  older than T") that plain as-of silently gets wrong.
+- ``text_ngram_novelty``: per-document fraction of trigrams first
+  introduced by that document (against all lower-id documents) — the
+  novelty/memorization curve used to audit how much NEW content a
+  corpus slice actually adds.
+
+Bit-exactness rules follow tests/test_oracle.py: integer gap
+microseconds and shingle counts; ratios are single exact-integer
+divisions.
+
+Reference parity: the as-of family maps to the reference reader's
+time-ordered seek semantics (/root/reference/cpp/src/reader.cpp
+seek-to-key); the relational re-expression extends it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from river_spark.operators.asof import asof_join
+from river_spark.queries.relational import q
+from river_spark.queries.tables import events_tbl, tbl
+
+_ASOF_TOL_US = 3_600_000_000  # 1 hour
+
+
+# ---------------------------------------------------------------------------
+# Tolerance-bounded as-of join
+# ---------------------------------------------------------------------------
+@q(
+    "ev_asof_tolerance",
+    oracle=f"""
+    WITH j AS (
+        SELECT p.event_id, p.ts AS p_ts, c.event_id AS c_id, c.ts AS c_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts)
+    SELECT event_id,
+           CASE WHEN c_ts IS NOT NULL
+                 AND date_diff('microsecond', c_ts, p_ts) <= {_ASOF_TOL_US}
+                THEN c_id END AS click_within_1h,
+           CASE WHEN c_ts IS NOT NULL
+                 AND date_diff('microsecond', c_ts, p_ts) <= {_ASOF_TOL_US}
+                THEN CAST(date_diff('microsecond', c_ts, p_ts) // 1000000 AS BIGINT)
+           END AS gap_s
+    FROM j
+    """,
+    tags=("events", "asof_join", "tolerance"),
+)
+def ev_asof_tolerance(spark, sf_dir):
+    """As-of join with a 1-hour staleness tolerance: each purchase
+    attaches the user's most recent preceding click ONLY if that click
+    is at most an hour old — matches beyond the bound become NULL, the
+    same rows as no-match. This is the semantic every telemetry join
+    actually needs (pandas merge_asof's ``tolerance=``): an unbounded
+    as-of silently attaches readings from hours ago and nobody
+    notices. Built as the plain union+window as-of (operators/asof.py,
+    one shuffle) with the matched timestamp carried in the payload
+    struct and the bound applied as a post-expression — tolerance is
+    expression surgery on the operator's output, not a new operator.
+    Gaps are exact integer microseconds floored to whole seconds.
+
+    100 TB posture: identical to ev_asof_join — ONE shuffle of
+    |L|+|R| rows on the key, per-partition sort, whole-stage codegen;
+    the tolerance predicate is map-side."""
+    ev = events_tbl(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        left_on="user_id",
+        right_on="c_user_id",
+        left_ts="ts",
+        right_ts="c_ts",
+        right_cols=["c_id", "c_ts"],
+    )
+    gap_us = F.expr("timestampdiff(MICROSECOND, c_ts, ts)")
+    within = F.col("c_ts").isNotNull() & (gap_us <= F.lit(_ASOF_TOL_US))
+    return joined.select(
+        "event_id",
+        F.when(within, F.col("c_id")).alias("click_within_1h"),
+        F.when(within, (gap_us / 1_000_000).cast("bigint")).alias("gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty curve
+# ---------------------------------------------------------------------------
+@q(
+    "text_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)),
+    firsts AS (
+        SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) * 1.0 / count(*)
+               AS novelty_rate
+    FROM sh JOIN firsts f ON sh.s = f.s
+    GROUP BY sh.doc_id
+    """,
+    tags=("text", "novelty", "dedup"),
+)
+def text_ngram_novelty(spark, sf_dir):
+    """N-gram novelty curve: for each document, the fraction of its
+    distinct trigrams FIRST INTRODUCED by that document relative to
+    ingestion order (doc_id) — the audit that tells you whether the
+    tail of a corpus still adds new content or just recombines what
+    the head already covered (the marginal-value question behind
+    dataset scaling decisions). A doc's shingle is novel iff the
+    global minimum doc_id owning that shingle is the doc itself.
+
+    100 TB posture: the inverted-index shape again — distinct
+    (doc, shingle) grid, a min() agg on the shingle key (map-side
+    combinable), join-back on the SAME key so the exchange is reused,
+    per-doc fold. Shingles travel as strings here so the oracle
+    replays byte-for-byte; at production scale they travel as xxhash64
+    fingerprints (dedup_repeated_spans' discipline) with identical
+    plan shape."""
+    from river_spark.operators.dedup import shingles
+
+    docs = tbl(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", 3, hashed=False, distinct=True)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), F.lit(1)).otherwise(F.lit(0))
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+            (F.sum(novel) * 1.0 / F.count("*")).alias("novelty_rate"),
+        )
+    )

@@ -97,6 +97,8 @@ BUDGETS = {
     "text_ocr_artifacts": 0,        # pure map-side codegen expressions
     "pipeline_pref_pairs": 2,       # one per-source exchange feeds both
                                     # rank windows + the rank equi-join
+    "ev_asof_tolerance": 1,         # same one-shuffle union+window as-of
+    "text_ngram_novelty": 3,        # shingle grid, min agg, join-back
 }
 
 # The graph family's plan TREE repeats the edge-construction subtree
