@@ -555,6 +555,27 @@ def layout_probe(spark, sf_dir: str) -> dict | None:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def cpu_canary_ms(repeats: int = 3) -> float:
+    """Fixed single-thread CPU workload (pure-Python arithmetic loop),
+    min-of-N milliseconds. This box is a shared-host VM whose effective
+    single-thread speed has been observed to swing ~2x between rounds
+    with IDENTICAL code (file-transport 1563 -> 909 -> ~600 MB/s across
+    r6/r7/r8 measurements while the transport module was untouched).
+    The canary gives every BENCH_r{{N}}.json an in-band denominator: a
+    round-over-round wall move that tracks the canary is the box; one
+    that doesn't is the code."""
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(2_000_000):
+            acc += i * 31 + (i >> 3)
+        best = min(best, time.perf_counter() - t0)
+    if acc == 0:  # pragma: no cover - keeps the loop from being elided
+        print("# canary accumulator unexpectedly zero", file=sys.stderr)
+    return round(best * 1000, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -613,6 +634,8 @@ def main() -> None:
 
     tp = transport_throughput()
     print(f"# transport: {tp}", file=sys.stderr)
+    canary = cpu_canary_ms()
+    print(f"# cpu canary: {canary} ms", file=sys.stderr)
 
     probe = None
     if os.environ.get("SPARK_GRAFT_SF1_PROBE", "1") != "0":
@@ -653,6 +676,7 @@ def main() -> None:
                 "scaling_probe": probe,
                 "deep_probe": deep,
                 "layout_probe": layout,
+                "cpu_canary_ms": canary,
                 **tp,
             }
         )
