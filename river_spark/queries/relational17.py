@@ -87,11 +87,15 @@ def ev_asof_tolerance(spark, sf_dir):
         right_cols=["c_id", "c_ts"],
     )
     gap_us = F.expr("timestampdiff(MICROSECOND, c_ts, ts)")
+    # integer div, not /1e6-then-cast: a double quotient can round UP to
+    # the next integer at adversarial microsecond values where integer
+    # floor (the oracle's //) would not
+    gap_s = F.expr("timestampdiff(MICROSECOND, c_ts, ts) div 1000000").cast("bigint")
     within = F.col("c_ts").isNotNull() & (gap_us <= F.lit(_ASOF_TOL_US))
     return joined.select(
         "event_id",
         F.when(within, F.col("c_id")).alias("click_within_1h"),
-        F.when(within, (gap_us / 1_000_000).cast("bigint")).alias("gap_s"),
+        F.when(within, gap_s).alias("gap_s"),
     )
 
 
