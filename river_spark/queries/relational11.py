@@ -219,7 +219,13 @@ def join_salted_skew(spark, sf_dir):
     The oracle is the PLAIN unsalted join — proving the salt is pure
     plan surgery with zero semantic effect. Post-join aggregation is
     two-phase exactly like agg_salted_twophase: partials on (segment,
-    salt shards) fold into the final per-segment row."""
+    salt shards) fold into the final per-segment row.
+
+    Companion to ``join_salted`` (scale_ops.py), which gates the
+    packaged ``operators/skew.salted_join`` on the lineitem⋈part pair;
+    this entry builds the salt inline on a different substrate
+    (events⋈customer) and pins the shuffle_hash hint so a broadcast
+    can't silently make the technique a no-op."""
     ev = tbl(spark, sf_dir, "events").withColumn(
         "salt", F.pmod(F.col("event_id"), F.lit(_SALT_FANOUT)).cast("int")
     )
