@@ -161,6 +161,7 @@ _PRIORITY = [
     "pipeline_pref_pairs",
     "ev_asof_tolerance",
     "text_ngram_novelty",
+    "emb_lsh_bucket_stats",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",

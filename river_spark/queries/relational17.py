@@ -155,3 +155,75 @@ def text_ngram_novelty(spark, sf_dir):
             (F.sum(novel) * 1.0 / F.count("*")).alias("novelty_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket-occupancy audit
+# ---------------------------------------------------------------------------
+_LBS_PLANES = 10
+_LBS_DIM = 64
+
+
+def _lbs_oracle() -> str:
+    from river_spark.operators.similarity import lcg_plane_weights
+
+    weight_rows = ",\n        ".join(
+        f"({p}, [{', '.join(str(x) for x in row)}]::DOUBLE[])"
+        for p, row in enumerate(lcg_plane_weights(_LBS_PLANES, _LBS_DIM))
+    )
+    return f"""
+    WITH w(plane, pw) AS (VALUES
+        {weight_rows}),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (
+        SELECT c.vec_id,
+               CAST(sum(CASE WHEN list_dot_product(c.v, w.pw) > 0
+                             THEN 1 << w.plane ELSE 0 END) AS BIGINT) AS bucket
+        FROM corpus c, w GROUP BY c.vec_id),
+    occ AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM sig GROUP BY bucket)
+    SELECT CAST(length(printf('%b', n)) AS INT) AS occ_bucket,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n) AS BIGINT) AS n_vecs,
+           CAST(max(n) AS BIGINT) AS max_occupancy
+    FROM occ GROUP BY 1
+    """
+
+
+@q(
+    "emb_lsh_bucket_stats",
+    oracle=_lbs_oracle(),
+    tags=("vector", "ann", "skew"),
+)
+def emb_lsh_bucket_stats(spark, sf_dir):
+    """LSH bucket-occupancy histogram — the ANN index's pre-flight skew
+    audit, the vector-side twin of graph_degree_histogram: before
+    serving queries off an LSH index you need to know whether the
+    corpus piles into a few mega-buckets (a hot bucket turns every
+    probe that touches it into a scan; the fix is more planes or
+    bucket-splitting — this table is the evidence for that decision).
+    Signatures use the same pinned-LCG hyperplanes as the gated ANN
+    queries, so the DuckDB oracle replays bucketing exactly; occupancy
+    is histogrammed by integer bit-length (the floor(log2)+1 idiom —
+    libm-free).
+
+    100 TB posture: one map-side signature expression (10 dot products
+    inside codegen), one hash agg to bucket occupancy (|buckets| <=
+    2^10 rows), one tiny agg over that — no joins, no vector
+    shuffles."""
+    from river_spark.operators.similarity import lcg_plane_weights, lsh_signature
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    weights = lcg_plane_weights(_LBS_PLANES, _LBS_DIM)
+    occ = (
+        emb.select(lsh_signature("embedding", _LBS_PLANES, weights).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    return occ.groupBy(
+        F.length(F.expr("bin(n)")).cast("int").alias("occ_bucket")
+    ).agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("n").alias("n_vecs"),
+        F.max("n").alias("max_occupancy"),
+    )

@@ -99,6 +99,7 @@ BUDGETS = {
                                     # rank windows + the rank equi-join
     "ev_asof_tolerance": 1,         # same one-shuffle union+window as-of
     "text_ngram_novelty": 3,        # shingle grid, min agg, join-back
+    "emb_lsh_bucket_stats": 2,      # occupancy agg + <=2^planes-row agg
 }
 
 # The graph family's plan TREE repeats the edge-construction subtree
