@@ -494,3 +494,51 @@ def mm_audio_windows(spark, sf_dir):
     return wins.select(
         "doc_id", "win_no", "start_byte", F.hex("window_payload").alias("win_hex")
     )
+
+
+@q(
+    "mm_pair_coverage",
+    oracle="""
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_paired,
+           CAST(sum(CASE WHEN e.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphan,
+           sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*)
+               AS pair_rate,
+           CAST(sum(CASE WHEN e.vec_id IS NULL THEN d.n_chars ELSE 0 END) AS BIGINT)
+               AS orphan_chars
+    FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.source
+    """,
+    tags=("multimodal", "pairing", "coverage"),
+)
+def mm_pair_coverage(spark, sf_dir):
+    """Cross-modal pairing coverage — the audit a multimodal (VLM-style)
+    data build runs before training: which text documents have a
+    companion embedding/asset row (keyed doc_id = vec_id here), per
+    source, and how much text mass sits ORPHANED (the re-embedding /
+    re-crawl backlog, measured in chars so it doubles as a cost
+    estimate). At sf0.1 the embeddings table deliberately covers only
+    40% of documents, so the rates are non-trivial; the left join keeps
+    every document — a pairing audit that silently drops unpaired rows
+    is measuring the wrong thing.
+
+    100 TB posture: one equi-join (the asset/metadata side is the
+    smaller relation — broadcast or co-bucketed on the shared id) and
+    one hash agg on the source key; pair_rate is a single
+    exact-integer division."""
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    e = tbl(spark, sf_dir, "embeddings").select(F.col("vec_id"))
+    j = d.join(e, d.doc_id == e.vec_id, "left")
+    paired = F.when(F.col("vec_id").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(paired).alias("n_paired"),
+        F.sum(1 - paired).alias("n_orphan"),
+        (F.sum(paired) * 1.0 / F.count("*")).alias("pair_rate"),
+        F.sum(F.when(F.col("vec_id").isNull(), F.col("n_chars")).otherwise(F.lit(0))).alias(
+            "orphan_chars"
+        ),
+    )

@@ -162,6 +162,7 @@ _PRIORITY = [
     "ev_asof_tolerance",
     "text_ngram_novelty",
     "emb_lsh_bucket_stats",
+    "mm_pair_coverage",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",

@@ -100,6 +100,7 @@ BUDGETS = {
     "ev_asof_tolerance": 1,         # same one-shuffle union+window as-of
     "text_ngram_novelty": 3,        # shingle grid, min agg, join-back
     "emb_lsh_bucket_stats": 2,      # occupancy agg + <=2^planes-row agg
+    "mm_pair_coverage": 1,          # broadcast id join + one source agg
 }
 
 # The graph family's plan TREE repeats the edge-construction subtree
