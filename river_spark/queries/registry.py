@@ -163,6 +163,7 @@ _PRIORITY = [
     "text_ngram_novelty",
     "emb_lsh_bucket_stats",
     "mm_pair_coverage",
+    "join_null_safe",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",

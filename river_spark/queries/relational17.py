@@ -227,3 +227,64 @@ def emb_lsh_bucket_stats(spark, sf_dir):
         F.sum("n").alias("n_vecs"),
         F.max("n").alias("max_occupancy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join
+# ---------------------------------------------------------------------------
+@q(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 17 = 0 THEN NULL ELSE c_nationkey END AS nk
+        FROM customer),
+    s AS (
+        SELECT s_suppkey,
+               CASE WHEN s_suppkey % 13 = 0 THEN NULL ELSE s_nationkey END AS nk
+        FROM supplier)
+    SELECT coalesce(CAST(c.nk AS VARCHAR), 'NULL') AS nation_key,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers
+    FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
+    GROUP BY c.nk
+    """,
+    tags=("join", "null_semantics"),
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equality JOIN (Spark ``<=>`` / SQL IS NOT DISTINCT
+    FROM): NULL keys MATCH each other instead of silently dropping —
+    the semantic you need when NULL is a legitimate category ("region
+    unknown") rather than absence. Keys are deliberately NULLed on a
+    deterministic modulus on both sides, and the NULL bucket's pair
+    count proves the null-safe path executed (a plain equi-join would
+    emit zero NULL pairs).
+
+    100 TB posture: Spark plans ``<=>`` as an ordinary hash join on a
+    null-coalesced key (no nested-loop fallback — the plan gate's
+    no-BroadcastNestedLoopJoin sweep pins this), so cost is identical
+    to the plain equi-join. The one real hazard is SKEW: every
+    NULL-keyed row on both sides lands in ONE hash bucket, so a
+    high-NULL-rate join needs the salting treatment of
+    join_salted_skew applied to the coalesced key."""
+    c = tbl(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 17 == 0, F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .alias("c_nk"),
+    )
+    s = tbl(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 13 == 0, F.lit(None))
+        .otherwise(F.col("s_nationkey"))
+        .alias("s_nk"),
+    )
+    j = c.join(s, c.c_nk.eqNullSafe(s.s_nk))
+    return j.groupBy(
+        F.coalesce(F.col("c_nk").cast("string"), F.lit("NULL")).alias("nation_key")
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("c_custkey").alias("n_customers"),
+        F.countDistinct("s_suppkey").alias("n_suppliers"),
+    )

@@ -101,6 +101,7 @@ BUDGETS = {
     "text_ngram_novelty": 3,        # shingle grid, min agg, join-back
     "emb_lsh_bucket_stats": 2,      # occupancy agg + <=2^planes-row agg
     "mm_pair_coverage": 1,          # broadcast id join + one source agg
+    "join_null_safe": 2,            # hash join on coalesced key + agg
 }
 
 # The graph family's plan TREE repeats the edge-construction subtree
