@@ -164,6 +164,7 @@ _PRIORITY = [
     "emb_lsh_bucket_stats",
     "mm_pair_coverage",
     "join_null_safe",
+    "ev_survival_curve",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",

@@ -102,6 +102,7 @@ BUDGETS = {
     "emb_lsh_bucket_stats": 2,      # occupancy agg + <=2^planes-row agg
     "mm_pair_coverage": 1,          # broadcast id join + one source agg
     "join_null_safe": 2,            # hash join on coalesced key + agg
+    "ev_survival_curve": 3,         # per-user agg + histogram windows
 }
 
 # The graph family's plan TREE repeats the edge-construction subtree
