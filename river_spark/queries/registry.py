@@ -165,6 +165,7 @@ _PRIORITY = [
     "mm_pair_coverage",
     "join_null_safe",
     "ev_survival_curve",
+    "agg_winsorized_mean",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",

@@ -386,3 +386,69 @@ def ev_survival_curve(spark, sf_dir):
         .otherwise(F.round(F.exp(F.sum(term).over(w_fwd)), 6))
         .alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean
+# ---------------------------------------------------------------------------
+@q(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem),
+    cuts AS (
+        SELECT l_returnflag,
+               CAST(quantile_disc(cents, 0.05) AS BIGINT) AS lo,
+               CAST(quantile_disc(cents, 0.95) AS BIGINT) AS hi
+        FROM c GROUP BY l_returnflag)
+    SELECT c.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(cuts.lo) AS BIGINT) AS lo_cents,
+           CAST(max(cuts.hi) AS BIGINT) AS hi_cents,
+           sum(least(greatest(c.cents, cuts.lo), cuts.hi)) * 1.0 / count(*)
+               AS winsorized_mean_cents,
+           sum(c.cents) * 1.0 / count(*) AS raw_mean_cents
+    FROM c JOIN cuts ON c.l_returnflag = cuts.l_returnflag
+    GROUP BY c.l_returnflag
+    """,
+    tags=("agg", "robust", "stats"),
+)
+def agg_winsorized_mean(spark, sf_dir):
+    """Winsorized mean (5%/95%) of price per return flag — the robust
+    location estimate a metrics pipeline uses when a handful of
+    fat-finger rows would otherwise move the average: values are
+    CLAMPED to the group's p05/p95 (not dropped — winsorizing keeps n
+    constant, unlike trimming), and both the robust and raw means are
+    emitted so the gap itself is the outlier-impact metric. Exact
+    integer pipeline: cents, percentile_disc cutoffs (actual stored
+    values), integer clamps, integer sums, ONE division at the end.
+
+    100 TB posture: two passes by construction (cutoffs cannot be
+    known before the data is seen): pass 1 is a per-group
+    percentile agg; its |groups|-row result broadcasts back onto pass
+    2's clamp+sum agg, both passes sharing the group key partitioning.
+    At extreme group cardinality pass 1 swaps percentile_disc for the
+    value-histogram shape (agg_weighted_median's machinery)."""
+    c = tbl(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    cuts = c.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY cents)")
+        .cast("bigint")
+        .alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)")
+        .cast("bigint")
+        .alias("hi"),
+    )
+    j = c.join(F.broadcast(cuts), "l_returnflag")
+    clamped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    return j.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.max("lo").alias("lo_cents"),
+        F.max("hi").alias("hi_cents"),
+        (F.sum(clamped) * 1.0 / F.count("*")).alias("winsorized_mean_cents"),
+        (F.sum("cents") * 1.0 / F.count("*")).alias("raw_mean_cents"),
+    )

@@ -103,6 +103,7 @@ BUDGETS = {
     "mm_pair_coverage": 1,          # broadcast id join + one source agg
     "join_null_safe": 2,            # hash join on coalesced key + agg
     "ev_survival_curve": 3,         # per-user agg + histogram windows
+    "agg_winsorized_mean": 2,       # cutoff agg + clamp agg (cuts broadcast)
 }
 
 # The graph family's plan TREE repeats the edge-construction subtree
