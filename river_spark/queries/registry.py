@@ -166,6 +166,7 @@ _PRIORITY = [
     "join_null_safe",
     "ev_survival_curve",
     "agg_winsorized_mean",
+    "dq_split_drift",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",

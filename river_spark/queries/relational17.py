@@ -452,3 +452,92 @@ def agg_winsorized_mean(spark, sf_dir):
         (F.sum(clamped) * 1.0 / F.count("*")).alias("winsorized_mean_cents"),
         (F.sum("cents") * 1.0 / F.count("*")).alias("raw_mean_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/val token-distribution drift
+# ---------------------------------------------------------------------------
+_DRIFT_VOCAB_K = 256
+
+
+@q(
+    "dq_split_drift",
+    oracle=f"""
+    WITH toks AS (
+        SELECT CASE WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 4)) AS INT)
+                         % 100 < 90
+                    THEN 'train' ELSE 'val' END AS split,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents),
+    vocab AS (
+        SELECT w FROM (SELECT w, count(*) AS c FROM toks GROUP BY w)
+        ORDER BY c DESC, w LIMIT {_DRIFT_VOCAB_K}),
+    cnt AS (
+        SELECT v.w,
+               CAST(sum(CASE WHEN t.split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+               CAST(sum(CASE WHEN t.split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val
+        FROM vocab v JOIN toks t ON t.w = v.w GROUP BY v.w),
+    tot AS (
+        SELECT w, n_train, n_val,
+               sum(n_train) OVER () AS tt, sum(n_val) OVER () AS tv
+        FROM cnt)
+    SELECT w AS token, n_train, n_val,
+           round((CAST(n_train + 1 AS DOUBLE) / CAST(tt + {_DRIFT_VOCAB_K} AS DOUBLE))
+                 * ln((CAST(n_train + 1 AS DOUBLE) / CAST(tt + {_DRIFT_VOCAB_K} AS DOUBLE))
+                      / (CAST(n_val + 1 AS DOUBLE) / CAST(tv + {_DRIFT_VOCAB_K} AS DOUBLE))), 6)
+               AS kl_contrib
+    FROM tot
+    """,
+    tags=("dq", "drift", "distribution"),
+)
+def dq_split_drift(spark, sf_dir):
+    """Train/val token-distribution drift: per-token contribution to
+    KL(train ‖ val) over the corpus's top-256 vocabulary, with Laplace
+    +1 smoothing — the distribution-shift check a pipeline runs on its
+    own split before trusting validation loss (a drifted split makes
+    val loss unrepresentative; summing the column gives the headline
+    KL). The split is the SAME md5 90/10 assignment as
+    pipeline_train_split, so this gate also cross-checks that the
+    split itself is distribution-neutral (KL ≈ 0 within sampling
+    noise). Counts are exact integers; the smoothed-ratio ln term is
+    rounded to 6 (DSIR precedent — drift ~10 orders below).
+
+    100 TB posture: vocab via TakeOrderedAndProject (never a full
+    sort), broadcast onto the token stream (tokens never shuffled by
+    word for counting — the join is the filter), one |vocab|-row agg,
+    totals as windows over those 256 rows."""
+    docs = tbl(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+    )
+    toks = docs.select(
+        F.when(bucket < 90, "train").otherwise("val").alias("split"),
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(_DRIFT_VOCAB_K)
+        .select("w")
+    )
+    cnt = (
+        toks.join(F.broadcast(vocab), "w")
+        .groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
+            F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("n_val"),
+        )
+    )
+    w_all = Window.partitionBy()
+    tt = F.sum("n_train").over(w_all)
+    tv = F.sum("n_val").over(w_all)
+    p = (F.col("n_train") + 1).cast("double") / (tt + _DRIFT_VOCAB_K).cast("double")
+    qd = (F.col("n_val") + 1).cast("double") / (tv + _DRIFT_VOCAB_K).cast("double")
+    return cnt.select(
+        F.col("w").alias("token"),
+        "n_train",
+        "n_val",
+        F.round(p * F.log(p / qd), 6).alias("kl_contrib"),
+    )

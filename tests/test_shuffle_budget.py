@@ -104,6 +104,7 @@ BUDGETS = {
     "join_null_safe": 2,            # hash join on coalesced key + agg
     "ev_survival_curve": 3,         # per-user agg + histogram windows
     "agg_winsorized_mean": 2,       # cutoff agg + clamp agg (cuts broadcast)
+    "dq_split_drift": 3,            # vocab top-K, count agg, 256-row window
 }
 
 # The graph family's plan TREE repeats the edge-construction subtree
