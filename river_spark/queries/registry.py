@@ -167,6 +167,7 @@ _PRIORITY = [
     "ev_survival_curve",
     "agg_winsorized_mean",
     "dq_split_drift",
+    "text_lang_id_eval",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",

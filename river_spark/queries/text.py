@@ -320,3 +320,81 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
     docs = tbl(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.05)
+
+
+@q(
+    "text_lang_id_eval",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               {_marker_count_sql(_LANG_MARKERS["en"])} AS c_en,
+               {_marker_count_sql(_LANG_MARKERS["es"])} AS c_es,
+               {_marker_count_sql(_LANG_MARKERS["de"])} AS c_de,
+               {_marker_count_sql(_LANG_MARKERS["fr"])} AS c_fr
+        FROM documents),
+    g AS (
+        SELECT lang,
+               CASE WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0 THEN 'und'
+                    WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+                    WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+                    WHEN c_de >= c_fr THEN 'de'
+                    ELSE 'fr' END AS lang_guess
+        FROM s)
+    SELECT lang, lang_guess,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN lang = lang_guess THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct
+    FROM g GROUP BY lang, lang_guess
+    """,
+    tags=("text", "langid", "evaluation"),
+)
+def text_lang_id_eval(spark, sf_dir):
+    """Confusion matrix of the marker-stopword language-ID heuristic
+    against the stored ground-truth labels — the evaluation gate for a
+    heuristic classifier, the text-side sibling of emb_ann_recall's
+    recall gate: a change to the marker lists or the tie priority
+    moves INTEGER cells of this matrix instead of silently flipping a
+    pass/fail elsewhere. The corpus deliberately contains a language
+    (zh) the heuristic has no markers for, so the matrix exposes the
+    honest failure mode (zh mass lands in 'und' or bleeds into marker
+    collisions) rather than reporting vacuous 100% accuracy.
+
+    100 TB posture: the guess is the same zero-shuffle map expression
+    as text_lang_id; the matrix is one hash agg over
+    (label, guess) — at most |langs|² rows."""
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        _marker_count_spark(_LANG_MARKERS["en"]).alias("c_en"),
+        _marker_count_spark(_LANG_MARKERS["es"]).alias("c_es"),
+        _marker_count_spark(_LANG_MARKERS["de"]).alias("c_de"),
+        _marker_count_spark(_LANG_MARKERS["fr"]).alias("c_fr"),
+    )
+    guess = (
+        F.when(
+            (F.col("c_en") == 0)
+            & (F.col("c_es") == 0)
+            & (F.col("c_de") == 0)
+            & (F.col("c_fr") == 0),
+            "und",
+        )
+        .when(
+            (F.col("c_en") >= F.col("c_es"))
+            & (F.col("c_en") >= F.col("c_de"))
+            & (F.col("c_en") >= F.col("c_fr")),
+            "en",
+        )
+        .when((F.col("c_es") >= F.col("c_de")) & (F.col("c_es") >= F.col("c_fr")), "es")
+        .when(F.col("c_de") >= F.col("c_fr"), "de")
+        .otherwise("fr")
+    )
+    return (
+        d.select("lang", guess.alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("lang") == F.col("lang_guess"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+    )

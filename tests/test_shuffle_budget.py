@@ -105,6 +105,7 @@ BUDGETS = {
     "ev_survival_curve": 3,         # per-user agg + histogram windows
     "agg_winsorized_mean": 2,       # cutoff agg + clamp agg (cuts broadcast)
     "dq_split_drift": 3,            # vocab top-K, count agg, 256-row window
+    "text_lang_id_eval": 1,         # map-side guess + one matrix agg
 }
 
 # The graph family's plan TREE repeats the edge-construction subtree
