@@ -541,3 +541,82 @@ def dq_split_drift(spark, sf_dir):
         "n_val",
         F.round(p * F.log(p / qd), 6).alias("kl_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson confidence interval for conversion rates
+# ---------------------------------------------------------------------------
+_WILSON_Z = 1.959963984540054  # 95% two-sided
+
+
+@q(
+    "agg_conversion_wilson",
+    oracle=f"""
+    WITH base AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_converted
+        FROM customer c
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+          ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_mktsegment),
+    w AS (
+        SELECT segment, n_customers, n_converted,
+               CAST(n_converted AS DOUBLE) / CAST(n_customers AS DOUBLE) AS p,
+               CAST(n_customers AS DOUBLE) AS n
+        FROM base)
+    SELECT segment, n_customers, n_converted,
+           p AS conversion_rate,
+           (p + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+              - {_WILSON_Z} * sqrt((p * (1 - p) + {_WILSON_Z} * {_WILSON_Z} / (4 * n)) / n))
+             / (1 + {_WILSON_Z} * {_WILSON_Z} / n) AS wilson_lo,
+           (p + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+              + {_WILSON_Z} * sqrt((p * (1 - p) + {_WILSON_Z} * {_WILSON_Z} / (4 * n)) / n))
+             / (1 + {_WILSON_Z} * {_WILSON_Z} / n) AS wilson_hi
+    FROM w
+    """,
+    tags=("agg", "stats", "interval"),
+)
+def agg_conversion_wilson(spark, sf_dir):
+    """Wilson score interval (95%) around per-segment conversion rates
+    (customers with at least one order / customers) — the binomial CI
+    a product dashboard should use instead of the normal
+    approximation, which collapses at small n and p near 0/1 (Wilson
+    stays inside [0,1] and never degenerates). Inputs are exact
+    integer counts (the DISTINCT purchaser set semi-joins before
+    counting so multi-order customers count once); the interval is one
+    closed-form expression over those integers with the SAME operation
+    tree in both engines — bit-identical IEEE with no rounding in the
+    gate, the agg_corr_exact discipline.
+
+    100 TB posture: one distinct-projection of the fact's key, one
+    broadcast-or-shuffle left join on the customer dimension, one
+    segment agg; the CI math is per-row expressions on a 5-row
+    result."""
+    cust = tbl(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    buyers = tbl(spark, sf_dir, "orders").select("o_custkey").distinct()
+    base = (
+        cust.join(buyers, cust.c_custkey == buyers.o_custkey, "left")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(
+                F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)
+            ).alias("n_converted"),
+        )
+    )
+    p = F.col("n_converted").cast("double") / F.col("n_customers").cast("double")
+    n = F.col("n_customers").cast("double")
+    z = F.lit(_WILSON_Z)
+    half = z * F.sqrt((p * (1 - p) + z * z / (4 * n)) / n)
+    center = p + z * z / (2 * n)
+    denom = 1 + z * z / n
+    return base.select(
+        "segment",
+        "n_customers",
+        "n_converted",
+        p.alias("conversion_rate"),
+        ((center - half) / denom).alias("wilson_lo"),
+        ((center + half) / denom).alias("wilson_hi"),
+    )
