@@ -568,12 +568,14 @@ _WILSON_Z = 1.959963984540054  # 95% two-sided
         FROM base)
     SELECT segment, n_customers, n_converted,
            p AS conversion_rate,
-           (p + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
-              - {_WILSON_Z} * sqrt((p * (1 - p) + {_WILSON_Z} * {_WILSON_Z} / (4 * n)) / n))
-             / (1 + {_WILSON_Z} * {_WILSON_Z} / n) AS wilson_lo,
-           (p + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
-              + {_WILSON_Z} * sqrt((p * (1 - p) + {_WILSON_Z} * {_WILSON_Z} / (4 * n)) / n))
-             / (1 + {_WILSON_Z} * {_WILSON_Z} / n) AS wilson_hi
+           round(greatest(
+             (p + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+                - {_WILSON_Z} * sqrt((p * (1 - p) + {_WILSON_Z} * {_WILSON_Z} / (4 * n)) / n))
+               / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 0.0), 6) AS wilson_lo,
+           round(least(
+             (p + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+                + {_WILSON_Z} * sqrt((p * (1 - p) + {_WILSON_Z} * {_WILSON_Z} / (4 * n)) / n))
+               / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 1.0), 6) AS wilson_hi
     FROM w
     """,
     tags=("agg", "stats", "interval"),
@@ -587,8 +589,12 @@ def agg_conversion_wilson(spark, sf_dir):
     integer counts (the DISTINCT purchaser set semi-joins before
     counting so multi-order customers count once); the interval is one
     closed-form expression over those integers with the SAME operation
-    tree in both engines — bit-identical IEEE with no rounding in the
-    gate, the agg_corr_exact discipline.
+    tree in both engines. The raw expression is NOT bit-stable at the
+    p=1 boundary (z*sqrt(z^2/4n^2) may or may not round to exactly
+    z^2/2n, so one engine emits 1.0 and the other 1-1ulp — the round-8
+    verdict's red gate), so both bounds are clamped into [0,1]
+    (mathematically a no-op for Wilson) and rounded to 6 decimals in
+    BOTH engines, the repo's ln/log discipline.
 
     100 TB posture: one distinct-projection of the fact's key, one
     broadcast-or-shuffle left join on the customer dimension, one
@@ -617,6 +623,6 @@ def agg_conversion_wilson(spark, sf_dir):
         "n_customers",
         "n_converted",
         p.alias("conversion_rate"),
-        ((center - half) / denom).alias("wilson_lo"),
-        ((center + half) / denom).alias("wilson_hi"),
+        F.round(F.greatest((center - half) / denom, F.lit(0.0)), 6).alias("wilson_lo"),
+        F.round(F.least((center + half) / denom, F.lit(1.0)), 6).alias("wilson_hi"),
     )
