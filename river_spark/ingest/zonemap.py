@@ -260,5 +260,14 @@ def write_zonemap_local(root: str) -> str | None:
     )
     tmp = os.path.join(out, ".part-0.parquet.inprogress")
     pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), tmp)
+    # A previous build may have come from the Spark writer
+    # (part-00000-<uuid>.parquet + _SUCCESS); leaving those alongside
+    # part-0.parquet would double/stale every index row for readers
+    # that scan the directory. Clear every older generation before the
+    # atomic rename of the new one.
+    for stale in os.listdir(out):
+        full = os.path.join(out, stale)
+        if full != tmp and (stale.endswith(".parquet") or stale == "_SUCCESS"):
+            os.remove(full)
     os.replace(tmp, os.path.join(out, "part-0.parquet"))
     return out

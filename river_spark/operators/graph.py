@@ -82,6 +82,13 @@ def pagerank(
                 .agg(F.sum(F.abs(F.col("a.pr") - F.col("b.pr"))).alias("d"))
                 .collect()[0]["d"]
             )
+            # Release the superseded checkpoint NOW that the delta agg
+            # (its last reader) has run — relying on JVM GC/ContextCleaner
+            # pins up to max_iter/checkpoint_every rank vectors in
+            # executor storage, an OOM at billion-node scale. Never
+            # unpersist the LATEST checkpoint: localCheckpoint truncates
+            # lineage, so its blocks are the only copy of the data.
+            prev_persisted.unpersist()
             prev_persisted = new_rank
             rank = new_rank
             if delta is not None and delta < tol:

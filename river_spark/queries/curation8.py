@@ -71,8 +71,17 @@ def text_bpe_pair_counts(spark, sf_dir):
         F.explode(F.split(F.trim("text"), r"\s+")).alias("w0")
     ).select(F.lower("w0").alias("w"))
     wf = words.filter(F.length("w") >= 2).groupBy("w").agg(F.count("*").alias("c"))
+    # Cap positions at _BPE_MAX_WORD-1 to mirror the oracle's
+    # lateral-free range(1, _BPE_MAX_WORD): a 65+-char whitespace token
+    # would otherwise emit pairs here that the oracle never sees.
     pairs = wf.select(
-        "w", "c", F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i")
+        "w",
+        "c",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.least(F.length("w") - 1, F.lit(_BPE_MAX_WORD - 1))
+            )
+        ).alias("i"),
     ).select(F.expr("substring(w, i, 2)").alias("pair"), "c")
     return (
         pairs.groupBy("pair")

@@ -52,88 +52,21 @@ class Query:
 
 # Explicit registration priority: see rotation comment below.
 _PRIORITY = [
-    # Round-8 rotation. The driver checks the FIRST 50 queries each
-    # round. Artifact inventory on disk: r1-r4, r6, r7 (round 5's file
-    # never landed — see README correctness methodology). Newest-row
-    # ages after round 7: 50 queries r7, 50 r6, 50 r4, and 22 whose
-    # newest row is r1-r3 (the 13 the round-7 verdict names —
-    # join_anti..ev_seek — plus 9 more from the same early block).
-    # Head order: those 13 first (round-7 directive #1), then the 13
-    # session-1/2 round-8 queries, then the 12 session-3 additions
-    # (graph/sketch/spatial/collation waves — no driver row can exist
-    # before they do), then the oldest chunk of the stale r1-r3 block
-    # up to position 50 (the 17 session-3 queries overfill it by one:
-    # 26 r1-r4-stale + 8 session-2 + 17 session-3 = 51 — never-driver-
-    # checked queries outrank the old-row stale block). The stale block
-    # (text_quality_score .. river_cli_roundtrip) plus the r4 cohort
-    # lead round 9. Freshest (r6, then r7) trail; every query stays covered
-    # each session by tests/test_oracle.py regardless of driver
-    # position.
-    "join_anti",
-    "join_full_outer",
-    "win_rank_ntile",
-    "win_topk_per_group",
-    "ev_tumbling_window",
-    "ev_sliding_window",
-    "ev_sessionize",
-    "ev_lag_lead",
-    "ev_dedup_ordered",
-    "ev_asof_join",
-    "ev_range_join",
-    "ev_tail",
-    "ev_seek",
-    "scalar_try_arith",
-    "agg_filter_clause",
-    "ev_gap_fill_interp",
-    "emb_kmeans_update",
-    "mm_phash_dedup",
-    "dedup_minhash_recall",
-    "river_stream_outer_join",
-    "decontam_bloom_prefilter",
-    "agg_heavy_hitters",
-    "emb_random_projection",
-    "ev_mad_outliers",
-    "scalar_xml",
-    "river_stream_window_chain",
-    # Session-2 additions (no driver row yet -> window head):
-    "layout_zorder",
-    "agg_salted_twophase",
-    "pipeline_scd2",
-    "pipeline_incremental_agg",
-    "mb_copurchase_pairs",
-    "er_fuzzy_match",
-    "agg_bitmap_audience",
-    "text_ngram_containment",
-    # Session-3 additions (no driver row yet -> window head):
-    "graph_triangle_count",
-    "agg_countmin_sketch",
-    "agg_weighted_median",
-    "ev_candle_ohlc",
-    "ev_sequence_pattern",
-    "geo_grid_proximity",
-    "graph_pagerank",
-    "text_bpe_pair_counts",
-    "emb_power_iteration",
-    "scalar_collation",
-    "ev_attribution_last_touch",
-    "pipeline_rfm_segments",
-    "ab_welch_ttest",
-    "ev_cusum_changepoint",
-    "pipeline_url_canonical_dedup",
-    "scalar_sql_udf",
+    # Round-9 rotation, generated from the CORRECTNESS_r0*.json artifact
+    # inventory (r1-r4, r6-r8; round 5 never landed): queries ordered by
+    # the age of their NEWEST driver row, never-checked first. The driver
+    # checks the FIRST 50 each round, so the round-9 window is the 40
+    # never-checked queries (the 34 session-4 additions, the 5 session-3
+    # overflow entries, and agg_conversion_wilson) + the 8 whose newest
+    # row is r1 + dedup_exact (r3) + the head of the r4 cohort. Rounds
+    # 10-11 then cycle the r4/r6 cohorts; every query stays covered each
+    # session by tests/test_oracle.py regardless of driver position.
+    # --- never driver-checked (40):
     "agg_benford_digits",
     "scalar_pipe_syntax",
     "ev_seasonal_decompose",
     "agg_gini_spend",
     "text_pmi_cooccurrence",
-    # Session-4 additions (18 queries, waves 10-15; no driver row yet).
-    # They sit just past the round-8 window and should lead round 9
-    # together with the stale r1-r3 block and the overflow session-2/3
-    # entries above (positions 51+ of this list): after round 8 lands,
-    # ~66 queries will lack an r6+ row, so rounds 9-10 fully cycle the
-    # backlog at 50/round. The local bit-level oracle sweep
-    # (tests/test_oracle.py) covers every query every session
-    # regardless of driver position.
     "agg_pareto_frontier",
     "ev_vwap",
     "pipeline_global_shuffle",
@@ -168,6 +101,8 @@ _PRIORITY = [
     "agg_winsorized_mean",
     "dq_split_drift",
     "text_lang_id_eval",
+    "agg_conversion_wilson",
+    # --- newest row r1 (8):
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
@@ -176,7 +111,9 @@ _PRIORITY = [
     "join_cross_small",
     "distinct_proj",
     "agg_global",
+    # --- newest row r3 (1):
     "dedup_exact",
+    # --- newest row r4 (50):
     "river_ingest_roundtrip",
     "river_system_columns",
     "river_sink_roundtrip",
@@ -227,21 +164,7 @@ _PRIORITY = [
     "win_range_frame",
     "win_value_functions",
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_nation_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive_join",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "join_semi",
+    # --- newest row r6 (50):
     "decontam_minhash_bench",
     "text_bm25_rank",
     "pipeline_domain_cap",
@@ -292,6 +215,22 @@ _PRIORITY = [
     "win_running_sum",
     "win_moving_avg",
     "text_token_stats",
+    # --- newest row r7 (50):
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_nation_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive_join",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "join_semi",
     "emb_ann_recall",
     "pipeline_dsir_weights",
     "emb_semdedup",
@@ -327,7 +266,59 @@ _PRIORITY = [
     "text_repetition_filter",
     "text_tfidf_top_terms",
     "text_unigram_logprob",
+    # --- newest row r8 (50):
+    "join_anti",
+    "join_full_outer",
+    "win_rank_ntile",
+    "win_topk_per_group",
+    "ev_tumbling_window",
+    "ev_sliding_window",
+    "ev_sessionize",
+    "ev_lag_lead",
+    "ev_dedup_ordered",
+    "ev_asof_join",
+    "ev_range_join",
+    "ev_tail",
+    "ev_seek",
+    "scalar_try_arith",
+    "agg_filter_clause",
+    "ev_gap_fill_interp",
+    "emb_kmeans_update",
+    "mm_phash_dedup",
+    "dedup_minhash_recall",
+    "river_stream_outer_join",
+    "decontam_bloom_prefilter",
+    "agg_heavy_hitters",
+    "emb_random_projection",
+    "ev_mad_outliers",
+    "scalar_xml",
+    "river_stream_window_chain",
+    "layout_zorder",
+    "agg_salted_twophase",
+    "pipeline_scd2",
+    "pipeline_incremental_agg",
+    "mb_copurchase_pairs",
+    "er_fuzzy_match",
+    "agg_bitmap_audience",
+    "text_ngram_containment",
+    "graph_triangle_count",
+    "agg_countmin_sketch",
+    "agg_weighted_median",
+    "ev_candle_ohlc",
+    "ev_sequence_pattern",
+    "geo_grid_proximity",
+    "graph_pagerank",
+    "text_bpe_pair_counts",
+    "emb_power_iteration",
+    "scalar_collation",
+    "ev_attribution_last_touch",
+    "pipeline_rfm_segments",
+    "ab_welch_ttest",
+    "ev_cusum_changepoint",
+    "pipeline_url_canonical_dedup",
+    "scalar_sql_udf",
 ]
+
 
 QUERIES: dict[str, Query] = {}
 for name, fn, oracle, tags, bench in _RAW:

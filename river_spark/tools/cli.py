@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -180,9 +181,17 @@ def compact_main(args) -> int:
     (ingest/compact.py) — bin-packs adjacent small parts into
     target-size files, preserving sample order and resume safety."""
     from river_spark.ingest.compact import compact_parts
+    from river_spark.ingest.zonemap import write_zonemap_local
 
     stats = compact_parts(args.dir, target_bytes=args.target_bytes)
-    print(json.dumps({"dir": args.dir, **stats}))
+    # Compaction rewrites/removes part files; a pre-existing zone-map
+    # index would keep pointing readers (prune_files/read_pruned derive
+    # the file list solely from it) at dead paths. Rebuild it in place.
+    zm = os.path.join(args.dir, "_zonemap")
+    rebuilt = None
+    if os.path.isdir(zm):
+        rebuilt = write_zonemap_local(args.dir)
+    print(json.dumps({"dir": args.dir, **stats, "zonemap_rebuilt": rebuilt}))
     return 0
 
 

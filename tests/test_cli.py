@@ -86,3 +86,72 @@ def test_compact_and_zonemap_subcommands(tmp_path):
     zm = pd.read_parquet(out["zonemap"])
     key_stats = zm[zm["column"] == "key"]
     assert key_stats["num_lo"].min() == 0 and key_stats["num_hi"].max() == 59
+
+
+def test_compact_rebuilds_stale_zonemap(tmp_path):
+    """Index-before-compact: compaction rewrites part files, so a
+    pre-existing _zonemap would point pruned readers at dead paths.
+    The compact subcommand must rebuild it in place."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    for i in range(6):
+        pq.write_table(
+            pa.table({"key": list(range(i * 10, i * 10 + 10)), "v": [1.0] * 10}),
+            str(d / f"data_{i:05d}.parquet"),
+        )
+    res = run_cli(["zonemap", "--root", str(d)])
+    assert res.returncode == 0
+    zm_path = json.loads(res.stdout.strip().splitlines()[-1])["zonemap"]
+
+    res = run_cli(["compact", "--dir", str(d), "--target-bytes", "4096"])
+    assert res.returncode == 0
+    stats = json.loads(res.stdout.strip().splitlines()[-1])
+    assert stats["zonemap_rebuilt"] == zm_path
+
+    zm = pd.read_parquet(zm_path)
+    indexed = set(zm["file"])
+    on_disk = {
+        str(d / f) for f in os.listdir(d)
+        if f.endswith(".parquet")
+    }
+    assert indexed == on_disk, "index must cover exactly the surviving files"
+    assert len(on_disk) == stats["files_after"] < 6
+
+
+def test_zonemap_local_rebuild_clears_spark_generation(tmp_path):
+    """write_zonemap_local over an index previously built by the Spark
+    writer (part-00000-<uuid>.parquet + _SUCCESS) must clear the old
+    generation, not leave two sets of rows for directory readers."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from river_spark.ingest.zonemap import write_zonemap_local
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"key": [1, 2, 3]}), str(d / "data_00000.parquet")
+    )
+    zm_dir = d / "_zonemap"
+    zm_dir.mkdir()
+    # a fake prior Spark-writer generation
+    pq.write_table(
+        pa.table({"file": ["dead.parquet"], "column": ["key"]}),
+        str(zm_dir / "part-00000-0123abcd.parquet"),
+    )
+    (zm_dir / "_SUCCESS").touch()
+
+    out = write_zonemap_local(str(d))
+    assert out == str(zm_dir)
+    assert sorted(os.listdir(zm_dir)) == ["part-0.parquet"]
+    zm = pd.read_parquet(str(zm_dir))
+    assert set(zm["file"]) == {str(d / "data_00000.parquet")}
