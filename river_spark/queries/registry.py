@@ -38,6 +38,7 @@ import river_spark.queries.relational14 as _relational14  # noqa: F401
 import river_spark.queries.relational15 as _relational15  # noqa: F401
 import river_spark.queries.relational16 as _relational16  # noqa: F401
 import river_spark.queries.relational17 as _relational17  # noqa: F401
+import river_spark.queries.river_ops2 as _river_ops2  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -62,6 +63,8 @@ _PRIORITY = [
     # 10-11 then cycle the r4/r6 cohorts; every query stays covered each
     # session by tests/test_oracle.py regardless of driver position.
     # --- never driver-checked (40):
+    "river_stream_right_outer_join",
+    "river_stream_full_outer_join",
     "agg_benford_digits",
     "scalar_pipe_syntax",
     "ev_seasonal_decompose",
