@@ -128,11 +128,47 @@ def _redis_transport_throughput(schema, arr, mb: float, repeats: int) -> dict[st
                     break
             r_runs.append(mb / (time.perf_counter() - t0))
             backend._conn().command("FLUSHALL")
+
+        # Module-framed compressed wire (RIVER.batch_xadd_compressed:
+        # one blob entry + per-sample `reference` entries — the reference
+        # server module's own layout, full interop parity). Measured so
+        # the framed-vs-parity trade is a NUMBER each round, not a layout
+        # test. This wire is per-sample on the LISTING side by design, so
+        # with a pure-Python RESP stack on both ends (~40 us/entry) it is
+        # orders of magnitude below the batch-framed legs above — that
+        # gap IS the result (production deployments pair this layout with
+        # the C server module + a C client). 200k samples x 1 rep keeps
+        # the leg honest without dominating bench wall time.
+        from river_spark.transport.compression import CompressionMode, Compressor
+
+        n_mf = 200_000
+        mf_mb = n_mf * 8 / 1e6
+        backend = RedisBackend(host, port, batch_framing=True, module_framing=True)
+        log = StreamLog(backend=backend)
+        w = StreamWriter(
+            log,
+            batch_size=10240,
+            compression=Compressor(CompressionMode.ZLIB_LOSSLESS),
+        ).initialize("bench_redis_mf", schema)
+        t0 = time.perf_counter()
+        w.write(arr[:n_mf])
+        w.stop()
+        mf_write = mf_mb / (time.perf_counter() - t0)
+        r = StreamReader(log).initialize("bench_redis_mf")
+        t0 = time.perf_counter()
+        while True:
+            res = r.read(100_000, timeout_ms=10)
+            if res.eof or res.count == 0:
+                break
+        mf_read = mf_mb / (time.perf_counter() - t0)
+        backend._conn().command("FLUSHALL")
     return {
         "transport_redis_write_mb_s": round(max(w_runs), 1),
         "transport_redis_read_mb_s": round(max(r_runs), 1),
         "transport_redis_write_runs_mb_s": [round(v, 1) for v in w_runs],
         "transport_redis_read_runs_mb_s": [round(v, 1) for v in r_runs],
+        "transport_redis_modframed_write_mb_s": round(mf_write, 2),
+        "transport_redis_modframed_read_mb_s": round(mf_read, 2),
     }
 
 

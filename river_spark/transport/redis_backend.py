@@ -49,6 +49,7 @@ XRANGE windows — reads are distributed, there is no driver funnel.
 
 from __future__ import annotations
 
+import bisect
 import json
 import threading
 import time
@@ -321,14 +322,21 @@ class RedisBackend(StorageBackend):
         cached = getattr(self._local, "seg_cache", None)
         if cached is None or cached[0] != name or cached[1] != seg:
             return None
+        entries, ids = cached[2], cached[3]
         lo, hi = _id_tuple(first_id.encode()), _id_tuple(last_id.encode())
-        out = [e for e in cached[2] if lo <= _id_tuple(e[0]) <= hi]
+        # ids is sorted (XRANGE order): bisect instead of a full scan —
+        # a linear scan here is O(segment) per read_batch, i.e. quadratic
+        # over a segment's batches (the round-9 modframed profile showed
+        # it costing as much as the listing itself).
+        i = bisect.bisect_left(ids, lo)
+        j = bisect.bisect_right(ids, hi)
+        out = entries[i:j]
         # serve only when the slice provably covers the requested range:
         # handle boundary ids are exact entry ids by construction, so a
         # handle reaching past the cached snapshot (e.g. built after a
         # later append) falls through to a live XRANGE instead of
         # silently returning a partial batch
-        if not out or _id_tuple(out[0][0]) != lo or _id_tuple(out[-1][0]) != hi:
+        if not out or ids[i] != lo or ids[j - 1] != hi:
             return None
         return out
 
@@ -338,10 +346,11 @@ class RedisBackend(StorageBackend):
         name, seg, kind, start, n, first_id, last_id = body.rsplit("/", 6)
         return name, int(seg), kind, int(start), int(n), first_id, last_id
 
-    def _xrange_all(self, key: str):
-        """Full-key XRANGE, paginated with exclusive cursors."""
+    def _xrange_from(self, key: str, lo: str):
+        """XRANGE from an (inclusive or exclusive-``(``) cursor to the
+        stream end, paginated."""
         c = self._conn()
-        lo, out = "-", []
+        out = []
         while True:
             page = c.command("XRANGE", key, lo, "+", "COUNT", _PAGE)
             if not page:
@@ -351,57 +360,83 @@ class RedisBackend(StorageBackend):
                 return out
             lo = "(" + page[-1][0].decode()
 
+    def _xrange_all(self, key: str):
+        """Full-key XRANGE, paginated with exclusive cursors."""
+        return self._xrange_from(key, "-")
+
     def list_batches(self, name, segment_idx):
+        """Incremental segment listing: a reader polls this on EVERY
+        read, so a full re-XRANGE per call makes the wire cost of
+        following a stream quadratic in its length (the round-9 modframed
+        profile: 12.5 s of a 15 s read spent re-listing). Per
+        (name, segment) and per thread, we keep an exclusive XRANGE
+        cursor plus the parsed run state, fetch only entries appended
+        since the last call, and extend the runs in place. The
+        accumulated raw entries also serve read_batch via _cached_range
+        (one segment's entries per thread — segments are rotation-bounded,
+        so this is O(segment), not O(stream))."""
         info = self._info(name)
         sample_kind = "var" if info["variable"] else "fixed"
-        entries = self._xrange_all(self._seg_key(name, segment_idx))
-        # Listing already transferred every entry's payload; stash the
-        # segment's raw entries (thread-local, one segment deep) so a
-        # read_batch that immediately follows — the reader's hot loop —
-        # serves from it instead of re-XRANGE-ing the same bytes. Halves
-        # wire transfer on sequential reads; executors that read handles
-        # without listing are unaffected.
-        self._local.seg_cache = (name, segment_idx, entries)
-        # run = [start, n, ms, seq0, last_ms, last_seq, kind]
-        out, run = [], None
-        for raw_id, flat in entries:
-            fields = _fields_dict(flat)
-            if b"val" in fields:
-                ms, seq = _id_tuple(raw_id)
-                idx = int(fields[b"i"])
-                if info["compressed"]:
-                    # module layout (river_redismodule.c:63-131): a `val`
-                    # entry on a compressed stream IS a batch blob; the
-                    # logical samples follow as `reference` entries
-                    if run is not None:
-                        out.append(run)
-                    run = [idx, 1, ms, seq, ms, seq, "modframed"]
-                elif (run is not None and run[6] == sample_kind
-                        and ms == run[4] and seq == run[5] + 1
-                        and idx == run[0] + run[1]):
-                    run[1] += 1
-                    run[5] = seq
-                else:
-                    if run is not None:
-                        out.append(run)
-                    run = [idx, 1, ms, seq, ms, seq, sample_kind]
-            elif b"reference" in fields:
-                # module compressed layout: one more logical sample of the
-                # current blob batch. An orphan reference (no preceding
-                # blob in this listing) is unreadable — skip it.
-                if run is not None and run[6] == "modframed":
+        scans = getattr(self._local, "seg_scans", None)
+        if scans is None:
+            scans = self._local.seg_scans = {}
+        st = scans.get((name, segment_idx))
+        if st is None:
+            # closed = finished runs; open = the run new entries may extend;
+            # run layout = [start, n, ms, seq0, last_ms, last_seq, kind]
+            st = scans[(name, segment_idx)] = {
+                "lo": "-", "entries": [], "ids": [], "closed": [], "open": None,
+            }
+        new = self._xrange_from(self._seg_key(name, segment_idx), st["lo"])
+        if new:
+            st["lo"] = "(" + new[-1][0].decode()
+            st["entries"] += new
+            st["ids"].extend(_id_tuple(e[0]) for e in new)
+            closed, run = st["closed"], st["open"]
+            for raw_id, flat in new:
+                fields = _fields_dict(flat)
+                if b"val" in fields:
                     ms, seq = _id_tuple(raw_id)
-                    run[1] += 1
-                    run[4], run[5] = ms, seq
-            elif b"batch_val" in fields:
-                if run is not None:
-                    out.append(run)
-                    run = None
-                ms, seq = _id_tuple(raw_id)
-                out.append([int(fields[b"i"]), int(fields[b"n"]), ms, seq, ms, seq, "framed"])
-            # tombstone/eof entries are control markers, not data: skip
-        if run is not None:
-            out.append(run)
+                    idx = int(fields[b"i"])
+                    if info["compressed"]:
+                        # module layout (river_redismodule.c:63-131): a `val`
+                        # entry on a compressed stream IS a batch blob; the
+                        # logical samples follow as `reference` entries
+                        if run is not None:
+                            closed.append(run)
+                        run = [idx, 1, ms, seq, ms, seq, "modframed"]
+                    elif (run is not None and run[6] == sample_kind
+                            and ms == run[4] and seq == run[5] + 1
+                            and idx == run[0] + run[1]):
+                        run[1] += 1
+                        run[5] = seq
+                    else:
+                        if run is not None:
+                            closed.append(run)
+                        run = [idx, 1, ms, seq, ms, seq, sample_kind]
+                elif b"reference" in fields:
+                    # module compressed layout: one more logical sample of the
+                    # current blob batch. An orphan reference (no preceding
+                    # blob in this listing) is unreadable — skip it.
+                    if run is not None and run[6] == "modframed":
+                        ms, seq = _id_tuple(raw_id)
+                        run[1] += 1
+                        run[4], run[5] = ms, seq
+                elif b"batch_val" in fields:
+                    if run is not None:
+                        closed.append(run)
+                        run = None
+                    ms, seq = _id_tuple(raw_id)
+                    closed.append(
+                        [int(fields[b"i"]), int(fields[b"n"]), ms, seq, ms, seq, "framed"]
+                    )
+                # tombstone/eof entries are control markers, not data: skip
+            st["open"] = run
+        # read_batch's cache view over the accumulated entries
+        self._local.seg_cache = (name, segment_idx, st["entries"], st["ids"])
+        out = list(st["closed"])
+        if st["open"] is not None:
+            out.append(st["open"])
         result = []
         for start, n, ms, seq0, last_ms, last_seq, kind in out:
             handle = (f"{_HANDLE_PREFIX}{name}/{segment_idx}/{kind}/"
@@ -458,6 +493,16 @@ class RedisBackend(StorageBackend):
         ids = [e[0] for e in entries]
         if ids:
             c.command("XDEL", key, *ids)
+        # Drop this thread's incremental listing state for the segment:
+        # its accumulated runs would otherwise keep reporting the deleted
+        # batch. (Other threads/instances behave like any reader holding
+        # a pre-deletion listing — the snapshot guarantee of the handle.)
+        scans = getattr(self._local, "seg_scans", None)
+        if scans is not None:
+            scans.pop((name, seg), None)
+        cached = getattr(self._local, "seg_cache", None)
+        if cached is not None and cached[0] == name and cached[1] == seg:
+            self._local.seg_cache = None
 
     # ---- segments + control markers ---------------------------------------
     def write_tombstone(self, name, segment_idx, sample_index):
