@@ -216,7 +216,16 @@ class SingleStreamIngester:
         parts = sorted(
             f for f in os.listdir(self.out_dir) if f.startswith("data_") and f.endswith(".parquet")
         )
-        if parts and not os.path.exists(final):  # refuse overwrite (ingester.cpp:561-566)
+        total_bytes = sum(os.path.getsize(os.path.join(self.out_dir, p)) for p in parts)
+        if parts and total_bytes > self.settings.single_file_max_bytes:
+            # Large stream: size-tiered compaction in place — no
+            # monolithic data.parquet (a 2x-storage rewrite spike and an
+            # unsplittable file for downstream scans). Idempotent on
+            # re-finalize: already-target-sized parts form no groups.
+            from river_spark.ingest.compact import compact_parts
+
+            compact_parts(self.out_dir, target_bytes=self.settings.compact_target_bytes)
+        elif parts and not os.path.exists(final):  # refuse overwrite (ingester.cpp:561-566)
             tables = [pq.read_table(os.path.join(self.out_dir, p)) for p in parts]
             tmp = final + ".inprogress"
             pq.write_table(pa.concat_tables(tables), tmp, compression="snappy")

@@ -39,6 +39,16 @@ class StreamIngestionSettings:
     # streams land as skippable parquet. Off by default: one footer
     # re-read per finalized file.
     build_zonemap: bool = False
+    # Finalize layout switch. At or below this many total part bytes the
+    # stream finalizes to the reference's single data.parquet
+    # (laptop-scale parity, ingester.cpp:561-566); above it the parts are
+    # size-tiered-compacted in place (ingest/compact.py) and data.parquet
+    # is never written — a monolithic rewrite of a large stream is both a
+    # 2x-storage spike and an unsplittable file for downstream Spark
+    # scans. SURVEY section 7 phase-6 posture.
+    single_file_max_bytes: int = 256 << 20
+    # target part size for the size-tiered path
+    compact_target_bytes: int = 128 << 20
 
     def matches(self, stream_name: str) -> bool:
         return re.fullmatch(self.stream_name_regex, stream_name) is not None

@@ -184,3 +184,30 @@ def test_ingest_from_memory_backend(tmp_path):
     np.testing.assert_array_equal(t.column("v").to_numpy(), arr["v"])
     # stream name freed on the backend too
     assert log.read_metadata("mem") is None
+
+
+def test_finalize_tiered_above_single_file_threshold(log, out):
+    """The finalize layout switch (SURVEY section 7 phase-6 posture):
+    above single_file_max_bytes the stream finalizes via size-tiered
+    compaction in place — compacted data_*.parquet parts, NO monolithic
+    data.parquet — while the default threshold keeps the reference's
+    laptop-scale single-file parity (covered by every other test here)."""
+    write_stream(log, "big", n=500)
+    s = default_settings(
+        bytes_per_row_group=100 * multi_schema().sample_size(),
+        single_file_max_bytes=1,  # force the tiered path
+        compact_target_bytes=1 << 20,
+    )
+    res = SingleStreamIngester(log, out, "big", s).ingest()
+    assert res is IngestResult.COMPLETED
+    d = os.path.join(out, "big")
+    files = sorted(os.listdir(d))
+    assert "data.parquet" not in files
+    parts = [f for f in files if f.startswith("data_") and f.endswith(".parquet")]
+    assert parts, files
+    # 5 tiny row-group parts bin-pack into one 1 MiB-target part
+    assert len(parts) == 1, parts
+    t = pq.read_table(os.path.join(d, parts[0]))
+    assert t.num_rows == 500
+    np.testing.assert_array_equal(t.column("sample_index").to_numpy(), np.arange(500))
+    assert os.path.exists(os.path.join(d, "metadata.json"))
