@@ -39,6 +39,8 @@ import river_spark.queries.relational15 as _relational15  # noqa: F401
 import river_spark.queries.relational16 as _relational16  # noqa: F401
 import river_spark.queries.relational17 as _relational17  # noqa: F401
 import river_spark.queries.river_ops2 as _river_ops2  # noqa: F401
+import river_spark.queries.relational18 as _relational18  # noqa: F401
+import river_spark.queries.curation9 as _curation9  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -63,6 +65,17 @@ _PRIORITY = [
     # 10-11 then cycle the r4/r6 cohorts; every query stays covered each
     # session by tests/test_oracle.py regardless of driver position.
     # --- never driver-checked (40):
+    "agg_ks_shard",
+    "agg_chi2_cells",
+    "agg_entropy_mix",
+    "agg_hhi_concentration",
+    "ev_updown_streaks",
+    "ev_gap_histogram",
+    "pipeline_token_budget_pack",
+    "pipeline_mix_rebalance",
+    "pipeline_shard_balance",
+    "emb_dim_variance",
+    "text_vocab_growth",
     "river_stream_right_outer_join",
     "river_stream_full_outer_join",
     "agg_benford_digits",
