@@ -41,6 +41,8 @@ import river_spark.queries.relational17 as _relational17  # noqa: F401
 import river_spark.queries.river_ops2 as _river_ops2  # noqa: F401
 import river_spark.queries.relational18 as _relational18  # noqa: F401
 import river_spark.queries.curation9 as _curation9  # noqa: F401
+import river_spark.queries.relational19 as _relational19  # noqa: F401
+import river_spark.queries.curation10 as _curation10  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -65,6 +67,13 @@ _PRIORITY = [
     # 10-11 then cycle the r4/r6 cohorts; every query stays covered each
     # session by tests/test_oracle.py regardless of driver position.
     # --- never driver-checked (40):
+    "ev_autocorr_lag",
+    "ev_max_drawdown",
+    "agg_value_bands",
+    "emb_adjacent_cosine_hist",
+    "text_token_len_profile",
+    "dedup_cluster_sizes",
+    "pipeline_source_overlap",
     "agg_ks_shard",
     "agg_chi2_cells",
     "agg_entropy_mix",
