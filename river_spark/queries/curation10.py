@@ -28,7 +28,9 @@ from river_spark.queries.vectors import _dot, _norm
                  / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
                  AS cos
-        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1)
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        WHERE list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) > 0
+          AND list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0)
     SELECT CAST(floor(cos * 10) AS BIGINT) AS band, count(*) AS n
     FROM p GROUP BY 1
     """,
@@ -51,11 +53,20 @@ def emb_adjacent_cosine_hist(spark, sf_dir):
     b = e.select(
         (F.col("vec_id") - 1).alias("join_id"), F.col("embedding").alias("emb_b")
     ).alias("b")
-    p = a.join(b, F.col("a.vec_id") == F.col("b.join_id")).select(
-        (
-            _dot(F.col("a.embedding"), F.col("emb_b"))
-            / (_norm(F.col("a.embedding")) * _norm(F.col("emb_b")))
-        ).alias("cos")
+    # zero-vector guard: a null embedding row would make norm = 0 and
+    # (under ANSI) a throwing division where DuckDB yields NULL
+    p = (
+        a.join(b, F.col("a.vec_id") == F.col("b.join_id"))
+        .filter(
+            (_dot(F.col("a.embedding"), F.col("a.embedding")) > 0)
+            & (_dot(F.col("emb_b"), F.col("emb_b")) > 0)
+        )
+        .select(
+            (
+                _dot(F.col("a.embedding"), F.col("emb_b"))
+                / (_norm(F.col("a.embedding")) * _norm(F.col("emb_b")))
+            ).alias("cos")
+        )
     )
     return p.groupBy(
         F.floor(F.col("cos") * 10).cast("bigint").alias("band")
@@ -161,7 +172,11 @@ def pipeline_source_overlap(spark, sf_dir):
         "source", F.split(F.trim("text"), r"\s+").alias("a")
     )
     bg = (
-        toks.select(
+        # size >= 2 guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) for a
+        # single-token doc, which would emit i=0 and crash element_at;
+        # the oracle's range(1, n) WHERE i < len(a) is naturally empty
+        toks.filter(F.size("a") >= 2)
+        .select(
             "source",
             F.explode(F.sequence(F.lit(1), F.size("a") - 1)).alias("i"),
             "a",

@@ -571,7 +571,7 @@ _WILSON_Z = 1.959963984540054  # 95% two-sided
            round(greatest(
              (p + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
                 - {_WILSON_Z} * sqrt((p * (1 - p) + {_WILSON_Z} * {_WILSON_Z} / (4 * n)) / n))
-               / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 0.0), 6) AS wilson_lo,
+               / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 0.0), 6) + 0.0 AS wilson_lo,
            round(least(
              (p + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
                 + {_WILSON_Z} * sqrt((p * (1 - p) + {_WILSON_Z} * {_WILSON_Z} / (4 * n)) / n))
@@ -623,6 +623,11 @@ def agg_conversion_wilson(spark, sf_dir):
         "n_customers",
         "n_converted",
         p.alias("conversion_rate"),
-        F.round(F.greatest((center - half) / denom, F.lit(0.0)), 6).alias("wilson_lo"),
+        # + 0.0 normalizes a possible -0.0 at the p=0 boundary: the
+        # greatest() tie between -0.0 and 0.0 picks an arbitrary sign and
+        # round(-0.0, 6) differs between engines (+0.0 Spark, -0.0 DuckDB)
+        (F.round(F.greatest((center - half) / denom, F.lit(0.0)), 6) + 0.0).alias(
+            "wilson_lo"
+        ),
         F.round(F.least((center + half) / denom, F.lit(1.0)), 6).alias("wilson_hi"),
     )

@@ -58,7 +58,8 @@ _N_SHARDS = 8
            max(abs(CAST(cum1 AS DOUBLE) / tot1 - CAST(cum2 AS DOUBLE) / tot2)) AS ks_d,
            CAST(max(tot1) AS BIGINT) AS n_purchase,
            CAST(max(tot2) AS BIGINT) AS n_view
-    FROM c GROUP BY shard
+    FROM c WHERE tot1 > 0 AND tot2 > 0
+    GROUP BY shard
     """,
     tags=("agg", "stats", "drift"),
 )
@@ -93,6 +94,10 @@ def agg_ks_shard(spark, sf_dir):
         F.sum("c1").over(wall).alias("tot1"),
         F.sum("c2").over(wall).alias("tot2"),
     )
+    # KS is undefined when either population is empty in a shard; drop
+    # such shards BEFORE dividing (under ANSI Spark a /0 would throw
+    # where DuckDB yields NULL)
+    c = c.filter((F.col("tot1") > 0) & (F.col("tot2") > 0))
     return c.groupBy("shard").agg(
         F.max(
             F.abs(F.col("cum1").cast("double") / F.col("tot1")

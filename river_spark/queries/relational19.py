@@ -42,8 +42,9 @@ from river_spark.queries.tables import events_tbl
     SELECT event_type,
            CAST(n AS BIGINT) AS n_pairs,
            CAST(n * sxy - sx * sy AS DOUBLE)
-             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr_r1
+             / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0)
+             AS autocorr_r1
     FROM s
     """,
     tags=("events", "timeseries", "autocorr"),
@@ -80,10 +81,13 @@ def ev_autocorr_lag(spark, sf_dir):
     ) * F.sqrt(
         (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     )
+    # nullif guard: a constant daily series (or n=1) zeroes the variance
+    # terms; under ANSI Spark a raw /0 THROWS while DuckDB yields NULL —
+    # NULL (undefined autocorrelation) is the correct answer in both.
     return s.select(
         "event_type",
         F.col("n").alias("n_pairs"),
-        (num / den).alias("autocorr_r1"),
+        (num / F.nullif(den, F.lit(0.0))).alias("autocorr_r1"),
     )
 
 

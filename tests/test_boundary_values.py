@@ -1,0 +1,202 @@
+"""Boundary-value cross-engine gate (round-9 verdict directive #2): the
+sf-dir sweeps exercise realistic data, but the Wilson 1-ulp bug proved
+that "same operation tree => bit-identical" breaks exactly at algebraic
+boundaries (p in {0, 1}, n = 1, empty populations, constant series,
+exact ties, zero vectors). This suite builds a deliberately adversarial
+fixture dir and runs the ratio/sqrt/ln-bearing queries through BOTH
+engines with the same bit-level comparison as tests/test_oracle.py.
+
+Engine semantics this fixture is designed to hit (probed 2026-08-15):
+- Spark runs ANSI mode: a raw double /0 THROWS; DuckDB yields NULL —
+  every denominator that can reach 0 needs a shared guard.
+- round(-0.0, 6) is +0.0 in Spark but -0.0 in DuckDB — any rounded
+  output that can be a negative zero needs `+ 0.0` normalization.
+- Spark's sequence(1, 0) DESCENDS ([1, 0]) where DuckDB's
+  range(1, n) is empty — single-element arrays need explicit guards.
+"""
+
+import math
+import struct
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from river_spark.queries import QUERIES
+
+# every query here reads only the tables the fixture writes
+BOUNDARY_QUERIES = [
+    "agg_conversion_wilson",
+    "agg_ks_shard",
+    "agg_entropy_mix",
+    "agg_chi2_cells",
+    "agg_value_bands",
+    "ev_updown_streaks",
+    "ev_gap_histogram",
+    "ev_max_drawdown",
+    "ev_autocorr_lag",
+    "pipeline_token_budget_pack",
+    "pipeline_mix_rebalance",
+    "pipeline_shard_balance",
+    "text_vocab_growth",
+    "text_token_len_profile",
+    "dedup_cluster_sizes",
+    "pipeline_source_overlap",
+    "emb_adjacent_cosine_hist",
+    "emb_dim_variance",
+    "text_bpe_pair_counts",
+]
+
+_FIXTURE_TABLES = ("customer", "orders", "events", "documents", "embeddings")
+
+
+@pytest.fixture(scope="module")
+def bdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("boundary_sf")
+
+    # customer/orders: segments at p=1, p=0, and n=1 at both extremes;
+    # a duplicate order checks the DISTINCT purchaser semantics.
+    pd.DataFrame(
+        {
+            "c_custkey": [1, 2, 3, 4, 5, 6],
+            "c_mktsegment": ["ALL", "ALL", "NONE", "NONE", "ONE1", "ONE0"],
+        }
+    ).to_parquet(d / "customer.parquet")
+    pd.DataFrame({"o_custkey": [1, 1, 2, 5]}).to_parquet(d / "orders.parquet")
+
+    # events:
+    # - user 0: a single event (no lag pairs, drawdown exactly 0.0)
+    # - user 1: strictly increasing values (zero drawdown, one long run)
+    # - user 2: two events at the SAME timestamp (tie-ordering via id)
+    # - users 8/16: purchase and view with IDENTICAL value sets -> KS D=0
+    # - user 9 (shard 1): purchases only -> shard dropped by the KS guard
+    # - event_type 'error': exactly 1/day over 3 days -> constant series,
+    #   autocorr denominator 0 -> NULL in both engines
+    # - value 0.0 rows -> cents 0, band 0
+    rows = []
+
+    def ev(eid, ts, uid, typ, val):
+        rows.append((eid, np.datetime64(ts, "us"), uid, typ, val, "{}"))
+
+    ev(1, "2024-01-01T00:00:00", 0, "click", 0.0)
+    ev(2, "2024-01-01T01:00:00", 1, "click", 1.0)
+    ev(3, "2024-01-01T02:00:00", 1, "click", 2.0)
+    ev(4, "2024-01-01T03:00:00", 1, "click", 3.0)
+    ev(5, "2024-01-01T04:00:00", 2, "click", 5.0)
+    ev(6, "2024-01-01T04:00:00", 2, "click", 4.0)  # same ts, earlier id wins
+    for i, v in enumerate([10.0, 20.0, 30.0]):
+        ev(100 + i, f"2024-01-0{i + 1}T06:00:00", 8, "purchase", v)
+        ev(200 + i, f"2024-01-0{i + 1}T07:00:00", 16, "view", v)
+    ev(300, "2024-01-01T08:00:00", 9, "purchase", 7.0)
+    for day in (1, 2, 3):
+        ev(400 + day, f"2024-01-0{day}T09:00:00", 3, "error", 0.0)
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(d / "events.parquet")
+
+    # documents: a single-token doc (sequence(1,0) hazard), a 70-char
+    # token (the BPE _BPE_MAX_WORD cap), an exact-duplicate pair, and
+    # enough normal docs that selections/overlaps are non-trivial.
+    long_tok = "x" * 70
+    docs = [
+        (0, "hello", "en", "srcA"),
+        (1, f"alpha beta {long_tok} gamma", "en", "srcA"),
+        (2, "the quick brown fox jumps", "en", "srcA"),
+        (3, "the quick brown fox jumps", "en", "srcB"),  # exact dup of 2
+        (4, "lone", "en", "srcB"),
+        (5, "alpha beta gamma delta epsilon", "en", "srcB"),
+    ]
+    pd.DataFrame(
+        [(i, t, lang, s, len(t)) for i, t, lang, s in docs],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(d / "documents.parquet")
+
+    # embeddings (64-dim float32): identical adjacent pair (cos exactly
+    # 1.0 -> band 10 edge), orthogonal pair (cos 0.0), anti-parallel
+    # pair (cos -1.0 -> band -10), and a zero vector (guard must drop
+    # both pairs that touch it).
+    dim = 64
+    e0 = np.zeros(dim, dtype=np.float32); e0[0] = 1.0
+    e1 = e0.copy()                       # cos(e0, e1) = 1.0
+    e2 = np.zeros(dim, dtype=np.float32); e2[1] = 2.0   # cos(e1, e2) = 0.0
+    e3 = -e2                             # cos(e2, e3) = -1.0
+    e4 = np.zeros(dim, dtype=np.float32)  # zero vector
+    e5 = e0.copy()
+    emb = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3, 4, 5],
+            "embedding": [list(v) for v in (e0, e1, e2, e3, e4, e5)],
+            "label": np.zeros(6, dtype=np.int32),
+        }
+    )
+    emb.to_parquet(d / "embeddings.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def bddb(bdir):
+    con = duckdb.connect()
+    for t in _FIXTURE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{bdir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("name", BOUNDARY_QUERIES)
+def test_boundary_bit_exact(name, spark, bdir, bddb):
+    q = QUERIES[name]
+    got = q.fn(spark, bdir).toPandas()
+    exp = bddb.execute(q.oracle).df()
+    assert len(got) == len(exp), f"{name}: rows {len(got)} != oracle {len(exp)}"
+    assert sorted(got.columns) == sorted(exp.columns)
+    g, e = _canon(got), _canon(exp)
+    for c in g.columns:
+        for i, (a, b) in enumerate(zip(g[c].tolist(), e[c].tolist())):
+            if isinstance(a, float) and isinstance(b, float):
+                if math.isnan(a) and math.isnan(b):
+                    continue
+                assert struct.pack("<d", a) == struct.pack("<d", b), (
+                    f"{name}.{c}[{i}]: {a!r} !≡ {b!r} (boundary bit drift)"
+                )
+            else:
+                assert str(a) == str(b), f"{name}.{c}[{i}]: {a!r} != {b!r}"
+
+
+def test_fixture_hits_the_boundaries(spark, bdir, bddb):
+    """The fixture must actually contain the boundary cases this suite
+    exists for — guard against the fixture silently drifting benign."""
+    w = QUERIES["agg_conversion_wilson"].fn(spark, bdir).toPandas()
+    by_seg = {r.segment: r for r in w.itertuples()}
+    assert by_seg["ALL"].conversion_rate == 1.0 and by_seg["ALL"].wilson_hi == 1.0
+    assert by_seg["NONE"].conversion_rate == 0.0 and by_seg["NONE"].wilson_lo == 0.0
+    assert struct.pack("<d", by_seg["NONE"].wilson_lo) == struct.pack("<d", 0.0), (
+        "wilson_lo at p=0 must be +0.0, not -0.0"
+    )
+    assert by_seg["ONE1"].n_customers == 1 and by_seg["ONE0"].n_customers == 1
+
+    ks = QUERIES["agg_ks_shard"].fn(spark, bdir).toPandas()
+    assert set(ks["shard"]) == {0}, "the one-population shard must be dropped"
+    assert ks["ks_d"].iloc[0] == 0.0, "identical distributions => D exactly 0"
+
+    ac = QUERIES["ev_autocorr_lag"].fn(spark, bdir).toPandas()
+    err = ac[ac.event_type == "error"]
+    assert len(err) == 1 and err["autocorr_r1"].isna().all(), (
+        "constant daily series => NULL autocorrelation in both engines"
+    )
+
+    cos = QUERIES["emb_adjacent_cosine_hist"].fn(spark, bdir).toPandas()
+    bands = dict(zip(cos["band"], cos["n"]))
+    assert bands.get(10) == 1 and bands.get(0) == 1 and bands.get(-10) == 1
+    assert sum(bands.values()) == 3, "pairs touching the zero vector must drop"
