@@ -59,14 +59,18 @@ class Query:
 _PRIORITY = [
     # Round-9 rotation, generated from the CORRECTNESS_r0*.json artifact
     # inventory (r1-r4, r6-r8; round 5 never landed): queries ordered by
-    # the age of their NEWEST driver row, never-checked first. The driver
-    # checks the FIRST 50 each round, so the round-9 window is the 40
-    # never-checked queries (the 34 session-4 additions, the 5 session-3
-    # overflow entries, and agg_conversion_wilson) + the 8 whose newest
-    # row is r1 + dedup_exact (r3) + the head of the r4 cohort. Rounds
-    # 10-11 then cycle the r4/r6 cohorts; every query stays covered each
-    # session by tests/test_oracle.py regardless of driver position.
-    # --- never driver-checked (40):
+    # the age of their NEWEST driver row, never-checked first. The
+    # never-checked block is now 60 entries: the 20 round-9 additions
+    # (2 streaming outer joins + waves relational18/19 + curation9/10)
+    # lead, then the 40 that were new in round 8 (34 session-4 additions,
+    # 5 session-3 overflow entries, agg_conversion_wilson). The driver
+    # checks the FIRST 50 each round, so the round-9 window is the head
+    # of this block; the 10 overflow never-checked entries plus the
+    # r1/r3-stale block and the r4 cohort lead round 10, and rounds 10-12
+    # cycle the rest. Every query stays covered each session by
+    # tests/test_oracle.py (all SFs) and tests/test_boundary_values.py
+    # regardless of driver position.
+    # --- never driver-checked (60; round-9 additions first):
     "ev_autocorr_lag",
     "ev_max_drawdown",
     "agg_value_bands",
