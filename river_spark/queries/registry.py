@@ -43,6 +43,7 @@ import river_spark.queries.relational18 as _relational18  # noqa: F401
 import river_spark.queries.curation9 as _curation9  # noqa: F401
 import river_spark.queries.relational19 as _relational19  # noqa: F401
 import river_spark.queries.curation10 as _curation10  # noqa: F401
+import river_spark.queries.relational20 as _relational20  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -71,6 +72,11 @@ _PRIORITY = [
     # tests/test_oracle.py (all SFs) and tests/test_boundary_values.py
     # regardless of driver position.
     # --- never driver-checked (60; round-9 additions first):
+    "text_js_divergence",
+    "ev_fano_factor",
+    "agg_lorenz_deciles",
+    "pipeline_tokenizer_fertility",
+    "river_stream_semi_join",
     "ev_autocorr_lag",
     "ev_max_drawdown",
     "agg_value_bands",

@@ -116,14 +116,25 @@ def _outer_join_table(spark, sf_dir: str, how: str) -> str:
         & (F.col("ets") >= F.col("pts"))
         & (F.col("ets") <= F.col("pts") + F.expr("interval 60 days"))
     )
-    joined = ev.join(pr, cond, how).select("user_id", "p_user_id", "value", "bonus")
-
     n_matched_events = int((arr["user_id"] % 2 == 0).sum())
-    if how == "right_outer":
-        want = n_matched_events + _N_GHOSTS
-    elif how == "full_outer":
-        want = len(arr) + _N_GHOSTS
-    else:  # pragma: no cover - this helper only serves the two shapes
+    if how == "left_semi":
+        # semi keeps only left columns; pad the right-side names so the
+        # shared drain predicate/table shape still applies
+        joined = ev.join(pr, cond, how).select(
+            "user_id",
+            F.lit(None).cast("long").alias("p_user_id"),
+            "value",
+            F.lit(None).cast("double").alias("bonus"),
+        )
+        want = n_matched_events
+    elif how in ("right_outer", "full_outer"):
+        joined = ev.join(pr, cond, how).select("user_id", "p_user_id", "value", "bonus")
+        want = (
+            n_matched_events + _N_GHOSTS
+            if how == "right_outer"
+            else len(arr) + _N_GHOSTS
+        )
+    else:  # pragma: no cover - this helper only serves these shapes
         raise ValueError(how)
 
     table = _memory_table_name(f"river_s{how}_", sf_dir)
@@ -229,3 +240,33 @@ def river_stream_full_outer_join(spark, sf_dir):
     FULL JOIN — three result rows (matched / left_only / right_only)."""
     table = _outer_join_table(spark, sf_dir, "full_outer")
     return spark.sql(_SIDE_AGG.format(table=table))
+
+
+@q(
+    "river_stream_semi_join",
+    oracle=_PROMO_CTE
+    + """
+    SELECT e.user_id % 2 AS parity,
+           count(*) AS n,
+           round(sum(e.value), 4) AS sum_value
+    FROM events e SEMI JOIN uw ON e.user_id = uw.user_id
+    GROUP BY 1
+    """,
+    tags=("river", "streaming", "join", "semi", "watermark"),
+)
+def river_stream_semi_join(spark, sf_dir):
+    """Stream-stream LEFT SEMI join: an event surfaces exactly once as
+    soon as any promo for its user arrives (existence check, no
+    payload), unmatched events never surface — the streaming filter-by-
+    membership shape. Drained rows must aggregate to the batch SEMI
+    JOIN: one result row (even parity only)."""
+    table = _outer_join_table(spark, sf_dir, "left_semi")
+    return spark.sql(
+        f"""
+        SELECT user_id % 2 AS parity,
+               count(*) AS n,
+               round(sum(value), 4) AS sum_value
+        FROM {table} WHERE user_id >= 0
+        GROUP BY user_id % 2
+        """
+    )

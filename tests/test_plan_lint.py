@@ -46,6 +46,7 @@ CROSS_OK = {
     "emb_mips": 1,                  # 1-row query vector x 1-row max-norm M2
     "pipeline_mix_rebalance": 1,    # broadcast 1-row (total_tokens, n_src)
     "text_vocab_growth": 4,         # broadcast 4-row checkpoint ladder
+    "text_js_divergence": 20,       # source-totals side (20 sources) x corpus vocab
 }
 
 
