@@ -44,6 +44,7 @@ import river_spark.queries.curation9 as _curation9  # noqa: F401
 import river_spark.queries.relational19 as _relational19  # noqa: F401
 import river_spark.queries.curation10 as _curation10  # noqa: F401
 import river_spark.queries.relational20 as _relational20  # noqa: F401
+import river_spark.queries.relational21 as _relational21  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -72,6 +73,10 @@ _PRIORITY = [
     # tests/test_oracle.py (all SFs) and tests/test_boundary_values.py
     # regardless of driver position.
     # --- never driver-checked (60; round-9 additions first):
+    "agg_moments_cents",
+    "ev_hour_dow_heatmap",
+    "text_hapax_ratio",
+    "ev_gap_percentiles",
     "text_js_divergence",
     "ev_fano_factor",
     "agg_lorenz_deciles",

@@ -46,6 +46,13 @@ BOUNDARY_QUERIES = [
     "emb_adjacent_cosine_hist",
     "emb_dim_variance",
     "text_bpe_pair_counts",
+    "agg_moments_cents",
+    "ev_fano_factor",
+    "ev_gap_percentiles",
+    "ev_hour_dow_heatmap",
+    "text_hapax_ratio",
+    "text_js_divergence",
+    "pipeline_tokenizer_fertility",
 ]
 
 _FIXTURE_TABLES = ("customer", "orders", "events", "documents", "embeddings")
