@@ -106,6 +106,19 @@ BUDGETS = {
     "agg_winsorized_mean": 2,       # cutoff agg + clamp agg (cuts broadcast)
     "dq_split_drift": 3,            # vocab top-K, count agg, 256-row window
     "text_lang_id_eval": 1,         # map-side guess + one matrix agg
+    # round-9 additions
+    "agg_ks_shard": 2,              # (shard, value) agg + shard windows
+    "agg_lorenz_deciles": 2,        # customer-grain agg + nation windows
+    "agg_hhi_concentration": 3,     # supplier agg, share window, nation agg
+    "agg_moments_cents": 1,         # one power-sum agg; moments are expressions
+    "ev_updown_streaks": 1,         # user windows + both aggs share the key
+    "pipeline_token_budget_pack": 1,  # per-source window feeds the agg
+    "ev_gap_percentiles": 1,        # per-type lag window + percentile agg share
+    "dedup_cluster_sizes": 2,       # digest agg + size-histogram agg
+    "emb_adjacent_cosine_hist": 1,  # broadcast self-join + band agg
+    "text_vocab_growth": 2,         # token first-seen agg + checkpoint agg
+    "text_js_divergence": 6,        # corpus/source/total aggs + vocab join
+    "pipeline_source_overlap": 7,   # bigram distinct, sizes, pair agg, joins
 }
 
 # The graph family's plan TREE repeats the edge-construction subtree
