@@ -45,6 +45,7 @@ import river_spark.queries.relational19 as _relational19  # noqa: F401
 import river_spark.queries.curation10 as _curation10  # noqa: F401
 import river_spark.queries.relational20 as _relational20  # noqa: F401
 import river_spark.queries.relational21 as _relational21  # noqa: F401
+import river_spark.queries.relational22 as _relational22  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -73,6 +74,9 @@ _PRIORITY = [
     # tests/test_oracle.py (all SFs) and tests/test_boundary_values.py
     # regardless of driver position.
     # --- never driver-checked (60; round-9 additions first):
+    "dq_referential_integrity",
+    "dq_key_uniqueness",
+    "ev_dense_daily_grid",
     "agg_moments_cents",
     "ev_hour_dow_heatmap",
     "text_hapax_ratio",

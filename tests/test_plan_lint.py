@@ -47,6 +47,8 @@ CROSS_OK = {
     "pipeline_mix_rebalance": 1,    # broadcast 1-row (total_tokens, n_src)
     "text_vocab_growth": 4,         # broadcast 4-row checkpoint ladder
     "text_js_divergence": 20,       # source-totals side (20 sources) x corpus vocab
+    "dq_referential_integrity": 1,  # 1-row count x 1-row orphan count, per rel
+    "ev_dense_daily_grid": 5,       # 1-row bounds x 5-row distinct types
 }
 
 
