@@ -46,6 +46,7 @@ import river_spark.queries.curation10 as _curation10  # noqa: F401
 import river_spark.queries.relational20 as _relational20  # noqa: F401
 import river_spark.queries.relational21 as _relational21  # noqa: F401
 import river_spark.queries.relational22 as _relational22  # noqa: F401
+import river_spark.queries.relational23 as _relational23  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -74,6 +75,9 @@ _PRIORITY = [
     # tests/test_oracle.py (all SFs) and tests/test_boundary_values.py
     # regardless of driver position.
     # --- never driver-checked (60; round-9 additions first):
+    "agg_cohort_ltv_curve",
+    "ev_attribution_position_based",
+    "pipeline_dedup_survivorship",
     "dq_referential_integrity",
     "dq_key_uniqueness",
     "ev_dense_daily_grid",
