@@ -47,6 +47,7 @@ import river_spark.queries.relational20 as _relational20  # noqa: F401
 import river_spark.queries.relational21 as _relational21  # noqa: F401
 import river_spark.queries.relational22 as _relational22  # noqa: F401
 import river_spark.queries.relational23 as _relational23  # noqa: F401
+import river_spark.queries.relational24 as _relational24  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -75,6 +76,9 @@ _PRIORITY = [
     # tests/test_oracle.py (all SFs) and tests/test_boundary_values.py
     # regardless of driver position.
     # --- never driver-checked (60; round-9 additions first):
+    "agg_new_vs_returning",
+    "ev_user_regularity",
+    "pipeline_dataset_delta",
     "agg_cohort_ltv_curve",
     "ev_attribution_position_based",
     "pipeline_dedup_survivorship",

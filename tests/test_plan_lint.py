@@ -49,6 +49,7 @@ CROSS_OK = {
     "text_js_divergence": 20,       # source-totals side (20 sources) x corpus vocab
     "dq_referential_integrity": 1,  # 1-row count x 1-row orphan count, per rel
     "ev_dense_daily_grid": 5,       # 1-row bounds x 5-row distinct types
+    "pipeline_dataset_delta": 1,    # chained 1-row version-summary scalars
 }
 
 
