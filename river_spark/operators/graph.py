@@ -18,6 +18,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _persisted_rdd_ids(spark) -> set[int]:
+    """Ids of every RDD currently pinned in executor storage."""
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in m.keySet().toArray()}
+
+
+def _unpersist_rdd_ids(spark, ids) -> None:
+    """Release specific pinned RDDs by id (non-blocking).
+
+    Dataset.unpersist() does NOT release a localCheckpoint — the data
+    lives in an internal RDD the Dataset handle doesn't own, so without
+    this the superseded checkpoints linger until ContextCleaner GC
+    (tests/test_graph_ops.py pins the regression). Ids are diffed
+    around each checkpoint call; this assumes the driver isn't
+    concurrently persisting unrelated RDDs mid-loop (true for a
+    driver-side iterative operator)."""
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in ids:
+        jrdd = m.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
@@ -59,7 +82,10 @@ def pagerank(
         return nodes.withColumn("pr", F.lit(0.0))
     teleport = (1.0 - damping) / n
 
+    spark = edges.sparkSession
+    ids0 = _persisted_rdd_ids(spark)
     rank = nodes.select("nid", F.lit(1.0 / n).alias("pr")).localCheckpoint(eager=True)
+    prev_ids = _persisted_rdd_ids(spark) - ids0
     prev_persisted = rank
     for it in range(1, max_iter + 1):
         contrib = (
@@ -75,7 +101,9 @@ def pagerank(
             ),
         )
         if it % checkpoint_every == 0 or it == max_iter:
+            ids_before = _persisted_rdd_ids(spark)
             new_rank = new_rank.localCheckpoint(eager=True)
+            new_ids = _persisted_rdd_ids(spark) - ids_before
             delta = (
                 new_rank.alias("a")
                 .join(prev_persisted.alias("b"), "nid")
@@ -86,9 +114,10 @@ def pagerank(
             # (its last reader) has run — relying on JVM GC/ContextCleaner
             # pins up to max_iter/checkpoint_every rank vectors in
             # executor storage, an OOM at billion-node scale. Never
-            # unpersist the LATEST checkpoint: localCheckpoint truncates
+            # release the LATEST checkpoint: localCheckpoint truncates
             # lineage, so its blocks are the only copy of the data.
-            prev_persisted.unpersist()
+            _unpersist_rdd_ids(spark, prev_ids)
+            prev_ids = new_ids
             prev_persisted = new_rank
             rank = new_rank
             if delta is not None and delta < tol:

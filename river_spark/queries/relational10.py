@@ -362,10 +362,13 @@ def graph_bfs_hops(spark, sf_dir):
     und = e.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
         e.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )
+    from river_spark.operators.graph import _persisted_rdd_ids, _unpersist_rdd_ids
+
     und = und.persist()
     seed = und.agg(F.min("u")).collect()[0][0]
     visited = spark.createDataFrame([(seed, 0)], "nid bigint, hop int")
     frontier = visited.select("nid")
+    prev_ids: set = set()
     for hop in range(1, _BFS_MAX_HOPS + 1):
         nxt = (
             frontier.join(und, frontier.nid == und.u)
@@ -374,7 +377,14 @@ def graph_bfs_hops(spark, sf_dir):
             .join(visited.select("nid"), "nid", "left_anti")
             .withColumn("hop", F.lit(hop))
         )
+        ids_before = _persisted_rdd_ids(spark)
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        new_ids = _persisted_rdd_ids(spark) - ids_before
+        # superseded frontier checkpoints release once the new one holds
+        # the union (graph.py discipline; never the latest — its blocks
+        # are the only copy of lineage-truncated data)
+        _unpersist_rdd_ids(spark, prev_ids)
+        prev_ids = new_ids
         frontier = visited.filter(F.col("hop") == hop).select("nid")
     und.unpersist()
     return visited.select("nid", F.col("hop").cast("int").alias("hop"))

@@ -91,3 +91,23 @@ def test_pagerank_matches_unrolled_registry_query_shape(spark):
     assert set(got) == set(unrolled)
     for k in unrolled:
         assert got[k] == pytest.approx(unrolled[k], abs=1e-9), k
+
+
+def test_pagerank_releases_superseded_checkpoints(spark):
+    """Storage-leak regression (round-9 advice): every superseded rank
+    checkpoint must be unpersisted once its delta agg has read it —
+    only the LATEST checkpoint may stay pinned (its blocks are the sole
+    copy of lineage-truncated data), so storage never accumulates one
+    RDD per checkpoint round."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getRDDStorageInfo()
+    edges = spark.createDataFrame(pd.DataFrame(EDGES, columns=["u", "v"]))
+    result = pagerank(edges, max_iter=40, tol=0.0, checkpoint_every=2)
+    result.count()  # materialize through the final checkpoint
+    after = jsc.getRDDStorageInfo()
+    # max_iter=40 / every=2 => ~20 checkpoints during the run; without
+    # the release, they all linger here
+    grown = len(after) - len(before)
+    assert grown <= 2, (
+        f"{grown} cached RDDs left behind — superseded checkpoints not released"
+    )
