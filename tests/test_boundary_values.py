@@ -53,6 +53,14 @@ BOUNDARY_QUERIES = [
     "text_hapax_ratio",
     "text_js_divergence",
     "pipeline_tokenizer_fertility",
+    "agg_cohort_ltv_curve",
+    "agg_new_vs_returning",
+    "ev_user_regularity",
+    "ev_dense_daily_grid",
+    "dq_key_uniqueness",
+    "pipeline_dedup_survivorship",
+    "pipeline_dataset_delta",
+    "ev_attribution_position_based",
 ]
 
 _FIXTURE_TABLES = ("customer", "orders", "events", "documents", "embeddings")
@@ -70,7 +78,11 @@ def bdir(tmp_path_factory):
             "c_mktsegment": ["ALL", "ALL", "NONE", "NONE", "ONE1", "ONE0"],
         }
     ).to_parquet(d / "customer.parquet")
-    pd.DataFrame({"o_custkey": [1, 1, 2, 5]}).to_parquet(d / "orders.parquet")
+    # o_orderkey 1 is deliberately DUPLICATED: dq_key_uniqueness must
+    # count it (n_dup_keys = 1), not just report clean tables
+    pd.DataFrame(
+        {"o_orderkey": [1, 1, 2, 3], "o_custkey": [1, 1, 2, 5]}
+    ).to_parquet(d / "orders.parquet")
 
     # events:
     # - user 0: a single event (no lag pairs, drawdown exactly 0.0)
@@ -98,6 +110,11 @@ def bdir(tmp_path_factory):
     ev(300, "2024-01-01T08:00:00", 9, "purchase", 7.0)
     for day in (1, 2, 3):
         ev(400 + day, f"2024-01-0{day}T09:00:00", 3, "error", 0.0)
+    # user 7: a clocked bot — 13 events exactly 60 s apart, so its gap
+    # variance is exactly 0 (Fano 0.0, too_regular = 1)
+    for i in range(13):
+        ev(500 + i, np.datetime64("2024-01-05T00:00:00") + np.timedelta64(60 * i, "s"),
+           7, "view", 1.0)
     pdf = pd.DataFrame(
         rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
     )
@@ -207,3 +224,20 @@ def test_fixture_hits_the_boundaries(spark, bdir, bddb):
     bands = dict(zip(cos["band"], cos["n"]))
     assert bands.get(10) == 1 and bands.get(0) == 1 and bands.get(-10) == 1
     assert sum(bands.values()) == 3, "pairs touching the zero vector must drop"
+
+    reg = QUERIES["ev_user_regularity"].fn(spark, bdir).toPandas()
+    assert set(reg["user_id"]) == {7}, "only the clocked user clears the floor"
+    assert reg["fano_s"].iloc[0] == 0.0 and reg["too_regular"].iloc[0] == 1
+
+    uniq = QUERIES["dq_key_uniqueness"].fn(spark, bdir).toPandas()
+    by_key = {r.key_name: r for r in uniq.itertuples()}
+    assert by_key["orders.o_orderkey"].n_dup_keys == 1, (
+        "the planted duplicate order key must be counted"
+    )
+    assert by_key["events.event_id"].n_dup_keys == 0
+
+    surv = QUERIES["pipeline_dedup_survivorship"].fn(spark, bdir).toPandas()
+    assert len(surv) == 1 and surv["member_ids"].iloc[0] == "2,3", (
+        "the identical-text pair must form one survivorship cluster"
+    )
+    assert surv["survivor_id"].iloc[0] == 2
