@@ -48,6 +48,7 @@ import river_spark.queries.relational21 as _relational21  # noqa: F401
 import river_spark.queries.relational22 as _relational22  # noqa: F401
 import river_spark.queries.relational23 as _relational23  # noqa: F401
 import river_spark.queries.relational24 as _relational24  # noqa: F401
+import river_spark.queries.relational25 as _relational25  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -76,6 +77,8 @@ _PRIORITY = [
     # tests/test_oracle.py (all SFs) and tests/test_boundary_values.py
     # regardless of driver position.
     # --- never driver-checked (78; round-9 additions first):
+    "agg_cramers_v",
+    "pipeline_quota_sampler",
     "agg_new_vs_returning",
     "ev_user_regularity",
     "pipeline_dataset_delta",

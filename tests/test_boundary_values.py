@@ -61,6 +61,8 @@ BOUNDARY_QUERIES = [
     "pipeline_dedup_survivorship",
     "pipeline_dataset_delta",
     "ev_attribution_position_based",
+    "agg_cramers_v",
+    "pipeline_quota_sampler",
 ]
 
 _FIXTURE_TABLES = ("customer", "orders", "events", "documents", "embeddings")
