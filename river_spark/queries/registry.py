@@ -49,6 +49,7 @@ import river_spark.queries.relational22 as _relational22  # noqa: F401
 import river_spark.queries.relational23 as _relational23  # noqa: F401
 import river_spark.queries.relational24 as _relational24  # noqa: F401
 import river_spark.queries.relational25 as _relational25  # noqa: F401
+import river_spark.queries.relational26 as _relational26  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -77,6 +78,9 @@ _PRIORITY = [
     # tests/test_oracle.py (all SFs) and tests/test_boundary_values.py
     # regardless of driver position.
     # --- never driver-checked (80; round-9 additions first):
+    "ev_wau_stickiness",
+    "text_length_percentiles_by_lang",
+    "agg_weekday_seasonality",
     "agg_cramers_v",
     "pipeline_quota_sampler",
     "agg_new_vs_returning",

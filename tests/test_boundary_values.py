@@ -63,6 +63,9 @@ BOUNDARY_QUERIES = [
     "ev_attribution_position_based",
     "agg_cramers_v",
     "pipeline_quota_sampler",
+    "ev_wau_stickiness",
+    "text_length_percentiles_by_lang",
+    "agg_weekday_seasonality",
 ]
 
 _FIXTURE_TABLES = ("customer", "orders", "events", "documents", "embeddings")
