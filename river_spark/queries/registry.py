@@ -67,17 +67,17 @@ _PRIORITY = [
     # Round-9 rotation, generated from the CORRECTNESS_r0*.json artifact
     # inventory (r1-r4, r6-r8; round 5 never landed): queries ordered by
     # the age of their NEWEST driver row, never-checked first. The
-    # never-checked block is now 80 entries: the 40 round-9 additions
+    # never-checked block is now 83 entries: the 43 round-9 additions
     # (3 streaming join shapes + waves relational18-24 + curation9/10)
     # lead, then the 40 that were new in round 8 (34 session-4 additions,
     # 5 session-3 overflow entries, agg_conversion_wilson). The driver
     # checks the FIRST 50 each round, so the round-9 window is the head
-    # of this block; the 30 overflow never-checked entries plus the
+    # of this block; the 33 overflow never-checked entries plus the
     # r1/r3-stale block and the r4 cohort lead round 10, and rounds 10-12
     # cycle the rest. Every query stays covered each session by
     # tests/test_oracle.py (all SFs) and tests/test_boundary_values.py
     # regardless of driver position.
-    # --- never driver-checked (80; round-9 additions first):
+    # --- never driver-checked (83; round-9 additions first):
     "ev_wau_stickiness",
     "text_length_percentiles_by_lang",
     "agg_weekday_seasonality",
