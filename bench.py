@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -329,6 +330,7 @@ def scaling_probe(spark, sf_dir: str, bench, timings: dict, top_n: int = 5) -> d
     scaled = build_scaled_dir(spark, sf_dir)
     build_sec = round(time.perf_counter() - t0, 1)
     out = {}
+    canary_before = cpu_canary_ms()
     for name in sorted(timings, key=timings.get, reverse=True)[:top_n]:
         runs = []
         for _ in range(2):  # min-of-2: one burst can't poison the ratio
@@ -339,7 +341,14 @@ def scaling_probe(spark, sf_dir: str, bench, timings: dict, top_n: int = 5) -> d
         sec = round(min(runs), 4)
         out[name] = {"sec": sec, "ratio": round(sec / max(timings[name], 1e-9), 2)}
         print(f"# sf-probe {name}: {sec:.3f}s = {out[name]['ratio']}x", file=sys.stderr)
-    return {"factor": _SCALE_FACTOR, "build_sec": build_sec, "queries": out}
+    # per-section canary (round-9 directive #5): probe-wall moves that
+    # track the canary pair are the box, not the code
+    return {
+        "factor": _SCALE_FACTOR,
+        "build_sec": build_sec,
+        "queries": out,
+        "canary_ms": [canary_before, cpu_canary_ms()],
+    }
 
 
 _DEEP_FACTOR = 30
@@ -482,21 +491,33 @@ def deep_probe(spark, sf_dir: str, bench, timings: dict) -> dict:
         rows_base = bench[name].fn(spark, sf_dir).count()
         runs = []
         rows_scaled = 0
-        # min-of-3 with all runs reported: the probe lands at the end of
-        # a long-lived JVM on a box with multi-second load bursts
-        # (observed spread on identical 30x runs: 10.5-45.9 s), so one
-        # extra repeat materially de-noises the min while the full list
-        # keeps the variance auditable
-        for _ in range(3):
+        # median-of-5 with all runs reported (round-9 directive #5: the
+        # min-of-3 runs showed 1.4-3.5x spread on identical 30x inputs —
+        # this box has multi-second external-load bursts — so the ratio
+        # was not decision-grade). The median resists both a single
+        # burst-poisoned run and a single lucky one; the per-query CPU
+        # canary makes residual drift attributable to the box.
+        canary_before = cpu_canary_ms()
+        for _ in range(5):
             t0 = time.perf_counter()
             rows_scaled = bench[name].fn(spark, scaled).count()
             runs.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
-        sec = round(min(runs), 4)
+        canary_after = cpu_canary_ms()
+        sec = round(statistics.median(runs), 4)
+        spread = round(max(runs) / max(min(runs), 1e-9), 2)
+        if spread > 1.3:
+            print(
+                f"# deep-probe {name}: run spread {spread}x > 1.3x — "
+                f"ratio is canary-flagged, compare against canary_ms",
+                file=sys.stderr,
+            )
         out[name] = {
             "sec": sec,
             "ratio": round(sec / max(timings[name], 1e-9), 2),
             "runs": [round(r, 2) for r in runs],
+            "run_spread": spread,
+            "canary_ms": [canary_before, canary_after],
             "rows_base": rows_base,
             "rows_scaled": rows_scaled,
             "rows_growth": round(rows_scaled / max(rows_base, 1), 2),

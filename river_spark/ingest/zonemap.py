@@ -263,11 +263,15 @@ def write_zonemap_local(root: str) -> str | None:
     # A previous build may have come from the Spark writer
     # (part-00000-<uuid>.parquet + _SUCCESS); leaving those alongside
     # part-0.parquet would double/stale every index row for readers
-    # that scan the directory. Clear every older generation before the
-    # atomic rename of the new one.
+    # that scan the directory. Land the new index FIRST (os.replace is
+    # atomic, and overwriting part-0.parquet keeps the previous index
+    # valid up to that instant), THEN sweep older generations — a crash
+    # mid-sweep leaves a usable index plus removable stale files, never
+    # a window with no index at all.
+    final = os.path.join(out, "part-0.parquet")
+    os.replace(tmp, final)
     for stale in os.listdir(out):
         full = os.path.join(out, stale)
-        if full != tmp and (stale.endswith(".parquet") or stale == "_SUCCESS"):
+        if full != final and (stale.endswith(".parquet") or stale == "_SUCCESS"):
             os.remove(full)
-    os.replace(tmp, os.path.join(out, "part-0.parquet"))
     return out

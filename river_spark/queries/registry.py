@@ -64,70 +64,21 @@ class Query:
 
 # Explicit registration priority: see rotation comment below.
 _PRIORITY = [
-    # Round-9 rotation, generated from the CORRECTNESS_r0*.json artifact
-    # inventory (r1-r4, r6-r8; round 5 never landed): queries ordered by
-    # the age of their NEWEST driver row, never-checked first. The
-    # never-checked block is now 83 entries: the 43 round-9 additions
-    # (3 streaming join shapes + waves relational18-24 + curation9/10)
-    # lead, then the 40 that were new in round 8 (34 session-4 additions,
-    # 5 session-3 overflow entries, agg_conversion_wilson). The driver
-    # checks the FIRST 50 each round, so the round-9 window is the head
-    # of this block; the 33 overflow never-checked entries plus the
-    # r1/r3-stale block and the r4 cohort lead round 10, and rounds 10-12
-    # cycle the rest. Every query stays covered each session by
-    # tests/test_oracle.py (all SFs) and tests/test_boundary_values.py
-    # regardless of driver position.
-    # --- never driver-checked (83; round-9 additions first):
-    "ev_wau_stickiness",
-    "text_length_percentiles_by_lang",
-    "agg_weekday_seasonality",
-    "agg_cramers_v",
-    "pipeline_quota_sampler",
-    "agg_new_vs_returning",
-    "ev_user_regularity",
-    "pipeline_dataset_delta",
-    "agg_cohort_ltv_curve",
-    "ev_attribution_position_based",
-    "pipeline_dedup_survivorship",
-    "dq_referential_integrity",
-    "dq_key_uniqueness",
-    "ev_dense_daily_grid",
-    "agg_moments_cents",
-    "ev_hour_dow_heatmap",
-    "text_hapax_ratio",
-    "ev_gap_percentiles",
-    "text_js_divergence",
-    "ev_fano_factor",
-    "agg_lorenz_deciles",
-    "pipeline_tokenizer_fertility",
-    "river_stream_semi_join",
-    "ev_autocorr_lag",
-    "ev_max_drawdown",
-    "agg_value_bands",
-    "emb_adjacent_cosine_hist",
-    "text_token_len_profile",
-    "dedup_cluster_sizes",
-    "pipeline_source_overlap",
-    "agg_ks_shard",
-    "agg_chi2_cells",
-    "agg_entropy_mix",
-    "agg_hhi_concentration",
-    "ev_updown_streaks",
-    "ev_gap_histogram",
-    "pipeline_token_budget_pack",
-    "pipeline_mix_rebalance",
-    "pipeline_shard_balance",
-    "emb_dim_variance",
-    "text_vocab_growth",
-    "river_stream_right_outer_join",
-    "river_stream_full_outer_join",
-    "agg_benford_digits",
-    "scalar_pipe_syntax",
-    "ev_seasonal_decompose",
-    "agg_gini_spend",
-    "text_pmi_cooccurrence",
-    "agg_pareto_frontier",
-    "ev_vwap",
+    # Round-10 rotation (r9 verdict directive #1): the driver checks the
+    # FIRST 50 each round, and round 9's queue-jumping left a 33-entry
+    # never-driver-checked backlog (round-8 additions that round 9's 43
+    # new queries displaced). This round that backlog LEADS, in its
+    # existing (oldest-first) order — agg_conversion_wilson finally gets
+    # its driver row — and round-10 additions enqueue BEHIND it, sized so
+    # the window covers every never-checked query and leaves ZERO
+    # backlog. Two round-9-checked queries whose PLANS changed this
+    # round (broadcast-side fixes: text_js_divergence,
+    # dq_referential_integrity) take the last window slots for post-fix
+    # re-adjudication. The stale cohorts (r1, r3, r4, r6, r7, r8, then
+    # the r9-checked block) follow for rounds 11+. Every query stays
+    # covered each session by tests/test_oracle.py (all SFs) and
+    # tests/test_boundary_values.py regardless of driver position.
+    # --- never driver-checked (33; round-8 backlog, oldest first):
     "pipeline_global_shuffle",
     "pipeline_curriculum_order",
     "graph_bfs_hops",
@@ -161,6 +112,11 @@ _PRIORITY = [
     "dq_split_drift",
     "text_lang_id_eval",
     "agg_conversion_wilson",
+    # --- round-10 additions (never checked; behind the backlog):
+    # --- plan-fixed in round 10 (broadcast side swapped / hints dropped);
+    #     re-adjudicate post-fix:
+    "text_js_divergence",
+    "dq_referential_integrity",
     # --- newest row r1 (8):
     "text_quality_score",
     "text_lang_id",
@@ -376,6 +332,56 @@ _PRIORITY = [
     "ev_cusum_changepoint",
     "pipeline_url_canonical_dedup",
     "scalar_sql_udf",
+    # --- newest row r9 (48; the two plan-fixed queries moved to the
+    #     re-adjudication slots above):
+    "ev_wau_stickiness",
+    "text_length_percentiles_by_lang",
+    "agg_weekday_seasonality",
+    "agg_cramers_v",
+    "pipeline_quota_sampler",
+    "agg_new_vs_returning",
+    "ev_user_regularity",
+    "pipeline_dataset_delta",
+    "agg_cohort_ltv_curve",
+    "ev_attribution_position_based",
+    "pipeline_dedup_survivorship",
+    "dq_key_uniqueness",
+    "ev_dense_daily_grid",
+    "agg_moments_cents",
+    "ev_hour_dow_heatmap",
+    "text_hapax_ratio",
+    "ev_gap_percentiles",
+    "ev_fano_factor",
+    "agg_lorenz_deciles",
+    "pipeline_tokenizer_fertility",
+    "river_stream_semi_join",
+    "ev_autocorr_lag",
+    "ev_max_drawdown",
+    "agg_value_bands",
+    "emb_adjacent_cosine_hist",
+    "text_token_len_profile",
+    "dedup_cluster_sizes",
+    "pipeline_source_overlap",
+    "agg_ks_shard",
+    "agg_chi2_cells",
+    "agg_entropy_mix",
+    "agg_hhi_concentration",
+    "ev_updown_streaks",
+    "ev_gap_histogram",
+    "pipeline_token_budget_pack",
+    "pipeline_mix_rebalance",
+    "pipeline_shard_balance",
+    "emb_dim_variance",
+    "text_vocab_growth",
+    "river_stream_right_outer_join",
+    "river_stream_full_outer_join",
+    "agg_benford_digits",
+    "scalar_pipe_syntax",
+    "ev_seasonal_decompose",
+    "agg_gini_spend",
+    "text_pmi_cooccurrence",
+    "agg_pareto_frontier",
+    "ev_vwap",
 ]
 
 

@@ -299,7 +299,7 @@ def q3_shipping_priority(spark, sf_dir):
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(r2(F.sum(_rev())).alias("revenue"))
         .select(
@@ -337,9 +337,9 @@ def q5_nation_volume(spark, sf_dir):
     reg = tbl(spark, sf_dir, "region")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(sup),
+            sup,
             (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey),
         )
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
@@ -407,7 +407,7 @@ def q10_returned_items(spark, sf_dir):
     nat = tbl(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
         .agg(r2(F.sum(_rev())).alias("revenue"))
@@ -462,7 +462,7 @@ def q14_promo_effect(spark, sf_dir):
         (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
     )
-    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
         F.round(
             100.0 * F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(0.0)) / F.sum(_rev()),
             4,
@@ -487,8 +487,8 @@ def q17_small_quantity(spark, sf_dir):
     # decorrelated: per-part average as a broadcastable aggregate
     avg_qty = li.groupBy("l_partkey").agg((0.2 * F.avg("l_quantity")).alias("qty_limit"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(avg_qty.withColumnRenamed("l_partkey", "ap_key")), F.col("l_partkey") == F.col("ap_key"))
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(avg_qty.withColumnRenamed("l_partkey", "ap_key"), F.col("l_partkey") == F.col("ap_key"))
         .filter(F.col("l_quantity") < F.col("qty_limit"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -517,7 +517,7 @@ def q18_large_orders(spark, sf_dir):
     li = tbl(spark, sf_dir, "lineitem")
     return (
         li.join(orders, orders.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum("l_quantity").alias("_sq"))
         .filter(F.col("_sq") > 150)
@@ -554,7 +554,7 @@ def q19_disjunctive_join(spark, sf_dir):
         | ((F.col("p_type") == "LARGE") & F.col("p_size").between(10, 40) & F.col("l_quantity").between(20, 50))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(r2(F.sum(_rev())).alias("revenue"))
     )

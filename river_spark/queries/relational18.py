@@ -236,13 +236,14 @@ def agg_hhi_concentration(spark, sf_dir):
     (order-dependent across ~hundreds of suppliers).
 
     100 TB posture: fact aggregates by (nation, supplier) BEFORE any
-    window; the nation dim joins broadcast; the share window runs on
+    window; the SF-scaling supplier dim is unhinted (AQE decides) while
+    the fixed 25-row nation dim broadcasts; the share window runs on
     the supplier-grain rollup, not the fact."""
     li = tbl(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
     sup = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     rev = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .groupBy(F.col("s_nationkey").alias("nk"), "l_suppkey")
         .agg(
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("cents")

@@ -80,8 +80,10 @@ def q7_nation_volume_shipping(spark, sf_dir):
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # supplier/customer scale with SF: no forced broadcast — AQE
+        # picks broadcast at laptop scale, SMJ/shuffled-hash at 100x.
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
         .filter(F.col("nk1") != F.col("nk2"))
@@ -110,7 +112,7 @@ def q8_market_share(spark, sf_dir):
     sup = tbl(spark, sf_dir, "supplier")
     vol = (
         li.join(orders, orders.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(sup), sup.s_suppkey == li.l_suppkey)
+        .join(sup, sup.s_suppkey == li.l_suppkey)
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
             F.col("s_nationkey").alias("nk"),
@@ -148,8 +150,8 @@ def q9_product_profit(spark, sf_dir):
     nat = tbl(spark, sf_dir, "nation")
     amount = _rev() - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
-        .join(F.broadcast(sup), sup.s_suppkey == li.l_suppkey)
+        li.join(part, part.p_partkey == li.l_partkey)
+        .join(sup, sup.s_suppkey == li.l_suppkey)
         .join(orders, orders.o_orderkey == li.l_orderkey)
         .join(F.broadcast(nat), nat.n_nationkey == sup.s_nationkey)
         .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
@@ -202,7 +204,7 @@ def q15_top_supplier(spark, sf_dir):
     return (
         rev.join(F.broadcast(mx))
         .filter(F.col("total") == F.col("mx"))
-        .join(F.broadcast(sup), sup.s_suppkey == F.col("l_suppkey"))
+        .join(sup, sup.s_suppkey == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", r2(F.col("total")).alias("total_revenue"))
     )
 
@@ -223,7 +225,7 @@ def q16_supplier_count(spark, sf_dir):
     bad = tbl(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .join(part, part.p_partkey == li.l_partkey)
         .groupBy("p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )

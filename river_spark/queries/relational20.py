@@ -58,7 +58,10 @@ def text_js_divergence(spark, sf_dir):
 
     100 TB posture: two token-grain hash aggs (map-side combinable);
     the vocabulary x source expansion is vocabulary-bounded, never
-    document-bounded, and the corpus/total tables broadcast."""
+    document-bounded. The vocabulary (unbounded at scale) stays
+    DISTRIBUTED on the stream side; only the ~|sources|-row totals
+    tables broadcast — the build side is bounded by the source count,
+    never by the corpus."""
     toks = tbl(spark, sf_dir, "documents").select(
         "source",
         F.explode(F.split(F.trim("text"), r"\s+")).alias("tok0"),
@@ -68,7 +71,7 @@ def text_js_divergence(spark, sf_dir):
     per_src = toks.groupBy("source", "tok").agg(F.count("*").alias("sc"))
     stot = per_src.groupBy("source").agg(F.sum("sc").alias("st"))
     joined = (
-        stot.crossJoin(F.broadcast(corpus))
+        corpus.crossJoin(F.broadcast(stot))
         .crossJoin(F.broadcast(ctot))
         .join(per_src, ["source", "tok"], "left")
         .select(
@@ -175,7 +178,8 @@ def agg_lorenz_deciles(spark, sf_dir):
     cust = tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nat = tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     spend = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer scales with SF: no forced broadcast (AQE decides).
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(F.col("c_nationkey").alias("nk"), "o_custkey")
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
     )

@@ -52,9 +52,12 @@ def dq_referential_integrity(spark, sf_dir):
     that moves off zero means a partial load or an out-of-order
     ingest). Each check is an anti-join count: exact integers.
 
-    100 TB posture: each anti-join broadcasts the DIM side's key column
-    (or AQE picks shuffle for a big dim); the fact is scanned once per
-    relationship with only the key column read (pushdown-pruned)."""
+    100 TB posture: every dim here (orders/customer/part/supplier)
+    scales linearly with the fact, so NO broadcast hint — AQE picks
+    broadcast at laptop scale and SMJ/shuffled-hash at 100x, where a
+    forced multi-billion-key broadcast would OOM the executors. The
+    fact is scanned once per relationship with only the key column
+    read (pushdown-pruned)."""
     li = tbl(spark, sf_dir, "lineitem")
     rels = [
         (
@@ -85,7 +88,7 @@ def dq_referential_integrity(spark, sf_dir):
     out = None
     for name, fact, dim, key in rels:
         orphans = fact.join(
-            F.broadcast(dim), fact[key] == dim.k, "left_anti"
+            dim, fact[key] == dim.k, "left_anti"
         ).agg(F.count("*").alias("n_orphans"))
         rows = fact.agg(F.count("*").alias("n_rows"))
         row = (

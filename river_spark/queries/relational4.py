@@ -52,7 +52,7 @@ def q20_promotion_suppliers(spark, sf_dir):
         F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz")
     )
     qualifying = (
-        li.join(F.broadcast(parts), li.l_partkey == F.col("p_partkey"), "left_semi")
+        li.join(parts, li.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(
             F.sum(F.when(in_95, F.col("l_quantity")).otherwise(0.0)).alias("qty95"),
@@ -63,8 +63,9 @@ def q20_promotion_suppliers(spark, sf_dir):
         .distinct()
     )
     sup = tbl(spark, sf_dir, "supplier")
+    # qualifying is lineitem-derived (SF-scaling): no forced broadcast.
     return sup.join(
-        F.broadcast(qualifying), sup.s_suppkey == F.col("l_suppkey"), "left_semi"
+        qualifying, sup.s_suppkey == F.col("l_suppkey"), "left_semi"
     ).select("s_suppkey", "s_name")
 
 
@@ -134,7 +135,7 @@ def q21_waiting_suppliers(spark, sf_dir):
     )
     sup = tbl(spark, sf_dir, "supplier")
     return (
-        waiting.join(F.broadcast(sup), waiting.l_suppkey == sup.s_suppkey)
+        waiting.join(sup, waiting.l_suppkey == sup.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )

@@ -559,8 +559,9 @@ def dq_expectations(spark, sf_dir):
     -key uniqueness, not-null, referential integrity (orders→customer,
     LEFT ANTI join count), and value-range invariants — each reported as (rule, violations, checked). The
     per-table rules fuse into single scans (one aggregate pass per
-    table); the FK check is the only join and broadcasts the customer
-    key column. This is the acceptance gate a pipeline runs before
+    table); the FK check is the only join — customer scales with SF, so
+    no broadcast hint (AQE broadcasts at laptop scale, shuffles at
+    100x). This is the acceptance gate a pipeline runs before
     trusting a new data drop — at 100 TB the same plan holds because
     every rule is a partial-aggregatable count."""
     orders = tbl(spark, sf_dir, "orders")
@@ -581,7 +582,7 @@ def dq_expectations(spark, sf_dir):
         ).alias("r")
     ).select("r.rule", "r.violations", "r.checked")
 
-    fk = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_anti").agg(
+    fk = orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti").agg(
         F.lit("orders_customer_fk").alias("rule"),
         F.count("*").cast("long").alias("violations"),
         F.lit(n_orders).cast("long").alias("checked"),

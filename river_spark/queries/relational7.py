@@ -476,7 +476,7 @@ def mb_copurchase_pairs(spark, sf_dir):
     li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = tbl(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
         .distinct()
     )

@@ -96,8 +96,9 @@ def graph_triangle_count(spark, sf_dir):
     raw degree distribution is, so the wedge join's fan-out per key is
     capped (a celebrity node with degree 10^7 would otherwise emit 10^14
     wedges). All three legs are equi-joins that co-partition on the
-    wedge source/target keys; `deg` is |V|-sized and broadcast. The
-    output is scale-free (one stats row)."""
+    wedge source/target keys; `deg` is |V|-sized — graph-scaling, so
+    unhinted (AQE broadcasts while it fits). The output is scale-free
+    (one stats row)."""
     li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     ob = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
     a, b = ob.alias("a"), ob.alias("b")
@@ -113,8 +114,8 @@ def graph_triangle_count(spark, sf_dir):
     )
     deg = und.groupBy(F.col("u").alias("nid")).agg(F.count("*").alias("d"))
     ori = (
-        und.join(F.broadcast(deg.select(F.col("nid").alias("u"), F.col("d").alias("du"))), "u")
-        .join(F.broadcast(deg.select(F.col("nid").alias("v"), F.col("d").alias("dv"))), "v")
+        und.join(deg.select(F.col("nid").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("nid").alias("v"), F.col("d").alias("dv")), "v")
         .filter(
             (F.col("du") < F.col("dv"))
             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
@@ -220,9 +221,11 @@ def agg_countmin_sketch(spark, sf_dir):
     md5 per key, explode x d over |keys| rows, exchange reuse shares
     the scan); when keys are too hot to group, the same expression runs
     directly on the raw stream and the d x w partial agg caps what any
-    mapper ships at d*w rows. The probe join broadcasts the 1024-row
-    sketch. All four hash rows slice ONE digest — hashing cost is per
-    key, not per (key, row)."""
+    mapper ships at d*w rows. The probe join's sketch side is
+    capacity-bounded at d*w rows, so AQE broadcasts it unhinted (a
+    forced hint would trip the growth lint while the sketch is still
+    sparse at tiny SF). All four hash rows slice ONE digest — hashing
+    cost is per key, not per (key, row)."""
     li = tbl(spark, sf_dir, "lineitem").select("l_suppkey")
     rows_d = F.array(*[F.lit(i) for i in range(_CMS_D)])
     exact = li.groupBy("l_suppkey").agg(F.count("*").alias("exact_cnt"))
@@ -238,7 +241,7 @@ def agg_countmin_sketch(spark, sf_dir):
     probed = (
         probe.select("l_suppkey", "exact_cnt", F.explode(rows_d).alias("hrow"))
         .withColumn("bucket", F.expr(_cms_bucket_sql("hrow", "l_suppkey", "spark")))
-        .join(F.broadcast(cms), ["hrow", "bucket"])
+        .join(cms, ["hrow", "bucket"])
         .groupBy("l_suppkey", "exact_cnt")
         .agg(F.min("cnt").alias("cms_est"))
     )
@@ -621,8 +624,10 @@ def graph_pagerank(spark, sf_dir):
     localCheckpoint'ed each round to truncate lineage (exactly the
     machinery operators/components.py's label propagation uses), edges
     partitioned by source so the contribution join never reshuffles the
-    big side, and the |V|-row degree table broadcast. Per-iteration cost
-    is one shuffle of |E| contributions — no all-pairs anything."""
+    big side. The |V|-row degree table scales with the graph, so it is
+    NOT broadcast-hinted — AQE picks broadcast while it fits and
+    shuffled join beyond. Per-iteration cost is one shuffle of |E|
+    contributions — no all-pairs anything."""
     li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     ob = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
     a, b = ob.alias("a"), ob.alias("b")
@@ -646,7 +651,7 @@ def graph_pagerank(spark, sf_dir):
                 rank.select(F.col("nid").alias("u"), F.col("pr").alias("pr_u")), "u"
             )
             .join(
-                F.broadcast(deg.select(F.col("nid").alias("u"), "outd")), "u"
+                deg.select(F.col("nid").alias("u"), "outd"), "u"
             )
             .groupBy(F.col("v").alias("nid"))
             .agg(F.sum(F.col("pr_u") / F.col("outd")).alias("inbound"))

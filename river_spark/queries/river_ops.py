@@ -15,6 +15,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
 from river_spark.ingest import IngesterSettings, StreamIngester, StreamIngestionSettings
+from river_spark.ingest.layout import data_glob
 from river_spark.queries.relational import q
 from river_spark.schema import FieldDefinition, FieldType, StreamSchema
 from river_spark.transport import StreamLog, StreamWriter
@@ -120,7 +121,7 @@ def river_ingest_roundtrip(spark, sf_dir):
     """A1+A2+A13 end-to-end: every events row must survive
     write→segment→ingest→Parquet bit-exactly."""
     out = _ingested_events_dir(sf_dir)
-    df = spark.read.parquet(os.path.join(out, "data.parquet"))
+    df = spark.read.parquet(data_glob(out))
     return df.select("event_id", "user_id", F.round("value", 4).alias("value"))
 
 
@@ -137,7 +138,7 @@ def river_system_columns(spark, sf_dir):
     """A20 invariants as a query: sample_index contiguous from 0, keys
     globally unique, timestamp_ms equal to each key's ms prefix."""
     out = _ingested_events_dir(sf_dir)
-    df = spark.read.parquet(os.path.join(out, "data.parquet"))
+    df = spark.read.parquet(data_glob(out))
     return df.agg(
         F.count("*").alias("n"),
         F.min("sample_index").alias("min_idx"),
@@ -181,7 +182,7 @@ def river_compressed_roundtrip(spark, sf_dir):
         ing.wait_all()
         _CACHE[key] = os.path.join(work, "out", "events_comp")
         shutil.rmtree(os.path.join(work, "store"), ignore_errors=True)
-    df = spark.read.parquet(os.path.join(_CACHE[key], "data.parquet"))
+    df = spark.read.parquet(data_glob(_CACHE[key]))
     return df.select("event_id", "user_id", F.round("value", 4).alias("value"))
 
 
@@ -224,7 +225,7 @@ def river_pruned_ingest(spark, sf_dir):
         assert not os.path.isdir(os.path.join(out_root, "decoy_stream")), "routing leaked"
         _CACHE[key] = os.path.join(out_root, "events_pruned")
         shutil.rmtree(os.path.join(work, "store"), ignore_errors=True)
-    df = spark.read.parquet(os.path.join(_CACHE[key], "data.parquet"))
+    df = spark.read.parquet(data_glob(_CACHE[key]))
     assert "value" not in df.columns, "column pruning failed"
     return df.select("event_id", "user_id")
 
@@ -308,7 +309,7 @@ def river_stale_autoeof(spark, sf_dir):
         ing.wait_all()
         _CACHE[key] = os.path.join(work, "out", "events_stale")
         shutil.rmtree(os.path.join(work, "store"), ignore_errors=True)
-    df = spark.read.parquet(os.path.join(_CACHE[key], "data.parquet"))
+    df = spark.read.parquet(data_glob(_CACHE[key]))
     return df.select("event_id", "user_id", F.round("value", 4).alias("value"))
 
 
@@ -424,7 +425,7 @@ def river_cli_roundtrip(spark, sf_dir):
         )
         _CACHE[key] = os.path.join(out, "events_cli")
         shutil.rmtree(store, ignore_errors=True)
-    df = spark.read.parquet(os.path.join(_CACHE[key], "data.parquet"))
+    df = spark.read.parquet(data_glob(_CACHE[key]))
     return df.select("event_id", "user_id", F.round("value", 4).alias("value"))
 
 
@@ -488,7 +489,7 @@ def river_redis_roundtrip(spark, sf_dir):
             if server is not None:
                 server.stop()
         _CACHE[key] = os.path.join(work, "out", stream)
-    df = spark.read.parquet(os.path.join(_CACHE[key], "data.parquet"))
+    df = spark.read.parquet(data_glob(_CACHE[key]))
     return df.select("event_id", "user_id", F.round("value", 4).alias("value"))
 
 

@@ -37,6 +37,15 @@ def get_spark(app_name: str = "river_spark", shuffle_partitions: int | None = No
         # 32g keeps full-GC pauses out of the measurements (box has 128 GiB).
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark 4.1's union output-partitioning propagation (default on)
+        # reports a union of two N-partition hash-partitioned children as
+        # a 2N-partition partitioning; a downstream sort-merge join that
+        # trusts it then dies with "Can't zip RDDs with unequal numbers
+        # of partitions" (reproduced in tests/test_review_fixes.py::
+        # test_union_then_smj_executes). Broadcast joins mask it at
+        # laptop scale, but SMJ is exactly the 100 TB path, so the
+        # optimization is disabled until the planner handles it.
+        .config("spark.sql.unionOutputPartitioning", "false")
         # The driver's parquet stores TIMESTAMP(NANOS) which Spark rejects;
         # read as long nanos and convert explicitly (see queries.tables.ts()).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

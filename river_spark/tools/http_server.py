@@ -69,9 +69,15 @@ def _make_handler(out_root: str):
             if len(parts) == 3:
                 return self._json(200, meta)
             if len(parts) == 4 and parts[3] == "data.parquet":
-                path = os.path.join(out_root, name, "data.parquet")
-                if not os.path.exists(path):
-                    return self._json(404, {"error": "data.parquet not found (not compacted?)"})
+                # monolithic layout serves the file itself; size-tiered
+                # layouts (data_*.parquet parts) serve a lazily merged
+                # single-file cache so the reference's one-file endpoint
+                # contract still holds for large finalized streams
+                from river_spark.ingest.layout import servable_file
+
+                path = servable_file(os.path.join(out_root, name))
+                if path is None:
+                    return self._json(404, {"error": "no data files (not compacted?)"})
                 self.send_response(200)
                 self.send_header("Content-Type", "application/octet-stream")
                 self.send_header("Content-Length", str(os.path.getsize(path)))

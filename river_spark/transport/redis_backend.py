@@ -382,6 +382,13 @@ class RedisBackend(StorageBackend):
             scans = self._local.seg_scans = {}
         st = scans.get((name, segment_idx))
         if st is None:
+            # One scan state per STREAM per thread: a reader advancing to
+            # the next segment must not keep every visited segment's raw
+            # entries alive (that would be O(stream) memory, not the
+            # O(segment) this cache promises) — drop the stream's other
+            # segments before opening the new one.
+            for key in [k for k in scans if k[0] == name and k[1] != segment_idx]:
+                del scans[key]
             # closed = finished runs; open = the run new entries may extend;
             # run layout = [start, n, ms, seq0, last_ms, last_seq, kind]
             st = scans[(name, segment_idx)] = {
@@ -552,6 +559,18 @@ class RedisBackend(StorageBackend):
 
     def delete_segment(self, name, segment_idx):
         self._conn().command("UNLINK", self._seg_key(name, segment_idx))
+        # Invalidate this thread's incremental listing state, mirroring
+        # delete_batch: finalize frees the stream name for reuse
+        # (reference ingester.cpp parity), and a stale XRANGE cursor +
+        # accumulated runs from the deleted generation would otherwise be
+        # merged with the NEW stream's entries on the next list_batches,
+        # producing phantom listings.
+        scans = getattr(self._local, "seg_scans", None)
+        if scans is not None:
+            scans.pop((name, segment_idx), None)
+        cached = getattr(self._local, "seg_cache", None)
+        if cached is not None and cached[0] == name and cached[1] == segment_idx:
+            self._local.seg_cache = None
 
     # ---- aux KV (plain string keys beside the streams) ---------------------
     def read_aux(self, key: str) -> str | None:

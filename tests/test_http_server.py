@@ -71,3 +71,62 @@ def test_http_rejects_path_traversal(ingested, tmp_path):
             with pytest.raises(urllib.error.HTTPError) as e:
                 _get(f"{base}/api/streams/{evil}")
             assert e.value.code == 404, evil
+
+
+def test_tiered_layout_served_and_globbable(tmp_path):
+    """Round-9 advice: above single_file_max_bytes finalize writes
+    data_*.parquet parts and no monolithic data.parquet, but the HTTP
+    endpoint and the in-repo readers hardcoded that name — large
+    finalized streams silently became unreadable through those
+    surfaces. The endpoint must now serve a merged single file for the
+    tiered layout (byte-valid parquet, all rows), and data_glob must
+    cover both layouts."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    from river_spark.ingest.layout import data_files, data_glob, servable_file
+
+    log = StreamLog(str(tmp_path / "store"))
+    schema = StreamSchema([FieldDefinition("v", FieldType.DOUBLE)])
+    w = StreamWriter(log, batch_size=32).initialize("big", schema)
+    arr = np.zeros(300, dtype=schema.dtype())
+    arr["v"] = np.arange(300)
+    w.write(arr)
+    w.stop()
+    out = str(tmp_path / "out")
+    ing = StreamIngester(
+        log,
+        out,
+        IngesterSettings(
+            streams=[
+                StreamIngestionSettings(
+                    minimum_age_seconds_before_deletion=0,
+                    single_file_max_bytes=1,  # force the tiered path
+                )
+            ]
+        ),
+    )
+    ing.ingest()
+    ing.wait_all()
+    d = os.path.join(out, "big")
+    assert not os.path.exists(os.path.join(d, "data.parquet"))
+    files = data_files(d)
+    assert files and all(os.path.basename(f).startswith("data_") for f in files)
+    # glob layout-independence: covers exactly the data files
+    import glob as _glob
+
+    assert sorted(_glob.glob(data_glob(d))) == sorted(files)
+    with IngesterHttpServer(out) as base:
+        code, body = _get(f"{base}/api/streams/big/data.parquet")
+        assert code == 200
+        t = pq.read_table(io.BytesIO(body))
+        assert t.num_rows == 300
+        np.testing.assert_array_equal(np.sort(t.column("v").to_numpy()), arr["v"])
+    # the merge cache is reused (same mtime on a second resolve) and
+    # dot-prefixed so directory listings/globs skip it
+    cache = servable_file(d)
+    assert os.path.basename(cache).startswith(".")
+    m1 = os.path.getmtime(cache)
+    assert servable_file(d) == cache and os.path.getmtime(cache) == m1
+    assert cache not in _glob.glob(data_glob(d))

@@ -5,22 +5,32 @@ row-at-a-time Python UDF (BatchEvalPython) would melt at 100 TB even
 though the local answer is right.
 
 Queries that legitimately need a cross/NL join are not blanket-exempted:
-CROSS_OK maps each to the maximum row count its SMALL side may reach,
+CROSS_OK maps each to the maximum row count its BUILD side may reach,
 and the test executes the query and reads the join's real runtime
-numOutputRows metrics — a regression that turns a broadcast-small side
-into a big side now fails the gate instead of hiding behind the
-allowlist (round-7 verdict directive #5)."""
+numOutputRows metrics. Round-9 directive #3 closed a blind spot here:
+the old lint bounded the MIN of the two inputs, so a wrong-side
+broadcast hint (big build, small stream) passed. Now the bound applies
+to the broadcast exchange's build rows — the thing that actually lands
+in executor memory — and CartesianProduct (no build side) keeps the
+min-side bound. Hinted equi-join builds are gated separately by
+tests/test_broadcast_discipline.py (two-SF growth check)."""
 
 import os
 
 import pytest
 
 from river_spark.queries import QUERIES
+from river_spark.testing.planwalk import (
+    broadcast_join_builds,
+    cartesian_min_side,
+    final_plan,
+    walk,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 # queries whose semantics legitimately need a broadcast cross/NL join,
-# mapped to the max rows the join's smaller side may produce at test SF.
+# mapped to the max rows the join's BUILD side may produce at test SF.
 # Every bound is the documented cardinality of the intended broadcast
 # relation (1-row global scalars, K-row codebooks/centroids, literal
 # probe sets) with NO slack — growth past it is a real plan regression.
@@ -31,7 +41,7 @@ CROSS_OK = {
     "q15_top_supplier": 1,          # broadcast scalar max
     "q22_idle_customers": 1,        # broadcast scalar average
     "emb_cosine_dedup": 8,          # bucket-width literal join
-    "emb_ann_ivf": 8,               # query rows x centroid routing cross
+    "emb_ann_ivf": 16,              # n_lists=16 centroid table is the build
     "text_tfidf_top_terms": 1,      # broadcast 1-row corpus doc count (idf N)
     "text_unigram_logprob": 1,      # broadcast 1-row corpus token total
     "emb_cluster_assign": 8,        # broadcast K-row centroid table (K=8)
@@ -46,70 +56,58 @@ CROSS_OK = {
     "emb_mips": 1,                  # 1-row query vector x 1-row max-norm M2
     "pipeline_mix_rebalance": 1,    # broadcast 1-row (total_tokens, n_src)
     "text_vocab_growth": 4,         # broadcast 4-row checkpoint ladder
-    "text_js_divergence": 20,       # source-totals side (20 sources) x corpus vocab
+    "text_js_divergence": 20,       # build = source totals (<=20 sources);
+                                    # the corpus vocab stays distributed
     "dq_referential_integrity": 1,  # 1-row count x 1-row orphan count, per rel
     "ev_dense_daily_grid": 5,       # 1-row bounds x 5-row distinct types
     "pipeline_dataset_delta": 1,    # chained 1-row version-summary scalars
 }
 
 
-def _final_plan(df):
-    plan = df._jdf.queryExecution().executedPlan()
-    if "AdaptiveSparkPlan" in plan.nodeName():
-        plan = plan.executedPlan()
-    return plan
-
-
-def _walk(node):
-    yield node
-    # unwrap AQE stages so traversal reaches the materialized subtrees
-    name = node.nodeName()
-    if "AdaptiveSparkPlan" in name:
-        yield from _walk(node.executedPlan())
-        return
-    if "QueryStage" in name:
-        yield from _walk(node.plan())
-        return
-    if "ReusedExchange" in name:
-        # leaf that aliases another exchange — follow it for the metric
-        yield from _walk(node.child())
-        return
-    children = node.children()
-    for i in range(children.size()):
-        yield from _walk(children.apply(i))
-
-
-def _num_output_rows(node):
-    """First numOutputRows metric found in this subtree, else None."""
-    for n in _walk(node):
-        opt = n.metrics().get("numOutputRows")
-        if opt.isDefined():
-            v = opt.get().value()
-            if v >= 0:
-                return v
-    return None
-
-
-def _small_side_rows(df):
-    """Execute the query and return the max over its cross/NL joins of
-    the smaller input's real runtime row count (None if no such join
-    survived optimization)."""
-    df.collect()
+def _worst_bnlj_build(df):
+    """Max build-side rows over BroadcastNestedLoopJoin nodes (None if
+    no metric / no such join)."""
     worst = None
-    for node in _walk(_final_plan(df)):
-        name = node.nodeName()
-        if "BroadcastNestedLoopJoin" not in name and "CartesianProduct" not in name:
+    for name, rows in broadcast_join_builds(df):
+        if "BroadcastNestedLoopJoin" not in name or rows is None:
             continue
-        children = node.children()
-        sides = []
-        for i in range(children.size()):
-            rows = _num_output_rows(children.apply(i))
-            if rows is not None:
-                sides.append(rows)
-        if sides:
-            small = min(sides)
-            worst = small if worst is None else max(worst, small)
+        worst = rows if worst is None else max(worst, rows)
     return worst
+
+
+class _no_auto_broadcast:
+    """At test SF both inputs of a cross/NL join are usually under the
+    auto-broadcast threshold, so Catalyst may legally build on the
+    UNHINTED side — reading that build says nothing about the 100 TB
+    plan (where only the intended fixed-cardinality side fits). With
+    auto-broadcast off, the surviving broadcast build IS the hinted
+    side, so the CROSS_OK bound checks the side that would actually be
+    broadcast at scale."""
+
+    KEYS = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.old = {}
+        for k in self.KEYS:
+            try:
+                self.old[k] = self.spark.conf.get(k)
+            except Exception:
+                self.old[k] = None
+            self.spark.conf.set(k, "-1")
+        return self.spark
+
+    def __exit__(self, *exc):
+        for k, v in self.old.items():
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -120,13 +118,23 @@ def test_no_scale_antipatterns(name, spark):
         assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: NL join in plan"
     else:
-        small = _small_side_rows(df)
-        bound = CROSS_OK[name]
-        if small is not None:
-            assert small <= bound, (
-                f"{name}: cross/NL join small side produced {small} rows, "
-                f"bound is {bound} — the broadcast-small justification no "
-                f"longer holds"
-            )
+        with _no_auto_broadcast(spark):
+            df = QUERIES[name].fn(spark, SF_DIR)
+            df.collect()
+            bound = CROSS_OK[name]
+            build = _worst_bnlj_build(df)
+            if build is not None:
+                assert build <= bound, (
+                    f"{name}: broadcast NL join BUILD side produced {build} "
+                    f"rows, bound is {bound} — the broadcast-small "
+                    f"justification no longer holds (or the hint is on the "
+                    f"wrong side)"
+                )
+            small = cartesian_min_side(df)
+            if small is not None:
+                assert small <= bound, (
+                    f"{name}: cartesian product small side produced {small} "
+                    f"rows, bound is {bound}"
+                )
     # row-at-a-time Python UDFs never allowed; Arrow-batched ones are fine
     assert "BatchEvalPython" not in plan, f"{name}: non-Arrow Python UDF in plan"

@@ -866,3 +866,44 @@ def test_spark_sink_module_framing_emits_reference_layout(spark, server):
     )
     assert back.count() == 250
     assert back.agg({"a": "sum"}).collect()[0][0] == sum(range(250))
+
+
+def test_seg_scans_evict_on_segment_advance(server, backend):
+    """The incremental listing cache must stay one segment deep per
+    STREAM per thread: a reader following a long rolling stream would
+    otherwise retain every visited segment's raw entries (payload bytes
+    included) — O(stream) memory, not the O(segment) the docstring
+    promises. Advancing to a new segment drops the stream's older scan
+    state but leaves other streams' state alone."""
+    log = StreamLog(backend=backend)
+    _write(log, "roll", n=10, entries_per_segment=4, batch_size=3)
+    _write(log, "other", n=4, stop=False)
+    log.list_batches("other", 0)
+    segs = log.list_segments("roll")
+    assert len(segs) >= 2
+    for seg in segs:
+        log.list_batches("roll", seg)
+        scans = backend._local.seg_scans
+        assert [k for k in scans if k[0] == "roll"] == [("roll", seg)]
+    # the parallel stream's state survives the rolls
+    assert ("other", 0) in backend._local.seg_scans
+
+
+def test_delete_segment_invalidates_scan_state(server, backend):
+    """delete_segment must drop this thread's incremental listing state,
+    mirroring delete_batch: finalize frees the stream name for reuse, so
+    a stale XRANGE cursor + accumulated runs from the deleted generation
+    would otherwise be merged with the NEW generation's entries into
+    phantom listings."""
+    log = StreamLog(backend=backend)
+    _write(log, "regen", n=6, stop=False, batch_size=3)
+    gen1 = log.list_batches("regen", 0)
+    assert sum(c for _s, c, _m, _q, _h in gen1) == 6
+    backend.delete_segment("regen", 0)
+    # generation 2 reuses the name: fresh entries restart at index 0
+    itemsize = _schema().dtype().itemsize
+    backend.append_batch(
+        "regen", 0, 0, b"\x00" * (2 * itemsize), 2, key_ms=99, key_seq0=0, sizes=None
+    )
+    gen2 = log.list_batches("regen", 0)
+    assert [(s, c) for s, c, _m, _q, _h in gen2] == [(0, 2)]

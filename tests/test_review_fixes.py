@@ -267,3 +267,41 @@ def test_split_handle_slices_per_sample_runs(tmp_path):
             assert len(vals) == take
             got.extend(vals.tolist())
         assert got == list(np.arange(10.0))
+
+
+def test_union_then_smj_executes(spark):
+    """Spark 4.1 repro pinned: with spark.sql.unionOutputPartitioning on
+    (the 4.1 default), a union of two hash-partitioned children reports
+    a combined 2N-partition partitioning; a downstream sort-merge join
+    consuming it zips 2N against N partitions and throws "Can't zip RDDs
+    with unequal numbers of partitions". Broadcast joins hide it at
+    laptop scale — SMJ is the 100 TB path — so the session factory
+    disables the propagation; this test forces SMJ (auto-broadcast off)
+    over exactly that shape and must execute."""
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get("spark.sql.unionOutputPartitioning") == "false"
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    old = {}
+    for k in keys:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, "-1")
+    try:
+        a = spark.range(0, 1000).groupBy((F.col("id") % 97).alias("k")).count()
+        b = spark.range(500, 1500).groupBy((F.col("id") % 97).alias("k")).count()
+        u = a.unionByName(b).groupBy("k").agg(F.sum("count").alias("n"))
+        other = spark.range(0, 97).select(F.col("id").alias("k"), F.lit(1).alias("w"))
+        got = u.join(other.groupBy("k").agg(F.sum("w").alias("w")), "k").collect()
+        assert len(got) == 97
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -160,3 +160,47 @@ def test_ingester_builds_zonemap_on_finalize(spark, tmp_path):
     assert set(zm[zm["column"] == "x"]["file"]) == set(list_parquet_files(root))
     got = read_pruned(spark, root, "x", lo=100, hi=200, zonemap=zm)
     assert got.count() == 101
+
+
+def test_local_rebuild_never_leaves_indexless_window(tmp_path, monkeypatch):
+    """Round-9 advice: the stale-generation sweep must run AFTER the new
+    index lands (os.replace), so a crash mid-sweep leaves a valid
+    part-0.parquet — never a _zonemap directory with no index. Simulated
+    crash: os.remove raises on the first stale file; the index must
+    already be the NEW generation."""
+    from river_spark.ingest.zonemap import write_zonemap_local
+
+    pq.write_table(
+        pa.table({"v": pa.array([1.0, 2.0], pa.float64())}),
+        str(tmp_path / "data.parquet"),
+    )
+    out = write_zonemap_local(str(tmp_path))
+    # plant a stale Spark-writer generation beside the fresh index
+    stale = os.path.join(out, "part-00000-deadbeef.parquet")
+    pq.write_table(pa.table({"x": pa.array([0])}), stale)
+    open(os.path.join(out, "_SUCCESS"), "w").close()
+    # grow the dataset so the new index is observably different
+    pq.write_table(
+        pa.table({"v": pa.array([3.0], pa.float64())}),
+        str(tmp_path / "data2.parquet"),
+    )
+
+    real_remove = os.remove
+    def crashing_remove(path):
+        real_remove(path)
+        raise OSError("simulated crash mid-sweep")
+
+    monkeypatch.setattr(os, "remove", crashing_remove)
+    with pytest.raises(OSError, match="simulated crash"):
+        write_zonemap_local(str(tmp_path))
+    monkeypatch.undo()
+    # the new-generation index landed before the sweep crashed
+    idx = pq.read_table(os.path.join(out, "part-0.parquet")).to_pandas()
+    assert {os.path.basename(f) for f in idx["file"]} == {
+        "data.parquet",
+        "data2.parquet",
+    }
+    # and a clean rebuild sweeps the remaining stale generation
+    write_zonemap_local(str(tmp_path))
+    leftovers = [f for f in os.listdir(out) if f != "part-0.parquet"]
+    assert leftovers == [], leftovers
