@@ -50,6 +50,10 @@ import river_spark.queries.relational23 as _relational23  # noqa: F401
 import river_spark.queries.relational24 as _relational24  # noqa: F401
 import river_spark.queries.relational25 as _relational25  # noqa: F401
 import river_spark.queries.relational26 as _relational26  # noqa: F401
+import river_spark.queries.relational27 as _relational27  # noqa: F401
+import river_spark.queries.relational28 as _relational28  # noqa: F401
+import river_spark.queries.curation11 as _curation11  # noqa: F401
+import river_spark.queries.river_ops3 as _river_ops3  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -112,7 +116,24 @@ _PRIORITY = [
     "dq_split_drift",
     "text_lang_id_eval",
     "agg_conversion_wilson",
-    # --- round-10 additions (never checked; behind the backlog):
+    # --- round-10 additions (never checked; behind the backlog — the 33
+    #     above + these 15 + the 2 re-adjudications below = exactly the
+    #     50-query driver window, leaving zero never-checked backlog):
+    "agg_theil_index",
+    "agg_trimmed_mean",
+    "agg_log2_value_histogram",
+    "dq_null_profile",
+    "dq_unreferenced_dims",
+    "scalar_interval_arith",
+    "ev_burstiness",
+    "ev_gap_entropy",
+    "ev_dod_delta",
+    "ev_power_user_share",
+    "pipeline_dedup_rate_by_source",
+    "pipeline_bucket_balance",
+    "text_simpson_diversity",
+    "text_compression_proxy",
+    "river_stream_session_window",
     # --- plan-fixed in round 10 (broadcast side swapped / hints dropped);
     #     re-adjudicate post-fix:
     "text_js_divergence",

@@ -66,6 +66,21 @@ BOUNDARY_QUERIES = [
     "ev_wau_stickiness",
     "text_length_percentiles_by_lang",
     "agg_weekday_seasonality",
+    # --- round-10 additions (directive: every new ratio/sqrt/ln query
+    #     joins the gate in the same commit):
+    "agg_theil_index",
+    "agg_trimmed_mean",
+    "agg_log2_value_histogram",
+    "dq_null_profile",
+    "dq_unreferenced_dims",
+    "ev_burstiness",
+    "ev_gap_entropy",
+    "ev_dod_delta",
+    "ev_power_user_share",
+    "pipeline_dedup_rate_by_source",
+    "pipeline_bucket_balance",
+    "text_simpson_diversity",
+    "text_compression_proxy",
 ]
 
 _FIXTURE_TABLES = ("customer", "orders", "events", "documents", "embeddings")
@@ -77,16 +92,38 @@ def bdir(tmp_path_factory):
 
     # customer/orders: segments at p=1, p=0, and n=1 at both extremes;
     # a duplicate order checks the DISTINCT purchaser semantics.
+    # round-10 columns: c_name hits the null-profile boundaries (NULL,
+    # empty, whitespace-blank, duplicate values); c_nationkey gives
+    # dq_unreferenced_dims a fully-referenced nation (0), a fully-
+    # unreferenced one (1), and a half-and-half (2); c_acctbal ties +
+    # negative + zero exercise the disc-quantile trim cuts.
     pd.DataFrame(
         {
             "c_custkey": [1, 2, 3, 4, 5, 6],
             "c_mktsegment": ["ALL", "ALL", "NONE", "NONE", "ONE1", "ONE0"],
+            "c_name": [None, "", "  ", "x", "x", "y"],
+            "c_nationkey": np.array([0, 0, 1, 1, 2, 2], dtype=np.int32),
+            "c_acctbal": [100.0, 100.0, -5.25, 0.0, 42.42, 42.42],
         }
     ).to_parquet(d / "customer.parquet")
     # o_orderkey 1 is deliberately DUPLICATED: dq_key_uniqueness must
     # count it (n_dup_keys = 1), not just report clean tables
+    # round-10 columns: o_totalprice 0.004 rounds to ZERO cents (the
+    # theil ln-domain guard + the log2-histogram band-0 edge);
+    # o_orderstatus/o_orderpriority carry NULL and whitespace blanks for
+    # the null profile; o_orderdate includes a month-end (add_months
+    # clamp) and a Monday (next_day strictly-after).
     pd.DataFrame(
-        {"o_orderkey": [1, 1, 2, 3], "o_custkey": [1, 1, 2, 5]}
+        {
+            "o_orderkey": [1, 1, 2, 3],
+            "o_custkey": [1, 1, 2, 5],
+            "o_totalprice": [100.0, 100.0, 0.004, 250.5],
+            "o_orderstatus": [None, "", "F", "O"],
+            "o_orderpriority": ["1-URGENT", "1-URGENT", None, "  "],
+            "o_orderdate": pd.to_datetime(
+                ["2024-01-31", "2024-01-31", "2024-01-01", "2024-12-31"]
+            ).astype("datetime64[us]"),
+        }
     ).to_parquet(d / "orders.parquet")
 
     # events:
@@ -137,6 +174,10 @@ def bdir(tmp_path_factory):
         (3, "the quick brown fox jumps", "en", "srcB"),  # exact dup of 2
         (4, "lone", "en", "srcB"),
         (5, "alpha beta gamma delta epsilon", "en", "srcB"),
+        # round 10: a source whose ONLY doc has ONE token — simpson's
+        # N*(N-1) = 0 nullif boundary, and an empty bigram set for every
+        # bigram-vocab consumer
+        (6, "solo", "en", "srcC"),
     ]
     pd.DataFrame(
         [(i, t, lang, s, len(t)) for i, t, lang, s in docs],

@@ -135,6 +135,22 @@ BUDGETS = {
     # (source, tok) — one more exchange at test SF, no executor-OOM at
     # 100x.
     "text_js_divergence": 7,        # corpus/source/total aggs + grid join
+    # round-10 wave (relational27/28, curation11): pinned at the plan
+    # each design produces — fact-grain agg(s) + small-rollup joins.
+    "agg_theil_index": 3,           # spend agg + nation totals + rejoin
+    "agg_trimmed_mean": 1,          # cents agg; quantile thresholds share it
+    "agg_log2_value_histogram": 1,  # one band hash agg
+    "dq_null_profile": 4,           # one fused scalar agg per table + union glue
+    "dq_unreferenced_dims": 2,      # anti-join + per-nation rollup
+    "scalar_interval_arith": 0,     # pure projection, zero shuffles
+    "ev_burstiness": 1,             # one type-window; the moment agg rides it
+    "ev_gap_entropy": 2,            # type window + bucket agg
+    "ev_dod_delta": 2,              # (type, day) agg + daily-table window
+    "ev_power_user_share": 4,       # user agg + totals + cum window + final
+    "pipeline_dedup_rate_by_source": 2,  # digest distinct two-phase
+    "pipeline_bucket_balance": 2,   # bucket agg + scalar rollup
+    "text_simpson_diversity": 2,    # token agg + source rollup
+    "text_compression_proxy": 2,    # bigram distinct two-phase
     "pipeline_source_overlap": 7,   # bigram distinct, sizes, pair agg, joins
 }
 
