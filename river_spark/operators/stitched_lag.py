@@ -1,0 +1,83 @@
+"""Bucket-stitched lag: the scale-correct form of ``lag() OVER
+(PARTITION BY key ORDER BY order)``.
+
+A plain per-key lag window parallelizes only across keys — when the key
+is coarse (5 event types over 100 TB of events), every row of a key
+lands in ONE task and the window becomes the job's straggler. The
+standard fix is to sub-partition by a time bucket and stitch the
+boundaries:
+
+1. lag WITHIN each (key, bucket) — parallelism is keys x buckets;
+2. per (key, bucket), take the LAST row's value (one map-side-
+   combinable ``max_by`` over the bucket's ordering tuple);
+3. lag THAT tiny rollup by bucket order per key (handles EMPTY buckets:
+   the previous row of the rollup is the previous NON-EMPTY bucket);
+4. join the rollup back and ``coalesce``: rows after the first in
+   their bucket use the in-bucket lag, each bucket's first row takes
+   the previous bucket's last value.
+
+The result is ROW-IDENTICAL to the plain window (property-tested in
+tests/test_stitched_lag.py against ``F.lag`` itself), so queries keep
+their plain-SQL oracles while running the stitched plan.
+
+Cost model at 100 TB: one shuffle on (key, bucket) for the fine
+window, one partial-aggregated rollup riding the same partitioning,
+one keys-x-buckets-sized window + join back. The join's rollup side is
+|keys x buckets| — e.g. 5 types x 3,650 days = 18k rows — a
+stats-sized relation Spark broadcasts on its own (no hint; the
+broadcast-discipline gate applies).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stitched_lag(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    bucket: Column,
+    out_col: str = "prev_value",
+) -> DataFrame:
+    """``df`` plus ``out_col`` = lag(value_col) over (PARTITION BY
+    key_cols ORDER BY order_cols), computed with keys x buckets
+    parallelism.
+
+    ``bucket`` must be monotone non-decreasing in ``order_cols`` within
+    each key (a time bucket over the leading order column — e.g.
+    ``F.date_trunc('day', F.col('ts'))``); a non-monotone bucket breaks
+    the boundary stitching and is the caller's bug.
+    """
+    keys = list(key_cols)
+    order = list(order_cols)
+    base = df.withColumn("_sl_bucket", bucket)
+
+    fine = Window.partitionBy(*keys, "_sl_bucket").orderBy(*order)
+    b = base.withColumn("_sl_in_bucket", F.lag(value_col).over(fine))
+
+    # last value of each (key, bucket) under the full ordering tuple —
+    # aggregated from the PRE-window frame so the (sorted) window
+    # subtree isn't duplicated into the rollup branch
+    last = base.groupBy(*keys, "_sl_bucket").agg(
+        F.expr(
+            "max_by({v}, struct({o}))".format(v=value_col, o=", ".join(order))
+        ).alias("_sl_last")
+    )
+    coarse = Window.partitionBy(*keys).orderBy("_sl_bucket")
+    carry = last.select(
+        *keys,
+        "_sl_bucket",
+        F.lag("_sl_last").over(coarse).alias("_sl_carry"),
+    )
+
+    out = (
+        b.join(carry, keys + ["_sl_bucket"], "left")
+        .withColumn(out_col, F.coalesce("_sl_in_bucket", "_sl_carry"))
+        .drop("_sl_bucket", "_sl_in_bucket", "_sl_carry")
+    )
+    return out

@@ -36,11 +36,25 @@ _GAP_SECONDS_DUCK = (
 def _gaps(spark, sf_dir):
     """Integer-second inter-event gaps per type (microsecond diff,
     integer-divided — the cookbook second-grain rule), deterministic
-    (ts, event_id) order; each type's gapless first event drops out."""
+    (ts, event_id) order; each type's gapless first event drops out.
+
+    The lag runs through operators/stitched_lag.py with a daily bucket:
+    event_type is a ~5-value key, so a plain per-key window would put
+    each type's entire 100 TB history in ONE task — the stitched form
+    parallelizes across types x days and is property-tested row-
+    identical to the plain window, so the plain-SQL oracles hold."""
+    from river_spark.operators.stitched_lag import stitched_lag
+
     ev = events_tbl(spark, sf_dir).select("event_type", "ts", "event_id")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     return (
-        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        stitched_lag(
+            ev,
+            key_cols=["event_type"],
+            order_cols=["ts", "event_id"],
+            value_col="ts",
+            bucket=F.date_trunc("day", F.col("ts")),
+            out_col="prev_ts",
+        )
         .select(
             "event_type",
             F.expr("timestampdiff(MICROSECOND, prev_ts, ts) div 1000000").alias(
@@ -81,10 +95,9 @@ def ev_burstiness(spark, sf_dir):
     round-6. sigma+mu = 0 only when every gap is zero — nullif-guarded
     in both engines.
 
-    100 TB posture: one window shuffle on event_type + one hash agg; at
-    scale the lag window partitions by (type, coarse time bucket) with
-    boundary stitching — here type-partitioning suffices and keeps the
-    oracle exact."""
+    100 TB posture: the gap lag runs bucket-stitched (types x days
+    parallelism — see _gaps / operators/stitched_lag.py) and the moment
+    accumulators are one partial-aggregatable hash agg on ~5 keys."""
     g = _gaps(spark, sf_dir)
     st = g.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -134,8 +147,9 @@ def ev_gap_entropy(spark, sf_dir):
     -sum(1*ln 1) = -0.0, which round() keeps as -0.0 in DuckDB but
     +0.0 in Spark (the cookbook round(-0.0) rule).
 
-    100 TB posture: lag window on the type partitioning, then two tiny
-    hash aggs over (type, ~40 buckets)."""
+    100 TB posture: the gap lag runs bucket-stitched (types x days
+    parallelism — see _gaps), then two tiny hash aggs over
+    (type, ~40 buckets)."""
     g = _gaps(spark, sf_dir)
     b = g.select(
         "event_type",

@@ -143,8 +143,14 @@ BUDGETS = {
     "dq_null_profile": 4,           # one fused scalar agg per table + union glue
     "dq_unreferenced_dims": 2,      # anti-join + per-nation rollup
     "scalar_interval_arith": 0,     # pure projection, zero shuffles
-    "ev_burstiness": 1,             # one type-window; the moment agg rides it
-    "ev_gap_entropy": 2,            # type window + bucket agg
+    # burstiness/gap_entropy run the gap lag BUCKET-STITCHED
+    # (operators/stitched_lag.py: types x days parallelism instead of
+    # one task per type at 100 TB); the extra static exchanges are the
+    # fine (type, day) window + the tiny carry rollup/join, and the
+    # gap-entropy figure counts the c x t self-referencing branches
+    # AQE deduplicates via exchange reuse at runtime.
+    "ev_burstiness": 4,
+    "ev_gap_entropy": 10,
     "ev_dod_delta": 2,              # (type, day) agg + daily-table window
     "ev_power_user_share": 4,       # user agg + totals + cum window + final
     "pipeline_dedup_rate_by_source": 2,  # digest distinct two-phase
