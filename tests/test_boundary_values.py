@@ -81,6 +81,10 @@ BOUNDARY_QUERIES = [
     "pipeline_bucket_balance",
     "text_simpson_diversity",
     "text_compression_proxy",
+    # REAL streaming drain against the adversarial events: same-ts ties,
+    # single-event users, the 60s-clocked bot — session_window's state
+    # store must reproduce the islands oracle on all of them
+    "river_stream_session_window",
 ]
 
 _FIXTURE_TABLES = ("customer", "orders", "events", "documents", "embeddings")
