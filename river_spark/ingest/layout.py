@@ -12,8 +12,19 @@ advice); every in-repo reader now resolves through here.
 from __future__ import annotations
 
 import os
+import tempfile
+import threading
+from collections import defaultdict
 
 import pyarrow.parquet as pq
+
+# servable_file is called from ThreadingHTTPServer handlers: without
+# serialization, two concurrent GETs of a stale tiered stream would race
+# rebuilding the merge cache. A per-stream lock makes the rebuild
+# single-flight; the unique temp file below keeps even cross-PROCESS
+# racers safe (each writes its own temp, os.replace is atomic).
+_rebuild_locks: defaultdict[str, threading.Lock] = defaultdict(threading.Lock)
+_rebuild_locks_guard = threading.Lock()
 
 
 def data_files(stream_dir: str) -> list[str]:
@@ -54,18 +65,37 @@ def servable_file(stream_dir: str) -> str | None:
     newest = max(os.path.getmtime(p) for p in files)
     if os.path.exists(cache) and os.path.getmtime(cache) >= newest:
         return cache
-    tmp = cache + ".inprogress"
-    writer = None
-    try:
-        for p in files:
-            pf = pq.ParquetFile(p)
-            for i in range(pf.metadata.num_row_groups):
-                t = pf.read_row_group(i)
-                if writer is None:
-                    writer = pq.ParquetWriter(tmp, t.schema, compression="snappy")
-                writer.write_table(t)
-    finally:
-        if writer is not None:
+    with _rebuild_locks_guard:
+        lock = _rebuild_locks[os.path.abspath(stream_dir)]
+    with lock:
+        # A concurrent caller may have finished the rebuild while we
+        # waited on the lock.
+        if os.path.exists(cache) and os.path.getmtime(cache) >= newest:
+            return cache
+        fd, tmp = tempfile.mkstemp(dir=stream_dir, prefix=".data.http.", suffix=".tmp")
+        os.close(fd)
+        writer = None
+        try:
+            for p in files:
+                pf = pq.ParquetFile(p)
+                for i in range(pf.metadata.num_row_groups):
+                    t = pf.read_row_group(i)
+                    if writer is None:
+                        writer = pq.ParquetWriter(tmp, t.schema, compression="snappy")
+                    writer.write_table(t)
+            if writer is None:
+                # zero row groups across all parts: emit a valid empty
+                # parquet with the first part's schema
+                writer = pq.ParquetWriter(
+                    tmp, pq.ParquetFile(files[0]).schema_arrow, compression="snappy"
+                )
             writer.close()
-    os.replace(tmp, cache)
+            writer = None
+            os.replace(tmp, cache)
+        except BaseException:
+            if writer is not None:
+                writer.close()
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
     return cache

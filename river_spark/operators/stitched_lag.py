@@ -58,14 +58,21 @@ def stitched_lag(
     base = df.withColumn("_sl_bucket", bucket)
 
     fine = Window.partitionBy(*keys, "_sl_bucket").orderBy(*order)
-    b = base.withColumn("_sl_in_bucket", F.lag(value_col).over(fine))
+    b = base.withColumn("_sl_in_bucket", F.lag(value_col).over(fine)).withColumn(
+        "_sl_rn", F.row_number().over(fine)
+    )
 
     # last value of each (key, bucket) under the full ordering tuple —
     # aggregated from the PRE-window frame so the (sorted) window
-    # subtree isn't duplicated into the rollup branch
+    # subtree isn't duplicated into the rollup branch. The value rides
+    # inside a struct so a legitimately-NULL last value survives max_by
+    # (a bare NULL value would be skipped, mis-carrying the
+    # second-to-last value across the boundary).
     last = base.groupBy(*keys, "_sl_bucket").agg(
         F.expr(
-            "max_by({v}, struct({o}))".format(v=value_col, o=", ".join(order))
+            "max_by(struct({v} AS v), struct({o})).v".format(
+                v=value_col, o=", ".join(order)
+            )
         ).alias("_sl_last")
     )
     coarse = Window.partitionBy(*keys).orderBy("_sl_bucket")
@@ -75,9 +82,17 @@ def stitched_lag(
         F.lag("_sl_last").over(coarse).alias("_sl_carry"),
     )
 
+    # Stitch on ROW POSITION, not value nullness: a non-first row whose
+    # true lag is a legitimate NULL must stay NULL rather than pick up
+    # the previous bucket's carry (round-10 advice).
     out = (
         b.join(carry, keys + ["_sl_bucket"], "left")
-        .withColumn(out_col, F.coalesce("_sl_in_bucket", "_sl_carry"))
-        .drop("_sl_bucket", "_sl_in_bucket", "_sl_carry")
+        .withColumn(
+            out_col,
+            F.when(F.col("_sl_rn") == 1, F.col("_sl_carry")).otherwise(
+                F.col("_sl_in_bucket")
+            ),
+        )
+        .drop("_sl_bucket", "_sl_in_bucket", "_sl_carry", "_sl_rn")
     )
     return out

@@ -214,10 +214,15 @@ def pipeline_curation_v2(spark, sf_dir):
         .select("doc_id", "shared_frac")
         .filter(F.col("shared_frac") <= 0.5)
     )
+    # No broadcast hint on evs: the eval-slice shingle table is
+    # PROPORTIONAL to the corpus under the %97 rule (round-11 gate
+    # measurement: 198 rows at sf0.01 -> 1,911 at sf0.1, ~9.7x on 10x
+    # data — billions of rows at 100 TB). AQE picks broadcast while it
+    # is actually small and shuffle-joins on `shingle` once it is not.
     evs = sh15.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
     cont = (
         sh15.filter(F.col("doc_id") % 97 != 0)
-        .join(F.broadcast(evs), "shingle")
+        .join(evs, "shingle")
         .select("doc_id")
         .distinct()
     )

@@ -67,7 +67,7 @@ class Query:
 
 
 # Explicit registration priority: see rotation comment below.
-_PRIORITY = [
+_R10_ORDER = [
     # Round-10 rotation (r9 verdict directive #1): the driver checks the
     # FIRST 50 each round, and round 9's queue-jumping left a 33-entry
     # never-driver-checked backlog (round-8 additions that round 9's 43
@@ -404,6 +404,74 @@ _PRIORITY = [
     "agg_pareto_frontier",
     "ev_vwap",
 ]
+
+
+# Round-11 driver window (the driver adjudicates the FIRST 50).
+# Discipline: a query whose PHYSICAL PLAN changed since its last green
+# driver row goes back through the driver before anything new.
+_WINDOW = [
+    # --- the 19 round-10 forced-broadcast hint drops + 1 (agg_hhi):
+    #     their plans changed in round 10 but only text_js_divergence /
+    #     dq_referential_integrity were re-adjudicated there (r10 verdict
+    #     "What's missing #1") — they lead:
+    "q3_shipping_priority",
+    "q5_nation_volume",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive_join",
+    "q7_nation_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "dq_expectations",
+    "mb_copurchase_pairs",
+    "graph_triangle_count",
+    "agg_countmin_sketch",
+    "graph_pagerank",
+    "agg_hhi_concentration",
+    # --- round-11 plan changes (re-adjudicate under the new plans):
+    "pipeline_curation_v2",       # eval-shingle broadcast hint dropped
+    "ev_burstiness",              # stitched_lag: row-position stitch
+    "ev_gap_entropy",             # stitched_lag: row-position stitch
+    "river_stream_session_window",  # exact integer ns->us conversion
+    "ev_gap_histogram",           # ported to stitched_lag (r11)
+    "ev_gap_percentiles",         # ported to stitched_lag (r11)
+    "ev_cusum_changepoint",       # ported to stitched prefix-sum (r11)
+    "ev_mad_outliers",            # percentile_approx two-pass port (r11)
+    # --- stalest cohorts (last driver row r1, then r3, then r4 head):
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_bpe_tokens",
+    "text_rolling_fingerprint",
+    "join_cross_small",
+    "distinct_proj",
+    "agg_global",
+    "dedup_exact",
+    "river_ingest_roundtrip",
+    "river_system_columns",
+    "river_sink_roundtrip",
+    "river_compressed_roundtrip",
+    "river_pruned_ingest",
+    "river_resume_roundtrip",
+    "river_stale_autoeof",
+    "river_http_read",
+    "river_catalog_scan",
+    "river_cli_roundtrip",
+    "q2_min_unit_price_supplier",
+    "q11_supplier_balance_share",
+    "q22_idle_customers",
+]
+
+# Tail keeps the round-10 staleness order so future rotations stay
+# oldest-first; round-11 additions register at the very end (behind
+# every re-adjudication, per the rotation discipline).
+_PRIORITY = _WINDOW + [n for n in _R10_ORDER if n not in set(_WINDOW)]
 
 
 QUERIES: dict[str, Query] = {}

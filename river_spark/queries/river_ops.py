@@ -14,6 +14,7 @@ import numpy as np
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
+from river_spark.streaming.ops import stop_quiet
 from river_spark.ingest import IngesterSettings, StreamIngester, StreamIngestionSettings
 from river_spark.ingest.layout import data_glob
 from river_spark.queries.relational import q
@@ -808,8 +809,7 @@ def river_stream_outer_join(spark, sf_dir):
                     )
                 _time.sleep(0.25)
         finally:
-            qy.stop()
-            qy.awaitTermination()
+            stop_quiet(qy)
         _CACHE[key] = table
     return spark.sql(
         f"""
@@ -1192,8 +1192,7 @@ def river_stream_window_chain(spark, sf_dir):
                     )
                 _time.sleep(0.25)
         finally:
-            qy.stop()
-            qy.awaitTermination()
+            stop_quiet(qy)
         _CACHE[key] = table
     return spark.sql(
         f"""

@@ -20,6 +20,7 @@ import time as _time
 import numpy as np
 from pyspark.sql import functions as F
 
+from river_spark.streaming.ops import stop_quiet
 from river_spark.queries.relational import q
 from river_spark.queries.river_ops import (
     _CACHE,
@@ -160,8 +161,7 @@ def _outer_join_table(spark, sf_dir: str, how: str) -> str:
                 )
             _time.sleep(0.25)
     finally:
-        qy.stop()
-        qy.awaitTermination()
+        stop_quiet(qy)
     _CACHE[key] = table
     return table
 

@@ -25,6 +25,7 @@ import time as _time
 import numpy as np
 from pyspark.sql import functions as F
 
+from river_spark.streaming.ops import stop_quiet
 from river_spark.queries.relational import q
 from river_spark.queries.river_ops import (
     _CACHE,
@@ -70,7 +71,15 @@ def _session_table(spark, sf_dir: str) -> tuple[str, int]:
     w.write(np.concatenate([arr, sent]))
     w.stop()
 
-    ets = F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    # Exact integer ns->us: long/int in Spark evaluates as DOUBLE, and at
+    # 2024 epoch-ns magnitude the mantissa can't hold the value —
+    # truncation lands 1us off for ns values that aren't 512ns
+    # multiples, which is exactly the second-aligned session-boundary
+    # tie this query's gap splits on. `ts div 1000` is integer division;
+    # timestamp_micros yields LTZ because the streaming watermark
+    # rejects TIMESTAMP_NTZ (session tz is pinned UTC, so the
+    # date_format output below matches the NTZ oracle byte-for-byte).
+    ets = F.timestamp_micros(F.expr("ts div 1000"))
     sessions = (
         spark.readStream.format("river")
         .option("path", store)
@@ -91,7 +100,7 @@ def _session_table(spark, sf_dir: str) -> tuple[str, int]:
 
     # expected closed sessions, from the BATCH session_window on the
     # same staged rows (sentinels excluded)
-    ets_batch = F.timestamp_micros((F.col("ts").cast("long") / F.lit(1000)).cast("long"))
+    ets_batch = F.timestamp_micros(F.expr("ts div 1000"))
     batch = spark.createDataFrame(
         [(int(r["user_id"]), int(r["ts"]), float(r["value"])) for r in arr],
         "user_id long, ts long, value double",
@@ -126,8 +135,7 @@ def _session_table(spark, sf_dir: str) -> tuple[str, int]:
                 )
             _time.sleep(0.25)
     finally:
-        qy.stop()
-        qy.awaitTermination()
+        stop_quiet(qy)
     _CACHE[key] = (table, want)
     return _CACHE[key]
 

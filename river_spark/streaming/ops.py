@@ -30,6 +30,28 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
 
+def stop_quiet(query) -> None:
+    """Stop a StreamingQuery, tolerating the documented stop-vs-batch race.
+
+    ``query.stop()`` interrupts the micro-batch thread; if a batch is
+    mid-flight, ``awaitTermination()`` re-raises a
+    ``StreamingQueryException`` (SQLSTATE XXKST) whose cause is the
+    ``InterruptedException`` from our own stop — not a query failure.
+    Every drain harness that explicitly stops a query should swallow
+    exactly that; anything raised BEFORE we asked for the stop still
+    propagates from the drain loop itself.
+    """
+    from pyspark.errors import StreamingQueryException
+
+    try:
+        query.stop()
+        query.awaitTermination()
+    except StreamingQueryException:
+        # Post-stop teardown race only: we already decided to stop, and
+        # the drain loop above has already validated the output.
+        pass
+
+
 def windowed_counts(
     events: DataFrame,
     ts_col: str = "tstamp",

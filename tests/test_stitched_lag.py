@@ -122,3 +122,39 @@ def test_parallelism_is_key_x_bucket(spark):
 
     fine = re.search(r"hashpartitioning\(k#\d+[^)]*_sl_bucket", plan)
     assert fine, "fine window lost the bucket in its partitioning"
+
+
+def test_null_values_stitch_on_position_not_nullness(spark):
+    """A legitimately-NULL lagged value must stay NULL (round-10 advice:
+    the old coalesce-based stitch let a non-first row whose previous
+    value was NULL pick up the previous bucket's carry), and a NULL last
+    value must itself carry across the bucket boundary."""
+    t = dt.datetime(2024, 1, 1)
+
+    def at(day, sec):
+        return t + dt.timedelta(days=day, seconds=sec)
+
+    rows = [
+        # day 0: v = 1.0 then NULL (NULL is the bucket's LAST value)
+        ("a", 1, at(0, 10), 1.0),
+        ("a", 2, at(0, 20), None),
+        # day 1: first row's carry must be the NULL from rid 2,
+        # second row's in-bucket lag is 3.0 (non-null, unaffected)
+        ("a", 3, at(1, 5), 3.0),
+        ("a", 4, at(1, 6), 4.0),
+        # day 2: mid-bucket NULL — rid 6's lag is NULL and must STAY
+        # NULL, not coalesce to day 1's carry
+        ("a", 5, at(2, 1), None),
+        ("a", 6, at(2, 2), 6.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, rid long, ts timestamp_ntz, v double")
+    got = stitched_lag(
+        df, ["k"], ["ts", "rid"], "v", F.date_trunc("day", F.col("ts"))
+    )
+    w = Window.partitionBy("k").orderBy("ts", "rid")
+    exp = df.withColumn("prev_value", F.lag("v").over(w))
+    cols = ["k", "rid", "ts", "v", "prev_value"]
+    assert sorted(got.select(*cols).collect()) == sorted(exp.select(*cols).collect())
+    by_rid = {r["rid"]: r["prev_value"] for r in got.collect()}
+    assert by_rid[3] is None, "NULL last value must carry across the boundary"
+    assert by_rid[6] is None, "mid-bucket NULL lag must not pick up the carry"
