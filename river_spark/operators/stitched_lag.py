@@ -96,3 +96,71 @@ def stitched_lag(
         .drop("_sl_bucket", "_sl_in_bucket", "_sl_carry", "_sl_rn")
     )
     return out
+
+
+def stitched_prefix_sum(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    bucket: Column,
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """``df`` plus ``out_col`` = sum(value_col) over (PARTITION BY
+    key_cols ORDER BY order_cols ROWS UNBOUNDED PRECEDING), computed
+    with keys x buckets parallelism — the prefix-sum sibling of
+    :func:`stitched_lag` for coarse keys (CUSUM, running balances).
+
+    Shape: (1) cumsum WITHIN each (key, bucket); (2) per-bucket totals
+    (one map-side-combinable agg); (3) EXCLUSIVE running sum of the
+    totals per key — a window over the tiny keys x buckets rollup;
+    (4) join back and add the carry.
+
+    NULL semantics match the plain window: sum ignores NULL values, and
+    a row is NULL iff no non-null value precedes it in its key
+    (coalesce over in-bucket+carry / in-bucket / carry).
+
+    Exactness: integer-typed values regroup exactly. For doubles the
+    stitched grouping can differ from the running order in the last
+    bits — same class of reassociation the engines' own
+    segment-tree-vs-running window implementations already exhibit;
+    callers that need cross-engine stability round the OUTPUT (the
+    ev_cusum_changepoint round-4 idiom), not the operator.
+
+    ``bucket`` must be monotone non-decreasing in ``order_cols`` within
+    each key, exactly as in :func:`stitched_lag`.
+    """
+    keys = list(key_cols)
+    order = list(order_cols)
+    base = df.withColumn("_sp_bucket", bucket)
+
+    fine = Window.partitionBy(*keys, "_sp_bucket").orderBy(*order)
+    b = base.withColumn("_sp_in_bucket", F.sum(value_col).over(fine))
+
+    totals = base.groupBy(*keys, "_sp_bucket").agg(
+        F.sum(value_col).alias("_sp_total")
+    )
+    coarse = (
+        Window.partitionBy(*keys)
+        .orderBy("_sp_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = totals.select(
+        *keys,
+        "_sp_bucket",
+        F.sum("_sp_total").over(coarse).alias("_sp_carry"),
+    )
+
+    out = (
+        b.join(carry, keys + ["_sp_bucket"], "left")
+        .withColumn(
+            out_col,
+            F.coalesce(
+                F.col("_sp_in_bucket") + F.col("_sp_carry"),
+                F.col("_sp_in_bucket"),
+                F.col("_sp_carry"),
+            ),
+        )
+        .drop("_sp_bucket", "_sp_in_bucket", "_sp_carry")
+    )
+    return out

@@ -372,37 +372,24 @@ def ev_mad_outliers(spark, sf_dir):
     values are bit-identical across engines by construction; the 3*MAD
     comparison then runs on identical doubles.
 
-    100 TB posture: two sort-within-group exchanges partitioned by
-    event_type (groups are parallel; AQE splits a skewed type), each
-    followed by a broadcast of the tiny per-type cut table back onto
-    the event stream. An exact-median gate like this pins semantics;
-    a production monitor at 10^12 rows would swap percentile_approx
-    into the same plan shape."""
+    100 TB posture (round 11): the old plan full-sorted each event_type
+    — a ~5-value key — in ONE task per rank window. Both medians now
+    run through operators/selection.grouped_lower_median: distributed
+    EXACT selection (per-(type, value-bucket) counts + a cumulative
+    count over the tiny rollup locates the straddling bucket; only that
+    bucket's ~n/1024 rows are rank-windowed). Still a pure order
+    statistic — bit-identical to the row_number-picked median, so the
+    oracle holds at every scale, unlike a percentile_approx swap. The
+    per-type cut tables are one-row-per-type fixed-cardinality
+    broadcasts."""
+    from river_spark.operators.selection import grouped_lower_median
+
     ev = tbl(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wt = Window.partitionBy("event_type")
-    ranked = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(wv).alias("rn"),
-        F.count("*").over(wt).alias("n"),
-    )
-    med = ranked.filter(
-        F.col("rn") == ((F.col("n") + 1) / 2).cast("long")
-    ).select("event_type", F.col("value").alias("med"))
+    med = grouped_lower_median(ev, ["event_type"], "value", out_col="med")
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
-    wd = Window.partitionBy("event_type").orderBy("adev", "event_id")
-    dranked = dev.select(
-        "event_type",
-        "adev",
-        F.row_number().over(wd).alias("rn"),
-        F.count("*").over(wt).alias("n"),
-    )
-    mad = dranked.filter(
-        F.col("rn") == ((F.col("n") + 1) / 2).cast("long")
-    ).select("event_type", F.col("adev").alias("mad"))
+    mad = grouped_lower_median(dev, ["event_type"], "adev", out_col="mad")
     return (
         dev.join(F.broadcast(mad), "event_type")
         .filter(F.col("adev") > 3 * F.col("mad"))

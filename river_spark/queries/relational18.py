@@ -339,19 +339,31 @@ def ev_gap_histogram(spark, sf_dir):
     (epoch_us subtraction, the cookbook's tie-free grain), buckets are
     integer floor-division: exact in both engines.
 
-    100 TB posture: the lag window partitions by event_type; at real
-    cardinality this key is low-fanout, so the production variant would
-    sub-shard by (event_type, day) — here the per-type ordering is the
-    oracle-checkable core."""
+    100 TB posture: event_type is a ~5-value key, so a plain per-type
+    lag window would put each type's entire history in ONE task; the
+    lag runs through operators/stitched_lag.py with a daily bucket
+    (types x days parallelism, property-tested row-identical to the
+    plain window, so the plain-SQL oracle holds)."""
+    from river_spark.operators.stitched_lag import stitched_lag
+
     ev = events_tbl(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     # ts may be TIMESTAMP_NTZ (unix_micros rejects it); the cast to
     # timestamp pins the epoch interpretation either way
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    g = ev.select(
-        "event_type",
-        (us - F.lag(us).over(w)).alias("gap_us"),
-    ).filter(F.col("gap_us").isNotNull())
+    g = (
+        stitched_lag(
+            ev.select("event_type", "ts", "event_id", us.alias("us")),
+            key_cols=["event_type"],
+            order_cols=["ts", "event_id"],
+            value_col="us",
+            bucket=F.date_trunc("day", F.col("ts")),
+            out_col="prev_us",
+        )
+        .select(
+            "event_type", (F.col("us") - F.col("prev_us")).alias("gap_us")
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
     # integer division (div), not floor(double-div): the quotient must be
     # exact at every magnitude, like the oracle's //
     bucket = F.least(

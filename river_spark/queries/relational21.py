@@ -197,14 +197,26 @@ def ev_gap_percentiles(spark, sf_dir):
     (DuckDB) returns an actual stored value, so there is no
     interpolation to drift (the repo's pinned quantile idiom).
 
-    100 TB posture: the lag window partitions by event_type; the
-    percentile agg is one pass over integer gaps."""
+    100 TB posture: event_type is a ~5-value key, so the gap lag runs
+    bucket-stitched (operators/stitched_lag.py, types x days
+    parallelism, row-identical to the plain window); the percentile agg
+    is one pass over integer gaps."""
+    from river_spark.operators.stitched_lag import stitched_lag
+
     ev = events_tbl(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    g = ev.select(
-        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
-    ).filter(F.col("gap_us").isNotNull())
+    g = (
+        stitched_lag(
+            ev.select("event_type", "ts", "event_id", us.alias("us")),
+            key_cols=["event_type"],
+            order_cols=["ts", "event_id"],
+            value_col="us",
+            bucket=F.date_trunc("day", F.col("ts")),
+            out_col="prev_us",
+        )
+        .select("event_type", (F.col("us") - F.col("prev_us")).alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+    )
     def pd_(p):
         return F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY gap_us)").cast(
             "bigint"

@@ -354,40 +354,57 @@ def ev_cusum_changepoint(spark, sf_dir):
     vs segment-tree) cannot flip the winner; ties break on (ts,
     event_id).
 
-    100 TB posture: state is one running double per event type; the
-    window partitions by type so a thousand series process in parallel
-    (in production you'd partition by (series, day) and stitch — the
-    ev_interval_merge pattern). No self-join, no collect; the output is
-    one row per series."""
+    100 TB posture: event_type is a ~5-value key, so BOTH per-type
+    passes run coarse-key-safe: the cumsum goes through
+    operators/stitched_lag.stitched_prefix_sum (types x days
+    parallelism — per-bucket cumsum + lagged running carry, the round-4
+    output rounding absorbing the regrouped-addition last bits exactly
+    as it absorbs the engines' own running-vs-segment-tree orders), and
+    the argmax is a map-side-combinable max_by aggregation rather than
+    a full-history rank window. The per-type mean broadcast is a
+    fixed-cardinality build (one row per event type). No self-join, no
+    collect; the output is one row per series."""
+    from river_spark.operators.stitched_lag import stitched_prefix_sum
+
     ev = events_tbl(spark, sf_dir)
     mu = ev.groupBy("event_type").agg(F.round(F.avg("value"), 6).alias("mean_r"))
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    cusum = ev.join(F.broadcast(mu), "event_type").select(
+    dev = ev.join(F.broadcast(mu), "event_type").select(
         "event_type",
         "ts",
         "event_id",
-        F.round(F.sum(F.col("value") - F.col("mean_r")).over(w), 4).alias("s"),
+        (F.col("value") - F.col("mean_r")).alias("dev"),
     )
-    ranked = cusum.select(
-        "event_type",
-        "ts",
-        "event_id",
-        "s",
-        F.abs("s").alias("mag"),
-        F.row_number()
-        .over(
-            Window.partitionBy("event_type").orderBy(
-                F.abs("s").desc(), "ts", "event_id"
-            )
+    cusum = stitched_prefix_sum(
+        dev,
+        key_cols=["event_type"],
+        order_cols=["ts", "event_id"],
+        value_col="dev",
+        bucket=F.date_trunc("day", F.col("ts")),
+        out_col="s_raw",
+    ).select("event_type", "ts", "event_id", F.round("s_raw", 4).alias("s"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # argmax |s| with (ts, event_id) ASC tie-break as ONE aggregation:
+    # max_by over the ordering tuple (mag, -ts, -event_id)
+    win = (
+        cusum.withColumn("mag", F.abs("s"))
+        .groupBy("event_type")
+        .agg(
+            F.max_by(
+                F.struct("ts", "event_id", "s", "mag"),
+                F.struct(
+                    F.col("mag"),
+                    (-us).alias("nts"),
+                    (-F.col("event_id")).alias("nid"),
+                ),
+            ).alias("w")
         )
-        .alias("rn"),
     )
-    return ranked.filter(F.col("rn") == 1).select(
+    return win.select(
         "event_type",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("change_ts"),
-        F.col("event_id").alias("change_event_id"),
-        F.col("s").alias("cusum_value"),
-        F.col("mag").alias("magnitude"),
+        F.date_format("w.ts", "yyyy-MM-dd HH:mm:ss").alias("change_ts"),
+        F.col("w.event_id").alias("change_event_id"),
+        F.col("w.s").alias("cusum_value"),
+        F.col("w.mag").alias("magnitude"),
     )
 
 

@@ -158,3 +158,65 @@ def test_null_values_stitch_on_position_not_nullness(spark):
     by_rid = {r["rid"]: r["prev_value"] for r in got.collect()}
     assert by_rid[3] is None, "NULL last value must carry across the boundary"
     assert by_rid[6] is None, "mid-bucket NULL lag must not pick up the carry"
+
+
+def test_prefix_sum_equivalence(spark):
+    """stitched_prefix_sum must match the plain running-sum window.
+    Values are integer-valued doubles (exactly representable), so the
+    regrouped addition is bit-exact and plain == stitched row-for-row;
+    the NULL rules (leading NULLs stay NULL, later NULLs are skipped)
+    are pinned by hand rows."""
+    from river_spark.operators.stitched_lag import stitched_prefix_sum
+
+    t = dt.datetime(2024, 1, 1)
+
+    def at(day, sec):
+        return t + dt.timedelta(days=day, seconds=sec)
+
+    rows = [
+        # key a: leading NULL (stays NULL), empty day 1, carry across day 2
+        ("a", 1, at(0, 1), None),
+        ("a", 2, at(0, 2), 5.0),
+        ("a", 3, at(2, 1), 7.0),
+        ("a", 4, at(2, 2), None),   # sum so far (12.0) persists through NULL
+        ("a", 5, at(3, 1), 1.0),
+        # key b: single NULL-only key -> all NULL
+        ("b", 6, at(0, 1), None),
+    ]
+    df = spark.createDataFrame(rows, "k string, rid long, ts timestamp_ntz, v double")
+    got = stitched_prefix_sum(
+        df, ["k"], ["ts", "rid"], "v", F.date_trunc("day", F.col("ts")),
+        out_col="rs",
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts", "rid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    exp = df.withColumn("rs", F.sum("v").over(w))
+    cols = ["k", "rid", "ts", "v", "rs"]
+    assert sorted(got.select(*cols).collect()) == sorted(exp.select(*cols).collect())
+
+    # randomized: integer-valued doubles, many keys/buckets
+    import random
+
+    rng = random.Random(829)
+    rows = []
+    rid = 0
+    for k in "abcde":
+        for _ in range(rng.randint(1, 80)):
+            rid += 1
+            rows.append(
+                (
+                    k,
+                    rid,
+                    t + dt.timedelta(days=rng.randint(0, 9), seconds=rng.randint(0, 86399)),
+                    float(rng.randint(-50, 50)),
+                )
+            )
+    df = spark.createDataFrame(rows, "k string, rid long, ts timestamp_ntz, v double")
+    got = stitched_prefix_sum(
+        df, ["k"], ["ts", "rid"], "v", F.date_trunc("day", F.col("ts")), out_col="rs"
+    )
+    exp = df.withColumn("rs", F.sum("v").over(w))
+    assert sorted(got.select(*cols).collect()) == sorted(exp.select(*cols).collect())
