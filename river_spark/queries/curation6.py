@@ -144,12 +144,24 @@ def decontam_bloom_prefilter(spark, sf_dir):
         .select(pos.alias("pos"))
         .distinct()
     )
-    bitmap = bpos.groupBy(
+    occupied = bpos.groupBy(
         F.expr(f"pos div {_BLOOM_WORD}").alias("word_idx")
     ).agg(
         F.bit_or(
             F.expr(f"shiftleft(cast(1 as bigint), cast(pos % {_BLOOM_WORD} as int))")
         ).alias("wrd")
+    )
+    # DENSE bitmap: emit every word slot (empty -> 0) so the broadcast
+    # build is EXACTLY _BLOOM_M/_BLOOM_WORD + 1 rows at every SF — a
+    # fixed-size filter by construction, which is the whole point of the
+    # Bloom shape; a sparse (occupied-only) build grows toward
+    # saturation with the benchmark and trips the growth gate for no
+    # structural reason.
+    all_words = spark.range(_BLOOM_M // _BLOOM_WORD + 1).select(
+        F.col("id").alias("word_idx")
+    )
+    bitmap = all_words.join(occupied, "word_idx", "left").select(
+        "word_idx", F.coalesce("wrd", F.lit(0).cast("long")).alias("wrd")
     )
 
     cg = grams(corpus)
@@ -179,8 +191,12 @@ def decontam_bloom_prefilter(spark, sf_dir):
     gpass = hits.groupBy("doc_id", "g").agg(
         F.when(F.sum("hit") == _BLOOM_K, 1).otherwise(0).alias("pass")
     )
+    # no hint on the exact-verify gram set: bg is benchmark-proportional,
+    # and this query's premise is a benchmark too big to broadcast raw —
+    # AQE broadcasts it while small, shuffle-joins the Bloom-surviving
+    # sliver against it once it is not (round-11 gate measurement)
     exact = gpass.join(
-        F.broadcast(bg.withColumn("in_bench", F.lit(1))), "g", "left"
+        bg.withColumn("in_bench", F.lit(1)), "g", "left"
     ).select(
         "doc_id",
         "pass",

@@ -54,6 +54,7 @@ import river_spark.queries.relational27 as _relational27  # noqa: F401
 import river_spark.queries.relational28 as _relational28  # noqa: F401
 import river_spark.queries.curation11 as _curation11  # noqa: F401
 import river_spark.queries.river_ops3 as _river_ops3  # noqa: F401
+import river_spark.queries.relational29 as _relational29  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 
@@ -442,7 +443,9 @@ _WINDOW = [
     "ev_gap_histogram",           # ported to stitched_lag (r11)
     "ev_gap_percentiles",         # ported to stitched_lag (r11)
     "ev_cusum_changepoint",       # ported to stitched prefix-sum (r11)
-    "ev_mad_outliers",            # percentile_approx two-pass port (r11)
+    "ev_mad_outliers",            # exact distributed-selection port (r11)
+    "ev_power_user_share",        # ported to stitched prefix sum (r11)
+    "decontam_bloom_prefilter",   # dense fixed bitmap + bg hint drop (r11)
     # --- stalest cohorts (last driver row r1, then r3, then r4 head):
     "text_quality_score",
     "text_lang_id",
@@ -464,8 +467,6 @@ _WINDOW = [
     "river_catalog_scan",
     "river_cli_roundtrip",
     "q2_min_unit_price_supplier",
-    "q11_supplier_balance_share",
-    "q22_idle_customers",
 ]
 
 # Tail keeps the round-10 staleness order so future rotations stay

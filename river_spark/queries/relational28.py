@@ -248,31 +248,54 @@ def ev_power_user_share(spark, sf_dir):
     inequality 5*cum >= 4*tot, so no double enters until the final
     single division.
 
-    100 TB posture: (type, user) hash agg, then windows over the
-    per-user rollup (users-per-type grain, not events)."""
+    100 TB posture (round 11): (type, user) hash agg, then the
+    cumulative sum runs through stitched_prefix_sum over the per-user
+    rollup — even the rollup is users-per-type grain, which at real
+    scale is hundreds of millions of rows landing in ONE task under a
+    plain per-type window. The bucket is struct(-cnt, user_id div 4096)
+    — lexicographically monotone in the (cnt DESC, user_id) order, and
+    the user-range leg splits the giant cnt=1 tie mass across tasks.
+    The rank never materializes: cum is strictly increasing (cnt >= 1),
+    so the crossing rank = 1 + count(rows with 5*cum < 4*tot), a plain
+    aggregation."""
+    from river_spark.operators.stitched_lag import stitched_prefix_sum
+
     ev = events_tbl(spark, sf_dir)
-    uc = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("cnt"))
+    uc = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("neg_cnt", -F.col("cnt"))
+    )
     t = uc.groupBy("event_type").agg(
         F.sum("cnt").alias("tot"), F.count("*").alias("n_users")
     )
-    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), "user_id")
-    r = uc.select(
-        "event_type",
-        "cnt",
-        F.sum("cnt").over(w).alias("cum"),
-        F.row_number().over(w).alias("rk"),
+    r = stitched_prefix_sum(
+        uc,
+        key_cols=["event_type"],
+        order_cols=["neg_cnt", "user_id"],
+        value_col="cnt",
+        bucket=F.struct(
+            F.col("neg_cnt"), F.expr("user_id div 4096").alias("ub")
+        ),
+        out_col="cum",
+    )
+    below = (
+        r.join(t.select("event_type", "tot"), "event_type")
+        .filter(5 * F.col("cum") < 4 * F.col("tot"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_below"))
     )
     return (
-        r.join(t, "event_type")
-        .filter(5 * F.col("cum") >= 4 * F.col("tot"))
-        .groupBy("event_type", "n_users")
-        .agg(F.min("rk").alias("users_for_80pct"))
+        t.join(below, "event_type", "left")
         .select(
             "event_type",
             F.col("n_users").cast("long").alias("n_users"),
-            F.col("users_for_80pct").cast("long").alias("users_for_80pct"),
+            (F.coalesce(F.col("n_below"), F.lit(0)) + 1)
+            .cast("long")
+            .alias("users_for_80pct"),
             (
-                F.col("users_for_80pct").cast("double") / F.col("n_users")
+                (F.coalesce(F.col("n_below"), F.lit(0)) + 1).cast("double")
+                / F.col("n_users")
             ).alias("share_of_users"),
         )
     )

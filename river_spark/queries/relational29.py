@@ -1,0 +1,334 @@
+"""Relational wave 29 (round 11): dyadic-exact EWMA smoothing,
+temperature-scaled training-mix weights, deterministic blocklist
+filtering, and PQ asymmetric-distance (ADC) top-k search.
+
+Bit-exactness rules (tests/test_oracle.py): money goes integer-first
+(cents = CAST(round(v*100) AS BIGINT)); the EWMA's dyadic alpha=1/2
+weights are exact shifted-integer accumulators (the ev_ltv_halflife
+precedent — weight 2^(15-age) over a 16-day frame keeps every product
+far under 2^63), with ONE final division; PQ distances accumulate in
+integer micro-units (round(d2*1e6) per table cell, summed exactly)
+before the single unscaling division; sqrt is IEEE-correctly-rounded so
+temperature weights only need round-6 where a cross-source SUM of
+doubles enters.
+
+Reference parity: none — training-pipeline analytics over the
+reference's ingested-parquet data model.
+
+100 TB posture notes live on each query docstring; the common theme is
+that every join here is either equi-keyed on a generated (key, day)
+grid, a fixed-K codebook broadcast, or inline hash math with no join at
+all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from river_spark.queries.relational import q
+from river_spark.queries.tables import events_tbl, tbl
+
+_EWMA_DAYS = 16  # dyadic frame: weight 2^(15-age), age in [0, 15]
+
+
+@q(
+    "ev_ewma_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY 1, 2),
+    pairs AS (
+        SELECT d.event_type, d.day,
+               p.cents * (1::BIGINT << (15 - date_diff('day', p.day, d.day)))
+                 AS wcents,
+               (1::BIGINT << (15 - date_diff('day', p.day, d.day))) AS w
+        FROM daily d JOIN daily p
+          ON d.event_type = p.event_type
+         AND date_diff('day', p.day, d.day) BETWEEN 0 AND {_EWMA_DAYS - 1})
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(sum(wcents) AS DOUBLE) / CAST(sum(w) * 100 AS DOUBLE) AS ewma
+    FROM pairs GROUP BY event_type, day
+    """,
+    tags=("events", "smoothing", "window"),
+)
+def ev_ewma_daily(spark, sf_dir):
+    """Exponentially-weighted (alpha = 1/2 per day) moving average of
+    daily value per event type over a 16-day frame — the smoothed rate
+    line under every ops dashboard. Dyadic decay is EXACT: per-day
+    cents are BIGINTs, each weighted term is cents << (15 - age), both
+    accumulators sum as integers, and the only division is the final
+    unscale (cookbook dyadic-decay rule; 16-day frame keeps the shifted
+    products under 2^63 with ~5 orders of magnitude to spare).
+
+    100 TB posture: the fact table collapses to a (type, day) rollup in
+    one map-side-combinable agg; the frame is then an EQUI-join — each
+    rollup row explodes to its 16 target days and joins on
+    (type, target_day) — so the plan shuffles the tiny rollup on its
+    natural key instead of range-joining or window-sorting anything.
+    No broadcast hints; no per-type serialization."""
+    ev = events_tbl(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("cents")
+    )
+    # each past day contributes to ages 0..15 ahead of itself
+    contrib = daily.select(
+        "event_type",
+        F.col("day").alias("src_day"),
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_EWMA_DAYS - 1))).alias("age"),
+    ).select(
+        "event_type",
+        F.expr("date_add(src_day, age)").alias("day"),
+        F.expr("cents * shiftleft(1L, 15 - age)").alias("wcents"),
+        F.expr("shiftleft(1L, 15 - age)").alias("w"),
+    )
+    # keep only target days that exist (join against the rollup's keys)
+    return (
+        contrib.join(daily.select("event_type", "day"), ["event_type", "day"])
+        .groupBy("event_type", "day")
+        .agg(F.sum("wcents").alias("swc"), F.sum("w").alias("sw"))
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (
+                F.col("swc").cast("double") / (F.col("sw") * 100).cast("double")
+            ).alias("ewma"),
+        )
+    )
+
+
+@q(
+    "pipeline_temperature_mix",
+    oracle="""
+    WITH toks AS (
+        SELECT source,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                 AS n
+        FROM documents),
+    s AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens
+          FROM toks GROUP BY source),
+    t AS (SELECT sum(n_tokens) AS total, sum(sqrt(CAST(n_tokens AS DOUBLE)))
+                   AS z
+          FROM s)
+    SELECT source, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / t.total, 6) AS p_raw,
+           round(sqrt(CAST(n_tokens AS DOUBLE)) / t.z, 6) AS p_temp,
+           round((sqrt(CAST(n_tokens AS DOUBLE)) / t.z)
+                 / (CAST(n_tokens AS DOUBLE) / t.total), 6) AS boost
+    FROM s CROSS JOIN t
+    """,
+    tags=("pipeline", "mixing", "curation"),
+)
+def pipeline_temperature_mix(spark, sf_dir):
+    """Temperature-scaled source sampling (the multilingual-LLM mixing
+    rule p_s ∝ p_raw^alpha): with alpha = 1/2 the reweighting is
+    sqrt(n_s) — IEEE sqrt is correctly rounded, so only the cross-source
+    normalizer (a sum of a handful of doubles) needs the round-6 guard.
+    ``boost`` is the up/down-sampling factor each source gets vs its
+    natural share — the number a sampler actually consumes.
+
+    100 TB posture: one map-side-combinable token-count agg to a
+    sources-sized rollup; everything after runs on O(sources) rows. The
+    1-row total joins as a fixed-cardinality cross join (Catalyst
+    broadcasts scalar subqueries on its own)."""
+    toks = tbl(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n"),
+    )
+    s = toks.groupBy("source").agg(F.sum("n").alias("n_tokens"))
+    t = s.agg(
+        F.sum("n_tokens").alias("total"),
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("z"),
+    )
+    p_raw = F.col("n_tokens").cast("double") / F.col("total")
+    p_temp = F.sqrt(F.col("n_tokens").cast("double")) / F.col("z")
+    return s.crossJoin(t).select(
+        "source",
+        "n_tokens",
+        F.round(p_raw, 6).alias("p_raw"),
+        F.round(p_temp, 6).alias("p_temp"),
+        F.round(p_temp / p_raw, 6).alias("boost"),
+    )
+
+
+_BLOCK_BUCKETS = 65536
+_BLOCK_FRAC = 6553  # ~10% of token space
+_BLOCK_RATE = 0.12
+
+
+@q(
+    "pipeline_blocklist_filter",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+        FROM documents),
+    hits AS (
+        SELECT doc_id, source, count(*) AS n_tokens,
+               sum(CASE WHEN CAST(('0x' || substr(md5(t), 1, 4)) AS INT)
+                        % {_BLOCK_BUCKETS} < {_BLOCK_FRAC}
+                        THEN 1 ELSE 0 END) AS n_hits
+        FROM tok GROUP BY 1, 2)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_hits > {_BLOCK_RATE} * n_tokens
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+           CAST(sum(n_hits) AS BIGINT) AS total_hits,
+           round(CAST(sum(CASE WHEN n_hits > {_BLOCK_RATE} * n_tokens
+                              THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS block_rate
+    FROM hits GROUP BY source
+    """,
+    tags=("pipeline", "text", "curation"),
+)
+def pipeline_blocklist_filter(spark, sf_dir):
+    """Blocklist-rate filtering (the safety/boilerplate gate every text
+    pipeline runs): a document is blocked when more than 12% of its
+    token occurrences hit the lexicon. The lexicon is a deterministic
+    md5-bucket rule over the token (cookbook md5 trick) so both engines
+    derive identical membership; in production the rule slot is a real
+    term set.
+
+    100 TB posture: membership is INLINE hash math — no lexicon join,
+    no broadcast (a naive implementation broadcasts a corpus-derived
+    vocab slice, the exact hazard the growth gate exists for). One
+    explode + per-doc agg + per-source agg, all map-side combinable."""
+    tok = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("t"),
+    )
+    is_hit = (
+        F.expr(
+            f"pmod(cast(conv(substring(md5(t), 1, 4), 16, 10) as int), "
+            f"{_BLOCK_BUCKETS})"
+        )
+        < _BLOCK_FRAC
+    )
+    hits = tok.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(is_hit, 1).otherwise(0)).alias("n_hits"),
+    )
+    blocked = F.when(
+        F.col("n_hits") > _BLOCK_RATE * F.col("n_tokens"), 1
+    ).otherwise(0)
+    return hits.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(blocked).cast("long").alias("n_blocked"),
+        F.sum("n_hits").cast("long").alias("total_hits"),
+        F.round(
+            F.sum(blocked).cast("double") / F.count("*"), 6
+        ).alias("block_rate"),
+    )
+
+
+_PQ_M, _PQ_S, _PQ_K = 4, 16, 4  # subspaces, dims each, codebook size
+_PQ_QUERY_ID = 0  # deterministic query vector
+_PQ_TOPK = 10
+
+
+@q(
+    "emb_pq_adc_search",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS k, embedding::DOUBLE[] AS v
+          FROM embeddings WHERE vec_id < {_PQ_K}),
+    qv AS (SELECT v FROM e WHERE vec_id = {_PQ_QUERY_ID}),
+    m AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m),
+    -- corpus PQ codes: nearest codebook entry per subspace
+    d AS (
+        SELECT e.vec_id, m.m, c.k,
+               round(list_sum(list_transform(
+                   list_zip(e.v[m.m*{_PQ_S}+1:m.m*{_PQ_S}+{_PQ_S}],
+                            c.v[m.m*{_PQ_S}+1:m.m*{_PQ_S}+{_PQ_S}]),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist2
+        FROM e CROSS JOIN m CROSS JOIN c),
+    code AS (
+        SELECT vec_id, m, k AS code FROM (
+            SELECT vec_id, m, k,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dist2, k) AS rn
+            FROM d) WHERE rn = 1),
+    -- ADC lookup table: query subvector vs every codebook entry,
+    -- in exact integer micro-units
+    adc AS (
+        SELECT m.m, c.k,
+               CAST(round(list_sum(list_transform(
+                   list_zip(qv.v[m.m*{_PQ_S}+1:m.m*{_PQ_S}+{_PQ_S}],
+                            c.v[m.m*{_PQ_S}+1:m.m*{_PQ_S}+{_PQ_S}]),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) * 1e6)
+                 AS BIGINT) AS d2_um
+        FROM qv CROSS JOIN m CROSS JOIN c),
+    scored AS (
+        SELECT code.vec_id, sum(adc.d2_um) AS adc_um
+        FROM code JOIN adc ON code.m = adc.m AND code.code = adc.k
+        GROUP BY code.vec_id)
+    SELECT vec_id, CAST(adc_um AS DOUBLE) / 1e6 AS adc_dist2
+    FROM scored
+    WHERE vec_id != {_PQ_QUERY_ID}
+    ORDER BY adc_um, vec_id
+    LIMIT {_PQ_TOPK}
+    """,
+    tags=("vector", "pq", "ann"),
+)
+def emb_pq_adc_search(spark, sf_dir):
+    """PQ asymmetric-distance top-k (the FAISS search half that
+    emb_pq_codes encodes for): the query vector never quantizes — an
+    M x K lookup table of exact query-subvector-to-centroid distances
+    is built once, and each corpus vector's approximate distance is the
+    sum of M table lookups on its codes. Table cells land as integer
+    micro-units so the per-vector sum of 4 cells is exact; ranking and
+    the one unscaling division happen on exact BIGINTs (ties break on
+    vec_id).
+
+    100 TB posture: codes are 4 small ints per vector (the 64x
+    compression), the ADC table is M x K = 16 rows — a genuinely fixed
+    broadcast (codebook size, not corpus size); scoring is one
+    broadcast-hash join + hash agg, and the global top-10 is
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    subs = F.expr(
+        f"transform(sequence(0, {_PQ_M - 1}), m -> slice(v, m * {_PQ_S} + 1, {_PQ_S}))"
+    )
+    sub_e = emb.select("vec_id", F.posexplode(subs).alias("m", "sv"))
+    sub_c = emb.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("k"), F.posexplode(subs).alias("m", "cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # corpus codes: tie-deterministic argmin as min(struct(dist2, k))
+    code = (
+        sub_e.join(F.broadcast(sub_c), "m")
+        .select("vec_id", "m", "k", F.round(d2, 6).alias("dist2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist2", "k")).getField("k").alias("code"))
+    )
+    # ADC table: query subvectors vs codebook, exact micro-units
+    sub_q = emb.filter(F.col("vec_id") == _PQ_QUERY_ID).select(
+        F.posexplode(subs).alias("m", "sv")
+    )
+    adc = sub_q.join(F.broadcast(sub_c), "m").select(
+        "m", "k", F.expr(
+            "cast(round(aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), "
+            "0.0D, (acc, x) -> acc + x) * 1e6) as bigint)"
+        ).alias("d2_um"),
+    )
+    scored = (
+        code.join(F.broadcast(adc), (code.m == adc.m) & (code.code == adc.k))
+        .groupBy("vec_id")
+        .agg(F.sum("d2_um").alias("adc_um"))
+        .filter(F.col("vec_id") != _PQ_QUERY_ID)
+    )
+    return (
+        scored.orderBy("adc_um", "vec_id")
+        .limit(_PQ_TOPK)
+        .select("vec_id", (F.col("adc_um").cast("double") / 1e6).alias("adc_dist2"))
+    )

@@ -85,6 +85,13 @@ BOUNDARY_QUERIES = [
     # single-event users, the 60s-clocked bot — session_window's state
     # store must reproduce the islands oracle on all of them
     "river_stream_session_window",
+    # --- round-11 additions (same directive): dyadic EWMA division,
+    #     sqrt-based temperature weights, hit-rate ratios, and PQ
+    #     distance ties on the zero/identical/anti-parallel vectors
+    "ev_ewma_daily",
+    "pipeline_temperature_mix",
+    "pipeline_blocklist_filter",
+    "emb_pq_adc_search",
 ]
 
 _FIXTURE_TABLES = ("customer", "orders", "events", "documents", "embeddings")
