@@ -69,7 +69,11 @@ BUDGETS = {
     "agg_weighted_median": 2,       # histogram agg + histogram window
     "ev_candle_ohlc": 2,            # window + agg share (type, hour) keys
     "ab_welch_ttest": 2,            # per-arm partials + 2-row reduce
-    "ev_cusum_changepoint": 2,      # mean agg + per-type window (mu broadcast)
+    # +4 in round 11: the cumsum runs stitched (per-(type,day) cumsum
+    # + rollup totals + carry window + join back) — four more static
+    # exchanges buying types x days parallelism over the old one-task-
+    # per-type sort; the argmax became a map-side-combinable max_by
+    "ev_cusum_changepoint": 6,      # mean agg + stitched prefix sum + argmax
     "pipeline_rfm_segments": 2,     # orders agg + shared dimension windows
     # +1 in round 10: the d*w-row sketch probe side is capacity-bounded
     # but derived (no source stats), so without the dropped hint the
@@ -124,7 +128,10 @@ BUDGETS = {
     "agg_moments_cents": 1,         # one power-sum agg; moments are expressions
     "ev_updown_streaks": 1,         # user windows + both aggs share the key
     "pipeline_token_budget_pack": 1,  # per-source window feeds the agg
-    "ev_gap_percentiles": 1,        # per-type lag window + percentile agg share
+    # +3 in round 11: the gap lag runs bucket-stitched (fine window on
+    # (type, day) + rollup + carry + join back) instead of the one-task-
+    # per-type raw-event sort
+    "ev_gap_percentiles": 4,        # stitched lag + percentile agg
     "dedup_cluster_sizes": 2,       # digest agg + size-histogram agg
     "emb_adjacent_cosine_hist": 1,  # broadcast self-join + band agg
     "text_vocab_growth": 2,         # token first-seen agg + checkpoint agg
@@ -152,7 +159,10 @@ BUDGETS = {
     "ev_burstiness": 4,
     "ev_gap_entropy": 10,
     "ev_dod_delta": 2,              # (type, day) agg + daily-table window
-    "ev_power_user_share": 4,       # user agg + totals + cum window + final
+    # +6 in round 11: the cumulative share runs stitched over the
+    # per-user rollup with a struct(-cnt, user-range) bucket — the
+    # cnt=1 tie mass splits across tasks instead of one sort per type
+    "ev_power_user_share": 10,      # user agg + stitched cumsum + totals + final
     "pipeline_dedup_rate_by_source": 2,  # digest distinct two-phase
     "pipeline_bucket_balance": 2,   # bucket agg + scalar rollup
     "text_simpson_diversity": 2,    # token agg + source rollup
