@@ -325,6 +325,24 @@ def ngram_jaccard_pairs(
     count + pair + 2 joins. Measured 2.14 s -> 1.43 s at sf0.1 (same
     session, interleaved), with the variadic shingle hash (see
     ``shingles``) contributing ~0.3 s of that."""
+    pair = _shingle_pair_counts(df, id_col, text_col, n, df_cap)
+    jac = F.col("inter") * 1.0 / (F.col("ca") + F.col("cb") - F.col("inter"))
+    return (
+        pair.filter(jac >= threshold)
+        # RAW ratio, not round(,6): integer-ratio doubles are bit-identical
+        # across engines, while round() diverges on exact decimal midpoints
+        # (e.g. 115/128) — see tests/test_oracle.py docstring
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+def _shingle_pair_counts(
+    df: DataFrame, id_col: str, text_col: str, n: int, df_cap: int
+) -> DataFrame:
+    """(doc_a, doc_b, inter, ca, cb) for every doc pair sharing at least
+    one sub-cap shingle — the shared core of the exact Jaccard and
+    containment detectors (plan shape documented on
+    :func:`ngram_jaccard_pairs`, which this was factored from)."""
     from pyspark.sql import Window
 
     sh = shingles(df, id_col, text_col, n, hashed=True, distinct=False)
@@ -348,7 +366,7 @@ def ngram_jaccard_pairs(
             "if(x.doc_id < y.doc_id, y.c, x.c) as cb0))))"
         )
     ).alias("p")
-    pair = (
+    return (
         index.select(pair_expr)
         .groupBy("p.doc_a", "p.doc_b")
         .agg(
@@ -358,13 +376,44 @@ def ngram_jaccard_pairs(
             F.max("p.cb0").alias("cb"),
         )
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    df_cap: int = 100_000,
+) -> DataFrame:
+    """Asymmetric near-dup detection: containment C(S, L) =
+    |shingles(S) ∩ shingles(L)| / |shingles(S)| for the SMALLER doc of
+    each candidate pair — the sub-document-duplication metric (Broder's
+    containment): a snippet quoted inside a much larger page scores
+    C ≈ 1 while its Jaccard stays tiny, so a Jaccard-only pipeline ships
+    the duplicate. Same inverted-index candidate generation and df-cap
+    skew guard as :func:`ngram_jaccard_pairs` (one extra projection on
+    the shared pair stream); jaccard rides along for the contrast.
+
+    Ratios are RAW integer-ratio doubles (bit-identical cross-engine)."""
+    pair = _shingle_pair_counts(df, id_col, text_col, n, df_cap)
+    c_small = F.least("ca", "cb")
+    containment = F.col("inter") * 1.0 / c_small
     jac = F.col("inter") * 1.0 / (F.col("ca") + F.col("cb") - F.col("inter"))
-    return (
-        pair.filter(jac >= threshold)
-        # RAW ratio, not round(,6): integer-ratio doubles are bit-identical
-        # across engines, while round() diverges on exact decimal midpoints
-        # (e.g. 115/128) — see tests/test_oracle.py docstring
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    doc_small = F.when(F.col("ca") <= F.col("cb"), F.col("doc_a")).otherwise(
+        F.col("doc_b")
+    )
+    doc_big = F.when(F.col("ca") <= F.col("cb"), F.col("doc_b")).otherwise(
+        F.col("doc_a")
+    )
+    return pair.filter(containment >= threshold).select(
+        doc_small.alias("doc_small"),
+        doc_big.alias("doc_big"),
+        # size() is int32; the oracle's count(*) is BIGINT
+        c_small.cast("long").alias("n_shingles_small"),
+        F.col("inter").alias("n_shared"),
+        containment.alias("containment"),
+        jac.alias("jaccard"),
     )
 
 

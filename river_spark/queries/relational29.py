@@ -332,3 +332,45 @@ def emb_pq_adc_search(spark, sf_dir):
         .limit(_PQ_TOPK)
         .select("vec_id", (F.col("adc_um").cast("double") / 1e6).alias("adc_dist2"))
     )
+
+
+@q(
+    "dedup_shingle_containment",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)),
+    cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    pair AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT CASE WHEN ca.c <= cb.c THEN doc_a ELSE doc_b END AS doc_small,
+           CASE WHEN ca.c <= cb.c THEN doc_b ELSE doc_a END AS doc_big,
+           least(ca.c, cb.c) AS n_shingles_small,
+           inter AS n_shared,
+           inter * 1.0 / least(ca.c, cb.c) AS containment,
+           inter * 1.0 / (ca.c + cb.c - inter) AS jaccard
+    FROM pair
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE inter * 1.0 / least(ca.c, cb.c) >= 0.25
+    """,
+    tags=("dedup", "containment"),
+)
+def dedup_shingle_containment(spark, sf_dir):
+    """Sub-document duplication: Broder containment of the SMALLER doc's
+    3-shingle set inside each candidate pair (threshold 0.25) — the
+    asymmetric metric that catches a snippet quoted verbatim inside a
+    much larger page, where symmetric Jaccard stays below every dedup
+    threshold (jaccard rides along as the contrast column). Candidate
+    generation, df-cap skew guard, and exactness conditions are
+    operators/dedup.ngram_containment_pairs — the same inverted-index
+    core as dedup_ngram_jaccard, one extra projection."""
+    from river_spark.operators.dedup import ngram_containment_pairs
+
+    docs = tbl(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, "doc_id", "text", n=3, threshold=0.25)

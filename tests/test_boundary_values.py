@@ -92,6 +92,7 @@ BOUNDARY_QUERIES = [
     "pipeline_temperature_mix",
     "pipeline_blocklist_filter",
     "emb_pq_adc_search",
+    "dedup_shingle_containment",
 ]
 
 _FIXTURE_TABLES = ("customer", "orders", "events", "documents", "embeddings")
