@@ -4,11 +4,16 @@ FIXED/VARIABLE_WIDTH_BYTES lineage (cpp/src/schema.h:29-37, SURVEY §1.2).
 
 The Spark-side plumbing here is REAL and tested: schemas, partitioning,
 Arrow-batched mapInPandas UDF signatures, deterministic batch shapes.
-The actual codec calls are STUBBED (this container ships no image/audio
-libraries): ``decode_image`` raises NotImplementedError unless the
-deterministic fake decoder is selected, which produces a reproducible
-feature vector from the bytes themselves (byte histogram) so the
-pipeline around it is fully exercisable end-to-end.
+
+Codec status (round 11):
+- LIVE: BMP (24-bit BI_RGB) and PCM16 WAV decode/encode in pure
+  numpy + struct — no third-party library needed; both sit inside the
+  bit-level cross-engine gate (queries/mm_codecs.py).
+- ENV-GATED: compressed formats (JPEG/PNG/FLAC/...) need PIL/cv2/
+  soundfile, none of which ship in this container — those decoder
+  slots raise NotImplementedError, and ``decoder='fake'`` exercises the
+  identical mapInPandas plumbing with a reproducible byte-histogram
+  feature vector.
 """
 
 from __future__ import annotations
@@ -199,4 +204,280 @@ def window_signal(
         "win_no",
         (F.col("win_no").cast("long") * hop_bytes).alias("start_byte"),
         "window_payload",
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL codecs (round 11): BMP and PCM WAV decode with numpy + stdlib only.
+# These are genuine formats a multimodal pipeline meets; unlike the
+# 'pillow'/'cv2' slots (still env-gated — no image libs in this
+# container), nothing here needs a third-party codec library, so the
+# decode slots below are LIVE, not stubs.
+# ---------------------------------------------------------------------------
+
+import struct
+
+
+def decode_bmp(payload: bytes):
+    """Decode an uncompressed 24-bit BI_RGB BMP (the standard Windows
+    bitmap layout: 14-byte file header, 40-byte BITMAPINFOHEADER,
+    4-byte-padded bottom-up BGR rows; top-down negative-height files
+    are handled too). Returns (width, height, HxWx3 uint8 RGB array).
+    Raises ValueError on anything that is not such a BMP — callers
+    decide whether a bad payload fails the row or the job."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER not supported")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate BMP dimensions")
+    row_size = ((3 * width + 3) // 4) * 4
+    need = data_offset + row_size * height
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * height, offset=data_offset
+    ).reshape(height, row_size)
+    bgr = rows[:, : 3 * width].reshape(height, width, 3)
+    if bottom_up:
+        bgr = bgr[::-1]
+    return width, height, bgr[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def decode_wav(payload: bytes):
+    """Decode a 16-bit PCM RIFF/WAVE payload by walking its chunks.
+    Returns (sample_rate, n_channels, int16 array of interleaved
+    samples). Raises ValueError for non-PCM or malformed files."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        csize = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_format != 1 or bits != 16 or n_channels < 1:
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+    return sample_rate, n_channels, samples
+
+
+_BMP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_bmp_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """REAL image decode over mapInPandas: parse each payload as a
+    24-bit BMP and emit actual pixel statistics — per-channel means plus
+    a 13-bin luminance histogram (16 features total, matching the fake
+    decoder's width). Malformed payloads yield ok=false with zero
+    features instead of failing the batch — at 100 TB some payloads ARE
+    corrupt and one bad row must not kill the job."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(bin_col).alias("payload"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sizes, ws, hs, oks, feats = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = payload or b""
+                ids.append(doc_id)
+                sizes.append(len(raw))
+                try:
+                    w, h, rgb = decode_bmp(raw)
+                except ValueError:
+                    ws.append(0), hs.append(0), oks.append(False)
+                    feats.append([0.0] * _FEATURE_DIM)
+                    continue
+                # integer luminance (ITU-R 601 fixed-point) keeps the
+                # histogram deterministic
+                r = rgb[:, :, 0].astype(np.int64)
+                g = rgb[:, :, 1].astype(np.int64)
+                b = rgb[:, :, 2].astype(np.int64)
+                luma = (77 * r + 150 * g + 29 * b) >> 8  # 0..255
+                hist = np.bincount(
+                    np.minimum(luma.ravel() // 20, 12), minlength=13
+                ).astype(np.float64)
+                n_px = float(w * h)
+                f3 = [
+                    float(r.sum() / n_px / 255.0),
+                    float(g.sum() / n_px / 255.0),
+                    float(b.sum() / n_px / 255.0),
+                ]
+                ws.append(w), hs.append(h), oks.append(True)
+                feats.append(
+                    np.asarray(f3 + (hist / n_px).tolist(), dtype=np.float32).tolist()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_bytes": sizes,
+                    "width": ws,
+                    "height": hs,
+                    "ok": oks,
+                    "features": feats,
+                }
+            )
+
+    return src.mapInPandas(decode, schema=_BMP_SCHEMA)
+
+
+_WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def decode_wav_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """REAL audio decode over mapInPandas: parse PCM16 WAV chunks and
+    emit integer signal statistics — peak |amplitude|, exact sum of
+    squares (int64 — the RMS numerator, division deferred to the
+    caller so the column stays bit-exact), and integer duration_ms.
+    Malformed payloads yield ok=false rows."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(bin_col).alias("payload"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "ok", "sample_rate", "n_channels",
+                                   "n_samples", "peak", "sum_sq", "duration_ms")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    rate, ch, samples = decode_wav(payload or b"")
+                except ValueError:
+                    for k, v in (("ok", False), ("sample_rate", 0),
+                                 ("n_channels", 0), ("n_samples", 0),
+                                 ("peak", 0), ("sum_sq", 0), ("duration_ms", 0)):
+                        out[k].append(v)
+                    continue
+                s64 = samples.astype(np.int64)
+                frames = len(samples) // ch
+                out["ok"].append(True)
+                out["sample_rate"].append(int(rate))
+                out["n_channels"].append(int(ch))
+                out["n_samples"].append(int(len(samples)))
+                out["peak"].append(int(np.abs(s64).max()) if len(s64) else 0)
+                out["sum_sq"].append(int((s64 * s64).sum()))
+                out["duration_ms"].append(int(frames * 1000 // rate) if rate else 0)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(decode, schema=_WAV_SCHEMA)
+
+
+_BMP_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("r_sum", T.LongType()),
+        T.StructField("g_sum", T.LongType()),
+        T.StructField("b_sum", T.LongType()),
+        T.StructField("luma_hist", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def decode_bmp_pixel_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """REAL BMP decode emitting EXACT integer pixel statistics (channel
+    sums + 13-bin integer-luminance histogram) — the bit-level-oracle
+    twin of :func:`decode_bmp_features`: every output is a BIGINT a SQL
+    oracle can recompute from the pixel generation rule, so the decoder
+    itself sits inside the cross-engine gate."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(bin_col).alias("payload"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "ok", "width", "height",
+                                   "r_sum", "g_sum", "b_sum", "luma_hist")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    w, h, rgb = decode_bmp(payload or b"")
+                except ValueError:
+                    for k, v in (("ok", False), ("width", 0), ("height", 0),
+                                 ("r_sum", 0), ("g_sum", 0), ("b_sum", 0),
+                                 ("luma_hist", [0] * 13)):
+                        out[k].append(v)
+                    continue
+                r = rgb[:, :, 0].astype(np.int64)
+                g = rgb[:, :, 1].astype(np.int64)
+                b = rgb[:, :, 2].astype(np.int64)
+                luma = (77 * r + 150 * g + 29 * b) >> 8
+                hist = np.bincount(
+                    np.minimum(luma.ravel() // 20, 12), minlength=13
+                )
+                out["ok"].append(True)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["r_sum"].append(int(r.sum()))
+                out["g_sum"].append(int(g.sum()))
+                out["b_sum"].append(int(b.sum()))
+                out["luma_hist"].append([int(x) for x in hist])
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(decode, schema=_BMP_PIXEL_SCHEMA)
+
+
+def encode_bmp(width: int, height: int, rgb: "np.ndarray") -> bytes:
+    """Encode an HxWx3 uint8 RGB array as an uncompressed bottom-up
+    24-bit BMP — the synthesis half used by the codec round-trip gates
+    (and a real encoder in its own right)."""
+    row_size = ((3 * width + 3) // 4) * 4
+    pad = row_size - 3 * width
+    rows = []
+    for r in range(height - 1, -1, -1):
+        rows.append(rgb[r][:, ::-1].tobytes() + b"\x00" * pad)
+    pix = b"".join(rows)
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix), 0, 0, 0, 0)
+    )
+    return hdr + pix
+
+
+def encode_wav(sample_rate: int, n_channels: int, samples: "np.ndarray") -> bytes:
+    """Encode int16 interleaved samples as a PCM16 RIFF/WAVE payload."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * n_channels * 2, n_channels * 2, 16,
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
     )

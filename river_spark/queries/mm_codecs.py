@@ -1,0 +1,193 @@
+"""REAL multimodal codecs under the cross-engine gate (round 11).
+
+The container still ships no image/audio libraries (PIL/cv2/soundfile
+re-checked this round), but BMP and PCM WAV need none — they decode
+with numpy + struct. These queries put the LIVE decoders
+(operators/multimodal.decode_bmp / decode_wav) inside the bit-level
+oracle: payloads are synthesized from a closed-form rule of doc_id
+(encode_bmp / encode_wav — the encoder is exercised too), the Spark
+side DECODES the actual bytes, and the DuckDB oracle recomputes the
+expected statistics from the generation rule WITHOUT ever seeing the
+binary — so a header-offset bug, a BGR/RGB swap, a padding mistake, or
+a chunk-walk error lands as an integer mismatch, not a plausible float.
+
+Everything emitted is an exact BIGINT (channel sums, luminance
+histogram counts, peak, sum of squares, integer milliseconds) — no
+float leaves the decoder.
+
+100 TB posture: encode+decode run in ONE Arrow-batched mapInPandas pass
+per query (payloads never shuffle; the only exchange is the final
+explode/agg on doc-keyed integer rows). The real-corpus variant reads
+the payload column off parquet instead of synthesizing it; the decode
+stage is identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from river_spark.queries.relational import q
+from river_spark.queries.tables import tbl
+
+# ---- generation rules (mirrored in the oracles below) ---------------------
+# BMP: w = 4 + doc_id % 5, h = 3 + doc_id % 4,
+#      channel byte j (row-major RGB, j in [0, 3wh)) = (doc_id*31 + j) % 256
+# WAV: rate = 8000 * (1 + doc_id % 3), channels = 1 + doc_id % 2,
+#      frames = 800 + (doc_id % 50) * 16,
+#      sample i (interleaved) = ((doc_id*7919 + i*104729) % 65536) - 32768
+
+
+def _bmp_payloads(docs):
+    """doc_id -> synthesized BMP payload, one mapInPandas pass."""
+    from river_spark.operators.multimodal import encode_bmp
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 5, 3 + d % 4
+                j = np.arange(3 * w * h, dtype=np.int64)
+                px = ((d * 31 + j) % 256).astype(np.uint8).reshape(h, w, 3)
+                ids.append(d)
+                payloads.append(encode_bmp(w, h, px))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+@q(
+    "mm_bmp_decode_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        FROM documents),
+    px AS (
+        SELECT doc_id, w, h,
+               (doc_id * 31 + 3 * g.p) % 256 AS r,
+               (doc_id * 31 + 3 * g.p + 1) % 256 AS g_,
+               (doc_id * 31 + 3 * g.p + 2) % 256 AS b
+        FROM dims, UNNEST(generate_series(0, w * h - 1)) AS g(p)),
+    lum AS (
+        SELECT doc_id, w, h, r, g_, b,
+               least((77 * r + 150 * g_ + 29 * b) // 256 // 20, 12) AS bin
+        FROM px),
+    doc AS (
+        SELECT doc_id, w, h,
+               CAST(sum(r) AS BIGINT) AS r_sum,
+               CAST(sum(g_) AS BIGINT) AS g_sum,
+               CAST(sum(b) AS BIGINT) AS b_sum
+        FROM lum GROUP BY 1, 2, 3),
+    bins AS (
+        SELECT doc_id, bin, CAST(count(*) AS BIGINT) AS n
+        FROM lum GROUP BY 1, 2)
+    SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+           d.r_sum, d.g_sum, d.b_sum,
+           CAST(bins.bin AS INT) AS luma_bin, bins.n
+    FROM doc d JOIN bins USING (doc_id)
+    """,
+    tags=("multimodal", "codec", "image"),
+)
+def mm_bmp_decode_stats(spark, sf_dir):
+    """REAL BMP encode→decode round trip under the bit-level oracle:
+    payload pixels are a closed-form function of doc_id, Spark builds
+    the actual 24-bit bottom-up padded BMP bytes and DECODES them
+    (operators/multimodal.decode_bmp — header parse, BGR order, 4-byte
+    row padding, vertical flip), and the oracle recomputes channel sums
+    and the 13-bin integer-luminance histogram straight from the rule.
+    Any decoder defect shifts an exact BIGINT."""
+    from river_spark.operators.multimodal import decode_bmp_pixel_stats
+
+    docs = tbl(spark, sf_dir, "documents")
+    stats = decode_bmp_pixel_stats(_bmp_payloads(docs), "doc_id", "payload")
+    return (
+        stats.filter(F.col("ok"))
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "r_sum",
+            "g_sum",
+            "b_sum",
+            F.posexplode("luma_hist").alias("luma_bin", "n"),
+        )
+        .filter(F.col("n") > 0)
+        .select(
+            "doc_id", "width", "height", "r_sum", "g_sum", "b_sum",
+            F.col("luma_bin").cast("int").alias("luma_bin"), "n",
+        )
+    )
+
+
+@q(
+    "mm_wav_decode_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               8000 * (1 + doc_id % 3) AS rate,
+               1 + doc_id % 2 AS ch,
+               800 + (doc_id % 50) * 16 AS frames
+        FROM documents),
+    s AS (
+        SELECT doc_id, rate, ch, frames,
+               ((doc_id * 7919 + g.i * 104729) % 65536) - 32768 AS v
+        FROM spec, UNNEST(generate_series(0, frames * ch - 1)) AS g(i))
+    SELECT doc_id,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(ch AS INT) AS n_channels,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(max(abs(v)) AS INT) AS peak,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq,
+           CAST(frames * 1000 // rate AS BIGINT) AS duration_ms
+    FROM s GROUP BY doc_id, rate, ch, frames
+    """,
+    tags=("multimodal", "codec", "audio"),
+)
+def mm_wav_decode_stats(spark, sf_dir):
+    """REAL PCM16 WAV encode→decode round trip under the bit-level
+    oracle: Spark synthesizes the RIFF container (fmt + data chunks,
+    word alignment) from a closed-form sample rule, walks it back with
+    operators/multimodal.decode_wav, and emits exact integer signal
+    stats (peak, sum of squares, duration); the oracle recomputes them
+    from the rule without seeing the bytes. A chunk-offset or
+    endianness bug moves an integer."""
+    from river_spark.operators.multimodal import decode_wav_stats, encode_wav
+
+    docs = tbl(spark, sf_dir, "documents")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rate = 8000 * (1 + d % 3)
+                ch = 1 + d % 2
+                frames = 800 + (d % 50) * 16
+                i = np.arange(frames * ch, dtype=np.int64)
+                v = ((d * 7919 + i * 104729) % 65536) - 32768
+                ids.append(d)
+                payloads.append(encode_wav(rate, ch, v.astype(np.int16)))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = docs.select("doc_id").mapInPandas(gen, schema=schema)
+    stats = decode_wav_stats(payloads, "doc_id", "payload")
+    return stats.filter(F.col("ok")).select(
+        "doc_id", "sample_rate", "n_channels", "n_samples",
+        "peak", "sum_sq", "duration_ms",
+    )

@@ -1,0 +1,127 @@
+"""The LIVE multimodal codecs (BMP / PCM WAV, numpy+struct only) —
+pure-Python edge cases the oracle queries can't reach, plus the
+malformed-payload row-survival behavior of the Spark decode stage.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from river_spark.operators.multimodal import (
+    decode_bmp,
+    decode_bmp_pixel_stats,
+    decode_wav,
+    decode_wav_stats,
+    encode_bmp,
+    encode_wav,
+)
+
+
+def _px(w, h, seed=0):
+    j = np.arange(3 * w * h, dtype=np.int64)
+    return ((seed * 31 + j) % 256).astype(np.uint8).reshape(h, w, 3)
+
+
+class TestBmp:
+    def test_roundtrip_padded_widths(self):
+        # widths 1..5 hit every 4-byte row-padding remainder
+        for w in range(1, 6):
+            for h in (1, 3):
+                px = _px(w, h, seed=w * 10 + h)
+                ww, hh, back = decode_bmp(encode_bmp(w, h, px))
+                assert (ww, hh) == (w, h)
+                assert (back == px).all(), (w, h)
+
+    def test_top_down_bmp(self):
+        # negative height = top-down row order; decoder must NOT flip
+        px = _px(3, 2, seed=7)
+        payload = bytearray(encode_bmp(3, 2, px))
+        # encode_bmp wrote bottom-up rows; flip stored order and negate
+        # height -> decoded image must be identical
+        row = ((3 * 3 + 3) // 4) * 4
+        body = payload[54:]
+        flipped = b"".join(
+            bytes(body[i * row : (i + 1) * row]) for i in range(1, -1, -1)
+        )
+        payload[54:] = flipped
+        struct.pack_into("<i", payload, 22, -2)
+        _, _, back = decode_bmp(bytes(payload))
+        assert (back == px).all()
+
+    @pytest.mark.parametrize(
+        "mutate",
+        [
+            lambda p: p[:30],                     # truncated header
+            lambda p: b"XX" + p[2:],              # bad magic
+            lambda p: p[:28] + struct.pack("<H", 8) + p[30:],   # 8bpp
+            lambda p: p[:30] + struct.pack("<I", 1) + p[34:],   # RLE
+            lambda p: p[:-4],                     # truncated pixels
+        ],
+    )
+    def test_malformed_raises(self, mutate):
+        good = encode_bmp(3, 2, _px(3, 2))
+        with pytest.raises(ValueError):
+            decode_bmp(mutate(good))
+
+
+class TestWav:
+    def test_roundtrip_mono_stereo(self):
+        for ch in (1, 2):
+            s = (np.arange(10 * ch, dtype=np.int64) * 3001 % 65536 - 32768).astype(
+                np.int16
+            )
+            r, c, back = decode_wav(encode_wav(44100, ch, s))
+            assert (r, c) == (44100, ch)
+            assert (back == s).all()
+
+    def test_extra_chunks_and_word_alignment(self):
+        # a LIST chunk with an ODD size before fmt/data: the walker must
+        # skip its pad byte or every later offset is wrong
+        s = np.array([5, -5, 32767, -32768], dtype=np.int16)
+        base = encode_wav(8000, 1, s)
+        odd_chunk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+        payload = base[:12] + odd_chunk + base[12:]
+        payload = payload[:4] + struct.pack("<I", len(payload) - 8) + payload[8:]
+        r, c, back = decode_wav(payload)
+        assert (r, c) == (8000, 1)
+        assert (back == s).all()
+
+    @pytest.mark.parametrize(
+        "mutate",
+        [
+            lambda p: p[:10],                     # truncated
+            lambda p: b"RIFX" + p[4:],            # bad magic
+            lambda p: p.replace(b"data", b"xxxx"),  # no data chunk
+            lambda p: p[:20] + struct.pack("<H", 3) + p[22:],  # float fmt
+        ],
+    )
+    def test_malformed_raises(self, mutate):
+        good = encode_wav(8000, 1, np.array([1, 2], dtype=np.int16))
+        with pytest.raises(ValueError):
+            decode_wav(mutate(good))
+
+
+def test_spark_decode_survives_malformed_rows(spark):
+    """One corrupt payload must mark ITS row ok=false, not fail the
+    batch — the 100 TB robustness contract of the decode stage."""
+    good_bmp = encode_bmp(3, 2, _px(3, 2, seed=1))
+    good_wav = encode_wav(8000, 1, np.array([7, -7], dtype=np.int16))
+    rows = [
+        (1, bytearray(good_bmp)),
+        (2, bytearray(b"garbage")),
+        (3, None),
+        (4, bytearray(good_wav)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    bmp = {r["doc_id"]: r for r in decode_bmp_pixel_stats(df, "doc_id", "payload").collect()}
+    assert bmp[1]["ok"] and bmp[1]["width"] == 3 and bmp[1]["height"] == 2
+    px = _px(3, 2, seed=1).astype(np.int64)
+    assert bmp[1]["r_sum"] == int(px[:, :, 0].sum())
+    assert not bmp[2]["ok"] and not bmp[3]["ok"] and not bmp[4]["ok"]
+
+    wav = {r["doc_id"]: r for r in decode_wav_stats(df, "doc_id", "payload").collect()}
+    assert wav[4]["ok"] and wav[4]["peak"] == 7 and wav[4]["sum_sq"] == 98
+    assert wav[4]["n_samples"] == 2
+    assert not wav[1]["ok"] and not wav[2]["ok"] and not wav[3]["ok"]
