@@ -23,6 +23,7 @@ all.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from river_spark.queries.relational import q
@@ -374,3 +375,152 @@ def dedup_shingle_containment(spark, sf_dir):
 
     docs = tbl(spark, sf_dir, "documents")
     return ngram_containment_pairs(docs, "doc_id", "text", n=3, threshold=0.25)
+
+
+@q(
+    "ev_markov_entropy_rate",
+    oracle="""
+    WITH nxt AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events),
+    cnt AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2),
+    rowtot AS (
+        SELECT from_type, CAST(sum(n) AS BIGINT) AS row_n
+        FROM cnt GROUP BY 1),
+    rowstat AS (
+        SELECT c.from_type, r.row_n AS n_out,
+               round(-sum((c.n * 1.0 / r.row_n) * ln(c.n * 1.0 / r.row_n)), 6)
+                 + 0.0 AS h_row
+        FROM cnt c JOIN rowtot r USING (from_type)
+        GROUP BY c.from_type, r.row_n),
+    tot AS (SELECT CAST(sum(n_out) AS BIGINT) AS t FROM rowstat)
+    SELECT from_type, n_out,
+           n_out * 1.0 / tot.t AS pi,
+           h_row,
+           round(h_row * (n_out * 1.0 / tot.t), 6) + 0.0 AS contribution
+    FROM rowstat CROSS JOIN tot
+    """,
+    tags=("events", "sequence", "entropy"),
+)
+def ev_markov_entropy_rate(spark, sf_dir):
+    """Entropy rate of the first-order event-type Markov chain
+    (H = sum_i pi_i * H(row_i)) — the sequence-predictability number
+    behind session-model capacity planning: a near-zero rate means the
+    next event is almost determined, a rate near ln(K) means the chain
+    is noise. Transition counts are the ev_markov_transitions machinery
+    (one lead window per user, one hash agg); pi is the empirical
+    from-state share (exact integer ratio, emitted raw); the ln-bearing
+    row entropy and the pi-weighted contribution take the cookbook
+    round-6 + negative-zero normalization (a deterministic row has
+    H = -1*ln(1) = -0.0).
+
+    100 TB posture: everything after the |types|^2-row count table is
+    O(K^2); the count table itself shares ev_markov_transitions' plan
+    shape (fact scanned and windowed exactly once)."""
+    ev = events_tbl(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = nxt.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    row_n = F.sum("n").over(Window.partitionBy("from_type"))
+    p = F.col("n") * 1.0 / F.col("row_n")
+    rowstat = (
+        cnt.withColumn("row_n", row_n)
+        .groupBy("from_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_out"),
+            (F.round(-F.sum(p * F.log(p)), 6) + 0.0).alias("h_row"),
+        )
+    )
+    tot = rowstat.agg(F.sum("n_out").cast("long").alias("t"))
+    pi = F.col("n_out") * 1.0 / F.col("t")
+    return rowstat.crossJoin(tot).select(
+        "from_type",
+        "n_out",
+        pi.alias("pi"),
+        "h_row",
+        (F.round(F.col("h_row") * pi, 6) + 0.0).alias("contribution"),
+    )
+
+
+_PACK_BUDGET = 512
+
+
+@q(
+    "pipeline_pack_efficiency",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS toks
+        FROM documents),
+    w AS (
+        SELECT shard, doc_id, toks,
+               sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - toks AS strt
+        FROM t),
+    packs AS (
+        SELECT shard, CAST(strt // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+               CAST(sum(toks) AS BIGINT) AS pack_tokens,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM w GROUP BY shard, pack_id)
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_packs,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+           CAST(max(pack_tokens) AS BIGINT) AS max_pack_tokens,
+           CAST(quantile_disc(pack_tokens, 0.5) AS BIGINT) AS p50_pack_tokens,
+           sum(pack_tokens) * 1.0 / (count(*) * {_PACK_BUDGET}) AS utilization
+    FROM packs GROUP BY shard
+    """,
+    tags=("pipeline", "packing", "audit"),
+)
+def pipeline_pack_efficiency(spark, sf_dir):
+    """Pack-utilization audit over pipeline_seq_pack's layout: per
+    shard, how full the 512-token training packs actually are —
+    the padding-waste number that decides whether the packer needs a
+    smarter bin-fill. Exact integer pack sums, percentile_disc stored
+    values, and ONE final utilization division (BIGINT/BIGINT — bit
+    identical).
+
+    100 TB posture: same single-exchange shape as pipeline_seq_pack
+    (per-shard window + agg share the shard hash partitioning); the
+    audit adds one tiny per-shard rollup."""
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("toks"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packs = (
+        d.withColumn("strt", F.sum("toks").over(w) - F.col("toks"))
+        .groupBy(
+            "shard",
+            F.expr(f"strt div {_PACK_BUDGET}").cast("long").alias("pack_id"),
+        )
+        .agg(
+            F.sum("toks").cast("long").alias("pack_tokens"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+    )
+    return packs.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_packs"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("pack_tokens").cast("long").alias("total_tokens"),
+        F.max("pack_tokens").cast("long").alias("max_pack_tokens"),
+        F.expr(
+            "cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY pack_tokens) as bigint)"
+        ).alias("p50_pack_tokens"),
+        (
+            F.sum("pack_tokens") * 1.0 / (F.count("*") * _PACK_BUDGET)
+        ).alias("utilization"),
+    )

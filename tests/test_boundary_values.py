@@ -93,6 +93,8 @@ BOUNDARY_QUERIES = [
     "pipeline_blocklist_filter",
     "emb_pq_adc_search",
     "dedup_shingle_containment",
+    "ev_markov_entropy_rate",
+    "pipeline_pack_efficiency",
 ]
 
 _FIXTURE_TABLES = ("customer", "orders", "events", "documents", "embeddings")

@@ -61,6 +61,7 @@ CROSS_OK = {
     "dq_referential_integrity": 1,  # 1-row count x 1-row orphan count, per rel
     "ev_dense_daily_grid": 5,       # 1-row bounds x 5-row distinct types
     "pipeline_temperature_mix": 1,  # broadcast 1-row (total, z) normalizer
+    "ev_markov_entropy_rate": 1,    # broadcast 1-row transition grand total
     "pipeline_dataset_delta": 1,    # chained 1-row version-summary scalars
 }
 
