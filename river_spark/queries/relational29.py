@@ -524,3 +524,80 @@ def pipeline_pack_efficiency(spark, sf_dir):
             F.sum("pack_tokens") * 1.0 / (F.count("*") * _PACK_BUDGET)
         ).alias("utilization"),
     )
+
+
+_PPS_TARGET = 64  # target samples per source
+
+
+@q(
+    "pipeline_pps_sample",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                 AS w
+        FROM documents),
+    c AS (
+        SELECT doc_id, source, w,
+               sum(w) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cumw
+        FROM d),
+    t AS (
+        SELECT source, greatest(sum(w) // {_PPS_TARGET}, 1) AS stride
+        FROM d GROUP BY source)
+    SELECT c.doc_id, c.source, c.w,
+           CAST(c.cumw AS BIGINT) AS cumw,
+           CAST(c.cumw // t.stride AS BIGINT) AS pick_no
+    FROM c JOIN t USING (source)
+    WHERE c.cumw // t.stride > (c.cumw - c.w) // t.stride
+    """,
+    tags=("pipeline", "sampling", "curation"),
+)
+def pipeline_pps_sample(spark, sf_dir):
+    """Probability-proportional-to-size systematic sampling (the
+    deterministic PPS design): walk each source's cumulative token
+    weight in doc_id order and pick every document whose weight span
+    crosses a stride boundary (stride = source total // 64) — selection
+    probability is proportional to length, the math is ALL integers
+    (cumulative BIGINT sums, integer stride division, a boundary-cross
+    inequality), so the sample is bit-reproducible with no
+    transcendental ranking key (the Efraimidis-Spirakis pow/ln key
+    would put libm in the SELECTION path).
+
+    100 TB posture: the cumulative weight runs through
+    stitched_prefix_sum (sources x doc-range buckets — a plain
+    per-source window serializes each source's full history); the
+    stride table is one row per source."""
+    from river_spark.operators.stitched_lag import stitched_prefix_sum
+
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("w"),
+    )
+    c = stitched_prefix_sum(
+        d,
+        key_cols=["source"],
+        order_cols=["doc_id"],
+        value_col="w",
+        bucket=F.expr("doc_id div 4096"),
+        out_col="cumw",
+    )
+    t = d.groupBy("source").agg(
+        F.greatest(
+            F.expr(f"sum(w) div {_PPS_TARGET}"), F.lit(1).cast("long")
+        ).alias("stride")
+    )
+    picked = (
+        c.join(t, "source")
+        .filter(
+            F.expr("cumw div stride") > F.expr("(cumw - w) div stride")
+        )
+    )
+    return picked.select(
+        "doc_id",
+        "source",
+        "w",
+        F.col("cumw").cast("long").alias("cumw"),
+        F.expr("cumw div stride").cast("long").alias("pick_no"),
+    )

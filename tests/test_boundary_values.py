@@ -95,6 +95,7 @@ BOUNDARY_QUERIES = [
     "dedup_shingle_containment",
     "ev_markov_entropy_rate",
     "pipeline_pack_efficiency",
+    "pipeline_pps_sample",
 ]
 
 _FIXTURE_TABLES = ("customer", "orders", "events", "documents", "embeddings")
