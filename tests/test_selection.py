@@ -128,3 +128,38 @@ def test_no_full_sort_on_raw_rows(spark):
     assert re.search(r"hashpartitioning\(k#\d+[^)]*_ks_vb", plan), (
         "count rollup lost the value bucket in its partitioning"
     )
+
+
+def test_containment_planted_subdocument(spark):
+    """A snippet quoted verbatim inside a much larger page must score
+    containment 1.0 while its Jaccard stays small — the case a
+    symmetric threshold misses (the reason ngram_containment_pairs
+    exists)."""
+    from river_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    snippet = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i}" for i in range(200))
+    rows = [
+        (1, snippet),
+        (2, filler + " " + snippet + " " + filler.replace("word", "tail")),
+        (3, "totally unrelated text with its own tokens"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_small"], r["doc_big"]): r
+        for r in ngram_containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in got, got
+    r = got[(1, 2)]
+    assert r["containment"] == 1.0
+    assert r["jaccard"] < 0.05, "the snippet must be invisible to Jaccard"
+    # and the symmetric detector at a typical threshold indeed misses it
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.05).collect()
+    assert not any(
+        {p["doc_a"], p["doc_b"]} == {1, 2} for p in jac
+    ), "planted pair should be below the Jaccard threshold"
