@@ -120,24 +120,31 @@ def pipeline_seq_pack(spark, sf_dir):
     boundary falls every 512 cumulative tokens — assignment is a pure
     function of (id, token count), identical across engines and runs.
 
-    100 TB posture: the running sum is a ``Window.partitionBy(shard)`` —
-    per-shard state, never a global single-partition sort. Shard count is
-    the parallelism knob (8 here to mirror the oracle; a real corpus sizes
-    it to executors), and the pack aggregation reuses the shard hash
-    partitioning so the whole op is one exchange."""
+    100 TB posture (round 11): the 8-way shard key is fixed, so a plain
+    per-shard window is 8 tasks no matter the corpus — the running sum
+    now goes through operators/stitched_lag.stitched_prefix_sum with a
+    doc-range bucket (shards x ranges parallelism, row-identical to the
+    plain window so the oracle holds), and the pack aggregation still
+    rides the shard/bucket hash partitioning."""
+    from river_spark.operators.stitched_lag import stitched_prefix_sum
+
     d = tbl(spark, sf_dir, "documents").select(
         "doc_id",
         (F.col("doc_id") % 8).alias("shard"),
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("toks"),
     )
-    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    packed = d.select(
+    packed = stitched_prefix_sum(
+        d,
+        key_cols=["shard"],
+        order_cols=["doc_id"],
+        value_col="toks",
+        bucket=F.expr("doc_id div 4096"),
+        out_col="cum",
+    ).select(
         "shard",
         "doc_id",
         "toks",
-        (F.sum("toks").over(w) - F.col("toks")).alias("strt"),
+        (F.col("cum") - F.col("toks")).alias("strt"),
     )
     return (
         packed.select("shard", F.expr("strt div 512").alias("pack_id"), "doc_id", "toks")

@@ -60,9 +60,16 @@ def pipeline_token_budget_pack(spark, sf_dir):
     candidates. All outputs are exact integers (integer-division
     diversity, integer cumulative sums).
 
-    100 TB posture: the only wide op is a window PARTITIONED BY source
-    — the natural mix-assembly unit — so selection parallelizes across
-    sources with one shuffle and no global ordering."""
+    100 TB posture (round 11): source is a ~20-value key, so a plain
+    per-source ordered window serializes each source's entire corpus in
+    one task — the running total now goes through
+    operators/stitched_lag.stitched_prefix_sum with the tie-splitting
+    struct(-div_pm, doc-range) bucket (lexicographically monotone in
+    the (div_pm DESC, doc_id) order; the doc-range leg splits equal-
+    diversity tie mass across tasks). Row-identical to the plain
+    window, so the oracle holds."""
+    from river_spark.operators.stitched_lag import stitched_prefix_sum
+
     d = tbl(spark, sf_dir, "documents").select(
         "source",
         "doc_id",
@@ -71,9 +78,17 @@ def pipeline_token_budget_pack(spark, sf_dir):
             "(1000 * size(array_distinct(split(trim(text), '\\\\s+'))))"
             " div size(split(trim(text), '\\\\s+'))"
         ).alias("div_pm"),
-    )
-    w = Window.partitionBy("source").orderBy(F.desc("div_pm"), "doc_id")
-    c = d.select("source", "toks", F.sum("toks").over(w).alias("cum"))
+    ).withColumn("neg_div", -F.col("div_pm"))
+    c = stitched_prefix_sum(
+        d,
+        key_cols=["source"],
+        order_cols=["neg_div", "doc_id"],
+        value_col="toks",
+        bucket=F.struct(
+            F.col("neg_div"), F.expr("doc_id div 4096").alias("dr")
+        ),
+        out_col="cum",
+    ).select("source", "toks", "cum")
     sel = F.col("cum") <= _TOKEN_BUDGET
     return c.groupBy("source").agg(
         F.count(F.when(sel, 1)).alias("n_selected"),

@@ -447,6 +447,8 @@ _WINDOW = [
     "ev_mad_outliers",            # exact distributed-selection port (r11)
     "ev_power_user_share",        # ported to stitched prefix sum (r11)
     "decontam_bloom_prefilter",   # dense fixed bitmap + bg hint drop (r11)
+    "pipeline_seq_pack",          # cumsum ported to stitched prefix sum (r11)
+    "pipeline_token_budget_pack", # stitched cumsum, tie-splitting bucket (r11)
     # --- stalest cohorts (last driver row r1, then r3, then r4 head):
     "text_quality_score",
     "text_lang_id",
@@ -466,8 +468,6 @@ _WINDOW = [
     "river_stale_autoeof",
     "river_http_read",
     "river_catalog_scan",
-    "river_cli_roundtrip",
-    "q2_min_unit_price_supplier",
 ]
 
 # Tail keeps the round-10 staleness order so future rotations stay

@@ -488,21 +488,28 @@ def pipeline_pack_efficiency(spark, sf_dir):
     values, and ONE final utilization division (BIGINT/BIGINT — bit
     identical).
 
-    100 TB posture: same single-exchange shape as pipeline_seq_pack
-    (per-shard window + agg share the shard hash partitioning); the
-    audit adds one tiny per-shard rollup."""
+    100 TB posture: the cumulative offset runs through
+    stitched_prefix_sum (shards x doc-range buckets — the fixed 8-way
+    shard key alone would serialize each shard's corpus in one task,
+    like pipeline_seq_pack pre-round-11); the audit adds one tiny
+    per-shard rollup."""
+    from river_spark.operators.stitched_lag import stitched_prefix_sum
+
     d = tbl(spark, sf_dir, "documents").select(
         "doc_id",
         (F.col("doc_id") % 8).alias("shard"),
         F.size(F.split(F.trim("text"), r"\s+")).alias("toks"),
     )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
     packs = (
-        d.withColumn("strt", F.sum("toks").over(w) - F.col("toks"))
+        stitched_prefix_sum(
+            d,
+            key_cols=["shard"],
+            order_cols=["doc_id"],
+            value_col="toks",
+            bucket=F.expr("doc_id div 4096"),
+            out_col="cum",
+        )
+        .withColumn("strt", F.col("cum") - F.col("toks"))
         .groupBy(
             "shard",
             F.expr(f"strt div {_PACK_BUDGET}").cast("long").alias("pack_id"),

@@ -127,7 +127,9 @@ BUDGETS = {
     "agg_hhi_concentration": 3,     # supplier agg, share window, nation agg
     "agg_moments_cents": 1,         # one power-sum agg; moments are expressions
     "ev_updown_streaks": 1,         # user windows + both aggs share the key
-    "pipeline_token_budget_pack": 1,  # per-source window feeds the agg
+    # +3 in round 11: the running total runs stitched over
+    # (source, -div_pm, doc-range) buckets instead of one task per source
+    "pipeline_token_budget_pack": 4,  # stitched cumsum + final agg
     # +3 in round 11: the gap lag runs bucket-stitched (fine window on
     # (type, day) + rollup + carry + join back) instead of the one-task-
     # per-type raw-event sort
