@@ -98,18 +98,73 @@ def stitched_lag(
     return out
 
 
+def stitched_row_number(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    bucket: Column,
+    out_col: str = "rn",
+) -> DataFrame:
+    """``df`` plus ``out_col`` = row_number() over (PARTITION BY
+    key_cols ORDER BY order_cols) as a BIGINT, computed with keys x
+    buckets parallelism — the rank sibling of :func:`stitched_lag` for
+    coarse keys (per-domain caps, deterministic shard positions,
+    two-ended quality ranks).
+
+    Shape: row_number WITHIN each (key, bucket), plus an EXCLUSIVE
+    running count of earlier buckets from the keys x buckets rollup —
+    a prefix sum of ones, but the rollup aggregates count(*) map-side
+    instead of shipping a ones column.
+
+    ``bucket`` must be monotone non-decreasing in ``order_cols`` within
+    each key, exactly as in :func:`stitched_lag`."""
+    keys = list(key_cols)
+    order = list(order_cols)
+    base = df.withColumn("_sr_bucket", bucket)
+
+    fine = Window.partitionBy(*keys, "_sr_bucket").orderBy(*order)
+    b = base.withColumn("_sr_in", F.row_number().over(fine))
+
+    counts = base.groupBy(*keys, "_sr_bucket").agg(F.count("*").alias("_sr_cnt"))
+    coarse = (
+        Window.partitionBy(*keys)
+        .orderBy("_sr_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = counts.select(
+        *keys,
+        "_sr_bucket",
+        F.coalesce(F.sum("_sr_cnt").over(coarse), F.lit(0)).alias("_sr_before"),
+    )
+
+    out = (
+        b.join(carry, keys + ["_sr_bucket"], "left")
+        .withColumn(
+            out_col,
+            (F.col("_sr_before") + F.col("_sr_in")).cast("long"),
+        )
+        .drop("_sr_bucket", "_sr_in", "_sr_before")
+    )
+    return out
+
+
 def stitched_prefix_sum(
     df: DataFrame,
     key_cols: Sequence[str],
     order_cols: Sequence[str],
-    value_col: str,
+    value_col: str | Sequence[str],
     bucket: Column,
-    out_col: str = "running_sum",
+    out_col: str | Sequence[str] = "running_sum",
 ) -> DataFrame:
     """``df`` plus ``out_col`` = sum(value_col) over (PARTITION BY
     key_cols ORDER BY order_cols ROWS UNBOUNDED PRECEDING), computed
     with keys x buckets parallelism — the prefix-sum sibling of
     :func:`stitched_lag` for coarse keys (CUSUM, running balances).
+
+    ``value_col``/``out_col`` may be LISTS of the same length: all the
+    prefix sums then share ONE fine window, ONE rollup, and ONE carry
+    window (e.g. the two empirical-CDF counters of a K-S test), instead
+    of paying the three exchanges per column.
 
     Shape: (1) cumsum WITHIN each (key, bucket); (2) per-bucket totals
     (one map-side-combinable agg); (3) EXCLUSIVE running sum of the
@@ -132,13 +187,19 @@ def stitched_prefix_sum(
     """
     keys = list(key_cols)
     order = list(order_cols)
+    values = [value_col] if isinstance(value_col, str) else list(value_col)
+    outs = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(values) != len(outs):
+        raise ValueError("value_col and out_col must have the same length")
     base = df.withColumn("_sp_bucket", bucket)
 
     fine = Window.partitionBy(*keys, "_sp_bucket").orderBy(*order)
-    b = base.withColumn("_sp_in_bucket", F.sum(value_col).over(fine))
+    b = base
+    for i, v in enumerate(values):
+        b = b.withColumn(f"_sp_in_{i}", F.sum(v).over(fine))
 
     totals = base.groupBy(*keys, "_sp_bucket").agg(
-        F.sum(value_col).alias("_sp_total")
+        *[F.sum(v).alias(f"_sp_total_{i}") for i, v in enumerate(values)]
     )
     coarse = (
         Window.partitionBy(*keys)
@@ -148,19 +209,22 @@ def stitched_prefix_sum(
     carry = totals.select(
         *keys,
         "_sp_bucket",
-        F.sum("_sp_total").over(coarse).alias("_sp_carry"),
+        *[
+            F.sum(f"_sp_total_{i}").over(coarse).alias(f"_sp_carry_{i}")
+            for i in range(len(values))
+        ],
     )
 
-    out = (
-        b.join(carry, keys + ["_sp_bucket"], "left")
-        .withColumn(
-            out_col,
+    out = b.join(carry, keys + ["_sp_bucket"], "left")
+    drop = ["_sp_bucket"]
+    for i, oc in enumerate(outs):
+        out = out.withColumn(
+            oc,
             F.coalesce(
-                F.col("_sp_in_bucket") + F.col("_sp_carry"),
-                F.col("_sp_in_bucket"),
-                F.col("_sp_carry"),
+                F.col(f"_sp_in_{i}") + F.col(f"_sp_carry_{i}"),
+                F.col(f"_sp_in_{i}"),
+                F.col(f"_sp_carry_{i}"),
             ),
         )
-        .drop("_sp_bucket", "_sp_in_bucket", "_sp_carry")
-    )
-    return out
+        drop += [f"_sp_in_{i}", f"_sp_carry_{i}"]
+    return out.drop(*drop)

@@ -322,13 +322,23 @@ def pipeline_domain_cap(spark, sf_dir):
     Crawl-order ranking keeps the cap independent of document length, so
     it composes orthogonally with the length-sensitive quality gates
     (pipeline_curation_v2)."""
+    from river_spark.operators.stitched_lag import stitched_row_number
+
+    # round 11: source is a ~20-value key, so the plain per-source rank
+    # window serialized each domain's full crawl in one task; the rank
+    # now runs stitched (sources x doc-range buckets, row-identical)
     docs = tbl(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("doc_id")
-    return docs.select(
-        "doc_id",
-        "source",
-        F.row_number().over(w).cast("long").alias("rnk"),
-    ).withColumn("kept", F.col("rnk") <= _DOMAIN_CAP)
+    return (
+        stitched_row_number(
+            docs.select("doc_id", "source"),
+            key_cols=["source"],
+            order_cols=["doc_id"],
+            bucket=F.expr("doc_id div 4096"),
+            out_col="rnk",
+        )
+        .select("doc_id", "source", "rnk")
+        .withColumn("kept", F.col("rnk") <= _DOMAIN_CAP)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -159,16 +159,24 @@ def pipeline_shard_balance(spark, sf_dir):
     Output is the per-(source, shard) audit a packing job checks before
     writing. Exact integers throughout.
 
-    100 TB posture: window and agg both partition by source; shard
-    assignment is rank arithmetic, no data movement beyond the one
-    shuffle."""
-    r = tbl(spark, sf_dir, "documents").select(
-        "source",
-        "n_chars",
-        F.row_number()
-        .over(Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id"))
-        .alias("rn"),
-    )
+    100 TB posture (round 11): source is a ~20-value key, so the plain
+    per-source rank window serialized each source in one task; the
+    longest-first rank now runs stitched with the tie-splitting
+    struct(-n_chars, doc-range) bucket (row-identical, oracle
+    unchanged). Shard assignment stays rank arithmetic."""
+    from river_spark.operators.stitched_lag import stitched_row_number
+
+    r = stitched_row_number(
+        tbl(spark, sf_dir, "documents")
+        .select("source", "n_chars", "doc_id")
+        .withColumn("neg_chars", -F.col("n_chars")),
+        key_cols=["source"],
+        order_cols=["neg_chars", "doc_id"],
+        bucket=F.struct(
+            F.col("neg_chars"), F.expr("doc_id div 4096").alias("dr")
+        ),
+        out_col="rn",
+    ).select("source", "n_chars", "rn")
     return r.groupBy(
         "source", ((F.col("rn") - 1) % _N_BALANCE_SHARDS).cast("bigint").alias("shard")
     ).agg(

@@ -449,6 +449,11 @@ _WINDOW = [
     "decontam_bloom_prefilter",   # dense fixed bitmap + bg hint drop (r11)
     "pipeline_seq_pack",          # cumsum ported to stitched prefix sum (r11)
     "pipeline_token_budget_pack", # stitched cumsum, tie-splitting bucket (r11)
+    "pipeline_domain_cap",        # per-source rank -> stitched_row_number (r11)
+    "pipeline_shard_balance",     # longest-first rank stitched (r11)
+    "pipeline_global_shuffle",    # per-shard position stitched (r11)
+    "pipeline_pref_pairs",        # both two-ended ranks stitched (r11)
+    "agg_ks_shard",               # CDF counters stitched, totals join (r11)
     # --- stalest cohorts (last driver row r1, then r3, then r4 head):
     "text_quality_score",
     "text_lang_id",
@@ -463,11 +468,6 @@ _WINDOW = [
     "river_system_columns",
     "river_sink_roundtrip",
     "river_compressed_roundtrip",
-    "river_pruned_ingest",
-    "river_resume_roundtrip",
-    "river_stale_autoeof",
-    "river_http_read",
-    "river_catalog_scan",
 ]
 
 # Tail keeps the round-10 staleness order so future rotations stay

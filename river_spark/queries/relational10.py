@@ -226,23 +226,33 @@ def pipeline_global_shuffle(spark, sf_dir):
     a shard prefix only if resharded consistently; the guarantee here
     is run-to-run determinism, the property data loaders need).
 
-    100 TB posture: the shard assignment is pure map-side; the ONLY
-    shuffle is the per-shard window, partitioned into _N_SHARDS
-    independent sorts — there is deliberately NO global row_number
-    (a no-partition window collapses to one task; at 100 TB that is
-    the job). A trainer wanting a single global order reads shards
-    round-robin — equivalent by construction since shard is the hash's
-    low bits and within-shard order is (hash, id). md5 (not xxhash64)
-    so DuckDB replays the exact assignment."""
+    100 TB posture (round 11): the shard assignment is pure map-side,
+    and the per-shard position — previously one sort task per shard,
+    i.e. parallelism capped at the FIXED _N_SHARDS — now runs through
+    stitched_row_number with an hv-range bucket (shards x hash-ranges
+    parallelism, row-identical). There is deliberately NO global
+    row_number (a no-partition window collapses to one task). A trainer
+    wanting a single global order reads shards round-robin — equivalent
+    by construction since shard is the hash's low bits and within-shard
+    order is (hash, id). md5 (not xxhash64) so DuckDB replays the exact
+    assignment."""
+    from river_spark.operators.stitched_lag import stitched_row_number
+
     docs = tbl(spark, sf_dir, "documents")
     hv = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
         "int"
     )
-    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    assigned = docs.select("doc_id", hv.alias("hv")).withColumn(
+        "shard", (F.col("hv") % _N_SHARDS).cast("int")
+    )
     return (
-        docs.select("doc_id", hv.alias("hv"))
-        .withColumn("shard", (F.col("hv") % _N_SHARDS).cast("int"))
-        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        stitched_row_number(
+            assigned,
+            key_cols=["shard"],
+            order_cols=["hv", "doc_id"],
+            bucket=F.expr("hv div 64"),
+            out_col="pos",
+        )
         .select("doc_id", "shard", "pos")
     )
 

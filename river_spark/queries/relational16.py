@@ -226,15 +226,28 @@ def pipeline_pref_pairs(spark, sf_dir):
             ).alias("q_score"),
         )
     )
-    w_top = Window.partitionBy("source").orderBy(F.col("q_score").desc(), F.col("doc_id"))
-    w_bot = Window.partitionBy("source").orderBy(F.col("q_score").asc(), F.col("doc_id").desc())
-    r = s.select(
-        "doc_id",
-        "source",
-        "q_score",
-        F.row_number().over(w_top).alias("rk_top"),
-        F.row_number().over(w_bot).alias("rk_bot"),
+    # round 11: source is a ~20-value key — both two-ended ranks now run
+    # stitched (tie-splitting struct buckets; truncating div is monotone
+    # in the negated keys, which is all the stitch needs). Row-identical
+    # to the plain windows, so the oracle holds.
+    from river_spark.operators.stitched_lag import stitched_row_number
+
+    s2 = s.withColumn("neg_q", -F.col("q_score")).withColumn(
+        "neg_doc", -F.col("doc_id")
     )
+    r = stitched_row_number(
+        stitched_row_number(
+            s2,
+            key_cols=["source"],
+            order_cols=["neg_q", "doc_id"],
+            bucket=F.struct(F.col("neg_q"), F.expr("doc_id div 4096").alias("dr")),
+            out_col="rk_top",
+        ),
+        key_cols=["source"],
+        order_cols=["q_score", "neg_doc"],
+        bucket=F.struct(F.col("q_score"), F.expr("neg_doc div 4096").alias("dr")),
+        out_col="rk_bot",
+    ).select("doc_id", "source", "q_score", "rk_top", "rk_bot")
     a = r.alias("a")
     b = r.alias("b")
     return (

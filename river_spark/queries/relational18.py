@@ -72,10 +72,15 @@ def agg_ks_shard(spark, sf_dir):
     divisions and subtraction per distinct value, so the raw doubles
     are bit-identical with no rounding in the gate.
 
-    100 TB posture: one hash agg by (shard, value), then windows
-    PARTITIONED BY shard (never a global ordering — a no-partition
-    window collapses to one task), then a per-shard agg. All three
-    stages share the shard key, so AQE coalesces to one exchange."""
+    100 TB posture (round 11): one hash agg by (shard, value); the CDF
+    cumulative counts then run through stitched_prefix_sum with a
+    floor(value) bucket — the fixed _N_SHARDS key alone capped the old
+    per-shard window at _N_SHARDS tasks over a rollup whose size grows
+    with distinct values — and the per-shard totals are a tiny groupBy
+    joined back (AQE broadcasts the _N_SHARDS-row side) instead of an
+    unordered whole-partition window."""
+    from river_spark.operators.stitched_lag import stitched_prefix_sum
+
     ev = (
         events_tbl(spark, sf_dir)
         .filter(F.col("event_type").isin("purchase", "view"))
@@ -85,15 +90,19 @@ def agg_ks_shard(spark, sf_dir):
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("c2"),
     )
-    wcum = Window.partitionBy("shard").orderBy("value")
-    wall = Window.partitionBy("shard")
-    c = g.select(
-        "shard",
-        F.sum("c1").over(wcum).alias("cum1"),
-        F.sum("c2").over(wcum).alias("cum2"),
-        F.sum("c1").over(wall).alias("tot1"),
-        F.sum("c2").over(wall).alias("tot2"),
+    vbucket = F.expr("cast(floor(value) as long)")
+    cums = stitched_prefix_sum(
+        g,
+        key_cols=["shard"],
+        order_cols=["value"],
+        value_col=["c1", "c2"],
+        bucket=vbucket,
+        out_col=["cum1", "cum2"],
     )
+    tot = g.groupBy("shard").agg(
+        F.sum("c1").alias("tot1"), F.sum("c2").alias("tot2")
+    )
+    c = cums.join(tot, "shard").select("shard", "cum1", "cum2", "tot1", "tot2")
     # KS is undefined when either population is empty in a shard; drop
     # such shards BEFORE dividing (under ANSI Spark a /0 would throw
     # where DuckDB yields NULL)

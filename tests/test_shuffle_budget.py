@@ -57,7 +57,9 @@ BUDGETS = {
     "mb_copurchase_pairs": 7,
     "agg_bitmap_audience": 10,
     "dedup_minhash_lsh": 11,
-    "pipeline_curation_v2": 11,
+    # +2 in round 11: pipeline_domain_cap (a stage input) ported its
+    # per-source rank to stitched_row_number
+    "pipeline_curation_v2": 13,
     # +5 in round 10: unionOutputPartitioning disabled (session.py) —
     # the corpus union (organic + planted docs) used to donate its
     # partitioning to the shingle/verify stages; the donated plan is
@@ -85,7 +87,10 @@ BUDGETS = {
     "agg_pareto_frontier": 6,       # pts join+agg, distinct-point agg,
                                     # grid agg + tiny windows (survivors only)
     "ev_vwap": 2,                   # month agg + per-flag window
-    "pipeline_global_shuffle": 1,   # per-shard window is the only exchange
+    # +2 in round 11: the per-shard position runs stitched over
+    # (shard, hv-range) buckets — the fixed shard count alone capped
+    # parallelism at _N_SHARDS tasks
+    "pipeline_global_shuffle": 3,   # stitched rank over (shard, hv div 64)
     "pipeline_curriculum_order": 2,  # phase agg + 10-row window
     # graph_bfs_hops is excluded: its returned plan is built over
     # localCheckpoint'ed lineage, so the static Exchange count is 0 by
@@ -110,7 +115,9 @@ BUDGETS = {
     # graph_common_neighbors: see RUNTIME_BUDGETS (shared edge subtree)
     "emb_mips": 1,                  # M2 scalar agg; scoring is map-side
     "text_ocr_artifacts": 0,        # pure map-side codegen expressions
-    "pipeline_pref_pairs": 2,       # one per-source exchange feeds both
+    # +4 in round 11: both two-ended ranks run stitched with
+    # tie-splitting struct buckets (source is a ~20-value key)
+    "pipeline_pref_pairs": 6,       # two stitched ranks + pair join
                                     # rank windows + the rank equi-join
     "ev_asof_tolerance": 1,         # same one-shuffle union+window as-of
     "text_ngram_novelty": 3,        # shingle grid, min agg, join-back
@@ -122,7 +129,12 @@ BUDGETS = {
     "dq_split_drift": 3,            # vocab top-K, count agg, 256-row window
     "text_lang_id_eval": 1,         # map-side guess + one matrix agg
     # round-9 additions
-    "agg_ks_shard": 2,              # (shard, value) agg + shard windows
+    # +6 in round 11: both CDF counters run stitched over (shard,
+    # floor(value)) buckets (one shared fine window/rollup/carry — the
+    # multi-column stitched_prefix_sum) and the per-shard totals are a
+    # groupBy join instead of a whole-partition window; static branches
+    # of the shared (shard, value) agg count separately, AQE reuses them
+    "agg_ks_shard": 8,              # (shard, value) agg + stitched CDFs + totals
     "agg_lorenz_deciles": 2,        # customer-grain agg + nation windows
     "agg_hhi_concentration": 3,     # supplier agg, share window, nation agg
     "agg_moments_cents": 1,         # one power-sum agg; moments are expressions

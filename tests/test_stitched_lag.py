@@ -220,3 +220,32 @@ def test_prefix_sum_equivalence(spark):
     )
     exp = df.withColumn("rs", F.sum("v").over(w))
     assert sorted(got.select(*cols).collect()) == sorted(exp.select(*cols).collect())
+
+
+def test_row_number_equivalence(spark):
+    """stitched_row_number must match the plain rank window, including
+    ties resolved by the full ordering tuple and single-row keys."""
+    from river_spark.operators.stitched_lag import stitched_row_number
+
+    import random
+
+    rng = random.Random(66)
+    t = dt.datetime(2024, 5, 1)
+    rows = []
+    rid = 0
+    for k in "abcd":
+        for _ in range(rng.randint(1, 120)):
+            rid += 1
+            rows.append(
+                (k, rid, t + dt.timedelta(days=rng.randint(0, 9),
+                                          seconds=rng.randint(0, 3600)))
+            )
+    rows.append(("z", 9999, t))  # single-row key
+    df = spark.createDataFrame(rows, "k string, rid long, ts timestamp_ntz")
+    got = stitched_row_number(
+        df, ["k"], ["ts", "rid"], F.date_trunc("day", F.col("ts")), out_col="rn"
+    )
+    w = Window.partitionBy("k").orderBy("ts", "rid")
+    exp = df.withColumn("rn", F.row_number().over(w).cast("long"))
+    cols = ["k", "rid", "ts", "rn"]
+    assert sorted(got.select(*cols).collect()) == sorted(exp.select(*cols).collect())
