@@ -657,12 +657,49 @@ def cpu_canary_ms(repeats: int = 3) -> float:
     return round(best * 1000, 1)
 
 
+def _canary_worker(_unused: int) -> int:
+    acc = 0
+    for i in range(2_000_000):
+        acc += i * 31 + (i >> 3)
+    return acc
+
+
+def parallel_canary_ms(nproc: int = 8, repeats: int = 3) -> float:
+    """Same fixed workload as cpu_canary_ms but run on ``nproc`` processes
+    CONCURRENTLY, min-of-N wall milliseconds for the whole batch. The
+    single-thread canary is blind to partial-box contention: an external
+    job occupying a third of the cores leaves a 1-thread loop untouched
+    while every 32-thread Spark stage slows ~uniformly — exactly the
+    round-10 signature (all 21 headline queries +9..51%, canary +5%).
+    A multi-core canary shares the contention the queries see, so
+    headline-up + parallel-canary-up = box, headline-up + both-canaries
+    -flat = code."""
+    import multiprocessing as mp
+
+    best = float("inf")
+    with mp.get_context("fork").Pool(nproc) as pool:
+        pool.map(_canary_worker, range(nproc))  # warm the pool
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            pool.map(_canary_worker, range(nproc))
+            best = min(best, time.perf_counter() - t0)
+    return round(best * 1000, 1)
+
+
+def _loadavg() -> list[float]:
+    try:
+        return [round(v, 2) for v in os.getloadavg()]
+    except OSError:  # pragma: no cover - non-unix
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     except ValueError:
         sf = -1.0  # unrecognized dir name; still bench, just flag the sf
+    load_start = _loadavg()
     spark = get_spark("river_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -717,6 +754,8 @@ def main() -> None:
     print(f"# transport: {tp}", file=sys.stderr)
     canary = cpu_canary_ms()
     print(f"# cpu canary: {canary} ms", file=sys.stderr)
+    pcanary = parallel_canary_ms()
+    print(f"# parallel canary (8 procs): {pcanary} ms", file=sys.stderr)
 
     probe = None
     if os.environ.get("SPARK_GRAFT_SF1_PROBE", "1") != "0":
@@ -756,6 +795,9 @@ def main() -> None:
         "deep_probe": deep,
         "layout_probe": layout,
         "cpu_canary_ms": canary,
+        "parallel_canary_ms": pcanary,
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg(),
         **tp,
     }
     # The driver records only the LAST 2000 chars of stdout; the full
@@ -778,6 +820,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cpu_canary_ms": canary,
+        "parallel_canary_ms": pcanary,
+        "loadavg": [load_start, _loadavg()],
         **tp,
     }
     if isinstance(probe, dict):
