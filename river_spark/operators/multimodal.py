@@ -6,10 +6,12 @@ The Spark-side plumbing here is REAL and tested: schemas, partitioning,
 Arrow-batched mapInPandas UDF signatures, deterministic batch shapes.
 
 Codec status (round 11):
-- LIVE: BMP (24-bit BI_RGB) and PCM16 WAV decode/encode in pure
-  numpy + struct — no third-party library needed; both sit inside the
-  bit-level cross-engine gate (queries/mm_codecs.py).
-- ENV-GATED: compressed formats (JPEG/PNG/FLAC/...) need PIL/cv2/
+- LIVE: BMP (24-bit BI_RGB), PCM16 WAV, and 8-bit truecolor PNG
+  (chunk walk + CRC-32 + zlib inflate + all five filter
+  reconstructions) decode/encode in pure numpy + stdlib — no
+  third-party library needed; all three sit inside the bit-level
+  cross-engine gate (queries/mm_codecs.py).
+- ENV-GATED: formats needing real codec libraries (JPEG/FLAC/...) need PIL/cv2/
   soundfile, none of which ship in this container — those decoder
   slots raise NotImplementedError, and ``decoder='fake'`` exercises the
   identical mapInPandas plumbing with a reproducible byte-histogram
@@ -481,3 +483,213 @@ def encode_wav(sample_rate: int, n_channels: int, samples: "np.ndarray") -> byte
         + b"fmt " + struct.pack("<I", 16) + fmt
         + b"data" + struct.pack("<I", len(data)) + data
     )
+
+
+# ---------------------------------------------------------------------------
+# PNG (round 11, continued): a third LIVE codec — the deflate half is
+# stdlib zlib, the chunk walk / CRC / filter reconstruction (including
+# the Paeth predictor) is implemented here. The encoder deliberately
+# varies the filter type per row (row % 5) so a decoder defect in ANY of
+# the five reconstruction paths shifts the decoded pixels, which the
+# cross-engine oracle sees as an exact-integer mismatch.
+# ---------------------------------------------------------------------------
+
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes):
+    """Decode an 8-bit-depth truecolor PNG (color type 2 = RGB or
+    6 = RGBA, non-interlaced): signature check, chunk walk with CRC-32
+    verification, concatenated-IDAT inflate, and per-row reconstruction
+    of all five PNG filter types (None/Sub/Up/Average/Paeth). Returns
+    (width, height, HxWxC uint8 array). Raises ValueError on anything
+    else — palette, 16-bit, or Adam7 payloads are real-world formats a
+    production pipeline routes to a full codec library; this slot covers
+    the truecolor layout end to end with zero third-party code."""
+    if len(payload) < len(_PNG_SIG) or payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    seen_iend = False
+    while pos + 8 <= len(payload):
+        clen = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) != clen or pos + 12 + clen > len(payload):
+            raise ValueError("truncated PNG chunk")
+        crc = struct.unpack_from(">I", payload, pos + 8 + clen)[0]
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch ({ctype!r})")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + clen
+    if ihdr is None or len(ihdr) != 13 or not idat or not seen_iend:
+        raise ValueError("missing IHDR/IDAT/IEND")
+    width, height, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or color not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={color}, "
+            f"interlace={interlace})"
+        )
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate PNG dimensions")
+    nch = 3 if color == 2 else 4
+    stride = width * nch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG scanline payload length mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
+        if ftype == 0:  # None
+            cur = line.copy()
+        elif ftype == 2:  # Up
+            cur = (line.astype(np.int16) + prev).astype(np.uint8)
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+            cur = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - nch]) if x >= nch else 0
+                if ftype == 1:
+                    rec = line[x] + a
+                elif ftype == 3:
+                    rec = line[x] + ((a + int(prev[x])) >> 1)
+                else:
+                    c = int(prev[x - nch]) if x >= nch else 0
+                    rec = line[x] + _paeth(a, int(prev[x]), c)
+                cur[x] = rec & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    return width, height, out.reshape(height, width, nch)
+
+
+def encode_png(width: int, height: int, rgb: "np.ndarray") -> bytes:
+    """Encode an HxWx3 (RGB) or HxWx4 (RGBA) uint8 array as an 8-bit
+    truecolor PNG. Filter type cycles per row (y % 5), so a round trip
+    through :func:`decode_png` exercises every reconstruction path —
+    None, Sub, Up, Average, and Paeth — on every image taller than
+    four rows."""
+    nch = rgb.shape[2]
+    color = 2 if nch == 3 else 6
+    stride = width * nch
+    flat = rgb.reshape(height, stride).astype(np.int16)
+    lines = bytearray()
+    for y in range(height):
+        ftype = y % 5
+        cur = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int16)
+        if ftype == 0:
+            enc = cur
+        elif ftype == 1:
+            left = np.concatenate([np.zeros(nch, dtype=np.int16), cur[:-nch]])
+            enc = cur - left
+        elif ftype == 2:
+            enc = cur - prev
+        elif ftype == 3:
+            left = np.concatenate([np.zeros(nch, dtype=np.int16), cur[:-nch]])
+            enc = cur - ((left + prev) >> 1)
+        else:
+            left = np.concatenate([np.zeros(nch, dtype=np.int16), cur[:-nch]])
+            upleft = np.concatenate([np.zeros(nch, dtype=np.int16), prev[:-nch]])
+            pred = np.array(
+                [_paeth(int(a), int(b), int(c))
+                 for a, b, c in zip(left, prev, upleft)],
+                dtype=np.int16,
+            )
+            enc = cur - pred
+        lines.append(ftype)
+        lines.extend((enc & 0xFF).astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+_PNG_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("r_sum", T.LongType()),
+        T.StructField("g_sum", T.LongType()),
+        T.StructField("b_sum", T.LongType()),
+        T.StructField("pos_weighted_sum", T.LongType()),
+    ]
+)
+
+
+def decode_png_pixel_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """REAL PNG decode emitting EXACT integer pixel statistics. Besides
+    per-channel sums, emits a position-weighted checksum
+    ``sum((j % 997 + 1) * byte_j)`` over the row-major RGB bytes —
+    plain channel sums are invariant under pixel permutation, so a
+    vertical-flip or row-offset defect could pass them; the weighted sum
+    pins the ORDER of every decoded byte."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(bin_col).alias("payload"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "ok", "width", "height",
+                                   "n_channels", "r_sum", "g_sum", "b_sum",
+                                   "pos_weighted_sum")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    w, h, px = decode_png(payload or b"")
+                except ValueError:
+                    for k, v in (("ok", False), ("width", 0), ("height", 0),
+                                 ("n_channels", 0), ("r_sum", 0), ("g_sum", 0),
+                                 ("b_sum", 0), ("pos_weighted_sum", 0)):
+                        out[k].append(v)
+                    continue
+                flat = px.reshape(-1).astype(np.int64)
+                j = np.arange(flat.size, dtype=np.int64)
+                out["ok"].append(True)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_channels"].append(px.shape[2])
+                out["r_sum"].append(int(px[:, :, 0].astype(np.int64).sum()))
+                out["g_sum"].append(int(px[:, :, 1].astype(np.int64).sum()))
+                out["b_sum"].append(int(px[:, :, 2].astype(np.int64).sum()))
+                out["pos_weighted_sum"].append(int(((j % 997 + 1) * flat).sum()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(decode, schema=_PNG_PIXEL_SCHEMA)

@@ -1,9 +1,11 @@
 """REAL multimodal codecs under the cross-engine gate (round 11).
 
 The container still ships no image/audio libraries (PIL/cv2/soundfile
-re-checked this round), but BMP and PCM WAV need none — they decode
-with numpy + struct. These queries put the LIVE decoders
-(operators/multimodal.decode_bmp / decode_wav) inside the bit-level
+re-checked this round), but BMP, PCM WAV, and truecolor PNG need none —
+they decode with numpy + stdlib (PNG's deflate half is stdlib zlib; the
+chunk walk, CRC-32 check, and the five filter reconstructions are
+implemented in operators/multimodal). These queries put the LIVE
+decoders (decode_bmp / decode_wav / decode_png) inside the bit-level
 oracle: payloads are synthesized from a closed-form rule of doc_id
 (encode_bmp / encode_wav — the encoder is exercised too), the Spark
 side DECODES the actual bytes, and the DuckDB oracle recomputes the
@@ -190,4 +192,76 @@ def mm_wav_decode_stats(spark, sf_dir):
     return stats.filter(F.col("ok")).select(
         "doc_id", "sample_rate", "n_channels", "n_samples",
         "peak", "sum_sq", "duration_ms",
+    )
+
+
+def _png_payloads(docs):
+    """doc_id -> synthesized PNG payload (one mapInPandas pass).
+    h >= 5 so every image exercises all five PNG filter types (the
+    encoder cycles filter = row % 5)."""
+    from river_spark.operators.multimodal import encode_png
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 5 + d % 4, 5 + d % 3
+                j = np.arange(3 * w * h, dtype=np.int64)
+                px = ((d * 53 + 7 * j) % 256).astype(np.uint8).reshape(h, w, 3)
+                ids.append(d)
+                payloads.append(encode_png(w, h, px))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+@q(
+    "mm_png_decode_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 5 + doc_id % 4 AS w, 5 + doc_id % 3 AS h
+        FROM documents),
+    bytes AS (
+        SELECT doc_id, w, h, g.j AS j,
+               (doc_id * 53 + 7 * g.j) % 256 AS v
+        FROM dims, UNNEST(generate_series(0, 3 * w * h - 1)) AS g(j))
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(sum(CASE WHEN j % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS r_sum,
+           CAST(sum(CASE WHEN j % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS g_sum,
+           CAST(sum(CASE WHEN j % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS b_sum,
+           CAST(sum((j % 997 + 1) * v) AS BIGINT) AS pos_weighted_sum
+    FROM bytes GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "codec", "image"),
+)
+def mm_png_decode_stats(spark, sf_dir):
+    """REAL PNG encode→decode round trip under the bit-level oracle.
+    The payload pixels are a closed-form function of doc_id; Spark
+    builds genuine PNG bytes (chunk layout, CRC-32, zlib deflate, and a
+    per-row CYCLING filter type so None/Sub/Up/Average/Paeth are all on
+    the wire in every image) and decodes them back with
+    operators/multimodal.decode_png. The oracle recomputes per-channel
+    sums AND a position-weighted byte checksum straight from the rule —
+    channel sums alone are permutation-invariant, the weighted sum pins
+    the order of every reconstructed byte, so a Paeth-tiebreak or
+    row-offset defect lands as a BIGINT mismatch, never a plausible
+    float."""
+    from river_spark.operators.multimodal import decode_png_pixel_stats
+
+    docs = tbl(spark, sf_dir, "documents")
+    stats = decode_png_pixel_stats(_png_payloads(docs), "doc_id", "payload")
+    return stats.filter(F.col("ok")).select(
+        "doc_id", "width", "height", "n_channels",
+        "r_sum", "g_sum", "b_sum", "pos_weighted_sum",
     )

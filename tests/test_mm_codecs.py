@@ -125,3 +125,102 @@ def test_spark_decode_survives_malformed_rows(spark):
     assert wav[4]["ok"] and wav[4]["peak"] == 7 and wav[4]["sum_sq"] == 98
     assert wav[4]["n_samples"] == 2
     assert not wav[1]["ok"] and not wav[2]["ok"] and not wav[3]["ok"]
+
+
+class TestPng:
+    def test_roundtrip_all_filters_rgb_rgba(self):
+        from river_spark.operators.multimodal import decode_png, encode_png
+
+        rng = np.random.default_rng(11)
+        # h >= 5 puts all five filter types (y % 5) on the wire
+        for w, h, c in [(1, 5, 3), (4, 5, 3), (7, 6, 4), (16, 11, 3), (3, 9, 4)]:
+            px = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+            ww, hh, back = decode_png(encode_png(w, h, px))
+            assert (ww, hh) == (w, h)
+            assert back.shape == px.shape
+            assert (back == px).all(), (w, h, c)
+
+    def test_paeth_tiebreak_order(self):
+        """Constant rows make pa == pb == pc at every Paeth pixel —
+        exactly the tie the spec breaks left-first. A decoder that
+        breaks ties up-first still round-trips random data often enough
+        to slip through; this image forces the tie on every pixel of
+        the Paeth row (y=4)."""
+        from river_spark.operators.multimodal import decode_png, encode_png
+
+        px = np.full((6, 4, 3), 200, dtype=np.uint8)
+        _, _, back = decode_png(encode_png(4, 6, px))
+        assert (back == px).all()
+
+    def test_crc_verified(self):
+        from river_spark.operators.multimodal import decode_png, encode_png
+
+        good = bytearray(encode_png(3, 5, _px(3, 5, seed=3)))
+        # flip one bit inside the IDAT body: CRC must catch it
+        idat_at = bytes(good).find(b"IDAT")
+        good[idat_at + 6] ^= 0x01
+        with pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(good))
+
+    @pytest.mark.parametrize(
+        "mutate",
+        [
+            lambda p: p[:10],                       # truncated signature
+            lambda p: b"\x89PNX" + p[4:],           # bad magic
+            lambda p: p[: len(p) - 12],             # missing IEND
+        ],
+    )
+    def test_malformed_raises(self, mutate):
+        from river_spark.operators.multimodal import decode_png, encode_png
+
+        good = encode_png(3, 5, _px(3, 5))
+        with pytest.raises(ValueError):
+            decode_png(mutate(good))
+
+    def test_unsupported_variants_rejected(self):
+        import struct as st
+        import zlib
+
+        from river_spark.operators.multimodal import decode_png
+
+        def png_with_ihdr(ihdr_body):
+            def chunk(ctype, body):
+                return (
+                    st.pack(">I", len(body)) + ctype + body
+                    + st.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+                )
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr_body)
+                + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00"))
+                + chunk(b"IEND", b"")
+            )
+
+        # 16-bit depth, palette color, Adam7 interlace: all rejected
+        for depth, color, interlace in [(16, 2, 0), (8, 3, 0), (8, 2, 1)]:
+            ihdr = st.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, interlace)
+            with pytest.raises(ValueError, match="unsupported"):
+                decode_png(png_with_ihdr(ihdr))
+
+    def test_spark_decode_survives_malformed_rows(self, spark):
+        from river_spark.operators.multimodal import (
+            decode_png_pixel_stats,
+            encode_png,
+        )
+
+        px = _px(3, 5, seed=2)
+        rows = [
+            (1, bytearray(encode_png(3, 5, px))),
+            (2, bytearray(b"not a png")),
+            (3, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {r["doc_id"]: r for r in
+               decode_png_pixel_stats(df, "doc_id", "payload").collect()}
+        assert got[1]["ok"] and got[1]["width"] == 3 and got[1]["height"] == 5
+        p64 = px.astype(np.int64)
+        assert got[1]["r_sum"] == int(p64[:, :, 0].sum())
+        flat = p64.reshape(-1)
+        j = np.arange(flat.size, dtype=np.int64)
+        assert got[1]["pos_weighted_sum"] == int(((j % 997 + 1) * flat).sum())
+        assert not got[2]["ok"] and not got[3]["ok"]
