@@ -1,0 +1,468 @@
+"""Relational wave 30 (round 11): exact nonparametric statistics.
+
+The parametric A/B readout (``ab_welch_ttest``) and exact-moment
+correlation (``agg_corr_exact``) get their rank-based siblings — the
+tests an experimentation/eval platform actually reaches for when the
+metric is skewed (revenue) or the relationship is monotone-but-curved:
+
+- ``ab_mann_whitney_u``: Mann-Whitney U (Wilcoxon rank-sum) between
+  md5-assigned experiment arms, with exact tie handling. Computed
+  WITHOUT ranking raw rows: U depends only on the per-distinct-value
+  counts of each arm and the running count below each value, so the
+  scan reduces to a (value -> n_a, n_b) rollup and the CDF counter
+  runs through ``stitched_prefix_sum`` — parallelism is value-buckets,
+  never one task per arm. Doubling U (``u_a_x2``) keeps every output a
+  BIGINT even when ties contribute half-steps.
+- ``agg_spearman_rho``: Spearman rank correlation per group with
+  average-rank tie handling, as Pearson over EXACT integer doubled
+  ranks (2*avg-rank is always an integer): value-level rollups give
+  each distinct value its doubled midrank, the joint (x, y) rollup
+  joins the two rank tables, and the final rho is the same
+  sufficient-statistics closed form as agg_corr_exact. No raw row is
+  ever ranked by a window.
+- ``agg_cohens_kappa``: inter-rater agreement between the marker
+  lang-ID heuristic (text.py's guess rule) and the stored labels —
+  observed and chance agreement from the confusion matrix's exact
+  integer marginals; the text_lang_id_eval confusion matrix condensed
+  into the one calibrated scalar evaluators quote.
+
+Bit-exactness: every intermediate is a BIGINT; doubles appear only in
+the FINAL closed-form expression, written as the identical operation
+tree in Spark and DuckDB over identical integer inputs (IEEE +,*,/ and
+sqrt are correctly rounded, hence bit-identical). At true 100 TB row
+counts the int64 rank products widen to DECIMAL(38,0) — same shape,
+wider lanes (the agg_corr_exact note applies verbatim).
+
+Reference parity: the reference engine (pbotros/river) has no
+relational layer (its surface is the stream transport,
+/root/reference/cpp/src/writer.cpp); these extend the analytics
+surface the brief requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from river_spark.queries.relational import q
+from river_spark.queries.tables import events_tbl, tbl
+from river_spark.queries.text import (  # noqa: F401 (guess rule shared with text_lang_id_eval)
+    _LANG_MARKERS,
+    _marker_count_spark,
+    _marker_count_sql,
+)
+
+_ARM = (
+    "pmod(cast(conv(substring(md5(concat('exp7~', cast(user_id as string))), "
+    "1, 8), 16, 10) as bigint), 2)"
+)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U with exact ties, over a value rollup (never raw ranks)
+# ---------------------------------------------------------------------------
+@q(
+    "ab_mann_whitney_u",
+    oracle="""
+    WITH assigned AS (
+        SELECT CASE WHEN (('0x' || substr(md5('exp7~' || CAST(user_id AS
+                   VARCHAR)), 1, 8))::BIGINT % 2) = 0 THEN 'A' ELSE 'B'
+               END AS arm,
+               value
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+    v AS (
+        SELECT value,
+               CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        FROM assigned GROUP BY value),
+    c AS (
+        SELECT na, nb,
+               CAST(coalesce(sum(nb) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cumb_below
+        FROM v),
+    s AS (
+        SELECT CAST(sum(na) AS BIGINT) AS n_a,
+               CAST(sum(nb) AS BIGINT) AS n_b,
+               CAST(sum(na * (2 * cumb_below + nb)) AS BIGINT) AS u_a_x2,
+               CAST(sum((na + nb) * (na + nb) * (na + nb) - (na + nb))
+                   AS BIGINT) AS tie_cubes
+        FROM c)
+    SELECT n_a, n_b, u_a_x2,
+           2 * n_a * n_b - u_a_x2 AS u_b_x2,
+           tie_cubes,
+           -- one-arm / all-tied boundaries zero the variance: Spark ANSI
+           -- throws on double/0 where DuckDB yields NULL, so both engines
+           -- share the explicit guard (NULL z when the test is undefined)
+           CASE WHEN n_a > 0 AND n_b > 0 AND (n_a + n_b) > 1
+                     AND CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12
+                         * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1)
+                            - CAST(tie_cubes AS DOUBLE)
+                              / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                                 * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1))) > 0
+                THEN ((CAST(u_a_x2 AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / 2)
+                     / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12
+                            * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1)
+                               - CAST(tie_cubes AS DOUBLE)
+                                 / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                                    * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1))))
+           END AS z_stat
+    FROM s
+    """,
+    tags=("analytics", "abtest", "stats", "exact"),
+)
+def ab_mann_whitney_u(spark, sf_dir):
+    """Mann-Whitney U between experiment arms (same md5 assignment as
+    ab_welch_ttest) with EXACT tie handling — the nonparametric readout
+    for skewed metrics where the t-test's mean is the wrong summary.
+
+    U never needs per-row ranks: with per-distinct-value arm counts
+    (na, nb) and the running count of B strictly below each value,
+    2*U_A = sum(na * (2*cumB_below + nb)) — ties contribute the half
+    step exactly, and doubling keeps it a BIGINT. The z statistic uses
+    the standard tie-corrected variance, with sum(t^3 - t) over tie
+    groups again a pure BIGINT.
+
+    100 TB posture: raw events reduce to one (value -> na, nb) hash
+    rollup (value domain is bounded — 2-decimal amounts — so the
+    rollup is domain-sized, not data-sized); the CDF counter over that
+    rollup runs through operators/stitched_lag.stitched_prefix_sum
+    (bucket = floor(value)), so no single task ever sees the whole
+    distribution. The plain-window oracle is row-identical by the
+    operator's property test."""
+    from river_spark.operators.stitched_lag import stitched_prefix_sum
+
+    arm_a = (F.expr(_ARM) == 0).cast("int").cast("long")
+    v = (
+        events_tbl(spark, sf_dir)
+        .filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(F.col("value"), arm_a.alias("is_a"))
+        .groupBy("value")
+        .agg(
+            F.sum("is_a").alias("na"),
+            (F.count("*") - F.sum("is_a")).alias("nb"),
+        )
+    )
+    c = stitched_prefix_sum(
+        v,
+        key_cols=[],
+        order_cols=["value"],
+        value_col="nb",
+        bucket=F.floor("value"),
+        out_col="cumb_incl",
+    ).withColumn("cumb_below", F.col("cumb_incl") - F.col("nb"))
+    s = c.agg(
+        F.sum("na").alias("n_a"),
+        F.sum("nb").alias("n_b"),
+        F.sum(F.col("na") * (2 * F.col("cumb_below") + F.col("nb"))).alias("u_a_x2"),
+        F.sum(
+            (F.col("na") + F.col("nb")) * (F.col("na") + F.col("nb"))
+            * (F.col("na") + F.col("nb"))
+            - (F.col("na") + F.col("nb"))
+        ).alias("tie_cubes"),
+    )
+    na_d, nb_d = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    mean_diff = (F.col("u_a_x2").cast("double") - na_d * nb_d) / 2
+    var = (
+        na_d * nb_d / 12
+        * ((na_d + nb_d + 1)
+           - F.col("tie_cubes").cast("double") / ((na_d + nb_d) * (na_d + nb_d - 1)))
+    )
+    # one-arm / all-tied boundaries zero the variance: Spark ANSI throws
+    # on double/0 where DuckDB yields NULL; CASE WHEN is lazily evaluated
+    # in both engines, so the division never runs on the boundary
+    defined = (F.col("n_a") > 0) & (F.col("n_b") > 0) & ((F.col("n_a") + F.col("n_b")) > 1) & (var > 0)
+    return s.select(
+        "n_a",
+        "n_b",
+        "u_a_x2",
+        (2 * F.col("n_a") * F.col("n_b") - F.col("u_a_x2")).alias("u_b_x2"),
+        "tie_cubes",
+        F.when(defined, mean_diff / F.sqrt(var)).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rho from exact doubled midranks
+# ---------------------------------------------------------------------------
+@q(
+    "agg_spearman_rho",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag AS g,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem),
+    rx AS (
+        SELECT g, x,
+               2 * CAST(coalesce(sum(nx) OVER (PARTITION BY g ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) + nx + 1 AS rx2
+        FROM (SELECT g, x, CAST(count(*) AS BIGINT) AS nx
+              FROM base GROUP BY g, x)),
+    ry AS (
+        SELECT g, y,
+               2 * CAST(coalesce(sum(ny) OVER (PARTITION BY g ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) + ny + 1 AS ry2
+        FROM (SELECT g, y, CAST(count(*) AS BIGINT) AS ny
+              FROM base GROUP BY g, y)),
+    joint AS (
+        SELECT g, x, y, CAST(count(*) AS BIGINT) AS nxy
+        FROM base GROUP BY g, x, y),
+    s AS (
+        SELECT j.g,
+               CAST(sum(nxy) AS BIGINT) AS n,
+               CAST(sum(nxy * rx2) AS BIGINT) AS sx,
+               CAST(sum(nxy * ry2) AS BIGINT) AS sy,
+               CAST(sum(nxy * rx2 * rx2) AS BIGINT) AS sxx,
+               CAST(sum(nxy * ry2 * ry2) AS BIGINT) AS syy,
+               CAST(sum(nxy * rx2 * ry2) AS BIGINT) AS sxy
+        FROM joint j
+        JOIN rx ON rx.g = j.g AND rx.x = j.x
+        JOIN ry ON ry.g = j.g AND ry.y = j.y
+        GROUP BY j.g)
+    SELECT g AS l_returnflag, n,
+           -- constant x or y in a group zeroes a rank variance: shared
+           -- NULL guard (Spark ANSI would throw on the double /0)
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS spearman_rho
+    FROM s
+    """,
+    tags=("agg", "stats", "exact"),
+)
+def agg_spearman_rho(spark, sf_dir):
+    """Spearman rank correlation of (quantity, price-in-cents) per
+    return flag with average-rank ties, computed WITHOUT ranking a
+    single raw row: each distinct value's doubled midrank
+    (2*avg-rank = 2*count_below + count_equal + 1, always a BIGINT)
+    comes from a value-level rollup, the joint (x, y) rollup joins the
+    two rank tables, and rho is Pearson's closed form over the exact
+    integer sufficient statistics — identical operation tree in both
+    engines, hence bit-identical doubles with no rounding.
+
+    100 TB posture: three hash rollups (x, y, joint) — all partial-
+    aggregatable — plus cumulative counters over DOMAIN-sized rollups
+    (quantity has 50 values; cents is bounded by the price range, so
+    the y rollup is domain-sized, not data-sized), with the y counter
+    running through stitched_prefix_sum (bucket = y div 100000) so no
+    task sees a whole group's distribution. The int64 rank products
+    hold to ~10^16 per group; beyond that they widen to DECIMAL(38,0)
+    like agg_corr_exact's partials."""
+    from river_spark.operators.stitched_lag import stitched_prefix_sum
+
+    base = tbl(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    wx = (
+        Window.partitionBy("g")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rx = (
+        base.groupBy("g", "x")
+        .agg(F.count("*").alias("nx"))
+        .withColumn(
+            "rx2",
+            2 * F.coalesce(F.sum("nx").over(wx), F.lit(0)) + F.col("nx") + 1,
+        )
+        .select("g", "x", "rx2")
+    )
+    ry = (
+        stitched_prefix_sum(
+            base.groupBy("g", "y").agg(F.count("*").alias("ny")),
+            key_cols=["g"],
+            order_cols=["y"],
+            value_col="ny",
+            bucket=F.expr("y div 100000"),
+            out_col="cum_incl",
+        )
+        .withColumn("ry2", 2 * (F.col("cum_incl") - F.col("ny")) + F.col("ny") + 1)
+        .select("g", "y", "ry2")
+    )
+    joint = base.groupBy("g", "x", "y").agg(F.count("*").alias("nxy"))
+    s = (
+        joint.join(rx, ["g", "x"])
+        .join(ry, ["g", "y"])
+        .groupBy("g")
+        .agg(
+            F.sum("nxy").alias("n"),
+            F.sum(F.col("nxy") * F.col("rx2")).alias("sx"),
+            F.sum(F.col("nxy") * F.col("ry2")).alias("sy"),
+            F.sum(F.col("nxy") * F.col("rx2") * F.col("rx2")).alias("sxx"),
+            F.sum(F.col("nxy") * F.col("ry2") * F.col("ry2")).alias("syy"),
+            F.sum(F.col("nxy") * F.col("rx2") * F.col("ry2")).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    # constant x or y zeroes a rank variance: shared NULL guard (Spark
+    # ANSI would throw on the double /0; CASE WHEN is lazy in both engines)
+    return s.select(
+        F.col("g").alias("l_returnflag"),
+        "n",
+        F.when(
+            (nd * sxx - sx * sx > 0) & (nd * syy - sy * sy > 0),
+            (nd * sxy - sx * sy)
+            / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)),
+        ).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa of the lang-ID heuristic vs stored labels
+# ---------------------------------------------------------------------------
+@q(
+    "agg_cohens_kappa",
+    oracle=f"""
+    WITH s AS (
+        SELECT lang,
+               {_marker_count_sql(_LANG_MARKERS["en"])} AS c_en,
+               {_marker_count_sql(_LANG_MARKERS["es"])} AS c_es,
+               {_marker_count_sql(_LANG_MARKERS["de"])} AS c_de,
+               {_marker_count_sql(_LANG_MARKERS["fr"])} AS c_fr
+        FROM documents),
+    g AS (
+        SELECT lang,
+               CASE WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0 THEN 'und'
+                    WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+                    WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+                    WHEN c_de >= c_fr THEN 'de'
+                    ELSE 'fr' END AS lang_guess
+        FROM s),
+    conf AS (
+        SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n
+        FROM g GROUP BY lang, lang_guess),
+    legs AS (
+        SELECT lang AS label, n AS n_row, CAST(0 AS BIGINT) AS n_col,
+               CASE WHEN lang = lang_guess THEN n ELSE 0 END AS agree
+        FROM conf
+        UNION ALL
+        SELECT lang_guess AS label, CAST(0 AS BIGINT), n, CAST(0 AS BIGINT)
+        FROM conf),
+    lab AS (
+        SELECT label, CAST(sum(n_row) AS BIGINT) AS row_n,
+               CAST(sum(n_col) AS BIGINT) AS col_n,
+               CAST(sum(agree) AS BIGINT) AS agree_n
+        FROM legs GROUP BY label),
+    tot AS (
+        SELECT CAST(sum(row_n) AS BIGINT) AS n_docs,
+               CAST(sum(agree_n) AS BIGINT) AS n_agree,
+               CAST(sum(row_n * col_n) AS BIGINT) AS chance_num
+        FROM lab)
+    SELECT n_docs, n_agree, chance_num,
+           -- a single-cell matrix (every doc one label, guessed as that
+           -- label) makes chance = N^2: kappa undefined, NULL both engines
+           CASE WHEN CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                     - CAST(chance_num AS DOUBLE) > 0
+                THEN (CAST(n_docs AS DOUBLE) * CAST(n_agree AS DOUBLE)
+                      - CAST(chance_num AS DOUBLE))
+                     / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                        - CAST(chance_num AS DOUBLE))
+           END AS kappa
+    FROM tot
+    """,
+    tags=("agg", "stats", "evaluation", "exact"),
+)
+def agg_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa between the marker lang-ID heuristic and the
+    stored labels — text_lang_id_eval's confusion matrix condensed into
+    the chance-corrected agreement scalar: kappa = (po - pe)/(1 - pe)
+    = (N*agree - sum_l row_l*col_l) / (N^2 - sum_l row_l*col_l), every
+    term an exact BIGINT from the matrix marginals. Labels one side
+    never produces (e.g. 'und' has no true-label row, 'zh' no guess
+    column) contribute row*col = 0 naturally: the two marginal legs
+    are UNIONED into one label rollup — no join anywhere in the plan —
+    and a missing side sums to zero. The final division is the same
+    operation tree in both engines.
+
+    100 TB posture: identical scan shape to text_lang_id_eval — one
+    zero-shuffle guess expression, one |langs|^2 hash agg; everything
+    after the confusion matrix is constant-sized, join-free, single
+    pipeline."""
+    d = tbl(spark, sf_dir, "documents").select(
+        "lang",
+        _marker_count_spark(_LANG_MARKERS["en"]).alias("c_en"),
+        _marker_count_spark(_LANG_MARKERS["es"]).alias("c_es"),
+        _marker_count_spark(_LANG_MARKERS["de"]).alias("c_de"),
+        _marker_count_spark(_LANG_MARKERS["fr"]).alias("c_fr"),
+    )
+    guess = (
+        F.when(
+            (F.col("c_en") == 0)
+            & (F.col("c_es") == 0)
+            & (F.col("c_de") == 0)
+            & (F.col("c_fr") == 0),
+            "und",
+        )
+        .when(
+            (F.col("c_en") >= F.col("c_es"))
+            & (F.col("c_en") >= F.col("c_de"))
+            & (F.col("c_en") >= F.col("c_fr")),
+            "en",
+        )
+        .when((F.col("c_es") >= F.col("c_de")) & (F.col("c_es") >= F.col("c_fr")), "es")
+        .when(F.col("c_de") >= F.col("c_fr"), "de")
+        .otherwise("fr")
+    )
+    conf = (
+        d.select("lang", guess.alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n"))
+    )
+    leg_row = conf.select(
+        F.col("lang").alias("label"),
+        F.col("n").alias("n_row"),
+        F.lit(0).cast("long").alias("n_col"),
+        F.when(F.col("lang") == F.col("lang_guess"), F.col("n"))
+        .otherwise(0)
+        .alias("agree"),
+    )
+    leg_col = conf.select(
+        F.col("lang_guess").alias("label"),
+        F.lit(0).cast("long").alias("n_row"),
+        F.col("n").alias("n_col"),
+        F.lit(0).cast("long").alias("agree"),
+    )
+    lab = (
+        leg_row.unionByName(leg_col)
+        .groupBy("label")
+        .agg(
+            F.sum("n_row").alias("row_n"),
+            F.sum("n_col").alias("col_n"),
+            F.sum("agree").alias("agree_n"),
+        )
+    )
+    s = lab.agg(
+        F.sum("row_n").alias("n_docs"),
+        F.sum("agree_n").alias("n_agree"),
+        F.sum(F.col("row_n") * F.col("col_n")).alias("chance_num"),
+    )
+    nd = F.col("n_docs").cast("double")
+    # single-cell matrix boundary: chance = N^2 -> undefined kappa, NULL
+    # in both engines (Spark ANSI would throw on the raw double /0)
+    return s.select(
+        "n_docs",
+        "n_agree",
+        "chance_num",
+        F.when(
+            nd * nd - F.col("chance_num").cast("double") > 0,
+            (nd * F.col("n_agree").cast("double") - F.col("chance_num").cast("double"))
+            / (nd * nd - F.col("chance_num").cast("double")),
+        ).alias("kappa"),
+    )

@@ -96,6 +96,16 @@ BOUNDARY_QUERIES = [
     "ev_markov_entropy_rate",
     "pipeline_pack_efficiency",
     "pipeline_pps_sample",
+    # --- round-11 wave 30: rank-stat boundaries. The fixture's purchase
+    #     arms are tiny and tie-free (users 8->A, 9->B: n_a=3, n_b=1,
+    #     tie_cubes=0); the empty-arm branch of the z guard fires in
+    #     test_mann_whitney_single_arm_guard below on a dedicated dir.
+    #     The all-'en' doc corpus drives kappa's marginals to the
+    #     near-degenerate edge. (agg_spearman_rho reads lineitem, which
+    #     this fixture does not write — its constant-rank guard is
+    #     covered by the sf sweeps and the shared guard pattern.)
+    "ab_mann_whitney_u",
+    "agg_cohens_kappa",
 ]
 
 _FIXTURE_TABLES = ("customer", "orders", "events", "documents", "embeddings")
@@ -302,3 +312,39 @@ def test_fixture_hits_the_boundaries(spark, bdir, bddb):
         "the identical-text pair must form one survivorship cluster"
     )
     assert surv["survivor_id"].iloc[0] == 2
+
+
+def test_mann_whitney_single_arm_guard(spark, tmp_path):
+    """Every purchase from ONE md5 arm: U is computable but the z
+    variance is n_a*n_b/12*(...) = 0 — Spark must emit NULL through the
+    guard (ANSI would throw on the raw /0) and DuckDB must agree."""
+    # user 9 hashes to arm B (checked in the md5 rule); two purchases
+    d = tmp_path / "single_arm"
+    d.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01T00:00:00", "2024-01-01T01:00:00"]
+            ).astype("datetime64[us]"),
+            "user_id": [9, 9],
+            "event_type": ["purchase", "purchase"],
+            "value": [1.0, 2.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    pdf.to_parquet(d / "events.parquet")
+
+    got = QUERIES["ab_mann_whitney_u"].fn(spark, str(d)).toPandas()
+    assert len(got) == 1
+    assert got["n_a"].iloc[0] == 0 and got["n_b"].iloc[0] == 2
+    assert got["u_a_x2"].iloc[0] == 0
+    assert pd.isna(got["z_stat"].iloc[0]), "empty arm must yield NULL z"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    exp = con.execute(QUERIES["ab_mann_whitney_u"].oracle).df()
+    assert pd.isna(exp["z_stat"].iloc[0]), "oracle must agree: NULL z"
+    assert exp["n_b"].iloc[0] == 2
