@@ -1,4 +1,5 @@
-"""Relational wave 30 (round 11): exact nonparametric statistics.
+"""Relational wave 30 (round 11): exact nonparametric statistics
+and classifier-calibration audits.
 
 The parametric A/B readout (``ab_welch_ttest``) and exact-moment
 correlation (``agg_corr_exact``) get their rank-based siblings — the
@@ -45,8 +46,9 @@ from pyspark.sql import Window, functions as F
 
 from river_spark.queries.relational import q
 from river_spark.queries.tables import events_tbl, tbl
-from river_spark.queries.text import (  # noqa: F401 (guess rule shared with text_lang_id_eval)
+from river_spark.queries.text import (  # noqa: F401 (rules shared with text_lang_id_eval / text_quality_score)
     _LANG_MARKERS,
+    _SW_SQL,
     _marker_count_spark,
     _marker_count_sql,
 )
@@ -465,4 +467,204 @@ def agg_cohens_kappa(spark, sf_dir):
             (nd * F.col("n_agree").cast("double") - F.col("chance_num").cast("double"))
             / (nd * nd - F.col("chance_num").cast("double")),
         ).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration (reliability diagram) in exact integers
+# ---------------------------------------------------------------------------
+@q(
+    "pipeline_score_calibration",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks,
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                    x -> x IN ({_SW_SQL}))) AS BIGINT) AS sw,
+               CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+                   AS BIGINT) AS dtoks
+        FROM documents),
+    scored AS (
+        SELECT doc_id,
+               (sw * 1000000) // toks AS q_micro,
+               least((sw * 10) // toks, 9) AS bin,
+               CASE WHEN 2 * dtoks > toks THEN 1 ELSE 0 END AS label
+        FROM t WHERE toks > 0)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(label) AS BIGINT) AS n_pos,
+           CAST(sum(q_micro) AS BIGINT) AS sum_q_micro,
+           CAST(abs(sum(q_micro) - 1000000 * sum(label)) AS BIGINT)
+               AS calib_gap_micro,
+           CAST(sum(q_micro) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000)
+               AS mean_pred,
+           CAST(sum(label) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac_pos
+    FROM scored GROUP BY bin
+    """,
+    tags=("pipeline", "quality", "evaluation", "exact"),
+)
+def pipeline_score_calibration(spark, sf_dir):
+    """Reliability diagram of a quality-classifier proxy — the
+    calibration audit every score-filtered training pipeline needs
+    before trusting a threshold: does a doc scored 0.3 actually pass
+    the independent label 30% of the time?
+
+    Score = stopword ratio (text_quality_score's central feature),
+    quantized to integer MICRO-UNITS per doc ((sw*1e6) div toks) so the
+    per-bin sums stay exact BIGINTs — a float score would make every
+    bin mean order-dependent. Label = lexical-diversity proxy
+    (2*distinct_tokens > tokens), an integer comparison. Decile bin =
+    (sw*10) div toks, clamped. The per-bin calibration gap
+    |sum_q - 1e6*n_pos| is a pure BIGINT; mean_pred / frac_pos are
+    single divisions of exact integers (identical trees both engines).
+
+    100 TB posture: one zero-shuffle scan computes score, bin, and
+    label per doc; ONE hash aggregation over <= 10 bins — partial
+    aggregation does nearly all the work map-side; nothing after the
+    agg exceeds 10 rows."""
+    t = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("toks"),
+        F.size(
+            F.expr(f"filter(split(trim(text), '\\\\s+'), x -> x IN ({_SW_SQL}))")
+        )
+        .cast("bigint")
+        .alias("sw"),
+        F.size(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("bigint")
+        .alias("dtoks"),
+    )
+    scored = t.filter(F.col("toks") > 0).select(
+        F.expr("sw * 1000000 div toks").alias("q_micro"),
+        F.least(F.expr("sw * 10 div toks"), F.lit(9)).cast("bigint").alias("bin"),
+        F.when(2 * F.col("dtoks") > F.col("toks"), 1).otherwise(0).alias("label"),
+    )
+    g = scored.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("label").alias("n_pos"),
+        F.sum("q_micro").alias("sum_q_micro"),
+    )
+    return g.select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        "sum_q_micro",
+        F.abs(F.col("sum_q_micro") - 1000000 * F.col("n_pos")).alias(
+            "calib_gap_micro"
+        ),
+        (
+            F.col("sum_q_micro").cast("double")
+            / (F.col("n_docs").cast("double") * 1000000)
+        ).alias("mean_pred"),
+        (F.col("n_pos").cast("double") / F.col("n_docs").cast("double")).alias(
+            "frac_pos"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Budgeted quality threshold (the knee of the score-filter curve)
+# ---------------------------------------------------------------------------
+@q(
+    "pipeline_quality_knee",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks,
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                    x -> x IN ({_SW_SQL}))) AS BIGINT) AS sw
+        FROM documents),
+    scored AS (
+        SELECT doc_id, source, toks,
+               (sw * 1000000) // toks AS q_micro
+        FROM t WHERE toks > 0),
+    c AS (
+        SELECT doc_id, source, toks, q_micro,
+               CAST(sum(toks) OVER (PARTITION BY source
+                   ORDER BY q_micro DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks,
+               CAST(count(*) OVER (PARTITION BY source
+                   ORDER BY q_micro DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_kept,
+               CAST(sum(toks) OVER (PARTITION BY source) AS BIGINT) AS total_toks
+        FROM scored),
+    x AS (
+        SELECT source, q_micro, n_kept, cum_toks, total_toks,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY q_micro DESC, doc_id) AS rn
+        FROM c WHERE 2 * cum_toks >= total_toks)
+    SELECT source,
+           q_micro AS threshold_q_micro,
+           n_kept AS n_docs_kept,
+           cum_toks AS tokens_kept,
+           total_toks AS total_tokens,
+           CAST(cum_toks AS DOUBLE) / CAST(total_toks AS DOUBLE)
+               AS kept_token_share
+    FROM x WHERE rn = 1
+    """,
+    tags=("pipeline", "quality", "curation", "exact"),
+)
+def pipeline_quality_knee(spark, sf_dir):
+    """Per-source threshold selection for a score-filtered pipeline:
+    within each source, keep the highest-scoring docs (stopword-ratio
+    score in exact micro-units — the same rule
+    pipeline_score_calibration audits) until the kept token mass first
+    reaches HALF that source's corpus, and report the knee — threshold
+    score, docs kept, tokens kept. Per-domain thresholds are the
+    realistic shape: one global cut over heterogeneous sources
+    over-prunes the cleanest domain. Every intermediate is a BIGINT;
+    the only double is the final share division.
+
+    100 TB posture: the cumulative token counter and the kept-doc
+    counter share ONE stitched_prefix_sum pass keyed by source (bucket
+    = score band, so no task scans a whole source in score order); the
+    per-source totals are a tiny groupBy equi-joined back (AQE
+    broadcasts the |sources|-row side); the crossing row per source is
+    one min_by-style struct aggregation, not a sort."""
+    from river_spark.operators.stitched_lag import stitched_prefix_sum
+
+    t = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("toks"),
+        F.size(
+            F.expr(f"filter(split(trim(text), '\\\\s+'), x -> x IN ({_SW_SQL}))")
+        )
+        .cast("bigint")
+        .alias("sw"),
+    )
+    scored = t.filter(F.col("toks") > 0).select(
+        "doc_id",
+        "source",
+        "toks",
+        F.expr("sw * 1000000 div toks").alias("q_micro"),
+        (-F.expr("sw * 1000000 div toks")).alias("neg_q"),
+        F.lit(1).cast("bigint").alias("one"),
+    )
+    c = stitched_prefix_sum(
+        scored,
+        key_cols=["source"],
+        order_cols=["neg_q", "doc_id"],
+        value_col=["toks", "one"],
+        bucket=F.expr("neg_q div 100000"),
+        out_col=["cum_toks", "n_kept"],
+    )
+    totals = scored.groupBy("source").agg(F.sum("toks").alias("total_toks"))
+    crossing = c.join(totals, "source").filter(
+        2 * F.col("cum_toks") >= F.col("total_toks")
+    )
+    knee = crossing.groupBy("source").agg(
+        F.min(
+            F.struct("neg_q", "doc_id", "q_micro", "n_kept", "cum_toks", "total_toks")
+        ).alias("s")
+    )
+    return knee.select(
+        "source",
+        F.col("s.q_micro").alias("threshold_q_micro"),
+        F.col("s.n_kept").alias("n_docs_kept"),
+        F.col("s.cum_toks").alias("tokens_kept"),
+        F.col("s.total_toks").alias("total_tokens"),
+        (
+            F.col("s.cum_toks").cast("double") / F.col("s.total_toks").cast("double")
+        ).alias("kept_token_share"),
     )

@@ -106,6 +106,11 @@ BOUNDARY_QUERIES = [
     #     covered by the sf sweeps and the shared guard pattern.)
     "ab_mann_whitney_u",
     "agg_cohens_kappa",
+    # integer-division score quantization on 1-token / zero-stopword
+    # docs (q_micro = 0, bin 0) and the 50%-budget crossing on tiny
+    # per-source corpora (a single doc IS the knee)
+    "pipeline_score_calibration",
+    "pipeline_quality_knee",
 ]
 
 _FIXTURE_TABLES = ("customer", "orders", "events", "documents", "embeddings")
