@@ -1,7 +1,8 @@
 """REAL multimodal codecs under the cross-engine gate (round 11).
 
 The container still ships no image/audio libraries (PIL/cv2/soundfile
-re-checked this round), but BMP, PCM WAV, and truecolor PNG need none —
+re-checked this round), but BMP, PCM + mu-law WAV, truecolor PNG, and
+QOI need none —
 they decode with numpy + stdlib (PNG's deflate half is stdlib zlib; the
 chunk walk, CRC-32 check, and the five filter reconstructions are
 implemented in operators/multimodal). These queries put the LIVE
@@ -264,4 +265,168 @@ def mm_png_decode_stats(spark, sf_dir):
     return stats.filter(F.col("ok")).select(
         "doc_id", "width", "height", "n_channels",
         "r_sum", "g_sum", "b_sum", "pos_weighted_sum",
+    )
+
+
+# ---- QOI rule: pixel block q = p div 3 (runs of 3); within a 7-block
+# stride channels step by +1/+2/+3 (DIFF/LUMA ops); at stride starts
+# they jump by +97/+53/+31 (RGB op):
+#   r(p) = (doc_id*29 +   (p div 3) + 97*((p div 3) div 7)) % 256
+#   g(p) = (doc_id*31 + 2*(p div 3) + 53*((p div 3) div 7)) % 256
+#   b(p) = (doc_id*37 + 3*(p div 3) + 31*((p div 3) div 7)) % 256
+# w = 6 + doc_id % 4, h = 6 + doc_id % 3
+
+
+def _qoi_payloads(docs):
+    from river_spark.operators.multimodal import encode_qoi
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 6 + d % 4, 6 + d % 3
+                p = np.arange(w * h, dtype=np.int64)
+                q = p // 3
+                img = np.stack(
+                    [
+                        (d * 29 + q + 97 * (q // 7)) % 256,
+                        (d * 31 + 2 * q + 53 * (q // 7)) % 256,
+                        (d * 37 + 3 * q + 31 * (q // 7)) % 256,
+                    ],
+                    axis=1,
+                ).astype(np.uint8).reshape(h, w, 3)
+                ids.append(d)
+                payloads.append(encode_qoi(w, h, img))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+@q(
+    "mm_qoi_decode_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 6 + doc_id % 4 AS w, 6 + doc_id % 3 AS h
+        FROM documents),
+    px AS (
+        SELECT doc_id, w, h, g.p AS p,
+               (doc_id * 29 +     (g.p // 3) + 97 * ((g.p // 3) // 7)) % 256 AS r,
+               (doc_id * 31 + 2 * (g.p // 3) + 53 * ((g.p // 3) // 7)) % 256 AS g_,
+               (doc_id * 37 + 3 * (g.p // 3) + 31 * ((g.p // 3) // 7)) % 256 AS b
+        FROM dims, UNNEST(generate_series(0, w * h - 1)) AS g(p))
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(sum(r) AS BIGINT) AS r_sum,
+           CAST(sum(g_) AS BIGINT) AS g_sum,
+           CAST(sum(b) AS BIGINT) AS b_sum,
+           CAST(sum(((3 * p)     % 997 + 1) * r
+                  + ((3 * p + 1) % 997 + 1) * g_
+                  + ((3 * p + 2) % 997 + 1) * b) AS BIGINT) AS pos_weighted_sum
+    FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "codec", "image"),
+)
+def mm_qoi_decode_stats(spark, sf_dir):
+    """REAL QOI encode→decode round trip under the bit-level oracle —
+    the fourth live codec, and the first whose ENTROPY layer is
+    implemented here rather than delegated to stdlib zlib: the 64-slot
+    running index, the RUN/INDEX/DIFF/LUMA/RGB op set, and the stream
+    framing are all on the wire. The pixel rule repeats each color 3×
+    (RUN ops), steps channels by +1/+2/+3 within 7-block strides (LUMA
+    ops), and jumps at stride starts (RGB ops), so every decoded image
+    crosses multiple op types; the oracle recomputes channel sums and
+    the order-pinning position-weighted checksum straight from the
+    rule, never seeing the bytes."""
+    from river_spark.operators.multimodal import decode_qoi_pixel_stats
+
+    docs = tbl(spark, sf_dir, "documents")
+    stats = decode_qoi_pixel_stats(_qoi_payloads(docs), "doc_id", "payload")
+    return stats.filter(F.col("ok")).select(
+        "doc_id", "width", "height", "n_channels",
+        "r_sum", "g_sum", "b_sum", "pos_weighted_sum",
+    )
+
+
+# ---- mu-law rule: rate = 8000, channels = 1,
+#      n = 600 + (doc_id % 40) * 8, byte_i = (doc_id*37 + i*11) % 256
+
+
+@q(
+    "mm_mulaw_decode_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 600 + (doc_id % 40) * 8 AS n FROM documents),
+    u AS (
+        SELECT doc_id, n, 255 - ((doc_id * 37 + g.i * 11) % 256) AS c
+        FROM spec, UNNEST(generate_series(0, n - 1)) AS g(i)),
+    s AS (
+        SELECT doc_id, n,
+               CASE WHEN c >= 128
+                    THEN 132 - (((c % 16) * 8 + 132)
+                                * CAST(power(2, (c // 16) % 8) AS BIGINT))
+                    ELSE (((c % 16) * 8 + 132)
+                          * CAST(power(2, (c // 16) % 8) AS BIGINT)) - 132
+               END AS v
+        FROM u)
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(max(abs(v)) AS INT) AS peak,
+           CAST(sum(v) AS BIGINT) AS sum_val,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq
+    FROM s GROUP BY doc_id, n
+    """,
+    tags=("multimodal", "codec", "audio"),
+)
+def mm_mulaw_decode_stats(spark, sf_dir):
+    """REAL G.711 mu-law decode under the bit-level oracle: Spark wraps
+    a closed-form byte rule in a WAVE_FORMAT_MULAW RIFF container,
+    walks it back through the format-aware chunk parser, and expands
+    every byte with the CCITT reference formula
+    (((mantissa<<3)+0x84)<<exponent, complemented and re-biased); the
+    oracle recomputes the SAME expansion with SQL integer arithmetic —
+    complement as 255-u, masks as % 16 / // 16 % 8, the shift as an
+    exact power-of-two multiply — so a mantissa/exponent/sign defect
+    moves peak or sum-of-squares as a BIGINT."""
+    from river_spark.operators.multimodal import (
+        decode_mulaw_stats,
+        encode_wav_mulaw,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 600 + (d % 40) * 8
+                i = np.arange(n, dtype=np.int64)
+                raw = ((d * 37 + i * 11) % 256).astype(np.uint8).tobytes()
+                ids.append(d)
+                payloads.append(encode_wav_mulaw(8000, 1, raw))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = docs.select("doc_id").mapInPandas(gen, schema=schema)
+    stats = decode_mulaw_stats(payloads, "doc_id", "payload")
+    return stats.filter(F.col("ok")).select(
+        "doc_id", "sample_rate", "n_channels", "n_samples",
+        "peak", "sum_val", "sum_sq",
     )

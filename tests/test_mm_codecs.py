@@ -224,3 +224,115 @@ class TestPng:
         j = np.arange(flat.size, dtype=np.int64)
         assert got[1]["pos_weighted_sum"] == int(((j % 997 + 1) * flat).sum())
         assert not got[2]["ok"] and not got[3]["ok"]
+
+
+class TestQoi:
+    def test_roundtrip_rgb_rgba(self):
+        from river_spark.operators.multimodal import decode_qoi, encode_qoi
+
+        rng = np.random.default_rng(5)
+        for w, h, c in [(1, 1, 3), (8, 8, 3), (16, 5, 4), (61, 2, 3)]:
+            px = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+            ww, hh, back = decode_qoi(encode_qoi(w, h, px))
+            assert (ww, hh) == (w, h) and (back == px).all(), (w, h, c)
+
+    def test_all_ops_on_the_wire(self):
+        """The oracle pixel rule must actually put RUN, LUMA/DIFF, RGB,
+        and INDEX ops in the stream — inspect the encoded tags."""
+        from river_spark.operators.multimodal import decode_qoi, encode_qoi
+
+        # the mm_qoi_decode_stats rule, biggest shape, plus an A-B-A
+        # revisit appended to force an INDEX hit
+        d, w, h = 3, 9, 8
+        p = np.arange(w * h, dtype=np.int64)
+        q = p // 3
+        img = np.stack(
+            [
+                (d * 29 + q + 97 * (q // 7)) % 256,
+                (d * 31 + 2 * q + 53 * (q // 7)) % 256,
+                (d * 37 + 3 * q + 31 * (q // 7)) % 256,
+            ],
+            axis=1,
+        ).astype(np.uint8).reshape(h, w, 3)
+        img[-1, -3] = img[-1, -5] = (1, 2, 3)   # A..A revisit
+        img[-1, -4] = (200, 100, 50)
+        payload = encode_qoi(w, h, img)
+        body = payload[14:-8]
+        tags = set()
+        i = 0
+        while i < len(body):
+            b = body[i]
+            if b == 0xFE:
+                tags.add("RGB"); i += 4
+            elif b == 0xFF:
+                tags.add("RGBA"); i += 5
+            else:
+                t = b >> 6
+                tags.add(["INDEX", "DIFF", "LUMA", "RUN"][t])
+                i += 2 if t == 2 else 1
+        assert {"RUN", "LUMA", "RGB", "INDEX"} <= tags, tags
+        _, _, back = decode_qoi(payload)
+        assert (back == img).all()
+
+    @pytest.mark.parametrize(
+        "mutate",
+        [
+            lambda p: p[:10],                    # truncated header
+            lambda p: b"qoix" + p[4:],           # bad magic
+            lambda p: p[:-8],                    # missing end marker
+            lambda p: p[:-8] + b"\x10" + p[-8:],  # op past the last pixel
+        ],
+    )
+    def test_malformed_raises(self, mutate):
+        from river_spark.operators.multimodal import decode_qoi, encode_qoi
+
+        good = encode_qoi(3, 2, _px(3, 2))
+        with pytest.raises(ValueError):
+            decode_qoi(mutate(good))
+
+
+class TestMulaw:
+    def test_ccitt_reference_pairs(self):
+        from river_spark.operators.multimodal import mulaw_to_linear
+
+        u = np.array([0x00, 0x80, 0xFF, 0x7F], dtype=np.uint8)
+        assert list(mulaw_to_linear(u)) == [-32124, 32124, 0, 0]
+
+    def test_monotone_by_segment(self):
+        """Within each exponent segment the expansion must be strictly
+        monotone — a mantissa/exponent mask swap breaks this."""
+        from river_spark.operators.multimodal import mulaw_to_linear
+
+        all_u = np.arange(256, dtype=np.uint8)
+        lin = mulaw_to_linear(all_u).astype(np.int64)
+        neg = lin[:128]          # bytes 0x00..0x7F decode negative->0
+        pos = lin[128:]          # bytes 0x80..0xFF decode positive->0
+        assert (np.diff(neg) > 0).all(), "negative half must ascend"
+        assert (np.diff(pos) < 0).all(), "positive half must descend"
+        assert neg.min() == -32124 and pos.max() == 32124
+
+    def test_container_roundtrip_and_pcm_still_works(self):
+        from river_spark.operators.multimodal import (
+            decode_wav_any, encode_wav, encode_wav_mulaw, mulaw_to_linear)
+
+        raw = bytes((np.arange(501) * 7 % 256).astype(np.uint8))
+        r, ch, s = decode_wav_any(encode_wav_mulaw(8000, 1, raw))
+        assert (r, ch, len(s)) == (8000, 1, 501)
+        assert (s == mulaw_to_linear(np.frombuffer(raw, np.uint8))).all()
+        # PCM16 payloads still decode through the same walker
+        pcm = np.array([5, -5, 32767, -32768], dtype=np.int16)
+        r, ch, s = decode_wav_any(encode_wav(44100, 2, pcm))
+        assert (r, ch) == (44100, 2) and (s == pcm).all()
+
+    def test_spark_stage_survives_malformed(self, spark):
+        from river_spark.operators.multimodal import (
+            decode_mulaw_stats, encode_wav_mulaw)
+
+        good = encode_wav_mulaw(8000, 1, b"\x00\xff\x80")
+        rows = [(1, bytearray(good)), (2, bytearray(b"junk")), (3, None)]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {r["doc_id"]: r for r in
+               decode_mulaw_stats(df, "doc_id", "payload").collect()}
+        assert got[1]["ok"] and got[1]["peak"] == 32124
+        assert got[1]["sum_val"] == -32124 + 0 + 32124
+        assert not got[2]["ok"] and not got[3]["ok"]
