@@ -111,6 +111,10 @@ BOUNDARY_QUERIES = [
     # per-source corpora (a single doc IS the knee)
     "pipeline_score_calibration",
     "pipeline_quality_knee",
+    # single-token docs (one truncated shingle), the exact-dup pair
+    # (band 20 = jaccard exactly 1.0), and the srcC solo doc
+    "dedup_shingle_df_profile",
+    "dedup_threshold_sweep",
 ]
 
 _FIXTURE_TABLES = ("customer", "orders", "events", "documents", "embeddings")
