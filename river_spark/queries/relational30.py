@@ -668,3 +668,281 @@ def pipeline_quality_knee(spark, sf_dir):
             F.col("s.cum_toks").cast("double") / F.col("s.total_toks").cast("double")
         ).alias("kept_token_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROC-AUC of the quality score, exactly (ties included)
+# ---------------------------------------------------------------------------
+@q(
+    "agg_auc_roc",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks,
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                    x -> x IN ({_SW_SQL}))) AS BIGINT) AS sw,
+               CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+                   AS BIGINT) AS dtoks
+        FROM t0),
+    scored AS (
+        SELECT (sw * 1000000) // toks AS q_micro,
+               CASE WHEN 2 * dtoks > toks THEN 1 ELSE 0 END AS label
+        FROM t WHERE toks > 0),
+    v AS (
+        SELECT q_micro,
+               CAST(sum(label) AS BIGINT) AS np_,
+               CAST(sum(1 - label) AS BIGINT) AS nn
+        FROM scored GROUP BY q_micro),
+    c AS (
+        SELECT np_, nn,
+               CAST(coalesce(sum(nn) OVER (ORDER BY q_micro
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cumn_below
+        FROM v),
+    s AS (
+        SELECT CAST(sum(np_) AS BIGINT) AS n_pos,
+               CAST(sum(nn) AS BIGINT) AS n_neg,
+               CAST(sum(np_ * (2 * cumn_below + nn)) AS BIGINT) AS u_x2
+        FROM c)
+    SELECT n_pos, n_neg, u_x2,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN CAST(u_x2 AS DOUBLE)
+                     / (2 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+           END AS auc
+    FROM s
+    """.replace("FROM t0", "FROM documents"),
+    tags=("agg", "stats", "evaluation", "exact"),
+)
+def agg_auc_roc(spark, sf_dir):
+    """Exact ROC-AUC of the stopword-ratio quality score against the
+    lexical-diversity label (the pair pipeline_score_calibration
+    audits): AUC = P(score_pos > score_neg) + P(tie)/2 = U/(n_pos*n_neg)
+    — the Mann-Whitney identity, so the computation is
+    ab_mann_whitney_u's machinery pointed at (label, score): a
+    (score -> class counts) rollup, a running below-count through
+    stitched_prefix_sum, and 2*U as a BIGINT. The single final division
+    is the only double; the one-class boundary is guarded NULL in both
+    engines. This is the threshold-free companion of the calibration
+    audit: calibration says whether the score MEANS what it claims,
+    AUC says whether it RANKS at all.
+
+    100 TB posture: identical to ab_mann_whitney_u — one domain-sized
+    hash rollup, bucketed CDF counter, constant-size tail."""
+    from river_spark.operators.stitched_lag import stitched_prefix_sum
+
+    t = tbl(spark, sf_dir, "documents").select(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("toks"),
+        F.size(
+            F.expr(f"filter(split(trim(text), '\\\\s+'), x -> x IN ({_SW_SQL}))")
+        )
+        .cast("bigint")
+        .alias("sw"),
+        F.size(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("bigint")
+        .alias("dtoks"),
+    )
+    scored = t.filter(F.col("toks") > 0).select(
+        F.expr("sw * 1000000 div toks").alias("q_micro"),
+        F.when(2 * F.col("dtoks") > F.col("toks"), F.lit(1).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("label"),
+    )
+    v = scored.groupBy("q_micro").agg(
+        F.sum("label").alias("np_"),
+        F.sum(1 - F.col("label")).alias("nn"),
+    )
+    c = stitched_prefix_sum(
+        v,
+        key_cols=[],
+        order_cols=["q_micro"],
+        value_col="nn",
+        bucket=F.expr("q_micro div 100000"),
+        out_col="cumn_incl",
+    ).withColumn("cumn_below", F.col("cumn_incl") - F.col("nn"))
+    s = c.agg(
+        F.sum("np_").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+        F.sum(F.col("np_") * (2 * F.col("cumn_below") + F.col("nn"))).alias("u_x2"),
+    )
+    return s.select(
+        "n_pos",
+        "n_neg",
+        "u_x2",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.col("u_x2").cast("double")
+            / (2 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap between event types (exact Jaccard over user sets)
+# ---------------------------------------------------------------------------
+@q(
+    "ev_audience_overlap",
+    oracle="""
+    WITH ut AS (
+        SELECT DISTINCT event_type, user_id FROM events),
+    sz AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+        FROM ut GROUP BY event_type),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+    SELECT type_a, type_b, n_both,
+           sa.n_users AS n_a, sb.n_users AS n_b,
+           CAST(n_both AS DOUBLE)
+             / (sa.n_users + sb.n_users - n_both) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.event_type = type_a
+    JOIN sz sb ON sb.event_type = type_b
+    """,
+    tags=("events", "audience", "jaccard", "exact"),
+)
+def ev_audience_overlap(spark, sf_dir):
+    """Audience overlap matrix: exact Jaccard between the user sets of
+    every event-type pair — the audience-planning readout (which
+    behaviors share users) and the exact baseline agg_bitmap_audience's
+    bitmap algebra approximates. Intersections count DISTINCT users per
+    (type, user) once, so the self-join fan-out per user is bounded by
+    |types|^2, never by that user's event count; sizes and
+    intersections are BIGINTs, the Jaccard is one division of exact
+    integers per pair.
+
+    100 TB posture: events reduce to ONE distinct (type, user) rollup
+    (map-side partial); the intersection self-join co-partitions on
+    user_id with <= |types| rows per key; every post-rollup relation is
+    |types|- or |types|^2-sized."""
+    ut = tbl(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    sz = ut.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    a = ut.select(F.col("event_type").alias("type_a"), "user_id")
+    b = ut.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, ["user_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    return (
+        inter.join(sz.select(F.col("event_type").alias("type_a"),
+                             F.col("n_users").alias("n_a")), "type_a")
+        .join(sz.select(F.col("event_type").alias("type_b"),
+                        F.col("n_users").alias("n_b")), "type_b")
+        .select(
+            "type_a", "type_b", "n_both", "n_a", "n_b",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the co-purchase graph
+# ---------------------------------------------------------------------------
+@q(
+    "graph_assortativity",
+    oracle="""
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (
+        SELECT a.p AS pa, b.p AS pb
+        FROM ob a JOIN ob b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+    und AS (
+        SELECT pa AS u, pb AS v FROM e
+        UNION ALL SELECT pb AS u, pa AS v FROM e),
+    deg AS (SELECT u AS nid, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1),
+    ed AS (
+        SELECT du.d AS x, dv.d AS y
+        FROM und
+        JOIN deg du ON du.nid = und.u
+        JOIN deg dv ON dv.nid = und.v),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM ed)
+    SELECT n AS n_directed_edges, sx AS sum_deg, sxx AS sum_deg_sq, sxy,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS assortativity
+    FROM s
+    """,
+    tags=("graph", "stats", "exact"),
+)
+def graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-purchase graph (same >= 2-support
+    edge set as graph_triangle_count): Pearson correlation of endpoint
+    degrees over every DIRECTED edge — positive means hubs link hubs
+    (social-network-like), negative means hub-and-spoke. Exact integer
+    sufficient statistics over the edge list (the agg_corr_exact
+    closed form; both directions of each edge are included, which IS
+    Newman's definition and also makes sx = sy by construction); the
+    constant-degree boundary (every node equal degree) is guarded NULL
+    in both engines.
+
+    100 TB posture: degrees are one |V|-sized rollup joined twice onto
+    the edge list on its natural keys; the sufficient statistics are
+    one map-side-combinable aggregation. No orientation trick needed —
+    unlike triangles, assortativity never expands wedges, so the plan
+    is linear in |E|."""
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ob = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    a, b = ob.alias("a"), ob.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("pa", "pb")
+    )
+    und = e.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
+        e.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("nid")).agg(F.count("*").alias("d"))
+    ed = (
+        und.join(deg.select(F.col("nid").alias("u"), F.col("d").alias("x")), "u")
+        .join(deg.select(F.col("nid").alias("v"), F.col("d").alias("y")), "v")
+        .select("x", "y")
+    )
+    s = ed.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    return s.select(
+        F.col("n").alias("n_directed_edges"),
+        F.col("sx").alias("sum_deg"),
+        F.col("sxx").alias("sum_deg_sq"),
+        "sxy",
+        F.when(
+            nd * sxx - sx * sx > 0,
+            (nd * sxy - sx * sy)
+            / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)),
+        ).alias("assortativity"),
+    )

@@ -115,6 +115,10 @@ BOUNDARY_QUERIES = [
     # (band 20 = jaccard exactly 1.0), and the srcC solo doc
     "dedup_shingle_df_profile",
     "dedup_threshold_sweep",
+    # one-class AUC guard (documents all-en corpus may produce a single
+    # label class) and single-user / disjoint-audience type pairs
+    "agg_auc_roc",
+    "ev_audience_overlap",
 ]
 
 _FIXTURE_TABLES = ("customer", "orders", "events", "documents", "embeddings")
