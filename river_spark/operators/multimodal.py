@@ -987,3 +987,74 @@ def decode_mulaw_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return src.mapInPandas(decode, schema=_MULAW_SCHEMA)
+
+
+def box_downscale_2x(px: "np.ndarray") -> "np.ndarray":
+    """REAL resize kernel: 2x2 box-filter downscale with exact integer
+    floor-averaging ((a+b+c+d) div 4) per channel. Odd trailing rows /
+    columns are dropped (the standard even-crop convention). Input
+    HxWxC uint8, output (H//2)x(W//2)xC uint8 — every output byte is a
+    pure integer function of the input, so the kernel sits inside the
+    cross-engine gate (a float-filter resize could not)."""
+    h, w = px.shape[0] & ~1, px.shape[1] & ~1
+    if h == 0 or w == 0:
+        # keep the (H//2, W//2) contract even when one side is empty
+        return np.zeros((h // 2, w // 2, px.shape[2]), dtype=np.uint8)
+    a = px[:h, :w].astype(np.int64)
+    s = a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]
+    return (s // 4).astype(np.uint8)
+
+
+_RESIZE_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("r_sum", T.LongType()),
+        T.StructField("g_sum", T.LongType()),
+        T.StructField("b_sum", T.LongType()),
+        T.StructField("pos_weighted_sum", T.LongType()),
+    ]
+)
+
+
+def decode_bmp_resize_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """REAL decode + REAL resize: parse each payload as a 24-bit BMP,
+    2x2 box-downscale with :func:`box_downscale_2x`, and emit exact
+    integer statistics of the RESIZED pixels (channel sums + the
+    order-pinning position-weighted checksum). Malformed payloads
+    survive as ok=false rows."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(bin_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "ok", "out_w", "out_h",
+                                   "r_sum", "g_sum", "b_sum",
+                                   "pos_weighted_sum")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    _, _, rgb = decode_bmp(bytes(payload) if payload else b"")
+                except ValueError:
+                    for k, v in (("ok", False), ("out_w", 0), ("out_h", 0),
+                                 ("r_sum", 0), ("g_sum", 0), ("b_sum", 0),
+                                 ("pos_weighted_sum", 0)):
+                        out[k].append(v)
+                    continue
+                small = box_downscale_2x(rgb)
+                flat = small.reshape(-1).astype(np.int64)
+                j = np.arange(flat.size, dtype=np.int64)
+                out["ok"].append(True)
+                out["out_w"].append(small.shape[1])
+                out["out_h"].append(small.shape[0])
+                out["r_sum"].append(int(small[:, :, 0].astype(np.int64).sum())
+                                    if small.size else 0)
+                out["g_sum"].append(int(small[:, :, 1].astype(np.int64).sum())
+                                    if small.size else 0)
+                out["b_sum"].append(int(small[:, :, 2].astype(np.int64).sum())
+                                    if small.size else 0)
+                out["pos_weighted_sum"].append(int(((j % 997 + 1) * flat).sum()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema=_RESIZE_PIXEL_SCHEMA)

@@ -430,3 +430,51 @@ def mm_mulaw_decode_stats(spark, sf_dir):
         "doc_id", "sample_rate", "n_channels", "n_samples",
         "peak", "sum_val", "sum_sq",
     )
+
+
+@q(
+    "mm_bmp_resize_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+               (4 + doc_id % 5) // 2 AS ow, (3 + doc_id % 4) // 2 AS oh
+        FROM documents),
+    px AS (
+        SELECT doc_id, ow, oh, g.p AS p, c.ch AS ch,
+               ((doc_id * 31 + 3 * ((2 * (g.p // ow)) * w + 2 * (g.p % ow)) + c.ch) % 256
+              + (doc_id * 31 + 3 * ((2 * (g.p // ow)) * w + 2 * (g.p % ow) + 1) + c.ch) % 256
+              + (doc_id * 31 + 3 * ((2 * (g.p // ow) + 1) * w + 2 * (g.p % ow)) + c.ch) % 256
+              + (doc_id * 31 + 3 * ((2 * (g.p // ow) + 1) * w + 2 * (g.p % ow) + 1) + c.ch) % 256
+               ) // 4 AS v
+        FROM dims,
+             UNNEST(generate_series(0, ow * oh - 1)) AS g(p),
+             (SELECT UNNEST([0, 1, 2]) AS ch) c)
+    SELECT doc_id,
+           CAST(ow AS INT) AS out_w,
+           CAST(oh AS INT) AS out_h,
+           CAST(sum(CASE WHEN ch = 0 THEN v ELSE 0 END) AS BIGINT) AS r_sum,
+           CAST(sum(CASE WHEN ch = 1 THEN v ELSE 0 END) AS BIGINT) AS g_sum,
+           CAST(sum(CASE WHEN ch = 2 THEN v ELSE 0 END) AS BIGINT) AS b_sum,
+           CAST(sum(((3 * p + ch) % 997 + 1) * v) AS BIGINT) AS pos_weighted_sum
+    FROM px GROUP BY doc_id, ow, oh
+    """,
+    tags=("multimodal", "codec", "image", "resize"),
+)
+def mm_bmp_resize_stats(spark, sf_dir):
+    """REAL decode + REAL resize under the bit-level oracle: the BMP
+    payloads of mm_bmp_decode_stats' pixel rule are decoded and then
+    2x2 box-downscaled with EXACT integer floor-averaging
+    (operators/multimodal.box_downscale_2x) — a genuine resize kernel,
+    not the fake-grid plumbing slot — and the oracle recomputes every
+    RESIZED byte from the rule ((sum of the 2x2 block) div 4), channel
+    sums plus the order-pinning position-weighted checksum. A block
+    indexing or crop-convention defect moves a BIGINT. Odd trailing
+    rows/cols use the even-crop convention in both engines."""
+    from river_spark.operators.multimodal import decode_bmp_resize_stats
+
+    docs = tbl(spark, sf_dir, "documents")
+    stats = decode_bmp_resize_stats(_bmp_payloads(docs), "doc_id", "payload")
+    return stats.filter(F.col("ok")).select(
+        "doc_id", "out_w", "out_h", "r_sum", "g_sum", "b_sum", "pos_weighted_sum",
+    )

@@ -336,3 +336,33 @@ class TestMulaw:
         assert got[1]["ok"] and got[1]["peak"] == 32124
         assert got[1]["sum_val"] == -32124 + 0 + 32124
         assert not got[2]["ok"] and not got[3]["ok"]
+
+
+class TestBoxDownscale:
+    def test_exact_blocks_and_odd_crop(self):
+        from river_spark.operators.multimodal import box_downscale_2x
+
+        rng = np.random.default_rng(9)
+        for h, w in [(2, 2), (5, 7), (6, 6), (1, 4), (3, 1)]:
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            s = box_downscale_2x(px)
+            assert s.shape == (h // 2, w // 2, 3)
+            for R in range(h // 2):
+                for C in range(w // 2):
+                    for ch in range(3):
+                        blk = px[2 * R : 2 * R + 2, 2 * C : 2 * C + 2, ch].astype(int)
+                        assert s[R, C, ch] == blk.sum() // 4
+
+    def test_spark_stage_survives_malformed(self, spark):
+        from river_spark.operators.multimodal import decode_bmp_resize_stats
+
+        good = encode_bmp(4, 4, _px(4, 4, seed=6))
+        rows = [(1, bytearray(good)), (2, bytearray(b"nope")), (3, None)]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {r["doc_id"]: r for r in
+               decode_bmp_resize_stats(df, "doc_id", "payload").collect()}
+        assert got[1]["ok"] and got[1]["out_w"] == 2 and got[1]["out_h"] == 2
+        from river_spark.operators.multimodal import box_downscale_2x
+        small = box_downscale_2x(_px(4, 4, seed=6)).astype(np.int64)
+        assert got[1]["r_sum"] == int(small[:, :, 0].sum())
+        assert not got[2]["ok"] and not got[3]["ok"]
