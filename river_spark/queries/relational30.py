@@ -946,3 +946,63 @@ def graph_assortativity(spark, sf_dir):
             / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)),
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join: time to next conversion
+# ---------------------------------------------------------------------------
+@q(
+    "ev_asof_forward",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    nxt AS (
+        SELECT c.event_id, c.ts AS cts, min(p.ts) AS pts
+        FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.ts >= c.ts
+        GROUP BY c.event_id, c.ts)
+    SELECT event_id,
+           CAST(date_diff('microsecond', cts, pts) AS BIGINT)
+               AS next_purchase_delta_us
+    FROM nxt
+    """,
+    tags=("events", "asof_join", "forward"),
+)
+def ev_asof_forward(spark, sf_dir):
+    """FORWARD as-of join — time from each click to the SAME user's
+    next purchase (NULL if none): the time-to-conversion readout, and
+    the registry's first exercise of operators/asof.py's
+    direction='forward' path under the oracle gate (backward was
+    ev_asof_join; forward had only property tests). The matched payload
+    is the purchase TIMESTAMP, so equal-ts purchase ties are
+    pick-invariant — the delta is identical whichever row a
+    tie-breaking implementation selects.
+
+    100 TB posture: same union+ordered-window shape as the backward
+    operator — ONE shuffle of |clicks|+|purchases| on user_id, a
+    per-partition sort, whole-stage codegen; the oracle's
+    min-over-inequality join is the fixture-scale spec, not the plan."""
+    from river_spark.operators.asof import asof_join
+
+    ev = events_tbl(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        left_on="user_id",
+        right_on="p_user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        right_cols=["p_ts"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        F.expr("timestampdiff(MICROSECOND, ts, p_ts)")
+        .cast("bigint")
+        .alias("next_purchase_delta_us"),
+    )

@@ -119,6 +119,9 @@ BOUNDARY_QUERIES = [
     # label class) and single-user / disjoint-audience type pairs
     "agg_auc_roc",
     "ev_audience_overlap",
+    # same-ts click/purchase pairs (inclusive forward match, delta 0)
+    # and users with clicks but no later purchase (NULL delta)
+    "ev_asof_forward",
 ]
 
 _FIXTURE_TABLES = ("customer", "orders", "events", "documents", "embeddings")
