@@ -145,3 +145,80 @@ def dedup_threshold_sweep(spark, sf_dir):
         (F.col("jaccard_band").cast("double") / 20).alias("band_lo"),
         "n_pairs",
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact IQR outlier audit through the distributed-selection operator
+# ---------------------------------------------------------------------------
+@q(
+    "dq_length_iqr_outliers",
+    oracle="""
+    WITH r AS (
+        SELECT source, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM documents),
+    qs AS (
+        SELECT source,
+               CAST(max(n) AS BIGINT) AS n_docs,
+               CAST(max(CASE WHEN rk = (n + 3) // 4 THEN n_chars END) AS BIGINT) AS q1,
+               CAST(max(CASE WHEN rk = (n + 1) // 2 THEN n_chars END) AS BIGINT) AS median,
+               CAST(max(CASE WHEN rk = (3 * n + 1) // 4 THEN n_chars END) AS BIGINT) AS q3
+        FROM r GROUP BY source)
+    SELECT d.source, qs.n_docs, qs.q1, qs.median, qs.q3,
+           CAST(sum(CASE WHEN 2 * d.n_chars < 2 * qs.q1 - 3 * (qs.q3 - qs.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+           CAST(sum(CASE WHEN 2 * d.n_chars > 2 * qs.q3 + 3 * (qs.q3 - qs.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+    FROM documents d JOIN qs ON qs.source = d.source
+    GROUP BY d.source, qs.n_docs, qs.q1, qs.median, qs.q3
+    """,
+    tags=("dq", "quality", "selection", "exact"),
+)
+def dq_length_iqr_outliers(spark, sf_dir):
+    """Exact per-source IQR length audit — quartiles as EXACT order
+    statistics (ranks (n+3) div 4, (n+1) div 2, (3n+1) div 4 — fixed
+    lower-rank conventions, no interpolation) computed through
+    operators/selection.grouped_kth_smallest, the distributed-selection
+    operator's second oracle-gated consumer after ev_mad_outliers. The
+    Tukey fences are kept in integers (2*v vs 2*q1 - 3*IQR) so the
+    1.5x multiplier never touches a double; outlier counts are
+    BIGINTs.
+
+    100 TB posture: each quartile is two passes over a value-range
+    bucketing (only ~n/1024 rows of one bucket are ever rank-windowed —
+    the selection operator's contract); the three stats join back as a
+    |sources|-row relation AQE broadcasts unhinted; the final count is
+    one partial-aggregatable scan. The oracle's per-source row_number
+    window is the fixture-scale spec, not the plan."""
+    from river_spark.operators.selection import grouped_kth_smallest
+
+    docs = tbl(spark, sf_dir, "documents").select("source", "n_chars")
+    q1 = grouped_kth_smallest(
+        docs, ["source"], "n_chars",
+        k=F.expr("(_ks_n + 3) div 4"), out_col="q1",
+    )
+    med = grouped_kth_smallest(
+        docs, ["source"], "n_chars",
+        k=F.expr("(_ks_n + 1) div 2"), out_col="median",
+    )
+    q3 = grouped_kth_smallest(
+        docs, ["source"], "n_chars",
+        k=F.expr("(3 * _ks_n + 1) div 4"), out_col="q3",
+    )
+    n = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    stats = (
+        n.join(q1.select("source", "q1"), "source")
+        .join(med.select("source", "median"), "source")
+        .join(q3.select("source", "q3"), "source")
+    )
+    joined = docs.join(stats, "source")
+    iqr3 = 3 * (F.col("q3") - F.col("q1"))
+    return joined.groupBy("source", "n_docs", "q1", "median", "q3").agg(
+        F.sum(
+            F.when(2 * F.col("n_chars") < 2 * F.col("q1") - iqr3, 1).otherwise(0)
+        ).alias("n_low_outliers"),
+        F.sum(
+            F.when(2 * F.col("n_chars") > 2 * F.col("q3") + iqr3, 1).otherwise(0)
+        ).alias("n_high_outliers"),
+    )

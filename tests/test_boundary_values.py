@@ -122,6 +122,9 @@ BOUNDARY_QUERIES = [
     # same-ts click/purchase pairs (inclusive forward match, delta 0)
     # and users with clicks but no later purchase (NULL delta)
     "ev_asof_forward",
+    # 1-doc sources (q1 = median = q3 = the doc; IQR 0 -> every fence
+    # degenerate but no outliers), tie-heavy lengths
+    "dq_length_iqr_outliers",
 ]
 
 _FIXTURE_TABLES = ("customer", "orders", "events", "documents", "embeddings")
