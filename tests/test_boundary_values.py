@@ -367,3 +367,69 @@ def test_mann_whitney_single_arm_guard(spark, tmp_path):
     exp = con.execute(QUERIES["ab_mann_whitney_u"].oracle).df()
     assert pd.isna(exp["z_stat"].iloc[0]), "oracle must agree: NULL z"
     assert exp["n_b"].iloc[0] == 2
+
+
+def _li(tmp_path, rows):
+    d = tmp_path / "li_boundary"
+    d.mkdir(exist_ok=True)
+    pd.DataFrame(
+        rows, columns=["l_orderkey", "l_partkey", "l_returnflag",
+                       "l_quantity", "l_extendedprice"]
+    ).astype({"l_orderkey": "int64", "l_partkey": "int64",
+              "l_quantity": "float64", "l_extendedprice": "float64"}).to_parquet(
+        d / "lineitem.parquet"
+    )
+    return str(d)
+
+
+def test_spearman_constant_rank_guard(spark, tmp_path):
+    """A group whose x (quantity) is CONSTANT has zero rank variance:
+    rho must be NULL through the shared guard in both engines (Spark
+    ANSI would throw on the raw /0)."""
+    rows = [
+        (1, 1, "K", 5.0, 100.0),   # group K: constant quantity
+        (2, 2, "K", 5.0, 200.0),
+        (3, 3, "K", 5.0, 300.0),
+        (4, 4, "V", 1.0, 100.0),   # group V: perfectly monotone
+        (5, 5, "V", 2.0, 200.0),
+        (6, 6, "V", 3.0, 300.0),
+    ]
+    d = _li(tmp_path, rows)
+    got = QUERIES["agg_spearman_rho"].fn(spark, d).toPandas().set_index("l_returnflag")
+    assert pd.isna(got.loc["K", "spearman_rho"]), "constant x => NULL rho"
+    # the double closed form lands within 1 ulp of 1.0 (cross-product
+    # rounding); the CONTRACT is cross-engine bit-equality, checked below
+    assert abs(got.loc["V", "spearman_rho"] - 1.0) < 1e-12
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{d}/lineitem.parquet')")
+    exp = con.execute(QUERIES["agg_spearman_rho"].oracle).df().set_index("l_returnflag")
+    assert pd.isna(exp.loc["K", "spearman_rho"])
+    assert struct.pack("<d", got.loc["V", "spearman_rho"]) == struct.pack(
+        "<d", exp.loc["V", "spearman_rho"]
+    ), "both engines must produce the identical double"
+
+
+def test_assortativity_constant_degree_guard(spark, tmp_path):
+    """A pure cycle has every degree equal (2): zero degree variance,
+    assortativity NULL through the guard in both engines. Edges reach
+    the >= 2-order support floor by duplicating each co-purchase."""
+    rows = []
+    oid = 0
+    # parts 1..4 in a cycle: (1,2),(2,3),(3,4),(4,1); each pair in TWO
+    # orders so it clears the support floor
+    for a, b in [(1, 2), (2, 3), (3, 4), (4, 1)]:
+        for _ in range(2):
+            oid += 1
+            rows.append((oid, a, "N", 1.0, 10.0))
+            rows.append((oid, b, "N", 1.0, 10.0))
+    d = _li(tmp_path, rows)
+    got = QUERIES["graph_assortativity"].fn(spark, d).toPandas()
+    assert got["n_directed_edges"].iloc[0] == 8          # 4 undirected edges
+    assert got["sum_deg"].iloc[0] == 16                  # every endpoint degree 2
+    assert pd.isna(got["assortativity"].iloc[0]), "constant degree => NULL"
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{d}/lineitem.parquet')")
+    exp = con.execute(QUERIES["graph_assortativity"].oracle).df()
+    assert pd.isna(exp["assortativity"].iloc[0]) and exp["sum_deg"].iloc[0] == 16
