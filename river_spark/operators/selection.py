@@ -35,22 +35,29 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def grouped_kth_smallest(
+def grouped_order_statistics(
     df: DataFrame,
     key_cols: Sequence[str],
     value_col: str,
-    k: Column | None = None,
+    ks: Sequence[tuple[str, Column]],
     n_buckets: int = 1024,
-    out_col: str = "kth_value",
 ) -> DataFrame:
-    """One row per key: ``out_col`` = the exact k-th smallest non-null
-    ``value_col`` in the key's group (1-indexed).
+    """One row per key with MULTIPLE exact order statistics — each
+    ``(out_col, k_expr)`` in ``ks`` yields a column holding the exact
+    k-th smallest non-null ``value_col`` (1-indexed; ``k_expr`` is an
+    expression over the per-key count ``_ks_n`` and must land in
+    [1, n]).
 
-    ``k`` is an expression over the per-key count column ``_ks_n``
-    (e.g. lower median ``((F.col("_ks_n") + 1) / 2).cast("long")`` —
-    the default); it must land in [1, n].
-    """
+    All the statistics share ONE stats pass, ONE bucketing, and ONE
+    per-(key, bucket) count rollup; only the straddling-bucket
+    candidate sets differ (one tiny located row per key per k). Asking
+    for quartiles therefore costs the same two data passes as asking
+    for the median — the reason dq_length_iqr_outliers is 3 scans, not
+    14."""
     keys = list(key_cols)
+    names = [n for n, _ in ks]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate out_col in ks: {names}")
     rows = df.filter(F.col(value_col).isNotNull())
 
     stats = rows.groupBy(*keys).agg(
@@ -58,9 +65,8 @@ def grouped_kth_smallest(
         F.max(value_col).alias("_ks_max"),
         F.count(value_col).alias("_ks_n"),
     )
-    if k is None:
-        k = ((F.col("_ks_n") + 1) / 2).cast("long")
-    stats = stats.withColumn("_ks_k", k)
+    for name, k in ks:
+        stats = stats.withColumn(f"_ks_k_{name}", k)
 
     span = F.col("_ks_max") - F.col("_ks_min")
     vb = (
@@ -77,10 +83,11 @@ def grouped_kth_smallest(
     )
     b = rows.join(F.broadcast(stats), keys).withColumn("_ks_vb", vb)
 
-    # carry k through the rollup (constant within a key) rather than
-    # re-joining stats, which would self-join the lineage
+    # carry every k through the rollup (constant within a key) rather
+    # than re-joining stats, which would self-join the lineage
     counts = b.groupBy(*keys, "_ks_vb").agg(
-        F.count("*").alias("_ks_cnt"), F.first("_ks_k").alias("_ks_k")
+        F.count("*").alias("_ks_cnt"),
+        *[F.first(f"_ks_k_{n}").alias(f"_ks_k_{n}") for n in names],
     )
     before_w = (
         Window.partitionBy(*keys)
@@ -90,20 +97,60 @@ def grouped_kth_smallest(
     cum = counts.withColumn(
         "_ks_before", F.coalesce(F.sum("_ks_cnt").over(before_w), F.lit(0))
     )
-    loc = cum.filter(
-        (F.col("_ks_before") < F.col("_ks_k"))
-        & (F.col("_ks_k") <= F.col("_ks_before") + F.col("_ks_cnt"))
-    ).select(*keys, "_ks_vb", "_ks_before", "_ks_k")
+    # one located row per (key, statistic): melt the per-k straddle
+    # filters into a union over the tiny keys x buckets rollup
+    located = None
+    for name in names:
+        kcol = F.col(f"_ks_k_{name}")
+        one = cum.filter(
+            (F.col("_ks_before") < kcol)
+            & (kcol <= F.col("_ks_before") + F.col("_ks_cnt"))
+        ).select(
+            *keys,
+            "_ks_vb",
+            F.lit(name).alias("_ks_name"),
+            (kcol - F.col("_ks_before")).alias("_ks_target_rn"),
+        )
+        located = one if located is None else located.unionByName(one)
 
-    in_bucket_w = Window.partitionBy(*keys).orderBy(value_col)
-    kth = (
+    in_bucket_w = Window.partitionBy(*keys, "_ks_name").orderBy(value_col)
+    picked = (
         b.select(*keys, "_ks_vb", value_col)
-        .join(F.broadcast(loc), keys + ["_ks_vb"])
+        .join(F.broadcast(located), keys + ["_ks_vb"])
         .withColumn("_ks_rn", F.row_number().over(in_bucket_w))
-        .filter(F.col("_ks_rn") == F.col("_ks_k") - F.col("_ks_before"))
-        .select(*keys, F.col(value_col).alias(out_col))
+        .filter(F.col("_ks_rn") == F.col("_ks_target_rn"))
+        .select(*keys, "_ks_name", F.col(value_col).alias("_ks_value"))
     )
-    return kth
+    wide = picked.groupBy(*keys).agg(
+        *[
+            F.max(F.when(F.col("_ks_name") == n, F.col("_ks_value"))).alias(n)
+            for n in names
+        ]
+    )
+    return wide
+
+
+def grouped_kth_smallest(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    k: Column | None = None,
+    n_buckets: int = 1024,
+    out_col: str = "kth_value",
+) -> DataFrame:
+    """One row per key: ``out_col`` = the exact k-th smallest non-null
+    ``value_col`` in the key's group (1-indexed).
+
+    ``k`` is an expression over the per-key count column ``_ks_n``
+    (e.g. lower median ``((F.col("_ks_n") + 1) / 2).cast("long")`` —
+    the default); it must land in [1, n]. Thin wrapper over
+    :func:`grouped_order_statistics` with a single statistic.
+    """
+    if k is None:
+        k = ((F.col("_ks_n") + 1) / 2).cast("long")
+    return grouped_order_statistics(
+        df, key_cols, value_col, [(out_col, k)], n_buckets=n_buckets
+    )
 
 
 def grouped_lower_median(

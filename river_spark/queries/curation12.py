@@ -179,39 +179,35 @@ def dq_length_iqr_outliers(spark, sf_dir):
     """Exact per-source IQR length audit — quartiles as EXACT order
     statistics (ranks (n+3) div 4, (n+1) div 2, (3n+1) div 4 — fixed
     lower-rank conventions, no interpolation) computed through
-    operators/selection.grouped_kth_smallest, the distributed-selection
+    operators/selection.grouped_order_statistics, the distributed-selection
     operator's second oracle-gated consumer after ev_mad_outliers. The
     Tukey fences are kept in integers (2*v vs 2*q1 - 3*IQR) so the
     1.5x multiplier never touches a double; outlier counts are
     BIGINTs.
 
-    100 TB posture: each quartile is two passes over a value-range
-    bucketing (only ~n/1024 rows of one bucket are ever rank-windowed —
-    the selection operator's contract); the three stats join back as a
+    100 TB posture: ALL THREE quartiles share one stats pass, one
+    value-range bucketing, and one per-(key, bucket) rollup
+    (grouped_order_statistics; only ~n/1024 rows of each straddling
+    bucket are ever rank-windowed), so the quartile trio costs the same
+    two data passes as a single median; the stats join back as a
     |sources|-row relation AQE broadcasts unhinted; the final count is
     one partial-aggregatable scan. The oracle's per-source row_number
     window is the fixture-scale spec, not the plan."""
-    from river_spark.operators.selection import grouped_kth_smallest
+    from river_spark.operators.selection import grouped_order_statistics
 
     docs = tbl(spark, sf_dir, "documents").select("source", "n_chars")
-    q1 = grouped_kth_smallest(
-        docs, ["source"], "n_chars",
-        k=F.expr("(_ks_n + 3) div 4"), out_col="q1",
-    )
-    med = grouped_kth_smallest(
-        docs, ["source"], "n_chars",
-        k=F.expr("(_ks_n + 1) div 2"), out_col="median",
-    )
-    q3 = grouped_kth_smallest(
-        docs, ["source"], "n_chars",
-        k=F.expr("(3 * _ks_n + 1) div 4"), out_col="q3",
+    qs = grouped_order_statistics(
+        docs,
+        ["source"],
+        "n_chars",
+        ks=[
+            ("q1", F.expr("(_ks_n + 3) div 4")),
+            ("median", F.expr("(_ks_n + 1) div 2")),
+            ("q3", F.expr("(3 * _ks_n + 1) div 4")),
+        ],
     )
     n = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
-    stats = (
-        n.join(q1.select("source", "q1"), "source")
-        .join(med.select("source", "median"), "source")
-        .join(q3.select("source", "q3"), "source")
-    )
+    stats = n.join(qs, "source")
     joined = docs.join(stats, "source")
     iqr3 = 3 * (F.col("q3") - F.col("q1"))
     return joined.groupBy("source", "n_docs", "q1", "median", "q3").agg(
