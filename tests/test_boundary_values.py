@@ -125,6 +125,19 @@ BOUNDARY_QUERIES = [
     # 1-doc sources (q1 = median = q3 = the doc; IQR 0 -> every fence
     # degenerate but no outliers), tie-heavy lengths
     "dq_length_iqr_outliers",
+    # --- round-11 wave 31: on 4 orders a Poisson replicate draws all-zero
+    #     weights with real probability (~e^-4 each) — the n_eff=0 nullif
+    #     branch must yield NULL identically; KMV's tiny segments force
+    #     the exact (k_n < K) branch and empty intersections force the
+    #     LEFT JOIN coalesce(0); an arm with zero purchases drives the
+    #     delta-method variance to sqrt(0); same-ts twap ties give dt=0
+    #     weights and single-event (type, day) groups weight to day end.
+    #     (dq_table_checksum reads lineitem, absent here — its NULL
+    #     sentinel gets the dedicated planted test below.)
+    "agg_bootstrap_ci",
+    "agg_kmv_overlap",
+    "agg_delta_method_ratio",
+    "ev_twap",
 ]
 
 _FIXTURE_TABLES = ("customer", "orders", "events", "documents", "embeddings")
@@ -433,3 +446,73 @@ def test_assortativity_constant_degree_guard(spark, tmp_path):
     con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{d}/lineitem.parquet')")
     exp = con.execute(QUERIES["graph_assortativity"].oracle).df()
     assert pd.isna(exp["assortativity"].iloc[0]) and exp["sum_deg"].iloc[0] == 16
+
+
+def _full_li(path, rows):
+    """Write a COMPLETE lineitem (all 11 columns, NULLs allowed) for the
+    checksum tests — the shared _li helper writes only the 5 columns the
+    rank statistics read."""
+    path.mkdir(exist_ok=True)
+    df = pd.DataFrame(
+        rows,
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        ],
+    )
+    df["l_orderkey"] = df["l_orderkey"].astype("Int64")
+    df["l_partkey"] = df["l_partkey"].astype("Int64")
+    df["l_suppkey"] = df["l_suppkey"].astype("Int64")
+    df["l_linenumber"] = df["l_linenumber"].astype("Int32")
+    # nullable Float64, NOT float64: a plain-float None becomes NaN, which
+    # parquet stores as a VALUE — the sentinel test needs true NULLs
+    for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+        df[c] = df[c].astype("Float64")
+    df["l_shipdate"] = pd.to_datetime(df["l_shipdate"]).astype("datetime64[us]")
+    df.to_parquet(path / "lineitem.parquet")
+    return str(path)
+
+
+def test_table_checksum_null_sentinel_and_replica_diff(spark, tmp_path):
+    """The sf fixtures carry no NULL lineitem cells, so the checksum's
+    per-column 'N' sentinel is untested there. Plant a row that is NULL
+    in EVERY column and a second row NULL in a strict subset: both
+    engines must render them to the same canonical hash (bit-equal
+    checksum rows). Then flip one cell in a replica: the two checksum
+    outputs must differ in at most 2 of 256 buckets (the row's old and
+    new hash buckets) — the reconciliation property the query exists
+    for."""
+    base = [
+        (None, None, None, None, None, None, None, None, None, None, None),
+        (1, None, 3, 1, 5.0, None, 0.05, 0.01, "N", None, "2024-03-31"),
+        (2, 7, 8, 2, 1.0, 100.0, 0.0, 0.0, "A", "F", "2024-01-01"),
+        (3, 9, 10, 3, 2.0, 200.0, 0.1, 0.02, "R", "O", "2024-06-15"),
+    ]
+    d_a = _full_li(tmp_path / "replica_a", base)
+    changed = [r for r in base]
+    changed[3] = (3, 9, 10, 3, 2.0, 200.01, 0.1, 0.02, "R", "O", "2024-06-15")
+    d_b = _full_li(tmp_path / "replica_b", changed)
+
+    q = QUERIES["dq_table_checksum"]
+    got_a = q.fn(spark, d_a).toPandas().set_index("bucket").sort_index()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{d_a}/lineitem.parquet')"
+    )
+    exp_a = con.execute(q.oracle).df().set_index("bucket").sort_index()
+    assert got_a.index.tolist() == exp_a.index.tolist()
+    assert (got_a["n"] == exp_a["n"]).all()
+    assert (got_a["checksum"] == exp_a["checksum"]).all(), (
+        "NULL-bearing rows must hash identically in both engines"
+    )
+    assert int(got_a["n"].sum()) == 4
+
+    got_b = q.fn(spark, d_b).toPandas().set_index("bucket").sort_index()
+    merged = got_a.join(got_b, how="outer", lsuffix="_a", rsuffix="_b").fillna(-1)
+    diff = merged[
+        (merged["n_a"] != merged["n_b"]) | (merged["checksum_a"] != merged["checksum_b"])
+    ]
+    assert 1 <= len(diff) <= 2, (
+        f"a single changed cell must move at most 2 buckets, got {len(diff)}"
+    )

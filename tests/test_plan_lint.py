@@ -63,6 +63,12 @@ CROSS_OK = {
     "pipeline_temperature_mix": 1,  # broadcast 1-row (total, z) normalizer
     "ev_markov_entropy_rate": 1,    # broadcast 1-row transition grand total
     "pipeline_dataset_delta": 1,    # chained 1-row version-summary scalars
+    "agg_kmv_overlap": 320,         # build = bottom-K sketch rows, capped at
+                                    # K*|segments| = 64*5 BY CONSTRUCTION —
+                                    # sketch size is data-independent (that
+                                    # is the point of a KMV sketch); the
+                                    # pair table (|segments| choose 2) and
+                                    # per-segment estimates are smaller still
 }
 
 
