@@ -54,6 +54,7 @@ import river_spark.queries.relational27 as _relational27  # noqa: F401
 import river_spark.queries.relational28 as _relational28  # noqa: F401
 import river_spark.queries.curation11 as _curation11  # noqa: F401
 import river_spark.queries.river_ops3 as _river_ops3  # noqa: F401
+import river_spark.queries.river_ops4 as _river_ops4  # noqa: F401
 import river_spark.queries.relational29 as _relational29  # noqa: F401
 import river_spark.queries.mm_codecs as _mm_codecs  # noqa: F401
 import river_spark.queries.relational30 as _relational30  # noqa: F401

@@ -1,0 +1,172 @@
+"""Streaming MERGEABLE-SKETCH distinct counting through the live gate:
+a KMV (bottom-k) sketch maintained per segment by a custom stateful
+operator (``applyInPandasWithState``) over a REAL river stream, drained
+and compared bit-exactly against the batch bottom-k oracle.
+
+Why this query exists: every other streaming entry aggregates values the
+engine can fold natively (counts, sums, windows, sessions). Distinct
+counting is the one that CANNOT be folded without custom state — the
+sketch state (k smallest hashes) is bounded at k longs per key no matter
+how long the stream runs, and because the merge rule is commutative and
+associative the final streamed state equals the batch sketch EXACTLY,
+independent of micro-batch boundaries. The harness deliberately splits
+the stream into several micro-batches so the state-merge path (not just
+single-batch initialization) is on the wire.
+
+Reference parity: the reference exposes imperative stream readers
+(cpp/src/reader.h) with no aggregation layer; this is the Spark-first
+streaming-statistics re-expression (SURVEY.md section 2 Part B,
+Streaming + UDF rows).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time as _time
+
+import numpy as np
+from pyspark.sql import Window, functions as F
+
+from river_spark.queries.relational import q
+from river_spark.queries.river_ops import (
+    _CACHE,
+    _events_array,
+    _memory_table_name,
+)
+from river_spark.streaming.ops import kmv_distinct, stop_quiet
+from river_spark.transport import StreamLog, StreamWriter
+
+_K = 64
+_SEGMENTS = 4
+_M_DOUBLE = "(63.0 * 1152921504606846976)"  # (K-1) * 2^60, exact in double
+_H_SPARK = (
+    "cast(conv(substring(md5(concat('kmv~', cast(user_id as string))), "
+    "1, 15), 16, 10) as bigint)"
+)
+_H_SQL = (
+    "('0x' || substr(md5('kmv~' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT"
+)
+
+
+def _kmv_table(spark, sf_dir: str) -> tuple[str, dict]:
+    """Write events through the river wire, run the streaming KMV
+    operator keyed on segment = user_id mod 4, drain until every
+    segment's row counter reaches its staged total, return (sink table,
+    {segment: n_rows}). The trigger cap forces >= 5 micro-batches so
+    the bottom-k state MERGE (not just first-batch init) is exercised."""
+    from river_spark.sources import register
+
+    key = ("stream_kmv_distinct", sf_dir)
+    if key in _CACHE:
+        return _CACHE[key]
+    register(spark)
+    work = tempfile.mkdtemp(prefix="river_spark_kmv_")
+    store = os.path.join(work, "store")
+    log = StreamLog(store)
+    schema, arr = _events_array(sf_dir, ("event_id", "ts", "user_id"))
+    w = StreamWriter(log).initialize("events_kmv", schema)
+    w.write(arr)
+    w.stop()
+
+    seg = np.mod(arr["user_id"], _SEGMENTS)
+    want = {int(s): int((seg == s).sum()) for s in np.unique(seg)}
+
+    stream = (
+        spark.readStream.format("river")
+        .option("path", store)
+        .option("stream", "events_kmv")
+        .option("maxSamplesPerTrigger", str(max(1, len(arr) // 5)))
+        .load()
+        .select(
+            F.pmod(F.col("user_id"), F.lit(_SEGMENTS)).cast("bigint").alias("segment"),
+            F.expr(_H_SPARK).alias("h"),
+        )
+    )
+    sk = kmv_distinct(stream, key_col="segment", hash_col="h", k=_K)
+
+    table = _memory_table_name("river_kmv_", sf_dir)
+    qy = (
+        sk.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    deadline = _time.monotonic() + 300
+    try:
+        while True:
+            done = spark.sql(
+                f"SELECT segment, max(n_seen) AS n FROM {table} GROUP BY segment"
+            ).collect()
+            got = {int(r["segment"]): int(r["n"]) for r in done}
+            if got == want:
+                break
+            if _time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"{table}: KMV drain surfaced {got} of {want} rows in 300s"
+                )
+            _time.sleep(0.25)
+    finally:
+        stop_quiet(qy)
+    _CACHE[key] = (table, want)
+    return _CACHE[key]
+
+
+@q(
+    "river_stream_kmv_distinct",
+    oracle=f"""
+    WITH d AS (
+        SELECT DISTINCT user_id % {_SEGMENTS} AS segment, {_H_SQL} AS h
+        FROM events),
+    cnt AS (
+        SELECT user_id % {_SEGMENTS} AS segment,
+               CAST(count(*) AS BIGINT) AS n_seen
+        FROM events GROUP BY 1),
+    sk AS (
+        SELECT segment, h
+        FROM (SELECT segment, h,
+                     row_number() OVER (PARTITION BY segment ORDER BY h) AS rn
+              FROM d)
+        WHERE rn <= {_K}),
+    per AS (
+        SELECT segment, CAST(count(*) AS BIGINT) AS k_n,
+               CAST(max(h) AS BIGINT) AS theta
+        FROM sk GROUP BY segment)
+    SELECT CAST(p.segment AS BIGINT) AS segment, c.n_seen, p.k_n, p.theta,
+           CASE WHEN p.k_n < {_K} THEN CAST(p.k_n AS DOUBLE)
+                ELSE {_M_DOUBLE} / CAST(p.theta AS DOUBLE) END AS est_distinct
+    FROM per p JOIN cnt c ON c.segment = p.segment
+    """,
+    tags=("river", "streaming", "sketch", "distinct"),
+)
+def river_stream_kmv_distinct(spark, sf_dir):
+    """Per-segment streaming distinct-user sketch: events flow
+    write->wire->river-source micro-batches into a bottom-K=64 KMV
+    state store (k longs per key, bounded forever), and the drained
+    final state must equal the BATCH bottom-k over the same rows
+    bit-for-bit — the mergeable-sketch guarantee, exercised across
+    >= 5 real micro-batch merges. est = (K-1)*2^60/theta when the
+    sketch is full, the exact distinct count when it is not (tiny
+    segments at sf0.001 take that branch; larger SFs estimate).
+
+    100 TB posture: this operator shape IS the scale path — per-key
+    state bounded at K longs, merge commutative/associative (so
+    partial sketches combine across executors or days), no distinct
+    shuffle of raw members anywhere."""
+    table, _ = _kmv_table(spark, sf_dir)
+    final = Window.partitionBy("segment").orderBy(F.desc("n_seen"))
+    est = (
+        F.when(F.col("k_n") < _K, F.col("k_n").cast("double"))
+        .otherwise(
+            (F.lit(63.0) * F.lit(1152921504606846976))
+            / F.col("theta").cast("double")
+        )
+    )
+    return (
+        spark.table(table)
+        .withColumn("rn", F.row_number().over(final))
+        .where(F.col("rn") == 1)
+        .select("segment", "n_seen", "k_n", "theta", est.alias("est_distinct"))
+    )

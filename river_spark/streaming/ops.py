@@ -353,3 +353,80 @@ def running_totals_tws(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").transformWithStateInPandas(
         _Totals(), out_schema, "Update", "None"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV (bottom-k) distinct sketch
+# ---------------------------------------------------------------------------
+def kmv_merge(kept: list, incoming, k: int) -> list:
+    """Merge new hash values into a bottom-k sketch: the k smallest
+    DISTINCT values of (kept ∪ incoming), ascending. This is the entire
+    KMV merge rule — commutative and associative, so the streaming fold
+    below is independent of micro-batch boundaries (the property
+    test_streaming_ops pins with random splits)."""
+    s = set(kept)
+    s.update(int(x) for x in incoming)
+    return sorted(s)[:k]
+
+
+_KMV_OUT = T.StructType(
+    [
+        T.StructField("segment", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("k_n", T.LongType()),
+        T.StructField("theta", T.LongType()),
+    ]
+)
+_KMV_STATE = T.StructType(
+    [
+        T.StructField("heap", T.ArrayType(T.LongType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def kmv_distinct(
+    events: DataFrame,
+    key_col: str = "segment",
+    hash_col: str = "h",
+    k: int = 64,
+    timeout_ms: int = 300_000,
+) -> DataFrame:
+    """Custom stateful operator: per-key streaming distinct-count sketch.
+    State is the bottom-k set of hash values seen for the key — bounded
+    at k longs per key regardless of stream length — plus a monotone
+    row counter so a drain harness can identify the final emission.
+    Each micro-batch emits the key's updated (n_seen, k_n, theta) row;
+    because :func:`kmv_merge` is order/batching-insensitive, the final
+    row equals the batch-mode bottom-k over the same rows exactly —
+    the mergeable-sketch property that also makes this the shape you
+    would run per-executor and combine at 100 TB."""
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        kept, n = (list(state.get[0]), state.get[1]) if state.exists else ([], 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            kept = kmv_merge(kept, pdf[hash_col], k)
+        state.update((kept, n))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "segment": [key[0]],
+                "n_seen": [n],
+                "k_n": [len(kept)],
+                "theta": [kept[-1] if kept else None],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=_KMV_OUT,
+        stateStructType=_KMV_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

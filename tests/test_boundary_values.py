@@ -138,6 +138,10 @@ BOUNDARY_QUERIES = [
     "agg_kmv_overlap",
     "agg_delta_method_ratio",
     "ev_twap",
+    # REAL streaming KMV drain on the adversarial events: every segment
+    # is far below K, so the streamed bottom-k must equal the exact
+    # distinct sets (k_n < K branch) through multi-batch state merges
+    "river_stream_kmv_distinct",
 ]
 
 _FIXTURE_TABLES = ("customer", "orders", "events", "documents", "embeddings")

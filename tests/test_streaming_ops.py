@@ -467,3 +467,36 @@ def test_running_totals_tws(spark, event_stream):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k merge rule: batching-invariance is what makes the
+# streaming sketch equal the batch sketch exactly
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings as hyp_settings, strategies as st
+
+from river_spark.streaming.ops import kmv_merge
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=2**60 - 1), max_size=300),
+    cuts=st.lists(st.integers(min_value=0, max_value=300), max_size=5),
+    k=st.sampled_from([1, 4, 64]),
+)
+@hyp_settings(max_examples=200, deadline=None)
+def test_kmv_merge_batching_invariant(vals, cuts, k):
+    """Folding kmv_merge over ANY split of the input equals one shot over
+    the whole input — duplicates, ordering, and micro-batch boundaries
+    can't move the sketch. This is the exact property the streaming
+    drain (river_stream_kmv_distinct) relies on to match its batch
+    oracle bit-for-bit."""
+    one_shot = kmv_merge([], vals, k)
+    bounds = sorted({min(c, len(vals)) for c in cuts} | {0, len(vals)})
+    state = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        state = kmv_merge(state, vals[lo:hi], k)
+    if not any(hi > lo for lo, hi in zip(bounds, bounds[1:])):
+        state = kmv_merge(state, [], k)
+    assert state == one_shot
+    assert state == sorted(set(vals))[:k]
+    assert len(state) <= k
