@@ -539,3 +539,46 @@ def cosine_dedup(
         .groupBy("doc_a", "doc_b")  # same pair can't repeat (one bucket per doc) — kept for safety
         .agg(F.max("cos_sim").alias("cos_sim"))
     )
+
+
+def lsh_incremental_candidate_pairs(
+    sigs: DataFrame,
+    new_ids: DataFrame,
+    bands: int = 16,
+    max_bucket: int = 1000,
+    sig_len: int | None = None,
+) -> DataFrame:
+    """Candidate pairs that TOUCH a new-arrival doc: band rows of the new
+    docs equi-join band rows of the whole corpus on (band, bucket) —
+    the incremental-crawl shape, where yesterday's corpus is never
+    re-paired against itself. Produces exactly the subset of
+    :func:`lsh_candidate_pairs` with at least one endpoint in
+    ``new_ids`` (same banding, same hot-bucket cap on the full side).
+
+    100 TB posture: the full corpus side is banded and shuffled ONCE on
+    (band, bucket) — 8 B/doc/band, no signatures — and the join's other
+    side is only the day's arrivals, so per-batch cost is
+    O(corpus_bands + new x bucket_width) instead of the full self-join.
+    The same two-phase hot-bucket cap applies before any pair is
+    emitted, so a stop-shingle bucket still costs one count row, never
+    a pair explosion."""
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(F.expr(_band_hash_expr(bands, sig_len))).alias("band", "bucket"),
+    )
+    counts = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+    ok = counts.filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket)).select(
+        "band", "bucket"
+    )
+    capped = banded.join(ok, ["band", "bucket"], "left_semi")
+    new_banded = capped.join(new_ids, "doc_id", "left_semi")
+    return (
+        new_banded.alias("n")
+        .join(capped.alias("c"), ["band", "bucket"])
+        .where(F.col("n.doc_id") != F.col("c.doc_id"))
+        .select(
+            F.least(F.col("n.doc_id"), F.col("c.doc_id")).alias("doc_a"),
+            F.greatest(F.col("n.doc_id"), F.col("c.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
