@@ -259,3 +259,64 @@ def pipeline_incremental_dedup(spark, sf_dir):
         (F.pmod(F.col("doc_a"), F.lit(7)) == 3)
         | (F.pmod(F.col("doc_b"), F.lit(7)) == 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch (SRM) audit
+# ---------------------------------------------------------------------------
+@q(
+    "ab_srm_check",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT DISTINCT event_type, user_id, {_ARM_SQL} AS arm
+        FROM events WHERE user_id IS NOT NULL),
+    c AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM assigned GROUP BY event_type)
+    SELECT event_type, n_a, n_b,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+               / nullif(CAST(n_a + n_b AS DOUBLE), 0.0) AS chi2_stat,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+               / nullif(CAST(n_a + n_b AS DOUBLE), 0.0) > 3.841 AS srm_flag
+    FROM c
+    """,
+    tags=("analytics", "abtest", "dq", "srm"),
+)
+def ab_srm_check(spark, sf_dir):
+    """Sample-ratio mismatch: the FIRST thing a trustworthy experiment
+    readout checks — does the observed arm split match the designed
+    50/50 within chance? Per entry-point (event_type), distinct users
+    per arm feed the one-degree-of-freedom chi-square, which for a
+    50/50 design collapses to (n_a-n_b)^2/(n_a+n_b) — an exact-integer
+    numerator over an exact-integer denominator, so the statistic is
+    ONE raw IEEE division (bit-identical both engines, no rounding).
+    srm_flag trips at the conventional p<0.05 cut (chi2_1 > 3.841);
+    a flagged experiment's effect estimates are discarded, not
+    reinterpreted.
+
+    100 TB posture: one distinct rollup on (type, user) then a 5-row
+    aggregate — both map-side combinable, nothing keyed coarser than
+    the user."""
+    assigned = (
+        events_tbl(spark, sf_dir)
+        .where(F.col("user_id").isNotNull())
+        .select("event_type", "user_id", F.expr(_ARM_SPARK).alias("arm"))
+        .distinct()
+    )
+    c = assigned.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).cast("bigint").alias("n_b"),
+    )
+    chi2 = (
+        ((F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))).cast("double")
+        / F.nullif((F.col("n_a") + F.col("n_b")).cast("double"), F.lit(0.0))
+    )
+    return c.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        chi2.alias("chi2_stat"),
+        (chi2 > 3.841).alias("srm_flag"),
+    )

@@ -150,6 +150,10 @@ BOUNDARY_QUERIES = [
     #     the batch boundary
     "ab_cuped_adjusted",
     "pipeline_incremental_dedup",
+    # single-user arms and types whose whole audience hashes to one arm
+    # (n_b = 0) keep the chi2 denominator positive but drive the flag
+    # comparison through extreme splits
+    "ab_srm_check",
 ]
 
 _FIXTURE_TABLES = ("customer", "orders", "events", "documents", "embeddings")
