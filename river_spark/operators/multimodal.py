@@ -1058,3 +1058,262 @@ def decode_bmp_resize_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFra
             yield pd.DataFrame(out)
 
     return src.mapInPandas(run, schema=_RESIZE_PIXEL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GIF87a (round 11, continued): a SIXTH live codec — and the family's
+# first LZW entropy layer (PNG brought zlib/DEFLATE, QOI its op-stream;
+# GIF adds variable-width LZW with code-table growth and clear-code
+# resets, implemented here end to end).
+#
+# Width discipline (round-trip-pinned across every boundary in
+# tests/test_mm_codecs.py): the ENCODER bumps after an insertion when
+# next_code == 2^width; the DECODER bumps one insertion EARLIER, at
+# next_code == 2^width - 1, because its table lags the encoder's by
+# exactly one entry at read time — the classic GIF decoder rule
+# (GIF is NOT TIFF-style "early change"). At next_code == 4096 the
+# encoder emits a CLEAR and resets; the decoder freezes insertions
+# until it sees it.
+# ---------------------------------------------------------------------------
+
+_GIF_SIG = b"GIF87a"
+
+
+def _lzw_encode_gif(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable code width (min_code_size+1 .. 12),
+    LSB-first bit packing, leading CLEAR, table reset at 4096, EOI."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    prefix = b""
+    for b in data:
+        cand = prefix + bytes([b])
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix], width)
+        if next_code == 4096:
+            emit(clear, width)
+            table = fresh()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        else:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prefix = bytes([b])
+    if prefix:
+        emit(table[prefix], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int, expected: int) -> bytes:
+    """Inverse of :func:`_lzw_encode_gif`, including the KwKwK case
+    (code == next free slot) and the insertion freeze at a full table."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    total_bits = len(data) * 8
+    pos = 0
+    width = min_code_size + 1
+    table: list[bytes] = []
+    prev: bytes | None = None
+    out = bytearray()
+
+    def fresh() -> list[bytes]:
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    while True:
+        if pos + width > total_bits:
+            raise ValueError("LZW code stream underrun (no EOI)")
+        chunk = int.from_bytes(data[pos >> 3 : (pos >> 3) + 3], "little")
+        code = (chunk >> (pos & 7)) & ((1 << width) - 1)
+        pos += width
+        if code == clear:
+            table = fresh()
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if not table:
+            raise ValueError("LZW data before first CLEAR")
+        if prev is None:
+            if code >= clear:
+                raise ValueError(f"first LZW code {code} not a literal")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise ValueError(f"LZW code {code} beyond table ({len(table)})")
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+                # one insertion EARLIER than the encoder's bump: the
+                # decoder's table lags the encoder's by exactly one
+                # entry at read time (the classic GIF decoder rule)
+                if len(table) == (1 << width) - 1 and width < 12:
+                    width += 1
+        out.extend(entry)
+        if len(out) > expected:
+            raise ValueError("LZW output overruns the pixel count")
+        prev = entry
+    if len(out) != expected:
+        raise ValueError(f"LZW produced {len(out)} of {expected} pixels")
+    return bytes(out)
+
+
+def encode_gif(width: int, height: int, indices: "np.ndarray",
+               palette: "np.ndarray") -> bytes:
+    """Encode an HxW uint8 index array + 256x3 palette as a GIF87a file:
+    logical screen descriptor, global color table, one image descriptor
+    (no interlace, no local table), LZW-compressed data in <=255-byte
+    sub-blocks, trailer."""
+    if palette.shape != (256, 3):
+        raise ValueError("palette must be 256x3")
+    out = bytearray(_GIF_SIG)
+    out += struct.pack("<HH", width, height)
+    out.append(0xF7)  # GCT present, 8 bits/channel, 256-entry table
+    out += b"\x00\x00"  # background index, aspect
+    out += palette.astype(np.uint8).tobytes()
+    out.append(0x2C)  # image descriptor
+    out += struct.pack("<HHHH", 0, 0, width, height)
+    out.append(0x00)  # no local color table, not interlaced
+    mcs = 8
+    out.append(mcs)
+    lzw = _lzw_encode_gif(indices.astype(np.uint8).reshape(-1).tobytes(), mcs)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out.append(0x00)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """Decode a GIF87a payload produced by :func:`encode_gif` (one
+    image, global 256-color table, no interlace/extensions). Returns
+    (width, height, HxW uint8 index array, 256x3 uint8 palette).
+    Raises ValueError on bad signature, framing, or LZW defects."""
+    if len(payload) < 13 or payload[:6] != _GIF_SIG:
+        raise ValueError("not a GIF87a payload")
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    if not packed & 0x80:
+        raise ValueError("missing global color table")
+    gct_n = 2 << (packed & 0x07)
+    if gct_n != 256:
+        raise ValueError(f"unsupported color table size {gct_n}")
+    pos = 13
+    if pos + 3 * gct_n > len(payload):
+        raise ValueError("truncated color table")
+    palette = np.frombuffer(payload, np.uint8, 3 * gct_n, pos).reshape(gct_n, 3)
+    pos += 3 * gct_n
+    if pos >= len(payload) or payload[pos] != 0x2C:
+        raise ValueError("expected image descriptor")
+    left, top, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
+    flags = payload[pos + 9]
+    if left or top or (w, h) != (sw, sh):
+        raise ValueError("sub-rectangle images unsupported")
+    if flags & 0xC0:
+        raise ValueError("local color table / interlace unsupported")
+    if w <= 0 or h <= 0:
+        raise ValueError("degenerate GIF dimensions")
+    pos += 10
+    mcs = payload[pos]
+    pos += 1
+    lzw = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("unterminated data sub-blocks")
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            break
+        if pos + n > len(payload):
+            raise ValueError("truncated data sub-block")
+        lzw += payload[pos : pos + n]
+        pos += n
+    if pos >= len(payload) or payload[pos] != 0x3B:
+        raise ValueError("missing GIF trailer")
+    idx = np.frombuffer(
+        _lzw_decode_gif(bytes(lzw), mcs, w * h), dtype=np.uint8
+    ).reshape(h, w)
+    return w, h, idx, palette.copy()
+
+
+_GIF_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("idx_sum", T.LongType()),
+        T.StructField("pos_weighted_sum", T.LongType()),
+        T.StructField("pal_g_sum", T.LongType()),
+    ]
+)
+
+
+def decode_gif_index_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """REAL GIF decode emitting EXACT integer index statistics: index
+    sum, a position-weighted checksum (pins the ORDER of every decoded
+    index — an LZW table or sub-block reassembly defect cannot hide in
+    a permutation-invariant sum), and the palette-mapped green-channel
+    sum (pins that the global color table was parsed and wired
+    through)."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(bin_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "ok", "width", "height",
+                                   "n_pixels", "idx_sum",
+                                   "pos_weighted_sum", "pal_g_sum")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    w, h, idx, pal = decode_gif(payload or b"")
+                except ValueError:
+                    for k, v in (("ok", False), ("width", 0), ("height", 0),
+                                 ("n_pixels", 0), ("idx_sum", 0),
+                                 ("pos_weighted_sum", 0), ("pal_g_sum", 0)):
+                        out[k].append(v)
+                    continue
+                flat = idx.reshape(-1).astype(np.int64)
+                p = np.arange(flat.size, dtype=np.int64)
+                out["ok"].append(True)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(int(flat.size))
+                out["idx_sum"].append(int(flat.sum()))
+                out["pos_weighted_sum"].append(int(((p % 997 + 1) * flat).sum()))
+                out["pal_g_sum"].append(int(pal[flat, 1].astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema=_GIF_PIXEL_SCHEMA)

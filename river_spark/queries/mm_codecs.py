@@ -478,3 +478,92 @@ def mm_bmp_resize_stats(spark, sf_dir):
     return stats.filter(F.col("ok")).select(
         "doc_id", "out_w", "out_h", "r_sum", "g_sum", "b_sum", "pos_weighted_sum",
     )
+
+
+# ---- GIF rule: palette-indexed with runs of 5 (LZW gets multi-symbol
+# strings to build its table from):
+#   w = 16 + doc_id % 5, h = 12 + doc_id % 4
+#   idx(p) = (doc_id*41 + 11*(p div 5)) % 256        (p row-major in [0, wh))
+#   palette[i] = ((i + d) % 256, (2i + 13d) % 256, (3i + 7d) % 256)
+
+
+def _gif_payloads(docs):
+    """doc_id -> synthesized GIF87a payload (one mapInPandas pass).
+    Every image carries the full 256-entry global color table and runs
+    the real LZW compressor (leading CLEAR, width growth, sub-block
+    framing) on its index stream."""
+    from river_spark.operators.multimodal import encode_gif
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 16 + d % 5, 12 + d % 4
+                p = np.arange(w * h, dtype=np.int64)
+                idx = ((d * 41 + 11 * (p // 5)) % 256).astype(np.uint8).reshape(h, w)
+                i = np.arange(256, dtype=np.int64)
+                pal = np.stack(
+                    [(i + d) % 256, (2 * i + 13 * d) % 256, (3 * i + 7 * d) % 256],
+                    axis=1,
+                ).astype(np.uint8)
+                ids.append(d)
+                payloads.append(encode_gif(w, h, idx, pal))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+@q(
+    "mm_gif_decode_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 16 + doc_id % 5 AS w, 12 + doc_id % 4 AS h
+        FROM documents),
+    px AS (
+        SELECT doc_id, w, h, g.p AS p,
+               (doc_id * 41 + 11 * (g.p // 5)) % 256 AS idx
+        FROM dims, UNNEST(generate_series(0, w * h - 1)) AS g(p))
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(sum(idx) AS BIGINT) AS idx_sum,
+           CAST(sum((p % 997 + 1) * idx) AS BIGINT) AS pos_weighted_sum,
+           CAST(sum((2 * idx + 13 * doc_id) % 256) AS BIGINT) AS pal_g_sum
+    FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "codec", "image"),
+)
+def mm_gif_decode_stats(spark, sf_dir):
+    """REAL GIF87a encode→decode round trip under the bit-level oracle —
+    the LIVE codec family's first LZW entropy layer (PNG brought
+    DEFLATE, QOI its op stream). The index stream is a closed-form
+    function of doc_id with runs of 5 so the LZW table genuinely
+    builds multi-symbol strings; Spark produces real GIF bytes (screen
+    descriptor, 256-entry global color table, variable-width LZW with
+    leading CLEAR and sub-block framing) and decodes them back with
+    operators/multimodal.decode_gif. The oracle recomputes the index
+    sum, a position-weighted checksum (pins the ORDER of every decoded
+    index — an LZW-table or sub-block reassembly defect can't hide in
+    a permutation-invariant sum), and the palette-mapped green sum
+    (pins the color-table parse) straight from the rule, never seeing
+    the bytes. Width-growth past 9 bits and the 4096-table CLEAR reset
+    are exercised by dedicated round-trip tests (fixture images stay
+    small); the decoder rejects truncation, bad signatures, and LZW
+    over/underruns (tests)."""
+    from river_spark.operators.multimodal import decode_gif_index_stats
+
+    docs = tbl(spark, sf_dir, "documents")
+    stats = decode_gif_index_stats(_gif_payloads(docs), "doc_id", "payload")
+    return stats.filter(F.col("ok")).select(
+        "doc_id", "width", "height", "n_pixels",
+        "idx_sum", "pos_weighted_sum", "pal_g_sum",
+    )

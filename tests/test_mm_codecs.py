@@ -366,3 +366,113 @@ class TestBoxDownscale:
         small = box_downscale_2x(_px(4, 4, seed=6)).astype(np.int64)
         assert got[1]["r_sum"] == int(small[:, :, 0].sum())
         assert not got[2]["ok"] and not got[3]["ok"]
+
+
+# ---------------------------------------------------------------------------
+# GIF87a / LZW (round 11): the family's first LZW entropy layer
+# ---------------------------------------------------------------------------
+from river_spark.operators.multimodal import (  # noqa: E402
+    _lzw_decode_gif,
+    _lzw_encode_gif,
+    decode_gif,
+    encode_gif,
+)
+
+
+def _prand_bytes(n, state=12345):
+    out = bytearray()
+    for _ in range(n):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        out.append((state >> 16) & 0xFF)
+    return bytes(out)
+
+
+def _pal(d=0):
+    i = np.arange(256, dtype=np.int64)
+    return np.stack(
+        [(i + d) % 256, (2 * i + 13 * d) % 256, (3 * i + 7 * d) % 256], axis=1
+    ).astype(np.uint8)
+
+
+class TestGifLzw:
+    def test_roundtrip_across_width_boundaries(self):
+        # 300 random bytes cross the 9->10-bit bump; 2000 cross 10->11;
+        # 30000/80000 cross 12 bits AND the 4096-table CLEAR reset
+        # (multiple times at 80k). The 300-byte case is ALSO the
+        # decoder-lag pin: a decoder that bumps at next_code == 2^width
+        # (symmetric with the encoder, one insertion late) desyncs
+        # exactly at the first boundary and fails here.
+        for n in (0, 1, 5, 300, 2000, 30000, 80000):
+            d = _prand_bytes(n)
+            assert _lzw_decode_gif(_lzw_encode_gif(d, 8), 8, n) == d
+
+    def test_roundtrip_runs_and_kwkwk(self):
+        # all-equal and short-period inputs drive the KwKwK path
+        # (code == next free slot: entry = prev + prev[0])
+        for d in (b"\x00" * 1000, bytes([7] * 4 + [8] * 4) * 50,
+                  bytes(range(256)) * 60, b"ab" * 6000):
+            assert _lzw_decode_gif(_lzw_encode_gif(d, 8), 8, len(d)) == d
+
+    def test_underrun_and_overrun_rejected(self):
+        enc = _lzw_encode_gif(b"abcabc", 8)
+        with pytest.raises(ValueError):
+            _lzw_decode_gif(enc, 8, 7)   # expects more pixels than encoded
+        with pytest.raises(ValueError):
+            _lzw_decode_gif(enc, 8, 5)   # overruns the declared count
+
+
+class TestGif:
+    def test_full_roundtrip(self):
+        for d in range(12):
+            w, h = 16 + d % 5, 12 + d % 4
+            p = np.arange(w * h, dtype=np.int64)
+            idx = ((d * 41 + 11 * (p // 5)) % 256).astype(np.uint8).reshape(h, w)
+            payload = encode_gif(w, h, idx, _pal(d))
+            w2, h2, idx2, pal2 = decode_gif(payload)
+            assert (w2, h2) == (w, h)
+            assert (idx2 == idx).all()
+            assert (pal2 == _pal(d)).all()
+
+    def test_malformed_rejected(self):
+        good = encode_gif(4, 4, np.zeros((4, 4), np.uint8), _pal())
+        for bad in (
+            good[:10],                       # truncated header
+            b"XIF87a" + good[6:],            # bad signature
+            good[:-1],                       # missing trailer
+            good[:13],                       # truncated color table
+            good[: 13 + 768],                # missing image descriptor
+        ):
+            with pytest.raises(ValueError):
+                decode_gif(bytes(bad))
+
+    def test_palette_flip_changes_stats_not_validity(self):
+        # a corrupt GCT byte still decodes (valid GIF) — the ORACLE
+        # catches it through pal_g_sum; pin that contract here
+        d = 3
+        w, h = 16 + d % 5, 12 + d % 4
+        p = np.arange(w * h, dtype=np.int64)
+        idx = ((d * 41 + 11 * (p // 5)) % 256).astype(np.uint8).reshape(h, w)
+        payload = bytearray(encode_gif(w, h, idx, _pal(d)))
+        g_off = 13 + 3 * int(idx[0, 0]) + 1  # G byte of a used palette slot
+        payload[g_off] ^= 0xFF
+        w2, h2, idx2, pal2 = decode_gif(bytes(payload))
+        assert (idx2 == idx).all()
+        assert not (pal2 == _pal(d)).all()
+
+    def test_sub_block_framing(self):
+        # an image big enough that the LZW stream spans >1 sub-block
+        d = 0
+        w, h = 64, 64
+        p = np.arange(w * h, dtype=np.int64)
+        idx = ((17 * p) % 256).astype(np.uint8).reshape(h, w)
+        payload = encode_gif(w, h, idx, _pal(d))
+        # 6 sig + 7 LSD = 13; + 768 GCT; + 10 image descriptor; + 1 mcs
+        body = payload[13 + 768 + 10 + 1 : -1]  # keep the 0x00 terminator
+        blocks = 0
+        pos = 0
+        while body[pos] != 0:
+            blocks += 1
+            pos += 1 + body[pos]
+        assert blocks >= 2, "LZW stream must span multiple sub-blocks"
+        _, _, idx2, _ = decode_gif(payload)
+        assert (idx2 == idx).all()
