@@ -154,6 +154,12 @@ BOUNDARY_QUERIES = [
     # (n_b = 0) keep the chi2 denominator positive but drive the flag
     # comparison through extreme splits
     "ab_srm_check",
+    # --- round-11 wave 33: the constant 3-day 'error' series drives
+    #     Mann-Kendall's Var(S)=0 NULL guard (ties erase the variance
+    #     exactly); single-day types vanish from the Theil-Sen pair set
+    #     (zero pairs) rather than emitting a degenerate slope
+    "agg_mann_kendall_trend",
+    "agg_theil_sen_slope",
 ]
 
 _FIXTURE_TABLES = ("customer", "orders", "events", "documents", "embeddings")
