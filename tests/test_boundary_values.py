@@ -160,6 +160,13 @@ BOUNDARY_QUERIES = [
     #     (zero pairs) rather than emitting a degenerate slope
     "agg_mann_kendall_trend",
     "agg_theil_sen_slope",
+    # --- round-11 wave 34: tiny sources where one snapshot (or the
+    #     overlap) is EMPTY exercise Chapman's built-in (m+1) guard —
+    #     the estimator is defined by construction even at m = 0
+    #     (graph_adamic_adar reads lineitem, absent here; its deg >= 2
+    #     by-construction guard is pinned by the wedge definition and
+    #     the sf sweeps).
+    "agg_capture_recapture",
 ]
 
 _FIXTURE_TABLES = ("customer", "orders", "events", "documents", "embeddings")
