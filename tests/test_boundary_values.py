@@ -167,6 +167,11 @@ BOUNDARY_QUERIES = [
     #     by-construction guard is pinned by the wedge definition and
     #     the sf sweeps).
     "agg_capture_recapture",
+    # --- round-11 wave 35: the fixture's sparse days make most dyadic
+    #     slots exact zeros — whole levels can have energy exactly 0,
+    #     and the single-day 'error' series pushes all its mass through
+    #     the zero-padding path
+    "ev_haar_energy",
 ]
 
 _FIXTURE_TABLES = ("customer", "orders", "events", "documents", "embeddings")
