@@ -543,42 +543,43 @@ def cosine_dedup(
 
 def lsh_incremental_candidate_pairs(
     sigs: DataFrame,
-    new_ids: DataFrame,
+    is_new,
     bands: int = 16,
     max_bucket: int = 1000,
     sig_len: int | None = None,
 ) -> DataFrame:
-    """Candidate pairs that TOUCH a new-arrival doc: band rows of the new
-    docs equi-join band rows of the whole corpus on (band, bucket) —
-    the incremental-crawl shape, where yesterday's corpus is never
-    re-paired against itself. Produces exactly the subset of
-    :func:`lsh_candidate_pairs` with at least one endpoint in
-    ``new_ids`` (same banding, same hot-bucket cap on the full side).
+    """Candidate pairs that TOUCH a new-arrival doc — the incremental-
+    crawl shape, where yesterday's corpus is never re-paired against
+    itself. ``is_new`` is a Column marking the day's arrivals (a flag
+    expression, NOT a join: the batch membership rides the band row as
+    one boolean, so the signature pipeline is never re-executed for a
+    probe side). Produces exactly the subset of
+    :func:`lsh_candidate_pairs` with at least one new endpoint: same
+    banding, same two-phase hot-bucket cap, same in-bucket i<j
+    expansion — pairs whose endpoints are BOTH old are dropped at
+    emission, before any downstream work.
 
-    100 TB posture: the full corpus side is banded and shuffled ONCE on
-    (band, bucket) — 8 B/doc/band, no signatures — and the join's other
-    side is only the day's arrivals, so per-batch cost is
-    O(corpus_bands + new x bucket_width) instead of the full self-join.
-    The same two-phase hot-bucket cap applies before any pair is
-    emitted, so a stop-shingle bucket still costs one count row, never
-    a pair explosion."""
+    100 TB posture: one band shuffle of (doc_id, is_new) — 9 B/doc/band
+    — one count pass for the cap, pairs expanded inside the bucket row.
+    Emitted pair volume is O(new x bucket_width), and the old-old pair
+    branch never allocates (the filter sits inside the same stage as
+    the explode). Day-over-day deployments persist the banded corpus
+    table and union the day's band rows; the operator shape is
+    unchanged."""
     banded = sigs.select(
         "doc_id",
+        is_new.cast("boolean").alias("is_new"),
         F.posexplode(F.expr(_band_hash_expr(bands, sig_len))).alias("band", "bucket"),
     )
-    counts = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
-    ok = counts.filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket)).select(
-        "band", "bucket"
+    grouped = _two_phase_group(
+        banded,
+        ["band", "bucket"],
+        F.collect_list(F.struct("doc_id", "is_new")),
+        max_bucket,
     )
-    capped = banded.join(ok, ["band", "bucket"], "left_semi")
-    new_banded = capped.join(new_ids, "doc_id", "left_semi")
+    pairs = _in_bucket_pairs(grouped, "is_new")
     return (
-        new_banded.alias("n")
-        .join(capped.alias("c"), ["band", "bucket"])
-        .where(F.col("n.doc_id") != F.col("c.doc_id"))
-        .select(
-            F.least(F.col("n.doc_id"), F.col("c.doc_id")).alias("doc_a"),
-            F.greatest(F.col("n.doc_id"), F.col("c.doc_id")).alias("doc_b"),
-        )
+        pairs.where(F.col("is_new_a") | F.col("is_new_b"))
+        .select("doc_a", "doc_b")
         .distinct()
     )

@@ -245,10 +245,11 @@ def pipeline_incremental_dedup(spark, sf_dir):
     )
 
     docs = tbl(spark, sf_dir, "documents")
-    new_ids = docs.where(F.pmod(F.col("doc_id"), F.lit(7)) == 3).select("doc_id")
     sh = shingles(docs, "doc_id", "text", 3, hashed=True, distinct=False)
     sigs = minhash_signatures(sh, 64)
-    cand = lsh_incremental_candidate_pairs(sigs, new_ids, bands=16, sig_len=64)
+    cand = lsh_incremental_candidate_pairs(
+        sigs, F.pmod(F.col("doc_id"), F.lit(7)) == 3, bands=16, sig_len=64
+    )
     surv = estimate_filtered_candidates(sigs, cand, margin_est=0.65)
     cand_ids = surv.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
