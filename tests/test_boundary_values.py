@@ -172,6 +172,10 @@ BOUNDARY_QUERIES = [
     #     and the single-day 'error' series pushes all its mass through
     #     the zero-padding path
     "ev_haar_energy",
+    # --- round-11 wave 36: all-pre-period events make every nonzero
+    #     user a DOWN mover (post = 0), zero-value users drop as d = 0
+    #     — the z denominator survives via the 3n(n+1)^2 all-tied floor
+    "ab_wilcoxon_signed_rank",
 ]
 
 _FIXTURE_TABLES = ("customer", "orders", "events", "documents", "embeddings")
