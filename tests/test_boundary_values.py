@@ -176,6 +176,10 @@ BOUNDARY_QUERIES = [
     #     user a DOWN mover (post = 0), zero-value users drop as d = 0
     #     — the z denominator survives via the 3n(n+1)^2 all-tied floor
     "ab_wilcoxon_signed_rank",
+    # single-day types have one block (n_blocks = 1) and the clocked
+    # bot's constant values give zero block variance — both drive the
+    # Gumbel fit to NULL through the shared guard
+    "agg_gumbel_block_maxima",
 ]
 
 _FIXTURE_TABLES = ("customer", "orders", "events", "documents", "embeddings")
