@@ -33,6 +33,35 @@ _EVENT_FIELDS = {
 }
 
 
+# Anti-vacuous float-division sentinel (r12 directive #1): one ghost
+# event whose epoch-ns value double-truncates 1us LOW under the banned
+# `(ts / F.lit(1000)).cast("long")` idiom, paired with a promo whose
+# lower range boundary sits exactly on the event's true microsecond.
+# Under the pinned integer `ts div 1000` the boundary equality holds and
+# the ghost event JOINS (mirrored literally in the oracles via a
+# UNION ALL row); if float division ever regresses, the event converts
+# to ...015us < pts ...016us and silently falls out of the join — the
+# driver oracle goes red instead of passing vacuously (the real events
+# fixture is us-aligned, so its 1us float errors never cross a
+# second/window boundary and cannot catch the class on their own):
+#   trunc(float64(1705276800000016000) / 1e3) == ...015  (err -1)
+#   trunc(float64(1705276800000016500) / 1e3) == ...016  (err  0)
+_SENTINEL_EVENT_NS = 1_705_276_800_000_016_000  # 2024-01-15T00:00:00.000016
+_SENTINEL_PROMO_NS = 1_705_276_800_000_016_500
+_SENTINEL_VALUE = 0.25  # exactly representable; sums stay bit-stable
+
+
+def _ghost_event(schema, user_id: int) -> np.ndarray:
+    """The single sentinel data row appended to a streamed events copy
+    (and mirrored as a UNION ALL literal in the paired oracle SQL)."""
+    gev = np.zeros(1, dtype=schema.dtype())
+    gev["event_id"] = -3
+    gev["ts"] = _SENTINEL_EVENT_NS
+    gev["user_id"] = user_id
+    gev["value"] = _SENTINEL_VALUE
+    return gev
+
+
 # The staging fixture materializes the events table in DRIVER memory to
 # feed the transport writer — a parity harness for the sf0.001/sf0.01
 # correctness gates, NOT a bulk ingest path (production ingest is the
@@ -671,15 +700,23 @@ def river_stream_static_join(spark, sf_dir):
 @q(
     "river_stream_outer_join",
     oracle="""
-    WITH uw AS (
+    WITH ev_all AS (
+        SELECT user_id, value FROM events
+        UNION ALL
+        -- the float-division sentinel ghost event (even user above the
+        -- real range; see _SENTINEL_EVENT_NS in river_ops.py)
+        SELECT max(user_id) + 1 + (max(user_id) + 1) % 2 AS user_id,
+               0.25 AS value
+        FROM events),
+    uw AS (
         SELECT DISTINCT user_id, user_id * 0.1 + 1 AS bonus
-        FROM events WHERE user_id % 2 = 0)
+        FROM ev_all WHERE user_id % 2 = 0)
     SELECT e.user_id % 2 AS parity,
            count(*) AS n,
            count(uw.bonus) AS n_matched,
            round(sum(e.value), 4) AS sum_value,
            round(sum(coalesce(uw.bonus, 0)), 4) AS sum_bonus
-    FROM events e LEFT JOIN uw USING (user_id)
+    FROM ev_all e LEFT JOIN uw USING (user_id)
     GROUP BY e.user_id % 2
     """,
     tags=("river", "streaming", "join", "outer", "watermark"),
@@ -704,7 +741,13 @@ def river_stream_outer_join(spark, sf_dir):
     evicts every closed left row and emits the null-padded results).
     The sentinels themselves stay above the final watermark, are never
     emitted, and are excluded by the user_id >= 0 filter regardless.
-    The drained rows must aggregate to the batch LEFT JOIN."""
+    The drained rows must aggregate to the batch LEFT JOIN.
+
+    A third data row — the float-division sentinel ghost event (module
+    comment at _SENTINEL_EVENT_NS) — rides batch 1 and must join its
+    promo exactly at the range's lower boundary; it is mirrored as a
+    UNION ALL literal in the oracle, so any regression to double
+    division on the ns->us conversion shows up as a driver red."""
     from river_spark.sources import register
 
     key = ("stream_outer_join", sf_dir)
@@ -720,8 +763,12 @@ def river_stream_outer_join(spark, sf_dir):
         sent["event_id"] = [-1, -2]
         sent["ts"] = [far_a, far_b]
         sent["user_id"] = -1
+        # even ghost user: the float-division sentinel event must derive
+        # a promo row (even parity) while staying absent from parquet
+        ghost = int(arr["user_id"].max()) + 1
+        ghost += ghost % 2
         w = StreamWriter(log).initialize("events_soj", schema)
-        w.write(np.concatenate([arr, sent]))
+        w.write(np.concatenate([arr, _ghost_event(schema, ghost), sent]))
         w.stop()
 
         users = np.unique(arr["user_id"])
@@ -736,22 +783,33 @@ def river_stream_outer_join(spark, sf_dir):
         promo_ts = (
             np.datetime64("2023-12-31T00:00:00").astype("datetime64[ns]").astype(np.int64)
         )
-        parr = np.zeros(len(users) + 2, dtype=pschema.dtype())
+        parr = np.zeros(len(users) + 3, dtype=pschema.dtype())
         parr["ts"][: len(users)] = promo_ts
-        parr["ts"][len(users) :] = [far_a, far_b]
+        # ghost promo: lower range boundary exactly on the sentinel
+        # event's true microsecond (float-exact ns; see module comment)
+        parr["ts"][len(users)] = _SENTINEL_PROMO_NS
+        parr["ts"][len(users) + 1 :] = [far_a, far_b]
         parr["user_id"][: len(users)] = users
-        parr["user_id"][len(users) :] = -2
+        parr["user_id"][len(users)] = ghost
+        parr["user_id"][len(users) + 1 :] = -2
         parr["bonus"][: len(users)] = users * 0.1 + 1
+        parr["bonus"][len(users)] = ghost * 0.1 + 1
         w2 = StreamWriter(log).initialize("promos_soj", pschema)
         w2.write(parr)
         w2.stop()
 
-        ets = F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        # Exact integer ns->us: float division via `/ F.lit(1000)` runs in
+        # double, and at 2024 epoch-ns magnitude the 53-bit mantissa
+        # truncates values that aren't 512ns multiples 1us off — exactly
+        # the window/join-boundary tie this query splits on (see
+        # river_ops3.py for the full derivation). `ts div 1000` stays in
+        # long integer arithmetic.
+        ets = F.timestamp_micros(F.expr("ts div 1000"))
         ev = (
             spark.readStream.format("river")
             .option("path", store)
             .option("stream", "events_soj")
-            .option("maxSamplesPerTrigger", str(len(arr) + 1))
+            .option("maxSamplesPerTrigger", str(len(arr) + 2))
             .load()
             .select("user_id", "value", ets.alias("ets"))
             .withWatermark("ets", "1 second")
@@ -760,7 +818,7 @@ def river_stream_outer_join(spark, sf_dir):
             spark.readStream.format("river")
             .option("path", store)
             .option("stream", "promos_soj")
-            .option("maxSamplesPerTrigger", str(len(users) + 1))
+            .option("maxSamplesPerTrigger", str(len(users) + 2))
             .load()
             .select(
                 F.col("user_id").alias("p_user_id"),
@@ -794,7 +852,7 @@ def river_stream_outer_join(spark, sf_dir):
         )
         import time as _time
 
-        want = len(arr)
+        want = len(arr) + 1  # + the float-division sentinel ghost event
         deadline = _time.monotonic() + 300
         try:
             while True:
@@ -1147,7 +1205,13 @@ def river_stream_window_chain(spark, sf_dir):
         w.stop()
         n_hours = len(np.unique(arr["ts"] // (3600 * 10**9)))
 
-        ets = F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        # Exact integer ns->us: float division via `/ F.lit(1000)` runs in
+        # double, and at 2024 epoch-ns magnitude the 53-bit mantissa
+        # truncates values that aren't 512ns multiples 1us off — exactly
+        # the window/join-boundary tie this query splits on (see
+        # river_ops3.py for the full derivation). `ts div 1000` stays in
+        # long integer arithmetic.
+        ets = F.timestamp_micros(F.expr("ts div 1000"))
         five = (
             spark.readStream.format("river")
             .option("path", store)

@@ -24,7 +24,9 @@ from river_spark.streaming.ops import stop_quiet
 from river_spark.queries.relational import q
 from river_spark.queries.river_ops import (
     _CACHE,
+    _SENTINEL_PROMO_NS,
     _events_array,
+    _ghost_event,
     _memory_table_name,
 )
 from river_spark.schema import FieldDefinition, FieldType, StreamSchema
@@ -42,13 +44,14 @@ def _outer_join_table(spark, sf_dir: str, how: str) -> str:
     (how, sf_dir)).
 
     Stream layout mirrors river_stream_outer_join's determinism
-    engineering: two far-future sentinel rows per stream and
-    maxSamplesPerTrigger = n_data + 1, so the engine slices exactly two
-    micro-batches — batch 1 (all data + sentinel A) advances both
-    watermarks ~4 months past the data, batch 2 (sentinel B) is the
-    state-cleanup pass that emits every null-padded row. The Python
-    DataSource API has no AvailableNow, so the drain polls a
-    processingTime trigger until the expected row count surfaces."""
+    engineering: two far-future sentinel rows per stream (plus the
+    float-division sentinel ghost event) and maxSamplesPerTrigger sized
+    so the engine slices exactly two micro-batches — batch 1 (all data
+    + sentinel A) advances both watermarks ~4 months past the data,
+    batch 2 (sentinel B) is the state-cleanup pass that emits every
+    null-padded row. The Python DataSource API has no AvailableNow, so
+    the drain polls a processingTime trigger until the expected row
+    count surfaces."""
     from river_spark.sources import register
 
     key = (f"stream_{how}_join", sf_dir)
@@ -65,8 +68,14 @@ def _outer_join_table(spark, sf_dir: str, how: str) -> str:
     sent["event_id"] = [-1, -2]
     sent["ts"] = [far_a, far_b]
     sent["user_id"] = -1
+    # Float-division sentinel (see _SENTINEL_EVENT_NS in river_ops.py):
+    # the FIRST ghost user gets one real event pinned 1us-divergent
+    # under the banned double-division idiom; its promo (below) puts the
+    # range's lower boundary exactly on the event's true microsecond, so
+    # a regression un-matches it and every join shape's oracle goes red.
+    ghost = int(arr["user_id"].max()) + 1
     w = StreamWriter(log).initialize(f"events_{how}", schema)
-    w.write(np.concatenate([arr, sent]))
+    w.write(np.concatenate([arr, _ghost_event(schema, ghost), sent]))
     w.stop()
 
     users = np.unique(arr["user_id"])
@@ -89,16 +98,25 @@ def _outer_join_table(spark, sf_dir: str, how: str) -> str:
     parr["user_id"][: len(promo_users)] = promo_users
     parr["user_id"][len(promo_users) :] = -2
     parr["bonus"][: len(promo_users)] = promo_users * 0.1 + 1
+    # the first ghost's promo carries the sentinel boundary timestamp
+    # (ns offset +500: float-EXACT, so only the event side can diverge)
+    parr["ts"][len(even_users)] = _SENTINEL_PROMO_NS
     w2 = StreamWriter(log).initialize(f"promos_{how}", pschema)
     w2.write(parr)
     w2.stop()
 
-    ets = F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    # Exact integer ns->us: float division via `/ F.lit(1000)` runs in
+    # double, and at 2024 epoch-ns magnitude the 53-bit mantissa
+    # truncates values that aren't 512ns multiples 1us off — exactly
+    # the outer-join watermark-boundary tie these queries split on (see
+    # river_ops3.py for the full derivation). `ts div 1000` stays in
+    # long integer arithmetic.
+    ets = F.timestamp_micros(F.expr("ts div 1000"))
     ev = (
         spark.readStream.format("river")
         .option("path", store)
         .option("stream", f"events_{how}")
-        .option("maxSamplesPerTrigger", str(len(arr) + 1))
+        .option("maxSamplesPerTrigger", str(len(arr) + 2))
         .load()
         .select("user_id", "value", ets.alias("ets"))
         .withWatermark("ets", "1 second")
@@ -127,13 +145,15 @@ def _outer_join_table(spark, sf_dir: str, how: str) -> str:
             "value",
             F.lit(None).cast("double").alias("bonus"),
         )
-        want = n_matched_events
+        want = n_matched_events + 1  # + the matched sentinel ghost event
     elif how in ("right_outer", "full_outer"):
         joined = ev.join(pr, cond, how).select("user_id", "p_user_id", "value", "bonus")
+        # totals are sentinel-invariant: the ghost event turns one
+        # right_only promo row into one matched row
         want = (
             n_matched_events + _N_GHOSTS
             if how == "right_outer"
-            else len(arr) + _N_GHOSTS
+            else len(arr) + 1 + _N_GHOSTS - 1
         )
     else:  # pragma: no cover - this helper only serves these shapes
         raise ValueError(how)
@@ -179,9 +199,17 @@ _SIDE_AGG = """
 
 # Promo build mirrored from _outer_join_table: one promo per DISTINCT
 # even user (bonus = user_id*0.1 + 1, the same two IEEE ops NumPy ran)
-# plus _N_GHOSTS promos for users above the event range.
+# plus _N_GHOSTS promos for users above the event range. ev_all adds
+# the float-division sentinel ghost event (first ghost user, value
+# 0.25) that the streamed fixture appends — see _SENTINEL_EVENT_NS in
+# river_ops.py — so a regression to double ns->us division un-matches
+# it and every oracle in this family goes red.
 _PROMO_CTE = f"""
-    WITH uw AS (
+    WITH ev_all AS (
+        SELECT user_id, value FROM events
+        UNION ALL
+        SELECT max(user_id) + 1 AS user_id, 0.25 AS value FROM events),
+    uw AS (
         SELECT DISTINCT user_id, user_id * 0.1 + 1 AS bonus
         FROM events WHERE user_id % 2 = 0
         UNION ALL
@@ -201,7 +229,7 @@ _PROMO_CTE = f"""
            count(*) AS n,
            round(sum(coalesce(e.value, 0)), 4) AS sum_value,
            round(sum(coalesce(uw.bonus, 0)), 4) AS sum_bonus
-    FROM events e RIGHT JOIN uw ON e.user_id = uw.user_id
+    FROM ev_all e RIGHT JOIN uw ON e.user_id = uw.user_id
     GROUP BY 1
     """,
     tags=("river", "streaming", "join", "outer", "watermark"),
@@ -227,7 +255,7 @@ def river_stream_right_outer_join(spark, sf_dir):
            count(*) AS n,
            round(sum(coalesce(e.value, 0)), 4) AS sum_value,
            round(sum(coalesce(uw.bonus, 0)), 4) AS sum_bonus
-    FROM events e FULL JOIN uw ON e.user_id = uw.user_id
+    FROM ev_all e FULL JOIN uw ON e.user_id = uw.user_id
     GROUP BY 1
     """,
     tags=("river", "streaming", "join", "outer", "watermark"),
@@ -249,7 +277,7 @@ def river_stream_full_outer_join(spark, sf_dir):
     SELECT e.user_id % 2 AS parity,
            count(*) AS n,
            round(sum(e.value), 4) AS sum_value
-    FROM events e SEMI JOIN uw ON e.user_id = uw.user_id
+    FROM ev_all e SEMI JOIN uw ON e.user_id = uw.user_id
     GROUP BY 1
     """,
     tags=("river", "streaming", "join", "semi", "watermark"),
