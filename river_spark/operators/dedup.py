@@ -561,9 +561,10 @@ def lsh_incremental_candidate_pairs(
 
     100 TB posture: one band shuffle of (doc_id, is_new) — 9 B/doc/band
     — one count pass for the cap, pairs expanded inside the bucket row.
-    Emitted pair volume is O(new x bucket_width), and the old-old pair
-    branch never allocates (the filter sits inside the same stage as
-    the explode). Day-over-day deployments persist the banded corpus
+    Emitted pair volume is O(new x bucket_width); old-old pairs are
+    generated by the in-bucket expansion but filtered in the SAME stage
+    as the explode — they are never shuffled, persisted, or handed to
+    the verify join. Day-over-day deployments persist the banded corpus
     table and union the day's band rows; the operator shape is
     unchanged."""
     banded = sigs.select(

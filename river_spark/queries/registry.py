@@ -422,62 +422,66 @@ _R10_ORDER = [
 # Discipline: a query whose PHYSICAL PLAN changed since its last green
 # driver row goes back through the driver before anything new.
 _WINDOW = [
-    # --- the 19 round-10 forced-broadcast hint drops + 1 (agg_hhi):
-    #     their plans changed in round 10 but only text_js_divergence /
-    #     dq_referential_integrity were re-adjudicated there (r10 verdict
-    #     "What's missing #1") — they lead:
-    "q3_shipping_priority",
-    "q5_nation_volume",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive_join",
-    "q7_nation_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    "dq_expectations",
-    "mb_copurchase_pairs",
-    "graph_triangle_count",
-    "agg_countmin_sketch",
-    "graph_pagerank",
-    "agg_hhi_concentration",
-    # --- round-11 plan changes (re-adjudicate under the new plans):
-    "pipeline_curation_v2",       # eval-shingle broadcast hint dropped
-    "ev_burstiness",              # stitched_lag: row-position stitch
-    "ev_gap_entropy",             # stitched_lag: row-position stitch
-    "river_stream_session_window",  # exact integer ns->us conversion
-    "ev_gap_histogram",           # ported to stitched_lag (r11)
-    "ev_gap_percentiles",         # ported to stitched_lag (r11)
-    "ev_cusum_changepoint",       # ported to stitched prefix-sum (r11)
-    "ev_mad_outliers",            # exact distributed-selection port (r11)
-    "ev_power_user_share",        # ported to stitched prefix sum (r11)
-    "decontam_bloom_prefilter",   # dense fixed bitmap + bg hint drop (r11)
-    "pipeline_seq_pack",          # cumsum ported to stitched prefix sum (r11)
-    "pipeline_token_budget_pack", # stitched cumsum, tie-splitting bucket (r11)
-    "pipeline_domain_cap",        # per-source rank -> stitched_row_number (r11)
-    "pipeline_shard_balance",     # longest-first rank stitched (r11)
-    "pipeline_global_shuffle",    # per-shard position stitched (r11)
-    "pipeline_pref_pairs",        # both two-ended ranks stitched (r11)
-    "agg_ks_shard",               # CDF counters stitched, totals join (r11)
-    # --- stalest cohorts (last driver row r1, then r3, then r4 head):
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_bpe_tokens",
-    "text_rolling_fingerprint",
-    "join_cross_small",
-    "distinct_proj",
-    "agg_global",
-    "dedup_exact",
-    "river_ingest_roundtrip",
-    "river_system_columns",
-    "river_sink_roundtrip",
-    "river_compressed_roundtrip",
+    # --- Round-12 rotation (r11 verdict directives #1/#2): the driver
+    #     checks the FIRST 50 each round. The 43 round-11 additions
+    #     (waves 29-37, mm codecs, streaming KMV) have never had a
+    #     driver row — they LEAD, oldest wave first. Behind them, the
+    #     five ns->us-idiom streaming queries re-adjudicate under the
+    #     integer-division fix + float-divergent ghost sentinel, and
+    #     the two stalest r4 transport gates take the last slots.
+    # --- never driver-checked (43; registration = wave order):
+    "river_stream_kmv_distinct",
+    "ev_ewma_daily",
+    "pipeline_temperature_mix",
+    "pipeline_blocklist_filter",
+    "emb_pq_adc_search",
+    "dedup_shingle_containment",
+    "ev_markov_entropy_rate",
+    "pipeline_pack_efficiency",
+    "pipeline_pps_sample",
+    "mm_bmp_decode_stats",
+    "mm_wav_decode_stats",
+    "mm_png_decode_stats",
+    "mm_qoi_decode_stats",
+    "mm_mulaw_decode_stats",
+    "mm_bmp_resize_stats",
+    "mm_gif_decode_stats",
+    "ab_mann_whitney_u",
+    "agg_spearman_rho",
+    "agg_cohens_kappa",
+    "pipeline_score_calibration",
+    "pipeline_quality_knee",
+    "agg_auc_roc",
+    "ev_audience_overlap",
+    "graph_assortativity",
+    "ev_asof_forward",
+    "agg_bootstrap_ci",
+    "agg_kmv_overlap",
+    "agg_delta_method_ratio",
+    "dq_table_checksum",
+    "ev_twap",
+    "ab_cuped_adjusted",
+    "pipeline_incremental_dedup",
+    "ab_srm_check",
+    "agg_mann_kendall_trend",
+    "agg_theil_sen_slope",
+    "agg_capture_recapture",
+    "graph_adamic_adar",
+    "ev_haar_energy",
+    "ab_wilcoxon_signed_rank",
+    "agg_gumbel_block_maxima",
+    "dedup_shingle_df_profile",
+    "dedup_threshold_sweep",
+    "dq_length_iqr_outliers",
+    # --- ns->us integer idiom swept r12; sentinel-equipped fixtures:
+    "river_stream_outer_join",
+    "river_stream_right_outer_join",
+    "river_stream_full_outer_join",
+    "river_stream_semi_join",
+    "river_stream_window_chain",
+    # --- stalest cohort head (last driver row r4):
+    "river_pruned_ingest",
+    "river_resume_roundtrip",
 ]
 
 # Tail keeps the round-10 staleness order so future rotations stay

@@ -369,14 +369,6 @@ def kmv_merge(kept: list, incoming, k: int) -> list:
     return sorted(s)[:k]
 
 
-_KMV_OUT = T.StructType(
-    [
-        T.StructField("segment", T.LongType()),
-        T.StructField("n_seen", T.LongType()),
-        T.StructField("k_n", T.LongType()),
-        T.StructField("theta", T.LongType()),
-    ]
-)
 _KMV_STATE = T.StructType(
     [
         T.StructField("heap", T.ArrayType(T.LongType())),
@@ -400,7 +392,22 @@ def kmv_distinct(
     because :func:`kmv_merge` is order/batching-insensitive, the final
     row equals the batch-mode bottom-k over the same rows exactly —
     the mergeable-sketch property that also makes this the shape you
-    would run per-executor and combine at 100 TB."""
+    would run per-executor and combine at 100 TB. The exactness
+    guarantee has one carve-out: the ProcessingTimeTimeout janitor
+    drops a key's state after ``timeout_ms`` of quiescence, so a key
+    that goes quiet longer than that and then receives more rows
+    restarts its sketch from empty — size ``timeout_ms`` beyond the
+    longest per-key gap (the in-repo drain harness uses 300s against a
+    50ms trigger, far beyond any gap it can produce)."""
+
+    out_schema = T.StructType(
+        [
+            events.schema[key_col],
+            T.StructField("n_seen", T.LongType()),
+            T.StructField("k_n", T.LongType()),
+            T.StructField("theta", T.LongType()),
+        ]
+    )
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
@@ -416,7 +423,7 @@ def kmv_distinct(
         state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
             {
-                "segment": [key[0]],
+                key_col: [key[0]],
                 "n_seen": [n],
                 "k_n": [len(kept)],
                 "theta": [kept[-1] if kept else None],
@@ -425,7 +432,7 @@ def kmv_distinct(
 
     return events.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType=_KMV_OUT,
+        outputStructType=out_schema,
         stateStructType=_KMV_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
