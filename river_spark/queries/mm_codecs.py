@@ -567,3 +567,118 @@ def mm_gif_decode_stats(spark, sf_dir):
         "doc_id", "width", "height", "n_pixels",
         "idx_sum", "pos_weighted_sum", "pal_g_sum",
     )
+
+
+# ---- JPEG rule: constant 8x8 blocks (the DCT of a constant block has
+# only its DC term, so the fixed-point encode->decode chain is a pure
+# closed form the oracle mirrors literally — see operators/jpeg.py):
+#   wb = 2 + doc_id % 3 blocks across, hb = 2 + doc_id % 2 down
+#   block p (row-major): Y = (d*31 + 5p) % 256, Cb = (d*17 + 3p) % 256,
+#                        Cr = (d*23 + 7p) % 256
+
+
+def _jpeg_payloads(docs):
+    """doc_id -> synthesized baseline-JPEG payload (one mapInPandas
+    pass): 3-component 4:4:4, flat quant 16/17, Annex-K Huffman,
+    restart markers every 2 MCUs so the RST path runs under the driver
+    gate too."""
+    from river_spark.operators.jpeg import encode_jpeg
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                wb, hb = 2 + d % 3, 2 + d % 2
+                p = np.arange(wb * hb, dtype=np.int64)
+                yv = ((d * 31 + 5 * p) % 256).astype(np.uint8)
+                cbv = ((d * 17 + 3 * p) % 256).astype(np.uint8)
+                crv = ((d * 23 + 7 * p) % 256).astype(np.uint8)
+                planes = [
+                    np.kron(v.reshape(hb, wb), np.ones((8, 8), dtype=np.uint8))
+                    for v in (yv, cbv, crv)
+                ]
+                ids.append(d)
+                payloads.append(encode_jpeg(planes, restart_interval=2))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+@q(
+    "mm_jpeg_decode_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 2 + doc_id % 3 AS wb, 2 + doc_id % 2 AS hb
+        FROM documents),
+    blk AS (
+        SELECT doc_id, wb, hb,
+               (doc_id * 31 + 5 * g.p) % 256 AS yv,
+               (doc_id * 17 + 3 * g.p) % 256 AS cbv,
+               (doc_id * 23 + 7 * g.p) % 256 AS crv
+        FROM dims, UNNEST(generate_series(0, wb * hb - 1)) AS g(p)),
+    -- fixed-point forward DCT DC term: F = (n * (8*11585)^2 + 2^29) >> 30
+    f AS (
+        SELECT doc_id, wb, hb,
+          CAST(floor(((yv - 128) * 8589582400 + 536870912) / 1073741824.0) AS BIGINT) AS fy,
+          CAST(floor(((cbv - 128) * 8589582400 + 536870912) / 1073741824.0) AS BIGINT) AS fcb,
+          CAST(floor(((crv - 128) * 8589582400 + 536870912) / 1073741824.0) AS BIGINT) AS fcr
+        FROM blk),
+    -- round-half-up quantization, steps 16 (luma) / 17 (chroma)
+    qc AS (
+        SELECT doc_id, wb, hb,
+          CAST(floor((2 * fy + 16) / 32.0) AS BIGINT) AS qy,
+          CAST(floor((2 * fcb + 17) / 34.0) AS BIGINT) AS qcb,
+          CAST(floor((2 * fcr + 17) / 34.0) AS BIGINT) AS qcr
+        FROM f),
+    -- dequant + fixed-point IDCT of the DC-only block: 11585^2 * level
+    rc AS (
+        SELECT doc_id, wb, hb,
+          GREATEST(0, LEAST(255, CAST(floor((134212225 * qy * 16 + 536870912) / 1073741824.0) AS BIGINT) + 128)) AS ry,
+          GREATEST(0, LEAST(255, CAST(floor((134212225 * qcb * 17 + 536870912) / 1073741824.0) AS BIGINT) + 128)) AS rcb,
+          GREATEST(0, LEAST(255, CAST(floor((134212225 * qcr * 17 + 536870912) / 1073741824.0) AS BIGINT) + 128)) AS rcr
+        FROM qc),
+    -- pinned integer JFIF YCbCr->RGB (scale 2^16, +2^15 rounding)
+    rgb AS (
+        SELECT doc_id, wb, hb, ry,
+          GREATEST(0, LEAST(255, ry + CAST(floor((91881 * (rcr - 128) + 32768) / 65536.0) AS BIGINT))) AS r,
+          GREATEST(0, LEAST(255, ry - CAST(floor((46802 * (rcr - 128) + 22554 * (rcb - 128) + 32768) / 65536.0) AS BIGINT))) AS g_,
+          GREATEST(0, LEAST(255, ry + CAST(floor((116130 * (rcb - 128) + 32768) / 65536.0) AS BIGINT))) AS b
+        FROM rc)
+    SELECT doc_id, CAST(8 * wb AS INT) AS width, CAST(8 * hb AS INT) AS height,
+           CAST(64 * sum(r) AS BIGINT) AS r_sum,
+           CAST(64 * sum(g_) AS BIGINT) AS g_sum,
+           CAST(64 * sum(b) AS BIGINT) AS b_sum,
+           CAST(64 * sum(ry) AS BIGINT) AS y_sum
+    FROM rgb GROUP BY doc_id, wb, hb
+    """,
+    tags=("multimodal", "codec", "image"),
+)
+def mm_jpeg_decode_stats(spark, sf_dir):
+    """REAL baseline-JPEG encode→decode round trip under the bit-level
+    oracle — the live-codec family's DCT entropy format (GIF brought
+    LZW, PNG DEFLATE). Payloads are genuine T.81 baseline files:
+    SOI/DQT/SOF0/DHT/DRI/SOS marker stream, Annex-K Huffman tables, DC
+    prediction with restart-marker resets every 2 MCUs, byte-stuffed
+    entropy data. Spark decodes them with operators/jpeg.decode_jpeg
+    (tables rebuilt from the DHT segments, fixed-point dequant+IDCT,
+    pinned integer YCbCr→RGB) and the oracle recomputes every BIGINT
+    from the generation rule by mirroring the exact integer kernels —
+    never seeing the bytes. Constant blocks make the lossy chain a
+    closed form; AC-coefficient coding, ZRL, table growth, and
+    foreign-table decode are exercised by dedicated round-trip tests
+    (tests/test_jpeg_codec.py)."""
+    from river_spark.operators.jpeg import decode_jpeg_rgb_stats
+
+    docs = tbl(spark, sf_dir, "documents")
+    stats = decode_jpeg_rgb_stats(_jpeg_payloads(docs), "doc_id", "payload")
+    return stats.filter(F.col("ok")).select(
+        "doc_id", "width", "height", "r_sum", "g_sum", "b_sum", "y_sum"
+    )

@@ -1,0 +1,191 @@
+"""Round-trip and format-robustness tests for the baseline JPEG codec
+(operators/jpeg.py). The driver-gated query (mm_jpeg_decode_stats) pins
+the DC-only closed form; these tests cover what constant blocks can't:
+AC coefficient coding, ZRL runs, byte stuffing, restart resets, marker
+skipping, and the reject paths.
+
+The exactness contract under test: decode(encode(img)) must equal the
+pinned integer model fdct -> round-half-up quantize -> dequant -> idct
+applied per block — bit-for-bit, not approximately."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from river_spark.operators.jpeg import (
+    QUANT_FLAT16,
+    QUANT_FLAT17,
+    ZIGZAG,
+    decode_jpeg,
+    encode_jpeg,
+    fdct8x8_int,
+    idct8x8_int,
+    ycbcr_to_rgb_int,
+)
+
+
+def _model(img: np.ndarray, q: np.ndarray) -> np.ndarray:
+    out = np.zeros_like(img)
+    for by in range(img.shape[0] // 8):
+        for bx in range(img.shape[1] // 8):
+            b = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.int64) - 128
+            c = fdct8x8_int(b).reshape(64)
+            qc = np.floor_divide(2 * c + q, 2 * q)
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = idct8x8_int(
+                (qc * q).reshape(8, 8)
+            )
+    return out
+
+
+def test_constant_block_closed_form():
+    """The oracle's arithmetic, asserted against the real codec for
+    every possible constant value."""
+    for v in range(256):
+        plane = np.full((8, 8), v, dtype=np.uint8)
+        w, h, planes = decode_jpeg(encode_jpeg([plane]))
+        n = v - 128
+        F = (n * 8589582400 + 536870912) >> 30
+        qc = (2 * F + 16) >> 5
+        pix = ((134212225 * (qc * 16) + 536870912) >> 30) + 128
+        pix = max(0, min(255, pix))
+        assert (planes[0] == pix).all(), v
+
+
+def test_random_grayscale_matches_integer_model():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+    w, h, planes = decode_jpeg(encode_jpeg([img]))
+    assert (w, h) == (32, 24) and len(planes) == 1
+    assert (planes[0] == _model(img, QUANT_FLAT16)).all()
+
+
+def test_random_color_with_restarts_matches_model():
+    rng = np.random.default_rng(11)
+    y, cb, cr = (rng.integers(0, 256, size=(16, 40), dtype=np.uint8) for _ in range(3))
+    data = encode_jpeg([y, cb, cr], restart_interval=3)
+    assert b"\xff\xd0" in data  # RST0 actually emitted
+    w, h, planes = decode_jpeg(data)
+    assert (planes[0] == _model(y, QUANT_FLAT16)).all()
+    assert (planes[1] == _model(cb, QUANT_FLAT17)).all()
+    assert (planes[2] == _model(cr, QUANT_FLAT17)).all()
+
+
+def test_byte_stuffing_roundtrip():
+    """Seed 6 provably produces an 0xFF entropy byte (stuffed to
+    FF 00); the decoder must unstuff it, not stop at a phantom
+    marker."""
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    data = encode_jpeg([img])
+    sos = data.find(b"\xff\xda")
+    assert b"\xff\x00" in data[sos:-2]
+    _, _, planes = decode_jpeg(data)
+    assert (planes[0] == _model(img, QUANT_FLAT16)).all()
+
+
+def test_zrl_long_zero_run():
+    """A block whose only surviving AC coefficient is the LAST zigzag
+    position forces three ZRL (run-16) codes before it."""
+    coef = np.zeros((8, 8), dtype=np.int64)
+    coef[7, 7] = 320  # zigzag index 63; survives /16 quantization
+    img = idct8x8_int(coef)
+    data = encode_jpeg([img])
+    _, _, planes = decode_jpeg(data)
+    assert (planes[0] == _model(img, QUANT_FLAT16)).all()
+    # and the encode genuinely kept a coefficient at zigzag 63
+    b = img.astype(np.int64) - 128
+    zz = np.floor_divide(2 * fdct8x8_int(b).reshape(64) + 16, 32)[ZIGZAG]
+    assert zz[63] != 0 and (zz[1:63] == 0).all()
+
+
+def test_appn_and_com_segments_skipped():
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    data = bytearray(encode_jpeg([img]))
+    # splice APP0 (JFIF-ish) and COM right after SOI
+    app0 = b"\xff\xe0" + (14).to_bytes(2, "big") + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01"
+    com = b"\xff\xfe" + (7).to_bytes(2, "big") + b"hello"
+    data[2:2] = app0 + com
+    w, h, planes = decode_jpeg(bytes(data))
+    assert (planes[0] == _model(img, QUANT_FLAT16)).all()
+
+
+def test_dc_prediction_resets_at_restart():
+    """Two images identical except for restart interval must both
+    decode exactly — catching a decoder that forgets to reset the DC
+    predictor (the values would smear after the first RST)."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(8, 64), dtype=np.uint8)
+    a = decode_jpeg(encode_jpeg([img]))[2][0]
+    b = decode_jpeg(encode_jpeg([img], restart_interval=1))[2][0]
+    assert (a == b).all()
+
+
+def test_reject_paths():
+    img = np.full((8, 8), 10, dtype=np.uint8)
+    data = encode_jpeg([img])
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01" + data[2:])  # no SOI
+    with pytest.raises(ValueError):
+        decode_jpeg(data.replace(b"\xff\xc0", b"\xff\xc2", 1))  # progressive
+    with pytest.raises((ValueError, IndexError)):
+        decode_jpeg(data[: len(data) // 2])  # truncated scan
+    with pytest.raises(ValueError):
+        encode_jpeg([np.zeros((10, 8), dtype=np.uint8)])  # non-multiple-of-8
+    with pytest.raises(ValueError):
+        encode_jpeg([img, img])  # 2 planes
+
+
+def test_foreign_quant_table_is_honored():
+    """The decoder must dequantize with the table FROM THE FILE, not
+    assume the default: encode with a non-flat luma table and check the
+    model with that same table."""
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    q = (np.arange(64, dtype=np.int64) % 23) + 4
+    data = encode_jpeg([img], quant_luma=q)
+    _, _, planes = decode_jpeg(data)
+    assert (planes[0] == _model(img, q)).all()
+    # different table => genuinely different reconstruction
+    assert (planes[0] != _model(img, QUANT_FLAT16)).any()
+
+
+def test_ycbcr_to_rgb_kernel_pinned():
+    """Spot values of the integer color kernel (the oracle mirrors
+    these exact expressions)."""
+    y = np.array([[128]], dtype=np.uint8)
+    cb = np.array([[128]], dtype=np.uint8)
+    cr = np.array([[128]], dtype=np.uint8)
+    r, g, b = ycbcr_to_rgb_int(y, cb, cr)
+    assert (int(r), int(g), int(b)) == (128, 128, 128)
+    y = np.array([[100]], dtype=np.uint8)
+    cb = np.array([[200]], dtype=np.uint8)
+    cr = np.array([[50]], dtype=np.uint8)
+    r, g, b = ycbcr_to_rgb_int(y, cb, cr)
+    er = max(0, min(255, 100 + ((91881 * (50 - 128) + 32768) >> 16)))
+    eg = max(0, min(255, 100 - ((46802 * (50 - 128) + 22554 * (200 - 128) + 32768) >> 16)))
+    eb = max(0, min(255, 100 + ((116130 * (200 - 128) + 32768) >> 16)))
+    assert (int(r), int(g), int(b)) == (er, eg, eb)
+
+
+def test_gray_spark_stats_path(spark):
+    """decode_jpeg_rgb_stats over a tiny frame: ok rows for valid
+    payloads, ok=false for garbage, grayscale promotes Y to RGB."""
+    from river_spark.operators.jpeg import decode_jpeg_rgb_stats
+
+    img = np.full((8, 16), 90, dtype=np.uint8)
+    good = encode_jpeg([img])
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"junkjunk"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_jpeg_rgb_stats(df, "doc_id", "payload").collect()}
+    assert rows[2]["ok"] is False
+    r1 = rows[1]
+    assert r1["ok"] and (r1["width"], r1["height"]) == (16, 8)
+    # constant 90 -> closed form
+    n = 90 - 128
+    F = (n * 8589582400 + 536870912) >> 30
+    qc = (2 * F + 16) >> 5
+    pix = max(0, min(255, ((134212225 * qc * 16 + 536870912) >> 30) + 128))
+    assert r1["r_sum"] == r1["g_sum"] == r1["b_sum"] == r1["y_sum"] == 128 * pix
