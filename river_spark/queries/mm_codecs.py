@@ -682,3 +682,80 @@ def mm_jpeg_decode_stats(spark, sf_dir):
     return stats.filter(F.col("ok")).select(
         "doc_id", "width", "height", "r_sum", "g_sum", "b_sum", "y_sum"
     )
+
+
+# ---- TIFF rule: grayscale with runs of 6 (PackBits gets real runs AND
+# real literal stretches where the run phase shears against row cuts):
+#   w = 20 + doc_id % 7, h = 12 + doc_id % 5
+#   v(p) = (doc_id*37 + 9*(p div 6)) % 256          (p row-major)
+
+
+def _tiff_payloads(docs):
+    """doc_id -> synthesized baseline TIFF payload (one mapInPandas
+    pass): little-endian, PackBits strips of 4 rows with a partial
+    final strip for 2 of every 5 docs."""
+    from river_spark.operators.tiff import encode_tiff
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 20 + d % 7, 12 + d % 5
+                p = np.arange(w * h, dtype=np.int64)
+                px = ((d * 37 + 9 * (p // 6)) % 256).astype(np.uint8).reshape(h, w)
+                ids.append(d)
+                payloads.append(encode_tiff(px, rows_per_strip=4))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+@q(
+    "mm_tiff_decode_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 20 + doc_id % 7 AS w, 12 + doc_id % 5 AS h
+        FROM documents),
+    px AS (
+        SELECT doc_id, w, h, g.p AS p,
+               (doc_id * 37 + 9 * (g.p // 6)) % 256 AS v
+        FROM dims, UNNEST(generate_series(0, w * h - 1)) AS g(p))
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(sum(v) AS BIGINT) AS pix_sum,
+           CAST(sum((p % 997 + 1) * v) AS BIGINT) AS pos_weighted_sum,
+           CAST(sum(CASE WHEN v > 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_bright
+    FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "codec", "image"),
+)
+def mm_tiff_decode_stats(spark, sf_dir):
+    """REAL baseline-TIFF encode→decode round trip under the bit-level
+    oracle — the codec family's tag-directory container (IFD walk with
+    inline-vs-offset values, ascending tag order) plus multi-strip
+    assembly and the PackBits RLE layer (TIFF 6.0 §9). PackBits is
+    lossless, so the oracle recomputes the pixel sum, the
+    position-weighted checksum (pins strip ORDER — a swapped or
+    off-by-one strip can't hide in a permutation-invariant sum), and a
+    brightness count straight from the rule, never seeing the bytes.
+    Big-endian (MM) decode, RGB chunky samples, uncompressed strips,
+    and the PackBits reject paths are covered by
+    tests/test_tiff_codec.py."""
+    from river_spark.operators.tiff import decode_tiff_pixel_stats
+
+    docs = tbl(spark, sf_dir, "documents")
+    stats = decode_tiff_pixel_stats(_tiff_payloads(docs), "doc_id", "payload")
+    return stats.filter(F.col("ok")).select(
+        "doc_id", "width", "height", "n_pixels",
+        "pix_sum", "pos_weighted_sum", "n_bright",
+    )

@@ -1,0 +1,125 @@
+"""Round-trip and robustness tests for the baseline TIFF codec
+(operators/tiff.py). The driver-gated query (mm_tiff_decode_stats) pins
+the little-endian PackBits grayscale path; these tests cover the rest:
+big-endian decode, RGB, uncompressed strips, PackBits edge cases, and
+the reject paths."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from river_spark.operators.tiff import (
+    decode_tiff,
+    encode_tiff,
+    packbits_decode,
+    packbits_encode,
+)
+
+
+def test_packbits_edges():
+    # empty
+    assert packbits_encode(b"") == b""
+    assert packbits_decode(b"", 0) == b""
+    # single byte -> literal of 1
+    assert packbits_decode(packbits_encode(b"A"), 1) == b"A"
+    # exactly 128-run splits (max run header is 129 repeats? no: 257-h,
+    # h in [129,255] -> runs of 2..128)
+    data = b"B" * 300
+    assert packbits_decode(packbits_encode(data), 300) == data
+    # literal stretch > 128
+    data = bytes(range(256)) * 2
+    assert packbits_decode(packbits_encode(data), len(data)) == data
+    # 2-runs inside literals stay literal but still decode
+    data = b"aabbccddee"
+    assert packbits_decode(packbits_encode(data), len(data)) == data
+    # noop header skipped
+    assert packbits_decode(b"\x80\x00A", 1) == b"A"
+    with pytest.raises(ValueError):
+        packbits_decode(b"\x05AB", 6)  # literal past end
+    with pytest.raises(ValueError):
+        packbits_decode(b"", 1)  # underrun
+
+
+def test_roundtrip_matrix():
+    rng = np.random.default_rng(2)
+    for shape, rps, comp in [
+        ((13, 22), 4, 32773),   # partial final strip
+        ((12, 20), 4, 32773),   # exact strips
+        ((5, 9), 100, 32773),   # single strip larger than image
+        ((13, 22), 4, 1),       # uncompressed
+        ((8, 6, 3), 3, 32773),  # RGB chunky
+        ((1, 1), 1, 32773),     # degenerate
+    ]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        w, h, px = decode_tiff(encode_tiff(img, rows_per_strip=rps, compression=comp))
+        assert (w, h) == (shape[1], shape[0])
+        assert (px == img).all(), (shape, rps, comp)
+
+
+def test_big_endian_decode():
+    """Hand-built MM (Motorola) file: 2x2 grayscale, uncompressed,
+    single strip, inline strip offset/count."""
+    pix = bytes([10, 20, 30, 40])
+    # layout: header(8) pixels(4) IFD
+    ifd_off = 12
+    out = bytearray(b"MM\x00\x2a")
+    out += struct.pack(">I", ifd_off)
+    out += pix
+    entries = [
+        (256, 3, 1, 2),    # width
+        (257, 3, 1, 2),    # length
+        (258, 3, 1, 8),    # bits per sample
+        (259, 3, 1, 1),    # no compression
+        (262, 3, 1, 1),
+        (273, 4, 1, 8),    # strip offset -> pixels
+        (277, 3, 1, 1),
+        (278, 4, 1, 2),
+        (279, 4, 1, 4),
+    ]
+    out += struct.pack(">H", len(entries))
+    for tag, typ, count, val in entries:
+        out += struct.pack(">HHI", tag, typ, count)
+        out += struct.pack(">I", val << 16 if typ == 3 else val)
+    out += b"\x00\x00\x00\x00"
+    w, h, px = decode_tiff(bytes(out))
+    assert (w, h) == (2, 2)
+    assert px.tolist() == [[10, 20], [30, 40]]
+
+
+def test_reject_paths():
+    img = np.zeros((4, 4), dtype=np.uint8)
+    data = bytearray(encode_tiff(img))
+    with pytest.raises(ValueError):
+        decode_tiff(b"XX" + bytes(data[2:]))  # byte order
+    bad = bytearray(data)
+    bad[2] = 41  # wrong magic
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(data[:20]))  # truncated IFD
+    with pytest.raises(ValueError):
+        encode_tiff(np.zeros((4, 4, 2), dtype=np.uint8))  # 2 samples
+    with pytest.raises(ValueError):
+        encode_tiff(img, compression=5)  # LZW not in subset
+
+
+def test_spark_stats_path(spark):
+    from river_spark.operators.tiff import decode_tiff_pixel_stats
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    good = encode_tiff(img)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"II*\x00garbage"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_tiff_pixel_stats(df, "doc_id", "payload").collect()}
+    assert rows[2]["ok"] is False
+    r1 = rows[1]
+    flat = img.reshape(-1).astype(np.int64)
+    p = np.arange(64, dtype=np.int64)
+    assert r1["ok"] and r1["pix_sum"] == int(flat.sum())
+    assert r1["pos_weighted_sum"] == int(((p % 997 + 1) * flat).sum())
+    assert r1["n_bright"] == 0
