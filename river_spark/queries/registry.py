@@ -66,6 +66,7 @@ import river_spark.queries.relational35 as _relational35  # noqa: F401
 import river_spark.queries.relational36 as _relational36  # noqa: F401
 import river_spark.queries.relational37 as _relational37  # noqa: F401
 import river_spark.queries.curation12 as _curation12  # noqa: F401
+import river_spark.queries.relational38 as _relational38  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 

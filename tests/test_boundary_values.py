@@ -180,6 +180,14 @@ BOUNDARY_QUERIES = [
     # bot's constant values give zero block variance — both drive the
     # Gumbel fit to NULL through the shared guard
     "agg_gumbel_block_maxima",
+    # --- round-12 wave 38: the fixture's tiny event set exercises the
+    #     k-sample boundaries — event types with a single distinct
+    #     value (whole-group ties) feed the tie-correction denominator,
+    #     and the ordered fold keeps the one cross-group float sum
+    #     bit-stable even at k = 1; all-converted tiers drive
+    #     Cochran-Armitage's r = n NULL guard
+    "agg_kruskal_wallis",
+    "ab_cochran_armitage",
 ]
 
 _FIXTURE_TABLES = ("customer", "orders", "events", "documents", "embeddings")
