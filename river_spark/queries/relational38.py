@@ -273,3 +273,117 @@ def ab_cochran_armitage(spark, sf_dir):
             (swr_d - sw_d * r_d / n_d) / F.sqrt(r_d / n_d * (1 - r_d / n_d) * var_w),
         ).alias("z_trend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Friedman test: within-block (daily) ranks across event types
+# ---------------------------------------------------------------------------
+@q(
+    "agg_friedman_test",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, event_type AS g,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    k AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS k_t FROM daily),
+    complete_days AS (
+        SELECT d FROM daily GROUP BY d
+        HAVING count(*) = (SELECT k_t FROM k)),
+    ranked AS (
+        SELECT daily.d, g,
+               2 * rank() OVER (PARTITION BY daily.d ORDER BY cents)
+               + CAST(count(*) OVER (PARTITION BY daily.d, cents) AS BIGINT)
+               - 1 AS dr
+        FROM daily JOIN complete_days ON daily.d = complete_days.d),
+    pergroup AS (
+        SELECT g, CAST(sum(dr) AS BIGINT) AS s_j FROM ranked GROUP BY g),
+    tot AS (
+        SELECT (SELECT k_t FROM k) AS k_t,
+               CAST(count(DISTINCT d) AS BIGINT) AS n_b,
+               CAST(sum(dr * dr) AS BIGINT) AS a2
+        FROM ranked),
+    num AS (
+        SELECT CAST(sum((s_j - (SELECT n_b * (k_t + 1) FROM tot))
+                        * (s_j - (SELECT n_b * (k_t + 1) FROM tot)))
+                   AS BIGINT) AS ss_num
+        FROM pergroup)
+    SELECT k_t AS k_treatments, n_b AS n_blocks, ss_num,
+           a2 - n_b * k_t * (k_t + 1) * (k_t + 1) AS tie_denom,
+           -- ONE raw IEEE division of exact integers (NULL when every
+           -- block is fully tied and the denominator is 0)
+           CASE WHEN a2 - n_b * k_t * (k_t + 1) * (k_t + 1) > 0
+                THEN (k_t - 1) * CAST(ss_num AS DOUBLE)
+                     / CAST(a2 - n_b * k_t * (k_t + 1) * (k_t + 1) AS DOUBLE)
+           END AS q_stat
+    FROM tot, num
+    """,
+    tags=("analytics", "stats", "exact", "rank"),
+)
+def agg_friedman_test(spark, sf_dir):
+    """Friedman test — the within-block rank ANOVA: do event types
+    differ in daily revenue once each DAY serves as its own control
+    block? (The repeated-measures sibling of agg_kruskal_wallis, robust
+    to day-level shocks that hit every type at once.)
+
+    Exactness: the block metric is the BIGINT cents rollup (never an
+    order-sensitive float sum); within-day doubled midranks
+    2r = 2*rank + t - 1 are integers; and the tie-corrected statistic
+    reduces to Q = (k-1) * sum_j (S_j - n(k+1))^2 / (A2 - n k (k+1)^2)
+    with BOTH sides BIGINT — one raw IEEE division total, so the two
+    engines agree bit-for-bit with no rounding anywhere.
+
+    100 TB posture: raw events reduce to the (day, type) calendar-
+    bounded rollup (<= 31 x k rows per month of data) before any
+    window runs — the Mann-Kendall precedent; incomplete blocks (days
+    missing a type) are excluded per the textbook definition."""
+    daily = (
+        events_tbl(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            F.col("ts").cast("date").alias("d"),
+            F.col("event_type").alias("g"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    k_t = daily.select(F.countDistinct("g").alias("k_t"))
+    complete = (
+        daily.groupBy("d")
+        .agg(F.count("*").alias("n_types"))
+        .join(F.broadcast(k_t), F.col("n_types") == F.col("k_t"))
+        .select("d")
+    )
+    from pyspark.sql import Window
+
+    wday = Window.partitionBy("d").orderBy("cents")
+    wtie = Window.partitionBy("d", "cents")
+    ranked = (
+        daily.join(complete, "d")
+        .withColumn("dr", 2 * F.rank().over(wday) + F.count("*").over(wtie) - 1)
+    )
+    pergroup = ranked.groupBy("g").agg(F.sum("dr").alias("s_j"))
+    tot = ranked.agg(
+        F.countDistinct("d").alias("n_b"),
+        F.sum(F.col("dr") * F.col("dr")).alias("a2"),
+    ).crossJoin(F.broadcast(k_t))
+    num = (
+        pergroup.crossJoin(F.broadcast(tot.select("n_b", "k_t")))
+        .select(
+            (
+                (F.col("s_j") - F.col("n_b") * (F.col("k_t") + 1))
+                * (F.col("s_j") - F.col("n_b") * (F.col("k_t") + 1))
+            ).alias("sq")
+        )
+        .agg(F.sum("sq").alias("ss_num"))
+    )
+    out = tot.crossJoin(num)
+    denom = F.col("a2") - F.col("n_b") * F.col("k_t") * (F.col("k_t") + 1) * (F.col("k_t") + 1)
+    return out.select(
+        F.col("k_t").alias("k_treatments"),
+        F.col("n_b").alias("n_blocks"),
+        "ss_num",
+        denom.alias("tie_denom"),
+        F.when(
+            denom > 0,
+            (F.col("k_t") - 1) * F.col("ss_num").cast("double") / denom.cast("double"),
+        ).alias("q_stat"),
+    )

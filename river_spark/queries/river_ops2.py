@@ -146,6 +146,9 @@ def _outer_join_table(spark, sf_dir: str, how: str) -> str:
             F.lit(None).cast("double").alias("bonus"),
         )
         want = n_matched_events + 1  # + the matched sentinel ghost event
+    elif how == "inner":
+        joined = ev.join(pr, cond, how).select("user_id", "p_user_id", "value", "bonus")
+        want = n_matched_events + 1  # + the matched sentinel ghost event
     elif how in ("right_outer", "full_outer"):
         joined = ev.join(pr, cond, how).select("user_id", "p_user_id", "value", "bonus")
         # totals are sentinel-invariant: the ghost event turns one
@@ -294,6 +297,42 @@ def river_stream_semi_join(spark, sf_dir):
         SELECT user_id % 2 AS parity,
                count(*) AS n,
                round(sum(value), 4) AS sum_value
+        FROM {table} WHERE user_id >= 0
+        GROUP BY user_id % 2
+        """
+    )
+
+
+@q(
+    "river_stream_inner_join",
+    oracle=_PROMO_CTE
+    + """
+    SELECT e.user_id % 2 AS parity,
+           count(*) AS n,
+           round(sum(e.value), 4) AS sum_value,
+           round(sum(uw.bonus), 4) AS sum_bonus
+    FROM ev_all e JOIN uw ON e.user_id = uw.user_id
+    GROUP BY 1
+    """,
+    tags=("river", "streaming", "join", "inner", "watermark"),
+)
+def river_stream_inner_join(spark, sf_dir):
+    """Stream-stream INNER join — the family's baseline shape,
+    completing left/right/full/semi (the inner join needs no
+    null-padding eviction pass, but rows still only release once both
+    sides' watermarks admit the match, and state for closed windows
+    must still be dropped). Same fixture engineering as the outer
+    shapes, including the float-division sentinel ghost event that must
+    join exactly at the range's lower boundary. Drained rows must
+    aggregate to the batch INNER JOIN: one result row (even parity
+    only, since only even users carry promos)."""
+    table = _outer_join_table(spark, sf_dir, "inner")
+    return spark.sql(
+        f"""
+        SELECT user_id % 2 AS parity,
+               count(*) AS n,
+               round(sum(value), 4) AS sum_value,
+               round(sum(bonus), 4) AS sum_bonus
         FROM {table} WHERE user_id >= 0
         GROUP BY user_id % 2
         """

@@ -54,6 +54,7 @@ CROSS_OK = {
     "agg_heavy_hitters": 1,         # broadcast 1-row corpus token total
     "graph_triangle_count": 1,      # 1-row stats x 1-row triangle count
     "agg_kruskal_wallis": 1,        # 1-row rank stats x 1-row tie cubes
+    "agg_friedman_test": 1,         # 1-row k/n/A2 scalars through the chain
     "emb_mips": 1,                  # 1-row query vector x 1-row max-norm M2
     "pipeline_mix_rebalance": 1,    # broadcast 1-row (total_tokens, n_src)
     "text_vocab_growth": 4,         # broadcast 4-row checkpoint ladder
