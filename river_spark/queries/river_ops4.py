@@ -170,3 +170,111 @@ def river_stream_kmv_distinct(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("segment", "n_seen", "k_n", "theta", est.alias("est_distinct"))
     )
+
+
+def _ss_table(spark, sf_dir: str) -> tuple[str, dict]:
+    """Write events through the river wire, run the streaming
+    Space-Saving operator keyed on segment = user_id mod 4 with
+    event_type items, drain until every segment's row counter reaches
+    its staged total. >= 5 forced micro-batches exercise the table
+    UPDATE path (not just first-batch build)."""
+    from river_spark.sources import register
+    from river_spark.streaming.ops import space_saving_topk
+
+    key = ("stream_ss_topk", sf_dir)
+    if key in _CACHE:
+        return _CACHE[key]
+    register(spark)
+    work = tempfile.mkdtemp(prefix="river_spark_ss_")
+    store = os.path.join(work, "store")
+    log = StreamLog(store)
+    schema, arr = _events_array(sf_dir, ("event_id", "user_id"))
+    w = StreamWriter(log).initialize("events_ss", schema)
+    w.write(arr)
+    w.stop()
+
+    seg = np.mod(arr["user_id"], _SEGMENTS)
+    want = {int(s): int((seg == s).sum()) for s in np.unique(seg)}
+
+    # event_type is derived deterministically from event_id (the same
+    # modular rule the testdata generator used is NOT assumed — the
+    # type is re-derived from user_id so stream and oracle agree by
+    # construction on the wire payload actually staged)
+    stream = (
+        spark.readStream.format("river")
+        .option("path", store)
+        .option("stream", "events_ss")
+        .option("maxSamplesPerTrigger", str(max(1, len(arr) // 5)))
+        .load()
+        .select(
+            F.pmod(F.col("user_id"), F.lit(_SEGMENTS)).cast("bigint").alias("segment"),
+            F.concat(F.lit("t"), F.pmod(F.col("event_id"), F.lit(5)).cast("string")).alias("item"),
+        )
+    )
+    sk = space_saving_topk(stream, key_col="segment", item_col="item", capacity=8)
+
+    table = _memory_table_name("river_ss_", sf_dir)
+    qy = (
+        sk.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    deadline = _time.monotonic() + 300
+    try:
+        while True:
+            done = spark.sql(
+                f"SELECT segment, max(n_seen) AS n FROM {table} GROUP BY segment"
+            ).collect()
+            got = {int(r["segment"]): int(r["n"]) for r in done}
+            if got == want:
+                break
+            if _time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"{table}: space-saving drain surfaced {got} of {want} in 300s"
+                )
+            _time.sleep(0.25)
+    finally:
+        stop_quiet(qy)
+    _CACHE[key] = (table, want)
+    return _CACHE[key]
+
+
+@q(
+    "river_stream_topk_heavy_hitters",
+    oracle=f"""
+    SELECT CAST(user_id % {_SEGMENTS} AS BIGINT) AS segment,
+           't' || CAST(event_id % 5 AS VARCHAR) AS item,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(0 AS BIGINT) AS err
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("river", "streaming", "sketch", "stateful"),
+)
+def river_stream_topk_heavy_hitters(spark, sf_dir):
+    """Streaming heavy hitters via the Space-Saving sketch
+    (streaming/ops.space_saving_topk): per-segment item tables bounded
+    at capacity triples forever, updated across >= 5 forced
+    micro-batches over a REAL river stream. The fixture keeps each
+    segment's distinct items (5 derived types) within capacity (8), so
+    the sketch runs in its EXACT regime — every error is 0 and the
+    drained final table must equal the batch GROUP BY count
+    bit-for-bit. The eviction regime (capacity exceeded: bounded
+    overestimates, guaranteed heavy-hitter retention) is pinned by the
+    property tests in tests/test_streaming_ops.py — 100 TB posture:
+    this is the per-executor mergeable table you'd run ahead of a
+    global rollup when the item domain is unbounded."""
+    table, want = _ss_table(spark, sf_dir)
+    finals = " OR ".join(
+        f"(segment = {s} AND n_seen = {n})" for s, n in sorted(want.items())
+    )
+    return spark.sql(
+        f"""
+        SELECT segment, item, cnt, err
+        FROM {table}
+        WHERE {finals}
+        """
+    )

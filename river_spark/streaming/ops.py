@@ -437,3 +437,116 @@ def kmv_distinct(
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def space_saving_update(items: list, counts: list, errors: list,
+                        batch, capacity: int):
+    """One Space-Saving pass (Metwally et al., 2005) over ``batch``
+    item values against the current (items, counts, errors) table.
+    Pure-python helper so the property tests can drive it directly.
+    Returns the updated three lists (not sorted; bounded at capacity).
+
+    Invariants the tests pin: est - err <= true count <= est for every
+    tracked item, and any item with true count > n/capacity is tracked
+    (the heavy-hitter guarantee)."""
+    pos = {it: i for i, it in enumerate(items)}
+    for it in batch:
+        i = pos.get(it)
+        if i is not None:
+            counts[i] += 1
+        elif len(items) < capacity:
+            pos[it] = len(items)
+            items.append(it)
+            counts.append(1)
+            errors.append(0)
+        else:
+            j = min(range(len(items)), key=lambda i: (counts[i], items[i]))
+            del pos[items[j]]
+            pos[it] = j
+            errors[j] = counts[j]
+            counts[j] += 1
+            items[j] = it
+    return items, counts, errors
+
+
+_SS_STATE = T.StructType(
+    [
+        T.StructField("items", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("errors", T.ArrayType(T.LongType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def space_saving_topk(
+    events: DataFrame,
+    key_col: str,
+    item_col: str,
+    capacity: int = 8,
+    timeout_ms: int = 300_000,
+) -> DataFrame:
+    """Custom stateful operator: per-key streaming heavy hitters via
+    the Space-Saving sketch — state bounded at ``capacity`` (item,
+    count, error) triples per key no matter how long the stream runs.
+    Each micro-batch emits the key's full current table (one row per
+    tracked item, plus the monotone ``n_seen`` counter a drain harness
+    keys on).
+
+    Exactness contract: while a key's distinct-item count stays within
+    ``capacity``, every error is 0 and the table IS the exact batch
+    groupBy count (the driver-gated query runs in this regime, so the
+    oracle is plain SQL). Past capacity the standard guarantees hold:
+    est - err <= true <= est, and any item with true count > n_seen /
+    capacity is tracked (pinned by the property tests). Same timeout
+    carve-out as kmv_distinct: a key quiet longer than ``timeout_ms``
+    restarts from empty state."""
+    out_schema = T.StructType(
+        [
+            events.schema[key_col],
+            T.StructField("n_seen", T.LongType()),
+            T.StructField("item", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("err", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        if state.exists:
+            items, counts, errors, n = (
+                list(state.get[0]),
+                list(state.get[1]),
+                list(state.get[2]),
+                state.get[3],
+            )
+        else:
+            items, counts, errors, n = [], [], [], 0
+        for pdf in pdfs:
+            n += len(pdf)
+            items, counts, errors = space_saving_update(
+                items, counts, errors, pdf[item_col].astype(str), capacity
+            )
+        state.update((items, counts, errors, n))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(items),
+                "n_seen": [n] * len(items),
+                "item": items,
+                "cnt": counts,
+                "err": errors,
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_SS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -500,3 +500,114 @@ def test_kmv_merge_batching_invariant(vals, cuts, k):
     assert state == one_shot
     assert state == sorted(set(vals))[:k]
     assert len(state) <= k
+
+
+# ---------------------------------------------------------------------------
+# Space-Saving heavy hitters (streaming/ops.space_saving_topk)
+# ---------------------------------------------------------------------------
+
+def test_space_saving_exact_regime():
+    """Distinct items <= capacity: the table IS the exact count map
+    with zero errors, regardless of batching."""
+    from collections import Counter
+
+    from river_spark.streaming.ops import space_saving_update
+
+    stream = (["a"] * 10 + ["b"] * 7 + ["c"] * 3) * 4
+    items, counts, errors = [], [], []
+    # three different batch splits must all converge to the same table
+    for lo, hi in ((0, 30), (30, 55), (55, len(stream))):
+        items, counts, errors = space_saving_update(
+            items, counts, errors, stream[lo:hi], capacity=8
+        )
+    got = dict(zip(items, counts))
+    assert got == dict(Counter(stream))
+    assert errors == [0, 0, 0]
+
+
+def test_space_saving_eviction_guarantees():
+    """Past capacity the Metwally bounds must hold: for every tracked
+    item est-err <= true <= est, and every item with true count >
+    n/capacity is tracked."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(13)
+    # zipf-ish stream over 40 distinct items, capacity 8
+    universe = [f"i{k}" for k in range(40)]
+    weights = [1.0 / (k + 1) for k in range(40)]
+    stream = rng.choices(universe, weights=weights, k=5000)
+    true = Counter(stream)
+
+    from river_spark.streaming.ops import space_saving_update
+
+    items, counts, errors = [], [], []
+    # arbitrary batching
+    i = 0
+    while i < len(stream):
+        j = min(len(stream), i + rng.randint(1, 400))
+        items, counts, errors = space_saving_update(
+            items, counts, errors, stream[i:j], capacity=8
+        )
+        i = j
+    assert len(items) == 8
+    n = len(stream)
+    for it, est, err in zip(items, counts, errors):
+        assert est - err <= true[it] <= est, (it, est, err, true[it])
+    tracked = set(items)
+    for it, c in true.items():
+        if c > n / 8:
+            assert it in tracked, (it, c)
+    # min tracked count bounds every untracked item's true count
+    min_count = min(counts)
+    for it, c in true.items():
+        if it not in tracked:
+            assert c <= min_count
+
+
+def test_space_saving_spark_stream(spark, tmp_path):
+    """The operator on a real micro-batched stream in the exact regime
+    equals the batch groupBy, across a forced multi-batch run."""
+    import pandas as pd
+    from pyspark.sql import functions as F2
+
+    from river_spark.streaming.ops import space_saving_topk, stop_quiet
+
+    rows = []
+    for i in range(300):
+        rows.append((i % 3, f"t{i % 4}"))
+    src = spark.createDataFrame(rows, "k long, item string")
+    path = str(tmp_path / "ss_src")
+    src.repartition(6).write.parquet(path)
+    stream = (
+        spark.readStream.schema("k long, item string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    out = space_saving_topk(stream, key_col="k", item_col="item", capacity=8)
+    qy = (
+        out.writeStream.format("memory")
+        .queryName("ss_test_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination(120)
+    stop_quiet(qy)
+    final = (
+        spark.sql(
+            """
+            SELECT k, item, cnt FROM ss_test_sink s
+            WHERE n_seen = (SELECT max(n_seen) FROM ss_test_sink WHERE k = s.k)
+            """
+        )
+        .toPandas()
+        .sort_values(["k", "item"], ignore_index=True)
+    )
+    exp = (
+        src.groupBy("k", "item").agg(F2.count("*").alias("cnt"))
+        .toPandas()
+        .sort_values(["k", "item"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(final.astype({"cnt": "int64"}), exp.astype({"cnt": "int64"}))
