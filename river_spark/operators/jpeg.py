@@ -293,24 +293,56 @@ def _decode_symbol(reader: _BitReader, table) -> int:
 # encoder
 # ---------------------------------------------------------------------------
 
-def encode_jpeg(
-    planes: list[np.ndarray],
-    quant_luma: np.ndarray = QUANT_FLAT16,
-    quant_chroma: np.ndarray = QUANT_FLAT17,
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode 1 (grayscale) or 3 (YCbCr, 4:4:4) uint8 planes as a
-    baseline sequential JPEG. Dimensions must be multiples of 8 (the
-    oracle fixture generates whole blocks; general edge replication is
-    the caller's concern). quant tables are 64-entry natural-order."""
-    if len(planes) not in (1, 3):
-        raise ValueError("1 or 3 planes")
-    h, w = planes[0].shape
-    if h % 8 or w % 8:
-        raise ValueError("dimensions must be multiples of 8")
-    for p in planes:
-        if p.shape != (h, w):
-            raise ValueError("all planes must share dimensions")
+def _encode_block(wtr, block, qtab, dc_tab, ac_tab, pred):
+    """Entropy-encode one level-shifted 8x8 block; returns the new DC
+    predictor (the quantized DC)."""
+    coef = fdct8x8_int(block)
+    zz = _quantize(coef, qtab)[ZIGZAG]
+    diff = int(zz[0]) - pred
+    size, bits = _magnitude(diff)
+    code, length = dc_tab[size]
+    wtr.write(code, length)
+    if size:
+        wtr.write(bits, size)
+    run = 0
+    last = 63
+    while last > 0 and zz[last] == 0:
+        last -= 1
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tab[0xF0]  # ZRL
+            wtr.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_tab[(run << 4) | size]
+        wtr.write(code, length)
+        wtr.write(bits, size)
+        run = 0
+    if last < 63:
+        code, length = ac_tab[0x00]  # EOB
+        wtr.write(code, length)
+    return int(zz[0])
+
+
+def _encode_jpeg_any(planes, samps, quant_luma, quant_chroma, restart_interval):
+    """Shared marker + interleaved-MCU encoder: ``samps`` is one
+    (h_i, v_i) sampling pair per plane; each plane's dimensions must be
+    h*v_i/v_max x w*h_i/h_max with whole MCUs (no edge fill)."""
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    ph, pw = planes[0].shape
+    # frame dimensions derive from plane 0 (always full-resolution)
+    h = ph * vmax // samps[0][1]
+    w = pw * hmax // samps[0][0]
+    if h % (8 * vmax) or w % (8 * hmax):
+        raise ValueError("dimensions must cover whole MCUs (no edge fill)")
+    for p, (hs, vs) in zip(planes, samps):
+        if p.shape != (h * vs // vmax, w * hs // hmax):
+            raise ValueError("plane shape inconsistent with sampling factors")
 
     out = bytearray(b"\xff\xd8")  # SOI
 
@@ -326,10 +358,10 @@ def encode_jpeg(
     for tid, qt in enumerate(qtabs):
         seg(0xDB, bytes([tid]) + bytes(int(qt[ZIGZAG[k]]) for k in range(64)))
 
-    # SOF0: baseline, 8-bit, all sampling factors 1x1 (4:4:4)
+    # SOF0: baseline, 8-bit, per-component sampling factors
     body = struct.pack(">BHHB", 8, h, w, len(planes))
-    for ci in range(len(planes)):
-        body += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    for ci, (hs, vs) in enumerate(samps):
+        body += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
     seg(0xC0, body)
 
     # DHT: the standard Annex K tables
@@ -360,54 +392,76 @@ def encode_jpeg(
 
     wtr = _BitWriter()
     pred = [0] * len(planes)
-    n_mcu = (h // 8) * (w // 8)
-    wb = w // 8
+    mcus_x = w // (8 * hmax)
+    mcus_y = h // (8 * vmax)
     rst = 0
-    for m in range(n_mcu):
+    for m in range(mcus_x * mcus_y):
         if restart_interval and m and m % restart_interval == 0:
             wtr.flush()
             wtr.out.extend(bytes([0xFF, 0xD0 + (rst & 7)]))
             rst += 1
             pred = [0] * len(planes)
-        by, bx = divmod(m, wb)
-        for ci, plane in enumerate(planes):
+        my, mx = divmod(m, mcus_x)
+        for ci, (plane, (hs, vs)) in enumerate(zip(planes, samps)):
             tsel = 0 if ci == 0 else 1
-            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.int64) - 128
-            coef = fdct8x8_int(block)
-            q = _quantize(coef, qtabs[tsel])
-            zz = q[ZIGZAG]
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
-            size, bits = _magnitude(diff)
-            code, length = dc_enc[tsel][size]
-            wtr.write(code, length)
-            if size:
-                wtr.write(bits, size)
-            run = 0
-            last = 63
-            while last > 0 and zz[last] == 0:
-                last -= 1
-            for k in range(1, last + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_enc[tsel][0xF0]  # ZRL
-                    wtr.write(code, length)
-                    run -= 16
-                size, bits = _magnitude(v)
-                code, length = ac_enc[tsel][(run << 4) | size]
-                wtr.write(code, length)
-                wtr.write(bits, size)
-                run = 0
-            if last < 63:
-                code, length = ac_enc[tsel][0x00]  # EOB
-                wtr.write(code, length)
+            for by in range(vs):
+                for bx in range(hs):
+                    y0 = (my * vs + by) * 8
+                    x0 = (mx * hs + bx) * 8
+                    block = plane[y0 : y0 + 8, x0 : x0 + 8].astype(np.int64) - 128
+                    pred[ci] = _encode_block(
+                        wtr, block, qtabs[tsel], dc_enc[tsel], ac_enc[tsel], pred[ci]
+                    )
     wtr.flush()
     out.extend(wtr.out)
     out.extend(b"\xff\xd9")  # EOI
     return bytes(out)
+
+
+def encode_jpeg(
+    planes: list[np.ndarray],
+    quant_luma: np.ndarray = QUANT_FLAT16,
+    quant_chroma: np.ndarray = QUANT_FLAT17,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode 1 (grayscale) or 3 (YCbCr, 4:4:4) uint8 planes as a
+    baseline sequential JPEG. Dimensions must be multiples of 8 (the
+    oracle fixture generates whole blocks; general edge replication is
+    the caller's concern). quant tables are 64-entry natural-order."""
+    if len(planes) not in (1, 3):
+        raise ValueError("1 or 3 planes")
+    h, w = planes[0].shape
+    if h % 8 or w % 8:
+        raise ValueError("dimensions must be multiples of 8")
+    for p in planes:
+        if p.shape != (h, w):
+            raise ValueError("all planes must share dimensions")
+    return _encode_jpeg_any(
+        planes, [(1, 1)] * len(planes), quant_luma, quant_chroma, restart_interval
+    )
+
+
+def encode_jpeg_420(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    quant_luma: np.ndarray = QUANT_FLAT16,
+    quant_chroma: np.ndarray = QUANT_FLAT17,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode 4:2:0 chroma-subsampled YCbCr — the dominant real-world
+    JPEG layout: each MCU interleaves four luma blocks (2x2 raster)
+    with one Cb and one Cr block at half resolution. y must be
+    (H, W) with H, W multiples of 16; cb/cr are (H/2, W/2)."""
+    h, w = y.shape
+    if h % 16 or w % 16:
+        raise ValueError("4:2:0 needs dimensions in whole 16x16 MCUs")
+    if cb.shape != (h // 2, w // 2) or cr.shape != (h // 2, w // 2):
+        raise ValueError("chroma planes must be half resolution")
+    return _encode_jpeg_any(
+        [y, cb, cr], [(2, 2), (1, 1), (1, 1)], quant_luma, quant_chroma,
+        restart_interval,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -415,9 +469,11 @@ def encode_jpeg(
 # ---------------------------------------------------------------------------
 
 def decode_jpeg(payload: bytes):
-    """Decode a baseline sequential JPEG (8-bit, 1 or 3 components,
-    4:4:4 sampling). Returns (width, height, [planes]) where planes are
-    HxW uint8 in component order (Y[, Cb, Cr]). Raises ValueError on
+    """Decode a baseline sequential JPEG: 8-bit, 1 or 3 components,
+    4:4:4 or 4:2:0 sampling. Returns (width, height, [planes]) with
+    each plane at its NATURAL (possibly subsampled) resolution in
+    component order (Y[, Cb, Cr]) — use :func:`upsample_chroma_nn` to
+    bring 4:2:0 chroma to full resolution. Raises ValueError on
     anything outside the supported baseline subset."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -468,9 +524,13 @@ def decode_jpeg(payload: bytes):
             comps = []
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise ValueError("only 4:4:4 sampling")
-                comps.append((cid, tq))
+                comps.append((cid, samp >> 4, samp & 15, tq))
+            samp_set = [(hs, vs) for _, hs, vs, _ in comps]
+            if not (
+                all(s == (1, 1) for s in samp_set)
+                or (nc == 3 and samp_set == [(2, 2), (1, 1), (1, 1)])
+            ):
+                raise ValueError("only 4:4:4 or 4:2:0 sampling")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("not baseline sequential")
         elif marker == 0xDD:  # DRI
@@ -486,53 +546,72 @@ def decode_jpeg(payload: bytes):
 
     if comps is None or scan_sel is None:
         raise ValueError("missing SOF/SOS")
-    if h % 8 or w % 8:
-        raise ValueError("dimensions must be multiples of 8 (no edge fill)")
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    if h % (8 * vmax) or w % (8 * hmax):
+        raise ValueError("dimensions must cover whole MCUs (no edge fill)")
 
     order = []
     for cs, dc_t, ac_t in scan_sel:
-        ci = next(i for i, (cid, _) in enumerate(comps) if cid == cs)
-        order.append((ci, comps[ci][1], dc_t, ac_t))
+        ci = next(i for i, (cid, _, _, _) in enumerate(comps) if cid == cs)
+        _, hs, vs, tq = comps[ci]
+        order.append((ci, hs, vs, tq, dc_t, ac_t))
 
-    planes = [np.zeros((h, w), dtype=np.uint8) for _ in comps]
+    planes = [
+        np.zeros((h * vs // vmax, w * hs // hmax), dtype=np.uint8)
+        for _, hs, vs, _ in comps
+    ]
     rdr = _BitReader(payload, pos)
     pred = [0] * len(comps)
-    wb = w // 8
-    n_mcu = (h // 8) * wb
+    mcus_x = w // (8 * hmax)
+    mcus_y = h // (8 * vmax)
     rst = 0
-    for m in range(n_mcu):
+    for m in range(mcus_x * mcus_y):
         if restart_interval and m and m % restart_interval == 0:
             rdr.align_and_expect_rst(rst)
             rst += 1
             pred = [0] * len(comps)
-        by, bx = divmod(m, wb)
-        for ci, tq, dc_t, ac_t in order:
-            size = _decode_symbol(rdr, huff[(0, dc_t)])
-            diff = _extend(rdr.read(size), size) if size else 0
-            pred[ci] += diff
-            zz = np.zeros(64, dtype=np.int64)
-            zz[0] = pred[ci]
-            k = 1
-            while k < 64:
-                rs = _decode_symbol(rdr, huff[(1, ac_t)])
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += rs >> 4
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                sz = rs & 15
-                zz[k] = _extend(rdr.read(sz), sz)
-                k += 1
-            coef = np.zeros(64, dtype=np.int64)
-            coef[ZIGZAG] = zz
-            coef *= qtabs[tq]
-            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = idct8x8_int(
-                coef.reshape(8, 8)
-            )
+        my, mx = divmod(m, mcus_x)
+        for ci, hs, vs, tq, dc_t, ac_t in order:
+            for sby in range(vs):
+                for sbx in range(hs):
+                    size = _decode_symbol(rdr, huff[(0, dc_t)])
+                    diff = _extend(rdr.read(size), size) if size else 0
+                    pred[ci] += diff
+                    zz = np.zeros(64, dtype=np.int64)
+                    zz[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _decode_symbol(rdr, huff[(1, ac_t)])
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        sz = rs & 15
+                        zz[k] = _extend(rdr.read(sz), sz)
+                        k += 1
+                    coef = np.zeros(64, dtype=np.int64)
+                    coef[ZIGZAG] = zz
+                    coef *= qtabs[tq]
+                    y0 = (my * vs + sby) * 8
+                    x0 = (mx * hs + sbx) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = idct8x8_int(
+                        coef.reshape(8, 8)
+                    )
     return w, h, planes
+
+
+def upsample_chroma_nn(plane: np.ndarray, factor_h: int, factor_v: int) -> np.ndarray:
+    """Nearest-neighbor chroma upsampling (the pinned reconstruction
+    choice for 4:2:0 — each chroma sample replicates over its
+    factor_v x factor_h luma footprint, so a constant chroma block is
+    exactly constant after upsampling and the oracle closed form
+    carries through unchanged)."""
+    return np.repeat(np.repeat(plane, factor_v, axis=0), factor_h, axis=1)
 
 
 # JFIF integer YCbCr -> RGB, the fixed-point kernel real decoders use
@@ -597,7 +676,13 @@ def decode_jpeg_rgb_stats(df, id_col: str, bin_col: str):
                 try:
                     w, h, planes = decode_jpeg(bytes(payload or b""))
                     if len(planes) == 3:
-                        r, g, b = ycbcr_to_rgb_int(*planes)
+                        y_p, cb_p, cr_p = planes
+                        if cb_p.shape != y_p.shape:  # 4:2:0 -> upsample
+                            fv = y_p.shape[0] // cb_p.shape[0]
+                            fh = y_p.shape[1] // cb_p.shape[1]
+                            cb_p = upsample_chroma_nn(cb_p, fh, fv)
+                            cr_p = upsample_chroma_nn(cr_p, fh, fv)
+                        r, g, b = ycbcr_to_rgb_int(y_p, cb_p, cr_p)
                     else:
                         r = g = b = planes[0]
                 except (ValueError, IndexError, StopIteration):

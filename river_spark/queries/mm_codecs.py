@@ -850,3 +850,117 @@ def mm_adpcm_decode_stats(spark, sf_dir):
     return stats.filter(F.col("ok")).select(
         "doc_id", "sample_rate", "n_samples", "sample_sum", "last_sample"
     )
+
+
+# ---- JPEG 4:2:0 rule: the dominant real-world layout — each MCU
+# interleaves four constant luma blocks with one constant Cb and Cr
+# block at half resolution (nearest-neighbor upsampling keeps the
+# closed form):
+#   wm = 1 + d % 3 MCUs across, hm = 1 + d % 2 down (16px MCUs)
+#   MCU p, luma sub-block s in [0,4): Y = (d*31 + 5*(4p+s)) % 256
+#   chroma per MCU: Cb = (d*17 + 3p) % 256, Cr = (d*23 + 7p) % 256
+
+
+def _jpeg420_payloads(docs):
+    """doc_id -> synthesized 4:2:0 baseline JPEG (one mapInPandas
+    pass); restart markers every 2 MCUs."""
+    from river_spark.operators.jpeg import encode_jpeg_420
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                wm, hm = 1 + d % 3, 1 + d % 2
+                y = np.zeros((16 * hm, 16 * wm), dtype=np.uint8)
+                cb = np.zeros((8 * hm, 8 * wm), dtype=np.uint8)
+                cr = np.zeros((8 * hm, 8 * wm), dtype=np.uint8)
+                for p in range(wm * hm):
+                    my, mx = divmod(p, wm)
+                    for s in range(4):
+                        sy, sx = divmod(s, 2)
+                        y[
+                            my * 16 + sy * 8 : my * 16 + sy * 8 + 8,
+                            mx * 16 + sx * 8 : mx * 16 + sx * 8 + 8,
+                        ] = (d * 31 + 5 * (4 * p + s)) % 256
+                    cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (d * 17 + 3 * p) % 256
+                    cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (d * 23 + 7 * p) % 256
+                ids.append(d)
+                payloads.append(encode_jpeg_420(y, cb, cr, restart_interval=2))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+@q(
+    "mm_jpeg420_decode_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 1 + doc_id % 3 AS wm, 1 + doc_id % 2 AS hm
+        FROM documents),
+    blk AS (
+        SELECT doc_id, wm, hm,
+               (doc_id * 31 + 5 * (4 * g.p + s.s)) % 256 AS yv,
+               (doc_id * 17 + 3 * g.p) % 256 AS cbv,
+               (doc_id * 23 + 7 * g.p) % 256 AS crv
+        FROM dims,
+             UNNEST(generate_series(0, wm * hm - 1)) AS g(p),
+             UNNEST(generate_series(0, 3)) AS s(s)),
+    f AS (
+        SELECT doc_id, wm, hm,
+          CAST(floor(((yv - 128) * 8589582400 + 536870912) / 1073741824.0) AS BIGINT) AS fy,
+          CAST(floor(((cbv - 128) * 8589582400 + 536870912) / 1073741824.0) AS BIGINT) AS fcb,
+          CAST(floor(((crv - 128) * 8589582400 + 536870912) / 1073741824.0) AS BIGINT) AS fcr
+        FROM blk),
+    qc AS (
+        SELECT doc_id, wm, hm,
+          CAST(floor((2 * fy + 16) / 32.0) AS BIGINT) AS qy,
+          CAST(floor((2 * fcb + 17) / 34.0) AS BIGINT) AS qcb,
+          CAST(floor((2 * fcr + 17) / 34.0) AS BIGINT) AS qcr
+        FROM f),
+    rc AS (
+        SELECT doc_id, wm, hm,
+          GREATEST(0, LEAST(255, CAST(floor((134212225 * qy * 16 + 536870912) / 1073741824.0) AS BIGINT) + 128)) AS ry,
+          GREATEST(0, LEAST(255, CAST(floor((134212225 * qcb * 17 + 536870912) / 1073741824.0) AS BIGINT) + 128)) AS rcb,
+          GREATEST(0, LEAST(255, CAST(floor((134212225 * qcr * 17 + 536870912) / 1073741824.0) AS BIGINT) + 128)) AS rcr
+        FROM qc),
+    rgb AS (
+        SELECT doc_id, wm, hm, ry,
+          GREATEST(0, LEAST(255, ry + CAST(floor((91881 * (rcr - 128) + 32768) / 65536.0) AS BIGINT))) AS r,
+          GREATEST(0, LEAST(255, ry - CAST(floor((46802 * (rcr - 128) + 22554 * (rcb - 128) + 32768) / 65536.0) AS BIGINT))) AS g_,
+          GREATEST(0, LEAST(255, ry + CAST(floor((116130 * (rcb - 128) + 32768) / 65536.0) AS BIGINT))) AS b
+        FROM rc)
+    SELECT doc_id, CAST(16 * wm AS INT) AS width, CAST(16 * hm AS INT) AS height,
+           CAST(64 * sum(r) AS BIGINT) AS r_sum,
+           CAST(64 * sum(g_) AS BIGINT) AS g_sum,
+           CAST(64 * sum(b) AS BIGINT) AS b_sum,
+           CAST(64 * sum(ry) AS BIGINT) AS y_sum
+    FROM rgb GROUP BY doc_id, wm, hm
+    """,
+    tags=("multimodal", "codec", "image"),
+)
+def mm_jpeg420_decode_stats(spark, sf_dir):
+    """REAL 4:2:0 chroma-subsampled JPEG decode under the bit-level
+    oracle — the layout virtually every camera and web JPEG uses. Each
+    MCU interleaves four luma blocks (2x2 raster) with one half-
+    resolution Cb and Cr block; the decoder reads the sampling factors
+    from SOF0, walks the interleaved MCU structure (with restart
+    resets every 2 MCUs), and reconstructs chroma by the pinned
+    nearest-neighbor upsampling — so each luma block pairs with its
+    MCU's constant chroma and the fixed-point closed form carries
+    through exactly. The oracle mirrors the same integer kernels as
+    mm_jpeg_decode_stats with the 4-luma-per-MCU generation rule."""
+    from river_spark.operators.jpeg import decode_jpeg_rgb_stats
+
+    docs = tbl(spark, sf_dir, "documents")
+    stats = decode_jpeg_rgb_stats(_jpeg420_payloads(docs), "doc_id", "payload")
+    return stats.filter(F.col("ok")).select(
+        "doc_id", "width", "height", "r_sum", "g_sum", "b_sum", "y_sum"
+    )

@@ -189,3 +189,46 @@ def test_gray_spark_stats_path(spark):
     qc = (2 * F + 16) >> 5
     pix = max(0, min(255, ((134212225 * qc * 16 + 536870912) >> 30) + 128))
     assert r1["r_sum"] == r1["g_sum"] == r1["b_sum"] == r1["y_sum"] == 128 * pix
+
+
+def test_420_roundtrip_matches_model():
+    """4:2:0: every plane decodes to the integer model at its natural
+    resolution, across restart boundaries."""
+    rng = np.random.default_rng(31)
+    y = rng.integers(0, 256, size=(32, 48), dtype=np.uint8)
+    cb = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    cr = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    from river_spark.operators.jpeg import encode_jpeg_420, upsample_chroma_nn
+
+    data = encode_jpeg_420(y, cb, cr, restart_interval=2)
+    assert b"\xff\xd0" in data
+    w, h, pl = decode_jpeg(data)
+    assert (w, h) == (48, 32)
+    assert pl[0].shape == (32, 48) and pl[1].shape == (16, 24)
+    assert (pl[0] == _model(y, QUANT_FLAT16)).all()
+    assert (pl[1] == _model(cb, QUANT_FLAT17)).all()
+    assert (pl[2] == _model(cr, QUANT_FLAT17)).all()
+    up = upsample_chroma_nn(pl[1], 2, 2)
+    assert up.shape == (32, 48)
+    assert (up[::2, ::2] == pl[1]).all() and (up[1::2, 1::2] == pl[1]).all()
+
+
+def test_420_reject_paths():
+    from river_spark.operators.jpeg import encode_jpeg_420
+
+    y = np.zeros((16, 16), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        encode_jpeg_420(np.zeros((8, 16), dtype=np.uint8),
+                        np.zeros((4, 8), dtype=np.uint8),
+                        np.zeros((4, 8), dtype=np.uint8))  # not 16-multiple
+    with pytest.raises(ValueError):
+        encode_jpeg_420(y, np.zeros((16, 16), dtype=np.uint8),
+                        np.zeros((8, 8), dtype=np.uint8))  # full-res chroma
+    # 4:2:2 (2,1) sampling is outside the subset: craft by patching SOF
+    data = bytearray(encode_jpeg_420(y, np.zeros((8, 8), dtype=np.uint8),
+                                     np.zeros((8, 8), dtype=np.uint8)))
+    sof = bytes(data).find(b"\xff\xc0")
+    assert data[sof + 7 + 4] == 0x22  # Y sampling byte
+    data[sof + 7 + 4] = 0x21
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(data))
