@@ -213,7 +213,10 @@ def _ss_table(spark, sf_dir: str) -> tuple[str, dict]:
     )
     sk = space_saving_topk(stream, key_col="segment", item_col="item", capacity=8)
 
-    table = _memory_table_name("river_ss_", sf_dir)
+    # "river_sstk_": river_stream_stateful already owns the "river_ss_"
+    # prefix (same-session memory-sink names are global — a collision
+    # resolves the OTHER query's view, caught by the full-suite run)
+    table = _memory_table_name("river_sstk_", sf_dir)
     qy = (
         sk.writeStream.format("memory")
         .queryName(table)

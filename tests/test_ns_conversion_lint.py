@@ -90,3 +90,28 @@ def test_div_idiom_exact_and_float_idiom_diverges(spark):
     promo = next(r for r in out if r.v == _SENTINEL_PROMO_NS)
     assert promo.banned == promo.exact  # promo side stays float-exact
     assert n_diverged >= 2  # the class is real, not a one-off
+
+
+def test_memory_sink_prefixes_unique():
+    """Same-session memory-sink names are global: two query harnesses
+    sharing a _memory_table_name prefix silently resolve each other's
+    views (round 12 caught river_ss_ used by both river_stream_stateful
+    and the Space-Saving drain). Every call site must own a distinct
+    prefix."""
+    import collections
+    import re
+
+    pat = re.compile(r"_memory_table_name\(\s*\"([a-z0-9_]+)\"")
+    owners = collections.defaultdict(set)
+    for path in sorted((ROOT / "queries").glob("*.py")):
+        for m in pat.finditer(path.read_text()):
+            owners[m.group(1)].add(path.name)
+    dupes = {p: sorted(fs) for p, fs in owners.items() if len(fs) > 1}
+    # same-file reuse is fine (one harness, several sf_dirs); cross-file
+    # reuse is the collision class
+    assert not dupes, f"memory-sink prefix shared across files: {dupes}"
+    # and no prefix may be a strict prefix of another (name-space bleed)
+    names = sorted(owners)
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            assert not b.startswith(a) and not a.startswith(b), (a, b)
