@@ -964,3 +964,81 @@ def mm_jpeg420_decode_stats(spark, sf_dir):
     return stats.filter(F.col("ok")).select(
         "doc_id", "width", "height", "r_sum", "g_sum", "b_sum", "y_sum"
     )
+
+
+# ---- FLAC rule: sawtooth-plus-residue signal, SQL closed form:
+#   n = 300 + (d % 5) * 100, rate = 8000 + (d % 3) * 4000
+#   s(i) = ((d*13 + 7i) % 4001) - 2000 + (i % 17) * 3
+# (ramps reward the fixed predictors; the mod-4001 wrap points force
+# large residuals, so blocks genuinely mix predictor orders)
+
+
+def _flac_payloads(docs):
+    """doc_id -> synthesized FLAC payload (one mapInPandas pass)."""
+    from river_spark.operators.flac import encode_flac
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 300 + (d % 5) * 100
+                i = np.arange(n, dtype=np.int64)
+                s = ((d * 13 + 7 * i) % 4001) - 2000 + (i % 17) * 3
+                ids.append(d)
+                payloads.append(
+                    encode_flac(8000 + (d % 3) * 4000, s.astype(np.int16))
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+@q(
+    "mm_flac_decode_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 300 + (doc_id % 5) * 100 AS n FROM documents),
+    s AS (
+        SELECT doc_id, n, g.i AS i,
+               ((doc_id * 13 + 7 * g.i) % 4001) - 2000 + (g.i % 17) * 3 AS v
+        FROM dims, UNNEST(generate_series(0, n - 1)) AS g(i))
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(sum(v) AS BIGINT) AS sample_sum,
+           CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
+           CAST(sum((i % 997 + 1) * v) AS BIGINT) AS pos_weighted_sum
+    FROM s GROUP BY doc_id, n
+    """,
+    tags=("multimodal", "codec", "audio"),
+)
+def mm_flac_decode_stats(spark, sf_dir):
+    """REAL FLAC (fixed-predictor subset) encode→decode round trip
+    under the bit-level oracle — the audio family's entropy-coded
+    LOSSLESS format (ADPCM brought adaptive delta, mu-law companding;
+    this brings Rice coding). Payloads are genuine FLAC streams: fLaC
+    magic, STREAMINFO, sync-coded frames with UTF-8 frame numbers,
+    CRC-8 header and CRC-16 frame checksums, per-block best fixed
+    predictor (order 0-4) with MSB-first unary/Rice residuals. Spark
+    decodes with operators/flac.decode_flac (CRCs verified, predictors
+    reconstructed); losslessness makes the oracle a pure restatement of
+    the generation rule — the position-weighted checksum pins sample
+    ORDER through the frame/predictor reassembly. Constant/verbatim/
+    escape subframes and the reject paths are pinned by
+    tests/test_flac_codec.py."""
+    from river_spark.operators.flac import decode_flac_stats
+
+    docs = tbl(spark, sf_dir, "documents")
+    stats = decode_flac_stats(_flac_payloads(docs), "doc_id", "payload")
+    return stats.filter(F.col("ok")).select(
+        "doc_id", "sample_rate", "n_samples",
+        "sample_sum", "abs_sum", "pos_weighted_sum",
+    )
