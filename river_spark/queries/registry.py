@@ -484,6 +484,13 @@ _WINDOW = [
     "river_pruned_ingest",
     "river_resume_roundtrip",
 ]
+# Round-13 rotation note: the round-12 additions (mm_jpeg_decode_stats,
+# mm_jpeg420_decode_stats, mm_tiff_decode_stats, mm_adpcm_decode_stats,
+# mm_flac_decode_stats, agg_kruskal_wallis, ab_cochran_armitage,
+# agg_friedman_test, river_stream_inner_join,
+# river_stream_topk_heavy_hitters) have no driver row yet — they lead
+# the next window, followed by the stalest cohorts (r4 transport tail,
+# then r6).
 
 # Tail keeps the round-10 staleness order so future rotations stay
 # oldest-first; round-11 additions register at the very end (behind
