@@ -706,6 +706,19 @@ def main() -> None:
     # warmup: JVM + parquet footer caches
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # OS page-cache warmup for the input tables: the round-12 snapshot
+    # runs found a 3.6s headline swing (18.45 -> 22.09 s at a FASTER
+    # cpu canary) explained entirely by cache state — after a long test
+    # session evicted the sf0.1 parquet, first reads hit the
+    # virtualized disk cold. The benchmark targets COMPUTE, so the
+    # input bytes are read once up front; the transport legs keep
+    # measuring their own fresh writes.
+    for fname in sorted(os.listdir(sf_dir)):
+        if fname.endswith(".parquet"):
+            with open(os.path.join(sf_dir, fname), "rb") as f:
+                while f.read(1 << 24):
+                    pass
+
     bench = {name: q for name, q in QUERIES.items() if q.bench}
     # 4 repeats: this box shows multi-second external-load bursts that can
     # poison 2 of 3 runs back-to-back (observed); one extra repeat buys the

@@ -6,6 +6,7 @@ oracle on the ORIGINAL table — the round trip must be lossless.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -24,6 +25,24 @@ from river_spark.transport import StreamLog, StreamWriter
 # keys are either sf_dir strings (_ingested_events_dir) or
 # (variant, sf_dir) tuples (the other cached fixtures)
 _CACHE: dict[str | tuple, str] = {}
+
+# Streaming-parity fixtures stage real stream stores under /tmp; the
+# round-12 cleanup found 800+ leaked dirs from prior test sessions, so
+# every fixture dir now registers for removal at interpreter exit (the
+# in-process _CACHE keeps them alive exactly as long as they're useful).
+_SCRATCH: list[str] = []
+
+
+def _scratch_dir(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH.append(d)
+    return d
+
+
+@atexit.register
+def _cleanup_scratch() -> None:  # pragma: no cover - exit hook
+    for d in _SCRATCH:
+        shutil.rmtree(d, ignore_errors=True)
 
 _EVENT_FIELDS = {
     "event_id": FieldType.INT64,
@@ -97,7 +116,7 @@ def _ingested_events_dir(sf_dir: str) -> str:
     Parquet, return the output dir. Cached per sf_dir within the process."""
     if sf_dir in _CACHE and os.path.isdir(_CACHE[sf_dir]):
         return _CACHE[sf_dir]
-    work = tempfile.mkdtemp(prefix="river_spark_roundtrip_")
+    work = _scratch_dir(prefix="river_spark_roundtrip_")
     log = StreamLog(os.path.join(work, "store"))
     schema, arr = _events_array(sf_dir, ("event_id", "ts", "user_id", "value"))
     w = StreamWriter(log).initialize("events_rt", schema)
@@ -196,7 +215,7 @@ def river_compressed_roundtrip(spark, sf_dir):
 
     key = ("compressed", sf_dir)
     if key not in _CACHE or not os.path.isdir(_CACHE[key]):
-        work = tempfile.mkdtemp(prefix="river_spark_comprt_")
+        work = _scratch_dir(prefix="river_spark_comprt_")
         log = StreamLog(os.path.join(work, "store"))
         schema, arr = _events_array(sf_dir, ("event_id", "user_id", "value"))
         w = StreamWriter(log, compression=Compressor(CompressionMode.ZLIB_LOSSLESS))
@@ -229,7 +248,7 @@ def river_pruned_ingest(spark, sf_dir):
     exactly the surviving columns of the routed stream."""
     key = ("pruned", sf_dir)
     if key not in _CACHE or not os.path.isdir(_CACHE[key]):
-        work = tempfile.mkdtemp(prefix="river_spark_prune_")
+        work = _scratch_dir(prefix="river_spark_prune_")
         log = StreamLog(os.path.join(work, "store"))
         schema, arr = _events_array(sf_dir, ("event_id", "user_id", "value"))
         for stream in ("events_pruned", "decoy_stream"):
@@ -276,7 +295,7 @@ def river_resume_roundtrip(spark, sf_dir):
 
     key = ("resume", sf_dir)
     if key not in _CACHE or not os.path.isdir(_CACHE[key]):
-        work = tempfile.mkdtemp(prefix="river_spark_resume_")
+        work = _scratch_dir(prefix="river_spark_resume_")
         log = StreamLog(os.path.join(work, "store"))
         schema, arr = _events_array(sf_dir, ("event_id", "user_id", "value"))
         half = len(arr) // 2
@@ -317,7 +336,7 @@ def river_stale_autoeof(spark, sf_dir):
     the whole table."""
     key = ("stale", sf_dir)
     if key not in _CACHE or not os.path.isdir(_CACHE[key]):
-        work = tempfile.mkdtemp(prefix="river_spark_stale_")
+        work = _scratch_dir(prefix="river_spark_stale_")
         log = StreamLog(os.path.join(work, "store"))
         schema, arr = _events_array(sf_dir, ("event_id", "user_id", "value"))
         import time as _time
@@ -365,7 +384,7 @@ def river_http_read(spark, sf_dir):
             listing = _json.loads(urllib.request.urlopen(f"{base}/api/streams").read())
             assert "events_rt" in listing["streams"], listing
             fetched = os.path.join(
-                tempfile.mkdtemp(prefix="river_spark_http_"), "data.parquet"
+                _scratch_dir(prefix="river_spark_http_"), "data.parquet"
             )
             with urllib.request.urlopen(f"{base}/api/streams/events_rt/data.parquet") as r:
                 with open(fetched, "wb") as f:
@@ -394,7 +413,7 @@ def river_catalog_scan(spark, sf_dir):
 
     key = ("catalog", sf_dir)
     if key not in _CACHE or not os.path.isdir(_CACHE[key]):
-        work = tempfile.mkdtemp(prefix="river_spark_cat_")
+        work = _scratch_dir(prefix="river_spark_cat_")
         store = os.path.join(work, "store")
         log = StreamLog(store)
         schema = StreamSchema([FieldDefinition("v", FieldType.DOUBLE)])
@@ -433,7 +452,7 @@ def river_cli_roundtrip(spark, sf_dir):
 
     key = ("cli", sf_dir)
     if key not in _CACHE or not os.path.isdir(_CACHE[key]):
-        work = tempfile.mkdtemp(prefix="river_spark_cli_")
+        work = _scratch_dir(prefix="river_spark_cli_")
         store, out = os.path.join(work, "store"), os.path.join(work, "out")
         _, arr = _events_array(sf_dir, ("event_id", "user_id", "value"))
         # float() before repr: numpy >= 2.0 reprs scalars as
@@ -477,7 +496,7 @@ def river_redis_roundtrip(spark, sf_dir):
 
     key = ("redis", sf_dir)
     if key not in _CACHE or not os.path.isdir(_CACHE[key]):
-        work = tempfile.mkdtemp(prefix="river_spark_redisrt_")
+        work = _scratch_dir(prefix="river_spark_redisrt_")
         url = os.environ.get("RIVER_SPARK_REDIS_URL")
         if url:
             from river_spark.transport.log import parse_redis_hostport
@@ -546,7 +565,7 @@ def river_stream_query(spark, sf_dir):
     key = ("stream_query", sf_dir)
     if key not in _CACHE:
         register(spark)
-        work = tempfile.mkdtemp(prefix="river_spark_sq_")
+        work = _scratch_dir(prefix="river_spark_sq_")
         store = os.path.join(work, "store")
         log = StreamLog(store)
         schema, arr = _events_array(sf_dir, ("event_id", "user_id", "value"))
@@ -598,7 +617,7 @@ def river_stream_join(spark, sf_dir):
     key = ("stream_join", sf_dir)
     if key not in _CACHE:
         register(spark)
-        work = tempfile.mkdtemp(prefix="river_spark_sj_")
+        work = _scratch_dir(prefix="river_spark_sj_")
         store = os.path.join(work, "store")
         log = StreamLog(store)
         schema, arr = _events_array(sf_dir, ("event_id", "user_id", "value"))
@@ -667,7 +686,7 @@ def river_stream_static_join(spark, sf_dir):
     key = ("stream_static_join", sf_dir)
     if key not in _CACHE:
         register(spark)
-        work = tempfile.mkdtemp(prefix="river_spark_ssj_")
+        work = _scratch_dir(prefix="river_spark_ssj_")
         store = os.path.join(work, "store")
         log = StreamLog(store)
         schema, arr = _events_array(sf_dir, ("event_id", "user_id", "value"))
@@ -753,7 +772,7 @@ def river_stream_outer_join(spark, sf_dir):
     key = ("stream_outer_join", sf_dir)
     if key not in _CACHE:
         register(spark)
-        work = tempfile.mkdtemp(prefix="river_spark_soj_")
+        work = _scratch_dir(prefix="river_spark_soj_")
         store = os.path.join(work, "store")
         log = StreamLog(store)
         schema, arr = _events_array(sf_dir, ("event_id", "ts", "user_id", "value"))
@@ -897,7 +916,7 @@ def river_sink_roundtrip(spark, sf_dir):
     key = ("sink", sf_dir)
     if key not in _CACHE or not os.path.isdir(_CACHE[key]):
         register(spark)
-        work = tempfile.mkdtemp(prefix="river_spark_sinkrt_")
+        work = _scratch_dir(prefix="river_spark_sinkrt_")
         store = os.path.join(work, "store")
         (
             spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -951,7 +970,7 @@ def river_stream_window(spark, sf_dir):
     key = ("stream_window", sf_dir)
     if key not in _CACHE:
         register(spark)
-        work = tempfile.mkdtemp(prefix="river_spark_sw_")
+        work = _scratch_dir(prefix="river_spark_sw_")
         store = os.path.join(work, "store")
         log = StreamLog(store)
         schema, arr = _events_array(sf_dir, ("event_id", "ts", "user_id", "value"))
@@ -1011,7 +1030,7 @@ def river_stream_stateful(spark, sf_dir):
     key = ("stream_stateful", sf_dir)
     if key not in _CACHE:
         register(spark)
-        work = tempfile.mkdtemp(prefix="river_spark_ss_")
+        work = _scratch_dir(prefix="river_spark_ss_")
         store = os.path.join(work, "store")
         log = StreamLog(store)
         schema, arr = _events_array(sf_dir, ("event_id", "user_id", "value"))
@@ -1062,7 +1081,7 @@ def river_stream_dedup(spark, sf_dir):
     key = ("stream_dedup", sf_dir)
     if key not in _CACHE:
         register(spark)
-        work = tempfile.mkdtemp(prefix="river_spark_sd_")
+        work = _scratch_dir(prefix="river_spark_sd_")
         store = os.path.join(work, "store")
         log = StreamLog(store)
         schema, arr = _events_array(sf_dir, ("event_id", "user_id", "value"))
@@ -1117,7 +1136,7 @@ def river_stream_locf(spark, sf_dir):
     key = ("stream_locf", sf_dir)
     if key not in _CACHE:
         register(spark)
-        work = tempfile.mkdtemp(prefix="river_spark_locf_")
+        work = _scratch_dir(prefix="river_spark_locf_")
         store = os.path.join(work, "store")
         log = StreamLog(store)
         schema, arr = _events_array(sf_dir, ("event_id", "user_id", "value"))
@@ -1191,7 +1210,7 @@ def river_stream_window_chain(spark, sf_dir):
     key = ("stream_window_chain", sf_dir)
     if key not in _CACHE:
         register(spark)
-        work = tempfile.mkdtemp(prefix="river_spark_swc_")
+        work = _scratch_dir(prefix="river_spark_swc_")
         store = os.path.join(work, "store")
         log = StreamLog(store)
         schema, arr = _events_array(sf_dir, ("event_id", "ts", "value"))
@@ -1304,7 +1323,7 @@ def river_stream_foreach_upsert(spark, sf_dir):
     key = ("stream_feb", sf_dir)
     if key not in _CACHE:
         register(spark)
-        work = tempfile.mkdtemp(prefix="river_spark_feb_")
+        work = _scratch_dir(prefix="river_spark_feb_")
         store = os.path.join(work, "store")
         log = StreamLog(store)
         schema, arr = _events_array(sf_dir, ("event_id", "user_id", "value"))

@@ -14,7 +14,6 @@ state eviction. See SURVEY.md section 2 Part B (Streaming).
 from __future__ import annotations
 
 import os
-import tempfile
 import time as _time
 
 import numpy as np
@@ -23,6 +22,7 @@ from pyspark.sql import functions as F
 from river_spark.streaming.ops import stop_quiet
 from river_spark.queries.relational import q
 from river_spark.queries.river_ops import (
+    _scratch_dir,
     _CACHE,
     _SENTINEL_PROMO_NS,
     _events_array,
@@ -58,7 +58,7 @@ def _outer_join_table(spark, sf_dir: str, how: str) -> str:
     if key in _CACHE:
         return _CACHE[key]
     register(spark)
-    work = tempfile.mkdtemp(prefix=f"river_spark_s{how}j_")
+    work = _scratch_dir(prefix=f"river_spark_s{how}j_")
     store = os.path.join(work, "store")
     log = StreamLog(store)
     schema, arr = _events_array(sf_dir, ("event_id", "ts", "user_id", "value"))

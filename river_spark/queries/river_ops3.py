@@ -19,7 +19,6 @@ re-expression (SURVEY.md section 2 Part B, Streaming).
 from __future__ import annotations
 
 import os
-import tempfile
 import time as _time
 
 import numpy as np
@@ -28,6 +27,7 @@ from pyspark.sql import functions as F
 from river_spark.streaming.ops import stop_quiet
 from river_spark.queries.relational import q
 from river_spark.queries.river_ops import (
+    _scratch_dir,
     _CACHE,
     _events_array,
     _memory_table_name,
@@ -57,7 +57,7 @@ def _session_table(spark, sf_dir: str) -> tuple[str, int]:
     if key in _CACHE:
         return _CACHE[key]
     register(spark)
-    work = tempfile.mkdtemp(prefix="river_spark_ssw_")
+    work = _scratch_dir(prefix="river_spark_ssw_")
     store = os.path.join(work, "store")
     log = StreamLog(store)
     schema, arr = _events_array(sf_dir, ("event_id", "ts", "user_id", "value"))

@@ -22,7 +22,6 @@ Streaming + UDF rows).
 from __future__ import annotations
 
 import os
-import tempfile
 import time as _time
 
 import numpy as np
@@ -30,6 +29,7 @@ from pyspark.sql import Window, functions as F
 
 from river_spark.queries.relational import q
 from river_spark.queries.river_ops import (
+    _scratch_dir,
     _CACHE,
     _events_array,
     _memory_table_name,
@@ -61,7 +61,7 @@ def _kmv_table(spark, sf_dir: str) -> tuple[str, dict]:
     if key in _CACHE:
         return _CACHE[key]
     register(spark)
-    work = tempfile.mkdtemp(prefix="river_spark_kmv_")
+    work = _scratch_dir(prefix="river_spark_kmv_")
     store = os.path.join(work, "store")
     log = StreamLog(store)
     schema, arr = _events_array(sf_dir, ("event_id", "ts", "user_id"))
@@ -185,7 +185,7 @@ def _ss_table(spark, sf_dir: str) -> tuple[str, dict]:
     if key in _CACHE:
         return _CACHE[key]
     register(spark)
-    work = tempfile.mkdtemp(prefix="river_spark_ss_")
+    work = _scratch_dir(prefix="river_spark_ss_")
     store = os.path.join(work, "store")
     log = StreamLog(store)
     schema, arr = _events_array(sf_dir, ("event_id", "user_id"))
