@@ -105,8 +105,10 @@ def benchmark_main(args) -> int:
     """river_benchmark defaults: 1M samples x 8 B, batch 10240."""
     import tempfile
 
+    scratch = None
     if not args.path and not getattr(args, "redis", None):
-        args.path = tempfile.mkdtemp(prefix="river_bench_")
+        scratch = tempfile.mkdtemp(prefix="river_bench_")
+        args.path = scratch
     log = _open_log(args)
     schema = StreamSchema([FieldDefinition("v", FieldType.DOUBLE)])
     n = args.num_samples
@@ -140,6 +142,10 @@ def benchmark_main(args) -> int:
             }
         )
     )
+    if scratch:
+        import shutil
+
+        shutil.rmtree(scratch, ignore_errors=True)
     return 0
 
 
