@@ -41,6 +41,7 @@ import json
 import os
 import statistics
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -686,6 +687,47 @@ def parallel_canary_ms(nproc: int = 8, repeats: int = 3) -> float:
     return round(best * 1000, 1)
 
 
+def disk_canary_mb_s(mb: int = 256) -> float:
+    """Fixed O_DIRECT sequential-write probe, best-of-2 MB/s. The file
+    transport legs are page-cache-dependent (round-12 measured the same
+    code at 1635 / 403 / 187 MB/s purely by cache state and device
+    contention; raw O_DIRECT on this VM is ~370 MB/s). Like
+    cpu_canary_ms for CPU swings, this pins an in-band denominator for
+    IO swings: a transport move that tracks the disk canary is the box,
+    one that doesn't is the code."""
+    path = os.path.join(tempfile.gettempdir(), f"river_disk_canary_{os.getpid()}")
+    buf = bytearray(1 << 20)
+    best = 0.0
+    try:
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC | os.O_DIRECT)
+            try:
+                aligned = memoryview(bytes(buf))
+                for _ in range(mb):
+                    os.write(fd, aligned)
+            finally:
+                os.close(fd)
+            best = max(best, mb / (time.perf_counter() - t0))
+    except OSError:
+        # O_DIRECT unsupported on this filesystem: fall back to
+        # write+fsync so the number still bypasses the cache
+        for _ in range(2):
+            t0 = time.perf_counter()
+            with open(path, "wb") as f:
+                for _ in range(mb):
+                    f.write(buf)
+                f.flush()
+                os.fsync(f.fileno())
+            best = max(best, mb / (time.perf_counter() - t0))
+    finally:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+    return round(best, 1)
+
+
 def _loadavg() -> list[float]:
     try:
         return [round(v, 2) for v in os.getloadavg()]
@@ -769,6 +811,8 @@ def main() -> None:
     print(f"# cpu canary: {canary} ms", file=sys.stderr)
     pcanary = parallel_canary_ms()
     print(f"# parallel canary (8 procs): {pcanary} ms", file=sys.stderr)
+    dcanary = disk_canary_mb_s()
+    print(f"# disk canary (O_DIRECT seq write): {dcanary} MB/s", file=sys.stderr)
 
     probe = None
     if os.environ.get("SPARK_GRAFT_SF1_PROBE", "1") != "0":
@@ -809,6 +853,7 @@ def main() -> None:
         "layout_probe": layout,
         "cpu_canary_ms": canary,
         "parallel_canary_ms": pcanary,
+        "disk_canary_mb_s": dcanary,
         "loadavg_start": load_start,
         "loadavg_end": _loadavg(),
         **tp,
@@ -834,6 +879,7 @@ def main() -> None:
         "sf": sf,
         "cpu_canary_ms": canary,
         "parallel_canary_ms": pcanary,
+        "disk_canary_mb_s": dcanary,
         "loadavg": [load_start, _loadavg()],
         **tp,
     }
