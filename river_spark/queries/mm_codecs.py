@@ -1042,3 +1042,97 @@ def mm_flac_decode_stats(spark, sf_dir):
         "doc_id", "sample_rate", "n_samples",
         "sample_sum", "abs_sum", "pos_weighted_sum",
     )
+
+
+# ---- AVI rule (video modality goes LIVE): uncompressed DIB frames,
+#   n_frames = 4 + d % 5, w = 8 + 4*(d % 3), h = 6 + 2*(d % 2),
+#   fps = 10 + d % 7; frame f, channel byte j (row-major RGB):
+#   v = (d*31 + 97*f + j) % 256. The query samples every 2nd frame.
+
+
+def _avi_payloads(docs):
+    """doc_id -> synthesized uncompressed AVI (one mapInPandas pass)."""
+    from river_spark.operators.avi import encode_avi
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nf = 4 + d % 5
+                w, h = 8 + 4 * (d % 3), 6 + 2 * (d % 2)
+                j = np.arange(3 * w * h, dtype=np.int64)
+                frames = [
+                    ((d * 31 + 97 * f + j) % 256).astype(np.uint8).reshape(h, w, 3)
+                    for f in range(nf)
+                ]
+                ids.append(d)
+                payloads.append(encode_avi(frames, fps=10 + d % 7))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+@q(
+    "mm_avi_frame_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 4 + doc_id % 5 AS nf,
+               8 + 4 * (doc_id % 3) AS w, 6 + 2 * (doc_id % 2) AS h
+        FROM documents),
+    fr AS (  -- every 2nd frame
+        SELECT doc_id, nf, w, h, g.f AS f
+        FROM dims, UNNEST(generate_series(0, nf - 1)) AS g(f)
+        WHERE g.f % 2 = 0),
+    px AS (
+        SELECT doc_id, w, h, f,
+               (doc_id * 31 + 97 * f + 3 * p.p) % 256 AS r,
+               (doc_id * 31 + 97 * f + 3 * p.p + 1) % 256 AS g_,
+               (doc_id * 31 + 97 * f + 3 * p.p + 2) % 256 AS b
+        FROM fr, UNNEST(generate_series(0, w * h - 1)) AS p(p)),
+    per_frame AS (
+        SELECT doc_id, w, h, f,
+               CAST(sum(r) AS BIGINT) AS fr_r,
+               CAST(sum(g_) AS BIGINT) AS fr_g,
+               CAST(sum(b) AS BIGINT) AS fr_b
+        FROM px GROUP BY doc_id, w, h, f)
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(10 + doc_id % 7 AS INT) AS fps,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(fr_r) AS BIGINT) AS r_sum,
+           CAST(sum(fr_g) AS BIGINT) AS g_sum,
+           CAST(sum(fr_b) AS BIGINT) AS b_sum,
+           CAST(sum((f + 1) * fr_r) AS BIGINT) AS frame_weighted_r
+    FROM per_frame GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "codec", "video"),
+)
+def mm_avi_frame_stats(spark, sf_dir):
+    """REAL video frame sampling under the bit-level oracle — the
+    modality that had only chunk-split plumbing is now a live codec:
+    payloads are genuine uncompressed AVIs (RIFF with avih/strl
+    headers, a movi LIST of bottom-up BGR DIB frame chunks — the same
+    pixel layout the BMP codec pins — and the idx1 index), Spark walks
+    the container STRUCTURALLY and decodes every 2nd frame only
+    (skipped frames are never touched — the sampling economics the
+    100 TB posture claims), and the oracle recomputes the sampled
+    channel sums plus a frame-index-weighted checksum (pins frame
+    ORDER through the chunk walk) straight from the rule. Stride
+    padding, idx1 layout, and the reject paths are pinned by
+    tests/test_avi_codec.py."""
+    from river_spark.operators.avi import decode_avi_frame_stats
+
+    docs = tbl(spark, sf_dir, "documents")
+    stats = decode_avi_frame_stats(_avi_payloads(docs), "doc_id", "payload", every_k=2)
+    return stats.filter(F.col("ok")).select(
+        "doc_id", "width", "height", "fps", "n_sampled",
+        "r_sum", "g_sum", "b_sum", "frame_weighted_r",
+    )

@@ -1,0 +1,105 @@
+"""AVI container tests (operators/avi.py). The driver-gated query pins
+the sampled-stats closed form; these pin the container mechanics: DIB
+stride padding, frame order, lazy sampling, idx1 layout, and rejects."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from river_spark.operators.avi import (
+    _row_stride,
+    decode_avi,
+    encode_avi,
+    iter_avi_frames,
+)
+
+
+def test_stride_padding_roundtrip():
+    """w=10 -> 30 bytes of pixels padded to 32 per row; the pad bytes
+    must be written and skipped exactly."""
+    assert _row_stride(10) == 32 and _row_stride(8) == 24
+    rng = np.random.default_rng(4)
+    frames = [rng.integers(0, 256, size=(5, 10, 3), dtype=np.uint8) for _ in range(3)]
+    w, h, fps, out = decode_avi(encode_avi(frames, fps=25))
+    assert (w, h, fps) == (10, 5, 25)
+    for a, b in zip(frames, out):
+        assert (a == b).all()
+
+
+def test_sampling_skips_without_decoding():
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, size=(4, 8, 3), dtype=np.uint8) for _ in range(9)]
+    data = encode_avi(frames)
+    got = list(iter_avi_frames(data, every_k=4))
+    assert [i for i, _ in got] == [0, 4, 8]
+    for i, f in got:
+        assert (f == frames[i]).all()
+
+
+def test_single_frame_and_order():
+    f0 = np.zeros((4, 4, 3), dtype=np.uint8)
+    f1 = np.full((4, 4, 3), 200, dtype=np.uint8)
+    _, _, _, out = decode_avi(encode_avi([f0, f1]))
+    assert out[0].sum() == 0 and out[1].sum() == 200 * 48
+
+
+def test_idx1_offsets_point_at_frames():
+    """The index entries must land on the 00db chunks relative to the
+    movi fourcc (the convention real players use)."""
+    frames = [np.full((4, 4, 3), v, dtype=np.uint8) for v in (1, 2, 3)]
+    data = encode_avi(frames)
+    movi_tag = data.find(b"movi")
+    i1 = data.find(b"idx1")
+    (ilen,) = struct.unpack_from("<I", data, i1 + 4)
+    n = ilen // 16
+    assert n == 3
+    for e in range(n):
+        fourcc, flags, off, size = struct.unpack_from(
+            "<4sIII", data, i1 + 8 + 16 * e
+        )
+        assert fourcc == b"00db" and flags == 0x10
+        assert data[movi_tag + off : movi_tag + off + 4] == b"00db"
+        (clen,) = struct.unpack_from("<I", data, movi_tag + off + 4)
+        assert clen == size
+
+
+def test_reject_paths():
+    frames = [np.zeros((4, 4, 3), dtype=np.uint8)]
+    data = encode_avi(frames)
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFX" + data[4:])
+    with pytest.raises(ValueError):
+        decode_avi(data[:40])  # truncated
+    with pytest.raises(ValueError):
+        encode_avi([])
+    with pytest.raises(ValueError):
+        encode_avi([np.zeros((4, 4, 3), dtype=np.uint8),
+                    np.zeros((5, 4, 3), dtype=np.uint8)])
+    # frame-count lie in avih must be caught by the structural walk
+    bad = bytearray(data)
+    avih = bad.find(b"avih")
+    struct.pack_into("<I", bad, avih + 8 + 16, 5)  # claim 5 frames
+    with pytest.raises(ValueError):
+        decode_avi(bytes(bad))
+
+
+def test_spark_stats_path(spark):
+    from river_spark.operators.avi import decode_avi_frame_stats
+
+    frames = [np.full((4, 4, 3), 10 * (f + 1), dtype=np.uint8) for f in range(4)]
+    good = encode_avi(frames, fps=15)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"RIFFjunk"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in
+            decode_avi_frame_stats(df, "doc_id", "payload", every_k=2).collect()}
+    assert rows[2]["ok"] is False
+    r1 = rows[1]
+    # sampled frames 0 and 2: constants 10 and 30, 16 px each
+    assert r1["ok"] and r1["n_sampled"] == 2 and r1["fps"] == 15
+    assert r1["r_sum"] == 16 * (10 + 30)
+    assert r1["frame_weighted_r"] == 1 * 16 * 10 + 3 * 16 * 30
