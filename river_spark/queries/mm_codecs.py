@@ -1136,3 +1136,69 @@ def mm_avi_frame_stats(spark, sf_dir):
         "doc_id", "width", "height", "fps", "n_sampled",
         "r_sum", "g_sum", "b_sum", "frame_weighted_r",
     )
+
+
+@q(
+    "mm_jpeg_gray_decode_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 2 + doc_id % 4 AS wb, 1 + doc_id % 3 AS hb
+        FROM documents),
+    blk AS (
+        SELECT doc_id, wb, hb,
+               (doc_id * 41 + 9 * g.p) % 256 AS yv
+        FROM dims, UNNEST(generate_series(0, wb * hb - 1)) AS g(p)),
+    f AS (
+        SELECT doc_id, wb, hb,
+          CAST(floor(((yv - 128) * 8589582400 + 536870912) / 1073741824.0) AS BIGINT) AS fy
+        FROM blk),
+    rc AS (
+        SELECT doc_id, wb, hb,
+          GREATEST(0, LEAST(255,
+            CAST(floor((134212225 * (CAST(floor((2 * fy + 16) / 32.0) AS BIGINT) * 16)
+                        + 536870912) / 1073741824.0) AS BIGINT) + 128)) AS ry
+        FROM f)
+    SELECT doc_id, CAST(8 * wb AS INT) AS width, CAST(8 * hb AS INT) AS height,
+           CAST(64 * sum(ry) AS BIGINT) AS r_sum,
+           CAST(64 * sum(ry) AS BIGINT) AS g_sum,
+           CAST(64 * sum(ry) AS BIGINT) AS b_sum,
+           CAST(64 * sum(ry) AS BIGINT) AS y_sum
+    FROM rc GROUP BY doc_id, wb, hb
+    """,
+    tags=("multimodal", "codec", "image"),
+)
+def mm_jpeg_gray_decode_stats(spark, sf_dir):
+    """Single-component (grayscale) baseline JPEG under the driver gate
+    — the 1-plane SOF0/SOS layout real document scans use (one DQT, two
+    DHT tables, no color conversion; the stats operator promotes Y to
+    RGB). Same fixed-point closed form as mm_jpeg_decode_stats with a
+    distinct generation rule: wb = 2 + d%4, hb = 1 + d%3,
+    Y(p) = (d*41 + 9p) % 256."""
+    from river_spark.operators.jpeg import decode_jpeg_rgb_stats, encode_jpeg
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                wb, hb = 2 + d % 4, 1 + d % 3
+                p = np.arange(wb * hb, dtype=np.int64)
+                yv = ((d * 41 + 9 * p) % 256).astype(np.uint8)
+                plane = np.kron(yv.reshape(hb, wb), np.ones((8, 8), dtype=np.uint8))
+                ids.append(d)
+                payloads.append(encode_jpeg([plane]))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    docs = tbl(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id").mapInPandas(gen, schema=schema)
+    stats = decode_jpeg_rgb_stats(payloads, "doc_id", "payload")
+    return stats.filter(F.col("ok")).select(
+        "doc_id", "width", "height", "r_sum", "g_sum", "b_sum", "y_sum"
+    )

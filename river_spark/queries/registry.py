@@ -489,7 +489,8 @@ _WINDOW = [
 # mm_flac_decode_stats, agg_kruskal_wallis, ab_cochran_armitage,
 # agg_friedman_test, river_stream_inner_join,
 # river_stream_topk_heavy_hitters, mm_flac_decode_stats,
-# mm_avi_frame_stats) have no driver row yet — they lead
+# mm_avi_frame_stats, mm_jpeg_gray_decode_stats) have no driver
+# row yet — they lead
 # the next window, followed by the stalest cohorts (r4 transport tail,
 # then r6).
 
