@@ -11,11 +11,23 @@ decode(encode(x)) == x exactly, so the driver oracle
 (mm_flac_decode_stats) recomputes sample statistics straight from the
 generation rule without seeing a byte.
 
-Subset: mono, 16-bit, fixed blocking, partition order 0 (one Rice
-parameter per subframe), predictors order 0-4 chosen per block by
-residual magnitude. LPC subframes and stereo decorrelation are out of
-scope (the fixed-predictor path is the complete entropy/format layer;
-LPC only swaps the predictor).
+Subset: 16-bit, fixed blocking, partition order 0 (one Rice parameter
+per subframe). Round 13 widened the original fixed-predictor subset
+with the two features real FLAC corpora are overwhelmingly made of:
+
+* LPC subframes — per-block autocorrelation + Levinson-Durbin,
+  coefficients quantized to a (precision, shift) pair exactly as the
+  wire carries them, residuals computed against the INTEGER prediction
+  ``(sum(qcoef_j * s[i-1-j]) >> shift)`` so decode(encode(x)) == x
+  regardless of how good the float model was;
+* stereo decorrelation — all four channel assignments (independent,
+  left/side, right/side, mid/side), the side channel carried at
+  bits-per-sample + 1 per the spec, selected per frame by estimated
+  cost (``channel_mode="auto"``) or cycled deterministically for
+  coverage (``channel_mode="cycle"``).
+
+Still outside the subset: wasted bits, partition orders > 0, variable
+blocking, >2 channels, bit depths other than 16.
 
 Reference scope parity: the reference stores opaque binary payloads;
 decode here is a first-class distributed operator per SURVEY.md's
@@ -28,7 +40,8 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_flac", "decode_flac"]
+__all__ = ["encode_flac", "decode_flac", "decode_flac_stats",
+           "decode_flac_stereo_stats"]
 
 
 # ---------------------------------------------------------------------------
@@ -203,6 +216,68 @@ def _best_rice_k(u: np.ndarray) -> int:
 
 
 # ---------------------------------------------------------------------------
+# LPC model fitting (encoder side only — the wire carries the quantized
+# integers, so decode needs none of this)
+# ---------------------------------------------------------------------------
+
+def _lpc_coeffs(block: np.ndarray, order: int):
+    """Levinson-Durbin over the block autocorrelation. Returns float
+    predictor coefficients a (prediction a[0]*s[i-1] + a[1]*s[i-2] + ...)
+    or None when the recursion degenerates (zero energy, instability)."""
+    x = block.astype(np.float64)
+    n = x.size
+    if n <= order:
+        return None
+    autoc = np.array([float(np.dot(x[: n - lag], x[lag:])) for lag in range(order + 1)])
+    err = autoc[0]
+    if err <= 0:
+        return None
+    a = np.zeros(order)
+    for i in range(order):
+        acc = autoc[i + 1] - sum(a[j] * autoc[i - j] for j in range(i))
+        if err <= 0:
+            return None
+        k = acc / err
+        prev = a[:i].copy()
+        for j in range(i):
+            a[j] = prev[j] - k * prev[i - 1 - j]
+        a[i] = k
+        err *= 1.0 - k * k
+    if not np.all(np.isfinite(a)):
+        return None
+    return a
+
+
+def _quantize_lpc(a: np.ndarray, precision: int = 12):
+    """Quantize float coefficients to ``precision``-bit signed integers
+    with a shared right-shift, the exact (precision, shift, coeffs)
+    triple the LPC subframe header carries. Returns None when the model
+    is all-zero after quantization."""
+    cmax = float(np.max(np.abs(a)))
+    if not np.isfinite(cmax) or cmax <= 0:
+        return None
+    import math
+
+    shift = precision - 1 - (math.floor(math.log2(cmax)) + 1)
+    shift = max(0, min(15, shift))
+    lim = 1 << (precision - 1)
+    qc = [int(np.clip(round(float(c) * (1 << shift)), -lim, lim - 1)) for c in a]
+    if all(c == 0 for c in qc):
+        return None
+    return qc, shift, precision
+
+
+def _lpc_predict(x: np.ndarray, qc: list, shift: int, order: int) -> np.ndarray:
+    """Integer LPC prediction for positions order..n-1 (arithmetic
+    right shift, matching the decoder bit-for-bit)."""
+    n = x.size
+    pred = np.zeros(n - order, dtype=np.int64)
+    for j, c in enumerate(qc):
+        pred += c * x[order - 1 - j : n - 1 - j]
+    return pred >> shift
+
+
+# ---------------------------------------------------------------------------
 # encoder
 # ---------------------------------------------------------------------------
 
@@ -211,96 +286,202 @@ def encode_flac(
     samples: np.ndarray,
     block_size: int = 256,
     force_escape: bool = False,
+    lpc_orders: tuple = (),
+    force_lpc: bool = False,
+    channel_mode: str = "auto",
 ) -> bytes:
-    """Encode mono int16 samples. Each block becomes one frame; the
-    best fixed predictor (order 0-4 by absolute-residual sum) is chosen
-    per block, with CONSTANT detection and a VERBATIM fallback when
-    Rice coding would expand."""
+    """Encode int16 samples — mono (shape (n,)) or stereo (shape
+    (n, 2)). Each block becomes one frame; per subframe the cheapest of
+    CONSTANT / FIXED 0-4 / LPC (orders in ``lpc_orders``) is chosen by
+    exact Rice bit count, with a VERBATIM fallback when coding would
+    expand. ``force_lpc`` restricts the predictor search to LPC (the
+    fixture knob that guarantees the LPC wire path is on the stream,
+    like ``force_escape`` for the raw-residual escape). For stereo,
+    ``channel_mode`` picks the per-frame channel assignment: "auto"
+    (cheapest of independent / left-side / right-side / mid-side) or
+    "cycle" (frame_no mod 4 — deterministic coverage of all four)."""
     samples = np.asarray(samples, dtype=np.int64)
     if samples.size == 0:
         raise ValueError("empty input")
+    stereo = samples.ndim == 2
+    if stereo and samples.shape[1] != 2:
+        raise ValueError("stereo input must be shaped (n, 2)")
     if not (2 <= block_size <= 256):
         raise ValueError("block_size in [2, 256] for this subset")
-    if np.abs(samples).max() > 32767:
+    if samples.max() > 32767 or samples.min() < -32768:
         raise ValueError("16-bit samples only")
+    if channel_mode not in ("auto", "cycle"):
+        raise ValueError("channel_mode is 'auto' or 'cycle'")
 
+    n_total = samples.shape[0]
     out = bytearray(b"fLaC")
     # STREAMINFO: last-block flag + type 0, length 34
     si = bytearray()
     si += struct.pack(">HH", block_size, block_size)   # min/max block size
     si += b"\x00\x00\x00" * 2                           # min/max frame size unknown
     # 20 bits rate | 3 bits channels-1 | 5 bits bps-1 | 36 bits total
-    packed = (sample_rate << 44) | (0 << 41) | (15 << 36) | int(samples.size)
+    packed = (sample_rate << 44) | ((2 - 1 if stereo else 0) << 41) | (15 << 36) | int(n_total)
     si += packed.to_bytes(8, "big")
     si += b"\x00" * 16                                  # MD5 unknown
     out += bytes([0x80, 0, 0, 34]) + si
 
-    for fi, off in enumerate(range(0, samples.size, block_size)):
+    for fi, off in enumerate(range(0, n_total, block_size)):
         block = samples[off : off + block_size]
-        out += _encode_frame(fi, block, block_size, force_escape)
+        out += _encode_frame(
+            fi, block, stereo, force_escape, lpc_orders, force_lpc, channel_mode
+        )
     return bytes(out)
 
 
-def _encode_frame(frame_no: int, block: np.ndarray, nominal_bs: int,
-                  force_escape: bool = False) -> bytes:
+def _plan_subframe(block: np.ndarray, bps: int, lpc_orders: tuple,
+                   force_lpc: bool):
+    """Pick the cheapest subframe coding for one channel's block.
+    Returns (bits, plan) where plan is one of
+    ('const', v) / ('verbatim',) / ('fixed', order, resid, u, k) /
+    ('lpc', order, qcoefs, precision, shift, resid, u, k)."""
     n = len(block)
-    hdr = bytearray()
-    hdr += bytes([0xFF, 0xF8])                # sync 11111111 111110 00
-    # block size code 0110 (8-bit value follows) | rate code 0000
-    hdr += bytes([0x60])
-    # channel 0000 | sample size 100 (16 bit) | reserved 0
-    hdr += bytes([0x08])
-    hdr += _utf8_number(frame_no)
-    hdr += bytes([n - 1])
-    hdr += bytes([crc8(bytes(hdr))])
-
-    wtr = _BitWriter()
     if np.all(block == block[0]):
-        wtr.write(0, 1)
-        wtr.write(0b000000, 6)                # CONSTANT
-        wtr.write(0, 1)
-        wtr.write(int(block[0]) & 0xFFFF, 16)
-    else:
-        best = None
+        return bps, ("const", int(block[0]))
+    best = None
+    if not force_lpc:
         for order in range(5):
             if order >= n:
                 break
             resid = _fixed_residual(block, order)
             u = _zigzag(resid)
             k = _best_rice_k(u)
-            bits = 16 * order + 6 + int(np.sum((u >> k) + 1 + k))
+            bits = bps * order + 6 + int(np.sum((u >> k) + 1 + k))
             if best is None or bits < best[0]:
-                best = (bits, order, resid, u, k)
-        if best is None or best[0] >= 16 * n:
-            wtr.write(0, 1)
-            wtr.write(0b000001, 6)            # VERBATIM
-            wtr.write(0, 1)
-            for s in block:
-                wtr.write(int(s) & 0xFFFF, 16)
+                best = (bits, ("fixed", order, resid, u, k))
+    for order in lpc_orders:
+        if order < 1 or order > 32 or order >= n:
+            continue
+        a = _lpc_coeffs(block, order)
+        if a is None:
+            continue
+        q = _quantize_lpc(a)
+        if q is None:
+            continue
+        qc, shift, prec = q
+        x = block.astype(np.int64)
+        resid = x[order:] - _lpc_predict(x, qc, shift, order)
+        u = _zigzag(resid)
+        k = _best_rice_k(u)
+        bits = bps * order + 4 + 5 + prec * order + 6 + int(np.sum((u >> k) + 1 + k))
+        if best is None or bits < best[0]:
+            best = (bits, ("lpc", order, qc, prec, shift, resid, u, k))
+    if best is None or best[0] >= bps * n:
+        return bps * n, ("verbatim",)
+    return best
+
+
+def _write_subframe(wtr: _BitWriter, block: np.ndarray, bps: int, plan,
+                    force_escape: bool) -> None:
+    kind = plan[0]
+    mask = (1 << bps) - 1
+    wtr.write(0, 1)
+    if kind == "const":
+        wtr.write(0b000000, 6)
+        wtr.write(0, 1)
+        wtr.write(plan[1] & mask, bps)
+        return
+    if kind == "verbatim":
+        wtr.write(0b000001, 6)
+        wtr.write(0, 1)
+        for s in block:
+            wtr.write(int(s) & mask, bps)
+        return
+    if kind == "fixed":
+        _, order, resid, u, k = plan
+        wtr.write(0b001000 | order, 6)
+    else:  # lpc
+        _, order, qc, prec, shift, resid, u, k = plan
+        wtr.write(0b100000 | (order - 1), 6)
+    wtr.write(0, 1)
+    for s in block[:order]:                   # warmup at this channel's bps
+        wtr.write(int(s) & mask, bps)
+    if kind == "lpc":
+        wtr.write(prec - 1, 4)
+        wtr.write(shift, 5)
+        for c in qc:
+            wtr.write(c & ((1 << prec) - 1), prec)
+    wtr.write(0, 2)                           # residual method: Rice 4-bit
+    wtr.write(0, 4)                           # partition order 0
+    # the escape code exists for residuals whose unary quotients would
+    # explode; 16-bit inputs never reach it organically, so force_escape
+    # keeps the decode path honest in tests
+    if force_escape:
+        raw_bits = int(max(2, int(np.max(np.abs(resid))).bit_length() + 1))
+        wtr.write(0b1111, 4)
+        wtr.write(raw_bits, 5)
+        for v in resid:
+            wtr.write(int(v) & ((1 << raw_bits) - 1), raw_bits)
+    else:
+        wtr.write(k, 4)
+        for q in u:
+            wtr.unary(int(q) >> k)
+            if k:
+                wtr.write(int(q) & ((1 << k) - 1), k)
+
+
+def _stereo_channels(block: np.ndarray, ch_code: int):
+    """Channel pair + per-channel bps for one stereo assignment.
+    Side channels carry bps + 1 (side = L - R spans 17 bits)."""
+    left = block[:, 0]
+    right = block[:, 1]
+    if ch_code == 0b0001:   # independent
+        return (left, right), (16, 16)
+    if ch_code == 0b1000:   # left/side
+        return (left, left - right), (16, 17)
+    if ch_code == 0b1001:   # right/side (side FIRST per spec)
+        return (left - right, right), (17, 16)
+    if ch_code == 0b1010:   # mid/side
+        return ((left + right) >> 1, left - right), (16, 17)
+    raise ValueError("bad stereo channel code")
+
+
+def _encode_frame(frame_no: int, block: np.ndarray, stereo: bool,
+                  force_escape: bool, lpc_orders: tuple, force_lpc: bool,
+                  channel_mode: str) -> bytes:
+    n = block.shape[0]
+    if stereo:
+        if channel_mode == "cycle":
+            ch_code = (0b0001, 0b1000, 0b1001, 0b1010)[frame_no % 4]
+            chans, bpss = _stereo_channels(block, ch_code)
+            plans = [
+                _plan_subframe(c, b, lpc_orders, force_lpc)[1]
+                for c, b in zip(chans, bpss)
+            ]
         else:
-            _, order, resid, u, k = best
-            wtr.write(0, 1)
-            wtr.write(0b001000 | order, 6)    # FIXED, order 0-4
-            wtr.write(0, 1)
-            for s in block[:order]:           # warmup
-                wtr.write(int(s) & 0xFFFF, 16)
-            wtr.write(0, 2)                   # residual method: Rice 4-bit
-            wtr.write(0, 4)                   # partition order 0
-            # the escape code exists for residuals whose unary quotients
-            # would explode; 16-bit inputs never reach it organically,
-            # so force_escape keeps the decode path honest in tests
-            if force_escape:
-                raw_bits = int(max(2, int(np.max(np.abs(resid))).bit_length() + 1))
-                wtr.write(0b1111, 4)
-                wtr.write(raw_bits, 5)
-                for v in resid:
-                    wtr.write(int(v) & ((1 << raw_bits) - 1), raw_bits)
-            else:
-                wtr.write(k, 4)
-                for q in u:
-                    wtr.unary(int(q) >> k)
-                    if k:
-                        wtr.write(int(q) & ((1 << k) - 1), k)
+            best = None
+            for code in (0b0001, 0b1000, 0b1001, 0b1010):
+                chans, bpss = _stereo_channels(block, code)
+                planned = [
+                    _plan_subframe(c, b, lpc_orders, force_lpc)
+                    for c, b in zip(chans, bpss)
+                ]
+                bits = sum(p[0] for p in planned)
+                if best is None or bits < best[0]:
+                    best = (bits, code, chans, bpss, [p[1] for p in planned])
+            _, ch_code, chans, bpss, plans = best
+    else:
+        ch_code = 0b0000
+        chans, bpss = (block,), (16,)
+        plans = [_plan_subframe(block, 16, lpc_orders, force_lpc)[1]]
+
+    hdr = bytearray()
+    hdr += bytes([0xFF, 0xF8])                # sync 11111111 111110 00
+    # block size code 0110 (8-bit value follows) | rate code 0000
+    hdr += bytes([0x60])
+    # channel code (4) | sample size 100 (16 bit) | reserved 0
+    hdr += bytes([(ch_code << 4) | 0x08])
+    hdr += _utf8_number(frame_no)
+    hdr += bytes([n - 1])
+    hdr += bytes([crc8(bytes(hdr))])
+
+    wtr = _BitWriter()
+    for chan, bps, plan in zip(chans, bpss, plans):
+        _write_subframe(wtr, chan, bps, plan, force_escape)
     wtr.align()
     frame = bytes(hdr) + bytes(wtr.out)
     return frame + struct.pack(">H", crc16(frame))
@@ -310,15 +491,80 @@ def _encode_frame(frame_no: int, block: np.ndarray, nominal_bs: int,
 # decoder
 # ---------------------------------------------------------------------------
 
+def _read_signed(rdr: _BitReader, nbits: int) -> int:
+    v = rdr.read(nbits)
+    return v - (1 << nbits) if v >= 1 << (nbits - 1) else v
+
+
+def _decode_subframe(rdr: _BitReader, n: int, bps: int) -> list:
+    """One subframe at the given bits-per-sample (17 for side channels)."""
+    if rdr.read(1) != 0:
+        raise ValueError("subframe padding bit set")
+    stype = rdr.read(6)
+    if rdr.read(1) != 0:
+        raise ValueError("wasted bits unsupported in subset")
+    if stype == 0b000000:  # CONSTANT
+        return [_read_signed(rdr, bps)] * n
+    if stype == 0b000001:  # VERBATIM
+        return [_read_signed(rdr, bps) for _ in range(n)]
+    if 0b001000 <= stype <= 0b001100:  # FIXED order 0-4
+        order = stype & 0x7
+        qc = None
+        shift = 0
+    elif stype & 0b100000:  # LPC, order 1-32
+        order = (stype & 0x1F) + 1
+    else:
+        raise ValueError("reserved subframe type")
+    warm = [_read_signed(rdr, bps) for _ in range(order)]
+    if stype & 0b100000:
+        prec_code = rdr.read(4)
+        if prec_code == 0b1111:
+            raise ValueError("invalid LPC precision code")
+        prec = prec_code + 1
+        shift = rdr.read(5)
+        if shift >= 1 << 4:  # 5-bit two's complement: negative shift
+            raise ValueError("negative LPC shift outside the subset")
+        qc = [_read_signed(rdr, prec) for _ in range(order)]
+    if rdr.read(2) != 0:
+        raise ValueError("only 4-bit Rice residuals in subset")
+    if rdr.read(4) != 0:
+        raise ValueError("only partition order 0 in subset")
+    k = rdr.read(4)
+    resid = []
+    if k == 0b1111:  # escape: raw two's-complement
+        raw_bits = rdr.read(5)
+        for _ in range(n - order):
+            resid.append(_read_signed(rdr, raw_bits))
+    else:
+        for _ in range(n - order):
+            q = rdr.unary()
+            u = (q << k) | (rdr.read(k) if k else 0)
+            resid.append(_unzigzag(u))
+    block = list(warm)
+    if qc is None:
+        coeffs = _FIXED_COEFFS[order]
+        for r in resid:
+            pred = sum(c * block[-i - 1] for i, c in enumerate(coeffs))
+            block.append(pred + r)
+    else:
+        for r in resid:
+            pred = sum(c * block[-i - 1] for i, c in enumerate(qc)) >> shift
+            block.append(pred + r)
+    return block
+
+
 def decode_flac(payload: bytes):
-    """Decode the supported subset. Returns (sample_rate, samples) with
-    samples int16 numpy. Raises ValueError on malformed input, bad
-    CRCs, or features outside the subset."""
+    """Decode the supported subset. Returns (sample_rate, samples):
+    samples is int16 numpy, shape (n,) for mono or (n, 2) for stereo
+    (any mix of independent / left-side / right-side / mid-side frames).
+    Raises ValueError on malformed input, bad CRCs, or features outside
+    the subset."""
     if payload[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
     pos = 4
     rate = None
     total = None
+    channels = None
     # metadata blocks
     while True:
         if pos + 4 > len(payload):
@@ -337,17 +583,18 @@ def decode_flac(payload: bytes):
             channels = ((packed >> 41) & 0x7) + 1
             bps = ((packed >> 36) & 0x1F) + 1
             total = packed & ((1 << 36) - 1)
-            if channels != 1 or bps != 16:
-                raise ValueError("subset is mono 16-bit")
+            if channels not in (1, 2) or bps != 16:
+                raise ValueError("subset is mono/stereo 16-bit")
         pos += 4 + blen
         if hdr & 0x80:
             break
     if rate is None:
         raise ValueError("missing STREAMINFO")
 
-    out: list[int] = []
+    out: list = []
+    n_out = 0
     expect_frame = 0
-    while pos < len(payload) and len(out) < total:
+    while pos < len(payload) and n_out < total:
         frame_start = pos
         rdr = _BitReader(payload, pos)
         sync = rdr.read(14)
@@ -361,8 +608,13 @@ def decode_flac(payload: bytes):
         ch_code = rdr.read(4)
         ss_code = rdr.read(3)
         rdr.read(1)  # reserved
-        if ch_code != 0 or ss_code != 0b100:
-            raise ValueError("subset is mono 16-bit frames")
+        if ss_code != 0b100:
+            raise ValueError("subset is 16-bit frames")
+        if channels == 1:
+            if ch_code != 0b0000:
+                raise ValueError("mono stream with non-mono frame")
+        elif ch_code not in (0b0001, 0b1000, 0b1001, 0b1010):
+            raise ValueError("stereo frame channel code outside the subset")
         frame_no = _read_utf8_number(rdr)
         if frame_no != expect_frame:
             raise ValueError("frame number out of sequence")
@@ -384,52 +636,28 @@ def decode_flac(payload: bytes):
         if crc8(payload[frame_start:hdr_end]) != rdr.read(8):
             raise ValueError("frame header CRC-8 mismatch")
 
-        # subframe (mono: exactly one)
-        if rdr.read(1) != 0:
-            raise ValueError("subframe padding bit set")
-        stype = rdr.read(6)
-        if rdr.read(1) != 0:
-            raise ValueError("wasted bits unsupported in subset")
-        if stype == 0b000000:  # CONSTANT
-            v = rdr.read(16)
-            v = v - 0x10000 if v >= 0x8000 else v
-            block = [v] * n
-        elif stype == 0b000001:  # VERBATIM
-            block = []
-            for _ in range(n):
-                v = rdr.read(16)
-                block.append(v - 0x10000 if v >= 0x8000 else v)
-        elif 0b001000 <= stype <= 0b001100:  # FIXED order 0-4
-            order = stype & 0x7
-            warm = []
-            for _ in range(order):
-                v = rdr.read(16)
-                warm.append(v - 0x10000 if v >= 0x8000 else v)
-            if rdr.read(2) != 0:
-                raise ValueError("only 4-bit Rice residuals in subset")
-            if rdr.read(4) != 0:
-                raise ValueError("only partition order 0 in subset")
-            k = rdr.read(4)
-            resid = []
-            if k == 0b1111:  # escape: raw two's-complement
-                raw_bits = rdr.read(5)
-                for _ in range(n - order):
-                    v = rdr.read(raw_bits)
-                    if v >= 1 << (raw_bits - 1):
-                        v -= 1 << raw_bits
-                    resid.append(v)
-            else:
-                for _ in range(n - order):
-                    q = rdr.unary()
-                    u = (q << k) | (rdr.read(k) if k else 0)
-                    resid.append(_unzigzag(u))
-            block = list(warm)
-            coeffs = _FIXED_COEFFS[order]
-            for r in resid:
-                pred = sum(c * block[-i - 1] for i, c in enumerate(coeffs))
-                block.append(pred + r)
+        if channels == 1:
+            block = _decode_subframe(rdr, n, 16)
         else:
-            raise ValueError("LPC subframes outside the subset")
+            # side channel (L-R) rides at bps+1 per the spec
+            side_idx = {0b0001: None, 0b1000: 1, 0b1001: 0, 0b1010: 1}[ch_code]
+            ch = [
+                np.asarray(
+                    _decode_subframe(rdr, n, 17 if side_idx == c else 16),
+                    dtype=np.int64,
+                )
+                for c in range(2)
+            ]
+            if ch_code == 0b0001:
+                left, right = ch
+            elif ch_code == 0b1000:     # left/side
+                left, right = ch[0], ch[0] - ch[1]
+            elif ch_code == 0b1001:     # right/side (side first)
+                left, right = ch[0] + ch[1], ch[1]
+            else:                       # mid/side
+                m2 = (ch[0] << 1) | (ch[1] & 1)
+                left, right = (m2 + ch[1]) >> 1, (m2 - ch[1]) >> 1
+            block = np.stack([left, right], axis=1)
 
         rdr.align()
         body_end = rdr.byte_pos()
@@ -439,11 +667,21 @@ def decode_flac(payload: bytes):
         if crc16(payload[frame_start:body_end]) != crc_got:
             raise ValueError("frame CRC-16 mismatch")
         pos = body_end + 2
-        out.extend(block)
+        if channels == 1:
+            out.extend(block)
+            n_out += len(block)
+        else:
+            out.append(block)
+            n_out += block.shape[0]
         expect_frame += 1
-    if len(out) != total:
-        raise ValueError(f"decoded {len(out)} of {total} samples")
-    return int(rate), np.asarray(out, dtype=np.int16)
+    if n_out != total:
+        raise ValueError(f"decoded {n_out} of {total} samples")
+    if channels == 1:
+        return int(rate), np.asarray(out, dtype=np.int16)
+    full = np.concatenate(out, axis=0)
+    if full.size and (full.max() > 32767 or full.min() < -32768):
+        raise ValueError("reconstructed samples exceed 16-bit range")
+    return int(rate), full.astype(np.int16)
 
 
 # ---------------------------------------------------------------------------
@@ -496,6 +734,68 @@ def decode_flac_stats(df, id_col: str, bin_col: str):
                 out["sample_sum"].append(int(s64.sum()))
                 out["abs_sum"].append(int(np.abs(s64).sum()))
                 out["pos_weighted_sum"].append(int(((p % 997 + 1) * s64).sum()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(decode, schema=schema)
+
+
+def decode_flac_stereo_stats(df, id_col: str, bin_col: str):
+    """REAL stereo-LPC FLAC decode emitting EXACT per-channel integer
+    statistics. Exercises the round-13 subset widening end-to-end:
+    LPC subframes (quantized-coefficient integer prediction) and all
+    four channel assignments (independent / left-side / right-side /
+    mid-side reconstruction). Lossless, so a SQL oracle recomputes
+    every BIGINT from the generation rule. Malformed or mono payloads
+    yield ok=false rows. One Arrow-batched mapInPandas pass; payloads
+    never shuffle."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cols = ("doc_id", "ok", "sample_rate", "n_samples",
+            "left_sum", "right_sum", "left_abs_sum", "right_abs_sum",
+            "left_pw_sum", "right_pw_sum")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ok", T.BooleanType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("left_sum", T.LongType()),
+            T.StructField("right_sum", T.LongType()),
+            T.StructField("left_abs_sum", T.LongType()),
+            T.StructField("right_abs_sum", T.LongType()),
+            T.StructField("left_pw_sum", T.LongType()),
+            T.StructField("right_pw_sum", T.LongType()),
+        ]
+    )
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(bin_col).alias("payload"))
+
+    def decode(batches):
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    rate, s = decode_flac(bytes(payload or b""))
+                    if s.ndim != 2:
+                        raise ValueError("expected a stereo stream")
+                except (ValueError, IndexError, struct.error):
+                    out["ok"].append(False)
+                    for key in cols[2:]:
+                        out[key].append(0)
+                    continue
+                s64 = s.astype(np.int64)
+                w = np.arange(s64.shape[0], dtype=np.int64) % 997 + 1
+                out["ok"].append(True)
+                out["sample_rate"].append(int(rate))
+                out["n_samples"].append(int(s64.shape[0]))
+                out["left_sum"].append(int(s64[:, 0].sum()))
+                out["right_sum"].append(int(s64[:, 1].sum()))
+                out["left_abs_sum"].append(int(np.abs(s64[:, 0]).sum()))
+                out["right_abs_sum"].append(int(np.abs(s64[:, 1]).sum()))
+                out["left_pw_sum"].append(int((w * s64[:, 0]).sum()))
+                out["right_pw_sum"].append(int((w * s64[:, 1]).sum()))
             yield pd.DataFrame(out)
 
     return src.mapInPandas(decode, schema=schema)

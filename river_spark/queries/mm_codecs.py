@@ -1202,3 +1202,246 @@ def mm_jpeg_gray_decode_stats(spark, sf_dir):
     return stats.filter(F.col("ok")).select(
         "doc_id", "width", "height", "r_sum", "g_sum", "b_sum", "y_sum"
     )
+
+
+# ---- Stereo-LPC FLAC rule (round 13 — the subset widening real FLAC
+# corpora need): correlated stereo pair, SQL closed form:
+#   n = 400 + (d % 4) * 100, rate = 16000 + (d % 2) * 8000
+#   L(i) = ((d*17 + 5i) % 3001) - 1500 + (i % 13) * 2
+#   R(i) = L(i) - (((d + i) % 257) - 128)
+# (R tracks L with a small bounded difference, so the side channel is
+# genuinely cheap and the stereo decorrelation is profitable; block
+# size 128 gives every payload >= 4 frames so the cycled channel mode
+# covers all four assignments — independent, left/side, right/side,
+# mid/side — in every single payload)
+
+
+def _flac_lpc_payloads(docs):
+    """doc_id -> synthesized stereo-LPC FLAC payload (one mapInPandas
+    pass). force_lpc routes every non-constant subframe through the
+    LPC wire path (quantized Levinson-Durbin coefficients), the same
+    honesty knob force_escape provides for the Rice escape code."""
+    from river_spark.operators.flac import encode_flac
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 400 + (d % 4) * 100
+                i = np.arange(n, dtype=np.int64)
+                left = ((d * 17 + 5 * i) % 3001) - 1500 + (i % 13) * 2
+                right = left - (((d + i) % 257) - 128)
+                s = np.stack([left, right], axis=1).astype(np.int16)
+                ids.append(d)
+                payloads.append(
+                    encode_flac(
+                        16000 + (d % 2) * 8000,
+                        s,
+                        block_size=128,
+                        lpc_orders=(2, 4, 8),
+                        force_lpc=True,
+                        channel_mode="cycle",
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+@q(
+    "mm_flac_lpc_decode_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 400 + (doc_id % 4) * 100 AS n FROM documents),
+    s AS (
+        SELECT doc_id, n, g.i AS i,
+               ((doc_id * 17 + 5 * g.i) % 3001) - 1500 + (g.i % 13) * 2 AS l
+        FROM dims, UNNEST(generate_series(0, n - 1)) AS g(i)),
+    lr AS (
+        SELECT doc_id, n, i, l, l - (((doc_id + i) % 257) - 128) AS r FROM s)
+    SELECT doc_id,
+           CAST(16000 + (doc_id % 2) * 8000 AS INT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(sum(l) AS BIGINT) AS left_sum,
+           CAST(sum(r) AS BIGINT) AS right_sum,
+           CAST(sum(abs(l)) AS BIGINT) AS left_abs_sum,
+           CAST(sum(abs(r)) AS BIGINT) AS right_abs_sum,
+           CAST(sum((i % 997 + 1) * l) AS BIGINT) AS left_pw_sum,
+           CAST(sum((i % 997 + 1) * r) AS BIGINT) AS right_pw_sum
+    FROM lr GROUP BY doc_id, n
+    """,
+    tags=("multimodal", "codec", "audio"),
+)
+def mm_flac_lpc_decode_stats(spark, sf_dir):
+    """REAL stereo-LPC FLAC encode→decode round trip under the
+    bit-level oracle — the round-13 widening of the FLAC subset to the
+    two features real corpora are overwhelmingly made of. Payloads are
+    genuine FLAC streams whose every non-constant subframe is LPC
+    (per-block Levinson-Durbin, coefficients quantized to the wire's
+    (precision, shift) pair, residuals against the INTEGER prediction)
+    and whose frames CYCLE through all four stereo channel assignments
+    — independent, left/side, right/side, mid/side, the side channel at
+    17 bits per the spec — so one payload exercises every
+    reconstruction path. Spark decodes with
+    operators/flac.decode_flac_stereo_stats (CRC-8/CRC-16 verified,
+    integer LPC reconstruction, channel de-correlation); losslessness
+    makes the oracle a pure restatement of the generation rule, with
+    per-channel position-weighted checksums pinning sample order AND
+    channel identity (a swapped L/R or a mid/side off-by-one parity bug
+    flips them). Subset rejects (negative LPC shift, precision escape
+    code) are pinned by tests/test_flac_codec.py."""
+    from river_spark.operators.flac import decode_flac_stereo_stats
+
+    docs = tbl(spark, sf_dir, "documents")
+    stats = decode_flac_stereo_stats(_flac_lpc_payloads(docs), "doc_id", "payload")
+    return stats.filter(F.col("ok")).select(
+        "doc_id", "sample_rate", "n_samples",
+        "left_sum", "right_sum", "left_abs_sum", "right_abs_sum",
+        "left_pw_sum", "right_pw_sum",
+    )
+
+
+# ---- MJPEG AVI rule (round 13 — the compressed-video layout): every
+# frame a constant-block baseline JPEG (the DC-only closed form the
+# JPEG oracle mirrors), varying per frame:
+#   nf = 3 + d % 4, wb = 2 + d % 3, hb = 2 + d % 2, fps = 10 + d % 7
+#   frame f, block p: Y = (d*31 + 11f + 5p) % 256,
+#                     Cb = (d*17 + 13f + 3p) % 256,
+#                     Cr = (d*23 + 19f + 7p) % 256
+# The query samples every 2nd frame; skipped frames never enter the
+# entropy decoder.
+
+
+def _mjpeg_payloads(docs):
+    """doc_id -> synthesized MJPEG AVI (one mapInPandas pass): each
+    '00dc' chunk is a complete baseline JPEG (4:4:4, flat quant,
+    Annex-K Huffman, restart every 2 MCUs) inside the real RIFF
+    container with biCompression 'MJPG'."""
+    from river_spark.operators.avi import encode_avi_mjpeg
+    from river_spark.operators.jpeg import encode_jpeg
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nf = 3 + d % 4
+                wb, hb = 2 + d % 3, 2 + d % 2
+                p = np.arange(wb * hb, dtype=np.int64)
+                frames = []
+                for f in range(nf):
+                    planes = [
+                        np.kron(
+                            (((d * a + b * f + c * p) % 256)
+                             .astype(np.uint8).reshape(hb, wb)),
+                            np.ones((8, 8), dtype=np.uint8),
+                        )
+                        for a, b, c in ((31, 11, 5), (17, 13, 3), (23, 19, 7))
+                    ]
+                    frames.append(encode_jpeg(planes, restart_interval=2))
+                ids.append(d)
+                payloads.append(
+                    encode_avi_mjpeg(frames, 8 * wb, 8 * hb, fps=10 + d % 7)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+@q(
+    "mm_mjpeg_frame_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 3 + doc_id % 4 AS nf,
+               2 + doc_id % 3 AS wb, 2 + doc_id % 2 AS hb
+        FROM documents),
+    fr AS (  -- every 2nd frame, the operator's sampling stride
+        SELECT doc_id, nf, wb, hb, g.f AS f
+        FROM dims, UNNEST(generate_series(0, nf - 1)) AS g(f)
+        WHERE g.f % 2 = 0),
+    blk AS (
+        SELECT doc_id, nf, wb, hb, f,
+               (doc_id * 31 + 11 * f + 5 * g.p) % 256 AS yv,
+               (doc_id * 17 + 13 * f + 3 * g.p) % 256 AS cbv,
+               (doc_id * 23 + 19 * f + 7 * g.p) % 256 AS crv
+        FROM fr, UNNEST(generate_series(0, wb * hb - 1)) AS g(p)),
+    -- fixed-point forward DCT DC term: F = (n * (8*11585)^2 + 2^29) >> 30
+    fdc AS (
+        SELECT doc_id, nf, wb, hb, f,
+          CAST(floor(((yv - 128) * 8589582400 + 536870912) / 1073741824.0) AS BIGINT) AS fy,
+          CAST(floor(((cbv - 128) * 8589582400 + 536870912) / 1073741824.0) AS BIGINT) AS fcb,
+          CAST(floor(((crv - 128) * 8589582400 + 536870912) / 1073741824.0) AS BIGINT) AS fcr
+        FROM blk),
+    -- round-half-up quantization, steps 16 (luma) / 17 (chroma)
+    qc AS (
+        SELECT doc_id, nf, wb, hb, f,
+          CAST(floor((2 * fy + 16) / 32.0) AS BIGINT) AS qy,
+          CAST(floor((2 * fcb + 17) / 34.0) AS BIGINT) AS qcb,
+          CAST(floor((2 * fcr + 17) / 34.0) AS BIGINT) AS qcr
+        FROM fdc),
+    -- dequant + fixed-point IDCT of the DC-only block: 11585^2 * level
+    rc AS (
+        SELECT doc_id, nf, wb, hb, f,
+          GREATEST(0, LEAST(255, CAST(floor((134212225 * qy * 16 + 536870912) / 1073741824.0) AS BIGINT) + 128)) AS ry,
+          GREATEST(0, LEAST(255, CAST(floor((134212225 * qcb * 17 + 536870912) / 1073741824.0) AS BIGINT) + 128)) AS rcb,
+          GREATEST(0, LEAST(255, CAST(floor((134212225 * qcr * 17 + 536870912) / 1073741824.0) AS BIGINT) + 128)) AS rcr
+        FROM qc),
+    -- pinned integer JFIF YCbCr->RGB (scale 2^16, +2^15 rounding)
+    rgb AS (
+        SELECT doc_id, nf, wb, hb, f, ry,
+          GREATEST(0, LEAST(255, ry + CAST(floor((91881 * (rcr - 128) + 32768) / 65536.0) AS BIGINT))) AS r,
+          GREATEST(0, LEAST(255, ry - CAST(floor((46802 * (rcr - 128) + 22554 * (rcb - 128) + 32768) / 65536.0) AS BIGINT))) AS g_,
+          GREATEST(0, LEAST(255, ry + CAST(floor((116130 * (rcb - 128) + 32768) / 65536.0) AS BIGINT))) AS b
+        FROM rc)
+    SELECT doc_id,
+           CAST(8 * wb AS INT) AS width,
+           CAST(8 * hb AS INT) AS height,
+           CAST(10 + doc_id % 7 AS INT) AS fps,
+           CAST((nf + 1) // 2 AS BIGINT) AS n_sampled,
+           CAST(64 * sum(r) AS BIGINT) AS r_sum,
+           CAST(64 * sum(g_) AS BIGINT) AS g_sum,
+           CAST(64 * sum(b) AS BIGINT) AS b_sum,
+           CAST(64 * sum((f + 1) * ry) AS BIGINT) AS frame_weighted_y
+    FROM rgb GROUP BY doc_id, nf, wb, hb
+    """,
+    tags=("multimodal", "codec", "video"),
+)
+def mm_mjpeg_frame_stats(spark, sf_dir):
+    """REAL compressed-video decode under the bit-level oracle: MJPEG
+    AVI — the round-13 widening of the video modality from uncompressed
+    DIB chunks to the dominant compressed layout, composing the two
+    proven codecs (RIFF/AVI container walk x baseline JPEG fixed-point
+    pipeline). Payloads are genuine MJPEG AVIs: biCompression 'MJPG',
+    every '00dc' chunk a complete T.81 baseline JPEG with restart
+    markers. Spark samples every 2nd frame (skipped frames never enter
+    the Huffman decoder — the chunk walk advances by length), decodes
+    with operators/jpeg.decode_jpeg, and emits exact integer RGB sums
+    plus a frame-index-weighted Y checksum pinning frame order. The
+    oracle mirrors the pinned integer kernels per (doc, frame) — the
+    same DC-only closed form mm_jpeg_decode_stats proves, extended by
+    the frame dimension and the sampling stride — never seeing a byte.
+    Container lies (frame-count, size mismatch) and non-MJPG
+    compression are reject-tested in tests/test_avi_codec.py."""
+    from river_spark.operators.avi import decode_avi_mjpeg_stats
+
+    docs = tbl(spark, sf_dir, "documents")
+    stats = decode_avi_mjpeg_stats(_mjpeg_payloads(docs), "doc_id", "payload")
+    return stats.filter(F.col("ok")).select(
+        "doc_id", "width", "height", "fps", "n_sampled",
+        "r_sum", "g_sum", "b_sum", "frame_weighted_y",
+    )

@@ -131,3 +131,156 @@ def test_spark_stats_path(spark):
     assert r1["sample_sum"] == int(s.sum())
     assert r1["abs_sum"] == int(np.abs(s).sum())
     assert r1["pos_weighted_sum"] == int(((p % 997 + 1) * s).sum())
+
+
+# ---------------------------------------------------------------------------
+# round-13 subset widening: LPC subframes + stereo decorrelation
+# ---------------------------------------------------------------------------
+
+
+def _stereo_signal(n=700, seed_d=5):
+    i = np.arange(n, dtype=np.int64)
+    left = ((seed_d * 17 + 5 * i) % 3001) - 1500 + (i % 13) * 2
+    right = left - (((seed_d + i) % 257) - 128)
+    return np.stack([left, right], axis=1).astype(np.int16)
+
+
+def test_lpc_mono_lossless_roundtrip():
+    i = np.arange(900, dtype=np.int64)
+    x = (((7 * i) % 4001) - 2000 + (i % 17) * 3).astype(np.int16)
+    data = encode_flac(8000, x, lpc_orders=(2, 4, 8))
+    rate, got = decode_flac(data)
+    assert rate == 8000
+    np.testing.assert_array_equal(got, x)
+
+
+def test_force_lpc_puts_lpc_on_the_wire():
+    """With force_lpc the stream must contain NO fixed-predictor
+    subframes — decode through a patched _FIXED_COEFFS would fail, so
+    instead re-encode without LPC and check the bytes differ AND the
+    LPC stream still round-trips."""
+    i = np.arange(512, dtype=np.int64)
+    x = (((11 * i) % 3001) - 1500).astype(np.int16)
+    lpc = encode_flac(8000, x, lpc_orders=(4,), force_lpc=True)
+    fixed = encode_flac(8000, x)
+    assert lpc != fixed
+    # LPC subframe header bit 0b100000 present in the stream: decode
+    # exercises the LPC reconstruction (would ValueError on reserved)
+    rate, got = decode_flac(lpc)
+    np.testing.assert_array_equal(got, x)
+
+
+def test_lpc_plus_escape_roundtrip():
+    i = np.arange(300, dtype=np.int64)
+    x = (((13 * i) % 2001) - 1000).astype(np.int16)
+    data = encode_flac(8000, x, lpc_orders=(2, 4), force_lpc=True,
+                       force_escape=True)
+    rate, got = decode_flac(data)
+    np.testing.assert_array_equal(got, x)
+
+
+@pytest.mark.parametrize("mode", ["auto", "cycle"])
+def test_stereo_lossless_roundtrip(mode):
+    s = _stereo_signal()
+    data = encode_flac(44100, s, block_size=128, lpc_orders=(2, 4, 8),
+                       channel_mode=mode)
+    rate, got = decode_flac(data)
+    assert rate == 44100 and got.shape == s.shape
+    np.testing.assert_array_equal(got, s)
+
+
+def test_cycle_mode_covers_all_four_assignments():
+    """>= 4 frames at block 128: the frame headers must carry all four
+    channel codes (0b0001 independent, 0b1000/0b1001 sides, 0b1010
+    mid/side)."""
+    s = _stereo_signal(n=600)
+    data = encode_flac(44100, s, block_size=128, channel_mode="cycle")
+    codes = set()
+    # walk frames by sync pattern: 0xFF 0xF8 (this subset's first two
+    # header bytes), channel code is the high nibble of byte 3
+    pos = 0
+    while True:
+        pos = data.find(b"\xff\xf8", pos)
+        if pos < 0:
+            break
+        codes.add(data[pos + 3] >> 4)
+        pos += 2
+    assert {0b0001, 0b1000, 0b1001, 0b1010} <= codes
+
+
+def test_stereo_independent_channels_extreme_values():
+    # anticorrelated full-range channels: side = L - R spans 17 bits
+    n = 256
+    left = np.full(n, 32767, dtype=np.int64)
+    left[::2] = -32768
+    right = -left - 1
+    s = np.stack([left, right], axis=1).astype(np.int16)
+    for mode in ("auto", "cycle"):
+        data = encode_flac(8000, s, channel_mode=mode)
+        rate, got = decode_flac(data)
+        np.testing.assert_array_equal(got, s)
+
+
+def test_stereo_constant_and_short_blocks():
+    s = np.zeros((5, 2), dtype=np.int16)
+    s[:, 0] = 7
+    s[:, 1] = -3
+    data = encode_flac(8000, s, block_size=4)
+    rate, got = decode_flac(data)
+    np.testing.assert_array_equal(got, s)
+
+
+def test_lpc_reject_paths():
+    with pytest.raises(ValueError):
+        encode_flac(8000, np.zeros((4, 3), dtype=np.int16))  # 3 channels
+    with pytest.raises(ValueError):
+        encode_flac(8000, np.zeros(8, dtype=np.int16), channel_mode="best")
+    # corrupt an LPC stream body: CRC-16 must catch it
+    i = np.arange(400, dtype=np.int64)
+    x = (((7 * i) % 1501) - 750).astype(np.int16)
+    data = bytearray(encode_flac(8000, x, lpc_orders=(4,), force_lpc=True))
+    data[len(data) // 2] ^= 0x40
+    with pytest.raises(ValueError):
+        decode_flac(bytes(data))
+
+
+def test_mono_bytes_unchanged_by_widening():
+    """The round-13 widening must not move a byte of the existing mono
+    fixed-predictor wire (the driver query mm_flac_decode_stats pins
+    stats, this pins layout): LPC is searched only when lpc_orders is
+    non-empty."""
+    i = np.arange(500, dtype=np.int64)
+    x = (((5 * i) % 4001) - 2000 + (i % 17) * 3).astype(np.int16)
+    a = encode_flac(12000, x)
+    b = encode_flac(12000, x, lpc_orders=())
+    assert a == b
+
+
+def test_spark_stereo_stats_path(spark):
+    from river_spark.operators.flac import decode_flac_stereo_stats
+
+    s = _stereo_signal(n=500)
+    good = encode_flac(24000, s, block_size=128, lpc_orders=(2, 4, 8),
+                       force_lpc=True, channel_mode="cycle")
+    mono = encode_flac(24000, s[:, 0].copy())
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(mono)), (3, bytearray(b"fLaCxx"))],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in decode_flac_stereo_stats(df, "doc_id", "payload").collect()
+    }
+    assert rows[2]["ok"] is False  # mono stream rejected by the stereo op
+    assert rows[3]["ok"] is False
+    r1 = rows[1]
+    s64 = s.astype(np.int64)
+    w = np.arange(s64.shape[0], dtype=np.int64) % 997 + 1
+    assert r1["ok"] and r1["sample_rate"] == 24000
+    assert r1["n_samples"] == 500
+    assert r1["left_sum"] == int(s64[:, 0].sum())
+    assert r1["right_sum"] == int(s64[:, 1].sum())
+    assert r1["left_abs_sum"] == int(np.abs(s64[:, 0]).sum())
+    assert r1["right_abs_sum"] == int(np.abs(s64[:, 1]).sum())
+    assert r1["left_pw_sum"] == int((w * s64[:, 0]).sum())
+    assert r1["right_pw_sum"] == int((w * s64[:, 1]).sum())
