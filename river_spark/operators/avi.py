@@ -10,10 +10,15 @@ BMP codec pins), and the idx1 index real players require. Frames are
 LOSSLESS, so the driver oracle (mm_avi_frame_stats) recomputes every
 sampled frame's statistics straight from the generation rule.
 
-Subset: one video stream, BI_RGB 24-bit, no audio, no OpenDML
-extensions. The decoder walks RIFF structurally (it does not trust
-idx1) and exposes frame-striding so the Spark operator can sample
-every k-th frame without touching the skipped payload bytes.
+Subset: one video stream, no audio, no OpenDML extensions. Two frame
+codecs: BI_RGB 24-bit DIB (uncompressed) and — round 13 — MJPEG
+('MJPG' biCompression, each '00dc' chunk a complete baseline JPEG
+decoded by operators/jpeg.py's pinned fixed-point pipeline), the
+dominant compressed-AVI layout real capture corpora carry. The decoder
+walks RIFF structurally (it does not trust idx1) and exposes
+frame-striding so the Spark operator can sample every k-th frame
+without touching the skipped payload bytes — for MJPEG that skips the
+whole entropy decode of unsampled frames.
 
 Reference scope parity: the reference stores opaque binary payloads;
 decode here is a first-class distributed operator per SURVEY.md's
@@ -26,7 +31,11 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_avi", "decode_avi", "iter_avi_frames"]
+__all__ = ["encode_avi", "decode_avi", "iter_avi_frames",
+           "encode_avi_mjpeg", "iter_avi_mjpeg_frames",
+           "decode_avi_mjpeg_stats"]
+
+_MJPG = 0x47504A4D  # 'MJPG' little-endian fourcc as biCompression
 
 
 def _row_stride(width: int) -> int:
@@ -122,7 +131,8 @@ def encode_avi(frames: list, fps: int = 10) -> bytes:
 
 def _walk_riff(payload: bytes):
     """Validate the outer RIFF and return (width, height, fps, n_frames,
-    movi_start, movi_end) by structural walk."""
+    movi_span, compression) by structural walk. compression is 0 for
+    BI_RGB DIB frames or the 'MJPG' fourcc value."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
     (riff_len,) = struct.unpack_from("<I", payload, 4)
@@ -131,6 +141,7 @@ def _walk_riff(payload: bytes):
     pos = 12
     w = h = fps = n = None
     movi_span = None
+    compression = None
     while pos + 8 <= riff_len + 8:
         fourcc = payload[pos : pos + 4]
         (clen,) = struct.unpack_from("<I", payload, pos + 4)
@@ -159,14 +170,20 @@ def _walk_riff(payload: bytes):
                             (l3,) = struct.unpack_from("<I", payload, spos + 4)
                             if c3 == b"strf":
                                 bi = struct.unpack_from("<IiiHHI", payload, spos + 8)
-                                if bi[4] != 24 or bi[5] != 0:
-                                    raise ValueError("subset is 24-bit BI_RGB")
+                                if bi[5] == 0:
+                                    if bi[4] != 24:
+                                        raise ValueError("DIB subset is 24-bit BI_RGB")
+                                elif bi[5] != _MJPG:
+                                    raise ValueError(
+                                        "subset codecs are BI_RGB and MJPG"
+                                    )
+                                compression = bi[5]
                             spos += 8 + l3 + (l3 % 2)
                     ipos += 8 + l2 + (l2 % 2)
         pos += 8 + clen + (clen % 2)
-    if None in (w, h, fps, n) or movi_span is None:
-        raise ValueError("missing avih/movi")
-    return int(w), int(h), int(fps), int(n), movi_span
+    if None in (w, h, fps, n) or movi_span is None or compression is None:
+        raise ValueError("missing avih/strf/movi")
+    return int(w), int(h), int(fps), int(n), movi_span, int(compression)
 
 
 def iter_avi_frames(payload: bytes, every_k: int = 1):
@@ -174,7 +191,9 @@ def iter_avi_frames(payload: bytes, every_k: int = 1):
     frames are never decoded — the walk advances by chunk length, so
     sampling cost is O(frames kept), the property the Spark operator's
     100 TB posture claims."""
-    w, h, fps, n, (mstart, mend) = _walk_riff(payload)
+    w, h, fps, n, (mstart, mend), compression = _walk_riff(payload)
+    if compression != 0:
+        raise ValueError("iter_avi_frames decodes DIB frames only")
     pos = mstart
     fi = 0
     while pos + 8 <= mend:
@@ -189,11 +208,88 @@ def iter_avi_frames(payload: bytes, every_k: int = 1):
         raise ValueError(f"movi carried {fi} frames, header said {n}")
 
 
+def iter_avi_mjpeg_frames(payload: bytes, every_k: int = 1):
+    """Yield (frame_index, jpeg_bytes) for every k-th MJPEG frame.
+    Skipped frames never enter the JPEG entropy decoder — the walk
+    advances by chunk length, the same O(frames kept) property the DIB
+    path pins."""
+    w, h, fps, n, (mstart, mend), compression = _walk_riff(payload)
+    if compression != _MJPG:
+        raise ValueError("not an MJPEG AVI")
+    pos = mstart
+    fi = 0
+    while pos + 8 <= mend:
+        fourcc = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        if fourcc in (b"00db", b"00dc"):
+            if fi % every_k == 0:
+                yield fi, bytes(payload[pos + 8 : pos + 8 + clen])
+            fi += 1
+        pos += 8 + clen + (clen % 2)
+    if fi != n:
+        raise ValueError(f"movi carried {fi} frames, header said {n}")
+
+
 def decode_avi(payload: bytes):
     """Decode everything: returns (width, height, fps, [frames])."""
-    w, h, fps, n, _ = _walk_riff(payload)
+    w, h, fps, n, _, _ = _walk_riff(payload)
     frames = [f for _, f in iter_avi_frames(payload)]
     return w, h, fps, frames
+
+
+def encode_avi_mjpeg(jpeg_frames: list, width: int, height: int,
+                     fps: int = 10) -> bytes:
+    """Encode pre-encoded baseline-JPEG frame payloads as an MJPEG AVI:
+    same RIFF/hdrl/movi/idx1 skeleton as encode_avi with stream handler
+    and biCompression 'MJPG' and one complete JPEG per '00dc' chunk."""
+    if not jpeg_frames:
+        raise ValueError("at least one frame")
+    for jf in jpeg_frames:
+        if bytes(jf[:2]) != b"\xff\xd8":
+            raise ValueError("MJPEG frames must be JPEG payloads (SOI)")
+    n = len(jpeg_frames)
+    buf_size = max(len(jf) for jf in jpeg_frames)
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, buf_size * fps, 0, 0x10, n, 0, 1, buf_size,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0,
+        1, fps, 0, n, buf_size, 0xFFFFFFFF, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, _MJPG, 0, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+
+    movi_body = bytearray(b"movi")
+    entries = []
+    for jf in jpeg_frames:
+        entries.append((len(movi_body), len(jf)))
+        movi_body += chunk(b"00dc", bytes(jf))
+    movi = chunk(b"LIST", bytes(movi_body))
+
+    idx = bytearray()
+    for off, clen in entries:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, clen)
+    idx1 = chunk(b"idx1", bytes(idx))
+
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
 # ---------------------------------------------------------------------------
@@ -235,7 +331,7 @@ def decode_avi_frame_stats(df, id_col: str, bin_col: str, every_k: int = 2):
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 out["doc_id"].append(doc_id)
                 try:
-                    w, h, fps, n, _ = _walk_riff(bytes(payload or b""))
+                    w, h, fps, n, _, _ = _walk_riff(bytes(payload or b""))
                     rs = gs = bs = fwr = 0
                     k = 0
                     for fi, frame in iter_avi_frames(bytes(payload), every_k):
@@ -262,6 +358,98 @@ def decode_avi_frame_stats(df, id_col: str, bin_col: str, every_k: int = 2):
                 out["g_sum"].append(gs)
                 out["b_sum"].append(bs)
                 out["frame_weighted_r"].append(fwr)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(decode, schema=schema)
+
+
+def decode_avi_mjpeg_stats(df, id_col: str, bin_col: str, every_k: int = 2):
+    """REAL compressed-video frame sampling: walk the MJPEG AVI
+    container, run every k-th '00dc' chunk through the full baseline
+    JPEG pipeline (operators/jpeg.py — Huffman entropy decode,
+    fixed-point dequant+IDCT, pinned integer YCbCr->RGB), emit EXACT
+    integer statistics: per-doc RGB channel sums over the sampled
+    frames plus a frame-index-weighted Y checksum that pins frame
+    ORDER. Skipped frames never enter the entropy decoder. Malformed
+    payloads yield ok=false rows. One Arrow-batched mapInPandas pass;
+    payloads never shuffle."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from river_spark.operators.jpeg import (
+        decode_jpeg,
+        upsample_chroma_nn,
+        ycbcr_to_rgb_int,
+    )
+
+    cols = ("doc_id", "ok", "width", "height", "fps", "n_sampled",
+            "r_sum", "g_sum", "b_sum", "frame_weighted_y")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ok", T.BooleanType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("fps", T.IntegerType()),
+            T.StructField("n_sampled", T.LongType()),
+            T.StructField("r_sum", T.LongType()),
+            T.StructField("g_sum", T.LongType()),
+            T.StructField("b_sum", T.LongType()),
+            T.StructField("frame_weighted_y", T.LongType()),
+        ]
+    )
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(bin_col).alias("payload"))
+
+    def decode(batches):
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    w, h, fps, n, _, comp = _walk_riff(bytes(payload or b""))
+                    if comp != _MJPG:
+                        raise ValueError("not MJPEG")
+                    rs = gs = bs = fwy = 0
+                    k = 0
+                    for fi, jf in iter_avi_mjpeg_frames(bytes(payload), every_k):
+                        jw, jh, planes = decode_jpeg(jf)
+                        if (jw, jh) != (w, h):
+                            raise ValueError("frame/header size mismatch")
+                        y = planes[0]
+                        if len(planes) == 3:
+                            cb, cr = planes[1], planes[2]
+                            if cb.shape != y.shape:
+                                cb = upsample_chroma_nn(
+                                    cb, y.shape[1] // cb.shape[1],
+                                    y.shape[0] // cb.shape[0])
+                                cr = upsample_chroma_nn(
+                                    cr, y.shape[1] // cr.shape[1],
+                                    y.shape[0] // cr.shape[0])
+                            r, g, b = ycbcr_to_rgb_int(y, cb, cr)
+                        else:
+                            r = g = b = y
+                        rs += int(r.astype(np.int64).sum())
+                        gs += int(g.astype(np.int64).sum())
+                        bs += int(b.astype(np.int64).sum())
+                        fwy += (fi + 1) * int(y.astype(np.int64).sum())
+                        k += 1
+                except (ValueError, IndexError, struct.error):
+                    for key, v in (("ok", False), ("width", 0), ("height", 0),
+                                   ("fps", 0), ("n_sampled", 0), ("r_sum", 0),
+                                   ("g_sum", 0), ("b_sum", 0),
+                                   ("frame_weighted_y", 0)):
+                        out[key].append(v)
+                    continue
+                out["ok"].append(True)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["fps"].append(fps)
+                out["n_sampled"].append(k)
+                out["r_sum"].append(rs)
+                out["g_sum"].append(gs)
+                out["b_sum"].append(bs)
+                out["frame_weighted_y"].append(fwy)
             yield pd.DataFrame(out)
 
     return src.mapInPandas(decode, schema=schema)

@@ -103,3 +103,111 @@ def test_spark_stats_path(spark):
     assert r1["ok"] and r1["n_sampled"] == 2 and r1["fps"] == 15
     assert r1["r_sum"] == 16 * (10 + 30)
     assert r1["frame_weighted_r"] == 1 * 16 * 10 + 3 * 16 * 30
+
+
+# ---------------------------------------------------------------------------
+# round-13: MJPEG frames ('MJPG' biCompression, JPEG chunk payloads)
+# ---------------------------------------------------------------------------
+
+
+def _const_block_jpeg(d, f, wb, hb):
+    from river_spark.operators.jpeg import encode_jpeg
+
+    p = np.arange(wb * hb, dtype=np.int64)
+    planes = [
+        np.kron(
+            (((d * a + b * f + c * p) % 256).astype(np.uint8).reshape(hb, wb)),
+            np.ones((8, 8), dtype=np.uint8),
+        )
+        for a, b, c in ((31, 11, 5), (17, 13, 3), (23, 19, 7))
+    ]
+    return encode_jpeg(planes, restart_interval=2)
+
+
+def test_mjpeg_container_roundtrip():
+    from river_spark.operators.avi import encode_avi_mjpeg, iter_avi_mjpeg_frames
+    from river_spark.operators.jpeg import decode_jpeg
+
+    wb, hb = 3, 2
+    frames = [_const_block_jpeg(7, f, wb, hb) for f in range(5)]
+    data = encode_avi_mjpeg(frames, 8 * wb, 8 * hb, fps=12)
+    got = list(iter_avi_mjpeg_frames(data))
+    assert [fi for fi, _ in got] == [0, 1, 2, 3, 4]
+    # chunk payloads are the exact JPEG bytes in order
+    assert [jf for _, jf in got] == frames
+    w, h, planes = decode_jpeg(got[3][1])
+    assert (w, h) == (8 * wb, 8 * hb)
+
+
+def test_mjpeg_sampling_skips_decoder():
+    from river_spark.operators.avi import encode_avi_mjpeg, iter_avi_mjpeg_frames
+
+    frames = [_const_block_jpeg(3, f, 2, 2) for f in range(6)]
+    # corrupt frame 1's entropy data: sampling every 2nd frame must
+    # never touch it (the skipped chunk is not parsed at all)
+    bad = bytearray(frames[1])
+    bad[-10] ^= 0x55
+    frames[1] = bytes(bad)
+    data = encode_avi_mjpeg(frames, 16, 16, fps=10)
+    got = [fi for fi, _ in iter_avi_mjpeg_frames(data, every_k=2)]
+    assert got == [0, 2, 4]
+
+
+def test_mjpeg_reject_paths():
+    from river_spark.operators.avi import (
+        encode_avi_mjpeg,
+        iter_avi_frames,
+        iter_avi_mjpeg_frames,
+        encode_avi,
+    )
+
+    frames = [_const_block_jpeg(1, f, 2, 2) for f in range(3)]
+    data = encode_avi_mjpeg(frames, 16, 16)
+    # DIB iterator refuses MJPEG and vice versa
+    with pytest.raises(ValueError):
+        list(iter_avi_frames(data))
+    dib = encode_avi([np.zeros((8, 8, 3), dtype=np.uint8)])
+    with pytest.raises(ValueError):
+        list(iter_avi_mjpeg_frames(dib))
+    # non-JPEG frame payload rejected at encode
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([b"not a jpeg"], 16, 16)
+    # foreign compression fourcc rejected by the walk ('XVID')
+    xvid = bytearray(data)
+    at = xvid.find(b"MJPG", 40)  # strf biCompression (skip strh fourcc)
+    at = xvid.find(b"MJPG", at + 1)
+    xvid[at : at + 4] = b"XVID"
+    with pytest.raises(ValueError):
+        list(iter_avi_mjpeg_frames(bytes(xvid)))
+
+
+def test_mjpeg_spark_stats_path(spark):
+    from river_spark.operators.avi import decode_avi_mjpeg_stats, encode_avi_mjpeg
+    from river_spark.operators.jpeg import decode_jpeg, ycbcr_to_rgb_int
+
+    d, nf, wb, hb = 11, 5, 2, 2
+    frames = [_const_block_jpeg(d, f, wb, hb) for f in range(nf)]
+    data = encode_avi_mjpeg(frames, 8 * wb, 8 * hb, fps=14)
+    df = spark.createDataFrame(
+        [(1, bytearray(data)), (2, bytearray(b"RIFFjunk"))],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in decode_avi_mjpeg_stats(df, "doc_id", "payload").collect()
+    }
+    assert rows[2]["ok"] is False
+    r1 = rows[1]
+    # recompute expectations straight from the JPEG decoder (sampled 0,2,4)
+    rs = gs = bs = fwy = 0
+    for f in (0, 2, 4):
+        w, h, planes = decode_jpeg(frames[f])
+        r, g, b = ycbcr_to_rgb_int(*planes)
+        rs += int(r.astype(np.int64).sum())
+        gs += int(g.astype(np.int64).sum())
+        bs += int(b.astype(np.int64).sum())
+        fwy += (f + 1) * int(planes[0].astype(np.int64).sum())
+    assert r1["ok"] and (r1["width"], r1["height"], r1["fps"]) == (16, 16, 14)
+    assert r1["n_sampled"] == 3
+    assert (r1["r_sum"], r1["g_sum"], r1["b_sum"]) == (rs, gs, bs)
+    assert r1["frame_weighted_y"] == fwy
