@@ -67,6 +67,7 @@ import river_spark.queries.relational36 as _relational36  # noqa: F401
 import river_spark.queries.relational37 as _relational37  # noqa: F401
 import river_spark.queries.curation12 as _curation12  # noqa: F401
 import river_spark.queries.relational38 as _relational38  # noqa: F401
+import river_spark.queries.relational39 as _relational39  # noqa: F401
 from river_spark.queries.relational import QUERIES as _RAW
 
 

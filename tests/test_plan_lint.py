@@ -66,6 +66,7 @@ CROSS_OK = {
     "ev_markov_entropy_rate": 1,    # broadcast 1-row transition grand total
     "pipeline_dataset_delta": 1,    # chained 1-row version-summary scalars
     "ab_cuped_adjusted": 1,         # broadcast 1-row pooled (theta, rho2)
+    "agg_ks_two_sample": 1,         # broadcast 1-row (n1, n2) group totals
     "agg_kmv_overlap": 320,         # build = bottom-K sketch rows, capped at
                                     # K*|segments| = 64*5 BY CONSTRUCTION —
                                     # sketch size is data-independent (that

@@ -144,14 +144,16 @@ def test_decimal_sum_is_exact(spark, vals):
 
 @given(
     data=st.data(),
-    direction=st.sampled_from(["backward", "forward"]),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
 )
 @settings(**_SETTINGS)
 def test_asof_matches_pandas_merge_asof(spark, data, direction):
     """asof_join against pandas merge_asof as an independent reference,
-    randomized keys/timestamps. Right timestamps are unique per key so
-    tie-among-duplicates conventions (where the two references
-    legitimately differ) can't muddy the comparison."""
+    randomized keys/timestamps — all three directions (round 13 added
+    'nearest'; both references break equal-distance ties backward).
+    Right timestamps are unique per key so tie-among-duplicates
+    conventions (where the two references legitimately differ) can't
+    muddy the comparison."""
     from river_spark.operators.asof import asof_join
 
     n_left = data.draw(st.integers(1, 15))
