@@ -424,76 +424,73 @@ _R10_ORDER = [
 # Discipline: a query whose PHYSICAL PLAN changed since its last green
 # driver row goes back through the driver before anything new.
 _WINDOW = [
-    # --- Round-12 rotation (r11 verdict directives #1/#2): the driver
-    #     checks the FIRST 50 each round. The 43 round-11 additions
-    #     (waves 29-37, mm codecs, streaming KMV) have never had a
-    #     driver row — they LEAD, oldest wave first. Behind them, the
-    #     five ns->us-idiom streaming queries re-adjudicate under the
-    #     integer-division fix + float-divergent ghost sentinel, and
-    #     the two stalest r4 transport gates take the last slots.
-    # --- never driver-checked (43; registration = wave order):
-    "river_stream_kmv_distinct",
-    "ev_ewma_daily",
-    "pipeline_temperature_mix",
-    "pipeline_blocklist_filter",
-    "emb_pq_adc_search",
-    "dedup_shingle_containment",
-    "ev_markov_entropy_rate",
-    "pipeline_pack_efficiency",
-    "pipeline_pps_sample",
-    "mm_bmp_decode_stats",
-    "mm_wav_decode_stats",
-    "mm_png_decode_stats",
-    "mm_qoi_decode_stats",
-    "mm_mulaw_decode_stats",
-    "mm_bmp_resize_stats",
-    "mm_gif_decode_stats",
-    "ab_mann_whitney_u",
-    "agg_spearman_rho",
-    "agg_cohens_kappa",
-    "pipeline_score_calibration",
-    "pipeline_quality_knee",
-    "agg_auc_roc",
-    "ev_audience_overlap",
-    "graph_assortativity",
-    "ev_asof_forward",
-    "agg_bootstrap_ci",
-    "agg_kmv_overlap",
-    "agg_delta_method_ratio",
-    "dq_table_checksum",
-    "ev_twap",
-    "ab_cuped_adjusted",
-    "pipeline_incremental_dedup",
-    "ab_srm_check",
-    "agg_mann_kendall_trend",
-    "agg_theil_sen_slope",
-    "agg_capture_recapture",
-    "graph_adamic_adar",
-    "ev_haar_energy",
-    "ab_wilcoxon_signed_rank",
-    "agg_gumbel_block_maxima",
-    "dedup_shingle_df_profile",
-    "dedup_threshold_sweep",
-    "dq_length_iqr_outliers",
-    # --- ns->us integer idiom swept r12; sentinel-equipped fixtures:
-    "river_stream_outer_join",
-    "river_stream_right_outer_join",
-    "river_stream_full_outer_join",
-    "river_stream_semi_join",
-    "river_stream_window_chain",
-    # --- stalest cohort head (last driver row r4):
-    "river_pruned_ingest",
-    "river_resume_roundtrip",
+    # --- Round-13 rotation (r12 verdict directive #1): the driver
+    #     checks the FIRST 50 each round. The 12 round-12 additions
+    #     have never had a driver row — they lead. Behind them, the
+    #     round-13 additions (eviction-regime heavy hitters, stereo-LPC
+    #     FLAC, MJPEG AVI, K-S test, nearest as-of), then 33 of the 37
+    #     r4-stale cohort (latest CORRECTNESS row round 4 — the oldest
+    #     green evidence in the repo), transport gates first; the
+    #     remaining 4 r4 rows and the r6 cohort head round 14.
+    # --- round-12 additions (never driver-checked):
+    "mm_jpeg_decode_stats",
+    "mm_jpeg420_decode_stats",
+    "mm_jpeg_gray_decode_stats",
+    "mm_tiff_decode_stats",
+    "mm_adpcm_decode_stats",
+    "mm_flac_decode_stats",
+    "mm_avi_frame_stats",
+    "agg_kruskal_wallis",
+    "agg_friedman_test",
+    "ab_cochran_armitage",
+    "river_stream_inner_join",
+    "river_stream_topk_heavy_hitters",
+    # --- round-13 additions:
+    "river_stream_topk_evicted",
+    "mm_flac_lpc_decode_stats",
+    "mm_mjpeg_frame_stats",
+    "agg_ks_two_sample",
+    "ev_asof_nearest",
+    # --- r4-stale cohort (transport gates first):
+    "river_catalog_scan",
+    "river_cli_roundtrip",
+    "river_http_read",
+    "river_stale_autoeof",
+    "q1_pricing_summary",
+    "q2_min_unit_price_supplier",
+    "q11_supplier_balance_share",
+    "q22_idle_customers",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "emb_knn_cosine",
+    "emb_ann_lsh",
+    "emb_ann_ivf",
+    "emb_cosine_dedup",
+    "emb_norms",
+    "emb_centroid_norms",
+    "ev_rollup_cascade",
+    "pipeline_training_set",
+    "agg_approx_distinct",
+    "fn_array_agg",
+    "fn_json_struct",
+    "fn_map",
+    "join_salted",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_payload_metadata",
+    "null_ordering",
+    "null_semantics",
+    "pivot_status_priority",
+    "scalar_regex",
+    "set_ops_all",
+    "udaf_weighted_avg",
 ]
-# Round-13 rotation note: the round-12 additions (mm_jpeg_decode_stats,
-# mm_jpeg420_decode_stats, mm_tiff_decode_stats, mm_adpcm_decode_stats,
-# mm_flac_decode_stats, agg_kruskal_wallis, ab_cochran_armitage,
-# agg_friedman_test, river_stream_inner_join,
-# river_stream_topk_heavy_hitters, mm_flac_decode_stats,
-# mm_avi_frame_stats, mm_jpeg_gray_decode_stats) have no driver
-# row yet — they lead
-# the next window, followed by the stalest cohorts (r4 transport tail,
-# then r6).
+# Round-14 rotation note: behind this window sit the 4 remaining
+# r4-stale rows (udf_normalize_text, udtf_tokenize, win_value_functions,
+# fn_higher_order-era peers), then the r6 cohort (agg_percentile,
+# agg_median_mode, set_ops, topk_global, ...) oldest-first; round-13
+# additions landing after this list was frozen join the round-14 head.
 
 # Tail keeps the round-10 staleness order so future rotations stay
 # oldest-first; round-11 additions register at the very end (behind
