@@ -38,6 +38,7 @@ import numpy as np
 
 __all__ = [
     "encode_jpeg",
+    "encode_jpeg_progressive",
     "decode_jpeg",
     "ycbcr_to_rgb_int",
     "QUANT_FLAT16",
@@ -465,6 +466,225 @@ def encode_jpeg_420(
 
 
 # ---------------------------------------------------------------------------
+# progressive encoder (SOF2) — round 13
+# ---------------------------------------------------------------------------
+
+def _trunc_shift(v: int, al: int) -> int:
+    """T.81 AC point transform: divide by 2^Al TOWARD ZERO (G.1.2.1;
+    the DC point transform is the arithmetic shift, applied inline)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def encode_jpeg_progressive(
+    planes: list[np.ndarray],
+    quant_luma: np.ndarray = QUANT_FLAT16,
+    quant_chroma: np.ndarray = QUANT_FLAT17,
+) -> bytes:
+    """Encode 1 (grayscale) or 3 (YCbCr 4:4:4) uint8 planes as a
+    PROGRESSIVE JPEG (SOF2) using the canonical simple-progression
+    script (the libjpeg default shape):
+
+      1. DC first scan, interleaved, successive approximation Al=1
+      2-4. per-component AC first scans, band 1-63, Al=1
+      5. DC refinement scan, interleaved, Ah=1 -> Al=0
+      6-8. per-component AC refinement scans, band 1-63, Ah=1 -> Al=0
+
+    Progressive mode changes only the TRANSMISSION ORDER of the same
+    quantized coefficients, so decode(encode_jpeg_progressive(x)) ==
+    decode(encode_jpeg(x)) EXACTLY — pinned by tests — and the
+    constant-block closed-form oracle carries over unchanged.
+
+    Scope: 4:4:4 sampling, no restart markers, encoder flushes each
+    end-of-band as a plain EOB (EOBRUN length 1 — the Annex K AC tables
+    carry no EOBn>0 symbols); the DECODER handles full EOBn runs, so
+    foreign progressive files with custom tables and long EOB runs
+    decode too."""
+    if len(planes) not in (1, 3):
+        raise ValueError("1 or 3 planes")
+    h, w = planes[0].shape
+    if h % 8 or w % 8:
+        raise ValueError("dimensions must be multiples of 8")
+    for p in planes:
+        if p.shape != (h, w):
+            raise ValueError("all planes must share dimensions")
+
+    nc = len(planes)
+    qtabs = [np.asarray(quant_luma, dtype=np.int64)]
+    if nc == 3:
+        qtabs.append(np.asarray(quant_chroma, dtype=np.int64))
+
+    # quantize every block up front (zigzag order per block)
+    by, bx = h // 8, w // 8
+    coefs = []  # per component: (by*bx, 64) int64
+    for ci, plane in enumerate(planes):
+        qt = qtabs[0 if ci == 0 else 1]
+        cz = np.zeros((by * bx, 64), dtype=np.int64)
+        for b in range(by * bx):
+            y0, x0 = (b // bx) * 8, (b % bx) * 8
+            block = plane[y0 : y0 + 8, x0 : x0 + 8].astype(np.int64) - 128
+            cz[b] = _quantize(fdct8x8_int(block), qt)[ZIGZAG]
+        coefs.append(cz)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    for tid, qt in enumerate(qtabs):
+        seg(0xDB, bytes([tid]) + bytes(int(qt[ZIGZAG[k]]) for k in range(64)))
+
+    body = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        body += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    seg(0xC2, body)  # SOF2: progressive DCT
+
+    huffs = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS), (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)]
+    if nc == 3:
+        huffs += [
+            (0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+        ]
+    for tc_th, bits, vals in huffs:
+        seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+
+    dc_enc = [_canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)]
+    ac_enc = [_canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)]
+    if nc == 3:
+        dc_enc.append(_canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS))
+        ac_enc.append(_canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS))
+
+    def sos(scan_comps: list, ss: int, se: int, ah: int, al: int) -> None:
+        body = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            tsel = 0 if ci == 0 else 1
+            # DC scans use the DC table id; AC scans the AC table id;
+            # refinement DC scans need no table but the field is carried
+            body += bytes([ci + 1, (tsel << 4) | tsel])
+        body += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, body)
+
+    all_comps = list(range(nc))
+
+    # --- scan 1: DC first, Al=1, interleaved
+    sos(all_comps, 0, 0, 0, 1)
+    wtr = _BitWriter()
+    pred = [0] * nc
+    for b in range(by * bx):
+        for ci in all_comps:
+            dc = int(coefs[ci][b][0]) >> 1          # DC point transform
+            size, bits = _magnitude(dc - pred[ci])
+            code, length = dc_enc[0 if ci == 0 else 1][size]
+            wtr.write(code, length)
+            if size:
+                wtr.write(bits, size)
+            pred[ci] = dc
+    wtr.flush()
+    out.extend(wtr.out)
+
+    # --- scans 2-4: AC first, band 1-63, Al=1, one component each
+    for ci in all_comps:
+        sos([ci], 1, 63, 0, 1)
+        wtr = _BitWriter()
+        actab = ac_enc[0 if ci == 0 else 1]
+        for b in range(by * bx):
+            zz = coefs[ci][b]
+            band = [_trunc_shift(int(zz[k]), 1) for k in range(1, 64)]
+            last = 62
+            while last >= 0 and band[last] == 0:
+                last -= 1
+            run = 0
+            for k in range(last + 1):
+                v = band[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = actab[0xF0]
+                    wtr.write(code, length)
+                    run -= 16
+                size, bits = _magnitude(v)
+                code, length = actab[(run << 4) | size]
+                wtr.write(code, length)
+                wtr.write(bits, size)
+                run = 0
+            if last < 62:
+                code, length = actab[0x00]          # EOB (EOBRUN = 1)
+                wtr.write(code, length)
+        wtr.flush()
+        out.extend(wtr.out)
+
+    # --- scan 5: DC refinement, Ah=1 -> Al=0, interleaved (raw bits)
+    sos(all_comps, 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for b in range(by * bx):
+        for ci in all_comps:
+            wtr.write(int(coefs[ci][b][0]) & 1, 1)
+    wtr.flush()
+    out.extend(wtr.out)
+
+    # --- scans 6-8: AC refinement, band 1-63, Ah=1 -> Al=0
+    for ci in all_comps:
+        sos([ci], 1, 63, 1, 0)
+        wtr = _BitWriter()
+        actab = ac_enc[0 if ci == 0 else 1]
+        for b in range(by * bx):
+            zz = coefs[ci][b]
+            # history = coefficient at the previous approximation level
+            hist = [_trunc_shift(int(zz[k]), 1) for k in range(1, 64)]
+            now = [int(zz[k]) for k in range(1, 64)]
+            # last position with a NEWLY significant coefficient
+            last_new = -1
+            for k in range(63):
+                if hist[k] == 0 and now[k] != 0:
+                    last_new = k
+            run = 0
+            pend: list[int] = []                     # buffered corrections
+
+            def emit(code_len):
+                wtr.write(*code_len)
+
+            k = 0
+            while k <= last_new:
+                if hist[k] != 0:
+                    pend.append(abs(now[k]) & 1)     # correction bit
+                elif now[k] == 0:
+                    run += 1
+                    if run == 16:
+                        emit(actab[0xF0])
+                        for bit in pend:
+                            wtr.write(bit, 1)
+                        pend = []
+                        run = 0
+                else:
+                    # newly significant: magnitude must be 1 at this level
+                    emit(actab[(run << 4) | 1])
+                    wtr.write(1 if now[k] > 0 else 0, 1)
+                    for bit in pend:
+                        wtr.write(bit, 1)
+                    pend = []
+                    run = 0
+                k += 1
+            if last_new < 62:
+                emit(actab[0x00])                    # EOB (EOBRUN = 1)
+                for bit in pend:
+                    wtr.write(bit, 1)
+                pend = []
+                # corrections for the rest of the band follow the EOB
+                for j in range(last_new + 1, 63):
+                    if hist[j] != 0:
+                        wtr.write(abs(now[j]) & 1, 1)
+            else:
+                for bit in pend:
+                    wtr.write(bit, 1)
+        wtr.flush()
+        out.extend(wtr.out)
+
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
@@ -531,8 +751,10 @@ def decode_jpeg(payload: bytes):
                 or (nc == 3 and samp_set == [(2, 2), (1, 1), (1, 1)])
             ):
                 raise ValueError("only 4:4:4 or 4:2:0 sampling")
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("not baseline sequential")
+        elif marker == 0xC2:  # SOF2: progressive DCT (round-13 subset)
+            return _decode_progressive(payload)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("unsupported SOF (not baseline or progressive)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -603,6 +825,207 @@ def decode_jpeg(payload: bytes):
                         coef.reshape(8, 8)
                     )
     return w, h, planes
+
+
+def _decode_progressive(payload: bytes):
+    """Decode a progressive (SOF2) JPEG: 8-bit, 1 or 3 components,
+    4:4:4 sampling, no restart markers. Coefficient buffers accumulate
+    across scans — DC first/refinement (any Al ladder), AC first scans
+    with FULL EOBn run decoding, AC refinement scans with correction
+    bits (T.81 G.1.2) — then one dequant+IDCT at EOI. Returns the same
+    (width, height, [planes]) contract as the baseline path."""
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None
+    w = h = 0
+    coefs = None          # per component: (blocks, 64) int64, zigzag order
+    eobrun = 0
+
+    while True:
+        # seek the next marker (skips any stray fill bytes)
+        while payload[pos] != 0xFF or payload[pos + 1] in (0x00, 0xFF):
+            pos += 1
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = np.frombuffer(body, dtype=np.uint8, count=64, offset=o + 1).astype(np.int64)
+                nat = np.zeros(64, dtype=np.int64)
+                nat[ZIGZAG] = zz
+                qtabs[tq] = nat
+                o += 65
+        elif marker == 0xC4:
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 15
+                bits = list(body[o + 1 : o + 17])
+                n = sum(bits)
+                vals = list(body[o + 17 : o + 17 + n])
+                huff[(tc, th)] = _decode_map(bits, vals)
+                o += 17 + n
+        elif marker == 0xC2:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision")
+            if nc not in (1, 3):
+                raise ValueError("1 or 3 components")
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise ValueError("progressive subset is 4:4:4")
+                comps.append((cid, tq))
+            if h % 8 or w % 8:
+                raise ValueError("dimensions must cover whole blocks")
+            coefs = [
+                np.zeros(((h // 8) * (w // 8), 64), dtype=np.int64)
+                for _ in comps
+            ]
+        elif marker == 0xDD:
+            (ri,) = struct.unpack_from(">H", body, 0)
+            if ri:
+                raise ValueError("restart markers outside the progressive subset")
+        elif marker == 0xDA:
+            if comps is None:
+                raise ValueError("SOS before SOF2")
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs, tsel = body[1 + 2 * si], body[2 + 2 * si]
+                ci = next(i for i, (cid, _) in enumerate(comps) if cid == cs)
+                scan.append((ci, tsel >> 4, tsel & 15))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            rdr = _BitReader(payload, pos)
+            eobrun = 0
+            try:
+                if ss == 0:  # DC scan (interleaved over the scan's comps)
+                    if se != 0:
+                        raise ValueError("DC scan must have Se=0")
+                    pred = [0] * len(scan)
+                    nblocks = (h // 8) * (w // 8)
+                    for b in range(nblocks):
+                        for si, (ci, dc_t, _) in enumerate(scan):
+                            if ah == 0:
+                                size = _decode_symbol(rdr, huff[(0, dc_t)])
+                                diff = _extend(rdr.read(size), size) if size else 0
+                                pred[si] += diff
+                                coefs[ci][b][0] = pred[si] << al
+                            else:
+                                if rdr.read(1):
+                                    coefs[ci][b][0] |= 1 << al
+                else:  # AC scan: exactly one component (T.81)
+                    if len(scan) != 1:
+                        raise ValueError("AC scans are non-interleaved")
+                    ci, _, ac_t = scan[0]
+                    actab = huff[(1, ac_t)]
+                    nblocks = (h // 8) * (w // 8)
+                    for b in range(nblocks):
+                        zz = coefs[ci][b]
+                        if ah == 0:
+                            eobrun = _ac_first_block(rdr, actab, zz, ss, se, al, eobrun)
+                        else:
+                            eobrun = _ac_refine_block(rdr, actab, zz, ss, se, al, eobrun)
+            except _MarkerReached as mk:
+                raise ValueError(f"scan data ended early (marker ff{mk.marker:02x})")
+            pos = rdr.pos
+        # APPn / COM: skipped
+
+    if comps is None or coefs is None:
+        raise ValueError("missing SOF2/scan data")
+    bx = w // 8
+    planes = [np.zeros((h, w), dtype=np.uint8) for _ in comps]
+    for ci, (_, tq) in enumerate(comps):
+        qt = qtabs[tq]
+        for b in range(coefs[ci].shape[0]):
+            nat = np.zeros(64, dtype=np.int64)
+            nat[ZIGZAG] = coefs[ci][b]
+            nat *= qt
+            y0, x0 = (b // bx) * 8, (b % bx) * 8
+            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = idct8x8_int(nat.reshape(8, 8))
+    return w, h, planes
+
+
+def _ac_first_block(rdr, actab, zz, ss, se, al, eobrun) -> int:
+    """One block of an AC FIRST scan (Ah=0): (run, size) coding over the
+    band with EOBn runs; new values enter at magnitude << Al (the
+    inverse of the toward-zero point transform)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(rdr, actab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += rdr.read(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        zz[k] = _extend(rdr.read(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(rdr, actab, zz, ss, se, al, eobrun) -> int:
+    """One block of an AC REFINEMENT scan (Ah=Al+1): newly-significant
+    coefficients arrive as (run, 1) symbols with a sign bit; correction
+    bits refine already-significant coefficients in band order (T.81
+    G.1.2.3)."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_symbol(rdr, actab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rdr.read(r)
+                    break
+                newval = 0          # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("refinement magnitude must be 1")
+                newval = p1 if rdr.read(1) else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if rdr.read(1) and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                if rdr.read(1) and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def upsample_chroma_nn(plane: np.ndarray, factor_h: int, factor_v: int) -> np.ndarray:

@@ -1445,3 +1445,120 @@ def mm_mjpeg_frame_stats(spark, sf_dir):
         "doc_id", "width", "height", "fps", "n_sampled",
         "r_sum", "g_sum", "b_sum", "frame_weighted_y",
     )
+
+
+# ---- Progressive JPEG rule (round 13): same constant-block closed form
+# as baseline (progressive changes only the TRANSMISSION ORDER of the
+# same quantized coefficients), different constants:
+#   wb = 2 + d % 3, hb = 2 + d % 2
+#   block p: Y = (d*29 + 5p) % 256, Cb = (d*19 + 3p) % 256,
+#            Cr = (d*13 + 7p) % 256
+
+
+def _jpeg_prog_payloads(docs):
+    """doc_id -> synthesized PROGRESSIVE JPEG payload (one mapInPandas
+    pass): SOF2, the canonical 8-scan simple-progression script — DC
+    first at Al=1, per-component AC 1-63 at Al=1, DC refinement,
+    per-component AC refinement with correction bits."""
+    from river_spark.operators.jpeg import encode_jpeg_progressive
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                wb, hb = 2 + d % 3, 2 + d % 2
+                p = np.arange(wb * hb, dtype=np.int64)
+                planes = [
+                    np.kron(
+                        (((d * a + c * p) % 256).astype(np.uint8).reshape(hb, wb)),
+                        np.ones((8, 8), dtype=np.uint8),
+                    )
+                    for a, c in ((29, 5), (19, 3), (13, 7))
+                ]
+                ids.append(d)
+                payloads.append(encode_jpeg_progressive(planes))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+@q(
+    "mm_jpeg_prog_decode_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 2 + doc_id % 3 AS wb, 2 + doc_id % 2 AS hb
+        FROM documents),
+    blk AS (
+        SELECT doc_id, wb, hb,
+               (doc_id * 29 + 5 * g.p) % 256 AS yv,
+               (doc_id * 19 + 3 * g.p) % 256 AS cbv,
+               (doc_id * 13 + 7 * g.p) % 256 AS crv
+        FROM dims, UNNEST(generate_series(0, wb * hb - 1)) AS g(p)),
+    -- fixed-point forward DCT DC term: F = (n * (8*11585)^2 + 2^29) >> 30
+    f AS (
+        SELECT doc_id, wb, hb,
+          CAST(floor(((yv - 128) * 8589582400 + 536870912) / 1073741824.0) AS BIGINT) AS fy,
+          CAST(floor(((cbv - 128) * 8589582400 + 536870912) / 1073741824.0) AS BIGINT) AS fcb,
+          CAST(floor(((crv - 128) * 8589582400 + 536870912) / 1073741824.0) AS BIGINT) AS fcr
+        FROM blk),
+    -- round-half-up quantization, steps 16 (luma) / 17 (chroma)
+    qc AS (
+        SELECT doc_id, wb, hb,
+          CAST(floor((2 * fy + 16) / 32.0) AS BIGINT) AS qy,
+          CAST(floor((2 * fcb + 17) / 34.0) AS BIGINT) AS qcb,
+          CAST(floor((2 * fcr + 17) / 34.0) AS BIGINT) AS qcr
+        FROM f),
+    -- dequant + fixed-point IDCT of the DC-only block: 11585^2 * level
+    rc AS (
+        SELECT doc_id, wb, hb,
+          GREATEST(0, LEAST(255, CAST(floor((134212225 * qy * 16 + 536870912) / 1073741824.0) AS BIGINT) + 128)) AS ry,
+          GREATEST(0, LEAST(255, CAST(floor((134212225 * qcb * 17 + 536870912) / 1073741824.0) AS BIGINT) + 128)) AS rcb,
+          GREATEST(0, LEAST(255, CAST(floor((134212225 * qcr * 17 + 536870912) / 1073741824.0) AS BIGINT) + 128)) AS rcr
+        FROM qc),
+    -- pinned integer JFIF YCbCr->RGB (scale 2^16, +2^15 rounding)
+    rgb AS (
+        SELECT doc_id, wb, hb, ry,
+          GREATEST(0, LEAST(255, ry + CAST(floor((91881 * (rcr - 128) + 32768) / 65536.0) AS BIGINT))) AS r,
+          GREATEST(0, LEAST(255, ry - CAST(floor((46802 * (rcr - 128) + 22554 * (rcb - 128) + 32768) / 65536.0) AS BIGINT))) AS g_,
+          GREATEST(0, LEAST(255, ry + CAST(floor((116130 * (rcb - 128) + 32768) / 65536.0) AS BIGINT))) AS b
+        FROM rc)
+    SELECT doc_id, CAST(8 * wb AS INT) AS width, CAST(8 * hb AS INT) AS height,
+           CAST(64 * sum(r) AS BIGINT) AS r_sum,
+           CAST(64 * sum(g_) AS BIGINT) AS g_sum,
+           CAST(64 * sum(b) AS BIGINT) AS b_sum,
+           CAST(64 * sum(ry) AS BIGINT) AS y_sum
+    FROM rgb GROUP BY doc_id, wb, hb
+    """,
+    tags=("multimodal", "codec", "image"),
+)
+def mm_jpeg_prog_decode_stats(spark, sf_dir):
+    """PROGRESSIVE JPEG (SOF2) encode→decode round trip under the
+    bit-level oracle — the last dominant real-corpus JPEG mode the
+    family lacked (baseline 4:4:4, 4:2:0, grayscale landed in r12).
+    Payloads carry the canonical 8-scan simple-progression script: DC
+    first scan at Al=1, per-component AC 1-63 first scans, DC
+    refinement raw bits, per-component AC refinement with correction
+    bits — spectral selection AND successive approximation both on the
+    wire. Spark decodes with the full progressive path
+    (operators/jpeg._decode_progressive: coefficient buffers across
+    scans, EOBn run decoding, G.1.2.3 refinement); because progressive
+    mode re-orders the SAME quantized coefficients, decode equals the
+    baseline decode bit-for-bit (pinned by tests on random planes) and
+    the oracle mirrors the identical DC-only closed form with this
+    fixture's constants. Foreign-file EOBn>0 runs are pinned by a
+    hand-built bitstream test."""
+    from river_spark.operators.jpeg import decode_jpeg_rgb_stats
+
+    docs = tbl(spark, sf_dir, "documents")
+    stats = decode_jpeg_rgb_stats(_jpeg_prog_payloads(docs), "doc_id", "payload")
+    return stats.filter(F.col("ok")).select(
+        "doc_id", "width", "height", "r_sum", "g_sum", "b_sum", "y_sum"
+    )

@@ -451,6 +451,7 @@ _WINDOW = [
     "mm_mjpeg_frame_stats",
     "agg_ks_two_sample",
     "ev_asof_nearest",
+    "mm_jpeg_prog_decode_stats",
     # --- r4-stale cohort (transport gates first):
     "river_catalog_scan",
     "river_cli_roundtrip",
@@ -484,7 +485,6 @@ _WINDOW = [
     "pivot_status_priority",
     "scalar_regex",
     "set_ops_all",
-    "udaf_weighted_avg",
 ]
 # Round-14 rotation note: behind this window sit the 4 remaining
 # r4-stale rows (udf_normalize_text, udtf_tokenize, win_value_functions,

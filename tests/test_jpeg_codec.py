@@ -232,3 +232,138 @@ def test_420_reject_paths():
     data[sof + 7 + 4] = 0x21
     with pytest.raises(ValueError):
         decode_jpeg(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# round-13: progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_equals_baseline_decode():
+    """Progressive mode re-orders the same quantized coefficients, so
+    decode(progressive) == decode(baseline) EXACTLY — random planes
+    exercise DC refinement, AC first-scan runs, ZRL, and AC refinement
+    correction bits."""
+    from river_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(13)
+    for h, w, nc in [(16, 24, 3), (8, 8, 1), (32, 16, 3), (24, 24, 1)]:
+        planes = [rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+                  for _ in range(nc)]
+        wb, hb, pb = decode_jpeg(encode_jpeg(planes))
+        wp, hp, pp = decode_jpeg(encode_jpeg_progressive(planes))
+        assert (wb, hb) == (wp, hp)
+        for a, b in zip(pb, pp):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_progressive_smooth_and_constant():
+    from river_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    i = np.arange(32)[:, None] + np.arange(32)[None, :]
+    smooth = [(i * 3 % 256).astype(np.uint8)] * 3
+    p = np.arange(6, dtype=np.int64)
+    const = [
+        np.kron(((11 * p + c) % 256).astype(np.uint8).reshape(2, 3),
+                np.ones((8, 8), dtype=np.uint8))
+        for c in (0, 1, 2)
+    ]
+    for planes in (smooth, const):
+        a = decode_jpeg(encode_jpeg(planes))
+        b = decode_jpeg(encode_jpeg_progressive(planes))
+        for x, y in zip(a[2], b[2]):
+            np.testing.assert_array_equal(x, y)
+
+
+def test_progressive_eobn_runs_decode():
+    """The encoder flushes every end-of-band as a plain EOB (Annex K
+    tables carry no EOBn>0 symbols), but FOREIGN progressive files use
+    long EOB runs — drive the scan decoders directly with a hand-built
+    bitstream containing EOB2 (run of 4 blocks) in both the first-scan
+    and refinement grammars."""
+    from river_spark.operators.jpeg import (
+        _ac_first_block,
+        _ac_refine_block,
+        _BitReader,
+        _BitWriter,
+        _canonical_codes,
+        _decode_map,
+        _magnitude,
+    )
+
+    # tiny custom AC table: EOB0, EOB2 (0x20), ZRL, (0,1), (1,2)
+    bits = [0, 0, 5, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    vals = [0x00, 0x20, 0xF0, 0x01, 0x12]
+    enc = _canonical_codes(bits, vals)
+    dec = _decode_map(bits, vals)
+
+    # first scan at Al=0, band 1..63: block0 has zz[2] = -3 then EOB2
+    # covering blocks 1+2 and part of the run; blocks 3,4 via EOB0s
+    wtr = _BitWriter()
+    c, l = enc[0x12]; wtr.write(c, l)          # run=1, size=2
+    size, raw = _magnitude(-3); wtr.write(raw, size)
+    c, l = enc[0x20]; wtr.write(c, l)          # EOB2: eobrun = 3 + bits
+    wtr.write(0b01, 2)                          # eobrun = 3 + 1 = 4
+    wtr.flush()
+    data = bytes(wtr.out) + b"\xff\xd9"
+    rdr = _BitReader(data, 0)
+    blocks = [np.zeros(64, dtype=np.int64) for _ in range(6)]
+    eobrun = 0
+    for b in range(5):
+        eobrun = _ac_first_block(rdr, dec, blocks[b], 1, 63, 0, eobrun)
+    assert blocks[0][2] == -3
+    assert eobrun == 0                          # 4-block run fully consumed
+    assert all(not blocks[b].any() for b in range(1, 5))
+
+    # refinement at Al=0 over blocks with history: EOB2 (covers 4 blocks
+    # INCLUDING the current one) must still read correction bits for
+    # every nonzero-history coefficient in each covered block
+    wtr = _BitWriter()
+    c, l = enc[0x20]; wtr.write(c, l)
+    wtr.write(0b00, 2)                          # eobrun = 4 + 0
+    wtr.write(0b1, 1)                           # block0: correct zz[3] up
+    wtr.write(0b0, 1)                           # block1: keep zz[5]
+    wtr.write(0b1, 1)                           # block2: correct zz[1] up
+    wtr.write(0b0, 1)                           # block3: keep zz[2]
+    wtr.flush()
+    data = bytes(wtr.out) + b"\xff\xd9"
+    rdr = _BitReader(data, 0)
+    blocks = [np.zeros(64, dtype=np.int64) for _ in range(4)]
+    blocks[0][3] = 2   # history-nonzero, LSB 0 -> +1 on a 1-bit
+    blocks[1][5] = -2
+    blocks[2][1] = -4
+    blocks[3][2] = 6
+    eobrun = 0
+    for b in range(4):
+        eobrun = _ac_refine_block(rdr, dec, blocks[b], 1, 63, 0, eobrun)
+    assert blocks[0][3] == 3
+    assert blocks[1][5] == -2
+    assert blocks[2][1] == -5
+    assert blocks[3][2] == 6
+    assert eobrun == 0
+
+
+def test_progressive_reject_paths():
+    from river_spark.operators.jpeg import decode_jpeg, encode_jpeg_progressive
+
+    planes = [np.full((8, 8), 100, dtype=np.uint8)] * 3
+    data = encode_jpeg_progressive(planes)
+    # truncation mid-scan (IndexError = ran off the payload, same
+    # class the baseline truncation test accepts; the Spark operator
+    # catches both)
+    with pytest.raises((ValueError, IndexError)):
+        decode_jpeg(data[: len(data) // 2] + b"\xff\xd9")
+    # 4:2:0 sampling byte inside SOF2 is outside the progressive subset
+    bad = bytearray(data)
+    sof = bad.find(b"\xff\xc2")
+    bad[sof + 9] = 0x22  # component 1 sampling 2x2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
