@@ -11,9 +11,11 @@ generation rule without seeing the bytes, GIF-style.
 
 Supported baseline subset: both byte orders (II / MM) on decode,
 8-bit grayscale or RGB (SamplesPerPixel 1 or 3, chunky), Compression
-1 (none) or 32773 (PackBits), arbitrary RowsPerStrip with a partial
-final strip. The encoder writes little-endian grayscale/RGB with
-whole-strip PackBits streams.
+1 (none), 5 (LZW — round 13: MSB-first, EarlyChange=1, ClearCode
+restarts, TIFF 6.0 §13) or 32773 (PackBits), Predictor 1 or 2
+(horizontal differencing, §14 — the pairing real scanned/archival
+TIFFs ship), arbitrary RowsPerStrip with a partial final strip. The
+encoder writes little-endian grayscale/RGB with whole-strip streams.
 
 Reference scope parity: the reference stores opaque binary payloads
 (docs treat payloads as bytes); decode here is a first-class
@@ -26,7 +28,144 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_tiff", "decode_tiff", "packbits_encode", "packbits_decode"]
+__all__ = ["encode_tiff", "decode_tiff", "packbits_encode", "packbits_decode",
+           "lzw_encode", "lzw_decode"]
+
+
+# ---------------------------------------------------------------------------
+# LZW (TIFF 6.0 section 13) — MSB-first bit packing, EarlyChange=1
+# ---------------------------------------------------------------------------
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW: MSB-first code packing, 9->12 bit widths with
+    the EARLY code-width change (the width grows when the NEXT code to
+    be assigned reaches 2^bits - 1 — TIFF's off-by-one relative to GIF),
+    ClearCode restart when the table nears 4096."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, bits = 258, 9
+    put(_LZW_CLEAR, bits)
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        put(table[w], bits)
+        table[w + c] = next_code
+        next_code += 1
+        if next_code == (1 << bits) - 1 and bits < 12:  # early change
+            bits += 1
+        elif next_code >= 4094:  # table nearly full: restart
+            put(_LZW_CLEAR, bits)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, bits = 258, 9
+        w = c
+    if w:
+        put(table[w], bits)
+        # width bump the DECODER will apply after consuming this code
+        next_code += 1
+        if next_code == (1 << bits) - 1 and bits < 12:
+            bits += 1
+    put(_LZW_EOI, bits)
+    if nbits:
+        put(0, 8 - nbits)
+    return bytes(out)
+
+
+def lzw_decode(data: bytes, expected: int) -> bytes:
+    """Inverse of :func:`lzw_encode`; also accepts foreign streams with
+    different clear cadence. Raises ValueError on malformed codes."""
+    out = bytearray()
+    pos = acc = nbits = 0
+
+    def get(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW bitstream underrun")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        v = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        return v
+
+    table: list[bytes] = []
+    bits = 9
+    prev: bytes | None = None
+    while len(out) < expected:
+        code = get(bits)
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            bits = 9
+            prev = None
+            continue
+        if code == _LZW_EOI:
+            break
+        if prev is None:
+            if not table or code >= 256:
+                raise ValueError("LZW data before ClearCode")
+            prev = table[code]
+            out.extend(prev)
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("LZW code past table end")
+        out.extend(entry)
+        if len(table) < 4096:
+            table.append(prev + entry[:1])
+        # EARLY width change, stated from the decoder's lagged table
+        # (one entry behind the encoder): the encoder grows its width
+        # once the next code to assign reaches 2^bits - 1, which is the
+        # moment this table holds 2^bits - 2 entries
+        if len(table) == (1 << bits) - 2 and bits < 12:
+            bits += 1
+        prev = entry
+    if len(out) != expected:
+        raise ValueError(f"LZW expanded {len(out)} of {expected} bytes")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# horizontal differencing predictor (TIFF 6.0 section 14, Predictor=2)
+# ---------------------------------------------------------------------------
+
+def _predict_rows(chunk: bytes, row_bytes: int, spp: int) -> bytes:
+    """Forward predictor: per row, each sample becomes the difference
+    from the sample one PIXEL left (same channel), mod 256."""
+    a = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, row_bytes).astype(np.int16)
+    d = a.copy()
+    d[:, spp:] = (a[:, spp:] - a[:, :-spp]) % 256
+    return d.astype(np.uint8).tobytes()
+
+
+def _unpredict_rows(chunk: bytes, row_bytes: int, spp: int) -> bytes:
+    """Inverse predictor: per-row cumulative sum mod 256 per channel."""
+    a = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, row_bytes)
+    h = a.shape[0]
+    w = row_bytes // spp
+    per = a.reshape(h, w, spp).astype(np.int64)
+    per = np.cumsum(per, axis=1) % 256
+    return per.astype(np.uint8).reshape(h, row_bytes).tobytes()
 
 
 # ---------------------------------------------------------------------------
@@ -98,15 +237,20 @@ def packbits_decode(data: bytes, expected: int) -> bytes:
 
 _T_WIDTH, _T_LENGTH, _T_BPS, _T_COMP = 256, 257, 258, 259
 _T_PHOTO, _T_STRIP_OFF, _T_SPP, _T_RPS, _T_STRIP_CNT = 262, 273, 277, 278, 279
+_T_PREDICTOR = 317
 
 
 def encode_tiff(
     img: np.ndarray,
     rows_per_strip: int = 4,
     compression: int = 32773,
+    predictor: int = 1,
 ) -> bytes:
     """Encode HxW (grayscale) or HxWx3 (RGB) uint8 as little-endian
-    baseline TIFF. compression: 1 = none, 32773 = PackBits."""
+    baseline TIFF. compression: 1 = none, 5 = LZW, 32773 = PackBits;
+    predictor: 1 = none, 2 = horizontal differencing (round 13 — the
+    pairing real scanned/archival TIFFs ship: Predictor 2 turns smooth
+    gradients into near-constant residue LZW then collapses)."""
     if img.ndim == 2:
         spp, photo = 1, 1
         h, w = img.shape
@@ -117,13 +261,22 @@ def encode_tiff(
         raw = img
     else:
         raise ValueError("HxW or HxWx3 uint8")
-    if compression not in (1, 32773):
-        raise ValueError("compression must be 1 or 32773")
+    if compression not in (1, 5, 32773):
+        raise ValueError("compression must be 1, 5 (LZW) or 32773")
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 or 2")
 
+    row_bytes = w * spp
     strips = []
     for y0 in range(0, h, rows_per_strip):
         chunk = raw[y0 : y0 + rows_per_strip].tobytes()
-        strips.append(packbits_encode(chunk) if compression == 32773 else chunk)
+        if predictor == 2:
+            chunk = _predict_rows(chunk, row_bytes, spp)
+        if compression == 32773:
+            chunk = packbits_encode(chunk)
+        elif compression == 5:
+            chunk = lzw_encode(chunk)
+        strips.append(chunk)
 
     out = bytearray(b"II*\x00")
     out += b"\x00\x00\x00\x00"  # IFD offset patched below
@@ -140,7 +293,8 @@ def encode_tiff(
     # value arrays that don't fit inline go after the IFD
     entries = []  # (tag, type, count, packed-value-or-None, data)
     tail = bytearray()
-    tail_base = ifd_off + 2 + 12 * 9 + 4
+    n_entries = 10 if predictor == 2 else 9
+    tail_base = ifd_off + 2 + 12 * n_entries + 4
 
     def add(tag, typ, count, values):
         size = {3: 2, 4: 4}[typ] * count
@@ -162,7 +316,9 @@ def encode_tiff(
     add(_T_SPP, 3, 1, [spp])
     add(_T_RPS, 4, 1, [rows_per_strip])
     add(_T_STRIP_CNT, 4, n_strips, [len(s) for s in strips])
-    assert len(entries) == 9
+    if predictor == 2:
+        add(_T_PREDICTOR, 3, 1, [2])
+    assert len(entries) == (10 if predictor == 2 else 9)
     entries.sort()  # TIFF requires ascending tag order
 
     out += struct.pack("<H", len(entries))
@@ -234,8 +390,11 @@ def decode_tiff(payload: bytes):
         raise ValueError("SamplesPerPixel must be 1 or 3")
     if any(b != 8 for b in tags.get(_T_BPS, [8] * spp)):
         raise ValueError("only 8 bits per sample")
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise ValueError("unsupported compression")
+    predictor = one(_T_PREDICTOR, 1)
+    if predictor not in (1, 2):
+        raise ValueError("unsupported predictor")
     rps = one(_T_RPS, h)
     offs = tags.get(_T_STRIP_OFF)
     cnts = tags.get(_T_STRIP_CNT)
@@ -253,11 +412,14 @@ def decode_tiff(payload: bytes):
         if len(chunk) != c:
             raise ValueError("strip past end of file")
         if comp == 32773:
-            raw.extend(packbits_decode(chunk, expected))
-        else:
-            if len(chunk) != expected:
-                raise ValueError("uncompressed strip size mismatch")
-            raw.extend(chunk)
+            chunk = packbits_decode(chunk, expected)
+        elif comp == 5:
+            chunk = lzw_decode(chunk, expected)
+        elif len(chunk) != expected:
+            raise ValueError("uncompressed strip size mismatch")
+        if predictor == 2:
+            chunk = _unpredict_rows(chunk, row_bytes, spp)
+        raw.extend(chunk)
     if len(raw) != h * row_bytes:
         raise ValueError("assembled size mismatch")
     arr = np.frombuffer(bytes(raw), dtype=np.uint8)
@@ -319,6 +481,60 @@ def decode_tiff_pixel_stats(df, id_col: str, bin_col: str):
                 out["pix_sum"].append(int(flat.sum()))
                 out["pos_weighted_sum"].append(int(((p % 997 + 1) * flat).sum()))
                 out["n_bright"].append(int((flat > 127).sum()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(decode, schema=schema)
+
+
+def decode_tiff_rgb_stats(df, id_col: str, bin_col: str):
+    """REAL RGB TIFF decode emitting EXACT integer per-channel sums plus
+    a position-weighted red checksum — the color sibling of
+    decode_tiff_pixel_stats, added with the round-13 LZW + Predictor-2
+    subset widening. Malformed or grayscale payloads yield ok=false
+    rows. One Arrow-batched mapInPandas pass; payloads never shuffle."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cols = ("doc_id", "ok", "width", "height",
+            "r_sum", "g_sum", "b_sum", "pos_weighted_r")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ok", T.BooleanType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("r_sum", T.LongType()),
+            T.StructField("g_sum", T.LongType()),
+            T.StructField("b_sum", T.LongType()),
+            T.StructField("pos_weighted_r", T.LongType()),
+        ]
+    )
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(bin_col).alias("payload"))
+
+    def decode(batches):
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    w, h, px = decode_tiff(bytes(payload or b""))
+                    if px.ndim != 3:
+                        raise ValueError("stats path expects RGB")
+                except (ValueError, IndexError, struct.error):
+                    out["ok"].append(False)
+                    for k in cols[2:]:
+                        out[k].append(0)
+                    continue
+                p64 = px.astype(np.int64)
+                wgt = (np.arange(w * h, dtype=np.int64) % 997 + 1).reshape(h, w)
+                out["ok"].append(True)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["r_sum"].append(int(p64[:, :, 0].sum()))
+                out["g_sum"].append(int(p64[:, :, 1].sum()))
+                out["b_sum"].append(int(p64[:, :, 2].sum()))
+                out["pos_weighted_r"].append(int((wgt * p64[:, :, 0]).sum()))
             yield pd.DataFrame(out)
 
     return src.mapInPandas(decode, schema=schema)

@@ -1562,3 +1562,86 @@ def mm_jpeg_prog_decode_stats(spark, sf_dir):
     return stats.filter(F.col("ok")).select(
         "doc_id", "width", "height", "r_sum", "g_sum", "b_sum", "y_sum"
     )
+
+
+# ---- TIFF LZW+predictor rule (round 13): RGB with runs of 4 so the
+# horizontal-differencing predictor and the LZW dictionary both get
+# real work:
+#   w = 16 + d % 5, h = 10 + d % 3
+#   channel c of pixel p (row-major): v = (d*41 + 7*(p div 4) + 11*c) % 256
+
+
+def _tiff_lzw_payloads(docs):
+    """doc_id -> synthesized LZW+Predictor-2 RGB TIFF (one mapInPandas
+    pass): little-endian, strips of 3 rows with a partial final strip
+    for 2 of every 3 docs."""
+    from river_spark.operators.tiff import encode_tiff
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 16 + d % 5, 10 + d % 3
+                p = np.arange(w * h, dtype=np.int64)
+                c = np.arange(3, dtype=np.int64)
+                px = ((d * 41 + 7 * (p[:, None] // 4) + 11 * c[None, :]) % 256)
+                img = px.astype(np.uint8).reshape(h, w, 3)
+                ids.append(d)
+                payloads.append(
+                    encode_tiff(img, rows_per_strip=3, compression=5, predictor=2)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+@q(
+    "mm_tiff_lzw_decode_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 16 + doc_id % 5 AS w, 10 + doc_id % 3 AS h
+        FROM documents),
+    px AS (
+        SELECT doc_id, w, h, g.p AS p,
+               (doc_id * 41 + 7 * (g.p // 4)) % 256 AS r,
+               (doc_id * 41 + 7 * (g.p // 4) + 11) % 256 AS gr,
+               (doc_id * 41 + 7 * (g.p // 4) + 22) % 256 AS b
+        FROM dims, UNNEST(generate_series(0, w * h - 1)) AS g(p))
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(r) AS BIGINT) AS r_sum,
+           CAST(sum(gr) AS BIGINT) AS g_sum,
+           CAST(sum(b) AS BIGINT) AS b_sum,
+           CAST(sum((p % 997 + 1) * r) AS BIGINT) AS pos_weighted_r
+    FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "codec", "image"),
+)
+def mm_tiff_lzw_decode_stats(spark, sf_dir):
+    """TIFF LZW + horizontal-differencing predictor under the bit-level
+    oracle — the round-13 widening of the TIFF subset to the entropy
+    layer real scanned/archival corpora ship (PackBits landed r12; LZW
+    is TIFF 6.0 §13 with MSB-first packing, the EarlyChange=1 width
+    ladder, and ClearCode restarts; Predictor 2 is §14). Spark decodes
+    with operators/tiff.decode_tiff (IFD walk, strip reassembly, LZW
+    expansion, per-row cumulative un-differencing); losslessness makes
+    the oracle a pure restatement of the generation rule, the
+    position-weighted checksum pinning pixel order through the
+    strip/predictor reassembly. Width-ladder boundaries (9->12 bits),
+    dictionary restarts, and reject paths are pinned by
+    tests/test_tiff_codec.py."""
+    from river_spark.operators.tiff import decode_tiff_rgb_stats
+
+    docs = tbl(spark, sf_dir, "documents")
+    stats = decode_tiff_rgb_stats(_tiff_lzw_payloads(docs), "doc_id", "payload")
+    return stats.filter(F.col("ok")).select(
+        "doc_id", "width", "height", "r_sum", "g_sum", "b_sum", "pos_weighted_r"
+    )

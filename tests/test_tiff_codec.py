@@ -103,7 +103,9 @@ def test_reject_paths():
     with pytest.raises(ValueError):
         encode_tiff(np.zeros((4, 4, 2), dtype=np.uint8))  # 2 samples
     with pytest.raises(ValueError):
-        encode_tiff(img, compression=5)  # LZW not in subset
+        encode_tiff(img, compression=8)  # Deflate not in subset
+    with pytest.raises(ValueError):
+        encode_tiff(img, predictor=3)  # floating-point predictor
 
 
 def test_spark_stats_path(spark):
@@ -123,3 +125,96 @@ def test_spark_stats_path(spark):
     assert r1["ok"] and r1["pix_sum"] == int(flat.sum())
     assert r1["pos_weighted_sum"] == int(((p % 997 + 1) * flat).sum())
     assert r1["n_bright"] == 0
+
+
+# ---------------------------------------------------------------------------
+# round-13: LZW (Compression 5) + horizontal-differencing predictor
+# ---------------------------------------------------------------------------
+
+
+def test_lzw_roundtrips_across_width_boundaries():
+    from river_spark.operators.tiff import lzw_decode, lzw_encode
+
+    rng = np.random.default_rng(3)
+    cases = [
+        b"",
+        b"a" * 10000,                                    # single run
+        bytes(np.arange(256, dtype=np.uint8)) * 40,      # 9->12 bits
+        bytes(rng.integers(0, 4, 30000).astype(np.uint8)),
+        bytes(rng.integers(0, 256, 200000).astype(np.uint8)),  # clears
+    ]
+    for d in cases:
+        assert lzw_decode(lzw_encode(d), len(d)) == d
+
+
+def test_lzw_reject_paths():
+    from river_spark.operators.tiff import lzw_decode, lzw_encode
+
+    with pytest.raises(ValueError):
+        lzw_decode(b"\x00\x00", 100)                    # underrun
+    good = lzw_encode(b"hello world")
+    with pytest.raises(ValueError):
+        lzw_decode(good, 100)                           # wrong expected
+    # a code past the table end is malformed
+    with pytest.raises(ValueError):
+        # CLEAR(256) then code 300 at 9 bits: 100000000 100101100 pad
+        lzw_decode(bytes([0b10000000, 0b01001011, 0b00000000]), 4)
+
+
+def test_predictor_roundtrip_and_compression_win():
+    from river_spark.operators.tiff import (
+        _predict_rows,
+        _unpredict_rows,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(5)
+    for spp in (1, 3):
+        rb = 24 * spp
+        d = bytes(rng.integers(0, 256, rb * 7).astype(np.uint8))
+        assert _unpredict_rows(_predict_rows(d, rb, spp), rb, spp) == d
+    # a smooth gradient must compress far better WITH the predictor
+    i = (np.arange(64)[:, None] * 2 + np.arange(96)[None, :]).astype(np.uint8)
+    plain = len(encode_tiff(i, 8, compression=5, predictor=1))
+    pred = len(encode_tiff(i, 8, compression=5, predictor=2))
+    assert pred < plain / 2
+
+
+def test_tiff_lzw_predictor_full_matrix():
+    from river_spark.operators.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(7)
+    for shape in [(12, 20), (13, 23, 3), (8, 8), (10, 17, 3)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        for comp in (1, 5, 32773):
+            for pred in (1, 2):
+                data = encode_tiff(img, rows_per_strip=4,
+                                   compression=comp, predictor=pred)
+                w, h, px = decode_tiff(data)
+                np.testing.assert_array_equal(px, img)
+
+
+def test_tiff_rgb_stats_spark_path(spark):
+    from river_spark.operators.tiff import decode_tiff_rgb_stats, encode_tiff
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (10, 16, 3)).astype(np.uint8)
+    gray = rng.integers(0, 256, (6, 6)).astype(np.uint8)
+    good = encode_tiff(img, rows_per_strip=3, compression=5, predictor=2)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)),
+         (2, bytearray(encode_tiff(gray))),       # grayscale: rejected
+         (3, bytearray(b"II*\x00junk"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r
+            for r in decode_tiff_rgb_stats(df, "doc_id", "payload").collect()}
+    assert rows[2]["ok"] is False and rows[3]["ok"] is False
+    r1 = rows[1]
+    p64 = img.astype(np.int64)
+    wgt = (np.arange(160, dtype=np.int64) % 997 + 1).reshape(10, 16)
+    assert r1["ok"] and (r1["width"], r1["height"]) == (16, 10)
+    assert r1["r_sum"] == int(p64[:, :, 0].sum())
+    assert r1["g_sum"] == int(p64[:, :, 1].sum())
+    assert r1["b_sum"] == int(p64[:, :, 2].sum())
+    assert r1["pos_weighted_r"] == int((wgt * p64[:, :, 0]).sum())
