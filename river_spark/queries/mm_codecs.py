@@ -1645,3 +1645,109 @@ def mm_tiff_lzw_decode_stats(spark, sf_dir):
     return stats.filter(F.col("ok")).select(
         "doc_id", "width", "height", "r_sum", "g_sum", "b_sum", "pos_weighted_r"
     )
+
+
+# ---- Interleaved A/V AVI rule (round 13 — multi-stream RIFF):
+#   video: nf = 3 + d % 4, w = 8 + 4*(d % 2), h = 8
+#          frame f, channel byte j (row-major RGB): (d*37 + 89f + j) % 256
+#          (red channel = bytes j = 3p); query samples every 2nd frame
+#   audio: n_a = 200 + (d % 5) * 50, rate = 8000 + (d % 3) * 4000
+#          s(i) = ((d*7 + 3i) % 2001) - 1000
+
+
+def _avi_av_payloads(docs):
+    """doc_id -> synthesized interleaved audio+video AVI (one
+    mapInPandas pass): two strl lists (vids DIB + auds PCM16), each
+    '00db' frame chunk followed by its '01wb' audio slice."""
+    from river_spark.operators.avi import encode_avi_av
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nf = 3 + d % 4
+                w, h = 8 + 4 * (d % 2), 8
+                j = np.arange(3 * w * h, dtype=np.int64)
+                frames = [
+                    ((d * 37 + 89 * f + j) % 256).astype(np.uint8).reshape(h, w, 3)
+                    for f in range(nf)
+                ]
+                na = 200 + (d % 5) * 50
+                i = np.arange(na, dtype=np.int64)
+                audio = (((d * 7 + 3 * i) % 2001) - 1000).astype(np.int16)
+                ids.append(d)
+                payloads.append(
+                    encode_avi_av(frames, audio, fps=10 + d % 7,
+                                  sample_rate=8000 + (d % 3) * 4000)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+@q(
+    "mm_avi_av_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 3 + doc_id % 4 AS nf,
+               8 + 4 * (doc_id % 2) AS w, 8 AS h,
+               200 + (doc_id % 5) * 50 AS na
+        FROM documents),
+    vid AS (  -- every 2nd frame, red channel = byte j = 3p
+        SELECT doc_id,
+               CAST(sum((doc_id * 37 + 89 * f.f + 3 * p.p) % 256) AS BIGINT) AS r_sum,
+               CAST(sum((f.f + 1) * ((doc_id * 37 + 89 * f.f + 3 * p.p) % 256)) AS BIGINT) AS frame_weighted_r
+        FROM dims,
+             UNNEST(generate_series(0, nf - 1)) AS f(f),
+             UNNEST(generate_series(0, w * h - 1)) AS p(p)
+        WHERE f.f % 2 = 0
+        GROUP BY doc_id),
+    aud AS (
+        SELECT doc_id,
+               CAST(sum(((doc_id * 7 + 3 * g.i) % 2001) - 1000) AS BIGINT) AS audio_sum,
+               CAST(sum((g.i % 997 + 1) * (((doc_id * 7 + 3 * g.i) % 2001) - 1000)) AS BIGINT) AS audio_pw_sum
+        FROM dims, UNNEST(generate_series(0, na - 1)) AS g(i)
+        GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+           CAST(10 + d.doc_id % 7 AS INT) AS fps,
+           CAST((d.nf + 1) // 2 AS BIGINT) AS n_sampled,
+           v.r_sum, v.frame_weighted_r,
+           CAST(8000 + (d.doc_id % 3) * 4000 AS INT) AS sample_rate,
+           CAST(d.na AS BIGINT) AS n_audio,
+           a.audio_sum, a.audio_pw_sum
+    FROM dims d JOIN vid v USING (doc_id) JOIN aud a USING (doc_id)
+    """,
+    tags=("multimodal", "codec", "video", "audio"),
+)
+def mm_avi_av_stats(spark, sf_dir):
+    """Interleaved AUDIO+VIDEO AVI under the bit-level oracle — the
+    round-13 widening of the container from single-stream to the
+    multi-stream layout real capture files use: two strl headers (vids
+    DIB + auds PCM16 WAVEFORMATEX), each frame's '00db' chunk followed
+    by its '01wb' audio slice in the movi LIST. ONE container walk
+    yields both tracks: video sampled every 2nd frame (skipped frames
+    untouched, '01wb' chunks skipped by length during the frame walk)
+    and the audio track reassembled across its interleaved slices in
+    order — the position-weighted audio checksum pins that reassembly
+    ORDER, the frame-weighted red checksum pins the video's. Lossless
+    on both tracks, so the oracle restates both generation rules.
+    Stream-type dispatch (vids/auds strf parsing) and reject paths are
+    pinned by tests/test_avi_codec.py."""
+    from river_spark.operators.avi import decode_avi_av_stats
+
+    docs = tbl(spark, sf_dir, "documents")
+    stats = decode_avi_av_stats(_avi_av_payloads(docs), "doc_id", "payload")
+    return stats.filter(F.col("ok")).select(
+        "doc_id", "width", "height", "fps", "n_sampled",
+        "r_sum", "frame_weighted_r",
+        "sample_rate", "n_audio", "audio_sum", "audio_pw_sum",
+    )

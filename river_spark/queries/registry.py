@@ -453,6 +453,7 @@ _WINDOW = [
     "ev_asof_nearest",
     "mm_jpeg_prog_decode_stats",
     "mm_tiff_lzw_decode_stats",
+    "mm_avi_av_stats",
     # --- r4-stale cohort (transport gates first):
     "river_catalog_scan",
     "river_cli_roundtrip",
@@ -484,7 +485,6 @@ _WINDOW = [
     "null_ordering",
     "null_semantics",
     "pivot_status_priority",
-    "scalar_regex",
 ]
 # Round-14 rotation note: behind this window sit the 4 remaining
 # r4-stale rows (udf_normalize_text, udtf_tokenize, win_value_functions,

@@ -211,3 +211,84 @@ def test_mjpeg_spark_stats_path(spark):
     assert r1["n_sampled"] == 3
     assert (r1["r_sum"], r1["g_sum"], r1["b_sum"]) == (rs, gs, bs)
     assert r1["frame_weighted_y"] == fwy
+
+
+# ---------------------------------------------------------------------------
+# round-13: interleaved audio+video (multi-stream RIFF)
+# ---------------------------------------------------------------------------
+
+
+def test_av_interleave_roundtrip_and_order():
+    from river_spark.operators.avi import (
+        encode_avi_av,
+        extract_avi_audio,
+        iter_avi_frames,
+    )
+
+    rng = np.random.default_rng(1)
+    frames = [rng.integers(0, 256, (6, 8, 3)).astype(np.uint8) for _ in range(5)]
+    audio = rng.integers(-1000, 1000, 333).astype(np.int16)
+    data = encode_avi_av(frames, audio, fps=12, sample_rate=16000)
+    rate, nch, got = extract_avi_audio(data)
+    assert (rate, nch) == (16000, 1)
+    np.testing.assert_array_equal(got, audio)   # slice reassembly ORDER
+    vids = list(iter_avi_frames(data))
+    assert [fi for fi, _ in vids] == list(range(5))
+    for (fi, f), orig in zip(vids, frames):
+        np.testing.assert_array_equal(f, orig)
+
+
+def test_av_frame_sampling_skips_audio_chunks():
+    from river_spark.operators.avi import encode_avi_av, iter_avi_frames
+
+    frames = [np.full((8, 8, 3), f, dtype=np.uint8) for f in range(6)]
+    audio = np.arange(100, dtype=np.int16)
+    data = encode_avi_av(frames, audio)
+    got = [(fi, int(f[0, 0, 0])) for fi, f in iter_avi_frames(data, every_k=3)]
+    assert got == [(0, 0), (3, 3)]
+
+
+def test_av_reject_paths():
+    from river_spark.operators.avi import encode_avi_av, extract_avi_audio, encode_avi
+
+    frames = [np.zeros((8, 8, 3), dtype=np.uint8)]
+    with pytest.raises(ValueError):
+        encode_avi_av(frames, np.array([], dtype=np.int16))
+    with pytest.raises(ValueError):
+        extract_avi_audio(encode_avi(frames))  # no audio stream
+    data = bytearray(encode_avi_av(frames, np.arange(50, dtype=np.int16)))
+    # corrupt the WAVEFORMATEX format tag -> non-PCM rejected
+    at = data.find(b"auds")
+    strf = data.find(b"strf", at)
+    data[strf + 8] = 2  # ADPCM tag
+    with pytest.raises(ValueError):
+        extract_avi_audio(bytes(data))
+
+
+def test_av_spark_stats_path(spark):
+    from river_spark.operators.avi import decode_avi_av_stats, encode_avi_av
+
+    rng = np.random.default_rng(4)
+    frames = [rng.integers(0, 256, (8, 12, 3)).astype(np.uint8) for _ in range(5)]
+    audio = rng.integers(-500, 500, 250).astype(np.int16)
+    data = encode_avi_av(frames, audio, fps=15, sample_rate=12000)
+    df = spark.createDataFrame(
+        [(1, bytearray(data)), (2, bytearray(b"RIFFxxxxAVI "))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r
+            for r in decode_avi_av_stats(df, "doc_id", "payload").collect()}
+    assert rows[2]["ok"] is False
+    r1 = rows[1]
+    rs = fwr = 0
+    for fi in (0, 2, 4):
+        fr = int(frames[fi][:, :, 0].astype(np.int64).sum())
+        rs += fr
+        fwr += (fi + 1) * fr
+    a64 = audio.astype(np.int64)
+    wgt = np.arange(a64.size, dtype=np.int64) % 997 + 1
+    assert r1["ok"] and (r1["width"], r1["height"], r1["fps"]) == (12, 8, 15)
+    assert (r1["n_sampled"], r1["r_sum"], r1["frame_weighted_r"]) == (3, rs, fwr)
+    assert (r1["sample_rate"], r1["n_audio"]) == (12000, 250)
+    assert r1["audio_sum"] == int(a64.sum())
+    assert r1["audio_pw_sum"] == int((wgt * a64).sum())
