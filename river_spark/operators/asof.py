@@ -70,7 +70,6 @@ def asof_join(
     # direction='nearest' needs the matched row's timestamp for the
     # row-local closer-of-the-two comparison, so it rides the struct as
     # an internal extra field.
-    struct_cols = list(right_cols) + ([_RT] if direction == "nearest" else [])
     struct_exprs = [F.col(c) for c in right_cols] + (
         [F.col(right_ts).alias(_RT)] if direction == "nearest" else []
     )

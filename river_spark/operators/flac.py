@@ -11,9 +11,9 @@ decode(encode(x)) == x exactly, so the driver oracle
 (mm_flac_decode_stats) recomputes sample statistics straight from the
 generation rule without seeing a byte.
 
-Subset: 16-bit, fixed blocking, partition order 0 (one Rice parameter
-per subframe). Round 13 widened the original fixed-predictor subset
-with the two features real FLAC corpora are overwhelmingly made of:
+Subset: 16-bit, fixed blocking. Round 13 widened the original
+fixed-predictor subset with the two features real FLAC corpora are
+overwhelmingly made of:
 
 * LPC subframes — per-block autocorrelation + Levinson-Durbin,
   coefficients quantized to a (precision, shift) pair exactly as the
@@ -26,8 +26,23 @@ with the two features real FLAC corpora are overwhelmingly made of:
   cost (``channel_mode="auto"``) or cycled deterministically for
   coverage (``channel_mode="cycle"``).
 
-Still outside the subset: wasted bits, partition orders > 0, variable
-blocking, >2 channels, bit depths other than 16.
+Round 14 adds the residual layout real encoders emit by default:
+
+* Rice partition orders > 0 — the residual splits into 2^po
+  partitions, each with its OWN 4-bit Rice parameter (or per-partition
+  raw escape); partition 0 carries ``(n >> po) - predictor_order``
+  residuals, the rest ``n >> po``. The encoder searches the orders in
+  ``partition_orders`` by exact bit count, so transient-heavy blocks
+  (quiet runs punctuated by spikes) pay the loud partitions a big k
+  and the quiet ones a small k instead of one compromise parameter;
+* wasted bits — when every sample in a subframe's block shares w
+  trailing zero bits (common for up-scaled or attenuated material),
+  the subframe header carries w unary-coded and the whole subframe
+  (warmup, prediction, residuals) runs at ``bps - w``; the decoder
+  shifts the reconstruction left by w.
+
+Still outside the subset: variable blocking, >2 channels, bit depths
+other than 16.
 
 Reference scope parity: the reference stores opaque binary payloads;
 decode here is a first-class distributed operator per SURVEY.md's
@@ -215,6 +230,63 @@ def _best_rice_k(u: np.ndarray) -> int:
     return best_k
 
 
+def _partition_bounds(n: int, order: int, po: int):
+    """Residual index ranges for partition order ``po``: partition 0
+    holds (n >> po) - order residuals, partitions 1..2^po-1 hold
+    n >> po each (residual index i corresponds to sample order + i)."""
+    plen = n >> po
+    bounds = []
+    start = 0
+    for p in range(1 << po):
+        cnt = (plen - order) if p == 0 else plen
+        bounds.append((start, start + cnt))
+        start += cnt
+    return bounds
+
+
+def _best_partition(u: np.ndarray, n: int, order: int,
+                    partition_orders: tuple):
+    """Cheapest Rice partitioning of zigzagged residuals ``u`` among the
+    candidate orders: exact bit count = 4 (po field) + per partition
+    (4-bit parameter + unary quotients + k-bit remainders). A candidate
+    is valid only when 2^po divides the block size and the first
+    partition keeps at least one residual (n >> po > predictor order).
+    Returns (bits, po, [k per partition])."""
+    best = None
+    for po in sorted(set(partition_orders)):
+        if po < 0 or po > 15 or (po and n % (1 << po)):
+            continue
+        if (n >> po) <= order:
+            continue
+        bits = 4
+        ks = []
+        for lo, hi in _partition_bounds(n, order, po):
+            seg = u[lo:hi]
+            k = _best_rice_k(seg)
+            ks.append(k)
+            bits += 4 + int(np.sum((seg >> k) + 1 + k))
+        if best is None or bits < best[0]:
+            best = (bits, po, ks)
+    if best is None:  # order 0 is always expressible when n > order
+        k = _best_rice_k(u)
+        best = (4 + 4 + int(np.sum((u >> k) + 1 + k)), 0, [k])
+    return best
+
+
+def _wasted_bits(block: np.ndarray, bps: int) -> int:
+    """Trailing zero bits shared by EVERY sample of the block (the
+    subframe-header wasted-bits count). All-zero blocks report 0 — they
+    encode as CONSTANT anyway. x and -x share a lowest set bit, so the
+    OR of absolute values carries the answer. Capped at bps - 1 so the
+    effective sample width stays positive."""
+    nz = np.abs(block[block != 0])
+    if nz.size == 0:
+        return 0
+    v = int(np.bitwise_or.reduce(nz))
+    w = (v & -v).bit_length() - 1
+    return min(w, bps - 1)
+
+
 # ---------------------------------------------------------------------------
 # LPC model fitting (encoder side only — the wire carries the quantized
 # integers, so decode needs none of this)
@@ -289,6 +361,8 @@ def encode_flac(
     lpc_orders: tuple = (),
     force_lpc: bool = False,
     channel_mode: str = "auto",
+    partition_orders: tuple = (0,),
+    detect_wasted: bool = False,
 ) -> bytes:
     """Encode int16 samples — mono (shape (n,)) or stereo (shape
     (n, 2)). Each block becomes one frame; per subframe the cheapest of
@@ -299,7 +373,12 @@ def encode_flac(
     like ``force_escape`` for the raw-residual escape). For stereo,
     ``channel_mode`` picks the per-frame channel assignment: "auto"
     (cheapest of independent / left-side / right-side / mid-side) or
-    "cycle" (frame_no mod 4 — deterministic coverage of all four)."""
+    "cycle" (frame_no mod 4 — deterministic coverage of all four).
+    ``partition_orders`` lists the Rice partition orders the per-
+    subframe search may pick (exact bit count decides; orders that
+    don't divide the block or would starve partition 0 are skipped);
+    ``detect_wasted`` moves shared trailing zero bits into the
+    subframe header, the real-encoder default for up-scaled material."""
     samples = np.asarray(samples, dtype=np.int64)
     if samples.size == 0:
         raise ValueError("empty input")
@@ -328,100 +407,124 @@ def encode_flac(
     for fi, off in enumerate(range(0, n_total, block_size)):
         block = samples[off : off + block_size]
         out += _encode_frame(
-            fi, block, stereo, force_escape, lpc_orders, force_lpc, channel_mode
+            fi, block, stereo, force_escape, lpc_orders, force_lpc,
+            channel_mode, partition_orders, detect_wasted,
         )
     return bytes(out)
 
 
 def _plan_subframe(block: np.ndarray, bps: int, lpc_orders: tuple,
-                   force_lpc: bool):
+                   force_lpc: bool, partition_orders: tuple = (0,),
+                   detect_wasted: bool = False):
     """Pick the cheapest subframe coding for one channel's block.
-    Returns (bits, plan) where plan is one of
-    ('const', v) / ('verbatim',) / ('fixed', order, resid, u, k) /
-    ('lpc', order, qcoefs, precision, shift, resid, u, k)."""
+    Returns (bits, plan); plan is (wasted, inner) with inner one of
+    ('const', v) / ('verbatim',) / ('fixed', order, resid, u, po, ks) /
+    ('lpc', order, qcoefs, precision, shift, resid, u, po, ks). With
+    ``detect_wasted``, shared trailing zero bits move into the header
+    and every candidate is planned at bps - wasted; the Rice layout is
+    the cheapest of ``partition_orders`` by exact bit count."""
     n = len(block)
     if np.all(block == block[0]):
-        return bps, ("const", int(block[0]))
+        return bps, (0, ("const", int(block[0])))
+    w = _wasted_bits(block, bps) if detect_wasted else 0
+    work = block >> w if w else block
+    ebps = bps - w
     best = None
     if not force_lpc:
         for order in range(5):
             if order >= n:
                 break
-            resid = _fixed_residual(block, order)
+            resid = _fixed_residual(work, order)
             u = _zigzag(resid)
-            k = _best_rice_k(u)
-            bits = bps * order + 6 + int(np.sum((u >> k) + 1 + k))
+            pbits, po, ks = _best_partition(u, n, order, partition_orders)
+            bits = ebps * order + 2 + pbits
             if best is None or bits < best[0]:
-                best = (bits, ("fixed", order, resid, u, k))
+                best = (bits, (w, ("fixed", order, resid, u, po, ks)))
     for order in lpc_orders:
         if order < 1 or order > 32 or order >= n:
             continue
-        a = _lpc_coeffs(block, order)
+        a = _lpc_coeffs(work, order)
         if a is None:
             continue
         q = _quantize_lpc(a)
         if q is None:
             continue
         qc, shift, prec = q
-        x = block.astype(np.int64)
+        x = work.astype(np.int64)
         resid = x[order:] - _lpc_predict(x, qc, shift, order)
         u = _zigzag(resid)
-        k = _best_rice_k(u)
-        bits = bps * order + 4 + 5 + prec * order + 6 + int(np.sum((u >> k) + 1 + k))
+        pbits, po, ks = _best_partition(u, n, order, partition_orders)
+        bits = ebps * order + 4 + 5 + prec * order + 2 + pbits
         if best is None or bits < best[0]:
-            best = (bits, ("lpc", order, qc, prec, shift, resid, u, k))
-    if best is None or best[0] >= bps * n:
-        return bps * n, ("verbatim",)
+            best = (bits, (w, ("lpc", order, qc, prec, shift, resid, u, po, ks)))
+    if best is None or best[0] >= ebps * n:
+        return ebps * n, (w, ("verbatim",))
     return best
 
 
 def _write_subframe(wtr: _BitWriter, block: np.ndarray, bps: int, plan,
                     force_escape: bool) -> None:
-    kind = plan[0]
-    mask = (1 << bps) - 1
+    w, inner = plan
+    kind = inner[0]
+    ebps = bps - w
+    mask = (1 << ebps) - 1
+    work = block >> w if w else block
+
+    def wasted_flag():
+        if w:
+            wtr.write(1, 1)
+            wtr.unary(w - 1)      # k-1 unary coded per spec
+        else:
+            wtr.write(0, 1)
+
     wtr.write(0, 1)
     if kind == "const":
         wtr.write(0b000000, 6)
-        wtr.write(0, 1)
-        wtr.write(plan[1] & mask, bps)
+        wasted_flag()
+        wtr.write(inner[1] & mask, ebps)
         return
     if kind == "verbatim":
         wtr.write(0b000001, 6)
-        wtr.write(0, 1)
-        for s in block:
-            wtr.write(int(s) & mask, bps)
+        wasted_flag()
+        for s in work:
+            wtr.write(int(s) & mask, ebps)
         return
     if kind == "fixed":
-        _, order, resid, u, k = plan
+        _, order, resid, u, po, ks = inner
         wtr.write(0b001000 | order, 6)
     else:  # lpc
-        _, order, qc, prec, shift, resid, u, k = plan
+        _, order, qc, prec, shift, resid, u, po, ks = inner
         wtr.write(0b100000 | (order - 1), 6)
-    wtr.write(0, 1)
-    for s in block[:order]:                   # warmup at this channel's bps
-        wtr.write(int(s) & mask, bps)
+    wasted_flag()
+    for s in work[:order]:                    # warmup at bps - wasted
+        wtr.write(int(s) & mask, ebps)
     if kind == "lpc":
         wtr.write(prec - 1, 4)
         wtr.write(shift, 5)
         for c in qc:
             wtr.write(c & ((1 << prec) - 1), prec)
     wtr.write(0, 2)                           # residual method: Rice 4-bit
-    wtr.write(0, 4)                           # partition order 0
-    # the escape code exists for residuals whose unary quotients would
-    # explode; 16-bit inputs never reach it organically, so force_escape
-    # keeps the decode path honest in tests
-    if force_escape:
-        raw_bits = int(max(2, int(np.max(np.abs(resid))).bit_length() + 1))
-        wtr.write(0b1111, 4)
-        wtr.write(raw_bits, 5)
-        for v in resid:
-            wtr.write(int(v) & ((1 << raw_bits) - 1), raw_bits)
-    else:
-        wtr.write(k, 4)
-        for q in u:
-            wtr.unary(int(q) >> k)
-            if k:
-                wtr.write(int(q) & ((1 << k) - 1), k)
+    wtr.write(po, 4)                          # partition order
+    n = len(work)
+    for p, (lo, hi) in enumerate(_partition_bounds(n, order, po)):
+        # the escape code exists for residuals whose unary quotients
+        # would explode; 16-bit inputs never reach it organically, so
+        # force_escape keeps the decode path honest in tests
+        if force_escape:
+            seg_r = resid[lo:hi]
+            peak = int(np.max(np.abs(seg_r))) if len(seg_r) else 0
+            raw_bits = int(max(2, peak.bit_length() + 1))
+            wtr.write(0b1111, 4)
+            wtr.write(raw_bits, 5)
+            for v in seg_r:
+                wtr.write(int(v) & ((1 << raw_bits) - 1), raw_bits)
+        else:
+            k = ks[p]
+            wtr.write(k, 4)
+            for q in u[lo:hi]:
+                wtr.unary(int(q) >> k)
+                if k:
+                    wtr.write(int(q) & ((1 << k) - 1), k)
 
 
 def _stereo_channels(block: np.ndarray, ch_code: int):
@@ -442,14 +545,16 @@ def _stereo_channels(block: np.ndarray, ch_code: int):
 
 def _encode_frame(frame_no: int, block: np.ndarray, stereo: bool,
                   force_escape: bool, lpc_orders: tuple, force_lpc: bool,
-                  channel_mode: str) -> bytes:
+                  channel_mode: str, partition_orders: tuple = (0,),
+                  detect_wasted: bool = False) -> bytes:
     n = block.shape[0]
     if stereo:
         if channel_mode == "cycle":
             ch_code = (0b0001, 0b1000, 0b1001, 0b1010)[frame_no % 4]
             chans, bpss = _stereo_channels(block, ch_code)
             plans = [
-                _plan_subframe(c, b, lpc_orders, force_lpc)[1]
+                _plan_subframe(c, b, lpc_orders, force_lpc,
+                               partition_orders, detect_wasted)[1]
                 for c, b in zip(chans, bpss)
             ]
         else:
@@ -457,7 +562,8 @@ def _encode_frame(frame_no: int, block: np.ndarray, stereo: bool,
             for code in (0b0001, 0b1000, 0b1001, 0b1010):
                 chans, bpss = _stereo_channels(block, code)
                 planned = [
-                    _plan_subframe(c, b, lpc_orders, force_lpc)
+                    _plan_subframe(c, b, lpc_orders, force_lpc,
+                                   partition_orders, detect_wasted)
                     for c, b in zip(chans, bpss)
                 ]
                 bits = sum(p[0] for p in planned)
@@ -467,7 +573,8 @@ def _encode_frame(frame_no: int, block: np.ndarray, stereo: bool,
     else:
         ch_code = 0b0000
         chans, bpss = (block,), (16,)
-        plans = [_plan_subframe(block, 16, lpc_orders, force_lpc)[1]]
+        plans = [_plan_subframe(block, 16, lpc_orders, force_lpc,
+                                partition_orders, detect_wasted)[1]]
 
     hdr = bytearray()
     hdr += bytes([0xFF, 0xF8])                # sync 11111111 111110 00
@@ -497,16 +604,23 @@ def _read_signed(rdr: _BitReader, nbits: int) -> int:
 
 
 def _decode_subframe(rdr: _BitReader, n: int, bps: int) -> list:
-    """One subframe at the given bits-per-sample (17 for side channels)."""
+    """One subframe at the given bits-per-sample (17 for side channels).
+    Handles wasted bits (the whole subframe runs at bps - w, the
+    reconstruction shifts left by w) and any Rice partition order whose
+    partition count divides the block size."""
     if rdr.read(1) != 0:
         raise ValueError("subframe padding bit set")
     stype = rdr.read(6)
-    if rdr.read(1) != 0:
-        raise ValueError("wasted bits unsupported in subset")
+    w = 0
+    if rdr.read(1):                       # wasted-bits flag: k-1 unary
+        w = rdr.unary() + 1
+    ebps = bps - w
+    if ebps < 1:
+        raise ValueError("wasted bits exceed the sample width")
     if stype == 0b000000:  # CONSTANT
-        return [_read_signed(rdr, bps)] * n
+        return [_read_signed(rdr, ebps) << w] * n
     if stype == 0b000001:  # VERBATIM
-        return [_read_signed(rdr, bps) for _ in range(n)]
+        return [_read_signed(rdr, ebps) << w for _ in range(n)]
     if 0b001000 <= stype <= 0b001100:  # FIXED order 0-4
         order = stype & 0x7
         qc = None
@@ -515,7 +629,7 @@ def _decode_subframe(rdr: _BitReader, n: int, bps: int) -> list:
         order = (stype & 0x1F) + 1
     else:
         raise ValueError("reserved subframe type")
-    warm = [_read_signed(rdr, bps) for _ in range(order)]
+    warm = [_read_signed(rdr, ebps) for _ in range(order)]
     if stype & 0b100000:
         prec_code = rdr.read(4)
         if prec_code == 0b1111:
@@ -527,19 +641,24 @@ def _decode_subframe(rdr: _BitReader, n: int, bps: int) -> list:
         qc = [_read_signed(rdr, prec) for _ in range(order)]
     if rdr.read(2) != 0:
         raise ValueError("only 4-bit Rice residuals in subset")
-    if rdr.read(4) != 0:
-        raise ValueError("only partition order 0 in subset")
-    k = rdr.read(4)
+    po = rdr.read(4)
+    if po and n % (1 << po):
+        raise ValueError("partition count does not divide the block size")
+    if (n >> po) <= order:
+        raise ValueError("partition order starves the first partition")
     resid = []
-    if k == 0b1111:  # escape: raw two's-complement
-        raw_bits = rdr.read(5)
-        for _ in range(n - order):
-            resid.append(_read_signed(rdr, raw_bits))
-    else:
-        for _ in range(n - order):
-            q = rdr.unary()
-            u = (q << k) | (rdr.read(k) if k else 0)
-            resid.append(_unzigzag(u))
+    for p in range(1 << po):
+        cnt = (n >> po) - order if p == 0 else n >> po
+        k = rdr.read(4)
+        if k == 0b1111:  # escape: raw two's-complement
+            raw_bits = rdr.read(5)
+            for _ in range(cnt):
+                resid.append(_read_signed(rdr, raw_bits) if raw_bits else 0)
+        else:
+            for _ in range(cnt):
+                q = rdr.unary()
+                u = (q << k) | (rdr.read(k) if k else 0)
+                resid.append(_unzigzag(u))
     block = list(warm)
     if qc is None:
         coeffs = _FIXED_COEFFS[order]
@@ -550,6 +669,8 @@ def _decode_subframe(rdr: _BitReader, n: int, bps: int) -> list:
         for r in resid:
             pred = sum(c * block[-i - 1] for i, c in enumerate(qc)) >> shift
             block.append(pred + r)
+    if w:
+        return [s << w for s in block]
     return block
 
 

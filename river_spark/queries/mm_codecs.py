@@ -1751,3 +1751,107 @@ def mm_avi_av_stats(spark, sf_dir):
         "r_sum", "frame_weighted_r",
         "sample_rate", "n_audio", "audio_sum", "audio_pw_sum",
     )
+
+
+# ---- Partitioned-Rice FLAC rule (round 14 — the residual layout real
+# encoders emit by default): mono transient-heavy signal with 2 wasted
+# bits, SQL closed form:
+#   n = 512 + (d % 3) * 256, rate = 8000 + (d % 3) * 4000
+#   raw(i) = (d*7 + 11i) % 2048 - 1024   when i % 64 < 4   (spike)
+#          = (d*13 + 3i) % 31 - 15       otherwise          (quiet)
+#   s(i) = 4 * raw(i)
+# (spikes every 64 samples make one Rice k per block a bad compromise,
+# so the exact-bit-count search genuinely picks partition orders > 0 —
+# tests/test_flac_codec.py pins the compression win — and the shared
+# factor 4 puts 2 wasted bits on every subframe header; block size 256
+# divides cleanly for orders 0-4)
+
+
+def _flac_partitioned_payloads(docs):
+    """doc_id -> synthesized partitioned-Rice FLAC payload (one
+    mapInPandas pass): partition orders 0-4 searched by exact bit
+    count, wasted-bits detection on, mixed FIXED/LPC predictor
+    search."""
+    from river_spark.operators.flac import encode_flac
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 512 + (d % 3) * 256
+                i = np.arange(n, dtype=np.int64)
+                quiet = ((d * 13 + 3 * i) % 31) - 15
+                spike = ((d * 7 + 11 * i) % 2048) - 1024
+                s = (4 * np.where(i % 64 < 4, spike, quiet)).astype(np.int16)
+                ids.append(d)
+                payloads.append(
+                    encode_flac(
+                        8000 + (d % 3) * 4000,
+                        s,
+                        block_size=256,
+                        lpc_orders=(2, 4, 8),
+                        partition_orders=(0, 1, 2, 3, 4),
+                        detect_wasted=True,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+@q(
+    "mm_flac_partitioned_decode_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 512 + (doc_id % 3) * 256 AS n FROM documents),
+    s AS (
+        SELECT doc_id, n, g.i AS i,
+               4 * (CASE WHEN g.i % 64 < 4
+                    THEN ((doc_id * 7 + 11 * g.i) % 2048) - 1024
+                    ELSE ((doc_id * 13 + 3 * g.i) % 31) - 15 END) AS v
+        FROM dims, UNNEST(generate_series(0, n - 1)) AS g(i))
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(sum(v) AS BIGINT) AS sample_sum,
+           CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
+           CAST(sum((i % 997 + 1) * v) AS BIGINT) AS pos_weighted_sum
+    FROM s GROUP BY doc_id, n
+    """,
+    tags=("multimodal", "codec", "audio"),
+)
+def mm_flac_partitioned_decode_stats(spark, sf_dir):
+    """Partitioned-Rice FLAC under the bit-level oracle — the round-14
+    widening to the residual layout real encoders emit by default:
+    every subframe's residual splits into 2^po partitions (po searched
+    0-4 by exact bit count), each partition carrying its OWN 4-bit Rice
+    parameter, and every subframe header carries 2 wasted bits (the
+    whole signal shares a factor of 4, so warmup, prediction, and
+    residuals all run at 14 bits with the decoder shifting the
+    reconstruction left). The transient generation rule — loud spikes
+    every 64 samples over a quiet carrier — is exactly the waveform
+    shape partitioning exists for, so the search genuinely puts orders
+    > 0 on the wire (tests/test_flac_codec.py pins the compression win
+    and the reject paths: non-dividing partition counts, starved first
+    partition, wasted bits exceeding the sample width). Spark decodes
+    with operators/flac.decode_flac_stats (CRC-8/CRC-16 verified);
+    losslessness makes the oracle a pure restatement of the generation
+    rule, the position-weighted checksum pinning sample order across
+    partition boundaries."""
+    from river_spark.operators.flac import decode_flac_stats
+
+    docs = tbl(spark, sf_dir, "documents")
+    stats = decode_flac_stats(
+        _flac_partitioned_payloads(docs), "doc_id", "payload")
+    return stats.filter(F.col("ok")).select(
+        "doc_id", "sample_rate", "n_samples",
+        "sample_sum", "abs_sum", "pos_weighted_sum",
+    )

@@ -284,3 +284,127 @@ def test_spark_stereo_stats_path(spark):
     assert r1["right_abs_sum"] == int(np.abs(s64[:, 1]).sum())
     assert r1["left_pw_sum"] == int((w * s64[:, 0]).sum())
     assert r1["right_pw_sum"] == int((w * s64[:, 1]).sum())
+
+
+# ---------------------------------------------------------------------------
+# Round 14: Rice partition orders > 0 and wasted bits — the residual
+# layout real encoders emit by default.
+# ---------------------------------------------------------------------------
+
+def _transient_signal(n=768, d=3):
+    """Quiet runs punctuated by loud spikes every 64 samples — the
+    waveform shape partitioned Rice exists for (one k per block is a
+    compromise; per-partition k prices the loud and quiet runs apart)."""
+    i = np.arange(n, dtype=np.int64)
+    quiet = ((d * 13 + 3 * i) % 31) - 15
+    spike = np.where(i % 64 < 4, ((d * 7 + 11 * i) % 2048) - 1024, 0)
+    return (quiet + spike).astype(np.int16)
+
+
+@pytest.mark.parametrize("orders", [(1,), (2,), (4,), (0, 1, 2, 3, 4)])
+def test_partitioned_rice_lossless_roundtrip(orders):
+    x = _transient_signal()
+    data = encode_flac(16000, x, block_size=256, partition_orders=orders)
+    rate, out = decode_flac(data)
+    assert rate == 16000 and (out == x).all()
+    # a sole order > 0 must genuinely change the wire vs order 0
+    if orders != (0, 1, 2, 3, 4):
+        assert data != encode_flac(16000, x, block_size=256)
+
+
+def test_partitioning_compresses_transients():
+    """The feature's reason to exist, pinned: a transient-heavy block
+    compresses measurably better partitioned (per-partition k) than
+    with one compromise Rice parameter."""
+    x = _transient_signal(n=1024)
+    flat = encode_flac(16000, x, block_size=256, partition_orders=(0,))
+    part = encode_flac(16000, x, block_size=256,
+                       partition_orders=(0, 1, 2, 3, 4))
+    assert len(part) < 0.96 * len(flat), (len(part), len(flat))
+
+
+def test_partitioned_escape_and_lpc_roundtrip():
+    x = _transient_signal(n=512)
+    for kw in (dict(force_escape=True), dict(lpc_orders=(2, 4, 8), force_lpc=True)):
+        data = encode_flac(8000, x, block_size=256,
+                           partition_orders=(2,), **kw)
+        _, out = decode_flac(data)
+        assert (out == x).all()
+
+
+def test_partition_search_skips_invalid_orders():
+    # last frame of 300 samples at block 256 leaves a 44-sample block:
+    # 44 is not divisible by 8, so order 3 must fall back, not crash
+    x = _transient_signal(n=300)
+    data = encode_flac(8000, x, block_size=256, partition_orders=(3,))
+    _, out = decode_flac(data)
+    assert (out == x).all()
+
+
+def test_wasted_bits_lossless_and_smaller():
+    x = (_transient_signal(n=768).astype(np.int64) * 4).astype(np.int16)
+    plain = encode_flac(16000, x, block_size=256)
+    wasted = encode_flac(16000, x, block_size=256, detect_wasted=True)
+    assert wasted != plain
+    assert len(wasted) < len(plain)
+    for data in (plain, wasted):
+        rate, out = decode_flac(data)
+        assert rate == 16000 and (out == x).all()
+
+
+def test_wasted_bits_stereo_and_lpc_roundtrip():
+    s = _stereo_signal(n=512)
+    s8 = (s.astype(np.int64) // 4 * 8).astype(np.int16)  # 3 trailing zeros
+    data = encode_flac(24000, s8, block_size=128, lpc_orders=(2, 4),
+                       channel_mode="cycle", detect_wasted=True,
+                       partition_orders=(0, 1, 2))
+    _, out = decode_flac(data)
+    assert (out == s8).all()
+
+
+def test_wasted_bits_no_false_positive():
+    # one odd sample anywhere means zero wasted bits: wire must match
+    x = _transient_signal(n=256) * 4
+    x[100] += 1
+    a = encode_flac(8000, x.astype(np.int16), detect_wasted=True)
+    b = encode_flac(8000, x.astype(np.int16), detect_wasted=False)
+    assert a == b
+
+
+def test_partition_and_wasted_decode_reject_paths():
+    from river_spark.operators.flac import _BitReader, _BitWriter, _decode_subframe
+
+    def sub_bits(build):
+        w = _BitWriter()
+        build(w)
+        w.align()
+        return _BitReader(bytes(w.out))
+
+    # partition count does not divide the block size (n=10, po=2)
+    r = sub_bits(lambda w: [w.write(0, 1), w.write(0b001001, 6), w.write(0, 1),
+                            w.write(5, 16),          # warmup (order 1)
+                            w.write(0, 2), w.write(2, 4)])
+    with pytest.raises(ValueError, match="divide"):
+        _decode_subframe(r, 10, 16)
+
+    # first partition starved: n=8, po=2 -> 2 samples/partition, order 2
+    r = sub_bits(lambda w: [w.write(0, 1), w.write(0b001010, 6), w.write(0, 1),
+                            w.write(1, 16), w.write(2, 16),
+                            w.write(0, 2), w.write(2, 4)])
+    with pytest.raises(ValueError, match="starves"):
+        _decode_subframe(r, 8, 16)
+
+    # wasted bits >= sample width (flag + unary 15 -> w=16 at bps=16)
+    r = sub_bits(lambda w: [w.write(0, 1), w.write(0b001000, 6), w.write(1, 1),
+                            w.unary(15)])
+    with pytest.raises(ValueError, match="exceed"):
+        _decode_subframe(r, 4, 16)
+
+
+def test_round14_defaults_leave_wire_unchanged():
+    """partition_orders=(0,) + detect_wasted=False is the pre-round-14
+    wire byte-for-byte (the driver queries mm_flac_decode_stats /
+    mm_flac_lpc_decode_stats pin stats; this pins layout)."""
+    x = _transient_signal(n=500)
+    assert encode_flac(8000, x) == encode_flac(
+        8000, x, partition_orders=(0,), detect_wasted=False)
