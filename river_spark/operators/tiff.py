@@ -14,8 +14,11 @@ Supported baseline subset: both byte orders (II / MM) on decode,
 1 (none), 5 (LZW — round 13: MSB-first, EarlyChange=1, ClearCode
 restarts, TIFF 6.0 §13) or 32773 (PackBits), Predictor 1 or 2
 (horizontal differencing, §14 — the pairing real scanned/archival
-TIFFs ship), arbitrary RowsPerStrip with a partial final strip. The
-encoder writes little-endian grayscale/RGB with whole-strip streams.
+TIFFs ship), arbitrary RowsPerStrip with a partial final strip, and —
+round 14 — the §15 TILED layout (TileWidth/TileLength multiples of 16,
+TileOffsets/TileByteCounts, zero-padded partial edge tiles cropped on
+reassembly) over the same entropy layer. The encoder writes
+little-endian grayscale/RGB with whole-strip or whole-tile streams.
 
 Reference scope parity: the reference stores opaque binary payloads
 (docs treat payloads as bytes); decode here is a first-class
@@ -238,6 +241,7 @@ def packbits_decode(data: bytes, expected: int) -> bytes:
 _T_WIDTH, _T_LENGTH, _T_BPS, _T_COMP = 256, 257, 258, 259
 _T_PHOTO, _T_STRIP_OFF, _T_SPP, _T_RPS, _T_STRIP_CNT = 262, 273, 277, 278, 279
 _T_PREDICTOR = 317
+_T_TILE_W, _T_TILE_L, _T_TILE_OFF, _T_TILE_CNT = 322, 323, 324, 325
 
 
 def encode_tiff(
@@ -245,12 +249,18 @@ def encode_tiff(
     rows_per_strip: int = 4,
     compression: int = 32773,
     predictor: int = 1,
+    tile_size: tuple | None = None,
 ) -> bytes:
     """Encode HxW (grayscale) or HxWx3 (RGB) uint8 as little-endian
     baseline TIFF. compression: 1 = none, 5 = LZW, 32773 = PackBits;
     predictor: 1 = none, 2 = horizontal differencing (round 13 — the
     pairing real scanned/archival TIFFs ship: Predictor 2 turns smooth
-    gradients into near-constant residue LZW then collapses)."""
+    gradients into near-constant residue LZW then collapses).
+    ``tile_size=(tw, tl)`` switches to the TIFF 6.0 §15 tiled layout
+    (round 14 — scanned/archival and geo TIFFs): both dimensions must
+    be multiples of 16 per the spec, edge tiles are zero-padded to the
+    full tile size (every tile decompresses to exactly tw*tl*spp
+    bytes), and the predictor differences within each tile's rows."""
     if img.ndim == 2:
         spp, photo = 1, 1
         h, w = img.shape
@@ -266,17 +276,39 @@ def encode_tiff(
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 or 2")
 
-    row_bytes = w * spp
-    strips = []
-    for y0 in range(0, h, rows_per_strip):
-        chunk = raw[y0 : y0 + rows_per_strip].tobytes()
-        if predictor == 2:
-            chunk = _predict_rows(chunk, row_bytes, spp)
-        if compression == 32773:
-            chunk = packbits_encode(chunk)
-        elif compression == 5:
-            chunk = lzw_encode(chunk)
-        strips.append(chunk)
+    if tile_size is not None:
+        tw, tl = tile_size
+        if tw % 16 or tl % 16 or tw <= 0 or tl <= 0:
+            raise ValueError("tile dimensions must be positive multiples of 16")
+        row_bytes = tw * spp
+        full = np.zeros(
+            (-(-h // tl) * tl, -(-w // tw) * tw) + ((3,) if spp == 3 else ()),
+            dtype=np.uint8,
+        )
+        full[:h, :w] = raw                     # edge tiles zero-padded
+        strips = []
+        for y0 in range(0, full.shape[0], tl):      # left-to-right, then down
+            for x0 in range(0, full.shape[1], tw):
+                chunk = full[y0 : y0 + tl, x0 : x0 + tw].tobytes()
+                if predictor == 2:
+                    chunk = _predict_rows(chunk, row_bytes, spp)
+                if compression == 32773:
+                    chunk = packbits_encode(chunk)
+                elif compression == 5:
+                    chunk = lzw_encode(chunk)
+                strips.append(chunk)
+    else:
+        row_bytes = w * spp
+        strips = []
+        for y0 in range(0, h, rows_per_strip):
+            chunk = raw[y0 : y0 + rows_per_strip].tobytes()
+            if predictor == 2:
+                chunk = _predict_rows(chunk, row_bytes, spp)
+            if compression == 32773:
+                chunk = packbits_encode(chunk)
+            elif compression == 5:
+                chunk = lzw_encode(chunk)
+            strips.append(chunk)
 
     out = bytearray(b"II*\x00")
     out += b"\x00\x00\x00\x00"  # IFD offset patched below
@@ -293,7 +325,7 @@ def encode_tiff(
     # value arrays that don't fit inline go after the IFD
     entries = []  # (tag, type, count, packed-value-or-None, data)
     tail = bytearray()
-    n_entries = 10 if predictor == 2 else 9
+    n_entries = (10 if tile_size is not None else 9) + (predictor == 2)
     tail_base = ifd_off + 2 + 12 * n_entries + 4
 
     def add(tag, typ, count, values):
@@ -312,13 +344,19 @@ def encode_tiff(
     add(_T_BPS, 3, spp, [8] * spp)
     add(_T_COMP, 3, 1, [compression])
     add(_T_PHOTO, 3, 1, [photo])
-    add(_T_STRIP_OFF, 4, n_strips, offsets)
     add(_T_SPP, 3, 1, [spp])
-    add(_T_RPS, 4, 1, [rows_per_strip])
-    add(_T_STRIP_CNT, 4, n_strips, [len(s) for s in strips])
+    if tile_size is not None:
+        add(_T_TILE_W, 4, 1, [tile_size[0]])
+        add(_T_TILE_L, 4, 1, [tile_size[1]])
+        add(_T_TILE_OFF, 4, n_strips, offsets)
+        add(_T_TILE_CNT, 4, n_strips, [len(s) for s in strips])
+    else:
+        add(_T_STRIP_OFF, 4, n_strips, offsets)
+        add(_T_RPS, 4, 1, [rows_per_strip])
+        add(_T_STRIP_CNT, 4, n_strips, [len(s) for s in strips])
     if predictor == 2:
         add(_T_PREDICTOR, 3, 1, [2])
-    assert len(entries) == (10 if predictor == 2 else 9)
+    assert len(entries) == n_entries
     entries.sort()  # TIFF requires ascending tag order
 
     out += struct.pack("<H", len(entries))
@@ -395,6 +433,42 @@ def decode_tiff(payload: bytes):
     predictor = one(_T_PREDICTOR, 1)
     if predictor not in (1, 2):
         raise ValueError("unsupported predictor")
+    if _T_TILE_W in tags or _T_TILE_L in tags:
+        if _T_STRIP_OFF in tags:
+            raise ValueError("both tile and strip layout tags present")
+        tw, tl = one(_T_TILE_W), one(_T_TILE_L)
+        if tw <= 0 or tl <= 0 or tw % 16 or tl % 16:
+            raise ValueError("tile dimensions must be positive multiples of 16")
+        offs = tags.get(_T_TILE_OFF)
+        cnts = tags.get(_T_TILE_CNT)
+        if not offs or not cnts or len(offs) != len(cnts):
+            raise ValueError("bad tile layout")
+        across, down = -(-w // tw), -(-h // tl)
+        if len(offs) != across * down:
+            raise ValueError("tile count does not match the image grid")
+        row_bytes = tw * spp
+        expected = tl * row_bytes            # every tile is full-size
+        shape = (down * tl, across * tw) + ((3,) if spp == 3 else ())
+        img = np.zeros(shape, dtype=np.uint8)
+        for ti, (o, c) in enumerate(zip(offs, cnts)):
+            chunk = payload[o : o + c]
+            if len(chunk) != c:
+                raise ValueError("tile past end of file")
+            if comp == 32773:
+                chunk = packbits_decode(chunk, expected)
+            elif comp == 5:
+                chunk = lzw_decode(chunk, expected)
+            elif len(chunk) != expected:
+                raise ValueError("uncompressed tile size mismatch")
+            if predictor == 2:
+                chunk = _unpredict_rows(chunk, row_bytes, spp)
+            tile = np.frombuffer(chunk, dtype=np.uint8).reshape(
+                (tl, tw) if spp == 1 else (tl, tw, 3))
+            y0 = (ti // across) * tl
+            x0 = (ti % across) * tw
+            img[y0 : y0 + tl, x0 : x0 + tw] = tile
+        return w, h, np.ascontiguousarray(img[:h, :w])  # crop edge padding
+
     rps = one(_T_RPS, h)
     offs = tags.get(_T_STRIP_OFF)
     cnts = tags.get(_T_STRIP_CNT)

@@ -1855,3 +1855,92 @@ def mm_flac_partitioned_decode_stats(spark, sf_dir):
         "doc_id", "sample_rate", "n_samples",
         "sample_sum", "abs_sum", "pos_weighted_sum",
     )
+
+
+# ---- Tiled TIFF rule (round 14 — TIFF 6.0 §15, the layout
+# scanned/archival and geo TIFFs use): RGB, 16x16 tiles over LZW +
+# Predictor 2, dimensions chosen so BOTH edges always carry partial
+# (zero-padded) tiles:
+#   w = 33 + (d % 4) * 8, h = 17 + (d % 3) * 8
+#   pixel p (row-major): r = (d*29 + 5p) % 256, g = r+17 mod, b = r+34 mod
+
+
+def _tiff_tiled_payloads(docs):
+    """doc_id -> synthesized tiled RGB TIFF payload (one mapInPandas
+    pass): 16x16 tiles, LZW entropy, horizontal-differencing predictor
+    — the §15 layout over the §13/§14 machinery the strip walker
+    already owns."""
+    from river_spark.operators.tiff import encode_tiff
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 33 + (d % 4) * 8, 17 + (d % 3) * 8
+                p = np.arange(w * h, dtype=np.int64)
+                r = (d * 29 + 5 * p) % 256
+                img = np.stack([r, (r + 17) % 256, (r + 34) % 256], axis=1)
+                img = img.astype(np.uint8).reshape(h, w, 3)
+                ids.append(d)
+                payloads.append(
+                    encode_tiff(img, compression=5, predictor=2,
+                                tile_size=(16, 16))
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+@q(
+    "mm_tiff_tiled_decode_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 33 + (doc_id % 4) * 8 AS w, 17 + (doc_id % 3) * 8 AS h
+        FROM documents),
+    px AS (
+        SELECT doc_id, w, h, g.p AS p,
+               (doc_id * 29 + 5 * g.p) % 256 AS r
+        FROM dims, UNNEST(generate_series(0, w * h - 1)) AS g(p))
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(r) AS BIGINT) AS r_sum,
+           CAST(sum((r + 17) % 256) AS BIGINT) AS g_sum,
+           CAST(sum((r + 34) % 256) AS BIGINT) AS b_sum,
+           CAST(sum((p % 997 + 1) * r) AS BIGINT) AS pos_weighted_r
+    FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "codec", "image"),
+)
+def mm_tiff_tiled_decode_stats(spark, sf_dir):
+    """Tiled TIFF under the bit-level oracle — the round-14 widening of
+    the TIFF subset to the §15 layout scanned/archival and geo TIFFs
+    use: TileWidth/TileLength 16x16 (spec-mandated multiples of 16),
+    TileOffsets/TileByteCounts reassembly left-to-right then down, and
+    — because every generated width and height is odd-sized against the
+    tile grid — partial edge tiles on BOTH axes, zero-padded to full
+    tile size on the wire and cropped on reassembly. The entropy layer
+    is the §13/§14 pairing already gated on strips (LZW + Predictor 2,
+    the predictor differencing within each TILE's rows, not the image
+    rows). Spark decodes with operators/tiff.decode_tiff_rgb_stats;
+    losslessness makes the oracle a pure restatement of the generation
+    rule, the position-weighted checksum pinning pixel order through
+    the tile-grid reassembly (a transposed tile index, a padding leak,
+    or a per-tile predictor reset bug lands as an integer mismatch).
+    Tile reject paths (non-multiple-of-16 dimensions, grid/count
+    mismatch, mixed strip+tile tags) are pinned by
+    tests/test_tiff_codec.py."""
+    from river_spark.operators.tiff import decode_tiff_rgb_stats
+
+    docs = tbl(spark, sf_dir, "documents")
+    stats = decode_tiff_rgb_stats(_tiff_tiled_payloads(docs), "doc_id", "payload")
+    return stats.filter(F.col("ok")).select(
+        "doc_id", "width", "height", "r_sum", "g_sum", "b_sum", "pos_weighted_r"
+    )

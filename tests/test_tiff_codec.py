@@ -218,3 +218,91 @@ def test_tiff_rgb_stats_spark_path(spark):
     assert r1["g_sum"] == int(p64[:, :, 1].sum())
     assert r1["b_sum"] == int(p64[:, :, 2].sum())
     assert r1["pos_weighted_r"] == int((wgt * p64[:, :, 0]).sum())
+
+
+# ---------------------------------------------------------------------------
+# Round 14: tiled layout (TIFF 6.0 §15) — scanned/archival and geo
+# TIFFs use tiles; same entropy layer (none/LZW/PackBits + predictor).
+# ---------------------------------------------------------------------------
+
+def _img(shape, seed=7):
+    return np.random.default_rng(seed).integers(0, 256, shape).astype(np.uint8)
+
+
+@pytest.mark.parametrize("comp", [1, 5, 32773], ids=["none", "lzw", "packbits"])
+@pytest.mark.parametrize("pred", [1, 2])
+def test_tiled_roundtrip_full_matrix(comp, pred):
+    # 37x53 at 16x16 tiles: partial tiles on BOTH edges
+    for shape in [(37, 53), (37, 53, 3)]:
+        img = _img(shape)
+        data = encode_tiff(img, compression=comp, predictor=pred,
+                           tile_size=(16, 16))
+        w, h, out = decode_tiff(data)
+        assert (w, h) == (53, 37)
+        assert np.array_equal(out, img)
+
+
+def test_tiled_rectangular_tiles_and_exact_grid():
+    img = _img((64, 96, 3), seed=11)     # exact multiple: no padding
+    data = encode_tiff(img, compression=5, predictor=2, tile_size=(32, 16))
+    assert np.array_equal(decode_tiff(data)[2], img)
+    img2 = _img((20, 18), seed=12)       # smaller than one tile
+    data2 = encode_tiff(img2, compression=32773, tile_size=(32, 32))
+    assert np.array_equal(decode_tiff(data2)[2], img2)
+
+
+def test_tiled_wire_differs_from_strips_and_tags_present():
+    img = _img((32, 32))
+    tiled = encode_tiff(img, tile_size=(16, 16))
+    striped = encode_tiff(img)
+    assert tiled != striped
+    # TileWidth tag (322) on the tiled wire only
+    import struct as _s
+    def has_tag(data, tag):
+        (ifd,) = _s.unpack_from("<I", data, 4)
+        (n,) = _s.unpack_from("<H", data, ifd)
+        return tag in [_s.unpack_from("<H", data, ifd + 2 + 12 * i)[0]
+                       for i in range(n)]
+    assert has_tag(tiled, 322) and has_tag(tiled, 324)
+    assert not has_tag(tiled, 273) and not has_tag(tiled, 278)
+    assert has_tag(striped, 273) and not has_tag(striped, 322)
+
+
+def test_tiled_reject_paths():
+    img = _img((32, 32))
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(img, tile_size=(15, 16))
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(img, tile_size=(16, 0))
+    data = bytearray(encode_tiff(img, tile_size=(16, 16), compression=1))
+    # corrupt TileWidth (322) value to 8: find its IFD entry
+    import struct as _s
+    (ifd,) = _s.unpack_from("<I", data, 4)
+    (n,) = _s.unpack_from("<H", data, ifd)
+    for i in range(n):
+        o = ifd + 2 + 12 * i
+        tag, typ, cnt = _s.unpack_from("<HHI", data, o)
+        if tag == 322:
+            _s.pack_into("<I", data, o + 8, 8)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        decode_tiff(bytes(data))
+    # tile count not matching the grid: truncate offsets via TileLength bump
+    data2 = bytearray(encode_tiff(img, tile_size=(16, 16), compression=1))
+    (ifd,) = _s.unpack_from("<I", data2, 4)
+    (n,) = _s.unpack_from("<H", data2, ifd)
+    for i in range(n):
+        o = ifd + 2 + 12 * i
+        tag, typ, cnt = _s.unpack_from("<HHI", data2, o)
+        if tag == 323:
+            _s.pack_into("<I", data2, o + 8, 32)  # claims 1 row of tiles
+    with pytest.raises(ValueError, match="grid"):
+        decode_tiff(bytes(data2))
+
+
+def test_tiled_padding_never_leaks_into_pixels():
+    # constant image with partial edge tiles: any padding leak would
+    # change the constant
+    img = np.full((17, 33, 3), 200, dtype=np.uint8)
+    data = encode_tiff(img, compression=5, predictor=2, tile_size=(16, 16))
+    _, _, out = decode_tiff(data)
+    assert (out == 200).all() and out.shape == (17, 33, 3)
