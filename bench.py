@@ -369,11 +369,69 @@ def scaling_probe(spark, sf_dir: str, bench, timings: dict, top_n: int = 5) -> d
             f"# sf-probe {name}: {sec:.3f}s = {out[name]['ratio']}x {out[name]['runs']}",
             file=sys.stderr,
         )
+    if "pipeline_curation_v2" in out:
+        try:
+            out["pipeline_curation_v2"]["stages"] = curation_v2_stage_probe(
+                spark, sf_dir, scaled
+            )
+        except Exception as exc:  # pragma: no cover - attribution best-effort
+            print(f"# curation_v2 stage probe failed: {exc}", file=sys.stderr)
     return {
         "factor": _SCALE_FACTOR,
         "build_sec": build_sec,
         "queries": out,
     }
+
+
+def curation_v2_stage_probe(spark, sf_dir: str, scaled_dir: str) -> dict:
+    """Per-stage wall for pipeline_curation_v2's four fused gates at 1x
+    and FACTORx (round-13 verdict #4: the probe ratio rose to 2.02 at
+    spread 1.12 — if it excurses again, this names the stage instead of
+    the query). Each gate is materialized standalone with the same
+    builders the fused plan composes; the span and decontamination
+    gates share the 15-token shingle stream in the fused plan, so their
+    standalone walls OVERSTATE the fused cost — read the ratios, not
+    the absolutes."""
+    from pyspark.sql import functions as F
+
+    from river_spark.operators.dedup import shingles
+    from river_spark.queries.curation2 import text_repetition_filter
+    from river_spark.queries.curation3 import pipeline_domain_cap, span_shared_stats
+    from river_spark.queries.tables import tbl
+
+    def gates(d):
+        sh15 = shingles(tbl(spark, d, "documents"), "doc_id", "text", 15,
+                        hashed=True)
+        evs = sh15.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+        return {
+            "rep_gate": text_repetition_filter(spark, d).filter(F.col("keep")),
+            "domain_cap": pipeline_domain_cap(spark, d).filter(F.col("kept")),
+            "span_gate": span_shared_stats(sh15).filter(
+                F.col("shared_frac") <= 0.5),
+            "decontam_gate": (
+                sh15.filter(F.col("doc_id") % 97 != 0)
+                .join(evs, "shingle").select("doc_id").distinct()
+            ),
+        }
+
+    out = {}
+    for label, d in (("base", sf_dir), ("scaled", scaled_dir)):
+        per = {}
+        for gname, df in gates(d).items():
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df.count()
+                runs.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            per[gname] = round(statistics.median(runs), 4)
+        out[label] = per
+    out["ratio"] = {
+        k: round(out["scaled"][k] / max(out["base"][k], 1e-9), 2)
+        for k in out["base"]
+    }
+    print(f"# curation_v2 stages: {out}", file=sys.stderr)
+    return out
 
 
 _DEEP_FACTOR = 30
@@ -917,5 +975,88 @@ def main() -> None:
     spark.stop()
 
 
+def ab_tree_main(ref: str, pairs: int) -> None:
+    """The BENCHNOTES A/B protocol as one command (round-13 verdict
+    #5): cross-round absolute headlines on this box are noise (the
+    UNCHANGED r11 tree spanned 17.53-23.80 s in one afternoon), so any
+    drift adjudication must come from pinned-tree SAME-SESSION pairs.
+    This checks out ``ref`` into a temp git worktree and runs
+    headline-only benches alternately — order counterbalanced per pair
+    (HEAD,ref then ref,HEAD) so slow environment drift cancels — and
+    prints one JSON line with per-tree per-query minima and the
+    pairwise ratio."""
+    import subprocess
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    wt = tempfile.mkdtemp(prefix="ab_tree_")
+    subprocess.run(["git", "-C", root, "worktree", "add", "--detach", wt, ref],
+                   check=True, capture_output=True)
+    env = {**os.environ,
+           "SPARK_GRAFT_SF1_PROBE": "0",
+           "SPARK_GRAFT_LAYOUT_PROBE": "0",
+           "SPARK_GRAFT_DEEP_PROBE": "0"}
+
+    def one_run(tree: str) -> dict:
+        r = subprocess.run([sys.executable, os.path.join(tree, "bench.py")],
+                           env={**env, "PYTHONPATH": tree}, cwd=tree,
+                           capture_output=True, text=True, check=True)
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    runs = []  # (tree_label, record) in chronological order
+    try:
+        for pair in range(pairs):
+            order = [("head", root), (ref, wt)]
+            if pair % 2:
+                order.reverse()
+            for label, tree in order:
+                rec = one_run(tree)
+                runs.append((label, rec))
+                print(f"# ab-run {len(runs)} [{label}]: "
+                      f"{rec['value']}s cpu={rec.get('cpu_canary_ms')}ms "
+                      f"par={rec.get('parallel_canary_ms')}ms",
+                      file=sys.stderr)
+    finally:
+        subprocess.run(["git", "-C", root, "worktree", "remove", "--force", wt],
+                       check=False, capture_output=True)
+
+    def per_tree(label: str) -> dict:
+        recs = [r for l, r in runs if l == label]
+        qmins = {}
+        for rec in recs:
+            for qn, sec in rec.get("queries", {}).items():
+                qmins[qn] = min(qmins.get(qn, float("inf")), sec)
+        return {
+            "headlines": [r["value"] for r in recs],
+            "headline_min": min(r["value"] for r in recs),
+            "cpu_canary_ms": [r.get("cpu_canary_ms") for r in recs],
+            "queries_min": {k: round(v, 4) for k, v in qmins.items()},
+        }
+
+    a, b = per_tree("head"), per_tree(ref)
+    shared = sorted(set(a["queries_min"]) & set(b["queries_min"]))
+    out = {
+        "metric": "ab_tree",
+        "ref": ref,
+        "pairs": pairs,
+        "order": [l for l, _ in runs],
+        "head": a,
+        "pinned": b,
+        "headline_ratio_head_vs_pinned": round(
+            a["headline_min"] / max(b["headline_min"], 1e-9), 3),
+        "per_query_ratio": {
+            q: round(a["queries_min"][q] / max(b["queries_min"][q], 1e-9), 2)
+            for q in shared
+        },
+    }
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    if "--ab-tree" in sys.argv:
+        i = sys.argv.index("--ab-tree")
+        ref_arg = sys.argv[i + 1]
+        n_pairs = int(sys.argv[sys.argv.index("--pairs") + 1]) \
+            if "--pairs" in sys.argv else 2
+        ab_tree_main(ref_arg, n_pairs)
+    else:
+        main()

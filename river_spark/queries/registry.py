@@ -424,73 +424,77 @@ _R10_ORDER = [
 # Discipline: a query whose PHYSICAL PLAN changed since its last green
 # driver row goes back through the driver before anything new.
 _WINDOW = [
-    # --- Round-13 rotation (r12 verdict directive #1): the driver
-    #     checks the FIRST 50 each round. The 12 round-12 additions
-    #     have never had a driver row — they lead. Behind them, the
-    #     round-13 additions (eviction-regime heavy hitters, stereo-LPC
-    #     FLAC, MJPEG AVI, K-S test, nearest as-of), then 33 of the 37
-    #     r4-stale cohort (latest CORRECTNESS row round 4 — the oldest
-    #     green evidence in the repo), transport gates first; the
-    #     remaining 4 r4 rows and the r6 cohort head round 14.
-    # --- round-12 additions (never driver-checked):
-    "mm_jpeg_decode_stats",
-    "mm_jpeg420_decode_stats",
-    "mm_jpeg_gray_decode_stats",
-    "mm_tiff_decode_stats",
-    "mm_adpcm_decode_stats",
-    "mm_flac_decode_stats",
-    "mm_avi_frame_stats",
-    "agg_kruskal_wallis",
-    "agg_friedman_test",
-    "ab_cochran_armitage",
-    "river_stream_inner_join",
-    "river_stream_topk_heavy_hitters",
-    # --- round-13 additions:
-    "river_stream_topk_evicted",
-    "mm_flac_lpc_decode_stats",
-    "mm_mjpeg_frame_stats",
-    "agg_ks_two_sample",
-    "ev_asof_nearest",
-    "mm_jpeg_prog_decode_stats",
-    "mm_tiff_lzw_decode_stats",
-    "mm_avi_av_stats",
-    # --- r4-stale cohort (transport gates first):
-    "river_catalog_scan",
-    "river_cli_roundtrip",
-    "river_http_read",
-    "river_stale_autoeof",
-    "q1_pricing_summary",
-    "q2_min_unit_price_supplier",
-    "q11_supplier_balance_share",
-    "q22_idle_customers",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "emb_knn_cosine",
-    "emb_ann_lsh",
-    "emb_ann_ivf",
-    "emb_cosine_dedup",
-    "emb_norms",
-    "emb_centroid_norms",
-    "ev_rollup_cascade",
-    "pipeline_training_set",
-    "agg_approx_distinct",
-    "fn_array_agg",
-    "fn_json_struct",
-    "fn_map",
-    "join_salted",
-    "mm_decode_features",
-    "mm_frame_sample",
-    "mm_payload_metadata",
-    "null_ordering",
-    "null_semantics",
-    "pivot_status_priority",
+    # --- Round-14 rotation (r13 verdict directive #1: retire the
+    #     staleness tail). The r4-stale cohort was 37 rows; round 13's
+    #     window re-adjudicated 30 of them, so SEVEN remain at r4 (the
+    #     r13 rotation comment miscounted 33/4 — fixed here per ADVICE).
+    #     They lead. The 2 round-14 additions (partitioned-Rice FLAC,
+    #     tiled TIFF) follow — added AND adjudicated in-round, zero new
+    #     debt. The remaining 41 slots re-adjudicate the oldest r6 rows
+    #     in priority order; 7 r6 rows (agg_stats, agg_percentile,
+    #     topk_global, set_ops, win_running_sum, win_moving_avg,
+    #     text_token_stats) remain for the round-15 head, after which no
+    #     registry query's external row is older than its natural
+    #     ~7-round rotation cycle at 372/50.
+    # --- r4-stale cohort (the 7 oldest external rows in the repo):
+    "udf_normalize_text",
+    "udaf_weighted_avg",
+    "udtf_tokenize",
+    "set_ops_all",
+    "scalar_regex",
+    "win_range_frame",
+    "win_value_functions",
+    # --- round-14 additions (never driver-checked):
+    "mm_flac_partitioned_decode_stats",
+    "mm_tiff_tiled_decode_stats",
+    # --- r6-stale cohort, oldest-first in priority order (41 of 48):
+    "decontam_minhash_bench",
+    "text_bm25_rank",
+    "agg_median_mode",
+    "agg_regression",
+    "scalar_url",
+    "ev_anomaly_zscore",
+    "agg_bool_bit",
+    "ev_locf_fill",
+    "fn_higher_order",
+    "ev_event_trigrams",
+    "udf_cogroup_clickstream",
+    "dedup_repeated_spans",
+    "agg_listagg",
+    "fn_unpivot",
+    "scalar_decimal",
+    "mm_audio_windows",
+    "emb_pq_codes",
+    "ev_markov_transitions",
+    "text_zipf_slope",
+    "river_stream_locf",
+    "agg_argminmax",
+    "udf_arrow_stats",
+    "text_bigram_logprob",
+    "agg_grouping_id",
+    "river_latency_analysis",
+    "pipeline_quality_sample",
+    "emb_matryoshka_truncate",
+    "agg_approx_quantile",
+    "ev_gap_detect",
+    "profile_lineitem",
+    "agg_value_histogram",
+    "ev_session_window_native",
+    "river_stream_dedup",
+    "win_distribution_functions",
+    "scalar_bitwise",
+    "scalar_levenshtein",
+    "scalar_string",
+    "scalar_date",
+    "scalar_math",
+    "scalar_conditional",
+    "scalar_json",
 ]
-# Round-14 rotation note: behind this window sit the 4 remaining
-# r4-stale rows (udf_normalize_text, udtf_tokenize, win_value_functions,
-# fn_higher_order-era peers), then the r6 cohort (agg_percentile,
-# agg_median_mode, set_ops, topk_global, ...) oldest-first; round-13
-# additions landing after this list was frozen join the round-14 head.
+# Round-15 rotation note: behind this window sit the 7 remaining r6
+# rows named above (they lead round 15), then everything whose latest
+# row is r7+ in the established staleness order. Registry growth
+# discipline (r13 verdict #7): additions <= window headroom after
+# staleness rotation, adjudicated in the round they land.
 
 # Tail keeps the round-10 staleness order so future rotations stay
 # oldest-first; round-11 additions register at the very end (behind
