@@ -446,6 +446,11 @@ def decode_tiff(payload: bytes):
         across, down = -(-w // tw), -(-h // tl)
         if len(offs) != across * down:
             raise ValueError("tile count does not match the image grid")
+        # the grid is allocated from HEADER values before any tile is
+        # validated — bound it so a lying TileWidth/TileLength lands as
+        # a reject, not an allocation failure the stats ops can't catch
+        if down * tl * across * tw * spp > (1 << 28):
+            raise ValueError("tile grid implausibly large")
         row_bytes = tw * spp
         expected = tl * row_bytes            # every tile is full-size
         shape = (down * tl, across * tw) + ((3,) if spp == 3 else ())

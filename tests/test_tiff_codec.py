@@ -306,3 +306,21 @@ def test_tiled_padding_never_leaks_into_pixels():
     data = encode_tiff(img, compression=5, predictor=2, tile_size=(16, 16))
     _, _, out = decode_tiff(data)
     assert (out == 200).all() and out.shape == (17, 33, 3)
+
+
+def test_tiled_header_allocation_bomb_rejected():
+    # a lying TileLength must land as ValueError BEFORE the grid
+    # allocation, so the Spark stats ops (which catch ValueError) see
+    # ok=false instead of an executor-side MemoryError
+    img = _img((32, 32))
+    data = bytearray(encode_tiff(img, tile_size=(16, 16), compression=1))
+    import struct as _s
+    (ifd,) = _s.unpack_from("<I", data, 4)
+    (n,) = _s.unpack_from("<H", data, ifd)
+    for i in range(n):
+        o = ifd + 2 + 12 * i
+        tag, typ, cnt = _s.unpack_from("<HHI", data, o)
+        if tag in (322, 323):
+            _s.pack_into("<I", data, o + 8, 1 << 20)  # 1M x 1M tiles
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(data))
