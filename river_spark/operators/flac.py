@@ -11,7 +11,8 @@ decode(encode(x)) == x exactly, so the driver oracle
 (mm_flac_decode_stats) recomputes sample statistics straight from the
 generation rule without seeing a byte.
 
-Subset: 16-bit, fixed blocking. Round 13 widened the original
+Subset: fixed blocking; bit depths 8/16/24; 1-8 channels. Round 13
+widened the original
 fixed-predictor subset with the two features real FLAC corpora are
 overwhelmingly made of:
 
@@ -39,10 +40,15 @@ Round 14 adds the residual layout real encoders emit by default:
   trailing zero bits (common for up-scaled or attenuated material),
   the subframe header carries w unary-coded and the whole subframe
   (warmup, prediction, residuals) runs at ``bps - w``; the decoder
-  shifts the reconstruction left by w.
+  shifts the reconstruction left by w;
+* bit depths 8 and 24 (sample-size codes 001/110, STREAMINFO bps,
+  side channels at bps + 1) and 3-8 channel surround layouts
+  (channel code nch - 1, independent subframes per the spec — stereo
+  decorrelation is a 2-channel concept).
 
-Still outside the subset: variable blocking, >2 channels, bit depths
-other than 16.
+Still outside the subset: variable blocking, bit depths other than
+8/16/24 (e.g. 12/20), and non-streamable oddities (negative LPC
+shift, reserved codes) which decode rejects explicitly.
 
 Reference scope parity: the reference stores opaque binary payloads;
 decode here is a first-class distributed operator per SURVEY.md's
@@ -56,7 +62,7 @@ import struct
 import numpy as np
 
 __all__ = ["encode_flac", "decode_flac", "decode_flac_stats",
-           "decode_flac_stereo_stats"]
+           "decode_flac_stereo_stats", "decode_flac_multichannel_stats"]
 
 
 # ---------------------------------------------------------------------------
@@ -363,9 +369,14 @@ def encode_flac(
     channel_mode: str = "auto",
     partition_orders: tuple = (0,),
     detect_wasted: bool = False,
+    bit_depth: int = 16,
 ) -> bytes:
-    """Encode int16 samples — mono (shape (n,)) or stereo (shape
-    (n, 2)). Each block becomes one frame; per subframe the cheapest of
+    """Encode integer samples — mono (shape (n,)), stereo (shape
+    (n, 2)), or 3-8 independent channels (shape (n, nch)) at
+    ``bit_depth`` 8, 16, or 24 (round-14 widening: the other two bit
+    depths real FLAC corpora carry, and the surround layouts, which the
+    spec codes as independent subframes with channel code nch-1).
+    Each block becomes one frame; per subframe the cheapest of
     CONSTANT / FIXED 0-4 / LPC (orders in ``lpc_orders``) is chosen by
     exact Rice bit count, with a VERBATIM fallback when coding would
     expand. ``force_lpc`` restricts the predictor search to LPC (the
@@ -382,13 +393,16 @@ def encode_flac(
     samples = np.asarray(samples, dtype=np.int64)
     if samples.size == 0:
         raise ValueError("empty input")
-    stereo = samples.ndim == 2
-    if stereo and samples.shape[1] != 2:
-        raise ValueError("stereo input must be shaped (n, 2)")
+    if bit_depth not in (8, 16, 24):
+        raise ValueError("bit_depth must be 8, 16, or 24 in this subset")
+    nch = 1 if samples.ndim == 1 else samples.shape[1]
+    if samples.ndim > 2 or not (1 <= nch <= 8):
+        raise ValueError("samples must be (n,) or (n, channels<=8)")
     if not (2 <= block_size <= 256):
         raise ValueError("block_size in [2, 256] for this subset")
-    if samples.max() > 32767 or samples.min() < -32768:
-        raise ValueError("16-bit samples only")
+    lim = 1 << (bit_depth - 1)
+    if samples.max() >= lim or samples.min() < -lim:
+        raise ValueError(f"samples exceed {bit_depth}-bit range")
     if channel_mode not in ("auto", "cycle"):
         raise ValueError("channel_mode is 'auto' or 'cycle'")
 
@@ -399,7 +413,8 @@ def encode_flac(
     si += struct.pack(">HH", block_size, block_size)   # min/max block size
     si += b"\x00\x00\x00" * 2                           # min/max frame size unknown
     # 20 bits rate | 3 bits channels-1 | 5 bits bps-1 | 36 bits total
-    packed = (sample_rate << 44) | ((2 - 1 if stereo else 0) << 41) | (15 << 36) | int(n_total)
+    packed = ((sample_rate << 44) | ((nch - 1) << 41)
+              | ((bit_depth - 1) << 36) | int(n_total))
     si += packed.to_bytes(8, "big")
     si += b"\x00" * 16                                  # MD5 unknown
     out += bytes([0x80, 0, 0, 34]) + si
@@ -407,8 +422,8 @@ def encode_flac(
     for fi, off in enumerate(range(0, n_total, block_size)):
         block = samples[off : off + block_size]
         out += _encode_frame(
-            fi, block, stereo, force_escape, lpc_orders, force_lpc,
-            channel_mode, partition_orders, detect_wasted,
+            fi, block, nch, force_escape, lpc_orders, force_lpc,
+            channel_mode, partition_orders, detect_wasted, bit_depth,
         )
     return bytes(out)
 
@@ -527,31 +542,35 @@ def _write_subframe(wtr: _BitWriter, block: np.ndarray, bps: int, plan,
                     wtr.write(int(q) & ((1 << k) - 1), k)
 
 
-def _stereo_channels(block: np.ndarray, ch_code: int):
+def _stereo_channels(block: np.ndarray, ch_code: int, bps: int = 16):
     """Channel pair + per-channel bps for one stereo assignment.
-    Side channels carry bps + 1 (side = L - R spans 17 bits)."""
+    Side channels carry bps + 1 (side = L - R spans one extra bit)."""
     left = block[:, 0]
     right = block[:, 1]
     if ch_code == 0b0001:   # independent
-        return (left, right), (16, 16)
+        return (left, right), (bps, bps)
     if ch_code == 0b1000:   # left/side
-        return (left, left - right), (16, 17)
+        return (left, left - right), (bps, bps + 1)
     if ch_code == 0b1001:   # right/side (side FIRST per spec)
-        return (left - right, right), (17, 16)
+        return (left - right, right), (bps + 1, bps)
     if ch_code == 0b1010:   # mid/side
-        return ((left + right) >> 1, left - right), (16, 17)
+        return ((left + right) >> 1, left - right), (bps, bps + 1)
     raise ValueError("bad stereo channel code")
 
 
-def _encode_frame(frame_no: int, block: np.ndarray, stereo: bool,
+_SS_CODE = {8: 0b001, 16: 0b100, 24: 0b110}
+_SS_BPS = {v: k for k, v in _SS_CODE.items()}
+
+
+def _encode_frame(frame_no: int, block: np.ndarray, nch: int,
                   force_escape: bool, lpc_orders: tuple, force_lpc: bool,
                   channel_mode: str, partition_orders: tuple = (0,),
-                  detect_wasted: bool = False) -> bytes:
+                  detect_wasted: bool = False, bit_depth: int = 16) -> bytes:
     n = block.shape[0]
-    if stereo:
+    if nch == 2:
         if channel_mode == "cycle":
             ch_code = (0b0001, 0b1000, 0b1001, 0b1010)[frame_no % 4]
-            chans, bpss = _stereo_channels(block, ch_code)
+            chans, bpss = _stereo_channels(block, ch_code, bit_depth)
             plans = [
                 _plan_subframe(c, b, lpc_orders, force_lpc,
                                partition_orders, detect_wasted)[1]
@@ -560,7 +579,7 @@ def _encode_frame(frame_no: int, block: np.ndarray, stereo: bool,
         else:
             best = None
             for code in (0b0001, 0b1000, 0b1001, 0b1010):
-                chans, bpss = _stereo_channels(block, code)
+                chans, bpss = _stereo_channels(block, code, bit_depth)
                 planned = [
                     _plan_subframe(c, b, lpc_orders, force_lpc,
                                    partition_orders, detect_wasted)
@@ -570,18 +589,29 @@ def _encode_frame(frame_no: int, block: np.ndarray, stereo: bool,
                 if best is None or bits < best[0]:
                     best = (bits, code, chans, bpss, [p[1] for p in planned])
             _, ch_code, chans, bpss, plans = best
+    elif nch > 2:
+        # 3-8 channels: independent coding only (stereo decorrelation
+        # is a 2-channel concept); channel code = nch - 1 per spec
+        ch_code = nch - 1
+        chans = tuple(block[:, c] for c in range(nch))
+        bpss = (bit_depth,) * nch
+        plans = [
+            _plan_subframe(c, bit_depth, lpc_orders, force_lpc,
+                           partition_orders, detect_wasted)[1]
+            for c in chans
+        ]
     else:
         ch_code = 0b0000
-        chans, bpss = (block,), (16,)
-        plans = [_plan_subframe(block, 16, lpc_orders, force_lpc,
+        chans, bpss = (block,), (bit_depth,)
+        plans = [_plan_subframe(block, bit_depth, lpc_orders, force_lpc,
                                 partition_orders, detect_wasted)[1]]
 
     hdr = bytearray()
     hdr += bytes([0xFF, 0xF8])                # sync 11111111 111110 00
     # block size code 0110 (8-bit value follows) | rate code 0000
     hdr += bytes([0x60])
-    # channel code (4) | sample size 100 (16 bit) | reserved 0
-    hdr += bytes([(ch_code << 4) | 0x08])
+    # channel code (4) | sample size (3) | reserved 0
+    hdr += bytes([(ch_code << 4) | (_SS_CODE[bit_depth] << 1)])
     hdr += _utf8_number(frame_no)
     hdr += bytes([n - 1])
     hdr += bytes([crc8(bytes(hdr))])
@@ -676,10 +706,11 @@ def _decode_subframe(rdr: _BitReader, n: int, bps: int) -> list:
 
 def decode_flac(payload: bytes):
     """Decode the supported subset. Returns (sample_rate, samples):
-    samples is int16 numpy, shape (n,) for mono or (n, 2) for stereo
-    (any mix of independent / left-side / right-side / mid-side frames).
-    Raises ValueError on malformed input, bad CRCs, or features outside
-    the subset."""
+    samples is shape (n,) for mono, (n, 2) for stereo (any mix of
+    independent / left-side / right-side / mid-side frames), or
+    (n, nch) for 3-8 independent channels; dtype int8 / int16 / int32
+    for bit depths 8 / 16 / 24. Raises ValueError on malformed input,
+    bad CRCs, or features outside the subset."""
     if payload[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
     pos = 4
@@ -704,8 +735,8 @@ def decode_flac(payload: bytes):
             channels = ((packed >> 41) & 0x7) + 1
             bps = ((packed >> 36) & 0x1F) + 1
             total = packed & ((1 << 36) - 1)
-            if channels not in (1, 2) or bps != 16:
-                raise ValueError("subset is mono/stereo 16-bit")
+            if not (1 <= channels <= 8) or bps not in (8, 16, 24):
+                raise ValueError("subset is 1-8 channels at 8/16/24 bit")
         pos += 4 + blen
         if hdr & 0x80:
             break
@@ -729,13 +760,16 @@ def decode_flac(payload: bytes):
         ch_code = rdr.read(4)
         ss_code = rdr.read(3)
         rdr.read(1)  # reserved
-        if ss_code != 0b100:
-            raise ValueError("subset is 16-bit frames")
+        if _SS_BPS.get(ss_code) != bps:
+            raise ValueError("frame sample size disagrees with STREAMINFO")
         if channels == 1:
             if ch_code != 0b0000:
                 raise ValueError("mono stream with non-mono frame")
-        elif ch_code not in (0b0001, 0b1000, 0b1001, 0b1010):
-            raise ValueError("stereo frame channel code outside the subset")
+        elif channels == 2:
+            if ch_code not in (0b0001, 0b1000, 0b1001, 0b1010):
+                raise ValueError("stereo frame channel code outside the subset")
+        elif ch_code != channels - 1:
+            raise ValueError("multichannel frame disagrees with STREAMINFO")
         frame_no = _read_utf8_number(rdr)
         if frame_no != expect_frame:
             raise ValueError("frame number out of sequence")
@@ -758,13 +792,19 @@ def decode_flac(payload: bytes):
             raise ValueError("frame header CRC-8 mismatch")
 
         if channels == 1:
-            block = _decode_subframe(rdr, n, 16)
+            block = _decode_subframe(rdr, n, bps)
+        elif channels > 2:
+            block = np.stack(
+                [np.asarray(_decode_subframe(rdr, n, bps), dtype=np.int64)
+                 for _ in range(channels)],
+                axis=1,
+            )
         else:
             # side channel (L-R) rides at bps+1 per the spec
             side_idx = {0b0001: None, 0b1000: 1, 0b1001: 0, 0b1010: 1}[ch_code]
             ch = [
                 np.asarray(
-                    _decode_subframe(rdr, n, 17 if side_idx == c else 16),
+                    _decode_subframe(rdr, n, (bps + 1) if side_idx == c else bps),
                     dtype=np.int64,
                 )
                 for c in range(2)
@@ -797,12 +837,15 @@ def decode_flac(payload: bytes):
         expect_frame += 1
     if n_out != total:
         raise ValueError(f"decoded {n_out} of {total} samples")
+    dtype = {8: np.int8, 16: np.int16, 24: np.int32}[bps]
+    lim = 1 << (bps - 1)
     if channels == 1:
-        return int(rate), np.asarray(out, dtype=np.int16)
-    full = np.concatenate(out, axis=0)
-    if full.size and (full.max() > 32767 or full.min() < -32768):
-        raise ValueError("reconstructed samples exceed 16-bit range")
-    return int(rate), full.astype(np.int16)
+        full = np.asarray(out, dtype=np.int64)
+    else:
+        full = np.concatenate(out, axis=0)
+    if full.size and (full.max() >= lim or full.min() < -lim):
+        raise ValueError(f"reconstructed samples exceed {bps}-bit range")
+    return int(rate), full.astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -917,6 +960,66 @@ def decode_flac_stereo_stats(df, id_col: str, bin_col: str):
                 out["right_abs_sum"].append(int(np.abs(s64[:, 1]).sum()))
                 out["left_pw_sum"].append(int((w * s64[:, 0]).sum()))
                 out["right_pw_sum"].append(int((w * s64[:, 1]).sum()))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(decode, schema=schema)
+
+
+def decode_flac_multichannel_stats(df, id_col: str, bin_col: str):
+    """REAL multichannel / deep-bit-depth FLAC decode emitting EXACT
+    integer statistics — the round-14 widening's driver gate: payloads
+    carry 3-8 independent channels at 8/16/24 bit, and the checksum
+    weights every sample by BOTH its channel index and its position, so
+    a swapped channel, a dropped frame, or a bit-depth truncation lands
+    as an integer mismatch. Lossless, so a SQL oracle recomputes every
+    BIGINT from the generation rule. Malformed or mono/stereo payloads
+    yield ok=false rows. One Arrow-batched mapInPandas pass; payloads
+    never shuffle."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cols = ("doc_id", "ok", "sample_rate", "n_samples", "n_channels",
+            "sample_sum", "abs_sum", "chpos_weighted_sum")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ok", T.BooleanType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("sample_sum", T.LongType()),
+            T.StructField("abs_sum", T.LongType()),
+            T.StructField("chpos_weighted_sum", T.LongType()),
+        ]
+    )
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(bin_col).alias("payload"))
+
+    def decode(batches):
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    rate, s = decode_flac(bytes(payload or b""))
+                    if s.ndim != 2 or s.shape[1] < 3:
+                        raise ValueError("expected a multichannel stream")
+                except (ValueError, IndexError, struct.error):
+                    out["ok"].append(False)
+                    for key in cols[2:]:
+                        out[key].append(0)
+                    continue
+                s64 = s.astype(np.int64)
+                n, nch = s64.shape
+                pw = (np.arange(n, dtype=np.int64) % 997 + 1)[:, None]
+                cw = np.arange(1, nch + 1, dtype=np.int64)[None, :]
+                out["ok"].append(True)
+                out["sample_rate"].append(int(rate))
+                out["n_samples"].append(int(n))
+                out["n_channels"].append(int(nch))
+                out["sample_sum"].append(int(s64.sum()))
+                out["abs_sum"].append(int(np.abs(s64).sum()))
+                out["chpos_weighted_sum"].append(int((pw * cw * s64).sum()))
             yield pd.DataFrame(out)
 
     return src.mapInPandas(decode, schema=schema)

@@ -1944,3 +1944,106 @@ def mm_tiff_tiled_decode_stats(spark, sf_dir):
     return stats.filter(F.col("ok")).select(
         "doc_id", "width", "height", "r_sum", "g_sum", "b_sum", "pos_weighted_r"
     )
+
+
+# ---- Multichannel 24-bit FLAC rule (round 14, second widening — the
+# other two bit depths real corpora carry plus the surround layouts):
+#   nch = 3 + d % 4 (3..6 channels), n = 256 + (d % 2) * 128
+#   rate = 24000 + (d % 4) * 8000, bit depth 24
+#   v(c,i) = ((d*19 + 7c + 5i) % 16000001) - 8000000 + ((i + c) % 29) * 64
+# (the big negative base exercises genuine 24-bit magnitudes; the
+# (i+c)%29 ripple keeps residuals non-constant so Rice actually codes)
+
+
+def _flac_multichannel_payloads(docs):
+    """doc_id -> synthesized multichannel 24-bit FLAC payload (one
+    mapInPandas pass): channel code nch-1, sample-size code 110,
+    independent subframes, partitioned Rice on the wire."""
+    from river_spark.operators.flac import encode_flac
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nch = 3 + d % 4
+                n = 256 + (d % 2) * 128
+                i = np.arange(n, dtype=np.int64)
+                chans = [
+                    ((d * 19 + 7 * c + 5 * i) % 16000001) - 8000000
+                    + ((i + c) % 29) * 64
+                    for c in range(nch)
+                ]
+                s = np.stack(chans, axis=1)
+                ids.append(d)
+                payloads.append(
+                    encode_flac(
+                        24000 + (d % 4) * 8000,
+                        s,
+                        block_size=128,
+                        bit_depth=24,
+                        lpc_orders=(2, 4),
+                        partition_orders=(0, 1, 2, 3),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+@q(
+    "mm_flac_multichannel_decode_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 3 + doc_id % 4 AS nch, 256 + (doc_id % 2) * 128 AS n
+        FROM documents),
+    s AS (
+        SELECT doc_id, nch, n, c.c AS c, g.i AS i,
+               ((doc_id * 19 + 7 * c.c + 5 * g.i) % 16000001) - 8000000
+               + ((g.i + c.c) % 29) * 64 AS v
+        FROM dims,
+             UNNEST(generate_series(0, nch - 1)) AS c(c),
+             UNNEST(generate_series(0, n - 1)) AS g(i))
+    SELECT doc_id,
+           CAST(24000 + (doc_id % 4) * 8000 AS INT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(nch AS INT) AS n_channels,
+           CAST(sum(v) AS BIGINT) AS sample_sum,
+           CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
+           CAST(sum((i % 997 + 1) * (c + 1) * v) AS BIGINT) AS chpos_weighted_sum
+    FROM s GROUP BY doc_id, nch, n
+    """,
+    tags=("multimodal", "codec", "audio"),
+)
+def mm_flac_multichannel_decode_stats(spark, sf_dir):
+    """Multichannel 24-bit FLAC under the bit-level oracle — the
+    round-14 second widening, closing the bit-depth and channel-count
+    residue: payloads carry 3-6 independent channels (spec channel code
+    nch-1) at 24 bits per sample (sample-size code 110, STREAMINFO bps
+    24, genuine ±8M magnitudes no 16-bit path could represent), with
+    partitioned Rice residuals on the wire. Spark decodes with
+    operators/flac.decode_flac_multichannel_stats (CRC-verified,
+    int32-surfaced); losslessness makes the oracle a pure restatement
+    of the generation rule, and the checksum weights every sample by
+    BOTH channel index and position, so a swapped or dropped channel, a
+    truncated bit depth, or a frame-order bug lands as an integer
+    mismatch. Wire pins (sample-size code on the frame header, channel
+    code nibble, STREAMINFO/frame bps agreement) and reject paths (9
+    channels, bit depth 12, range overflow) are in
+    tests/test_flac_codec.py."""
+    from river_spark.operators.flac import decode_flac_multichannel_stats
+
+    docs = tbl(spark, sf_dir, "documents")
+    stats = decode_flac_multichannel_stats(
+        _flac_multichannel_payloads(docs), "doc_id", "payload")
+    return stats.filter(F.col("ok")).select(
+        "doc_id", "sample_rate", "n_samples", "n_channels",
+        "sample_sum", "abs_sum", "chpos_weighted_sum",
+    )

@@ -232,7 +232,8 @@ def test_stereo_constant_and_short_blocks():
 
 def test_lpc_reject_paths():
     with pytest.raises(ValueError):
-        encode_flac(8000, np.zeros((4, 3), dtype=np.int16))  # 3 channels
+        encode_flac(8000, np.zeros((4, 9), dtype=np.int16))  # 9 channels
+        # (3-8 channels became VALID with the round-14 widening)
     with pytest.raises(ValueError):
         encode_flac(8000, np.zeros(8, dtype=np.int16), channel_mode="best")
     # corrupt an LPC stream body: CRC-16 must catch it
@@ -408,3 +409,118 @@ def test_round14_defaults_leave_wire_unchanged():
     x = _transient_signal(n=500)
     assert encode_flac(8000, x) == encode_flac(
         8000, x, partition_orders=(0,), detect_wasted=False)
+
+
+# ---------------------------------------------------------------------------
+# Round 14 (second widening): bit depths 8/24 and 3-8 channel layouts.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("bd,dtype", [(8, np.int8), (16, np.int16),
+                                      (24, np.int32)])
+def test_bit_depth_roundtrip_mono(bd, dtype):
+    i = np.arange(700, dtype=np.int64)
+    lim = 1 << (bd - 1)
+    x = ((13 * i + 7) % (2 * lim)) - lim
+    data = encode_flac(48000, x, bit_depth=bd, lpc_orders=(2, 4),
+                       partition_orders=(0, 1, 2), detect_wasted=True)
+    rate, out = decode_flac(data)
+    assert rate == 48000 and out.dtype == dtype
+    assert np.array_equal(out.astype(np.int64), x)
+
+
+def test_24bit_stereo_all_modes_roundtrip():
+    i = np.arange(512, dtype=np.int64)
+    left = ((11 * i) % 15000001) - 7500000
+    right = left - ((i % 50001) - 25000)
+    st = np.stack([left, right], axis=1)
+    data = encode_flac(96000, st, bit_depth=24, channel_mode="cycle",
+                       block_size=128, lpc_orders=(4,))
+    _, out = decode_flac(data)
+    assert out.dtype == np.int32
+    assert np.array_equal(out.astype(np.int64), st)
+
+
+@pytest.mark.parametrize("nch", [3, 4, 6, 8])
+def test_multichannel_roundtrip(nch):
+    i = np.arange(600, dtype=np.int64)
+    mc = np.stack([(((7 * c + 3) * i) % 4001) - 2000 for c in range(nch)],
+                  axis=1)
+    data = encode_flac(44100, mc, block_size=192, lpc_orders=(2,),
+                       partition_orders=(0, 1, 2, 3))
+    _, out = decode_flac(data)
+    assert out.shape == (600, nch)
+    assert np.array_equal(out.astype(np.int64), mc)
+    # channel code nch-1 on every frame header's upper nibble
+    # (byte 4 of each frame: after sync(2) + bscode/rate(1))
+    sync_at = data.index(b"\xff\xf8", 4)
+    assert data[sync_at + 3] >> 4 == nch - 1
+
+
+def test_bit_depth_on_the_wire_and_mismatch_reject():
+    i = np.arange(300, dtype=np.int64)
+    x = ((5 * i) % 200) - 100
+    d8 = bytearray(encode_flac(8000, x, bit_depth=8))
+    # frame sample-size code lives in bits 1-3 of header byte 3
+    sync_at = bytes(d8).index(b"\xff\xf8", 4)
+    assert (d8[sync_at + 3] >> 1) & 0x7 == 0b001
+    # flip STREAMINFO bps to 16 while frames still say 8: must reject
+    # (packed rate/channels/bps/total field at byte 4+4+10 = 18;
+    # bps-1 is bits 36-40)
+    packed = int.from_bytes(d8[18:26], "big")
+    packed = (packed & ~(0x1F << 36)) | (15 << 36)
+    d8[18:26] = packed.to_bytes(8, "big")
+    with pytest.raises(ValueError, match="disagrees"):
+        decode_flac(bytes(d8))
+
+
+def test_multichannel_24bit_wasted_roundtrip():
+    i = np.arange(500, dtype=np.int64)
+    mc = np.stack([((((19 + 7 * c + 5 * i) % 2000001) - 1000000)) * 4
+                   for c in range(4)], axis=1)
+    data = encode_flac(48000, mc, bit_depth=24, detect_wasted=True,
+                       partition_orders=(0, 1, 2))
+    _, out = decode_flac(data)
+    assert np.array_equal(out.astype(np.int64), mc)
+
+
+def test_bit_depth_rejects():
+    x = np.arange(10, dtype=np.int64)
+    with pytest.raises(ValueError, match="bit_depth"):
+        encode_flac(8000, x, bit_depth=12)
+    with pytest.raises(ValueError, match="range"):
+        encode_flac(8000, x * 100, bit_depth=8)
+    with pytest.raises(ValueError, match="range"):
+        encode_flac(8000, np.array([1 << 23]), bit_depth=24)
+
+
+def test_widening_leaves_16bit_wire_unchanged():
+    i = np.arange(500, dtype=np.int64)
+    x = (((5 * i) % 4001) - 2000).astype(np.int16)
+    assert encode_flac(12000, x) == encode_flac(12000, x, bit_depth=16)
+    st = np.stack([x, x // 2], axis=1)
+    assert encode_flac(12000, st) == encode_flac(12000, st, bit_depth=16)
+
+
+def test_spark_multichannel_stats_path(spark):
+    from river_spark.operators.flac import decode_flac_multichannel_stats
+
+    i = np.arange(400, dtype=np.int64)
+    mc = np.stack([(((3 + c) * i) % 3001) - 1500 for c in range(5)], axis=1)
+    good = encode_flac(32000, mc, block_size=128)
+    stereo = encode_flac(32000, mc[:, :2].copy())
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(stereo)), (3, bytearray(b"fLaCxx"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r
+            for r in decode_flac_multichannel_stats(df, "doc_id", "payload").collect()}
+    assert rows[2]["ok"] is False   # stereo rejected by the multichannel op
+    assert rows[3]["ok"] is False
+    r1 = rows[1]
+    pw = (i % 997 + 1)[:, None]
+    cw = np.arange(1, 6)[None, :]
+    assert r1["ok"] and r1["sample_rate"] == 32000
+    assert r1["n_samples"] == 400 and r1["n_channels"] == 5
+    assert r1["sample_sum"] == int(mc.sum())
+    assert r1["abs_sum"] == int(np.abs(mc).sum())
+    assert r1["chpos_weighted_sum"] == int((pw * cw * mc).sum())
