@@ -11,8 +11,8 @@ decode(encode(x)) == x exactly, so the driver oracle
 (mm_flac_decode_stats) recomputes sample statistics straight from the
 generation rule without seeing a byte.
 
-Subset: fixed blocking; bit depths 8/16/24; 1-8 channels. Round 13
-widened the original
+Subset: bit depths 8/16/24; 1-8 channels; fixed or variable blocking.
+Round 13 widened the original
 fixed-predictor subset with the two features real FLAC corpora are
 overwhelmingly made of:
 
@@ -44,11 +44,14 @@ Round 14 adds the residual layout real encoders emit by default:
 * bit depths 8 and 24 (sample-size codes 001/110, STREAMINFO bps,
   side channels at bps + 1) and 3-8 channel surround layouts
   (channel code nch - 1, independent subframes per the spec — stereo
-  decorrelation is a 2-channel concept).
+  decorrelation is a 2-channel concept);
+* variable blocking — blocking-strategy bit 1, frame headers carrying
+  the starting SAMPLE number (UTF-8, through the 4-byte extension),
+  per-frame block sizes; STREAMINFO min/max block sizes reflect it.
 
-Still outside the subset: variable blocking, bit depths other than
-8/16/24 (e.g. 12/20), and non-streamable oddities (negative LPC
-shift, reserved codes) which decode rejects explicitly.
+Still outside the subset: bit depths other than 8/16/24 (e.g. 12/20)
+and non-streamable oddities (negative LPC shift, reserved codes),
+which decode rejects explicitly.
 
 Reference scope parity: the reference stores opaque binary payloads;
 decode here is a first-class distributed operator per SURVEY.md's
@@ -188,14 +191,18 @@ def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
 
 
 def _utf8_number(n: int) -> bytes:
-    """FLAC's extended UTF-8 coding of the frame number."""
+    """FLAC's extended UTF-8 coding of the frame/sample number (sample
+    numbers appear under variable blocking, so 4-byte codes are real)."""
     if n < 0x80:
         return bytes([n])
     if n < 0x800:
         return bytes([0xC0 | (n >> 6), 0x80 | (n & 0x3F)])
     if n < 0x10000:
         return bytes([0xE0 | (n >> 12), 0x80 | ((n >> 6) & 0x3F), 0x80 | (n & 0x3F)])
-    raise ValueError("frame number too large for this subset")
+    if n < 0x200000:
+        return bytes([0xF0 | (n >> 18), 0x80 | ((n >> 12) & 0x3F),
+                      0x80 | ((n >> 6) & 0x3F), 0x80 | (n & 0x3F)])
+    raise ValueError("frame/sample number too large for this subset")
 
 
 def _read_utf8_number(rdr: _BitReader) -> int:
@@ -206,6 +213,8 @@ def _read_utf8_number(rdr: _BitReader) -> int:
         n, extra = b0 & 0x1F, 1
     elif b0 >> 4 == 0b1110:
         n, extra = b0 & 0x0F, 2
+    elif b0 >> 3 == 0b11110:
+        n, extra = b0 & 0x07, 3
     else:
         raise ValueError("bad UTF-8 frame number")
     for _ in range(extra):
@@ -370,6 +379,7 @@ def encode_flac(
     partition_orders: tuple = (0,),
     detect_wasted: bool = False,
     bit_depth: int = 16,
+    variable_blocking: bool = False,
 ) -> bytes:
     """Encode integer samples — mono (shape (n,)), stereo (shape
     (n, 2)), or 3-8 independent channels (shape (n, nch)) at
@@ -389,7 +399,11 @@ def encode_flac(
     subframe search may pick (exact bit count decides; orders that
     don't divide the block or would starve partition 0 are skipped);
     ``detect_wasted`` moves shared trailing zero bits into the
-    subframe header, the real-encoder default for up-scaled material."""
+    subframe header, the real-encoder default for up-scaled material.
+    ``variable_blocking`` sets the frame header's blocking-strategy
+    bit and cycles deterministic block sizes (block_size, 3/4, 1/2 of
+    it); each header then carries the frame's starting SAMPLE number
+    UTF-8-coded instead of the frame number, per the spec."""
     samples = np.asarray(samples, dtype=np.int64)
     if samples.size == 0:
         raise ValueError("empty input")
@@ -419,12 +433,29 @@ def encode_flac(
     si += b"\x00" * 16                                  # MD5 unknown
     out += bytes([0x80, 0, 0, 34]) + si
 
-    for fi, off in enumerate(range(0, n_total, block_size)):
-        block = samples[off : off + block_size]
-        out += _encode_frame(
-            fi, block, nch, force_escape, lpc_orders, force_lpc,
-            channel_mode, partition_orders, detect_wasted, bit_depth,
-        )
+    if variable_blocking:
+        sizes = (block_size, max(2, 3 * block_size // 4),
+                 max(2, block_size // 2))
+        # STREAMINFO min/max block size reflect the cycle
+        struct.pack_into(">HH", out, 8, min(sizes), max(sizes))
+        off = fi = 0
+        while off < n_total:
+            bs = sizes[fi % 3]
+            block = samples[off : off + bs]
+            out += _encode_frame(
+                fi, block, nch, force_escape, lpc_orders, force_lpc,
+                channel_mode, partition_orders, detect_wasted, bit_depth,
+                sample_start=off,
+            )
+            off += block.shape[0]
+            fi += 1
+    else:
+        for fi, off in enumerate(range(0, n_total, block_size)):
+            block = samples[off : off + block_size]
+            out += _encode_frame(
+                fi, block, nch, force_escape, lpc_orders, force_lpc,
+                channel_mode, partition_orders, detect_wasted, bit_depth,
+            )
     return bytes(out)
 
 
@@ -565,7 +596,8 @@ _SS_BPS = {v: k for k, v in _SS_CODE.items()}
 def _encode_frame(frame_no: int, block: np.ndarray, nch: int,
                   force_escape: bool, lpc_orders: tuple, force_lpc: bool,
                   channel_mode: str, partition_orders: tuple = (0,),
-                  detect_wasted: bool = False, bit_depth: int = 16) -> bytes:
+                  detect_wasted: bool = False, bit_depth: int = 16,
+                  sample_start: int | None = None) -> bytes:
     n = block.shape[0]
     if nch == 2:
         if channel_mode == "cycle":
@@ -607,12 +639,14 @@ def _encode_frame(frame_no: int, block: np.ndarray, nch: int,
                                 partition_orders, detect_wasted)[1]]
 
     hdr = bytearray()
-    hdr += bytes([0xFF, 0xF8])                # sync 11111111 111110 00
+    # sync 11111111 111110, reserved 0, blocking strategy (1 = variable:
+    # the UTF-8 field then carries the starting SAMPLE number)
+    hdr += bytes([0xFF, 0xF9 if sample_start is not None else 0xF8])
     # block size code 0110 (8-bit value follows) | rate code 0000
     hdr += bytes([0x60])
     # channel code (4) | sample size (3) | reserved 0
     hdr += bytes([(ch_code << 4) | (_SS_CODE[bit_depth] << 1)])
-    hdr += _utf8_number(frame_no)
+    hdr += _utf8_number(frame_no if sample_start is None else sample_start)
     hdr += bytes([n - 1])
     hdr += bytes([crc8(bytes(hdr))])
 
@@ -754,7 +788,7 @@ def decode_flac(payload: bytes):
             raise ValueError(f"bad frame sync at {pos}")
         if rdr.read(1) != 0:
             raise ValueError("reserved bit set")
-        rdr.read(1)  # blocking strategy (fixed)
+        variable = rdr.read(1) == 1  # blocking strategy
         bs_code = rdr.read(4)
         sr_code = rdr.read(4)
         ch_code = rdr.read(4)
@@ -770,8 +804,11 @@ def decode_flac(payload: bytes):
                 raise ValueError("stereo frame channel code outside the subset")
         elif ch_code != channels - 1:
             raise ValueError("multichannel frame disagrees with STREAMINFO")
-        frame_no = _read_utf8_number(rdr)
-        if frame_no != expect_frame:
+        coded_no = _read_utf8_number(rdr)
+        # fixed blocking codes the FRAME number; variable blocking codes
+        # the frame's starting SAMPLE number (spec): both must advance
+        # exactly with what has been decoded so far
+        if coded_no != (n_out if variable else expect_frame):
             raise ValueError("frame number out of sequence")
         if bs_code == 0b0110:
             n = rdr.read(8) + 1

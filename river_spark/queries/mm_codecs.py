@@ -1763,8 +1763,10 @@ def mm_avi_av_stats(spark, sf_dir):
 # (spikes every 64 samples make one Rice k per block a bad compromise,
 # so the exact-bit-count search genuinely picks partition orders > 0 —
 # tests/test_flac_codec.py pins the compression win — and the shared
-# factor 4 puts 2 wasted bits on every subframe header; block size 256
-# divides cleanly for orders 0-4)
+# factor 4 puts 2 wasted bits on every subframe header; variable
+# blocking cycles block sizes 256/192/128 with starting-sample frame
+# numbers; every size divides cleanly for some orders and the search
+# skips the rest)
 
 
 def _flac_partitioned_payloads(docs):
@@ -1800,6 +1802,7 @@ def _flac_partitioned_payloads(docs):
                         lpc_orders=(2, 4, 8),
                         partition_orders=(0, 1, 2, 3, 4),
                         detect_wasted=True,
+                        variable_blocking=True,
                     )
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})

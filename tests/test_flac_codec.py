@@ -524,3 +524,73 @@ def test_spark_multichannel_stats_path(spark):
     assert r1["sample_sum"] == int(mc.sum())
     assert r1["abs_sum"] == int(np.abs(mc).sum())
     assert r1["chpos_weighted_sum"] == int((pw * cw * mc).sum())
+
+
+# ---------------------------------------------------------------------------
+# Round 14 (third widening): variable blocking — the last framing
+# residue. Blocking-strategy bit 1, UTF-8 starting-SAMPLE numbers,
+# deterministic block-size cycle.
+# ---------------------------------------------------------------------------
+
+def test_variable_blocking_roundtrip_and_wire():
+    i = np.arange(1500, dtype=np.int64)
+    x = (((7 * i) % 4001) - 2000 + (i % 17) * 3).astype(np.int16)
+    var = encode_flac(8000, x, block_size=256, variable_blocking=True,
+                      lpc_orders=(2, 4), partition_orders=(0, 1, 2),
+                      detect_wasted=True)
+    fix = encode_flac(8000, x, block_size=256)
+    assert var != fix
+    # strategy bit on the wire: sync byte pair reads FF F9 (variable)
+    assert b"\xff\xf9" in var and b"\xff\xf9" not in fix
+    # STREAMINFO min/max block sizes differ under the cycle
+    import struct as _s
+    mn, mx = _s.unpack_from(">HH", var, 8)
+    assert (mn, mx) == (128, 256)
+    rate, out = decode_flac(var)
+    assert rate == 8000 and (out == x).all()
+
+
+def test_variable_blocking_stereo_and_multichannel():
+    i = np.arange(900, dtype=np.int64)
+    st = np.stack([(i * 5) % 3000 - 1500, (i * 7) % 3000 - 1500],
+                  axis=1).astype(np.int16)
+    _, out = decode_flac(encode_flac(16000, st, block_size=128,
+                                     variable_blocking=True,
+                                     channel_mode="cycle"))
+    assert np.array_equal(out, st)
+    mc = np.stack([((5 * c + 3) * i % 16000001) - 8000000 for c in range(4)],
+                  axis=1)
+    _, out = decode_flac(encode_flac(48000, mc, bit_depth=24,
+                                     variable_blocking=True,
+                                     partition_orders=(0, 1)))
+    assert np.array_equal(out.astype(np.int64), mc)
+
+
+def test_variable_blocking_four_byte_sample_numbers():
+    # 70000 samples: frame starting-sample numbers cross 0x10000, so
+    # the 4-byte UTF-8 extension is genuinely on the wire
+    x = ((np.arange(70000, dtype=np.int64) % 200) - 100).astype(np.int16)
+    data = encode_flac(8000, x, block_size=256, variable_blocking=True)
+    _, out = decode_flac(data)
+    assert (out == x).all()
+
+
+def test_variable_blocking_sample_number_mismatch_rejected():
+    i = np.arange(700, dtype=np.int64)
+    x = (((11 * i) % 2001) - 1000).astype(np.int16)
+    data = bytearray(encode_flac(8000, x, block_size=256,
+                                 variable_blocking=True))
+    # find the SECOND frame header and corrupt its sample number (the
+    # byte right after sync+bs/rate+ch/ss = offset 4 into the header);
+    # re-stamp the header CRC-8 so only the SEQUENCING check can object
+    from river_spark.operators.flac import crc8
+    first = bytes(data).index(b"\xff\xf9", 4)
+    second = bytes(data).index(b"\xff\xf9", first + 2)
+    # header: 2 sync + 1 bs/rate + 1 ch/ss + utf8(256 -> 2 bytes) + 1 bsv
+    assert data[second + 4] >> 5 == 0b110  # 2-byte UTF-8 for 256
+    data[second + 4 : second + 6] = bytes([0xC0 | (300 >> 6),
+                                           0x80 | (300 & 0x3F)])
+    hdr_len = 7  # sync2 + bsrate1 + chss1 + utf8_2 + blocksize1
+    data[second + hdr_len] = crc8(bytes(data[second : second + hdr_len]))
+    with pytest.raises(ValueError, match="sequence"):
+        decode_flac(bytes(data))
