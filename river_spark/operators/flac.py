@@ -266,25 +266,41 @@ def _best_partition(u: np.ndarray, n: int, order: int,
     (4-bit parameter + unary quotients + k-bit remainders). A candidate
     is valid only when 2^po divides the block size and the first
     partition keeps at least one residual (n >> po > predictor order).
-    Returns (bits, po, [k per partition])."""
-    best = None
-    for po in sorted(set(partition_orders)):
-        if po < 0 or po > 15 or (po and n % (1 << po)):
-            continue
-        if (n >> po) <= order:
-            continue
-        bits = 4
-        ks = []
-        for lo, hi in _partition_bounds(n, order, po):
-            seg = u[lo:hi]
-            k = _best_rice_k(seg)
-            ks.append(k)
-            bits += 4 + int(np.sum((seg >> k) + 1 + k))
-        if best is None or bits < best[0]:
-            best = (bits, po, ks)
-    if best is None:  # order 0 is always expressible when n > order
+    Returns (bits, po, [k per partition]).
+
+    Cost evaluation is the real-encoder bottom-up fold: the per-
+    partition quotient sums are computed ONCE at the finest candidate
+    order (np.add.reduceat over all 15 k values) and coarser orders
+    merge adjacent pairs — partition boundaries at po are exactly
+    merged pairs of those at po+1, including the order-shortened first
+    partition."""
+    valid = [po for po in sorted(set(partition_orders))
+             if 0 <= po <= 15 and not (po and n % (1 << po))
+             and (n >> po) > order]
+    if not valid:  # order 0 is always expressible when n > order
         k = _best_rice_k(u)
-        best = (4 + 4 + int(np.sum((u >> k) + 1 + k)), 0, [k])
+        return 4 + 4 + int(np.sum((u >> k) + 1 + k)), 0, [k]
+    pomax = valid[-1]
+    bounds = _partition_bounds(n, order, pomax)
+    starts = np.array([lo for lo, _ in bounds])
+    cnts = np.array([hi - lo for lo, hi in bounds], dtype=np.int64)
+    # qsum[k, p] = sum(u[p] >> k); payload cost = qsum + cnts*(1+k)
+    qsum = np.empty((15, len(bounds)), dtype=np.int64)
+    for k in range(15):
+        qsum[k] = np.add.reduceat(u >> k, starts)
+    best = None
+    cur = pomax
+    for po in reversed(valid):
+        if po != cur:
+            step = 1 << (cur - po)
+            qsum = qsum.reshape(15, -1, step).sum(axis=2)
+            cnts = cnts.reshape(-1, step).sum(axis=1)
+            cur = po
+        cost = qsum + cnts[None, :] * (1 + np.arange(15, dtype=np.int64))[:, None]
+        ks = np.argmin(cost, axis=0)
+        bits = 4 + int(cost[ks, np.arange(len(ks))].sum()) + 4 * len(ks)
+        if best is None or bits <= best[0]:
+            best = (bits, po, [int(k) for k in ks])
     return best
 
 

@@ -1807,7 +1807,14 @@ def _flac_partitioned_payloads(docs):
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    return (
+        # the synth+decode stages are CPU-bound pure-Python bit work;
+        # a tiny sf dir reads as ONE parquet partition, which would
+        # serialize them on a single core — spread doc_ids first (the
+        # exchange moves only a long column; at 100 TB the source is
+        # already many partitions and this hash co-locates by doc)
+        docs.select("doc_id").repartition("doc_id").mapInPandas(gen, schema=schema)
+    )
 
 
 @q(
@@ -1899,7 +1906,14 @@ def _tiff_tiled_payloads(docs):
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    return (
+        # the synth+decode stages are CPU-bound pure-Python bit work;
+        # a tiny sf dir reads as ONE parquet partition, which would
+        # serialize them on a single core — spread doc_ids first (the
+        # exchange moves only a long column; at 100 TB the source is
+        # already many partitions and this hash co-locates by doc)
+        docs.select("doc_id").repartition("doc_id").mapInPandas(gen, schema=schema)
+    )
 
 
 @q(
@@ -1998,7 +2012,14 @@ def _flac_multichannel_payloads(docs):
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    return (
+        # the synth+decode stages are CPU-bound pure-Python bit work;
+        # a tiny sf dir reads as ONE parquet partition, which would
+        # serialize them on a single core — spread doc_ids first (the
+        # exchange moves only a long column; at 100 TB the source is
+        # already many partitions and this hash co-locates by doc)
+        docs.select("doc_id").repartition("doc_id").mapInPandas(gen, schema=schema)
+    )
 
 
 @q(
