@@ -932,12 +932,13 @@ def main() -> None:
     # its headline numbers. Persist the full record to bench_detail.json
     # for the judge, and make the FINAL stdout line a compact headline
     # that always fits the tail.
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_detail.json"), "w") as f:
-            json.dump(full, f, indent=1)
-    except OSError as exc:  # pragma: no cover - detail file is best-effort
-        print(f"# bench_detail.json write failed: {exc}", file=sys.stderr)
+    if os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "1") != "0":
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "bench_detail.json"), "w") as f:
+                json.dump(full, f, indent=1)
+        except OSError as exc:  # pragma: no cover - detail file is best-effort
+            print(f"# bench_detail.json write failed: {exc}", file=sys.stderr)
     print(f"# full record: {json.dumps(full)}", file=sys.stderr)
 
     compact = {
@@ -994,7 +995,10 @@ def ab_tree_main(ref: str, pairs: int) -> None:
     env = {**os.environ,
            "SPARK_GRAFT_SF1_PROBE": "0",
            "SPARK_GRAFT_LAYOUT_PROBE": "0",
-           "SPARK_GRAFT_DEEP_PROBE": "0"}
+           "SPARK_GRAFT_DEEP_PROBE": "0",
+           # A/B children are probes-off evidence runs: never overwrite
+           # the round's committed bench_detail.json with them
+           "SPARK_GRAFT_BENCH_DETAIL": "0"}
 
     def one_run(tree: str) -> dict:
         r = subprocess.run([sys.executable, os.path.join(tree, "bench.py")],

@@ -425,6 +425,8 @@ def encode_flac(
         raise ValueError("empty input")
     if bit_depth not in (8, 16, 24):
         raise ValueError("bit_depth must be 8, 16, or 24 in this subset")
+    if samples.ndim == 2 and samples.shape[1] == 1:
+        samples = samples[:, 0]          # (n, 1) is mono
     nch = 1 if samples.ndim == 1 else samples.shape[1]
     if samples.ndim > 2 or not (1 <= nch <= 8):
         raise ValueError("samples must be (n,) or (n, channels<=8)")
@@ -995,7 +997,7 @@ def decode_flac_stereo_stats(df, id_col: str, bin_col: str):
                 out["doc_id"].append(doc_id)
                 try:
                     rate, s = decode_flac(bytes(payload or b""))
-                    if s.ndim != 2:
+                    if s.ndim != 2 or s.shape[1] != 2:
                         raise ValueError("expected a stereo stream")
                 except (ValueError, IndexError, struct.error):
                     out["ok"].append(False)

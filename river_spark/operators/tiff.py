@@ -276,39 +276,33 @@ def encode_tiff(
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 or 2")
 
+    def entropy(chunk: bytes, row_bytes: int) -> bytes:
+        if predictor == 2:
+            chunk = _predict_rows(chunk, row_bytes, spp)
+        if compression == 32773:
+            return packbits_encode(chunk)
+        if compression == 5:
+            return lzw_encode(chunk)
+        return chunk
+
+    strips = []
     if tile_size is not None:
         tw, tl = tile_size
         if tw % 16 or tl % 16 or tw <= 0 or tl <= 0:
             raise ValueError("tile dimensions must be positive multiples of 16")
-        row_bytes = tw * spp
         full = np.zeros(
             (-(-h // tl) * tl, -(-w // tw) * tw) + ((3,) if spp == 3 else ()),
             dtype=np.uint8,
         )
         full[:h, :w] = raw                     # edge tiles zero-padded
-        strips = []
         for y0 in range(0, full.shape[0], tl):      # left-to-right, then down
             for x0 in range(0, full.shape[1], tw):
-                chunk = full[y0 : y0 + tl, x0 : x0 + tw].tobytes()
-                if predictor == 2:
-                    chunk = _predict_rows(chunk, row_bytes, spp)
-                if compression == 32773:
-                    chunk = packbits_encode(chunk)
-                elif compression == 5:
-                    chunk = lzw_encode(chunk)
-                strips.append(chunk)
+                strips.append(entropy(
+                    full[y0 : y0 + tl, x0 : x0 + tw].tobytes(), tw * spp))
     else:
-        row_bytes = w * spp
-        strips = []
         for y0 in range(0, h, rows_per_strip):
-            chunk = raw[y0 : y0 + rows_per_strip].tobytes()
-            if predictor == 2:
-                chunk = _predict_rows(chunk, row_bytes, spp)
-            if compression == 32773:
-                chunk = packbits_encode(chunk)
-            elif compression == 5:
-                chunk = lzw_encode(chunk)
-            strips.append(chunk)
+            strips.append(entropy(
+                raw[y0 : y0 + rows_per_strip].tobytes(), w * spp))
 
     out = bytearray(b"II*\x00")
     out += b"\x00\x00\x00\x00"  # IFD offset patched below

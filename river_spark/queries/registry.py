@@ -449,7 +449,7 @@ _WINDOW = [
     "mm_flac_partitioned_decode_stats",
     "mm_tiff_tiled_decode_stats",
     "mm_flac_multichannel_decode_stats",
-    # --- r6-stale cohort, oldest-first in priority order (41 of 48):
+    # --- r6-stale cohort, oldest-first in priority order (40 of 48):
     "decontam_minhash_bench",
     "text_bm25_rank",
     "agg_median_mode",

@@ -594,3 +594,28 @@ def test_variable_blocking_sample_number_mismatch_rejected():
     data[second + hdr_len] = crc8(bytes(data[second : second + hdr_len]))
     with pytest.raises(ValueError, match="sequence"):
         decode_flac(bytes(data))
+
+
+def test_review_fixes_round14():
+    # (n,1) input is mono, not a crash or a silent shape change
+    x = (np.arange(50, dtype=np.int64) % 30) - 15
+    _, out = decode_flac(encode_flac(8000, x.reshape(-1, 1)))
+    assert out.ndim == 1 and np.array_equal(out.astype(np.int64), x)
+    # the stereo stats op must reject MULTICHANNEL streams, not read
+    # channels 0/1 of a surround stream as left/right
+    from river_spark.operators.flac import decode_flac_stereo_stats  # noqa: F401
+    import inspect
+    src = inspect.getsource(decode_flac_stereo_stats)
+    assert "s.shape[1] != 2" in src
+
+
+def test_stereo_stats_rejects_multichannel(spark):
+    from river_spark.operators.flac import decode_flac_stereo_stats
+
+    i = np.arange(300, dtype=np.int64)
+    mc = np.stack([((3 + c) * i % 2001) - 1000 for c in range(5)], axis=1)
+    payload = encode_flac(16000, mc)
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "doc_id long, payload binary")
+    rows = decode_flac_stereo_stats(df, "doc_id", "payload").collect()
+    assert rows[0]["ok"] is False
