@@ -79,3 +79,90 @@ def test_tiff_lossless_under_all_knobs(w, h, seed, rgb, comp, pred, tile):
     dw, dh, out = decode_tiff(data)
     assert (dw, dh) == (w, h)
     assert np.array_equal(out, img)
+
+
+# ---------------------------------------------------------------------------
+# Round 14: extend the fuzz to the whole LOSSLESS codec family — any
+# off-by-one in padding, filtering, LZW sub-blocking, or chunk walking
+# lands as a roundtrip mismatch here before a driver row can see it.
+# ---------------------------------------------------------------------------
+
+@given(w=st.integers(1, 40), h=st.integers(1, 40), seed=st.integers(0, 2**31 - 1))
+@settings(**_SETTINGS)
+def test_bmp_lossless(w, h, seed):
+    from river_spark.operators.multimodal import decode_bmp, encode_bmp
+    rgb = np.random.default_rng(seed).integers(0, 256, (h, w, 3)).astype(np.uint8)
+    dw, dh, out = decode_bmp(encode_bmp(w, h, rgb))
+    assert (dw, dh) == (w, h) and np.array_equal(out, rgb)
+
+
+@given(w=st.integers(1, 40), h=st.integers(1, 40), seed=st.integers(0, 2**31 - 1),
+       alpha=st.booleans(), smooth=st.booleans())
+@settings(**_SETTINGS)
+def test_png_lossless(w, h, seed, alpha, smooth):
+    from river_spark.operators.multimodal import decode_png, encode_png
+    rng = np.random.default_rng(seed)
+    nch = 4 if alpha else 3
+    if smooth:  # gradients exercise Sub/Up/Average/Paeth meaningfully
+        base = (np.arange(w)[None, :] * 3 + np.arange(h)[:, None] * 5) % 256
+        img = np.stack([(base + 17 * c) % 256 for c in range(nch)],
+                       axis=2).astype(np.uint8)
+    else:
+        img = rng.integers(0, 256, (h, w, nch)).astype(np.uint8)
+    dw, dh, out = decode_png(encode_png(w, h, img))
+    assert (dw, dh) == (w, h) and np.array_equal(out, img)
+
+
+@given(w=st.integers(1, 40), h=st.integers(1, 40), seed=st.integers(0, 2**31 - 1),
+       alpha=st.booleans(), runs=st.booleans())
+@settings(**_SETTINGS)
+def test_qoi_lossless(w, h, seed, alpha, runs):
+    from river_spark.operators.multimodal import decode_qoi, encode_qoi
+    rng = np.random.default_rng(seed)
+    nch = 4 if alpha else 3
+    if runs:  # long runs + small deltas exercise RUN/INDEX/DIFF/LUMA
+        flat = np.repeat(rng.integers(0, 256, (-(-w * h // 7), nch)),
+                         7, axis=0)[: w * h]
+        img = flat.reshape(h, w, nch).astype(np.uint8)
+    else:
+        img = rng.integers(0, 256, (h, w, nch)).astype(np.uint8)
+    dw, dh, out = decode_qoi(encode_qoi(w, h, img))
+    assert (dw, dh) == (w, h) and np.array_equal(out, img)
+
+
+@given(w=st.integers(1, 40), h=st.integers(1, 40), seed=st.integers(0, 2**31 - 1))
+@settings(**_SETTINGS)
+def test_gif_lossless(w, h, seed):
+    from river_spark.operators.multimodal import decode_gif, encode_gif
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    dw, dh, didx, dpal = decode_gif(encode_gif(w, h, idx, pal))
+    assert (dw, dh) == (w, h)
+    assert np.array_equal(didx, idx) and np.array_equal(dpal, pal)
+
+
+@given(n=st.integers(1, 2000), nch=st.integers(1, 2),
+       seed=st.integers(0, 2**31 - 1))
+@settings(**_SETTINGS)
+def test_wav_pcm16_lossless(n, nch, seed):
+    from river_spark.operators.multimodal import decode_wav, encode_wav
+    s = np.random.default_rng(seed).integers(-32768, 32768, n * nch)
+    s = s.astype(np.int16)
+    rate, ch, out = decode_wav(encode_wav(8000, nch, s))
+    assert rate == 8000 and ch == nch
+    assert np.array_equal(np.asarray(out).reshape(-1), s)
+
+
+@given(nf=st.integers(1, 6), w=st.integers(1, 24), h=st.integers(1, 24),
+       seed=st.integers(0, 2**31 - 1))
+@settings(**_SETTINGS)
+def test_avi_lossless(nf, w, h, seed):
+    from river_spark.operators.avi import decode_avi, encode_avi
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+              for _ in range(nf)]
+    dw, dh, fps, out = decode_avi(encode_avi(frames, fps=12))
+    assert (dw, dh, fps) == (w, h, 12) and len(out) == nf
+    for a, b in zip(out, frames):
+        assert np.array_equal(a, b)
