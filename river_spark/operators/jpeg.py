@@ -465,6 +465,30 @@ def encode_jpeg_420(
     )
 
 
+def encode_jpeg_422(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    quant_luma: np.ndarray = QUANT_FLAT16,
+    quant_chroma: np.ndarray = QUANT_FLAT17,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode 4:2:2 chroma-subsampled YCbCr (round 14) — the
+    horizontal-only subsampling cameras and video frames use: each MCU
+    is 16x8, interleaving two luma blocks side by side with one Cb and
+    one Cr block at half HORIZONTAL resolution. y must be (H, W) with
+    H a multiple of 8 and W of 16; cb/cr are (H, W/2)."""
+    h, w = y.shape
+    if h % 8 or w % 16:
+        raise ValueError("4:2:2 needs H in whole 8s and W in whole 16s")
+    if cb.shape != (h, w // 2) or cr.shape != (h, w // 2):
+        raise ValueError("chroma planes must be half horizontal resolution")
+    return _encode_jpeg_any(
+        [y, cb, cr], [(2, 1), (1, 1), (1, 1)], quant_luma, quant_chroma,
+        restart_interval,
+    )
+
+
 # ---------------------------------------------------------------------------
 # progressive encoder (SOF2) — round 13
 # ---------------------------------------------------------------------------
@@ -690,7 +714,8 @@ def encode_jpeg_progressive(
 
 def decode_jpeg(payload: bytes):
     """Decode a baseline sequential JPEG: 8-bit, 1 or 3 components,
-    4:4:4 or 4:2:0 sampling. Returns (width, height, [planes]) with
+    4:4:4, 4:2:2 (round 14 — the camera/video horizontal-only
+    subsampling), or 4:2:0 sampling. Returns (width, height, [planes]) with
     each plane at its NATURAL (possibly subsampled) resolution in
     component order (Y[, Cb, Cr]) — use :func:`upsample_chroma_nn` to
     bring 4:2:0 chroma to full resolution. Raises ValueError on
@@ -748,9 +773,10 @@ def decode_jpeg(payload: bytes):
             samp_set = [(hs, vs) for _, hs, vs, _ in comps]
             if not (
                 all(s == (1, 1) for s in samp_set)
-                or (nc == 3 and samp_set == [(2, 2), (1, 1), (1, 1)])
+                or (nc == 3 and samp_set in ([(2, 2), (1, 1), (1, 1)],
+                                             [(2, 1), (1, 1), (1, 1)]))
             ):
-                raise ValueError("only 4:4:4 or 4:2:0 sampling")
+                raise ValueError("only 4:4:4, 4:2:2, or 4:2:0 sampling")
         elif marker == 0xC2:  # SOF2: progressive DCT (round-13 subset)
             return _decode_progressive(payload)
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):

@@ -2071,3 +2071,116 @@ def mm_flac_multichannel_decode_stats(spark, sf_dir):
         "doc_id", "sample_rate", "n_samples", "n_channels",
         "sample_sum", "abs_sum", "chpos_weighted_sum",
     )
+
+
+# ---- 4:2:2 JPEG rule (round 14 — the camera/video horizontal-only
+# subsampling): MCU 16x8 = two luma blocks + one Cb + one Cr at half
+# horizontal resolution.
+#   wm = 1 + d % 3 (MCUs across), hm = 1 + d % 2 (MCUs down)
+#   luma block s (0..1) of MCU p: Y = (d*29 + 5*(2p+s)) % 256
+#   Cb = (d*19 + 3p) % 256, Cr = (d*37 + 7p) % 256
+
+
+def _jpeg422_payloads(docs):
+    """doc_id -> synthesized 4:2:2 baseline JPEG (one mapInPandas
+    pass); restart markers every 2 MCUs."""
+    from river_spark.operators.jpeg import encode_jpeg_422
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                wm, hm = 1 + d % 3, 1 + d % 2
+                y = np.zeros((8 * hm, 16 * wm), dtype=np.uint8)
+                cb = np.zeros((8 * hm, 8 * wm), dtype=np.uint8)
+                cr = np.zeros((8 * hm, 8 * wm), dtype=np.uint8)
+                for p in range(wm * hm):
+                    my, mx = divmod(p, wm)
+                    for s in range(2):
+                        y[
+                            my * 8 : my * 8 + 8,
+                            mx * 16 + s * 8 : mx * 16 + s * 8 + 8,
+                        ] = (d * 29 + 5 * (2 * p + s)) % 256
+                    cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (d * 19 + 3 * p) % 256
+                    cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (d * 37 + 7 * p) % 256
+                ids.append(d)
+                payloads.append(encode_jpeg_422(y, cb, cr, restart_interval=2))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").repartition("doc_id").mapInPandas(gen, schema=schema)
+
+
+@q(
+    "mm_jpeg422_decode_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 1 + doc_id % 3 AS wm, 1 + doc_id % 2 AS hm
+        FROM documents),
+    blk AS (
+        SELECT doc_id, wm, hm,
+               (doc_id * 29 + 5 * (2 * g.p + s.s)) % 256 AS yv,
+               (doc_id * 19 + 3 * g.p) % 256 AS cbv,
+               (doc_id * 37 + 7 * g.p) % 256 AS crv
+        FROM dims,
+             UNNEST(generate_series(0, wm * hm - 1)) AS g(p),
+             UNNEST(generate_series(0, 1)) AS s(s)),
+    f AS (
+        SELECT doc_id, wm, hm,
+          CAST(floor(((yv - 128) * 8589582400 + 536870912) / 1073741824.0) AS BIGINT) AS fy,
+          CAST(floor(((cbv - 128) * 8589582400 + 536870912) / 1073741824.0) AS BIGINT) AS fcb,
+          CAST(floor(((crv - 128) * 8589582400 + 536870912) / 1073741824.0) AS BIGINT) AS fcr
+        FROM blk),
+    qc AS (
+        SELECT doc_id, wm, hm,
+          CAST(floor((2 * fy + 16) / 32.0) AS BIGINT) AS qy,
+          CAST(floor((2 * fcb + 17) / 34.0) AS BIGINT) AS qcb,
+          CAST(floor((2 * fcr + 17) / 34.0) AS BIGINT) AS qcr
+        FROM f),
+    rc AS (
+        SELECT doc_id, wm, hm,
+          GREATEST(0, LEAST(255, CAST(floor((134212225 * qy * 16 + 536870912) / 1073741824.0) AS BIGINT) + 128)) AS ry,
+          GREATEST(0, LEAST(255, CAST(floor((134212225 * qcb * 17 + 536870912) / 1073741824.0) AS BIGINT) + 128)) AS rcb,
+          GREATEST(0, LEAST(255, CAST(floor((134212225 * qcr * 17 + 536870912) / 1073741824.0) AS BIGINT) + 128)) AS rcr
+        FROM qc),
+    rgb AS (
+        SELECT doc_id, wm, hm, ry,
+          GREATEST(0, LEAST(255, ry + CAST(floor((91881 * (rcr - 128) + 32768) / 65536.0) AS BIGINT))) AS r,
+          GREATEST(0, LEAST(255, ry - CAST(floor((46802 * (rcr - 128) + 22554 * (rcb - 128) + 32768) / 65536.0) AS BIGINT))) AS g_,
+          GREATEST(0, LEAST(255, ry + CAST(floor((116130 * (rcb - 128) + 32768) / 65536.0) AS BIGINT))) AS b
+        FROM rc)
+    SELECT doc_id, CAST(16 * wm AS INT) AS width, CAST(8 * hm AS INT) AS height,
+           CAST(64 * sum(r) AS BIGINT) AS r_sum,
+           CAST(64 * sum(g_) AS BIGINT) AS g_sum,
+           CAST(64 * sum(b) AS BIGINT) AS b_sum,
+           CAST(64 * sum(ry) AS BIGINT) AS y_sum
+    FROM rgb GROUP BY doc_id, wm, hm
+    """,
+    tags=("multimodal", "codec", "image"),
+)
+def mm_jpeg422_decode_stats(spark, sf_dir):
+    """REAL 4:2:2 chroma-subsampled JPEG decode under the bit-level
+    oracle — the round-14 widening to the horizontal-only subsampling
+    cameras and video frames use (the remaining common layout between
+    the gated 4:4:4 and 4:2:0): each 16x8 MCU interleaves two luma
+    blocks side by side with one Cb and one Cr block at half HORIZONTAL
+    resolution; the decoder reads (2,1) from SOF0, walks the
+    interleaved structure (restart resets every 2 MCUs), and the
+    pinned nearest-neighbor upsampling runs horizontally only
+    (fh=2, fv=1 derived from the plane shapes). The oracle mirrors the
+    same fixed-point kernels as the other JPEG gates with the
+    2-luma-per-MCU generation rule."""
+    from river_spark.operators.jpeg import decode_jpeg_rgb_stats
+
+    docs = tbl(spark, sf_dir, "documents")
+    stats = decode_jpeg_rgb_stats(_jpeg422_payloads(docs), "doc_id", "payload")
+    return stats.filter(F.col("ok")).select(
+        "doc_id", "width", "height", "r_sum", "g_sum", "b_sum", "y_sum"
+    )

@@ -428,15 +428,16 @@ _WINDOW = [
     #     staleness tail). The r4-stale cohort was 37 rows; round 13's
     #     window re-adjudicated 30 of them, so SEVEN remain at r4 (the
     #     r13 rotation comment miscounted 33/4 — fixed here per ADVICE).
-    #     They lead. The 3 round-14 additions (partitioned-Rice FLAC,
-    #     tiled TIFF, multichannel 24-bit FLAC) follow — added AND
-    #     adjudicated in-round, zero new debt. The remaining 40 slots
-    #     re-adjudicate the oldest r6 rows in priority order; 8 r6 rows
-    #     (scalar_json, agg_stats, agg_percentile, topk_global,
-    #     set_ops, win_running_sum, win_moving_avg, text_token_stats)
-    #     remain for the round-15 head, after which no registry query's
-    #     external row is older than its natural ~7-round rotation
-    #     cycle at 373/50.
+    #     They lead. The 4 round-14 additions (partitioned-Rice +
+    #     variable-blocking FLAC, tiled TIFF, multichannel 24-bit FLAC,
+    #     4:2:2 JPEG) follow — added AND adjudicated in-round, zero new
+    #     debt. The remaining 39 slots re-adjudicate the oldest r6 rows
+    #     in priority order; 9 r6 rows (scalar_conditional, scalar_json,
+    #     agg_stats, agg_percentile, topk_global, set_ops,
+    #     win_running_sum, win_moving_avg, text_token_stats) remain for
+    #     the round-15 head, after which no registry query's external
+    #     row is older than its natural ~7-round rotation cycle at
+    #     374/50.
     # --- r4-stale cohort (the 7 oldest external rows in the repo):
     "udf_normalize_text",
     "udaf_weighted_avg",
@@ -449,7 +450,8 @@ _WINDOW = [
     "mm_flac_partitioned_decode_stats",
     "mm_tiff_tiled_decode_stats",
     "mm_flac_multichannel_decode_stats",
-    # --- r6-stale cohort, oldest-first in priority order (40 of 48):
+    "mm_jpeg422_decode_stats",
+    # --- r6-stale cohort, oldest-first in priority order (39 of 48):
     "decontam_minhash_bench",
     "text_bm25_rank",
     "agg_median_mode",
@@ -489,9 +491,8 @@ _WINDOW = [
     "scalar_string",
     "scalar_date",
     "scalar_math",
-    "scalar_conditional",
 ]
-# Round-15 rotation note: behind this window sit the 8 remaining r6
+# Round-15 rotation note: behind this window sit the 9 remaining r6
 # rows named above (they lead round 15), then everything whose latest
 # row is r7+ in the established staleness order. Registry growth
 # discipline (r13 verdict #7): additions <= window headroom after

@@ -224,12 +224,13 @@ def test_420_reject_paths():
     with pytest.raises(ValueError):
         encode_jpeg_420(y, np.zeros((16, 16), dtype=np.uint8),
                         np.zeros((8, 8), dtype=np.uint8))  # full-res chroma
-    # 4:2:2 (2,1) sampling is outside the subset: craft by patching SOF
+    # 4:1:1 (4,1) sampling stays outside the subset (4:2:2 became
+    # VALID with the round-14 widening): craft by patching SOF
     data = bytearray(encode_jpeg_420(y, np.zeros((8, 8), dtype=np.uint8),
                                      np.zeros((8, 8), dtype=np.uint8)))
     sof = bytes(data).find(b"\xff\xc0")
     assert data[sof + 7 + 4] == 0x22  # Y sampling byte
-    data[sof + 7 + 4] = 0x21
+    data[sof + 7 + 4] = 0x41
     with pytest.raises(ValueError):
         decode_jpeg(bytes(data))
 
@@ -367,3 +368,69 @@ def test_progressive_reject_paths():
     bad[sof + 9] = 0x22  # component 1 sampling 2x2
     with pytest.raises(ValueError):
         decode_jpeg(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# round-14: 4:2:2 (horizontal-only chroma subsampling)
+# ---------------------------------------------------------------------------
+
+
+def test_422_constant_block_decode_matches_closed_form():
+    from river_spark.operators.jpeg import (
+        encode_jpeg_422, upsample_chroma_nn, ycbcr_to_rgb_int)
+
+    d, wm, hm = 11, 3, 2
+    y = np.zeros((8 * hm, 16 * wm), dtype=np.uint8)
+    cb = np.zeros((8 * hm, 8 * wm), dtype=np.uint8)
+    cr = np.zeros((8 * hm, 8 * wm), dtype=np.uint8)
+    for p in range(wm * hm):
+        my, mx = divmod(p, wm)
+        for s in range(2):
+            y[my * 8:(my + 1) * 8, mx * 16 + s * 8:mx * 16 + (s + 1) * 8] = \
+                (d * 29 + 5 * (2 * p + s)) % 256
+        cb[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = (d * 19 + 3 * p) % 256
+        cr[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = (d * 37 + 7 * p) % 256
+    w, h, planes = decode_jpeg(encode_jpeg_422(y, cb, cr, restart_interval=2))
+    assert (w, h) == (16 * wm, 8 * hm)
+    yp, cbp, crp = planes
+    assert cbp.shape == (8 * hm, 8 * wm)  # natural (half-horizontal) res
+    # every decoded block is constant (DC-only closed form carries)
+    for p in range(wm * hm):
+        my, mx = divmod(p, wm)
+        blk = cbp[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8]
+        assert (blk == blk[0, 0]).all()
+    # horizontal-only upsampling pairs each luma block with its MCU chroma
+    cbu = upsample_chroma_nn(cbp, 2, 1)
+    assert cbu.shape == yp.shape
+    r, g, b = ycbcr_to_rgb_int(yp, cbu, upsample_chroma_nn(crp, 2, 1))
+    assert r.shape == (8 * hm, 16 * wm)
+
+
+def test_422_natural_image_roundtrip_and_stats(spark):
+    from river_spark.operators.jpeg import decode_jpeg_rgb_stats, encode_jpeg_422
+
+    rng = np.random.default_rng(3)
+    y = rng.integers(0, 256, (16, 32)).astype(np.uint8)
+    cb = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    cr = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    payload = encode_jpeg_422(y, cb, cr)
+    w, h, planes = decode_jpeg(payload)
+    assert (w, h) == (32, 16) and planes[1].shape == (16, 16)
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "doc_id long, payload binary")
+    rows = decode_jpeg_rgb_stats(df, "doc_id", "payload").collect()
+    assert rows[0]["ok"] is True
+    assert rows[0]["width"] == 32 and rows[0]["height"] == 16
+
+
+def test_422_reject_paths():
+    from river_spark.operators.jpeg import encode_jpeg_422
+
+    with pytest.raises(ValueError, match="whole 8s"):
+        encode_jpeg_422(np.zeros((12, 16), dtype=np.uint8),
+                        np.zeros((12, 8), dtype=np.uint8),
+                        np.zeros((12, 8), dtype=np.uint8))
+    with pytest.raises(ValueError, match="half horizontal"):
+        encode_jpeg_422(np.zeros((8, 16), dtype=np.uint8),
+                        np.zeros((8, 16), dtype=np.uint8),
+                        np.zeros((8, 8), dtype=np.uint8))
