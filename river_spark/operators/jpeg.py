@@ -274,7 +274,21 @@ class _BitReader:
         self.pos += 2
 
 
-class _MarkerReached(Exception):
+def _table(tabs: dict, key, what: str):
+    """Dict lookup that reads as malformed-payload on a missing id (a
+    corrupted scan can reference tables never defined; KeyError would
+    escape the stats operators' catch set)."""
+    try:
+        return tabs[key]
+    except KeyError as exc:
+        raise ValueError(f"scan references undefined {what} {key}") from exc
+
+
+class _MarkerReached(ValueError):
+    # ValueError subclass: when entropy data runs into a marker that the
+    # progressive scan loop does NOT expect (corrupt stream), the escape
+    # must read as malformed-payload to the Arrow stats operators, not
+    # crash the executor with an internal control-flow exception
     def __init__(self, hi, lo):
         self.marker = lo
         super().__init__(f"marker ff{lo:02x}")
@@ -823,14 +837,14 @@ def decode_jpeg(payload: bytes):
         for ci, hs, vs, tq, dc_t, ac_t in order:
             for sby in range(vs):
                 for sbx in range(hs):
-                    size = _decode_symbol(rdr, huff[(0, dc_t)])
+                    size = _decode_symbol(rdr, _table(huff, (0, dc_t), 'DC table'))
                     diff = _extend(rdr.read(size), size) if size else 0
                     pred[ci] += diff
                     zz = np.zeros(64, dtype=np.int64)
                     zz[0] = pred[ci]
                     k = 1
                     while k < 64:
-                        rs = _decode_symbol(rdr, huff[(1, ac_t)])
+                        rs = _decode_symbol(rdr, _table(huff, (1, ac_t), 'AC table'))
                         if rs == 0x00:  # EOB
                             break
                         if rs == 0xF0:  # ZRL
@@ -844,7 +858,7 @@ def decode_jpeg(payload: bytes):
                         k += 1
                     coef = np.zeros(64, dtype=np.int64)
                     coef[ZIGZAG] = zz
-                    coef *= qtabs[tq]
+                    coef *= _table(qtabs, tq, 'quant table')
                     y0 = (my * vs + sby) * 8
                     x0 = (mx * hs + sbx) * 8
                     planes[ci][y0 : y0 + 8, x0 : x0 + 8] = idct8x8_int(
@@ -944,7 +958,7 @@ def _decode_progressive(payload: bytes):
                     for b in range(nblocks):
                         for si, (ci, dc_t, _) in enumerate(scan):
                             if ah == 0:
-                                size = _decode_symbol(rdr, huff[(0, dc_t)])
+                                size = _decode_symbol(rdr, _table(huff, (0, dc_t), 'DC table'))
                                 diff = _extend(rdr.read(size), size) if size else 0
                                 pred[si] += diff
                                 coefs[ci][b][0] = pred[si] << al
@@ -955,7 +969,7 @@ def _decode_progressive(payload: bytes):
                     if len(scan) != 1:
                         raise ValueError("AC scans are non-interleaved")
                     ci, _, ac_t = scan[0]
-                    actab = huff[(1, ac_t)]
+                    actab = _table(huff, (1, ac_t), 'AC table')
                     nblocks = (h // 8) * (w // 8)
                     for b in range(nblocks):
                         zz = coefs[ci][b]
@@ -973,7 +987,7 @@ def _decode_progressive(payload: bytes):
     bx = w // 8
     planes = [np.zeros((h, w), dtype=np.uint8) for _ in comps]
     for ci, (_, tq) in enumerate(comps):
-        qt = qtabs[tq]
+        qt = _table(qtabs, tq, 'quant table')
         for b in range(coefs[ci].shape[0]):
             nat = np.zeros(64, dtype=np.int64)
             nat[ZIGZAG] = coefs[ci][b]

@@ -732,6 +732,12 @@ def decode_qoi(payload: bytes):
         raise ValueError("missing QOI end marker")
     data = payload[14 : -len(_QOI_END)]
     n_px = width * height
+    # the output buffer is allocated from HEADER dimensions; the densest
+    # legal stream is one RUN op per 62 pixels, so anything claiming more
+    # pixels than 62x the chunk bytes is malformed — reject it BEFORE a
+    # corrupted header can demand a gigabyte allocation
+    if n_px > 62 * len(data):
+        raise ValueError("QOI dimensions exceed what the stream could encode")
     out = np.zeros((n_px, 4), dtype=np.uint8)
     index = [(0, 0, 0, 0)] * 64
     r, g, b, a = 0, 0, 0, 255

@@ -401,6 +401,11 @@ def decode_tiff(payload: bytes):
         else:
             continue
         size = unit * count
+        # bound BEFORE building the unpack format: a corrupted count
+        # (e.g. 2^30) would otherwise allocate a gigabyte format string
+        # and hang the executor before any struct.error could fire
+        if size > len(payload):
+            raise ValueError("tag value larger than the file")
         src = o + 8 if size <= 4 else struct.unpack_from(e + "I", payload, o + 8)[0]
         try:
             tags[tag] = list(struct.unpack_from(e + fmt * count, payload, src))

@@ -8,6 +8,7 @@ padding)."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -166,3 +167,75 @@ def test_avi_lossless(nf, w, h, seed):
     assert (dw, dh, fps) == (w, h, 12) and len(out) == nf
     for a, b in zip(out, frames):
         assert np.array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Round 14: corruption fuzz — a malformed payload must land in the
+# exception set the Arrow stats operators catch (ValueError / IndexError
+# / struct.error / StopIteration), never an executor-crashing KeyError,
+# MemoryError, internal control-flow exception, or hang. 600 mutations
+# per codec: byte flips, truncations, random splices.
+# ---------------------------------------------------------------------------
+
+import struct as _struct
+
+_CATCHABLE = (ValueError, IndexError, _struct.error, StopIteration)
+
+
+def _mutations(data: bytes, rng, n=200):
+    for trial in range(n):
+        d = bytearray(data)
+        mode = trial % 3
+        if mode == 0:
+            p = int(rng.integers(0, len(d)))
+            d[p] ^= int(rng.integers(1, 256))
+        elif mode == 1:
+            d = d[: int(rng.integers(1, len(d)))]
+        else:
+            p = int(rng.integers(0, len(d)))
+            q = int(rng.integers(0, 64))
+            d[p : p + q] = bytes(rng.integers(0, 256, q).tolist())
+        yield bytes(d)
+
+
+@pytest.mark.parametrize("codec", ["flac", "tiff", "jpeg", "png", "qoi",
+                                   "gif", "bmp", "avi"])
+def test_corruption_never_escapes_the_catch_set(codec):
+    from river_spark.operators.avi import decode_avi, encode_avi
+    from river_spark.operators.flac import decode_flac, encode_flac
+    from river_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from river_spark.operators.multimodal import (
+        decode_bmp, decode_gif, decode_png, decode_qoi,
+        encode_bmp, encode_gif, encode_png, encode_qoi)
+    from river_spark.operators.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (17, 23, 3)).astype(np.uint8)
+    idx = rng.integers(0, 256, (10, 12)).astype(np.uint8)
+    pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    plane = np.kron(rng.integers(0, 256, (2, 3)).astype(np.uint8),
+                    np.ones((8, 8), dtype=np.uint8))
+    i = np.arange(400, dtype=np.int64)
+    payloads = {
+        "flac": (encode_flac(8000, ((7 * i) % 4001 - 2000),
+                             partition_orders=(0, 1, 2), detect_wasted=True,
+                             variable_blocking=True), decode_flac),
+        "tiff": (encode_tiff(img, compression=5, predictor=2,
+                             tile_size=(16, 16)), decode_tiff),
+        "jpeg": (encode_jpeg([plane] * 3), decode_jpeg),
+        "png": (encode_png(23, 17, img), decode_png),
+        "qoi": (encode_qoi(23, 17, img), decode_qoi),
+        "gif": (encode_gif(12, 10, idx, pal), decode_gif),
+        "bmp": (encode_bmp(23, 17, img), decode_bmp),
+        "avi": (encode_avi([img, img]), decode_avi),
+    }
+    payload, dec = payloads[codec]
+    import time
+    t0 = time.perf_counter()
+    for d in _mutations(payload, rng, n=600):
+        try:
+            dec(d)  # silent decode is fine for CRC-less formats
+        except _CATCHABLE:
+            pass
+    # nothing above may hang either: the whole sweep stays sub-30s
+    assert time.perf_counter() - t0 < 30.0

@@ -324,3 +324,21 @@ def test_tiled_header_allocation_bomb_rejected():
             _s.pack_into("<I", data, o + 8, 1 << 20)  # 1M x 1M tiles
     with pytest.raises(ValueError):
         decode_tiff(bytes(data))
+
+
+def test_tag_count_bomb_rejected_quickly():
+    # a corrupted IFD tag count must reject BEFORE building the unpack
+    # format string (a 2^30 count would allocate gigabytes and hang the
+    # executor, which the Spark stats ops could never catch)
+    import struct as _s
+    import time
+    img = _img((16, 16))
+    data = bytearray(encode_tiff(img, compression=1))
+    (ifd,) = _s.unpack_from("<I", data, 4)
+    (n,) = _s.unpack_from("<H", data, ifd)
+    o = ifd + 2  # first entry: corrupt its count field
+    _s.pack_into("<I", data, o + 4, 1 << 30)
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="larger than the file"):
+        decode_tiff(bytes(data))
+    assert time.perf_counter() - t0 < 1.0
