@@ -41,17 +41,18 @@ Round 14 adds the residual layout real encoders emit by default:
   the subframe header carries w unary-coded and the whole subframe
   (warmup, prediction, residuals) runs at ``bps - w``; the decoder
   shifts the reconstruction left by w;
-* bit depths 8 and 24 (sample-size codes 001/110, STREAMINFO bps,
-  side channels at bps + 1) and 3-8 channel surround layouts
+* bit depths 8, 12, 20, and 24 (sample-size codes 001/010/101/110,
+  STREAMINFO bps, side channels at bps + 1 — the non-byte-aligned
+  12/20 widths land every sample I/O on the bit-reader's unaligned
+  path, round 15 per the r14 verdict) and 3-8 channel surround layouts
   (channel code nch - 1, independent subframes per the spec — stereo
   decorrelation is a 2-channel concept);
 * variable blocking — blocking-strategy bit 1, frame headers carrying
   the starting SAMPLE number (UTF-8, through the 4-byte extension),
   per-frame block sizes; STREAMINFO min/max block sizes reflect it.
 
-Still outside the subset: bit depths other than 8/16/24 (e.g. 12/20)
-and non-streamable oddities (negative LPC shift, reserved codes),
-which decode rejects explicitly.
+Still outside the subset: 32-bit depth and non-streamable oddities
+(negative LPC shift, reserved codes), which decode rejects explicitly.
 
 Reference scope parity: the reference stores opaque binary payloads;
 decode here is a first-class distributed operator per SURVEY.md's
@@ -399,9 +400,9 @@ def encode_flac(
 ) -> bytes:
     """Encode integer samples — mono (shape (n,)), stereo (shape
     (n, 2)), or 3-8 independent channels (shape (n, nch)) at
-    ``bit_depth`` 8, 16, or 24 (round-14 widening: the other two bit
-    depths real FLAC corpora carry, and the surround layouts, which the
-    spec codes as independent subframes with channel code nch-1).
+    ``bit_depth`` 8/12/16/20/24 (rounds 14-15 widening: every bit depth
+    real FLAC corpora carry short of 32, and the surround layouts, which
+    the spec codes as independent subframes with channel code nch-1).
     Each block becomes one frame; per subframe the cheapest of
     CONSTANT / FIXED 0-4 / LPC (orders in ``lpc_orders``) is chosen by
     exact Rice bit count, with a VERBATIM fallback when coding would
@@ -423,8 +424,8 @@ def encode_flac(
     samples = np.asarray(samples, dtype=np.int64)
     if samples.size == 0:
         raise ValueError("empty input")
-    if bit_depth not in (8, 16, 24):
-        raise ValueError("bit_depth must be 8, 16, or 24 in this subset")
+    if bit_depth not in (8, 12, 16, 20, 24):
+        raise ValueError("bit_depth must be 8/12/16/20/24 in this subset")
     if samples.ndim == 2 and samples.shape[1] == 1:
         samples = samples[:, 0]          # (n, 1) is mono
     nch = 1 if samples.ndim == 1 else samples.shape[1]
@@ -607,7 +608,7 @@ def _stereo_channels(block: np.ndarray, ch_code: int, bps: int = 16):
     raise ValueError("bad stereo channel code")
 
 
-_SS_CODE = {8: 0b001, 16: 0b100, 24: 0b110}
+_SS_CODE = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110}
 _SS_BPS = {v: k for k, v in _SS_CODE.items()}
 
 
@@ -760,8 +761,8 @@ def decode_flac(payload: bytes):
     """Decode the supported subset. Returns (sample_rate, samples):
     samples is shape (n,) for mono, (n, 2) for stereo (any mix of
     independent / left-side / right-side / mid-side frames), or
-    (n, nch) for 3-8 independent channels; dtype int8 / int16 / int32
-    for bit depths 8 / 16 / 24. Raises ValueError on malformed input,
+    (n, nch) for 3-8 independent channels; dtype int8 for depth 8,
+    int16 for 12/16, int32 for 20/24. Raises ValueError on malformed input,
     bad CRCs, or features outside the subset."""
     if payload[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
@@ -787,8 +788,8 @@ def decode_flac(payload: bytes):
             channels = ((packed >> 41) & 0x7) + 1
             bps = ((packed >> 36) & 0x1F) + 1
             total = packed & ((1 << 36) - 1)
-            if not (1 <= channels <= 8) or bps not in (8, 16, 24):
-                raise ValueError("subset is 1-8 channels at 8/16/24 bit")
+            if not (1 <= channels <= 8) or bps not in (8, 12, 16, 20, 24):
+                raise ValueError("subset is 1-8 channels at 8/12/16/20/24 bit")
         pos += 4 + blen
         if hdr & 0x80:
             break
@@ -892,7 +893,8 @@ def decode_flac(payload: bytes):
         expect_frame += 1
     if n_out != total:
         raise ValueError(f"decoded {n_out} of {total} samples")
-    dtype = {8: np.int8, 16: np.int16, 24: np.int32}[bps]
+    dtype = {8: np.int8, 12: np.int16, 16: np.int16,
+             20: np.int32, 24: np.int32}[bps]
     lim = 1 << (bps - 1)
     if channels == 1:
         full = np.asarray(out, dtype=np.int64)

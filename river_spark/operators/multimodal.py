@@ -512,23 +512,105 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+# Adam7 pass geometry (PNG spec §8.2): (x0, y0, dx, dy) per pass. A
+# pass whose sub-image is empty for the given dimensions contributes no
+# scanlines to the IDAT stream.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _unfilter(raw: bytes, offset: int, height: int, stride: int, bpp: int):
+    """Reconstruct ``height`` filtered scanlines of ``stride`` bytes
+    starting at ``raw[offset]`` (each prefixed by its filter-type byte).
+    ``bpp`` is the filter unit in BYTES — max(1, ceil(depth*channels/8))
+    per PNG spec §9: 3 for RGB8, 4 for RGBA8, 1 for palette at any
+    depth <= 8. Returns the (height, stride) unfiltered byte matrix."""
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        off = offset + y * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
+        if ftype == 0:  # None
+            cur = line.copy()
+        elif ftype == 2:  # Up
+            cur = (line.astype(np.int16) + prev).astype(np.uint8)
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+            cur = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                if ftype == 1:
+                    rec = line[x] + a
+                elif ftype == 3:
+                    rec = line[x] + ((a + int(prev[x])) >> 1)
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    rec = line[x] + _paeth(a, int(prev[x]), c)
+                cur[x] = rec & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    return out
+
+
+def _unpack_indices(rows: "np.ndarray", width: int, depth: int):
+    """Unpack palette indices from unfiltered scanline bytes: ``depth``
+    bits per pixel, MSB-first within each byte, rows padded to a whole
+    byte (spec §7.2). rows is (h, stride) uint8; returns (h, w) uint8."""
+    if depth == 8:
+        return rows[:, :width].copy()
+    bits = np.unpackbits(rows, axis=1)
+    per = bits[:, : width * depth].reshape(rows.shape[0], width, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (per * weights).sum(axis=2).astype(np.uint8)
+
+
+def _png_pass_dims(width: int, height: int, interlace: int):
+    """Yield (x0, y0, dx, dy, w_p, h_p) for each non-empty pass —
+    a single full-frame pass when non-interlaced."""
+    if interlace == 0:
+        yield 0, 0, 1, 1, width, height
+        return
+    for x0, y0, dx, dy in _ADAM7:
+        w_p = (width - x0 + dx - 1) // dx
+        h_p = (height - y0 + dy - 1) // dy
+        if w_p > 0 and h_p > 0:
+            yield x0, y0, dx, dy, w_p, h_p
+
+
 def decode_png(payload: bytes):
-    """Decode an 8-bit-depth truecolor PNG (color type 2 = RGB or
-    6 = RGBA, non-interlaced): signature check, chunk walk with CRC-32
-    verification, concatenated-IDAT inflate, and per-row reconstruction
-    of all five PNG filter types (None/Sub/Up/Average/Paeth). Returns
-    (width, height, HxWxC uint8 array). Raises ValueError on anything
-    else — palette, 16-bit, or Adam7 payloads are real-world formats a
-    production pipeline routes to a full codec library; this slot covers
-    the truecolor layout end to end with zero third-party code."""
+    """Decode a PNG: signature check, chunk walk with CRC-32
+    verification, concatenated-IDAT inflate, per-row reconstruction of
+    all five PNG filter types (None/Sub/Up/Average/Paeth), Adam7
+    7-pass reassembly when interlaced, and palette (PLTE + optional
+    tRNS) expansion. Supported variants: 8-bit truecolor (color 2 =
+    RGB, 6 = RGBA) and indexed color (color 3) at depths 1/2/4/8 —
+    both plain and Adam7-interlaced. Returns (width, height, HxWxC
+    uint8 array); palette images expand to RGB, or RGBA when a tRNS
+    chunk is present. Raises ValueError on anything else (16-bit,
+    grayscale) — formats a production pipeline routes to a full codec
+    library; this slot covers the dominant web/icon layouts end to end
+    with zero third-party code."""
     if len(payload) < len(_PNG_SIG) or payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = len(_PNG_SIG)
     ihdr = None
+    plte = None
+    trns = None
     idat = bytearray()
     seen_iend = False
     while pos + 8 <= len(payload):
         clen = struct.unpack_from(">I", payload, pos)[0]
+        if clen > len(payload):
+            raise ValueError("PNG chunk length exceeds payload")
         ctype = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + clen]
         if len(body) != clen or pos + 12 + clen > len(payload):
@@ -538,6 +620,10 @@ def decode_png(payload: bytes):
             raise ValueError(f"PNG chunk CRC mismatch ({ctype!r})")
         if ctype == b"IHDR":
             ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"tRNS":
+            trns = body
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
@@ -549,57 +635,76 @@ def decode_png(payload: bytes):
     width, height, depth, color, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
-    if depth != 8 or color not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
-        raise ValueError(
-            f"unsupported PNG variant (depth={depth}, color={color}, "
-            f"interlace={interlace})"
-        )
-    if width <= 0 or height <= 0:
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise ValueError("unsupported PNG compression/filter/interlace")
+    if color in (2, 6):
+        if depth != 8:
+            raise ValueError(f"unsupported PNG depth {depth} for color {color}")
+        nch_raw = 3 if color == 2 else 4
+    elif color == 3:
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"unsupported PNG palette depth {depth}")
+        if plte is None or len(plte) == 0 or len(plte) % 3 != 0:
+            raise ValueError("palette PNG missing/malformed PLTE")
+        npal = len(plte) // 3
+        if npal > (1 << depth) or npal > 256:
+            raise ValueError("PLTE larger than depth allows")
+        if trns is not None and len(trns) > npal:
+            raise ValueError("tRNS longer than palette")
+        nch_raw = 1
+    else:
+        raise ValueError(f"unsupported PNG color type {color}")
+    if width <= 0 or height <= 0 or width > 1 << 24 or height > 1 << 24:
         raise ValueError("degenerate PNG dimensions")
-    nch = 3 if color == 2 else 4
-    stride = width * nch
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
+    if width * height > 1 << 28:
+        raise ValueError("PNG dimensions exceed decoder budget")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from None
+    bpp = max(1, (depth * nch_raw) // 8)
+    passes = list(_png_pass_dims(width, height, interlace))
+
+    def _stride(w_p: int) -> int:
+        return (w_p * depth * nch_raw + 7) // 8
+
+    expected = sum((_stride(w_p) + 1) * h_p for *_xy, w_p, h_p in passes)
+    if len(raw) != expected:
         raise ValueError("PNG scanline payload length mismatch")
-    out = np.zeros((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(height):
-        off = y * (stride + 1)
-        ftype = raw[off]
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
-        if ftype == 0:  # None
-            cur = line.copy()
-        elif ftype == 2:  # Up
-            cur = (line.astype(np.int16) + prev).astype(np.uint8)
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
-            cur = np.zeros(stride, dtype=np.uint8)
-            for x in range(stride):
-                a = int(cur[x - nch]) if x >= nch else 0
-                if ftype == 1:
-                    rec = line[x] + a
-                elif ftype == 3:
-                    rec = line[x] + ((a + int(prev[x])) >> 1)
-                else:
-                    c = int(prev[x - nch]) if x >= nch else 0
-                    rec = line[x] + _paeth(a, int(prev[x]), c)
-                cur[x] = rec & 0xFF
+    if color == 3:
+        img = np.zeros((height, width), dtype=np.uint8)
+    else:
+        img = np.zeros((height, width, nch_raw), dtype=np.uint8)
+    offset = 0
+    for x0, y0, dx, dy, w_p, h_p in passes:
+        stride = _stride(w_p)
+        rows = _unfilter(raw, offset, h_p, stride, bpp)
+        offset += (stride + 1) * h_p
+        if color == 3:
+            sub = _unpack_indices(rows, w_p, depth)
+            img[y0::dy, x0::dx] = sub
         else:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-        out[y] = cur
-        prev = cur
-    return width, height, out.reshape(height, width, nch)
+            img[y0::dy, x0::dx] = rows.reshape(h_p, w_p, nch_raw)
+    if color != 3:
+        return width, height, img
+    npal = len(plte) // 3
+    if int(img.max(initial=0)) >= npal:
+        raise ValueError("palette index out of range")
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(npal, 3)
+    rgb = pal[img]
+    if trns is None:
+        return width, height, rgb
+    alpha = np.full(npal, 255, dtype=np.uint8)
+    alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+    return width, height, np.dstack([rgb, alpha[img]])
 
 
-def encode_png(width: int, height: int, rgb: "np.ndarray") -> bytes:
-    """Encode an HxWx3 (RGB) or HxWx4 (RGBA) uint8 array as an 8-bit
-    truecolor PNG. Filter type cycles per row (y % 5), so a round trip
-    through :func:`decode_png` exercises every reconstruction path —
-    None, Sub, Up, Average, and Paeth — on every image taller than
-    four rows."""
-    nch = rgb.shape[2]
-    color = 2 if nch == 3 else 6
-    stride = width * nch
-    flat = rgb.reshape(height, stride).astype(np.int16)
+def _filter_scanlines(flat: "np.ndarray", bpp: int) -> bytearray:
+    """Filter a (h, stride) int16 byte matrix into PNG scanlines, the
+    filter type cycling per row (y % 5) so a decoder defect in ANY of
+    the five reconstruction paths shifts decoded pixels on every image
+    taller than four rows."""
+    height, stride = flat.shape
     lines = bytearray()
     for y in range(height):
         ftype = y % 5
@@ -608,16 +713,18 @@ def encode_png(width: int, height: int, rgb: "np.ndarray") -> bytes:
         if ftype == 0:
             enc = cur
         elif ftype == 1:
-            left = np.concatenate([np.zeros(nch, dtype=np.int16), cur[:-nch]])
+            left = np.concatenate([np.zeros(bpp, dtype=np.int16), cur[:-bpp]])
             enc = cur - left
         elif ftype == 2:
             enc = cur - prev
         elif ftype == 3:
-            left = np.concatenate([np.zeros(nch, dtype=np.int16), cur[:-nch]])
+            left = np.concatenate([np.zeros(bpp, dtype=np.int16), cur[:-bpp]])
             enc = cur - ((left + prev) >> 1)
         else:
-            left = np.concatenate([np.zeros(nch, dtype=np.int16), cur[:-nch]])
-            upleft = np.concatenate([np.zeros(nch, dtype=np.int16), prev[:-nch]])
+            left = np.concatenate([np.zeros(bpp, dtype=np.int16), cur[:-bpp]])
+            upleft = np.concatenate(
+                [np.zeros(bpp, dtype=np.int16), prev[:-bpp]]
+            )
             pred = np.array(
                 [_paeth(int(a), int(b), int(c))
                  for a, b, c in zip(left, prev, upleft)],
@@ -626,19 +733,102 @@ def encode_png(width: int, height: int, rgb: "np.ndarray") -> bytes:
             enc = cur - pred
         lines.append(ftype)
         lines.extend((enc & 0xFF).astype(np.uint8).tobytes())
+    return lines
 
-    def chunk(ctype: bytes, body: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(body)) + ctype + body
-            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
-        )
 
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body)) + ctype + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, rgb: "np.ndarray") -> bytes:
+    """Encode an HxWx3 (RGB) or HxWx4 (RGBA) uint8 array as an 8-bit
+    truecolor PNG. Filter type cycles per row (y % 5), so a round trip
+    through :func:`decode_png` exercises every reconstruction path —
+    None, Sub, Up, Average, and Paeth."""
+    nch = rgb.shape[2]
+    color = 2 if nch == 3 else 6
+    flat = rgb.reshape(height, width * nch).astype(np.int16)
+    lines = _filter_scanlines(flat, nch)
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
     return (
         _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _pack_indices(sub: "np.ndarray", depth: int) -> "np.ndarray":
+    """Pack a (h, w) uint8 index matrix at ``depth`` bits per pixel,
+    MSB-first, each row padded to a whole byte. Returns (h, stride)."""
+    if depth == 8:
+        return sub.copy()
+    h, w = sub.shape
+    weights = np.arange(depth - 1, -1, -1)
+    bits = ((sub[:, :, None] >> weights) & 1).astype(np.uint8).reshape(h, -1)
+    pad = (-bits.shape[1]) % 8
+    if pad:
+        bits = np.hstack([bits, np.zeros((h, pad), dtype=np.uint8)])
+    return np.packbits(bits, axis=1)
+
+
+def encode_png_palette(
+    width: int,
+    height: int,
+    indices: "np.ndarray",
+    palette: "np.ndarray",
+    trns: "np.ndarray | None" = None,
+    depth: int = 8,
+    interlace: int = 0,
+) -> bytes:
+    """Encode a (h, w) uint8 index matrix as an indexed-color PNG
+    (color type 3) at ``depth`` bits per pixel (1/2/4/8, MSB-first
+    sub-byte packing), with a (n, 3) uint8 PLTE and an optional tRNS
+    alpha vector over the first len(trns) entries. The per-row cycling
+    filter runs over the PACKED bytes with bpp=1, exactly the unit
+    :func:`decode_png` must reconstruct with. ``interlace=1`` emits the
+    Adam7 layout — each pass packs its own sub-width rows (per-pass
+    padding bits), the combination the decoder's pass loop must get
+    right."""
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"bad palette depth {depth}")
+    npal = palette.shape[0]
+    if npal > (1 << depth) or int(indices.max(initial=0)) >= npal:
+        raise ValueError("palette/index out of range for depth")
+    idx8 = indices.astype(np.uint8)
+    lines = bytearray()
+    for x0, y0, dx, dy, _w_p, _h_p in _png_pass_dims(width, height, interlace):
+        packed = _pack_indices(idx8[y0::dy, x0::dx], depth)
+        lines.extend(_filter_scanlines(packed.astype(np.int16), 1))
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, 3, 0, 0, interlace)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    out += _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    if trns is not None:
+        out += _png_chunk(b"tRNS", trns.astype(np.uint8).tobytes())
+    out += _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+    return out + _png_chunk(b"IEND", b"")
+
+
+def encode_png_adam7(width: int, height: int, rgb: "np.ndarray") -> bytes:
+    """Encode an HxWx3/HxWx4 uint8 array as an Adam7-INTERLACED 8-bit
+    truecolor PNG: the image scatters into the 7 spec passes, each pass
+    filtered independently (cycling y % 5 with prev reset at each pass
+    start, as the spec requires), all passes deflated into one IDAT."""
+    nch = rgb.shape[2]
+    color = 2 if nch == 3 else 6
+    lines = bytearray()
+    for x0, y0, dx, dy, w_p, h_p in _png_pass_dims(width, height, 1):
+        sub = rgb[y0::dy, x0::dx].reshape(h_p, w_p * nch).astype(np.int16)
+        lines.extend(_filter_scanlines(sub, nch))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 1)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + _png_chunk(b"IEND", b"")
     )
 
 

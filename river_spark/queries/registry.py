@@ -424,79 +424,78 @@ _R10_ORDER = [
 # Discipline: a query whose PHYSICAL PLAN changed since its last green
 # driver row goes back through the driver before anything new.
 _WINDOW = [
-    # --- Round-14 rotation (r13 verdict directive #1: retire the
-    #     staleness tail). The r4-stale cohort was 37 rows; round 13's
-    #     window re-adjudicated 30 of them, so SEVEN remain at r4 (the
-    #     r13 rotation comment miscounted 33/4 — fixed here per ADVICE).
-    #     They lead. The 4 round-14 additions (partitioned-Rice +
-    #     variable-blocking FLAC, tiled TIFF, multichannel 24-bit FLAC,
-    #     4:2:2 JPEG) follow — added AND adjudicated in-round, zero new
-    #     debt. The remaining 39 slots re-adjudicate the oldest r6 rows
-    #     in priority order; 9 r6 rows (scalar_conditional, scalar_json,
-    #     agg_stats, agg_percentile, topk_global, set_ops,
-    #     win_running_sum, win_moving_avg, text_token_stats) remain for
-    #     the round-15 head, after which no registry query's external
-    #     row is older than its natural ~7-round rotation cycle at
-    #     374/50.
-    # --- r4-stale cohort (the 7 oldest external rows in the repo):
-    "udf_normalize_text",
-    "udaf_weighted_avg",
-    "udtf_tokenize",
-    "set_ops_all",
-    "scalar_regex",
-    "win_range_frame",
-    "win_value_functions",
-    # --- round-14 additions (never driver-checked):
-    "mm_flac_partitioned_decode_stats",
-    "mm_tiff_tiled_decode_stats",
+    # --- Round-15 rotation (r14 verdict directive #1: finish the
+    #     staleness rotation). The 9 r6-stale rows lead. Then the
+    #     round-15 additions/changes (PNG palette decode, PNG Adam7
+    #     decode — directive #2 — and the 12/20-bit widening of
+    #     mm_flac_multichannel_decode_stats, directive #6, whose
+    #     physical plan/data changed so it goes back through the driver
+    #     per the standing discipline). The remaining 38 slots take the
+    #     r7-stale cohort oldest-first in its r7 window order; 3 r7
+    #     rows (agg_cube, agg_grouping_sets, join_semi) slip to the
+    #     round-16 head — the displacement the r14 verdict sanctioned
+    #     for the PNG additions. After this round max staleness is 7
+    #     rounds and self-maintains at ~374/50 per cycle.
+    # --- r6-stale cohort (the 9 oldest external rows in the repo):
+    "agg_percentile",
+    "agg_stats",
+    "scalar_conditional",
+    "scalar_json",
+    "set_ops",
+    "text_token_stats",
+    "topk_global",
+    "win_moving_avg",
+    "win_running_sum",
+    # --- round-15 additions / plan-changed (never/needs driver-check):
+    "mm_png_palette_decode_stats",
+    "mm_png_adam7_decode_stats",
     "mm_flac_multichannel_decode_stats",
-    "mm_jpeg422_decode_stats",
-    # --- r6-stale cohort, oldest-first in priority order (39 of 48):
-    "decontam_minhash_bench",
-    "text_bm25_rank",
-    "agg_median_mode",
-    "agg_regression",
-    "scalar_url",
-    "ev_anomaly_zscore",
-    "agg_bool_bit",
-    "ev_locf_fill",
-    "fn_higher_order",
-    "ev_event_trigrams",
-    "udf_cogroup_clickstream",
-    "dedup_repeated_spans",
-    "agg_listagg",
-    "fn_unpivot",
-    "scalar_decimal",
-    "mm_audio_windows",
-    "emb_pq_codes",
-    "ev_markov_transitions",
-    "text_zipf_slope",
-    "river_stream_locf",
-    "agg_argminmax",
-    "udf_arrow_stats",
-    "text_bigram_logprob",
-    "agg_grouping_id",
-    "river_latency_analysis",
-    "pipeline_quality_sample",
-    "emb_matryoshka_truncate",
-    "agg_approx_quantile",
-    "ev_gap_detect",
-    "profile_lineitem",
-    "agg_value_histogram",
-    "ev_session_window_native",
-    "river_stream_dedup",
-    "win_distribution_functions",
-    "scalar_bitwise",
-    "scalar_levenshtein",
-    "scalar_string",
-    "scalar_date",
-    "scalar_math",
+    # --- r7-stale cohort, oldest-first in r7 window order (38 of 41):
+    "emb_ann_recall",
+    "pipeline_dsir_weights",
+    "emb_semdedup",
+    "text_cdc_chunks",
+    "agg_hll_sketch",
+    "text_char_entropy",
+    "river_stream_static_join",
+    "pipeline_cdc_merge",
+    "rec_cte_ancestry",
+    "scalar_variant",
+    "join_lateral_topk",
+    "ev_interval_merge",
+    "decontam_ngram_overlap",
+    "dedup_components",
+    "emb_cluster_assign",
+    "emb_quantize_int8",
+    "ev_cohort_retention",
+    "ev_funnel",
+    "mm_resize",
+    "pipeline_dedup_retention",
+    "pipeline_domain_mix",
+    "pipeline_stratified_sample",
+    "pipeline_train_split",
+    "river_redis_roundtrip",
+    "river_stream_join",
+    "river_stream_query",
+    "river_stream_stateful",
+    "river_stream_window",
+    "text_chunk_sliding",
+    "text_pii_redact",
+    "text_repetition_filter",
+    "text_tfidf_top_terms",
+    "text_unigram_logprob",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "agg_rollup",
 ]
-# Round-15 rotation note: behind this window sit the 9 remaining r6
-# rows named above (they lead round 15), then everything whose latest
-# row is r7+ in the established staleness order. Registry growth
-# discipline (r13 verdict #7): additions <= window headroom after
-# staleness rotation, adjudicated in the round they land.
+# Round-16 rotation note: behind this window sit the 3 remaining
+# r7-stale rows (agg_cube, agg_grouping_sets, join_semi — they lead
+# round 16), then everything whose latest row is r8+ in the
+# established staleness order. Registry growth discipline (r13
+# verdict #7): additions <= window headroom after staleness rotation,
+# adjudicated in the round they land.
 
 # Tail keeps the round-10 staleness order so future rotations stay
 # oldest-first; round-11 additions register at the very end (behind

@@ -486,11 +486,54 @@ def test_multichannel_24bit_wasted_roundtrip():
 def test_bit_depth_rejects():
     x = np.arange(10, dtype=np.int64)
     with pytest.raises(ValueError, match="bit_depth"):
-        encode_flac(8000, x, bit_depth=12)
+        encode_flac(8000, x, bit_depth=32)
     with pytest.raises(ValueError, match="range"):
         encode_flac(8000, x * 100, bit_depth=8)
     with pytest.raises(ValueError, match="range"):
         encode_flac(8000, np.array([1 << 23]), bit_depth=24)
+    with pytest.raises(ValueError, match="range"):
+        encode_flac(8000, np.array([1 << 11]), bit_depth=12)
+    with pytest.raises(ValueError, match="range"):
+        encode_flac(8000, np.array([-(1 << 19) - 1]), bit_depth=20)
+
+
+# ---------------------------------------------------------------------------
+# Round 15 (r14 verdict #6): 12/20-bit depths — non-byte-aligned widths
+# put every warmup/verbatim sample on the bit-reader's unaligned path.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("bd,code,dtype", [(12, 0b010, np.int16),
+                                           (20, 0b101, np.int32)])
+def test_bit_depth_12_20_roundtrip_and_wire(bd, code, dtype):
+    i = np.arange(700, dtype=np.int64)
+    lim = 1 << (bd - 1)
+    x = ((13 * i + 7) % (2 * lim)) - lim
+    data = encode_flac(48000, x, bit_depth=bd, lpc_orders=(2, 4),
+                       partition_orders=(0, 1, 2), detect_wasted=True)
+    rate, out = decode_flac(data)
+    assert rate == 48000 and out.dtype == dtype
+    assert np.array_equal(out.astype(np.int64), x)
+    # sample-size code on the frame header (bits 1-3 of header byte 3)
+    sync_at = data.index(b"\xff\xf8", 4)
+    assert (data[sync_at + 3] >> 1) & 0x7 == code
+
+
+@pytest.mark.parametrize("bd", [12, 20])
+def test_bit_depth_12_20_stereo_and_multichannel(bd):
+    i = np.arange(512, dtype=np.int64)
+    lim = 1 << (bd - 1)
+    left = ((11 * i) % (2 * lim - 100)) - (lim - 50)
+    right = left - ((i % 101) - 50)   # side channel runs at bd + 1 bits
+    st = np.stack([left, right], axis=1)
+    _, out = decode_flac(encode_flac(96000, st, bit_depth=bd,
+                                     channel_mode="cycle", block_size=128))
+    assert np.array_equal(out.astype(np.int64), st)
+    mc = np.stack([((7 * c + 3) * i % (2 * lim - 64)) - (lim - 32)
+                   for c in range(5)], axis=1)
+    _, out = decode_flac(encode_flac(44100, mc, bit_depth=bd,
+                                     partition_orders=(0, 1, 2),
+                                     detect_wasted=True))
+    assert np.array_equal(out.astype(np.int64), mc)
 
 
 def test_widening_leaves_16bit_wire_unchanged():

@@ -196,11 +196,18 @@ class TestPng:
                 + chunk(b"IEND", b"")
             )
 
-        # 16-bit depth, palette color, Adam7 interlace: all rejected
-        for depth, color, interlace in [(16, 2, 0), (8, 3, 0), (8, 2, 1)]:
+        # 16-bit depth, grayscale, bad palette depth, bad interlace code:
+        # all rejected (palette + Adam7 themselves are SUPPORTED since
+        # round 15 — see test_png_palette_lossless / test_png_adam7_*)
+        for depth, color, interlace in [(16, 2, 0), (8, 0, 0), (3, 3, 0),
+                                        (8, 4, 0), (8, 2, 2)]:
             ihdr = st.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, interlace)
             with pytest.raises(ValueError, match="unsupported"):
                 decode_png(png_with_ihdr(ihdr))
+        # palette PNG without a PLTE chunk is malformed, not decodable
+        ihdr = st.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+        with pytest.raises(ValueError, match="PLTE"):
+            decode_png(png_with_ihdr(ihdr))
 
     def test_spark_decode_survives_malformed_rows(self, spark):
         from river_spark.operators.multimodal import (

@@ -115,6 +115,53 @@ def test_png_lossless(w, h, seed, alpha, smooth):
 
 
 @given(w=st.integers(1, 40), h=st.integers(1, 40), seed=st.integers(0, 2**31 - 1),
+       depth=st.sampled_from([1, 2, 4, 8]), trns=st.booleans(),
+       interlace=st.sampled_from([0, 1]))
+@settings(**_SETTINGS)
+def test_png_palette_lossless(w, h, seed, depth, trns, interlace):
+    """Indexed-color round trip across all four palette depths (sub-byte
+    MSB-first packing), short-tRNS alpha expansion, and both interlace
+    methods — the full round-15 decode matrix."""
+    from river_spark.operators.multimodal import decode_png, encode_png_palette
+    rng = np.random.default_rng(seed)
+    npal = min(1 << depth, 1 + int(rng.integers(1, 256)))
+    pal = rng.integers(0, 256, (npal, 3)).astype(np.uint8)
+    idx = rng.integers(0, npal, (h, w)).astype(np.uint8)
+    tr = (rng.integers(0, 256, max(1, npal // 2)).astype(np.uint8)
+          if trns else None)
+    dw, dh, out = decode_png(
+        encode_png_palette(w, h, idx, pal, trns=tr, depth=depth,
+                           interlace=interlace))
+    assert (dw, dh) == (w, h)
+    assert np.array_equal(out[:, :, :3], pal[idx])
+    if tr is None:
+        assert out.shape[2] == 3
+    else:
+        alpha = np.full(npal, 255, dtype=np.uint8)
+        alpha[: len(tr)] = tr
+        assert out.shape[2] == 4 and np.array_equal(out[:, :, 3], alpha[idx])
+
+
+@given(w=st.integers(1, 40), h=st.integers(1, 40), seed=st.integers(0, 2**31 - 1),
+       alpha=st.booleans())
+@settings(**_SETTINGS)
+def test_png_adam7_lossless(w, h, seed, alpha):
+    """Adam7 round trip at arbitrary dimensions (degenerate passes
+    included), plus cross-path equality: the interlaced and plain
+    pipelines share only the unfilter helper, so a matched
+    encode/decode pass-geometry bug cannot cancel — it would diverge
+    from the non-interlaced decode of the same pixels."""
+    from river_spark.operators.multimodal import (
+        decode_png, encode_png, encode_png_adam7)
+    rng = np.random.default_rng(seed)
+    nch = 4 if alpha else 3
+    img = rng.integers(0, 256, (h, w, nch)).astype(np.uint8)
+    dw, dh, out = decode_png(encode_png_adam7(w, h, img))
+    assert (dw, dh) == (w, h) and np.array_equal(out, img)
+    assert np.array_equal(out, decode_png(encode_png(w, h, img))[2])
+
+
+@given(w=st.integers(1, 40), h=st.integers(1, 40), seed=st.integers(0, 2**31 - 1),
        alpha=st.booleans(), runs=st.booleans())
 @settings(**_SETTINGS)
 def test_qoi_lossless(w, h, seed, alpha, runs):
@@ -199,14 +246,16 @@ def _mutations(data: bytes, rng, n=200):
 
 
 @pytest.mark.parametrize("codec", ["flac", "tiff", "jpeg", "png", "qoi",
-                                   "gif", "bmp", "avi"])
+                                   "gif", "bmp", "avi", "png_palette",
+                                   "png_adam7"])
 def test_corruption_never_escapes_the_catch_set(codec):
     from river_spark.operators.avi import decode_avi, encode_avi
     from river_spark.operators.flac import decode_flac, encode_flac
     from river_spark.operators.jpeg import decode_jpeg, encode_jpeg
     from river_spark.operators.multimodal import (
         decode_bmp, decode_gif, decode_png, decode_qoi,
-        encode_bmp, encode_gif, encode_png, encode_qoi)
+        encode_bmp, encode_gif, encode_png, encode_png_adam7,
+        encode_png_palette, encode_qoi)
     from river_spark.operators.tiff import decode_tiff, encode_tiff
 
     rng = np.random.default_rng(42)
@@ -224,6 +273,12 @@ def test_corruption_never_escapes_the_catch_set(codec):
                              tile_size=(16, 16)), decode_tiff),
         "jpeg": (encode_jpeg([plane] * 3), decode_jpeg),
         "png": (encode_png(23, 17, img), decode_png),
+        "png_palette": (
+            encode_png_palette(12, 10, (idx % 16), pal[:16],
+                               trns=pal[:7, 0], depth=4),
+            decode_png,
+        ),
+        "png_adam7": (encode_png_adam7(23, 17, img), decode_png),
         "qoi": (encode_qoi(23, 17, img), decode_qoi),
         "gif": (encode_gif(12, 10, idx, pal), decode_gif),
         "bmp": (encode_bmp(23, 17, img), decode_bmp),
