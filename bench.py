@@ -627,6 +627,165 @@ def deep_probe(spark, sf_dir: str, bench, timings: dict) -> dict:
     }
 
 
+def build_skewed_dir(spark, sf_dir: str, factor: int = _SCALE_FACTOR) -> str:
+    """Planted-hot-key variant replica of the factor-x documents table (r14
+    verdict #4): every doc with ``doc_id % 10 == 0`` (10% of the corpus)
+    has its text overwritten with ONE constant token sequence. All
+    planted docs therefore carry identical shingle sets and identical
+    minhash signatures — every band's bucket for that signature holds
+    10% of the corpus, and each planted shingle's document frequency is
+    corpus/10 — the worst-case organic skew shape (boilerplate pages,
+    empty-template docs) the two-phase bucket cap and the df-cap guard
+    exist for. Cached like build_scaled_dir, keyed by source content."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    sig = ["skew-v1", os.path.abspath(sf_dir), str(factor)]
+    f = "documents.parquet"
+    st = os.stat(os.path.join(sf_dir, f))
+    sig.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+    tag = hashlib.sha1("|".join(sig).encode()).hexdigest()[:8]
+    out = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"river_spark_skewed_{factor}x_{tag}"
+    )
+    marker = os.path.join(out, "_BUILT")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    scaled = build_scaled_dir(spark, sf_dir, factor=factor, tables={"documents"})
+    hot_text = " ".join(f"boiler{i} plate{i} template" for i in range(13))
+    docs = spark.read.parquet(os.path.join(scaled, "documents.parquet"))
+    docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 10 == 0, F.lit(hot_text)).otherwise(F.col("text")),
+    ).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    with open(marker, "w") as fh:
+        fh.write(sf_dir)
+    return out
+
+
+def skew_probe(spark, sf_dir: str, bench) -> dict:
+    """Planted-skew probe for the dedup family (r14 verdict #4): the
+    10x/30x deep probes scale ORGANIC data, where the hottest shingle's
+    df is ~25 and no band bucket exceeds a handful of docs — the skew
+    guards never fire. This probe plants the failure shape directly
+    (see build_skewed_dir: 10% of docs share one text, hence one band
+    bucket per band holds 10% of the corpus) and measures skewed vs
+    organic wall on the SAME 10x corpus size, median-of-3 with CPU
+    canaries. A bounded guard reads as ratio ~<= 1 (the hot 10% is
+    dropped at the count stage and contributes no pair work); an
+    unbounded path would be quadratic in the clique (C(5000,2) pairs
+    x shingles) and read as 10-100x.
+
+    - dedup_minhash_lsh runs the PRODUCTION query fn unchanged: its
+      max_bucket=1000 sits 5x below the planted 5000-doc bucket, so the
+      two-phase count drops the hot bucket before any collect_list.
+    - dedup_ngram_jaccard's production df_cap (100k) is calibrated for
+      1e9-doc corpora; at the probe's 50k docs the planted df is 5000,
+      so the leg runs the SAME operator with the probe-equivalent cap
+      2500 — 100x above the organic max df (25, so organic output is
+      IDENTICAL to uncapped: asserted on rows) and 2x below the planted
+      df. The uncapped pair-emission counterfactual (what the cap
+      prevented) is recorded alongside from the df aggregate alone.
+    Disable with SPARK_GRAFT_SKEW_PROBE=0."""
+    from pyspark.sql import functions as F
+
+    from river_spark.operators.dedup import ngram_jaccard_pairs, shingles
+    from river_spark.queries.tables import tbl
+
+    if "dedup_minhash_lsh" not in bench:
+        return {}
+    organic = build_scaled_dir(spark, sf_dir, factor=_SCALE_FACTOR,
+                               tables={"documents"})
+    skewed = build_skewed_dir(spark, sf_dir, factor=_SCALE_FACTOR)
+
+    # corpus-relative guard: 5% of docs (half the planted 10% clique,
+    # 100x the organic max df of ~25). At the default sf0.1 x 10 this is
+    # 2500 against a 5000-doc planted clique; at smaller SFs the caps
+    # scale down with the corpus so the probe stays meaningful.
+    n_docs = tbl(spark, organic, "documents").count()
+    planted = n_docs // 10
+    probe_df_cap = max(100, n_docs // 20)
+
+    def _ngram(d: str):
+        return ngram_jaccard_pairs(
+            tbl(spark, d, "documents"), "doc_id", "text", n=3,
+            threshold=0.05, df_cap=probe_df_cap,
+        )
+
+    legs = {
+        "dedup_minhash_lsh": lambda d: bench["dedup_minhash_lsh"].fn(spark, d),
+        "dedup_ngram_jaccard": _ngram,
+    }
+    out = {}
+    for name, fn in legs.items():
+        rec = {}
+        canary_before = cpu_canary_ms()
+        for label, d in (("organic", organic), ("skewed", skewed)):
+            runs, rows = [], 0
+            for _ in range(3):
+                t0 = time.perf_counter()
+                rows = fn(d).count()
+                runs.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            rec[label] = {
+                "sec": round(statistics.median(runs), 4),
+                "runs": [round(r, 2) for r in runs],
+                "rows": rows,
+            }
+        rec["canary_ms"] = [canary_before, cpu_canary_ms()]
+        rec["ratio_skewed_vs_organic"] = round(
+            rec["skewed"]["sec"] / max(rec["organic"]["sec"], 1e-9), 2
+        )
+        out[name] = rec
+        print(
+            f"# skew-probe {name}: organic {rec['organic']['sec']:.3f}s "
+            f"({rec['organic']['rows']} rows) skewed {rec['skewed']['sec']:.3f}s "
+            f"({rec['skewed']['rows']} rows) ratio {rec['ratio_skewed_vs_organic']}x",
+            file=sys.stderr,
+        )
+
+    # organic-output identity at the probe cap (cap 100x above organic
+    # max df): rows must match the production-cap run bit-for-bit
+    prod_rows = bench["dedup_ngram_jaccard"].fn(spark, organic).count()
+    out["ngram_probe_cap_organic_rows_match"] = (
+        prod_rows == out["dedup_ngram_jaccard"]["organic"]["rows"]
+    )
+
+    # counterfactual: pair emissions the df-cap guard prevented on the
+    # skewed corpus (df aggregate only — the quadratic stage never runs)
+    sh = shingles(tbl(spark, skewed, "documents"), "doc_id", "text", 3,
+                  hashed=True, distinct=False)
+    dfreq = (
+        sh.groupBy("doc_id", "shingle").agg(F.lit(1).alias("_one"))
+        .groupBy("shingle").agg(F.count("*").alias("df"))
+    )
+    row = dfreq.agg(
+        F.sum(F.when(F.col("df") > probe_df_cap,
+                     F.col("df") * (F.col("df") - 1) / 2)).alias("prevented"),
+        F.sum(F.when(F.col("df") > probe_df_cap, 1).otherwise(0)).alias("capped"),
+        F.max("df").alias("max_df"),
+    ).first()
+    out["ngram_skewed_capped_shingles"] = int(row["capped"] or 0)
+    out["ngram_skewed_max_df"] = int(row["max_df"] or 0)
+    out["ngram_skewed_prevented_emissions"] = int(row["prevented"] or 0)
+    out["probe_df_cap"] = probe_df_cap
+    out["corpus_docs"] = n_docs
+    out["planted_docs"] = planted
+    # the minhash leg runs the production query (max_bucket=1000); its
+    # cap only engages when the planted bucket exceeds it — false means
+    # the ratio reflects true clique work, not an unbounded guard
+    out["minhash_cap_engaged"] = planted > 1000
+    print(
+        f"# skew-probe ngram guard: {out['ngram_skewed_capped_shingles']} shingles "
+        f"capped at df>{probe_df_cap} (max df {out['ngram_skewed_max_df']}), "
+        f"{out['ngram_skewed_prevented_emissions']} pair emissions prevented",
+        file=sys.stderr,
+    )
+    return out
+
+
 def layout_probe(spark, sf_dir: str) -> dict | None:
     """Bucketed-layout evidence: the SAME lineitem x orders join keyed
     on l_orderkey, run (a) from plain parquet (pays two shuffles every
@@ -903,6 +1062,13 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover - probe is best-effort
             print(f"# deep probe failed: {exc}", file=sys.stderr)
 
+    skew = None
+    if os.environ.get("SPARK_GRAFT_SKEW_PROBE", "1") != "0":
+        try:
+            skew = skew_probe(spark, sf_dir, bench)
+        except Exception as exc:  # pragma: no cover - probe is best-effort
+            print(f"# skew probe failed: {exc}", file=sys.stderr)
+
     full = {
         "metric": "headline_queries_wall",
         "value": total,
@@ -918,6 +1084,7 @@ def main() -> None:
         },
         "scaling_probe": probe,
         "deep_probe": deep,
+        "skew_probe": skew,
         "layout_probe": layout,
         "cpu_canary_ms": canary,
         "parallel_canary_ms": pcanary,
