@@ -592,13 +592,14 @@ def decode_png(payload: bytes):
     all five PNG filter types (None/Sub/Up/Average/Paeth), Adam7
     7-pass reassembly when interlaced, and palette (PLTE + optional
     tRNS) expansion. Supported variants: 8-bit truecolor (color 2 =
-    RGB, 6 = RGBA) and indexed color (color 3) at depths 1/2/4/8 —
-    both plain and Adam7-interlaced. Returns (width, height, HxWxC
-    uint8 array); palette images expand to RGB, or RGBA when a tRNS
-    chunk is present. Raises ValueError on anything else (16-bit,
-    grayscale) — formats a production pipeline routes to a full codec
-    library; this slot covers the dominant web/icon layouts end to end
-    with zero third-party code."""
+    RGB, 6 = RGBA), 8-bit grayscale (color 0, expanded to RGB) and
+    gray+alpha (color 4, expanded to RGBA), and indexed color (color 3)
+    at depths 1/2/4/8 — all both plain and Adam7-interlaced. Returns
+    (width, height, HxWxC uint8 array); palette images expand to RGB,
+    or RGBA when a tRNS chunk is present. Raises ValueError on anything
+    else (16-bit, sub-byte grayscale) — formats a production pipeline
+    routes to a full codec library; this slot covers the dominant
+    web/icon layouts end to end with zero third-party code."""
     if len(payload) < len(_PNG_SIG) or payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = len(_PNG_SIG)
@@ -637,10 +638,10 @@ def decode_png(payload: bytes):
     )
     if comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError("unsupported PNG compression/filter/interlace")
-    if color in (2, 6):
+    if color in (0, 2, 4, 6):
         if depth != 8:
             raise ValueError(f"unsupported PNG depth {depth} for color {color}")
-        nch_raw = 3 if color == 2 else 4
+        nch_raw = {0: 1, 2: 3, 4: 2, 6: 4}[color]
     elif color == 3:
         if depth not in (1, 2, 4, 8):
             raise ValueError(f"unsupported PNG palette depth {depth}")
@@ -685,6 +686,12 @@ def decode_png(payload: bytes):
             img[y0::dy, x0::dx] = sub
         else:
             img[y0::dy, x0::dx] = rows.reshape(h_p, w_p, nch_raw)
+    if color == 0:   # grayscale -> RGB (gray replicated)
+        return width, height, np.repeat(img, 3, axis=2)
+    if color == 4:   # gray+alpha -> RGBA
+        return width, height, np.dstack(
+            [np.repeat(img[:, :, :1], 3, axis=2), img[:, :, 1]]
+        )
     if color != 3:
         return width, height, img
     npal = len(plte) // 3
@@ -810,6 +817,37 @@ def encode_png_palette(
         out += _png_chunk(b"tRNS", trns.astype(np.uint8).tobytes())
     out += _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
     return out + _png_chunk(b"IEND", b"")
+
+
+def encode_png_gray(
+    width: int,
+    height: int,
+    gray: "np.ndarray",
+    alpha: "np.ndarray | None" = None,
+    interlace: int = 0,
+) -> bytes:
+    """Encode a (h, w) uint8 grayscale matrix as an 8-bit color-type-0
+    PNG, or color-type-4 (gray+alpha) when ``alpha`` is given — the
+    remaining dominant real-corpus layouts (scanned docs, masks, depth
+    maps). Filter unit bpp = 1 (gray) or 2 (gray+alpha); both interlace
+    methods supported through the shared pass loop."""
+    if alpha is None:
+        color, nch = 0, 1
+        px = gray[:, :, None]
+    else:
+        color, nch = 4, 2
+        px = np.dstack([gray, alpha])
+    lines = bytearray()
+    for x0, y0, dx, dy, w_p, h_p in _png_pass_dims(width, height, interlace):
+        sub = px[y0::dy, x0::dx].reshape(h_p, w_p * nch).astype(np.int16)
+        lines.extend(_filter_scanlines(sub, nch))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, interlace)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 def encode_png_adam7(width: int, height: int, rgb: "np.ndarray") -> bytes:

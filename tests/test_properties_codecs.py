@@ -162,6 +162,26 @@ def test_png_adam7_lossless(w, h, seed, alpha):
 
 
 @given(w=st.integers(1, 40), h=st.integers(1, 40), seed=st.integers(0, 2**31 - 1),
+       alpha=st.booleans(), interlace=st.sampled_from([0, 1]))
+@settings(**_SETTINGS)
+def test_png_gray_lossless(w, h, seed, alpha, interlace):
+    """Grayscale (color 0 -> RGB) and gray+alpha (color 4 -> RGBA)
+    round trips, plain and Adam7."""
+    from river_spark.operators.multimodal import decode_png, encode_png_gray
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    a = rng.integers(0, 256, (h, w)).astype(np.uint8) if alpha else None
+    dw, dh, out = decode_png(encode_png_gray(w, h, g, alpha=a,
+                                             interlace=interlace))
+    assert (dw, dh) == (w, h)
+    assert out.shape[2] == (4 if alpha else 3)
+    for c in range(3):
+        assert np.array_equal(out[:, :, c], g)
+    if alpha:
+        assert np.array_equal(out[:, :, 3], a)
+
+
+@given(w=st.integers(1, 40), h=st.integers(1, 40), seed=st.integers(0, 2**31 - 1),
        alpha=st.booleans(), runs=st.booleans())
 @settings(**_SETTINGS)
 def test_qoi_lossless(w, h, seed, alpha, runs):
@@ -247,7 +267,7 @@ def _mutations(data: bytes, rng, n=200):
 
 @pytest.mark.parametrize("codec", ["flac", "tiff", "jpeg", "png", "qoi",
                                    "gif", "bmp", "avi", "png_palette",
-                                   "png_adam7"])
+                                   "png_adam7", "png_gray"])
 def test_corruption_never_escapes_the_catch_set(codec):
     from river_spark.operators.avi import decode_avi, encode_avi
     from river_spark.operators.flac import decode_flac, encode_flac
@@ -255,7 +275,7 @@ def test_corruption_never_escapes_the_catch_set(codec):
     from river_spark.operators.multimodal import (
         decode_bmp, decode_gif, decode_png, decode_qoi,
         encode_bmp, encode_gif, encode_png, encode_png_adam7,
-        encode_png_palette, encode_qoi)
+        encode_png_gray, encode_png_palette, encode_qoi)
     from river_spark.operators.tiff import decode_tiff, encode_tiff
 
     rng = np.random.default_rng(42)
@@ -279,6 +299,8 @@ def test_corruption_never_escapes_the_catch_set(codec):
             decode_png,
         ),
         "png_adam7": (encode_png_adam7(23, 17, img), decode_png),
+        "png_gray": (encode_png_gray(12, 10, idx, alpha=(idx[::-1]),
+                                     interlace=1), decode_png),
         "qoi": (encode_qoi(23, 17, img), decode_qoi),
         "gif": (encode_gif(12, 10, idx, pal), decode_gif),
         "bmp": (encode_bmp(23, 17, img), decode_bmp),
