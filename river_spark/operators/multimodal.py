@@ -591,15 +591,17 @@ def decode_png(payload: bytes):
     verification, concatenated-IDAT inflate, per-row reconstruction of
     all five PNG filter types (None/Sub/Up/Average/Paeth), Adam7
     7-pass reassembly when interlaced, and palette (PLTE + optional
-    tRNS) expansion. Supported variants: 8-bit truecolor (color 2 =
-    RGB, 6 = RGBA), 8-bit grayscale (color 0, expanded to RGB) and
-    gray+alpha (color 4, expanded to RGBA), and indexed color (color 3)
-    at depths 1/2/4/8 — all both plain and Adam7-interlaced. Returns
-    (width, height, HxWxC uint8 array); palette images expand to RGB,
-    or RGBA when a tRNS chunk is present. Raises ValueError on anything
-    else (16-bit, sub-byte grayscale) — formats a production pipeline
-    routes to a full codec library; this slot covers the dominant
-    web/icon layouts end to end with zero third-party code."""
+    tRNS) expansion. Supported variants: truecolor (color 2 = RGB,
+    6 = RGBA), grayscale (color 0, expanded to RGB) and gray+alpha
+    (color 4, expanded to RGBA) — each at depth 8 or 16 — and indexed
+    color (color 3) at depths 1/2/4/8; all both plain and
+    Adam7-interlaced. Returns (width, height, HxWxC array): uint8 for
+    depths <= 8, uint16 for 16-bit (big-endian samples reassembled
+    after byte-level unfiltering, spec §9); palette images expand to
+    RGB, or RGBA when a tRNS chunk is present. Raises ValueError on
+    anything else (sub-byte grayscale, reserved color types) — this
+    slot covers every layout libpng-era web/photo corpora carry, end
+    to end with zero third-party code."""
     if len(payload) < len(_PNG_SIG) or payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = len(_PNG_SIG)
@@ -639,7 +641,7 @@ def decode_png(payload: bytes):
     if comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError("unsupported PNG compression/filter/interlace")
     if color in (0, 2, 4, 6):
-        if depth != 8:
+        if depth not in (8, 16):
             raise ValueError(f"unsupported PNG depth {depth} for color {color}")
         nch_raw = {0: 1, 2: 3, 4: 2, 6: 4}[color]
     elif color == 3:
@@ -675,7 +677,10 @@ def decode_png(payload: bytes):
     if color == 3:
         img = np.zeros((height, width), dtype=np.uint8)
     else:
-        img = np.zeros((height, width, nch_raw), dtype=np.uint8)
+        img = np.zeros(
+            (height, width, nch_raw),
+            dtype=np.uint16 if depth == 16 else np.uint8,
+        )
     offset = 0
     for x0, y0, dx, dy, w_p, h_p in passes:
         stride = _stride(w_p)
@@ -684,6 +689,11 @@ def decode_png(payload: bytes):
         if color == 3:
             sub = _unpack_indices(rows, w_p, depth)
             img[y0::dy, x0::dx] = sub
+        elif depth == 16:
+            # big-endian 16-bit samples; filtering ran on raw BYTES
+            # (spec §9: the filter unit ignores sample boundaries)
+            pairs = rows.reshape(h_p, w_p, nch_raw, 2).astype(np.uint16)
+            img[y0::dy, x0::dx] = (pairs[..., 0] << 8) | pairs[..., 1]
         else:
             img[y0::dy, x0::dx] = rows.reshape(h_p, w_p, nch_raw)
     if color == 0:   # grayscale -> RGB (gray replicated)
@@ -842,6 +852,32 @@ def encode_png_gray(
         sub = px[y0::dy, x0::dx].reshape(h_p, w_p * nch).astype(np.int16)
         lines.extend(_filter_scanlines(sub, nch))
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, interlace)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_16(
+    width: int, height: int, px: "np.ndarray", interlace: int = 0
+) -> bytes:
+    """Encode an HxWxC uint16 array as a 16-bit PNG — C = 1 (gray,
+    color 0), 2 (gray+alpha, color 4), 3 (RGB, color 2), or 4 (RGBA,
+    color 6). Samples go big-endian on the wire; the cycling filter
+    runs over raw BYTES with bpp = 2*C, the unit the spec prescribes
+    and :func:`decode_png` reconstructs with. Both interlace methods."""
+    nch = px.shape[2]
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    lines = bytearray()
+    for x0, y0, dx, dy, w_p, h_p in _png_pass_dims(width, height, interlace):
+        sub = np.ascontiguousarray(px[y0::dy, x0::dx]).astype(">u2")
+        flat = np.frombuffer(sub.tobytes(), dtype=np.uint8).reshape(
+            h_p, w_p * nch * 2
+        )
+        lines.extend(_filter_scanlines(flat.astype(np.int16), 2 * nch))
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, color, 0, 0, interlace)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)

@@ -196,11 +196,12 @@ class TestPng:
                 + chunk(b"IEND", b"")
             )
 
-        # 16-bit depth, sub-byte grayscale, bad palette depth, reserved
-        # color type, bad interlace code: all rejected (palette, Adam7,
-        # and 8-bit gray/gray+alpha are SUPPORTED since round 15 — see
-        # test_png_palette_lossless / test_png_adam7_* / test_png_gray_*)
-        for depth, color, interlace in [(16, 2, 0), (4, 0, 0), (3, 3, 0),
+        # sub-byte grayscale, bad palette depth, 16-bit palette,
+        # reserved color type, bad interlace code: all rejected
+        # (palette, Adam7, gray/gray+alpha, and 16-bit truecolor are
+        # SUPPORTED since round 15 — see test_png_palette_lossless /
+        # test_png_adam7_* / test_png_gray_* / test_png_16bit_*)
+        for depth, color, interlace in [(4, 0, 0), (3, 3, 0), (16, 3, 0),
                                         (8, 7, 0), (8, 2, 2)]:
             ihdr = st.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, interlace)
             with pytest.raises(ValueError, match="unsupported"):

@@ -181,6 +181,30 @@ def test_png_gray_lossless(w, h, seed, alpha, interlace):
         assert np.array_equal(out[:, :, 3], a)
 
 
+@given(w=st.integers(1, 30), h=st.integers(1, 30), seed=st.integers(0, 2**31 - 1),
+       nch=st.sampled_from([1, 2, 3, 4]), interlace=st.sampled_from([0, 1]))
+@settings(**_SETTINGS)
+def test_png_16bit_lossless(w, h, seed, nch, interlace):
+    """16-bit round trips across all four color layouts (gray /
+    gray+alpha / RGB / RGBA) and both interlace methods: big-endian
+    sample packing with byte-level filtering (bpp = 2*C). Full-range
+    values so a hi/lo byte swap or a filter-unit mistake cannot hide."""
+    from river_spark.operators.multimodal import decode_png, encode_png_16
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 65536, (h, w, nch)).astype(np.uint16)
+    dw, dh, out = decode_png(encode_png_16(w, h, px, interlace=interlace))
+    assert (dw, dh) == (w, h) and out.dtype == np.uint16
+    if nch >= 3:
+        assert np.array_equal(out, px)
+    else:
+        for c in range(3):
+            assert np.array_equal(out[:, :, c], px[:, :, 0])
+        if nch == 2:
+            assert np.array_equal(out[:, :, 3], px[:, :, 1])
+        else:
+            assert out.shape[2] == 3
+
+
 @given(w=st.integers(1, 40), h=st.integers(1, 40), seed=st.integers(0, 2**31 - 1),
        alpha=st.booleans(), runs=st.booleans())
 @settings(**_SETTINGS)
@@ -267,15 +291,15 @@ def _mutations(data: bytes, rng, n=200):
 
 @pytest.mark.parametrize("codec", ["flac", "tiff", "jpeg", "png", "qoi",
                                    "gif", "bmp", "avi", "png_palette",
-                                   "png_adam7", "png_gray"])
+                                   "png_adam7", "png_gray", "png_16bit"])
 def test_corruption_never_escapes_the_catch_set(codec):
     from river_spark.operators.avi import decode_avi, encode_avi
     from river_spark.operators.flac import decode_flac, encode_flac
     from river_spark.operators.jpeg import decode_jpeg, encode_jpeg
     from river_spark.operators.multimodal import (
         decode_bmp, decode_gif, decode_png, decode_qoi,
-        encode_bmp, encode_gif, encode_png, encode_png_adam7,
-        encode_png_gray, encode_png_palette, encode_qoi)
+        encode_bmp, encode_gif, encode_png, encode_png_16,
+        encode_png_adam7, encode_png_gray, encode_png_palette, encode_qoi)
     from river_spark.operators.tiff import decode_tiff, encode_tiff
 
     rng = np.random.default_rng(42)
@@ -301,6 +325,9 @@ def test_corruption_never_escapes_the_catch_set(codec):
         "png_adam7": (encode_png_adam7(23, 17, img), decode_png),
         "png_gray": (encode_png_gray(12, 10, idx, alpha=(idx[::-1]),
                                      interlace=1), decode_png),
+        "png_16bit": (encode_png_16(
+            12, 10, (idx.astype(np.uint16)[:, :, None] * 257
+                     ).repeat(3, axis=2)), decode_png),
         "qoi": (encode_qoi(23, 17, img), decode_qoi),
         "gif": (encode_gif(12, 10, idx, pal), decode_gif),
         "bmp": (encode_bmp(23, 17, img), decode_bmp),
