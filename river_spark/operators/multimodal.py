@@ -594,7 +594,9 @@ def decode_png(payload: bytes):
     tRNS) expansion. Supported variants: truecolor (color 2 = RGB,
     6 = RGBA), grayscale (color 0, expanded to RGB) and gray+alpha
     (color 4, expanded to RGBA) — each at depth 8 or 16 — and indexed
-    color (color 3) at depths 1/2/4/8; all both plain and
+    color (color 3) at depths 1/2/4/8, plus sub-byte grayscale
+    (color 0 at 1/2/4 bits, samples scaled 255/(2^d-1) per spec
+    §12.5 — bilevel scans, masks); all both plain and
     Adam7-interlaced. Returns (width, height, HxWxC array): uint8 for
     depths <= 8, uint16 for 16-bit (big-endian samples reassembled
     after byte-level unfiltering, spec §9); palette images expand to
@@ -641,7 +643,8 @@ def decode_png(payload: bytes):
     if comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError("unsupported PNG compression/filter/interlace")
     if color in (0, 2, 4, 6):
-        if depth not in (8, 16):
+        ok_depths = (1, 2, 4, 8, 16) if color == 0 else (8, 16)
+        if depth not in ok_depths:
             raise ValueError(f"unsupported PNG depth {depth} for color {color}")
         nch_raw = {0: 1, 2: 3, 4: 2, 6: 4}[color]
     elif color == 3:
@@ -686,9 +689,12 @@ def decode_png(payload: bytes):
         stride = _stride(w_p)
         rows = _unfilter(raw, offset, h_p, stride, bpp)
         offset += (stride + 1) * h_p
-        if color == 3:
+        if color == 3 or (color == 0 and depth < 8):
             sub = _unpack_indices(rows, w_p, depth)
-            img[y0::dy, x0::dx] = sub
+            if color == 0:
+                img[y0::dy, x0::dx, 0] = sub
+            else:
+                img[y0::dy, x0::dx] = sub
         elif depth == 16:
             # big-endian 16-bit samples; filtering ran on raw BYTES
             # (spec §9: the filter unit ignores sample boundaries)
@@ -697,6 +703,8 @@ def decode_png(payload: bytes):
         else:
             img[y0::dy, x0::dx] = rows.reshape(h_p, w_p, nch_raw)
     if color == 0:   # grayscale -> RGB (gray replicated)
+        if depth < 8:  # spec §12.5 sample scaling: v * 255/(2^d - 1), exact
+            img = img * np.uint8(255 // ((1 << depth) - 1))
         return width, height, np.repeat(img, 3, axis=2)
     if color == 4:   # gray+alpha -> RGBA
         return width, height, np.dstack(
@@ -835,12 +843,21 @@ def encode_png_gray(
     gray: "np.ndarray",
     alpha: "np.ndarray | None" = None,
     interlace: int = 0,
+    depth: int = 8,
 ) -> bytes:
-    """Encode a (h, w) uint8 grayscale matrix as an 8-bit color-type-0
-    PNG, or color-type-4 (gray+alpha) when ``alpha`` is given — the
-    remaining dominant real-corpus layouts (scanned docs, masks, depth
-    maps). Filter unit bpp = 1 (gray) or 2 (gray+alpha); both interlace
-    methods supported through the shared pass loop."""
+    """Encode a (h, w) uint8 grayscale matrix as a color-type-0 PNG at
+    ``depth`` 1/2/4/8 (sub-byte MSB-first packing, the bilevel/scanned-
+    document layouts), or color-type-4 (gray+alpha, depth 8 only per
+    spec) when ``alpha`` is given. Filter unit bpp = 1 (gray at any
+    depth <= 8) or 2 (gray+alpha); both interlace methods supported
+    through the shared pass loop. Sub-byte sample values must already
+    be in [0, 2^depth)."""
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"bad grayscale depth {depth}")
+    if alpha is not None and depth != 8:
+        raise ValueError("gray+alpha requires depth 8 (spec)")
+    if depth < 8 and int(gray.max(initial=0)) >= (1 << depth):
+        raise ValueError("gray sample out of range for depth")
     if alpha is None:
         color, nch = 0, 1
         px = gray[:, :, None]
@@ -849,9 +866,13 @@ def encode_png_gray(
         px = np.dstack([gray, alpha])
     lines = bytearray()
     for x0, y0, dx, dy, w_p, h_p in _png_pass_dims(width, height, interlace):
-        sub = px[y0::dy, x0::dx].reshape(h_p, w_p * nch).astype(np.int16)
-        lines.extend(_filter_scanlines(sub, nch))
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, interlace)
+        if depth < 8:
+            sub = _pack_indices(px[y0::dy, x0::dx, 0].astype(np.uint8), depth)
+            lines.extend(_filter_scanlines(sub.astype(np.int16), 1))
+        else:
+            sub = px[y0::dy, x0::dx].reshape(h_p, w_p * nch).astype(np.int16)
+            lines.extend(_filter_scanlines(sub, nch))
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, interlace)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)

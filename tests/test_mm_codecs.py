@@ -196,12 +196,13 @@ class TestPng:
                 + chunk(b"IEND", b"")
             )
 
-        # sub-byte grayscale, bad palette depth, 16-bit palette,
+        # sub-byte truecolor, bad palette depth, 16-bit palette,
         # reserved color type, bad interlace code: all rejected
-        # (palette, Adam7, gray/gray+alpha, and 16-bit truecolor are
-        # SUPPORTED since round 15 — see test_png_palette_lossless /
-        # test_png_adam7_* / test_png_gray_* / test_png_16bit_*)
-        for depth, color, interlace in [(4, 0, 0), (3, 3, 0), (16, 3, 0),
+        # (palette, Adam7, gray at every spec depth, and 16-bit
+        # truecolor are SUPPORTED since round 15 — see
+        # test_png_palette_lossless / test_png_adam7_* /
+        # test_png_gray_* / test_png_16bit_*)
+        for depth, color, interlace in [(4, 2, 0), (3, 3, 0), (16, 3, 0),
                                         (8, 7, 0), (8, 2, 2)]:
             ihdr = st.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, interlace)
             with pytest.raises(ValueError, match="unsupported"):

@@ -162,21 +162,27 @@ def test_png_adam7_lossless(w, h, seed, alpha):
 
 
 @given(w=st.integers(1, 40), h=st.integers(1, 40), seed=st.integers(0, 2**31 - 1),
-       alpha=st.booleans(), interlace=st.sampled_from([0, 1]))
+       alpha=st.booleans(), interlace=st.sampled_from([0, 1]),
+       depth=st.sampled_from([1, 2, 4, 8]))
 @settings(**_SETTINGS)
-def test_png_gray_lossless(w, h, seed, alpha, interlace):
-    """Grayscale (color 0 -> RGB) and gray+alpha (color 4 -> RGBA)
+def test_png_gray_lossless(w, h, seed, alpha, interlace, depth):
+    """Grayscale (color 0 -> RGB, depths 1/2/4/8 with the spec's exact
+    255/(2^d-1) sample scaling) and gray+alpha (color 4 -> RGBA)
     round trips, plain and Adam7."""
     from river_spark.operators.multimodal import decode_png, encode_png_gray
     rng = np.random.default_rng(seed)
-    g = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    if alpha:
+        depth = 8  # spec: color 4 is 8/16-bit only
+    g = rng.integers(0, 1 << depth, (h, w)).astype(np.uint8)
     a = rng.integers(0, 256, (h, w)).astype(np.uint8) if alpha else None
     dw, dh, out = decode_png(encode_png_gray(w, h, g, alpha=a,
-                                             interlace=interlace))
+                                             interlace=interlace,
+                                             depth=depth))
     assert (dw, dh) == (w, h)
     assert out.shape[2] == (4 if alpha else 3)
+    exp = (g * (255 // ((1 << depth) - 1))).astype(np.uint8)
     for c in range(3):
-        assert np.array_equal(out[:, :, c], g)
+        assert np.array_equal(out[:, :, c], exp)
     if alpha:
         assert np.array_equal(out[:, :, 3], a)
 
@@ -291,7 +297,8 @@ def _mutations(data: bytes, rng, n=200):
 
 @pytest.mark.parametrize("codec", ["flac", "tiff", "jpeg", "png", "qoi",
                                    "gif", "bmp", "avi", "png_palette",
-                                   "png_adam7", "png_gray", "png_16bit"])
+                                   "png_adam7", "png_gray",
+                                   "png_gray_subbyte", "png_16bit"])
 def test_corruption_never_escapes_the_catch_set(codec):
     from river_spark.operators.avi import decode_avi, encode_avi
     from river_spark.operators.flac import decode_flac, encode_flac
@@ -325,6 +332,8 @@ def test_corruption_never_escapes_the_catch_set(codec):
         "png_adam7": (encode_png_adam7(23, 17, img), decode_png),
         "png_gray": (encode_png_gray(12, 10, idx, alpha=(idx[::-1]),
                                      interlace=1), decode_png),
+        "png_gray_subbyte": (encode_png_gray(12, 10, (idx % 4), depth=2,
+                                             interlace=1), decode_png),
         "png_16bit": (encode_png_16(
             12, 10, (idx.astype(np.uint16)[:, :, None] * 257
                      ).repeat(3, axis=2)), decode_png),
