@@ -5,14 +5,18 @@ FIXED/VARIABLE_WIDTH_BYTES lineage (cpp/src/schema.h:29-37, SURVEY §1.2).
 The Spark-side plumbing here is REAL and tested: schemas, partitioning,
 Arrow-batched mapInPandas UDF signatures, deterministic batch shapes.
 
-Codec status (round 11):
-- LIVE: BMP (24-bit BI_RGB), PCM16 + G.711 mu-law WAV, 8-bit
-  truecolor PNG (chunk walk + CRC-32 + zlib inflate + all five filter
-  reconstructions), and QOI (full spec in-repo: running index,
+Codec status (rounds 11-15):
+- LIVE: BMP (24-bit BI_RGB), PCM16 + G.711 mu-law WAV, PNG across the
+  full spec matrix (chunk walk + CRC-32 + zlib inflate + all five
+  filter reconstructions; truecolor/grayscale/gray+alpha at 8 and 16
+  bit, sub-byte grayscale 1/2/4, palette 1/2/4/8 with tRNS, plain and
+  Adam7-interlaced — everything except 16-bit palette, which the spec
+  itself excludes), and QOI (full spec in-repo: running index,
   RUN/INDEX/DIFF/LUMA/RGB ops) decode/encode in pure numpy + stdlib —
-  no third-party library needed; all five sit inside the bit-level
-  cross-engine gate (queries/mm_codecs.py).
-- ENV-GATED: formats needing real codec libraries (JPEG/FLAC/...) need PIL/cv2/
+  no third-party library needed; all sit inside the bit-level
+  cross-engine gate (queries/mm_codecs.py). JPEG/FLAC/TIFF/GIF/AVI
+  live in sibling operator modules.
+- ENV-GATED: formats needing real codec libraries need PIL/cv2/
   soundfile, none of which ship in this container — those decoder
   slots raise NotImplementedError, and ``decoder='fake'`` exercises the
   identical mapInPandas plumbing with a reproducible byte-histogram
