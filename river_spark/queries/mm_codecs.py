@@ -2392,3 +2392,162 @@ def mm_png_adam7_decode_stats(spark, sf_dir):
         "doc_id", "width", "height", "n_channels",
         "r_sum", "g_sum", "b_sum", "pos_weighted_sum",
     )
+
+
+# ---- GIF89a animation rule (round 15): multi-frame with sub-rect
+# frames, local tables, transparency, interlace, disposal — the real-
+# world animated-GIF shape the 87a query can't reach.
+#   n = 2 + d % 3 frames; screen W = 22 + d % 3, H = 16 + d % 3
+#   frame f: fw = 8 + f % 3, fh = 6 + f % 2
+#            left = (d + 5f) % (W - fw + 1), top = (3d + 7f) % (H - fh + 1)
+#   odd f: 16-entry LOCAL table, transparent index 1, INTERLACED
+#   even f: 256-entry global table, opaque, sequential
+#   idx(p) = (d*37 + 17f + 11*(p div 3)) % tbl   (runs of 3 for LZW)
+#   global red[i] = (i + d) % 256; local red[i] = (7i + d + f) % 256
+#   disposal = 2 until the last frame (0); delay = 4 + f
+
+
+def _gif_anim_payloads(docs):
+    """doc_id -> synthesized GIF89a animation (one mapInPandas pass):
+    NETSCAPE loop block, comment extension (exercises the skip walk
+    under the driver gate), per-frame GCE + image descriptors."""
+    from river_spark.operators.gif import encode_gif_anim
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 2 + d % 3
+                W, H = 22 + d % 3, 16 + d % 3
+                i = np.arange(256, dtype=np.int64)
+                gct = np.stack(
+                    [(i + d) % 256, (2 * i + 13 * d) % 256, (3 * i + 7 * d) % 256],
+                    axis=1,
+                ).astype(np.uint8)
+                frames = []
+                for f in range(n):
+                    fw, fh = 8 + f % 3, 6 + f % 2
+                    odd = f % 2 == 1
+                    tbl_n = 16 if odd else 256
+                    p = np.arange(fw * fh, dtype=np.int64)
+                    idx = (
+                        ((d * 37 + 17 * f + 11 * (p // 3)) % tbl_n)
+                        .astype(np.uint8)
+                        .reshape(fh, fw)
+                    )
+                    lct = None
+                    if odd:
+                        e = np.arange(16, dtype=np.int64)
+                        lct = np.stack(
+                            [
+                                (7 * e + d + f) % 256,
+                                (5 * e + 3 * d + f) % 256,
+                                (11 * e + f) % 256,
+                            ],
+                            axis=1,
+                        ).astype(np.uint8)
+                    frames.append(
+                        dict(
+                            left=(d + 5 * f) % (W - fw + 1),
+                            top=(3 * d + 7 * f) % (H - fh + 1),
+                            indices=idx,
+                            local_palette=lct,
+                            transparent=1 if odd else None,
+                            interlace=odd,
+                            disposal=2 if f < n - 1 else 0,
+                            delay=4 + f,
+                        )
+                    )
+                ids.append(d)
+                payloads.append(
+                    encode_gif_anim(
+                        W, H, gct, frames, bg_index=d % 256, loop=d % 5,
+                        comment=b"river_spark synthetic",
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+@q(
+    "mm_gif_anim_decode_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 2 + doc_id % 3 AS n,
+               22 + doc_id % 3 AS sw, 16 + doc_id % 3 AS sh
+        FROM documents),
+    fr AS (
+        SELECT s.doc_id, s.n, s.sw, s.sh, g.f,
+               8 + g.f % 3 AS fw, 6 + g.f % 2 AS fh,
+               g.f % 2 = 1 AS odd
+        FROM spec s, UNNEST(generate_series(0, s.n - 1)) AS g(f)),
+    px AS (
+        SELECT fr.doc_id, fr.n, fr.f, fr.fw, fr.fh, fr.odd,
+               fr.sw, fr.sh, g.p,
+               (fr.doc_id * 37 + 17 * fr.f + 11 * (g.p // 3))
+                   % (CASE WHEN fr.odd THEN 16 ELSE 256 END) AS idx
+        FROM fr, UNNEST(generate_series(0, fr.fw * fr.fh - 1)) AS g(p))
+    SELECT doc_id,
+           CAST(n AS INT) AS n_frames,
+           CAST(f AS INT) AS frame,
+           CAST((doc_id + 5 * f) % (sw - fw + 1) AS INT) AS frame_left,
+           CAST((3 * doc_id + 7 * f) % (sh - fh + 1) AS INT) AS frame_top,
+           CAST(fw AS INT) AS width,
+           CAST(fh AS INT) AS height,
+           CAST(sum(idx) AS BIGINT) AS idx_sum,
+           CAST(sum((p % 997 + 1) * idx) AS BIGINT) AS pos_weighted_sum,
+           CAST(sum(CASE WHEN odd THEN (7 * idx + doc_id + f) % 256
+                         ELSE (idx + doc_id) % 256 END) AS BIGINT) AS pal_r_sum,
+           CAST(sum(CASE WHEN odd AND idx = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS trans_count,
+           CAST(max(CASE WHEN odd THEN 1 ELSE 0 END) AS INT) AS local_table,
+           CAST(max(CASE WHEN odd THEN 1 ELSE 0 END) AS INT) AS interlaced,
+           CAST(CASE WHEN f < n - 1 THEN 2 ELSE 0 END AS INT) AS disposal,
+           CAST(4 + f AS INT) AS delay
+    FROM px
+    GROUP BY doc_id, n, f, fw, fh, sw, sh
+    """,
+    tags=("multimodal", "codec", "image", "video"),
+)
+def mm_gif_anim_decode_stats(spark, sf_dir):
+    """REAL GIF89a ANIMATION decode under the bit-level oracle (round
+    15): payloads are genuine multi-frame 89a files — NETSCAPE2.0 loop
+    + comment extensions, per-frame Graphic Control Extensions, SUB-
+    RECTANGLE image descriptors, 16-entry LOCAL color tables and
+    transparency on odd frames, 4-pass INTERLACE on the same frames,
+    disposal cycling restore-to-background -> leave. Spark encodes with
+    operators/gif.encode_gif_anim and decodes with decode_gif_anim;
+    one output row per frame. The oracle recomputes, straight from the
+    rule: the index sum, the position-weighted checksum over the
+    DEINTERLACED row-major order (a pass-order or row-scatter defect
+    permutes indices and moves the BIGINT), the palette-mapped red sum
+    (pins local-vs-global table resolution — the two tables' red rules
+    differ), the transparent-pixel count, frame geometry (pins the
+    sub-rect parse), and disposal/delay (pins the GCE byte layout).
+    Compositing semantics (background init, disposal 2/3 restore,
+    transparency holes) are non-SQL-sequential and are pinned by unit
+    tests against a hand-built numpy reference
+    (tests/test_gif_anim.py). The reference engine has no codecs —
+    this is the training-data multimodal family (SURVEY.md)."""
+    from river_spark.operators.gif import decode_gif_anim_frame_stats
+
+    docs = tbl(spark, sf_dir, "documents")
+    stats = decode_gif_anim_frame_stats(_gif_anim_payloads(docs), "doc_id", "payload")
+    return stats.filter(F.col("ok")).select(
+        "doc_id", "n_frames", "frame",
+        F.col("left").alias("frame_left"), F.col("top").alias("frame_top"),
+        "width", "height", "idx_sum", "pos_weighted_sum", "pal_r_sum",
+        "trans_count",
+        F.col("local_table").cast("int").alias("local_table"),
+        F.col("interlaced").cast("int").alias("interlaced"),
+        "disposal", "delay",
+    )

@@ -296,12 +296,13 @@ def _mutations(data: bytes, rng, n=200):
 
 
 @pytest.mark.parametrize("codec", ["flac", "tiff", "jpeg", "png", "qoi",
-                                   "gif", "bmp", "avi", "png_palette",
-                                   "png_adam7", "png_gray",
+                                   "gif", "gif_anim", "bmp", "avi",
+                                   "png_palette", "png_adam7", "png_gray",
                                    "png_gray_subbyte", "png_16bit"])
 def test_corruption_never_escapes_the_catch_set(codec):
     from river_spark.operators.avi import decode_avi, encode_avi
     from river_spark.operators.flac import decode_flac, encode_flac
+    from river_spark.operators.gif import decode_gif_anim, encode_gif_anim
     from river_spark.operators.jpeg import decode_jpeg, encode_jpeg
     from river_spark.operators.multimodal import (
         decode_bmp, decode_gif, decode_png, decode_qoi,
@@ -339,6 +340,17 @@ def test_corruption_never_escapes_the_catch_set(codec):
                      ).repeat(3, axis=2)), decode_png),
         "qoi": (encode_qoi(23, 17, img), decode_qoi),
         "gif": (encode_gif(12, 10, idx, pal), decode_gif),
+        "gif_anim": (
+            encode_gif_anim(
+                16, 12, pal,
+                [dict(left=2, top=1, indices=(idx % 16), transparent=3,
+                      local_palette=pal[:16], interlace=True, disposal=2,
+                      delay=4),
+                 dict(indices=idx)],
+                bg_index=7, loop=2, comment=b"fuzz",
+            ),
+            decode_gif_anim,
+        ),
         "bmp": (encode_bmp(23, 17, img), decode_bmp),
         "avi": (encode_avi([img, img]), decode_avi),
     }
