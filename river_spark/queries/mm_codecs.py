@@ -2551,3 +2551,135 @@ def mm_gif_anim_decode_stats(spark, sf_dir):
         F.col("interlaced").cast("int").alias("interlaced"),
         "disposal", "delay",
     )
+
+
+# ---- Extended-WAV rule (round 15): the studio/DAW/telephony layouts
+# beyond 16-bit PCM + mu-law. Variant v = d % 7:
+#   v0 PCM 8-bit | v1 PCM 24 | v2 PCM 32 | v3 float32 | v4 A-law |
+#   v5 EXTENSIBLE->PCM 24 | v6 EXTENSIBLE->float32
+#   nch = 1 + d % 3, frames = 96 + d % 17, rate = 8000 + 100*(d % 5)
+#   r(i) = (d*2654435761 + i*40503) mod M   (i over interleaved samples)
+#   v0: s = r%2^8 - 2^7     v1/v5: s = r%2^24 - 2^23
+#   v2: s = r%2^32 - 2^31   v3/v6: s = r%2^16 - 2^15 (exact in f4)
+#   v4: wire byte b = r%256, s = G.711 A-law expansion of b
+
+
+def _wav_ext_payloads(docs):
+    """doc_id -> synthesized extended-WAV payload (one mapInPandas
+    pass), cycling the seven format variants."""
+    from river_spark.operators.wav_ext import encode_wav_ext
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                v = d % 7
+                nch = 1 + d % 3
+                total = nch * (96 + d % 17)
+                rate = 8000 + 100 * (d % 5)
+                i = np.arange(total, dtype=np.int64)
+                r = d * 2654435761 + i * 40503
+                if v == 0:
+                    fmt, bits, ext, s = 1, 8, False, r % (1 << 8) - (1 << 7)
+                elif v in (1, 5):
+                    fmt, bits, ext, s = 1, 24, v == 5, r % (1 << 24) - (1 << 23)
+                elif v == 2:
+                    fmt, bits, ext, s = 1, 32, False, r % (1 << 32) - (1 << 31)
+                elif v in (3, 6):
+                    fmt, bits, ext = 3, 32, v == 6
+                    s = (r % (1 << 16) - (1 << 15)).astype(np.float64)
+                else:  # v4: A-law wire bytes
+                    fmt, bits, ext, s = 6, 8, False, (r % 256).astype(np.uint8)
+                ids.append(d)
+                payloads.append(
+                    encode_wav_ext(rate, nch, s, fmt=fmt, bits=bits,
+                                   extensible=ext, channel_mask=(1 << nch) - 1)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+@q(
+    "mm_wav_ext_decode_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, doc_id % 7 AS v, 1 + doc_id % 3 AS nch,
+               (1 + doc_id % 3) * (96 + doc_id % 17) AS total,
+               8000 + 100 * (doc_id % 5) AS rate
+        FROM documents),
+    px AS (
+        SELECT s.doc_id, s.v, s.nch, s.total, s.rate, g.i,
+               (s.doc_id * 2654435761 + g.i * 40503) AS r
+        FROM spec s, UNNEST(generate_series(0, s.total - 1)) AS g(i)),
+    samp AS (
+        SELECT doc_id, v, nch, total, rate, i,
+          CASE
+            WHEN v = 0 THEN r % 256 - 128
+            WHEN v IN (1, 5) THEN r % 16777216 - 8388608
+            WHEN v = 2 THEN r % 4294967296 - 2147483648
+            WHEN v IN (3, 6) THEN r % 65536 - 32768
+            ELSE CASE WHEN xor(r % 256, 85) >= 128
+                 THEN CASE WHEN (xor(r % 256, 85) // 16) % 8 = 0
+                      THEN (xor(r % 256, 85) % 16) * 16 + 8
+                      ELSE ((xor(r % 256, 85) % 16) * 16 + 264)
+                           * CAST(pow(2, (xor(r % 256, 85) // 16) % 8 - 1) AS BIGINT)
+                      END
+                 ELSE -(CASE WHEN (xor(r % 256, 85) // 16) % 8 = 0
+                        THEN (xor(r % 256, 85) % 16) * 16 + 8
+                        ELSE ((xor(r % 256, 85) % 16) * 16 + 264)
+                             * CAST(pow(2, (xor(r % 256, 85) // 16) % 8 - 1) AS BIGINT)
+                        END)
+                 END
+          END AS s
+        FROM px)
+    SELECT doc_id,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(nch AS INT) AS n_channels,
+           CAST(CASE WHEN v IN (0, 4) THEN 8
+                     WHEN v IN (1, 5) THEN 24 ELSE 32 END AS INT) AS bits,
+           CAST(CASE WHEN v IN (3, 6) THEN 3
+                     WHEN v = 4 THEN 6 ELSE 1 END AS INT) AS fmt_tag,
+           CAST(CASE WHEN v IN (5, 6) THEN 1 ELSE 0 END AS INT) AS extensible,
+           CAST(total AS BIGINT) AS n_samples,
+           CAST(sum(s) AS BIGINT) AS samp_sum,
+           CAST(sum((i % 997 + 1) * s) AS BIGINT) AS pos_weighted_sum
+    FROM samp
+    GROUP BY doc_id, v, nch, total, rate
+    """,
+    tags=("multimodal", "codec", "audio"),
+)
+def mm_wav_ext_decode_stats(spark, sf_dir):
+    """REAL extended-format WAV decode under the bit-level oracle
+    (round 15): payloads cycle the seven real-world layouts — unsigned
+    8-bit PCM (offset-128), packed 24-bit PCM (the studio standard;
+    sign extension off the 3-byte little-endian lane), 32-bit PCM,
+    IEEE float32 (the DAW standard; fixture values integer-exact in
+    f4), G.711 A-law telephony bytes, and WAVE_FORMAT_EXTENSIBLE
+    wrappers around 24-bit PCM and float32 (cbSize=22, valid-bits,
+    channel mask, SubFormat GUID resolution — how every >16-bit WAV is
+    written in the wild). Spark encodes with
+    operators/wav_ext.encode_wav_ext and decodes with decode_wav_ext;
+    the oracle recomputes the sample sum and interleaved position-
+    weighted checksum straight from the per-variant rules (the A-law
+    branch RESTATES the G.711 segment formula in SQL) without seeing
+    the bytes — a byte-order, sign-extension, or GUID-tag defect moves
+    a BIGINT. The 16-bit PCM + mu-law core stays wire-pinned in its
+    standing tests (decode_wav_any untouched)."""
+    from river_spark.operators.wav_ext import decode_wav_ext_stats
+
+    docs = tbl(spark, sf_dir, "documents")
+    stats = decode_wav_ext_stats(_wav_ext_payloads(docs), "doc_id", "payload")
+    return stats.filter(F.col("ok")).select(
+        "doc_id", "sample_rate", "n_channels", "bits", "fmt_tag",
+        F.col("extensible").cast("int").alias("extensible"),
+        "n_samples", "samp_sum", "pos_weighted_sum",
+    )

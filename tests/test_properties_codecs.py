@@ -298,7 +298,8 @@ def _mutations(data: bytes, rng, n=200):
 @pytest.mark.parametrize("codec", ["flac", "tiff", "jpeg", "png", "qoi",
                                    "gif", "gif_anim", "bmp", "avi",
                                    "png_palette", "png_adam7", "png_gray",
-                                   "png_gray_subbyte", "png_16bit"])
+                                   "png_gray_subbyte", "png_16bit",
+                                   "wav_ext"])
 def test_corruption_never_escapes_the_catch_set(codec):
     from river_spark.operators.avi import decode_avi, encode_avi
     from river_spark.operators.flac import decode_flac, encode_flac
@@ -309,6 +310,7 @@ def test_corruption_never_escapes_the_catch_set(codec):
         encode_bmp, encode_gif, encode_png, encode_png_16,
         encode_png_adam7, encode_png_gray, encode_png_palette, encode_qoi)
     from river_spark.operators.tiff import decode_tiff, encode_tiff
+    from river_spark.operators.wav_ext import decode_wav_ext, encode_wav_ext
 
     rng = np.random.default_rng(42)
     img = rng.integers(0, 256, (17, 23, 3)).astype(np.uint8)
@@ -353,6 +355,11 @@ def test_corruption_never_escapes_the_catch_set(codec):
         ),
         "bmp": (encode_bmp(23, 17, img), decode_bmp),
         "avi": (encode_avi([img, img]), decode_avi),
+        "wav_ext": (
+            encode_wav_ext(44100, 2, i * 40503 - 8000000, fmt=1, bits=24,
+                           extensible=True, channel_mask=0x3),
+            decode_wav_ext,
+        ),
     }
     payload, dec = payloads[codec]
     import time
