@@ -2683,3 +2683,123 @@ def mm_wav_ext_decode_stats(spark, sf_dir):
         F.col("extensible").cast("int").alias("extensible"),
         "n_samples", "samp_sum", "pos_weighted_sum",
     )
+
+
+# ---- Indexed-BMP rule (round 15): the classic palette layouts +
+# RLE. Variant v = d % 5:
+#   v0 1-bit/2 colors | v1 4-bit/16 | v2 8-bit/199 colors TOP-DOWN |
+#   v3 8-bit RLE8/256 | v4 4-bit RLE4/16
+#   w = 11 + d % 6, h = 7 + d % 5
+#   even rows (runs of 4, feeds RLE encoded mode):
+#       idx(p) = (d*13 + 7*(p div 4)) % npal
+#   odd rows (literal-ish, feeds RLE absolute mode):
+#       idx(p) = (d*29 + 11*p) % npal
+#   palette e: r=(d*11+5e)%256, g=(d*17+9e)%256, b=(d*23+3e)%256
+
+
+def _bmp_indexed_payloads(docs):
+    from river_spark.operators.bmp_indexed import encode_bmp_indexed
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                v = d % 5
+                bpp = (1, 4, 8, 8, 4)[v]
+                comp = (0, 0, 0, 1, 2)[v]
+                npal = (2, 16, 199, 256, 16)[v]
+                w, h = 11 + d % 6, 7 + d % 5
+                p = np.arange(w * h, dtype=np.int64)
+                even = (p // w) % 2 == 0
+                idx = np.where(
+                    even,
+                    (d * 13 + 7 * (p // 4)) % npal,
+                    (d * 29 + 11 * p) % npal,
+                ).astype(np.uint8).reshape(h, w)
+                e = np.arange(npal, dtype=np.int64)
+                pal = np.stack(
+                    [
+                        (d * 11 + 5 * e) % 256,
+                        (d * 17 + 9 * e) % 256,
+                        (d * 23 + 3 * e) % 256,
+                    ],
+                    axis=1,
+                ).astype(np.uint8)
+                ids.append(d)
+                payloads.append(
+                    encode_bmp_indexed(
+                        w, h, idx, pal, bpp=bpp, compression=comp,
+                        top_down=(v == 2),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+@q(
+    "mm_bmp_indexed_decode_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, doc_id % 5 AS v,
+               11 + doc_id % 6 AS w, 7 + doc_id % 5 AS h,
+               CASE doc_id % 5 WHEN 0 THEN 2 WHEN 1 THEN 16
+                    WHEN 2 THEN 199 WHEN 3 THEN 256 ELSE 16 END AS npal
+        FROM documents),
+    px AS (
+        SELECT s.doc_id, s.v, s.w, s.h, s.npal, g.p,
+               CASE WHEN (g.p // s.w) % 2 = 0
+                    THEN (s.doc_id * 13 + 7 * (g.p // 4)) % s.npal
+                    ELSE (s.doc_id * 29 + 11 * g.p) % s.npal
+               END AS e
+        FROM spec s, UNNEST(generate_series(0, s.w * s.h - 1)) AS g(p))
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(CASE v WHEN 0 THEN 1 WHEN 1 THEN 4
+                WHEN 4 THEN 4 ELSE 8 END AS INT) AS bpp,
+           CAST(CASE v WHEN 3 THEN 1 WHEN 4 THEN 2 ELSE 0 END
+                AS INT) AS compression,
+           CAST(npal AS INT) AS n_colors,
+           CAST(sum(e) AS BIGINT) AS idx_sum,
+           CAST(sum((p % 997 + 1) * e) AS BIGINT) AS pos_weighted_sum,
+           CAST(sum((doc_id * 11 + 5 * e) % 256) AS BIGINT) AS pal_r_sum
+    FROM px GROUP BY doc_id, v, w, h, npal
+    """,
+    tags=("multimodal", "codec", "image"),
+)
+def mm_bmp_indexed_decode_stats(spark, sf_dir):
+    """REAL indexed-color BMP decode under the bit-level oracle (round
+    15): payloads cycle the five classic palette layouts — 1-bit
+    (MSB-first bit unpack), 4-bit (nibble unpack), 8-bit with a
+    199-entry table (pins biClrUsed against the 2^bpp default) written
+    TOP-DOWN (negative-height path), 8-bit RLE8 and 4-bit RLE4 (encoded
+    runs from the even rows' runs-of-4 rule, ABSOLUTE-mode stretches
+    from the odd rows' literal rule, end-of-line/end-of-bitmap escapes,
+    word alignment). Spark encodes with
+    operators/bmp_indexed.encode_bmp_indexed and decodes with
+    decode_bmp_indexed; the oracle recomputes the index sum, the
+    position-weighted checksum over the TOP-DOWN row-major order (a
+    bottom-up flip, nibble-order, or RLE-cursor defect permutes pixels
+    and moves the BIGINT), and the palette-mapped red sum (pins the
+    BGRA quad parse) straight from the rules. The RLE delta escape is
+    decoder-only (no encoder emits it) and unit-pinned with a
+    handcrafted stream (tests/test_bmp_indexed.py); the 24-bit
+    truecolor path stays untouched."""
+    from river_spark.operators.bmp_indexed import decode_bmp_indexed_stats
+
+    docs = tbl(spark, sf_dir, "documents")
+    stats = decode_bmp_indexed_stats(
+        _bmp_indexed_payloads(docs), "doc_id", "payload"
+    )
+    return stats.filter(F.col("ok")).select(
+        "doc_id", "width", "height", "bpp", "compression", "n_colors",
+        "idx_sum", "pos_weighted_sum", "pal_r_sum",
+    )

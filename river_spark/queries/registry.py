@@ -451,6 +451,7 @@ _WINDOW = [
     "mm_png_adam7_decode_stats",
     "mm_gif_anim_decode_stats",
     "mm_wav_ext_decode_stats",
+    "mm_bmp_indexed_decode_stats",
     "mm_flac_multichannel_decode_stats",
     # --- r7-stale cohort, oldest-first in r7 window order (38 of 41):
     "emb_ann_recall",
@@ -488,14 +489,14 @@ _WINDOW = [
     "text_unigram_logprob",
     "q4_order_priority",
     "q6_forecast_revenue",
-    "q12_priority_shipping",
 ]
-# Round-16 rotation note: behind this window sit the 5 remaining
+# Round-16 rotation note: behind this window sit the 6 remaining
 # r7-stale rows (agg_cube, agg_grouping_sets, join_semi, agg_rollup,
-# q13_customer_distribution — they lead round 16; the last two were
-# displaced by the GIF89a-animation and extended-WAV additions under
-# the r14-verdict-sanctioned one-for-one rule), then everything whose
-# latest row is r8+ in the established staleness order. Registry growth discipline (r13
+# q13_customer_distribution, q12_priority_shipping — they lead round
+# 16; the last three were displaced by the GIF89a-animation,
+# extended-WAV, and indexed-BMP additions under the r14-verdict-
+# sanctioned one-for-one rule), then everything whose latest row is
+# r8+ in the established staleness order. Registry growth discipline (r13
 # verdict #7): additions <= window headroom after staleness rotation,
 # adjudicated in the round they land.
 

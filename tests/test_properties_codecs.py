@@ -299,9 +299,12 @@ def _mutations(data: bytes, rng, n=200):
                                    "gif", "gif_anim", "bmp", "avi",
                                    "png_palette", "png_adam7", "png_gray",
                                    "png_gray_subbyte", "png_16bit",
-                                   "wav_ext"])
+                                   "wav_ext", "bmp_rle8", "bmp_rle4",
+                                   "bmp_1bit"])
 def test_corruption_never_escapes_the_catch_set(codec):
     from river_spark.operators.avi import decode_avi, encode_avi
+    from river_spark.operators.bmp_indexed import (
+        decode_bmp_indexed, encode_bmp_indexed)
     from river_spark.operators.flac import decode_flac, encode_flac
     from river_spark.operators.gif import decode_gif_anim, encode_gif_anim
     from river_spark.operators.jpeg import decode_jpeg, encode_jpeg
@@ -359,6 +362,19 @@ def test_corruption_never_escapes_the_catch_set(codec):
             encode_wav_ext(44100, 2, i * 40503 - 8000000, fmt=1, bits=24,
                            extensible=True, channel_mask=0x3),
             decode_wav_ext,
+        ),
+        "bmp_rle8": (
+            encode_bmp_indexed(12, 10, idx, pal, bpp=8, compression=1),
+            decode_bmp_indexed,
+        ),
+        "bmp_rle4": (
+            encode_bmp_indexed(12, 10, (idx % 16), pal[:16], bpp=4,
+                               compression=2),
+            decode_bmp_indexed,
+        ),
+        "bmp_1bit": (
+            encode_bmp_indexed(12, 10, (idx % 2), pal[:2], bpp=1),
+            decode_bmp_indexed,
         ),
     }
     payload, dec = payloads[codec]
