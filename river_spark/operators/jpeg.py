@@ -371,7 +371,12 @@ def _encode_jpeg_any(planes, samps, quant_luma, quant_chroma, restart_interval):
     if len(planes) == 3:
         qtabs.append(np.asarray(quant_chroma, dtype=np.int64))
     for tid, qt in enumerate(qtabs):
-        seg(0xDB, bytes([tid]) + bytes(int(qt[ZIGZAG[k]]) for k in range(64)))
+        if int(qt.max()) > 255:  # Pq=1: 16-bit big-endian entries
+            seg(0xDB, bytes([0x10 | tid])
+                + b"".join(struct.pack(">H", int(qt[ZIGZAG[k]]))
+                           for k in range(64)))
+        else:
+            seg(0xDB, bytes([tid]) + bytes(int(qt[ZIGZAG[k]]) for k in range(64)))
 
     # SOF0: baseline, 8-bit, per-component sampling factors
     body = struct.pack(">BHHB", 8, h, w, len(planes))
@@ -570,7 +575,12 @@ def encode_jpeg_progressive(
         out.extend(body)
 
     for tid, qt in enumerate(qtabs):
-        seg(0xDB, bytes([tid]) + bytes(int(qt[ZIGZAG[k]]) for k in range(64)))
+        if int(qt.max()) > 255:  # Pq=1: 16-bit big-endian entries
+            seg(0xDB, bytes([0x10 | tid])
+                + b"".join(struct.pack(">H", int(qt[ZIGZAG[k]]))
+                           for k in range(64)))
+        else:
+            seg(0xDB, bytes([tid]) + bytes(int(qt[ZIGZAG[k]]) for k in range(64)))
 
     body = struct.pack(">BHHB", 8, h, w, nc)
     for ci in range(nc):
@@ -758,13 +768,20 @@ def decode_jpeg(payload: bytes):
             o = 0
             while o < len(body):
                 pq, tq = body[o] >> 4, body[o] & 15
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                zz = np.frombuffer(body, dtype=np.uint8, count=64, offset=o + 1).astype(np.int64)
+                if pq == 1:  # Pq=1: 16-bit big-endian entries (B.2.4.1)
+                    zz = np.frombuffer(body, dtype=">u2", count=64,
+                                       offset=o + 1).astype(np.int64)
+                    step = 129
+                elif pq == 0:
+                    zz = np.frombuffer(body, dtype=np.uint8, count=64,
+                                       offset=o + 1).astype(np.int64)
+                    step = 65
+                else:
+                    raise ValueError(f"invalid DQT precision {pq}")
                 nat = np.zeros(64, dtype=np.int64)
                 nat[ZIGZAG] = zz
                 qtabs[tq] = nat
-                o += 65
+                o += step
         elif marker == 0xC4:  # DHT (possibly several tables)
             o = 0
             while o < len(body):
@@ -897,13 +914,20 @@ def _decode_progressive(payload: bytes):
             o = 0
             while o < len(body):
                 pq, tq = body[o] >> 4, body[o] & 15
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                zz = np.frombuffer(body, dtype=np.uint8, count=64, offset=o + 1).astype(np.int64)
+                if pq == 1:  # Pq=1: 16-bit big-endian entries (B.2.4.1)
+                    zz = np.frombuffer(body, dtype=">u2", count=64,
+                                       offset=o + 1).astype(np.int64)
+                    step = 129
+                elif pq == 0:
+                    zz = np.frombuffer(body, dtype=np.uint8, count=64,
+                                       offset=o + 1).astype(np.int64)
+                    step = 65
+                else:
+                    raise ValueError(f"invalid DQT precision {pq}")
                 nat = np.zeros(64, dtype=np.int64)
                 nat[ZIGZAG] = zz
                 qtabs[tq] = nat
-                o += 65
+                o += step
         elif marker == 0xC4:
             o = 0
             while o < len(body):

@@ -434,3 +434,46 @@ def test_422_reject_paths():
         encode_jpeg_422(np.zeros((8, 16), dtype=np.uint8),
                         np.zeros((8, 16), dtype=np.uint8),
                         np.zeros((8, 8), dtype=np.uint8))
+
+
+def test_dqt_16bit_tables():
+    """Pq=1 DQT (B.2.4.1): 16-bit big-endian entries, 129-byte table
+    stride. The encoder auto-emits Pq=1 when a value exceeds 255; with
+    constant 8x8 blocks only the DC step matters, so a 16-bit table
+    whose DC step matches the 8-bit one must decode IDENTICALLY — and
+    a doubled DC step must not."""
+    import numpy as np
+    from river_spark.operators.jpeg import QUANT_FLAT16, decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(21)
+    plane = np.kron(rng.integers(0, 256, (2, 3)).astype(np.uint8),
+                    np.ones((8, 8), np.uint8))
+    p8 = encode_jpeg([plane] * 3)
+    q16 = np.asarray(QUANT_FLAT16, dtype=np.int64).copy()
+    q16[63] = 300  # AC-only change forces the 16-bit wire
+    p16 = encode_jpeg([plane] * 3, quant_luma=q16)
+    assert b"\xff\xdb\x00\x43" in p8  # 8-bit: 2+1+64
+    assert b"\xff\xdb\x00\x83" in p16  # 16-bit: 2+1+128
+    w, h, pl8 = decode_jpeg(p8)
+    w2, h2, pl16 = decode_jpeg(p16)
+    assert (w, h) == (w2, h2) == (24, 16)
+    for a, b in zip(pl8, pl16):
+        assert np.array_equal(a, b)
+    # a genuinely different 16-bit DC step changes the luma plane
+    qdc = np.asarray(QUANT_FLAT16, dtype=np.int64).copy()
+    qdc[0], qdc[63] = 512, 300
+    _, _, pldc = decode_jpeg(encode_jpeg([plane] * 3, quant_luma=qdc))
+    assert not np.array_equal(pldc[0], pl8[0])
+
+
+def test_dqt_reject_invalid_precision():
+    import numpy as np
+    import pytest
+    from river_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    plane = np.full((8, 8), 100, np.uint8)
+    payload = bytearray(encode_jpeg([plane]))
+    at = payload.index(b"\xff\xdb") + 4
+    payload[at] = 0x20  # Pq=2: reserved
+    with pytest.raises(ValueError, match="invalid DQT precision"):
+        decode_jpeg(bytes(payload))
