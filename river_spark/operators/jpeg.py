@@ -518,6 +518,63 @@ def _trunc_shift(v: int, al: int) -> int:
     return -((-v) >> al) if v < 0 else v >> al
 
 
+def _canonical_progressive_script(nc: int) -> list:
+    """The libjpeg-shaped simple-progression script the plain
+    :func:`encode_jpeg_progressive` entry has always emitted."""
+    allc = list(range(nc))
+    script = [(allc, 0, 0, 0, 1)]
+    script += [([ci], 1, 63, 0, 1) for ci in allc]
+    script += [(allc, 0, 0, 1, 0)]
+    script += [([ci], 1, 63, 1, 0) for ci in allc]
+    return script
+
+
+def _validate_script(script: list, nc: int) -> None:
+    """T.81-legal, COMPLETE progressive script: DC-only or AC-only
+    scans, AC non-interleaved, refinements step Al down by exactly one,
+    a component's DC first scan precedes its AC scans, and every
+    coefficient position ends at Al=0 (so decode == baseline holds)."""
+    level: dict = {}
+    for comps, ss, se, ah, al in script:
+        if not comps or sorted(set(comps)) != sorted(comps):
+            raise ValueError("scan components must be distinct and non-empty")
+        if any(not (0 <= ci < nc) for ci in comps):
+            raise ValueError("scan component out of range")
+        if ss == 0:
+            if se != 0:
+                raise ValueError("DC scan must have Se=0")
+            ks = [0]
+        else:
+            if not (1 <= ss <= se <= 63):
+                raise ValueError(f"bad spectral band {ss}..{se}")
+            if len(comps) != 1:
+                raise ValueError("AC scans are non-interleaved")
+            if level.get((comps[0], 0)) is None:
+                raise ValueError("AC scan before the component's DC scan")
+            ks = range(ss, se + 1)
+        for ci in comps:
+            for k in ks:
+                cur = level.get((ci, k))
+                if ah == 0:
+                    if cur is not None:
+                        raise ValueError(
+                            f"position (c{ci}, k{k}) sent twice at Ah=0")
+                    level[(ci, k)] = al
+                else:
+                    if ah != al + 1:
+                        raise ValueError("refinement must step Al down by 1")
+                    if cur != ah:
+                        raise ValueError(
+                            f"refinement of (c{ci}, k{k}) out of order")
+                    level[(ci, k)] = al
+    for ci in range(nc):
+        for k in range(64):
+            if level.get((ci, k)) != 0:
+                raise ValueError(
+                    f"incomplete script: (c{ci}, k{k}) ends at "
+                    f"Al={level.get((ci, k))}")
+
+
 def encode_jpeg_progressive(
     planes: list[np.ndarray],
     quant_luma: np.ndarray = QUANT_FLAT16,
@@ -536,12 +593,35 @@ def encode_jpeg_progressive(
     quantized coefficients, so decode(encode_jpeg_progressive(x)) ==
     decode(encode_jpeg(x)) EXACTLY — pinned by tests — and the
     constant-block closed-form oracle carries over unchanged.
+    Delegates to :func:`encode_jpeg_progressive_script`; the canonical
+    wire is byte-pinned by tests against the pre-refactor encoder.
 
     Scope: 4:4:4 sampling, no restart markers, encoder flushes each
     end-of-band as a plain EOB (EOBRUN length 1 — the Annex K AC tables
     carry no EOBn>0 symbols); the DECODER handles full EOBn runs, so
     foreign progressive files with custom tables and long EOB runs
     decode too."""
+    return encode_jpeg_progressive_script(
+        planes, None, quant_luma, quant_chroma)
+
+
+def encode_jpeg_progressive_script(
+    planes: list[np.ndarray],
+    script: list | None = None,
+    quant_luma: np.ndarray = QUANT_FLAT16,
+    quant_chroma: np.ndarray = QUANT_FLAT17,
+) -> bytes:
+    """Progressive (SOF2) encoder with an ARBITRARY scan script (round
+    15 — the non-canonical spectral-selection / successive-approximation
+    orders real encoders emit: mozjpeg/Photoshop band splits, deep Al
+    ladders, luma-before-chroma orderings).
+
+    ``script`` is a list of ``(comps, Ss, Se, Ah, Al)`` scans; None
+    means the canonical 8-scan script. The script is validated to be
+    T.81-legal and COMPLETE (every coefficient position reaches Al=0),
+    so for ANY accepted script decode equals the baseline decode of the
+    same planes exactly — pinned by tests across non-canonical
+    scripts."""
     if len(planes) not in (1, 3):
         raise ValueError("1 or 3 planes")
     h, w = planes[0].shape
@@ -552,6 +632,10 @@ def encode_jpeg_progressive(
             raise ValueError("all planes must share dimensions")
 
     nc = len(planes)
+    if script is None:
+        script = _canonical_progressive_script(nc)
+    _validate_script(script, nc)
+
     qtabs = [np.asarray(quant_luma, dtype=np.int64)]
     if nc == 3:
         qtabs.append(np.asarray(quant_chroma, dtype=np.int64))
@@ -612,124 +696,134 @@ def encode_jpeg_progressive(
         body += bytes([ss, se, (ah << 4) | al])
         seg(0xDA, body)
 
-    all_comps = list(range(nc))
+    nblocks = by * bx
+    for comps, ss, se, ah, al in script:
+        sos(list(comps), ss, se, ah, al)
+        wtr = _BitWriter()
+        if ss == 0:
+            if ah == 0:
+                _emit_dc_first(wtr, coefs, comps, al, nblocks, dc_enc)
+            else:
+                _emit_dc_refine(wtr, coefs, comps, al, nblocks)
+        else:
+            ci = comps[0]
+            actab = ac_enc[0 if ci == 0 else 1]
+            if ah == 0:
+                _emit_ac_first(wtr, coefs[ci], ss, se, al, nblocks, actab)
+            else:
+                _emit_ac_refine(wtr, coefs[ci], ss, se, ah, al, nblocks, actab)
+        wtr.flush()
+        out.extend(wtr.out)
 
-    # --- scan 1: DC first, Al=1, interleaved
-    sos(all_comps, 0, 0, 0, 1)
-    wtr = _BitWriter()
-    pred = [0] * nc
-    for b in range(by * bx):
-        for ci in all_comps:
-            dc = int(coefs[ci][b][0]) >> 1          # DC point transform
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def _emit_dc_first(wtr, coefs, comps, al, nblocks, dc_enc) -> None:
+    """DC first scan: per-component DPCM of the arithmetic-shifted DC
+    term, interleaved over the scan's components in block order."""
+    pred = {ci: 0 for ci in comps}
+    for b in range(nblocks):
+        for ci in comps:
+            dc = int(coefs[ci][b][0]) >> al          # DC point transform
             size, bits = _magnitude(dc - pred[ci])
             code, length = dc_enc[0 if ci == 0 else 1][size]
             wtr.write(code, length)
             if size:
                 wtr.write(bits, size)
             pred[ci] = dc
-    wtr.flush()
-    out.extend(wtr.out)
 
-    # --- scans 2-4: AC first, band 1-63, Al=1, one component each
-    for ci in all_comps:
-        sos([ci], 1, 63, 0, 1)
-        wtr = _BitWriter()
-        actab = ac_enc[0 if ci == 0 else 1]
-        for b in range(by * bx):
-            zz = coefs[ci][b]
-            band = [_trunc_shift(int(zz[k]), 1) for k in range(1, 64)]
-            last = 62
-            while last >= 0 and band[last] == 0:
-                last -= 1
-            run = 0
-            for k in range(last + 1):
-                v = band[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = actab[0xF0]
-                    wtr.write(code, length)
-                    run -= 16
-                size, bits = _magnitude(v)
-                code, length = actab[(run << 4) | size]
+
+def _emit_dc_refine(wtr, coefs, comps, al, nblocks) -> None:
+    """DC refinement scan: one raw bit per block per component — bit
+    Al of the (two's-complement) DC term, matching the decoder's |=."""
+    for b in range(nblocks):
+        for ci in comps:
+            wtr.write((int(coefs[ci][b][0]) >> al) & 1, 1)
+
+
+def _emit_ac_first(wtr, cz, ss, se, al, nblocks, actab) -> None:
+    """AC first scan over band [Ss, Se] at point transform Al: (run,
+    size) coding with ZRL, plain EOB per block (EOBRUN = 1)."""
+    n = se - ss + 1
+    for b in range(nblocks):
+        zz = cz[b]
+        band = [_trunc_shift(int(zz[k]), al) for k in range(ss, se + 1)]
+        last = n - 1
+        while last >= 0 and band[last] == 0:
+            last -= 1
+        run = 0
+        for k in range(last + 1):
+            v = band[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = actab[0xF0]
                 wtr.write(code, length)
-                wtr.write(bits, size)
-                run = 0
-            if last < 62:
-                code, length = actab[0x00]          # EOB (EOBRUN = 1)
-                wtr.write(code, length)
-        wtr.flush()
-        out.extend(wtr.out)
-
-    # --- scan 5: DC refinement, Ah=1 -> Al=0, interleaved (raw bits)
-    sos(all_comps, 0, 0, 1, 0)
-    wtr = _BitWriter()
-    for b in range(by * bx):
-        for ci in all_comps:
-            wtr.write(int(coefs[ci][b][0]) & 1, 1)
-    wtr.flush()
-    out.extend(wtr.out)
-
-    # --- scans 6-8: AC refinement, band 1-63, Ah=1 -> Al=0
-    for ci in all_comps:
-        sos([ci], 1, 63, 1, 0)
-        wtr = _BitWriter()
-        actab = ac_enc[0 if ci == 0 else 1]
-        for b in range(by * bx):
-            zz = coefs[ci][b]
-            # history = coefficient at the previous approximation level
-            hist = [_trunc_shift(int(zz[k]), 1) for k in range(1, 64)]
-            now = [int(zz[k]) for k in range(1, 64)]
-            # last position with a NEWLY significant coefficient
-            last_new = -1
-            for k in range(63):
-                if hist[k] == 0 and now[k] != 0:
-                    last_new = k
+                run -= 16
+            size, bits = _magnitude(v)
+            code, length = actab[(run << 4) | size]
+            wtr.write(code, length)
+            wtr.write(bits, size)
             run = 0
-            pend: list[int] = []                     # buffered corrections
+        if last < n - 1:
+            code, length = actab[0x00]               # EOB (EOBRUN = 1)
+            wtr.write(code, length)
 
-            def emit(code_len):
-                wtr.write(*code_len)
 
-            k = 0
-            while k <= last_new:
-                if hist[k] != 0:
-                    pend.append(abs(now[k]) & 1)     # correction bit
-                elif now[k] == 0:
-                    run += 1
-                    if run == 16:
-                        emit(actab[0xF0])
-                        for bit in pend:
-                            wtr.write(bit, 1)
-                        pend = []
-                        run = 0
-                else:
-                    # newly significant: magnitude must be 1 at this level
-                    emit(actab[(run << 4) | 1])
-                    wtr.write(1 if now[k] > 0 else 0, 1)
+def _emit_ac_refine(wtr, cz, ss, se, ah, al, nblocks, actab) -> None:
+    """AC refinement scan (Ah=Al+1) over band [Ss, Se]: newly
+    significant coefficients as (run, 1) + sign, correction bits for
+    already-significant ones buffered and flushed per T.81 G.1.2.3."""
+    n = se - ss + 1
+    for b in range(nblocks):
+        zz = cz[b]
+        hist = [_trunc_shift(int(zz[k]), ah) for k in range(ss, se + 1)]
+        now = [_trunc_shift(int(zz[k]), al) for k in range(ss, se + 1)]
+        last_new = -1
+        for k in range(n):
+            if hist[k] == 0 and now[k] != 0:
+                last_new = k
+        run = 0
+        pend: list[int] = []                         # buffered corrections
+
+        def emit(code_len):
+            wtr.write(*code_len)
+
+        k = 0
+        while k <= last_new:
+            if hist[k] != 0:
+                pend.append(abs(now[k]) & 1)         # correction bit
+            elif now[k] == 0:
+                run += 1
+                if run == 16:
+                    emit(actab[0xF0])
                     for bit in pend:
                         wtr.write(bit, 1)
                     pend = []
                     run = 0
-                k += 1
-            if last_new < 62:
-                emit(actab[0x00])                    # EOB (EOBRUN = 1)
+            else:
+                # newly significant: magnitude must be 1 at this level
+                emit(actab[(run << 4) | 1])
+                wtr.write(1 if now[k] > 0 else 0, 1)
                 for bit in pend:
                     wtr.write(bit, 1)
                 pend = []
-                # corrections for the rest of the band follow the EOB
-                for j in range(last_new + 1, 63):
-                    if hist[j] != 0:
-                        wtr.write(abs(now[j]) & 1, 1)
-            else:
-                for bit in pend:
-                    wtr.write(bit, 1)
-        wtr.flush()
-        out.extend(wtr.out)
-
-    out.extend(b"\xff\xd9")
-    return bytes(out)
+                run = 0
+            k += 1
+        if last_new < n - 1:
+            emit(actab[0x00])                        # EOB (EOBRUN = 1)
+            for bit in pend:
+                wtr.write(bit, 1)
+            pend = []
+            # corrections for the rest of the band follow the EOB
+            for j in range(last_new + 1, n):
+                if hist[j] != 0:
+                    wtr.write(abs(now[j]) & 1, 1)
+        else:
+            for bit in pend:
+                wtr.write(bit, 1)
 
 
 # ---------------------------------------------------------------------------

@@ -477,3 +477,124 @@ def test_dqt_reject_invalid_precision():
     payload[at] = 0x20  # Pq=2: reserved
     with pytest.raises(ValueError, match="invalid DQT precision"):
         decode_jpeg(bytes(payload))
+
+
+def test_progressive_script_canonical_wire_pinned():
+    """The script-parameterized encoder reproduces the pre-refactor
+    canonical wire BYTE-EXACTLY (hashes captured before the refactor),
+    so every standing fixture and the gated query wire are unchanged."""
+    import hashlib
+
+    import numpy as np
+    from river_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(77)
+    want = {1: "b2708f74a0a1f1e9cd788d08e7ab0887",
+            3: "ac1bdc95c0242b073720a28eead7dad4"}
+    for nc, ref in want.items():
+        planes = [rng.integers(0, 256, (24, 16)).astype(np.uint8)
+                  for _ in range(nc)]
+        assert hashlib.md5(encode_jpeg_progressive(planes)).hexdigest() == ref
+
+
+def _assert_script_equals_baseline(planes, script, tag):
+    import numpy as np
+    from river_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive_script)
+
+    base = decode_jpeg(encode_jpeg(planes))
+    prog = decode_jpeg(encode_jpeg_progressive_script(planes, script))
+    assert (base[0], base[1]) == (prog[0], prog[1])
+    for a, b in zip(base[2], prog[2]):
+        assert np.array_equal(a, b), tag
+
+
+def test_progressive_noncanonical_scripts_decode_equal_baseline():
+    """Non-canonical scan scripts — pure spectral selection, deep Al
+    ladders over split bands, mozjpeg-ish luma/chroma interleavings,
+    grayscale band splits — all decode EXACTLY like the baseline wire
+    of the same planes: the decoder's scan generality is pinned, not
+    assumed."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    planes3 = [rng.integers(0, 256, (24, 32)).astype(np.uint8)
+               for _ in range(3)]
+    allc = [0, 1, 2]
+    _assert_script_equals_baseline(
+        planes3,
+        [(allc, 0, 0, 0, 0), ([0], 1, 5, 0, 0), ([0], 6, 63, 0, 0),
+         ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 0)],
+        "spectral-only")
+    deep = [(allc, 0, 0, 0, 2), (allc, 0, 0, 2, 1), (allc, 0, 0, 1, 0)]
+    for ci in allc:
+        deep += [([ci], 1, 20, 0, 2), ([ci], 21, 63, 0, 2)]
+    for ci in allc:
+        deep += [([ci], 1, 20, 2, 1), ([ci], 21, 63, 2, 1),
+                 ([ci], 1, 20, 1, 0), ([ci], 21, 63, 1, 0)]
+    _assert_script_equals_baseline(planes3, deep, "deep-ladder")
+    _assert_script_equals_baseline(
+        planes3,
+        [(allc, 0, 0, 0, 1), ([0], 1, 8, 0, 2), ([1], 1, 63, 0, 1),
+         ([2], 1, 63, 0, 1), ([0], 9, 63, 0, 2), ([0], 1, 63, 2, 1),
+         (allc, 0, 0, 1, 0), ([0], 1, 63, 1, 0), ([1], 1, 63, 1, 0),
+         ([2], 1, 63, 1, 0)],
+        "mozjpeg-ish")
+    g = [rng.integers(0, 256, (16, 16)).astype(np.uint8)]
+    _assert_script_equals_baseline(
+        g,
+        [([0], 0, 0, 0, 0), ([0], 1, 2, 0, 1), ([0], 3, 63, 0, 1),
+         ([0], 1, 2, 1, 0), ([0], 3, 63, 1, 0)],
+        "grayscale-split")
+
+
+def test_progressive_randomized_scripts_decode_equal_baseline():
+    """Property check: randomized legal scripts (random band cuts,
+    random per-position Al start up to 3) always decode equal to
+    baseline."""
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    for trial in range(6):
+        nc = 3 if trial % 2 else 1
+        planes = [rng.integers(0, 256, (16, 24)).astype(np.uint8)
+                  for _ in range(nc)]
+        allc = list(range(nc))
+        dc_al = int(rng.integers(0, 3))
+        script = [(allc, 0, 0, 0, dc_al)]
+        for a in range(dc_al, 0, -1):
+            script.append((allc, 0, 0, a, a - 1))
+        for ci in allc:
+            cuts = sorted(set([1, 63]) | set(
+                int(x) for x in rng.integers(2, 63, rng.integers(0, 3))))
+            bands = [(cuts[i], cuts[i + 1] - 1) for i in range(len(cuts) - 1)]
+            bands[-1] = (bands[-1][0], 63)
+            ac_al = int(rng.integers(0, 3))
+            for ss, se in bands:
+                script.append(([ci], ss, se, 0, ac_al))
+            for a in range(ac_al, 0, -1):
+                for ss, se in bands:
+                    script.append(([ci], ss, se, a, a - 1))
+        _assert_script_equals_baseline(planes, script, f"trial{trial}")
+
+
+def test_progressive_script_validation_rejects_illegal():
+    import numpy as np
+    import pytest
+    from river_spark.operators.jpeg import encode_jpeg_progressive_script
+
+    rng = np.random.default_rng(5)
+    planes = [rng.integers(0, 256, (8, 8)).astype(np.uint8) for _ in range(3)]
+    allc = [0, 1, 2]
+    cases = [
+        ([(allc, 0, 0, 0, 1)], "incomplete"),
+        ([(allc, 0, 0, 0, 0), ([0], 1, 63, 0, 0), ([0], 1, 63, 0, 0)],
+         "sent twice"),
+        ([([0], 1, 63, 0, 0)], "before the component's DC"),
+        ([(allc, 0, 0, 0, 2), (allc, 0, 0, 2, 0)], "step Al down by 1"),
+        ([(allc, 0, 0, 0, 0), ([0, 1], 1, 63, 0, 0)], "non-interleaved"),
+        ([(allc, 0, 5, 0, 0)], "Se=0"),
+    ]
+    for script, msg in cases:
+        with pytest.raises(ValueError, match=msg):
+            encode_jpeg_progressive_script(planes, script)
