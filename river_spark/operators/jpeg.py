@@ -610,28 +610,40 @@ def encode_jpeg_progressive_script(
     script: list | None = None,
     quant_luma: np.ndarray = QUANT_FLAT16,
     quant_chroma: np.ndarray = QUANT_FLAT17,
+    samps: list | None = None,
 ) -> bytes:
     """Progressive (SOF2) encoder with an ARBITRARY scan script (round
     15 — the non-canonical spectral-selection / successive-approximation
     orders real encoders emit: mozjpeg/Photoshop band splits, deep Al
-    ladders, luma-before-chroma orderings).
+    ladders, luma-before-chroma orderings) and, with ``samps``, the
+    subsampled layouts (4:2:0 / 4:2:2) progressive photos actually use.
 
     ``script`` is a list of ``(comps, Ss, Se, Ah, Al)`` scans; None
-    means the canonical 8-scan script. The script is validated to be
-    T.81-legal and COMPLETE (every coefficient position reaches Al=0),
-    so for ANY accepted script decode equals the baseline decode of the
-    same planes exactly — pinned by tests across non-canonical
-    scripts."""
+    means the canonical 8-scan script. ``samps`` is one (h_i, v_i)
+    sampling pair per plane (None = all (1,1)); planes are given at
+    their NATURAL resolution, like the baseline subsampled encoders.
+    The script is validated to be T.81-legal and COMPLETE (every
+    coefficient position reaches Al=0), so for ANY accepted script
+    decode equals the baseline decode of the same planes exactly —
+    pinned by tests across non-canonical scripts and samplings."""
     if len(planes) not in (1, 3):
         raise ValueError("1 or 3 planes")
-    h, w = planes[0].shape
-    if h % 8 or w % 8:
-        raise ValueError("dimensions must be multiples of 8")
-    for p in planes:
-        if p.shape != (h, w):
-            raise ValueError("all planes must share dimensions")
-
     nc = len(planes)
+    if samps is None:
+        samps = [(1, 1)] * nc
+    if len(samps) != nc:
+        raise ValueError("one sampling pair per plane")
+    hmax = max(sp[0] for sp in samps)
+    vmax = max(sp[1] for sp in samps)
+    ph, pw = planes[0].shape
+    h = ph * vmax // samps[0][1]
+    w = pw * hmax // samps[0][0]
+    if h % (8 * vmax) or w % (8 * hmax):
+        raise ValueError("dimensions must cover whole MCUs")
+    for p, (hs, vs) in zip(planes, samps):
+        if p.shape != (h * vs // vmax, w * hs // hmax):
+            raise ValueError("plane shape inconsistent with sampling factors")
+
     if script is None:
         script = _canonical_progressive_script(nc)
     _validate_script(script, nc)
@@ -640,14 +652,17 @@ def encode_jpeg_progressive_script(
     if nc == 3:
         qtabs.append(np.asarray(quant_chroma, dtype=np.int64))
 
-    # quantize every block up front (zigzag order per block)
-    by, bx = h // 8, w // 8
-    coefs = []  # per component: (by*bx, 64) int64
+    # quantize every block up front (zigzag order per block), one grid
+    # per component at its natural resolution
+    grids = []  # per component: (gy, gx)
+    coefs = []  # per component: (gy*gx, 64) int64
     for ci, plane in enumerate(planes):
         qt = qtabs[0 if ci == 0 else 1]
-        cz = np.zeros((by * bx, 64), dtype=np.int64)
-        for b in range(by * bx):
-            y0, x0 = (b // bx) * 8, (b % bx) * 8
+        gy, gx = plane.shape[0] // 8, plane.shape[1] // 8
+        grids.append((gy, gx))
+        cz = np.zeros((gy * gx, 64), dtype=np.int64)
+        for b in range(gy * gx):
+            y0, x0 = (b // gx) * 8, (b % gx) * 8
             block = plane[y0 : y0 + 8, x0 : x0 + 8].astype(np.int64) - 128
             cz[b] = _quantize(fdct8x8_int(block), qt)[ZIGZAG]
         coefs.append(cz)
@@ -667,8 +682,8 @@ def encode_jpeg_progressive_script(
             seg(0xDB, bytes([tid]) + bytes(int(qt[ZIGZAG[k]]) for k in range(64)))
 
     body = struct.pack(">BHHB", 8, h, w, nc)
-    for ci in range(nc):
-        body += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    for ci, (hs, vs) in enumerate(samps):
+        body += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
     seg(0xC2, body)  # SOF2: progressive DCT
 
     huffs = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS), (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)]
@@ -696,18 +711,38 @@ def encode_jpeg_progressive_script(
         body += bytes([ss, se, (ah << 4) | al])
         seg(0xDA, body)
 
-    nblocks = by * bx
+    def dc_order(scan_comps: list) -> list:
+        """(ci, b) sequence for a DC scan: MCU walk when interleaved
+        (B.2.3 — hs*vs blocks per comp per MCU), plain raster for a
+        single-component scan."""
+        if len(scan_comps) == 1:
+            ci = scan_comps[0]
+            return [(ci, b) for b in range(grids[ci][0] * grids[ci][1])]
+        order = []
+        mcus_x = w // (8 * hmax)
+        mcus_y = h // (8 * vmax)
+        for m in range(mcus_x * mcus_y):
+            my, mx = divmod(m, mcus_x)
+            for ci in scan_comps:
+                hs, vs = samps[ci]
+                gx = grids[ci][1]
+                for v in range(vs):
+                    for u in range(hs):
+                        order.append((ci, (my * vs + v) * gx + mx * hs + u))
+        return order
+
     for comps, ss, se, ah, al in script:
         sos(list(comps), ss, se, ah, al)
         wtr = _BitWriter()
         if ss == 0:
             if ah == 0:
-                _emit_dc_first(wtr, coefs, comps, al, nblocks, dc_enc)
+                _emit_dc_first(wtr, coefs, dc_order(list(comps)), al, dc_enc)
             else:
-                _emit_dc_refine(wtr, coefs, comps, al, nblocks)
+                _emit_dc_refine(wtr, coefs, dc_order(list(comps)), al)
         else:
             ci = comps[0]
             actab = ac_enc[0 if ci == 0 else 1]
+            nblocks = grids[ci][0] * grids[ci][1]
             if ah == 0:
                 _emit_ac_first(wtr, coefs[ci], ss, se, al, nblocks, actab)
             else:
@@ -719,27 +754,26 @@ def encode_jpeg_progressive_script(
     return bytes(out)
 
 
-def _emit_dc_first(wtr, coefs, comps, al, nblocks, dc_enc) -> None:
+def _emit_dc_first(wtr, coefs, order, al, dc_enc) -> None:
     """DC first scan: per-component DPCM of the arithmetic-shifted DC
-    term, interleaved over the scan's components in block order."""
-    pred = {ci: 0 for ci in comps}
-    for b in range(nblocks):
-        for ci in comps:
-            dc = int(coefs[ci][b][0]) >> al          # DC point transform
-            size, bits = _magnitude(dc - pred[ci])
-            code, length = dc_enc[0 if ci == 0 else 1][size]
-            wtr.write(code, length)
-            if size:
-                wtr.write(bits, size)
-            pred[ci] = dc
+    term over the given (ci, b) sequence (MCU order when
+    interleaved)."""
+    pred: dict = {}
+    for ci, b in order:
+        dc = int(coefs[ci][b][0]) >> al              # DC point transform
+        size, bits = _magnitude(dc - pred.get(ci, 0))
+        code, length = dc_enc[0 if ci == 0 else 1][size]
+        wtr.write(code, length)
+        if size:
+            wtr.write(bits, size)
+        pred[ci] = dc
 
 
-def _emit_dc_refine(wtr, coefs, comps, al, nblocks) -> None:
-    """DC refinement scan: one raw bit per block per component — bit
-    Al of the (two's-complement) DC term, matching the decoder's |=."""
-    for b in range(nblocks):
-        for ci in comps:
-            wtr.write((int(coefs[ci][b][0]) >> al) & 1, 1)
+def _emit_dc_refine(wtr, coefs, order, al) -> None:
+    """DC refinement scan: one raw bit per (ci, b) — bit Al of the
+    (two's-complement) DC term, matching the decoder's |=."""
+    for ci, b in order:
+        wtr.write((int(coefs[ci][b][0]) >> al) & 1, 1)
 
 
 def _emit_ac_first(wtr, cz, ss, se, al, nblocks, actab) -> None:
@@ -980,11 +1014,15 @@ def decode_jpeg(payload: bytes):
 
 def _decode_progressive(payload: bytes):
     """Decode a progressive (SOF2) JPEG: 8-bit, 1 or 3 components,
-    4:4:4 sampling, no restart markers. Coefficient buffers accumulate
-    across scans — DC first/refinement (any Al ladder), AC first scans
-    with FULL EOBn run decoding, AC refinement scans with correction
-    bits (T.81 G.1.2) — then one dequant+IDCT at EOI. Returns the same
-    (width, height, [planes]) contract as the baseline path."""
+    4:4:4 / 4:2:2 / 4:2:0 sampling (round 15 widened the subsampled
+    layouts — the dominant real-world progressive-photo shape), no
+    restart markers. Coefficient buffers accumulate across scans — DC
+    first/refinement (any Al ladder; interleaved MCU order or single-
+    component raster), AC first scans with FULL EOBn run decoding, AC
+    refinement scans with correction bits (T.81 G.1.2) — then one
+    dequant+IDCT at EOI. Returns the baseline contract: (width,
+    height, [planes]) with chroma at NATURAL (subsampled)
+    resolution."""
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
@@ -1040,14 +1078,25 @@ def _decode_progressive(payload: bytes):
             comps = []
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise ValueError("progressive subset is 4:4:4")
-                comps.append((cid, tq))
-            if h % 8 or w % 8:
-                raise ValueError("dimensions must cover whole blocks")
+                comps.append((cid, samp >> 4, samp & 15, tq))
+            samp_set = [(hs, vs) for _, hs, vs, _ in comps]
+            if not (
+                all(sp == (1, 1) for sp in samp_set)
+                or (nc == 3 and samp_set in ([(2, 2), (1, 1), (1, 1)],
+                                             [(2, 1), (1, 1), (1, 1)]))
+            ):
+                raise ValueError("only 4:4:4, 4:2:2, or 4:2:0 sampling")
+            hmax = max(hs for _, hs, _, _ in comps)
+            vmax = max(vs for _, _, vs, _ in comps)
+            if h % (8 * vmax) or w % (8 * hmax):
+                raise ValueError("dimensions must cover whole MCUs")
+            grids = [
+                (h * vs // vmax // 8, w * hs // hmax // 8)
+                for _, hs, vs, _ in comps
+            ]
             coefs = [
-                np.zeros(((h // 8) * (w // 8), 64), dtype=np.int64)
-                for _ in comps
+                np.zeros((gy * gx, 64), dtype=np.int64)
+                for gy, gx in grids
             ]
         elif marker == 0xDD:
             (ri,) = struct.unpack_from(">H", body, 0)
@@ -1060,7 +1109,7 @@ def _decode_progressive(payload: bytes):
             scan = []
             for si in range(ns):
                 cs, tsel = body[1 + 2 * si], body[2 + 2 * si]
-                ci = next(i for i, (cid, _) in enumerate(comps) if cid == cs)
+                ci = next(i for i, (cid, *_rest) in enumerate(comps) if cid == cs)
                 scan.append((ci, tsel >> 4, tsel & 15))
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ahal = body[3 + 2 * ns]
@@ -1068,27 +1117,48 @@ def _decode_progressive(payload: bytes):
             rdr = _BitReader(payload, pos)
             eobrun = 0
             try:
-                if ss == 0:  # DC scan (interleaved over the scan's comps)
+                if ss == 0:  # DC scan
                     if se != 0:
                         raise ValueError("DC scan must have Se=0")
                     pred = [0] * len(scan)
-                    nblocks = (h // 8) * (w // 8)
-                    for b in range(nblocks):
-                        for si, (ci, dc_t, _) in enumerate(scan):
-                            if ah == 0:
-                                size = _decode_symbol(rdr, _table(huff, (0, dc_t), 'DC table'))
-                                diff = _extend(rdr.read(size), size) if size else 0
-                                pred[si] += diff
-                                coefs[ci][b][0] = pred[si] << al
-                            else:
-                                if rdr.read(1):
-                                    coefs[ci][b][0] |= 1 << al
+                    # scan order: interleaved = MCU walk with hs*vs
+                    # blocks per comp per MCU (B.2.3); single-component
+                    # = that comp's raster order, no MCU structure
+                    if len(scan) == 1:
+                        ci0 = scan[0][0]
+                        gy, gx = grids[ci0]
+                        order = [(0, ci0, b) for b in range(gy * gx)]
+                    else:
+                        order = []
+                        mcus_x = w // (8 * hmax)
+                        mcus_y = h // (8 * vmax)
+                        for m in range(mcus_x * mcus_y):
+                            my, mx = divmod(m, mcus_x)
+                            for si, (ci, _, _) in enumerate(scan):
+                                _, hs, vs, _ = comps[ci]
+                                gx = grids[ci][1]
+                                for v in range(vs):
+                                    for u in range(hs):
+                                        order.append((
+                                            si, ci,
+                                            (my * vs + v) * gx + mx * hs + u,
+                                        ))
+                    for si, ci, b in order:
+                        dc_t = scan[si][1]
+                        if ah == 0:
+                            size = _decode_symbol(rdr, _table(huff, (0, dc_t), 'DC table'))
+                            diff = _extend(rdr.read(size), size) if size else 0
+                            pred[si] += diff
+                            coefs[ci][b][0] = pred[si] << al
+                        else:
+                            if rdr.read(1):
+                                coefs[ci][b][0] |= 1 << al
                 else:  # AC scan: exactly one component (T.81)
                     if len(scan) != 1:
                         raise ValueError("AC scans are non-interleaved")
                     ci, _, ac_t = scan[0]
                     actab = _table(huff, (1, ac_t), 'AC table')
-                    nblocks = (h // 8) * (w // 8)
+                    nblocks = grids[ci][0] * grids[ci][1]
                     for b in range(nblocks):
                         zz = coefs[ci][b]
                         if ah == 0:
@@ -1102,16 +1172,18 @@ def _decode_progressive(payload: bytes):
 
     if comps is None or coefs is None:
         raise ValueError("missing SOF2/scan data")
-    bx = w // 8
-    planes = [np.zeros((h, w), dtype=np.uint8) for _ in comps]
-    for ci, (_, tq) in enumerate(comps):
+    planes = []
+    for ci, (_, hs, vs, tq) in enumerate(comps):
+        gy, gx = grids[ci]
+        plane = np.zeros((gy * 8, gx * 8), dtype=np.uint8)
         qt = _table(qtabs, tq, 'quant table')
         for b in range(coefs[ci].shape[0]):
             nat = np.zeros(64, dtype=np.int64)
             nat[ZIGZAG] = coefs[ci][b]
             nat *= qt
-            y0, x0 = (b // bx) * 8, (b % bx) * 8
-            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = idct8x8_int(nat.reshape(8, 8))
+            y0, x0 = (b // gx) * 8, (b % gx) * 8
+            plane[y0 : y0 + 8, x0 : x0 + 8] = idct8x8_int(nat.reshape(8, 8))
+        planes.append(plane)
     return w, h, planes
 
 

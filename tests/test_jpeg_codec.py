@@ -598,3 +598,72 @@ def test_progressive_script_validation_rejects_illegal():
     for script, msg in cases:
         with pytest.raises(ValueError, match=msg):
             encode_jpeg_progressive_script(planes, script)
+
+
+def test_progressive_subsampled_equals_baseline():
+    """Progressive 4:2:0 / 4:2:2 (round 15) — the dominant real-world
+    progressive-photo layouts: interleaved DC scans walk MCUs with
+    hs*vs luma blocks each, AC scans walk each component's own grid,
+    chroma planes come back at natural resolution. Decode must equal
+    the BASELINE subsampled decode of the same planes exactly, under
+    the canonical script, a spectral-only script, and per-component
+    (non-interleaved, raster-order) DC scans."""
+    import numpy as np
+    from river_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg_420, encode_jpeg_422,
+        encode_jpeg_progressive_script)
+
+    rng = np.random.default_rng(15)
+    allc = [0, 1, 2]
+    canonical = ([(allc, 0, 0, 0, 1)]
+                 + [([ci], 1, 63, 0, 1) for ci in allc]
+                 + [(allc, 0, 0, 1, 0)]
+                 + [([ci], 1, 63, 1, 0) for ci in allc])
+    spectral = [(allc, 0, 0, 0, 0), ([0], 1, 5, 0, 0), ([0], 6, 63, 0, 0),
+                ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 0)]
+    percomp_dc = [([0], 0, 0, 0, 0), ([1], 0, 0, 0, 0), ([2], 0, 0, 0, 0),
+                  ([0], 1, 63, 0, 0), ([1], 1, 63, 0, 0),
+                  ([2], 1, 63, 0, 0)]
+
+    y = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+    cb = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+    cr = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+    base420 = decode_jpeg(encode_jpeg_420(y, cb, cr))
+    for script in (canonical, spectral, percomp_dc):
+        prog = decode_jpeg(encode_jpeg_progressive_script(
+            [y, cb, cr], script, samps=[(2, 2), (1, 1), (1, 1)]))
+        assert (base420[0], base420[1]) == (prog[0], prog[1])
+        for a, b in zip(base420[2], prog[2]):
+            assert a.shape == b.shape and np.array_equal(a, b)
+
+    y2 = rng.integers(0, 256, (24, 32)).astype(np.uint8)
+    cb2 = rng.integers(0, 256, (24, 16)).astype(np.uint8)
+    cr2 = rng.integers(0, 256, (24, 16)).astype(np.uint8)
+    base422 = decode_jpeg(encode_jpeg_422(y2, cb2, cr2))
+    prog = decode_jpeg(encode_jpeg_progressive_script(
+        [y2, cb2, cr2], canonical, samps=[(2, 1), (1, 1), (1, 1)]))
+    for a, b in zip(base422[2], prog[2]):
+        assert a.shape == b.shape and np.array_equal(a, b)
+
+
+def test_progressive_subsampled_rejects():
+    import numpy as np
+    import pytest
+    from river_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg_progressive_script)
+
+    rng = np.random.default_rng(16)
+    y = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+    cb = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+    cr = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+    with pytest.raises(ValueError, match="plane shape inconsistent"):
+        encode_jpeg_progressive_script(
+            [y, y, y], None, samps=[(2, 2), (1, 1), (1, 1)])
+    # a 4:1:1 SOF2 byte must be rejected by the decoder
+    payload = bytearray(encode_jpeg_progressive_script(
+        [y, cb, cr], None, samps=[(2, 2), (1, 1), (1, 1)]))
+    at = payload.index(b"\xff\xc2") + 4  # start of the SOF2 body
+    comp0 = at + 6  # prec(1) + h(2) + w(2) + nc(1)
+    payload[comp0 + 1] = 0x41  # sampling byte of component 0 -> (4,1)
+    with pytest.raises(ValueError, match="sampling"):
+        decode_jpeg(bytes(payload))
