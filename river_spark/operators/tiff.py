@@ -10,9 +10,12 @@ is LOSSLESS, so decode(encode(x)) == x exactly and the driver oracle
 generation rule without seeing the bytes, GIF-style.
 
 Supported baseline subset: both byte orders (II / MM) on decode,
-8-bit grayscale or RGB (SamplesPerPixel 1 or 3, chunky), Compression
-1 (none), 5 (LZW — round 13: MSB-first, EarlyChange=1, ClearCode
-restarts, TIFF 6.0 §13) or 32773 (PackBits), Predictor 1 or 2
+8-bit or 16-bit (round 15) grayscale or RGB (SamplesPerPixel 1 or 3,
+chunky; 16-bit samples in file byte order, predictor differencing on
+sample VALUES per §14), Compression 1 (none), 5 (LZW — round 13:
+MSB-first, EarlyChange=1, ClearCode restarts, TIFF 6.0 §13), 8 /
+32946 (Deflate — round 15: zlib streams per strip/tile with bounded
+inflate) or 32773 (PackBits), Predictor 1 or 2
 (horizontal differencing, §14 — the pairing real scanned/archival
 TIFFs ship), arbitrary RowsPerStrip with a partial final strip, and —
 round 14 — the §15 TILED layout (TileWidth/TileLength multiples of 16,
@@ -28,6 +31,7 @@ distributed operator per SURVEY.md's multimodal mandate.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -152,23 +156,49 @@ def lzw_decode(data: bytes, expected: int) -> bytes:
 # horizontal differencing predictor (TIFF 6.0 section 14, Predictor=2)
 # ---------------------------------------------------------------------------
 
-def _predict_rows(chunk: bytes, row_bytes: int, spp: int) -> bytes:
-    """Forward predictor: per row, each sample becomes the difference
-    from the sample one PIXEL left (same channel), mod 256."""
-    a = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, row_bytes).astype(np.int16)
+def _predict_rows(chunk: bytes, row_bytes: int, spp: int,
+                  dtype="u1") -> bytes:
+    """Forward predictor: per row, each SAMPLE becomes the difference
+    from the sample one pixel left (same channel), modulo the sample
+    range — §14 differencing operates on sample VALUES, so 16-bit
+    samples difference as 16-bit units in file byte order, not as raw
+    bytes."""
+    dt = np.dtype(dtype)
+    mod = 1 << (8 * dt.itemsize)
+    n = row_bytes // dt.itemsize
+    a = np.frombuffer(chunk, dtype=dt).reshape(-1, n).astype(np.int64)
     d = a.copy()
-    d[:, spp:] = (a[:, spp:] - a[:, :-spp]) % 256
-    return d.astype(np.uint8).tobytes()
+    d[:, spp:] = (a[:, spp:] - a[:, :-spp]) % mod
+    return d.astype(dt).tobytes()
 
 
-def _unpredict_rows(chunk: bytes, row_bytes: int, spp: int) -> bytes:
-    """Inverse predictor: per-row cumulative sum mod 256 per channel."""
-    a = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, row_bytes)
+def _unpredict_rows(chunk: bytes, row_bytes: int, spp: int,
+                    dtype="u1") -> bytes:
+    """Inverse predictor: per-row cumulative sum per channel, modulo
+    the sample range, in the sample unit of ``dtype``."""
+    dt = np.dtype(dtype)
+    mod = 1 << (8 * dt.itemsize)
+    n = row_bytes // dt.itemsize
+    a = np.frombuffer(chunk, dtype=dt).reshape(-1, n)
     h = a.shape[0]
-    w = row_bytes // spp
+    w = n // spp
     per = a.reshape(h, w, spp).astype(np.int64)
-    per = np.cumsum(per, axis=1) % 256
-    return per.astype(np.uint8).reshape(h, row_bytes).tobytes()
+    per = np.cumsum(per, axis=1) % mod
+    return per.astype(dt).reshape(h, n).tobytes()
+
+
+def _inflate(chunk: bytes, expected: int) -> bytes:
+    """Bounded zlib inflate for Deflate strips/tiles (compression 8 /
+    32946): output is capped at ``expected`` bytes BEFORE allocation,
+    and both short and over-long streams reject."""
+    d = zlib.decompressobj()
+    try:
+        out = d.decompress(chunk, expected)
+    except zlib.error as exc:
+        raise ValueError("bad deflate stream") from exc
+    if len(out) != expected or d.unconsumed_tail:
+        raise ValueError("deflate output size mismatch")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -270,19 +300,29 @@ def encode_tiff(
         h, w = img.shape[:2]
         raw = img
     else:
-        raise ValueError("HxW or HxWx3 uint8")
-    if compression not in (1, 5, 32773):
-        raise ValueError("compression must be 1, 5 (LZW) or 32773")
+        raise ValueError("HxW or HxWx3")
+    if img.dtype == np.uint8:
+        bps, sdt = 8, "u1"
+    elif img.dtype == np.uint16:
+        bps, sdt = 16, "<u2"   # file is written little-endian
+    else:
+        raise ValueError("uint8 or uint16 samples")
+    unit = bps // 8
+    raw = raw.astype(sdt)
+    if compression not in (1, 5, 8, 32773):
+        raise ValueError("compression must be 1, 5 (LZW), 8 (Deflate) or 32773")
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 or 2")
 
     def entropy(chunk: bytes, row_bytes: int) -> bytes:
         if predictor == 2:
-            chunk = _predict_rows(chunk, row_bytes, spp)
+            chunk = _predict_rows(chunk, row_bytes, spp, sdt)
         if compression == 32773:
             return packbits_encode(chunk)
         if compression == 5:
             return lzw_encode(chunk)
+        if compression == 8:
+            return zlib.compress(chunk)
         return chunk
 
     strips = []
@@ -292,17 +332,18 @@ def encode_tiff(
             raise ValueError("tile dimensions must be positive multiples of 16")
         full = np.zeros(
             (-(-h // tl) * tl, -(-w // tw) * tw) + ((3,) if spp == 3 else ()),
-            dtype=np.uint8,
+            dtype=sdt,
         )
         full[:h, :w] = raw                     # edge tiles zero-padded
         for y0 in range(0, full.shape[0], tl):      # left-to-right, then down
             for x0 in range(0, full.shape[1], tw):
                 strips.append(entropy(
-                    full[y0 : y0 + tl, x0 : x0 + tw].tobytes(), tw * spp))
+                    full[y0 : y0 + tl, x0 : x0 + tw].tobytes(),
+                    tw * spp * unit))
     else:
         for y0 in range(0, h, rows_per_strip):
             strips.append(entropy(
-                raw[y0 : y0 + rows_per_strip].tobytes(), w * spp))
+                raw[y0 : y0 + rows_per_strip].tobytes(), w * spp * unit))
 
     out = bytearray(b"II*\x00")
     out += b"\x00\x00\x00\x00"  # IFD offset patched below
@@ -335,7 +376,7 @@ def encode_tiff(
 
     add(_T_WIDTH, 4, 1, [w])
     add(_T_LENGTH, 4, 1, [h])
-    add(_T_BPS, 3, spp, [8] * spp)
+    add(_T_BPS, 3, spp, [bps] * spp)
     add(_T_COMP, 3, 1, [compression])
     add(_T_PHOTO, 3, 1, [photo])
     add(_T_SPP, 3, 1, [spp])
@@ -425,9 +466,16 @@ def decode_tiff(payload: bytes):
     comp = one(_T_COMP, 1)
     if spp not in (1, 3):
         raise ValueError("SamplesPerPixel must be 1 or 3")
-    if any(b != 8 for b in tags.get(_T_BPS, [8] * spp)):
-        raise ValueError("only 8 bits per sample")
-    if comp not in (1, 5, 32773):
+    bps_list = tags.get(_T_BPS, [8] * spp)
+    if all(b == 8 for b in bps_list):
+        bps = 8
+    elif all(b == 16 for b in bps_list):
+        bps = 16
+    else:
+        raise ValueError("only uniform 8 or 16 bits per sample")
+    unit = bps // 8
+    sdt = "u1" if bps == 8 else e + "u2"   # samples in file byte order
+    if comp not in (1, 5, 8, 32946, 32773):
         raise ValueError("unsupported compression")
     predictor = one(_T_PREDICTOR, 1)
     if predictor not in (1, 2):
@@ -448,12 +496,12 @@ def decode_tiff(payload: bytes):
         # the grid is allocated from HEADER values before any tile is
         # validated — bound it so a lying TileWidth/TileLength lands as
         # a reject, not an allocation failure the stats ops can't catch
-        if down * tl * across * tw * spp > (1 << 28):
+        if down * tl * across * tw * spp * unit > (1 << 28):
             raise ValueError("tile grid implausibly large")
-        row_bytes = tw * spp
+        row_bytes = tw * spp * unit
         expected = tl * row_bytes            # every tile is full-size
         shape = (down * tl, across * tw) + ((3,) if spp == 3 else ())
-        img = np.zeros(shape, dtype=np.uint8)
+        img = np.zeros(shape, dtype=np.uint8 if bps == 8 else np.uint16)
         for ti, (o, c) in enumerate(zip(offs, cnts)):
             chunk = payload[o : o + c]
             if len(chunk) != c:
@@ -462,11 +510,13 @@ def decode_tiff(payload: bytes):
                 chunk = packbits_decode(chunk, expected)
             elif comp == 5:
                 chunk = lzw_decode(chunk, expected)
+            elif comp in (8, 32946):
+                chunk = _inflate(chunk, expected)
             elif len(chunk) != expected:
                 raise ValueError("uncompressed tile size mismatch")
             if predictor == 2:
-                chunk = _unpredict_rows(chunk, row_bytes, spp)
-            tile = np.frombuffer(chunk, dtype=np.uint8).reshape(
+                chunk = _unpredict_rows(chunk, row_bytes, spp, sdt)
+            tile = np.frombuffer(chunk, dtype=sdt).reshape(
                 (tl, tw) if spp == 1 else (tl, tw, 3))
             y0 = (ti // across) * tl
             x0 = (ti % across) * tw
@@ -479,7 +529,7 @@ def decode_tiff(payload: bytes):
     if not offs or not cnts or len(offs) != len(cnts):
         raise ValueError("bad strip layout")
 
-    row_bytes = w * spp
+    row_bytes = w * spp * unit
     raw = bytearray()
     for si, (o, c) in enumerate(zip(offs, cnts)):
         n_rows = min(rps, h - si * rps)
@@ -493,14 +543,16 @@ def decode_tiff(payload: bytes):
             chunk = packbits_decode(chunk, expected)
         elif comp == 5:
             chunk = lzw_decode(chunk, expected)
+        elif comp in (8, 32946):
+            chunk = _inflate(chunk, expected)
         elif len(chunk) != expected:
             raise ValueError("uncompressed strip size mismatch")
         if predictor == 2:
-            chunk = _unpredict_rows(chunk, row_bytes, spp)
+            chunk = _unpredict_rows(chunk, row_bytes, spp, sdt)
         raw.extend(chunk)
     if len(raw) != h * row_bytes:
         raise ValueError("assembled size mismatch")
-    arr = np.frombuffer(bytes(raw), dtype=np.uint8)
+    arr = np.frombuffer(bytes(raw), dtype=sdt)
     return w, h, arr.reshape((h, w) if spp == 1 else (h, w, 3))
 
 

@@ -103,7 +103,7 @@ def test_reject_paths():
     with pytest.raises(ValueError):
         encode_tiff(np.zeros((4, 4, 2), dtype=np.uint8))  # 2 samples
     with pytest.raises(ValueError):
-        encode_tiff(img, compression=8)  # Deflate not in subset
+        encode_tiff(img, compression=7)  # JPEG-in-TIFF not in subset
     with pytest.raises(ValueError):
         encode_tiff(img, predictor=3)  # floating-point predictor
 
@@ -342,3 +342,72 @@ def test_tag_count_bomb_rejected_quickly():
     with pytest.raises(ValueError, match="larger than the file"):
         decode_tiff(bytes(data))
     assert time.perf_counter() - t0 < 1.0
+
+
+def test_deflate_and_16bit_matrix():
+    """Round-15 widening: Deflate strips/tiles (compression 8, plus the
+    old-style 32946 alias on decode) and 16-bit samples — lossless
+    across dtype x compression x predictor x layout, gray and RGB."""
+    rng = np.random.default_rng(31)
+    for dt, hi in [(np.uint8, 256), (np.uint16, 65536)]:
+        for comp in (1, 5, 8, 32773):
+            for pred in (1, 2):
+                for tile in (None, (16, 16)):
+                    for shape in [(9, 13), (17, 23, 3)]:
+                        img = rng.integers(0, hi, shape).astype(dt)
+                        w, h, out = decode_tiff(encode_tiff(
+                            img, compression=comp, predictor=pred,
+                            tile_size=tile))
+                        assert out.dtype == dt and np.array_equal(out, img)
+
+
+def test_deflate_32946_alias_decodes():
+    """The old-style Deflate tag (32946) decodes identically to 8."""
+    import struct as _s
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    payload = bytearray(encode_tiff(img, compression=8))
+    # rewrite the Compression SHORT value 8 -> 32946 in the IFD
+    (ifd_off,) = _s.unpack_from("<I", payload, 4)
+    (n_ent,) = _s.unpack_from("<H", payload, ifd_off)
+    for i in range(n_ent):
+        o = ifd_off + 2 + 12 * i
+        tag, typ, cnt = _s.unpack_from("<HHI", payload, o)
+        if tag == 259:
+            _s.pack_into("<H", payload, o + 8, 32946)
+    w, h, out = decode_tiff(bytes(payload))
+    assert np.array_equal(out, img)
+
+
+def test_16bit_predictor_differs_on_sample_units():
+    """§14 differencing operates on 16-bit sample VALUES: a value
+    straddling a byte boundary (e.g. 0x0100) must difference as one
+    unit. A byte-wise predictor would corrupt the round trip."""
+    img = np.array([[0x00FF, 0x0100, 0x0101, 0xFFFF]], dtype=np.uint16)
+    for comp in (1, 8):
+        w, h, out = decode_tiff(encode_tiff(img, compression=comp,
+                                            predictor=2))
+        assert np.array_equal(out, img)
+
+
+def test_deflate_reject_paths():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    payload = bytearray(encode_tiff(img, compression=8, rows_per_strip=8))
+    # corrupt the deflate stream body (strip data starts at offset 8)
+    payload[12] ^= 0xFF
+    with pytest.raises(ValueError, match="deflate|mismatch"):
+        decode_tiff(bytes(payload))
+    # mixed bit depths reject
+    rgb = np.zeros((4, 4, 3), np.uint8)
+    data = bytearray(encode_tiff(rgb))
+    import struct as _s
+    (ifd_off,) = _s.unpack_from("<I", data, 4)
+    (n_ent,) = _s.unpack_from("<H", data, ifd_off)
+    for i in range(n_ent):
+        o = ifd_off + 2 + 12 * i
+        tag, typ, cnt = _s.unpack_from("<HHI", data, o)
+        if tag == 258 and cnt == 3:
+            (voff,) = _s.unpack_from("<I", data, o + 8)
+            _s.pack_into("<H", data, voff, 16)  # one channel 16, rest 8
+    with pytest.raises(ValueError, match="uniform"):
+        decode_tiff(bytes(data))
