@@ -271,6 +271,7 @@ def packbits_decode(data: bytes, expected: int) -> bytes:
 _T_WIDTH, _T_LENGTH, _T_BPS, _T_COMP = 256, 257, 258, 259
 _T_PHOTO, _T_STRIP_OFF, _T_SPP, _T_RPS, _T_STRIP_CNT = 262, 273, 277, 278, 279
 _T_PREDICTOR = 317
+_T_COLORMAP = 320
 _T_TILE_W, _T_TILE_L, _T_TILE_OFF, _T_TILE_CNT = 322, 323, 324, 325
 
 
@@ -280,6 +281,7 @@ def encode_tiff(
     compression: int = 32773,
     predictor: int = 1,
     tile_size: tuple | None = None,
+    colormap: np.ndarray | None = None,
 ) -> bytes:
     """Encode HxW (grayscale) or HxWx3 (RGB) uint8 as little-endian
     baseline TIFF. compression: 1 = none, 5 = LZW, 32773 = PackBits;
@@ -301,6 +303,15 @@ def encode_tiff(
         raw = img
     else:
         raise ValueError("HxW or HxWx3")
+    if colormap is not None:
+        # photometric 3: img is an HxW uint8 index plane; the ColorMap
+        # holds 16-bit R..G..B planes of 2^bps entries (TIFF 6.0 §5)
+        if img.ndim != 2 or img.dtype != np.uint8:
+            raise ValueError("palette images are HxW uint8 indices")
+        colormap = np.asarray(colormap, dtype=np.uint16)
+        if colormap.shape != (256, 3):
+            raise ValueError("colormap must be (256, 3) uint16")
+        photo = 3
     if img.dtype == np.uint8:
         bps, sdt = 8, "u1"
     elif img.dtype == np.uint16:
@@ -360,7 +371,8 @@ def encode_tiff(
     # value arrays that don't fit inline go after the IFD
     entries = []  # (tag, type, count, packed-value-or-None, data)
     tail = bytearray()
-    n_entries = (10 if tile_size is not None else 9) + (predictor == 2)
+    n_entries = ((10 if tile_size is not None else 9) + (predictor == 2)
+                 + (colormap is not None))
     tail_base = ifd_off + 2 + 12 * n_entries + 4
 
     def add(tag, typ, count, values):
@@ -391,6 +403,9 @@ def encode_tiff(
         add(_T_STRIP_CNT, 4, n_strips, [len(s) for s in strips])
     if predictor == 2:
         add(_T_PREDICTOR, 3, 1, [2])
+    if colormap is not None:
+        add(_T_COLORMAP, 3, 768,
+            list(colormap[:, 0]) + list(colormap[:, 1]) + list(colormap[:, 2]))
     assert len(entries) == n_entries
     entries.sort()  # TIFF requires ascending tag order
 
@@ -464,6 +479,15 @@ def decode_tiff(payload: bytes):
     w, h = one(_T_WIDTH), one(_T_LENGTH)
     spp = one(_T_SPP, 1)
     comp = one(_T_COMP, 1)
+    photo = one(_T_PHOTO, 1)
+    cmap = None
+    if photo == 3:
+        cm = tags.get(_T_COLORMAP)
+        if spp != 1:
+            raise ValueError("palette images are single-sample")
+        if not cm or len(cm) != 768:
+            raise ValueError("palette image needs a 768-entry ColorMap")
+        cmap = np.asarray(cm, dtype=np.uint16).reshape(3, 256).T
     if spp not in (1, 3):
         raise ValueError("SamplesPerPixel must be 1 or 3")
     bps_list = tags.get(_T_BPS, [8] * spp)
@@ -521,7 +545,12 @@ def decode_tiff(payload: bytes):
             y0 = (ti // across) * tl
             x0 = (ti % across) * tw
             img[y0 : y0 + tl, x0 : x0 + tw] = tile
-        return w, h, np.ascontiguousarray(img[:h, :w])  # crop edge padding
+        out_img = np.ascontiguousarray(img[:h, :w])  # crop edge padding
+        if cmap is not None:
+            if int(out_img.max(initial=0)) > 255:
+                raise ValueError("palette index outside the ColorMap")
+            out_img = cmap[out_img]
+        return w, h, out_img
 
     rps = one(_T_RPS, h)
     offs = tags.get(_T_STRIP_OFF)
@@ -553,7 +582,12 @@ def decode_tiff(payload: bytes):
     if len(raw) != h * row_bytes:
         raise ValueError("assembled size mismatch")
     arr = np.frombuffer(bytes(raw), dtype=sdt)
-    return w, h, arr.reshape((h, w) if spp == 1 else (h, w, 3))
+    out_img = arr.reshape((h, w) if spp == 1 else (h, w, 3))
+    if cmap is not None:
+        if int(out_img.max(initial=0)) > 255:
+            raise ValueError("palette index outside the ColorMap")
+        out_img = cmap[out_img]
+    return w, h, out_img
 
 
 # ---------------------------------------------------------------------------

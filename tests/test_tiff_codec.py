@@ -411,3 +411,41 @@ def test_deflate_reject_paths():
             _s.pack_into("<H", data, voff, 16)  # one channel 16, rest 8
     with pytest.raises(ValueError, match="uniform"):
         decode_tiff(bytes(data))
+
+
+def test_palette_photometric3_matrix():
+    """Round-15: photometric 3 — HxW uint8 indices + 768-entry 16-bit
+    ColorMap (R..G..B planes, §5), expanded to HxWx3 uint16 on decode,
+    across every compression/predictor/layout."""
+    rng = np.random.default_rng(41)
+    idx = rng.integers(0, 256, (11, 14)).astype(np.uint8)
+    cm = rng.integers(0, 65536, (256, 3)).astype(np.uint16)
+    for comp in (1, 5, 8, 32773):
+        for pred in (1, 2):
+            for tile in (None, (16, 16)):
+                w, h, out = decode_tiff(encode_tiff(
+                    idx, compression=comp, predictor=pred,
+                    tile_size=tile, colormap=cm))
+                assert out.shape == (11, 14, 3) and out.dtype == np.uint16
+                assert np.array_equal(out, cm[idx])
+
+
+def test_palette_reject_paths():
+    rng = np.random.default_rng(43)
+    idx = rng.integers(0, 256, (4, 4)).astype(np.uint8)
+    cm = rng.integers(0, 65536, (256, 3)).astype(np.uint16)
+    with pytest.raises(ValueError, match="indices"):
+        encode_tiff(idx.astype(np.uint16), colormap=cm)
+    with pytest.raises(ValueError, match="colormap"):
+        encode_tiff(idx, colormap=cm[:16])
+    # a photometric-3 file whose ColorMap tag is missing must reject
+    payload = bytearray(encode_tiff(idx, colormap=cm))
+    (ifd_off,) = struct.unpack_from("<I", payload, 4)
+    (n_ent,) = struct.unpack_from("<H", payload, ifd_off)
+    for i in range(n_ent):
+        o = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from("<HHI", payload, o)
+        if tag == 320:
+            struct.pack_into("<H", payload, o, 65000)  # rename the tag away
+    with pytest.raises(ValueError, match="ColorMap"):
+        decode_tiff(bytes(payload))
