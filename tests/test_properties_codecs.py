@@ -300,13 +300,15 @@ def _mutations(data: bytes, rng, n=200):
                                    "png_palette", "png_adam7", "png_gray",
                                    "png_gray_subbyte", "png_16bit",
                                    "wav_ext", "bmp_rle8", "bmp_rle4",
-                                   "bmp_1bit"])
+                                   "bmp_1bit", "ms_adpcm"])
 def test_corruption_never_escapes_the_catch_set(codec):
     from river_spark.operators.avi import decode_avi, encode_avi
     from river_spark.operators.bmp_indexed import (
         decode_bmp_indexed, encode_bmp_indexed)
     from river_spark.operators.flac import decode_flac, encode_flac
     from river_spark.operators.gif import decode_gif_anim, encode_gif_anim
+    from river_spark.operators.ms_adpcm import (
+        decode_ms_adpcm_wav, encode_ms_adpcm_wav)
     from river_spark.operators.jpeg import decode_jpeg, encode_jpeg
     from river_spark.operators.multimodal import (
         decode_bmp, decode_gif, decode_png, decode_qoi,
@@ -375,6 +377,11 @@ def test_corruption_never_escapes_the_catch_set(codec):
         "bmp_1bit": (
             encode_bmp_indexed(12, 10, (idx % 2), pal[:2], bpp=1),
             decode_bmp_indexed,
+        ),
+        "ms_adpcm": (
+            encode_ms_adpcm_wav(8000, 2, ((11 * i) % 9001 - 4500)
+                                .repeat(2)[: 2 * 384], samples_per_block=128),
+            decode_ms_adpcm_wav,
         ),
     }
     payload, dec = payloads[codec]
