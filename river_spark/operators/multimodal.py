@@ -225,13 +225,35 @@ def window_signal(
 import struct
 
 
+def _mask_extract(px32: "np.ndarray", mask: int) -> "np.ndarray":
+    """Extract one channel through a BI_BITFIELDS mask and widen to
+    8 bits by BIT REPLICATION (what real decoders do for 555/565)."""
+    if mask == 0:
+        raise ValueError("zero channel mask")
+    shift = (mask & -mask).bit_length() - 1
+    bits = (mask >> shift).bit_length()
+    if bits > 8 or (mask >> shift) != (1 << bits) - 1:
+        raise ValueError(f"non-contiguous or too-wide mask 0x{mask:x}")
+    v = (px32 >> shift) & ((1 << bits) - 1)
+    out = v << (8 - bits)
+    rem = 8 - bits
+    while rem > 0:
+        out |= v >> max(0, bits - rem) if rem < bits else v << (rem - bits)
+        rem -= bits
+    return (out & 0xFF).astype(np.uint8)
+
+
 def decode_bmp(payload: bytes):
-    """Decode an uncompressed 24-bit BI_RGB BMP (the standard Windows
-    bitmap layout: 14-byte file header, 40-byte BITMAPINFOHEADER,
-    4-byte-padded bottom-up BGR rows; top-down negative-height files
-    are handled too). Returns (width, height, HxWx3 uint8 RGB array).
-    Raises ValueError on anything that is not such a BMP — callers
-    decide whether a bad payload fails the row or the job."""
+    """Decode an uncompressed truecolor BMP: the classic 24-bit BI_RGB
+    layout plus (round 15) 32-bit BGRx and 16-bit 555 BI_RGB defaults
+    and BI_BITFIELDS masks (contiguous masks up to 8 bits per channel,
+    e.g. 565 — sub-8-bit channels widen by bit replication). 14-byte
+    file header, BITMAPINFOHEADER or larger, 4-byte-padded bottom-up
+    rows; top-down negative-height files are handled too. Returns
+    (width, height, HxWx3 uint8 RGB array). Raises ValueError on
+    anything else — callers decide whether a bad payload fails the row
+    or the job. (1/4/8-bit palette and RLE layouts live in
+    operators/bmp_indexed.py.)"""
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     data_offset = struct.unpack_from("<I", payload, 10)[0]
@@ -241,23 +263,48 @@ def decode_bmp(payload: bytes):
     width, height = struct.unpack_from("<ii", payload, 18)
     planes, bpp = struct.unpack_from("<HH", payload, 26)
     compression = struct.unpack_from("<I", payload, 30)[0]
-    if planes != 1 or bpp != 24 or compression != 0:
+    if planes != 1 or bpp not in (16, 24, 32) or compression not in (0, 3):
         raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={compression})")
+    if compression == 3:
+        if bpp == 24:
+            raise ValueError("BI_BITFIELDS is for 16/32-bit pixels")
+        # masks sit right after the info header fields (absolute 54)
+        # for both the 40-byte header + mask triple and the V4/V5
+        # headers, whose RedMask field lands at the same offset
+        if len(payload) < 66:
+            raise ValueError("truncated BI_BITFIELDS masks")
+        rmask, gmask, bmask = struct.unpack_from("<III", payload, 54)
+    elif bpp == 16:
+        rmask, gmask, bmask = 0x7C00, 0x03E0, 0x001F  # BI_RGB default 555
+    elif bpp == 32:
+        rmask, gmask, bmask = 0xFF0000, 0x00FF00, 0x0000FF
     bottom_up = height > 0
     height = abs(height)
     if width <= 0 or height <= 0:
         raise ValueError("degenerate BMP dimensions")
-    row_size = ((3 * width + 3) // 4) * 4
+    unit = bpp // 8
+    row_size = ((unit * width + 3) // 4) * 4
     need = data_offset + row_size * height
     if len(payload) < need:
         raise ValueError("truncated BMP pixel data")
     rows = np.frombuffer(
         payload, dtype=np.uint8, count=row_size * height, offset=data_offset
     ).reshape(height, row_size)
-    bgr = rows[:, : 3 * width].reshape(height, width, 3)
+    if bpp == 24:
+        bgr = rows[:, : 3 * width].reshape(height, width, 3)
+        if bottom_up:
+            bgr = bgr[::-1]
+        return width, height, bgr[:, :, ::-1].copy()  # BGR -> RGB
+    raw = rows[:, : unit * width].reshape(height, width, unit)
+    px = raw[:, :, 0].astype(np.uint32)
+    for k in range(1, unit):
+        px |= raw[:, :, k].astype(np.uint32) << (8 * k)
+    rgb = np.stack(
+        [_mask_extract(px, rmask), _mask_extract(px, gmask),
+         _mask_extract(px, bmask)], axis=2)
     if bottom_up:
-        bgr = bgr[::-1]
-    return width, height, bgr[:, :, ::-1].copy()  # BGR -> RGB
+        rgb = rgb[::-1]
+    return width, height, np.ascontiguousarray(rgb)
 
 
 def decode_wav(payload: bytes):

@@ -149,3 +149,78 @@ def test_reject_rle_overflow_and_bad_args():
         encode_bmp_indexed(4, 2, idx, pal, bpp=8, compression=1, top_down=True)
     with pytest.raises(ValueError, match="outside the palette"):
         encode_bmp_indexed(4, 2, idx + 10, pal, bpp=8)
+
+
+# ---------------------------------------------------------------------------
+# round-15: 16/32-bit truecolor (decode_bmp widening) — tested here with
+# the other BMP variants even though the code lives in multimodal.py
+# ---------------------------------------------------------------------------
+
+
+def _build_bmp(w, h, bpp, comp, pixdata, masks=None):
+    masks_b = struct.pack("<III", *masks) if comp == 3 else b""
+    off = 14 + 40 + len(masks_b)
+    return (b"BM" + struct.pack("<IHHI", off + len(pixdata), 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, comp,
+                          len(pixdata), 0, 0, 0, 0)
+            + masks_b + pixdata)
+
+
+def _rows16(vals, w, h, pack):
+    rows = b""
+    for r in range(h - 1, -1, -1):
+        row = b"".join(struct.pack("<H", pack(r, c)) for c in range(w))
+        rows += row + b"\x00" * ((-len(row)) % 4)
+    return rows
+
+
+def test_truecolor_32bit_bgrx():
+    from river_spark.operators.multimodal import decode_bmp
+
+    rng = np.random.default_rng(51)
+    w, h = 5, 4
+    px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    rows = b""
+    for r in range(h - 1, -1, -1):
+        rows += b"".join(bytes([px[r, c, 2], px[r, c, 1], px[r, c, 0], 0])
+                         for c in range(w))
+    W, H, out = decode_bmp(_build_bmp(w, h, 32, 0, rows))
+    assert (W, H) == (w, h) and np.array_equal(out, px)
+
+
+def test_truecolor_16bit_555_and_565():
+    """BI_RGB 16-bit defaults to 555; BI_BITFIELDS carries explicit
+    masks (565 here). Sub-8-bit channels widen by bit replication —
+    the 0->0, max->255 endpoints a plain shift would miss."""
+    from river_spark.operators.multimodal import decode_bmp
+
+    rng = np.random.default_rng(53)
+    w, h = 7, 3
+    v5 = rng.integers(0, 32, (h, w, 3))
+    rows = _rows16(v5, w, h, lambda r, c: (int(v5[r, c, 0]) << 10)
+                   | (int(v5[r, c, 1]) << 5) | int(v5[r, c, 2]))
+    W, H, out = decode_bmp(_build_bmp(w, h, 16, 0, rows))
+    exp = ((v5 << 3) | (v5 >> 2)).astype(np.uint8)
+    assert np.array_equal(out, exp)
+
+    r5 = rng.integers(0, 32, (h, w)); g6 = rng.integers(0, 64, (h, w))
+    b5 = rng.integers(0, 32, (h, w))
+    rows = _rows16(r5, w, h, lambda r, c: (int(r5[r, c]) << 11)
+                   | (int(g6[r, c]) << 5) | int(b5[r, c]))
+    W, H, out = decode_bmp(_build_bmp(w, h, 16, 3, rows,
+                                      masks=(0xF800, 0x07E0, 0x001F)))
+    assert np.array_equal(out[:, :, 0], ((r5 << 3) | (r5 >> 2)).astype(np.uint8))
+    assert np.array_equal(out[:, :, 1], ((g6 << 2) | (g6 >> 4)).astype(np.uint8))
+    assert np.array_equal(out[:, :, 2], ((b5 << 3) | (b5 >> 2)).astype(np.uint8))
+
+
+def test_truecolor_reject_bad_masks_and_variants():
+    from river_spark.operators.multimodal import decode_bmp
+
+    rows = b"\x00" * 8
+    with pytest.raises(ValueError, match="non-contiguous|zero"):
+        decode_bmp(_build_bmp(1, 1, 32, 3, rows, masks=(0xF0F0, 0x0F00, 0xF)))
+    with pytest.raises(ValueError, match="BI_BITFIELDS"):
+        decode_bmp(_build_bmp(1, 1, 24, 3, rows, masks=(1, 2, 4)))
+    with pytest.raises(ValueError, match="unsupported BMP variant"):
+        decode_bmp(_build_bmp(1, 1, 64, 0, rows))
