@@ -698,6 +698,19 @@ def decode_png(payload: bytes):
         if depth not in ok_depths:
             raise ValueError(f"unsupported PNG depth {depth} for color {color}")
         nch_raw = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+        if trns is not None:
+            # spec 11.3.2.1: a single 16-bit-stored color key; forbidden
+            # for the alpha-carrying color types
+            if color in (4, 6):
+                raise ValueError("tRNS is forbidden for alpha color types")
+            want = 2 if color == 0 else 6
+            if len(trns) != want:
+                raise ValueError(f"tRNS must be {want} bytes for color {color}")
+            key = struct.unpack(">" + "H" * (want // 2), trns)
+            if depth <= 8 and any(k >= (1 << depth) for k in key):
+                raise ValueError("tRNS key outside the sample range")
+        else:
+            key = None
     elif color == 3:
         if depth not in (1, 2, 4, 8):
             raise ValueError(f"unsupported PNG palette depth {depth}")
@@ -754,14 +767,26 @@ def decode_png(payload: bytes):
         else:
             img[y0::dy, x0::dx] = rows.reshape(h_p, w_p, nch_raw)
     if color == 0:   # grayscale -> RGB (gray replicated)
+        amask = (img[:, :, 0] == key[0]) if key is not None else None
         if depth < 8:  # spec §12.5 sample scaling: v * 255/(2^d - 1), exact
             img = img * np.uint8(255 // ((1 << depth) - 1))
-        return width, height, np.repeat(img, 3, axis=2)
+        rgb = np.repeat(img, 3, axis=2)
+        if amask is None:
+            return width, height, rgb
+        opaque = np.uint16(65535) if depth == 16 else np.uint8(255)
+        alpha = np.where(amask, 0, opaque).astype(rgb.dtype)
+        return width, height, np.dstack([rgb, alpha])
     if color == 4:   # gray+alpha -> RGBA
         return width, height, np.dstack(
             [np.repeat(img[:, :, :1], 3, axis=2), img[:, :, 1]]
         )
     if color != 3:
+        if color == 2 and key is not None:
+            amask = ((img[:, :, 0] == key[0]) & (img[:, :, 1] == key[1])
+                     & (img[:, :, 2] == key[2]))
+            opaque = np.uint16(65535) if depth == 16 else np.uint8(255)
+            alpha = np.where(amask, 0, opaque).astype(img.dtype)
+            return width, height, np.dstack([img, alpha])
         return width, height, img
     npal = len(plte) // 3
     if int(img.max(initial=0)) >= npal:

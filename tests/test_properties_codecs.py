@@ -394,3 +394,100 @@ def test_corruption_never_escapes_the_catch_set(codec):
             pass
     # nothing above may hang either: the whole sweep stays sub-30s
     assert time.perf_counter() - t0 < 30.0
+
+
+# ---------------------------------------------------------------------------
+# Round-15: tRNS color key for gray (color 0) and truecolor (color 2) —
+# the transparent-background convention of the pre-alpha PNG era.
+# ---------------------------------------------------------------------------
+
+import struct as _st
+
+
+def _with_trns(payload: bytes, body: bytes) -> bytes:
+    """Insert a tRNS chunk right after IHDR (spec-legal position)."""
+    from river_spark.operators.multimodal import _png_chunk
+
+    at = 8 + 8 + 13 + 4  # signature + IHDR chunk
+    return payload[:at] + _png_chunk(b"tRNS", body) + payload[at:]
+
+
+@given(seed=st.integers(0, 2**31 - 1), depth=st.sampled_from([1, 2, 4, 8, 16]),
+       interlace=st.sampled_from([0, 1]))
+@settings(**_SETTINGS)
+def test_png_trns_gray_key(seed, depth, interlace):
+    """Color-0 tRNS: the 2-byte key matches RAW samples (pre-scaling
+    for sub-byte depths); matching pixels get alpha 0, output widens
+    to RGBA at the image's dtype."""
+    from river_spark.operators.multimodal import (
+        decode_png, encode_png_16, encode_png_gray)
+
+    rng = np.random.default_rng(seed)
+    w, h = int(rng.integers(1, 20)), int(rng.integers(1, 20))
+    hi = 1 << depth
+    key = int(rng.integers(0, hi))
+    if depth == 16:
+        g = rng.integers(0, hi, (h, w, 1)).astype(np.uint16)
+        g[0, 0, 0] = key
+        payload = _with_trns(encode_png_16(w, h, g, interlace=interlace),
+                             _st.pack(">H", key))
+        dw, dh, out = decode_png(payload)
+        assert out.dtype == np.uint16 and out.shape == (h, w, 4)
+        assert np.array_equal(out[:, :, 3] == 0, g[:, :, 0] == key)
+        assert np.array_equal(out[:, :, 0], g[:, :, 0])
+    else:
+        g = rng.integers(0, hi, (h, w)).astype(np.uint8)
+        g[0, 0] = key
+        payload = _with_trns(
+            encode_png_gray(w, h, g, depth=depth, interlace=interlace),
+            _st.pack(">H", key))
+        dw, dh, out = decode_png(payload)
+        assert out.shape == (h, w, 4)
+        assert np.array_equal(out[:, :, 3] == 0, g == key)
+        scale = 255 // (hi - 1)
+        assert np.array_equal(out[:, :, 0], (g * scale).astype(np.uint8))
+
+
+@given(seed=st.integers(0, 2**31 - 1), depth=st.sampled_from([8, 16]),
+       interlace=st.sampled_from([0, 1]))
+@settings(**_SETTINGS)
+def test_png_trns_rgb_key(seed, depth, interlace):
+    from river_spark.operators.multimodal import (
+        decode_png, encode_png, encode_png_16, encode_png_adam7)
+
+    rng = np.random.default_rng(seed)
+    w, h = int(rng.integers(1, 16)), int(rng.integers(1, 16))
+    hi = 1 << depth
+    key = tuple(int(x) for x in rng.integers(0, hi, 3))
+    if depth == 16:
+        px = rng.integers(0, hi, (h, w, 3)).astype(np.uint16)
+        px[0, 0] = key
+        payload = encode_png_16(w, h, px, interlace=interlace)
+    else:
+        px = rng.integers(0, hi, (h, w, 3)).astype(np.uint8)
+        px[0, 0] = key
+        payload = (encode_png_adam7(w, h, px) if interlace
+                   else encode_png(w, h, px))
+    payload = _with_trns(payload, _st.pack(">HHH", *key))
+    dw, dh, out = decode_png(payload)
+    assert out.shape == (h, w, 4)
+    match = ((px[:, :, 0] == key[0]) & (px[:, :, 1] == key[1])
+             & (px[:, :, 2] == key[2]))
+    assert np.array_equal(out[:, :, 3] == 0, match)
+    assert np.array_equal(out[:, :, :3], px)
+
+
+def test_png_trns_rejects():
+    from river_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(61)
+    rgba = rng.integers(0, 256, (4, 4, 4)).astype(np.uint8)
+    with pytest.raises(ValueError, match="forbidden for alpha"):
+        decode_png(_with_trns(encode_png(4, 4, rgba),
+                              _st.pack(">HHH", 1, 2, 3)))
+    rgb = rng.integers(0, 256, (4, 4, 3)).astype(np.uint8)
+    with pytest.raises(ValueError, match="must be 6 bytes"):
+        decode_png(_with_trns(encode_png(4, 4, rgb), _st.pack(">H", 1)))
+    with pytest.raises(ValueError, match="outside the sample range"):
+        decode_png(_with_trns(encode_png(4, 4, rgb),
+                              _st.pack(">HHH", 300, 0, 0)))
