@@ -461,3 +461,35 @@ def test_cross_corpus_shuffle_path_matches_broadcast(spark):
     )
     assert a == b
     assert [r["doc_id"] for r in a] == [100]
+
+
+def test_decode_image_features_native(spark):
+    """Round-15: decoder='native' dispatches on magic bytes to the
+    in-repo codec family and emits REAL dimensions + a 16-bin
+    histogram over decoded RGB; undecodable rows yield 0x0 with zero
+    features instead of failing the job."""
+    import numpy as np
+
+    from river_spark.operators.multimodal import (
+        decode_image_features, encode_bmp, encode_png, encode_qoi)
+    from river_spark.operators.tiff import encode_tiff
+
+    rng = np.random.default_rng(71)
+    img = rng.integers(0, 256, (9, 13, 3)).astype(np.uint8)
+    rows = [
+        (1, bytearray(encode_png(13, 9, img))),
+        (2, bytearray(encode_bmp(13, 9, img))),
+        (3, bytearray(encode_qoi(13, 9, img))),
+        (4, bytearray(encode_tiff(img))),
+        (5, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in decode_image_features(
+        df, "doc_id", "payload", decoder="native").collect()}
+    hist = np.bincount(img.reshape(-1) >> 4, minlength=16).astype(np.float64)
+    hist /= hist.sum()
+    for d in (1, 2, 3, 4):
+        assert (out[d].width, out[d].height) == (13, 9)
+        assert np.allclose(out[d].features, hist, atol=1e-6), d
+    assert (out[5].width, out[5].height) == (0, 0)
+    assert sum(out[5].features) == 0.0
