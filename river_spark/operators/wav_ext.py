@@ -286,3 +286,47 @@ def decode_wav_ext_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return src.mapInPandas(run, schema=_WAV_EXT_SCHEMA)
+
+
+def decode_audio_any(payload: bytes):
+    """Decode ANY supported audio payload with the in-repo family
+    (round 15 — the audio twin of multimodal.decode_image_any).
+
+    Dispatch: ``fLaC`` magic -> operators/flac.py (all gated depths /
+    channel layouts); RIFF/WAVE -> by format tag: 1/3/6/7/0xFFFE via
+    :func:`decode_wav_ext` (PCM widths, float, A-law/mu-law,
+    EXTENSIBLE), 0x0011 IMA ADPCM via operators/adpcm.py, 0x0002
+    MS-ADPCM via operators/ms_adpcm.py.
+
+    Returns ``(sample_rate, n_channels, samples)`` with samples 1-D
+    interleaved in the decoder's native dtype (ints for integer and
+    companded formats, float32/64 for IEEE float). Raises ValueError
+    for unrecognized containers or unsupported tags.
+    """
+    if payload[:4] == b"fLaC":
+        from river_spark.operators.flac import decode_flac
+
+        rate, samples = decode_flac(payload)
+        if samples.ndim == 1:
+            return rate, 1, samples
+        return rate, samples.shape[1], samples.reshape(-1)
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pos, tag = 12, None
+        while pos + 8 <= len(payload):
+            if payload[pos : pos + 4] == b"fmt ":
+                tag = struct.unpack_from("<H", payload, pos + 8)[0]
+                break
+            csize = struct.unpack_from("<I", payload, pos + 4)[0]
+            pos += 8 + csize + (csize & 1)
+        if tag == 0x0011:
+            from river_spark.operators.adpcm import decode_adpcm_wav
+
+            rate, samples = decode_adpcm_wav(payload)
+            return rate, 1, samples
+        if tag == 0x0002:
+            from river_spark.operators.ms_adpcm import decode_ms_adpcm_wav
+
+            return decode_ms_adpcm_wav(payload)
+        rate, nch, _bits, _tag, _ext, samples = decode_wav_ext(payload)
+        return rate, nch, samples
+    raise ValueError("unrecognized audio container")

@@ -159,3 +159,33 @@ def test_reject_bad_guid_and_widths():
         encode_wav_ext(8000, 1, s, fmt=1, bits=12)
     with pytest.raises(ValueError, match="companded formats are 8-bit"):
         encode_wav_ext(8000, 1, s, fmt=6, bits=16)
+
+
+def test_decode_audio_any_dispatch():
+    """Round-15 unified audio entry: fLaC magic and every WAV format
+    tag route to the right in-repo decoder; unknown containers
+    reject."""
+    from river_spark.operators.adpcm import encode_adpcm_wav
+    from river_spark.operators.flac import encode_flac
+    from river_spark.operators.ms_adpcm import encode_ms_adpcm_wav
+    from river_spark.operators.wav_ext import decode_audio_any
+
+    rng = np.random.default_rng(91)
+    s16 = rng.integers(-30000, 30000, 256).astype(np.int16)
+    r, n, out = decode_audio_any(encode_flac(8000, s16))
+    assert (r, n) == (8000, 1) and np.array_equal(out, s16)
+    st = rng.integers(-30000, 30000, (128, 2)).astype(np.int16)
+    r, n, out = decode_audio_any(encode_flac(16000, st))
+    assert (r, n) == (16000, 2) and np.array_equal(out.reshape(-1, 2), st)
+    s24 = rng.integers(-(1 << 23), 1 << 23, 64)
+    r, n, out = decode_audio_any(encode_wav_ext(44100, 2, s24, fmt=1,
+                                                bits=24, extensible=True))
+    assert (r, n) == (44100, 2) and np.array_equal(out.astype(np.int64), s24)
+    r, n, out = decode_audio_any(encode_adpcm_wav(8000, s16))
+    assert (r, n) == (8000, 1)
+    r, n, out = decode_audio_any(
+        encode_ms_adpcm_wav(8000, 1, s16.astype(np.int64),
+                            samples_per_block=128))
+    assert (r, n) == (8000, 1) and out.size == 256
+    with pytest.raises(ValueError, match="unrecognized audio"):
+        decode_audio_any(b"OggS....")
