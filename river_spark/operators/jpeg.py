@@ -983,6 +983,12 @@ def decode_jpeg(payload: bytes):
             for sby in range(vs):
                 for sbx in range(hs):
                     size = _decode_symbol(rdr, _table(huff, (0, dc_t), 'DC table'))
+                    if size > 15:
+                        # a corrupt DHT can map a code to any byte; a
+                        # "size" past 15 would read hundreds of bits
+                        # into an unbounded int (escapes as
+                        # OverflowError at the int64 store)
+                        raise ValueError(f"DC size {size} out of range")
                     diff = _extend(rdr.read(size), size) if size else 0
                     pred[ci] += diff
                     zz = np.zeros(64, dtype=np.int64)
@@ -1147,6 +1153,8 @@ def _decode_progressive(payload: bytes):
                         dc_t = scan[si][1]
                         if ah == 0:
                             size = _decode_symbol(rdr, _table(huff, (0, dc_t), 'DC table'))
+                            if size > 15:
+                                raise ValueError(f"DC size {size} out of range")
                             diff = _extend(rdr.read(size), size) if size else 0
                             pred[si] += diff
                             coefs[ci][b][0] = pred[si] << al

@@ -300,7 +300,9 @@ def _mutations(data: bytes, rng, n=200):
                                    "png_palette", "png_adam7", "png_gray",
                                    "png_gray_subbyte", "png_16bit",
                                    "wav_ext", "bmp_rle8", "bmp_rle4",
-                                   "bmp_1bit", "ms_adpcm"])
+                                   "bmp_1bit", "ms_adpcm", "jpeg_prog420",
+                                   "tiff_deflate16", "tiff_palette",
+                                   "image_any", "audio_any"])
 def test_corruption_never_escapes_the_catch_set(codec):
     from river_spark.operators.avi import decode_avi, encode_avi
     from river_spark.operators.bmp_indexed import (
@@ -309,13 +311,15 @@ def test_corruption_never_escapes_the_catch_set(codec):
     from river_spark.operators.gif import decode_gif_anim, encode_gif_anim
     from river_spark.operators.ms_adpcm import (
         decode_ms_adpcm_wav, encode_ms_adpcm_wav)
-    from river_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from river_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive_script)
     from river_spark.operators.multimodal import (
-        decode_bmp, decode_gif, decode_png, decode_qoi,
+        decode_bmp, decode_gif, decode_image_any, decode_png, decode_qoi,
         encode_bmp, encode_gif, encode_png, encode_png_16,
         encode_png_adam7, encode_png_gray, encode_png_palette, encode_qoi)
     from river_spark.operators.tiff import decode_tiff, encode_tiff
-    from river_spark.operators.wav_ext import decode_wav_ext, encode_wav_ext
+    from river_spark.operators.wav_ext import (
+        decode_audio_any, decode_wav_ext, encode_wav_ext)
 
     rng = np.random.default_rng(42)
     img = rng.integers(0, 256, (17, 23, 3)).astype(np.uint8)
@@ -382,6 +386,34 @@ def test_corruption_never_escapes_the_catch_set(codec):
             encode_ms_adpcm_wav(8000, 2, ((11 * i) % 9001 - 4500)
                                 .repeat(2)[: 2 * 384], samples_per_block=128),
             decode_ms_adpcm_wav,
+        ),
+        "jpeg_prog420": (
+            encode_jpeg_progressive_script(
+                [np.kron(rng.integers(0, 256, (2, 4)).astype(np.uint8),
+                         np.ones((8, 8), np.uint8)),
+                 np.kron(rng.integers(0, 256, (1, 2)).astype(np.uint8),
+                         np.ones((8, 8), np.uint8)),
+                 np.kron(rng.integers(0, 256, (1, 2)).astype(np.uint8),
+                         np.ones((8, 8), np.uint8))],
+                None, samps=[(2, 2), (1, 1), (1, 1)]),
+            decode_jpeg,
+        ),
+        "tiff_deflate16": (
+            encode_tiff(rng.integers(0, 65536, (9, 11, 3)).astype(np.uint16),
+                        compression=8, predictor=2, tile_size=(16, 16)),
+            decode_tiff,
+        ),
+        "tiff_palette": (
+            encode_tiff(idx, compression=8,
+                        colormap=rng.integers(0, 65536, (256, 3))
+                        .astype(np.uint16)),
+            decode_tiff,
+        ),
+        "image_any": (encode_png(23, 17, img), decode_image_any),
+        "audio_any": (
+            encode_wav_ext(8000, 1, (i % 256).astype(np.uint8), fmt=6,
+                           bits=8),
+            decode_audio_any,
         ),
     }
     payload, dec = payloads[codec]
