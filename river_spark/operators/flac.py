@@ -743,15 +743,30 @@ def _decode_subframe(rdr: _BitReader, n: int, bps: int) -> list:
                 u = (q << k) | (rdr.read(k) if k else 0)
                 resid.append(_unzigzag(u))
     block = list(warm)
+    # Reconstruction bound: valid samples fit ebps <= 33 bits (side
+    # channel at 32+1 before wasted-bit shift); corrupt coefficients or
+    # residuals otherwise feed back EXPONENTIALLY through the predictor
+    # (|pred| multiplies by up to order * 2^prec per step), overflowing
+    # Python-int -> int64 conversion as OverflowError outside the stats
+    # operators' catch set. 2^35 is a generous margin over any legal
+    # sample; the frame CRC-16 only runs AFTER reconstruction, so this
+    # must reject here.
+    bound = 1 << 35
     if qc is None:
         coeffs = _FIXED_COEFFS[order]
         for r in resid:
             pred = sum(c * block[-i - 1] for i, c in enumerate(coeffs))
-            block.append(pred + r)
+            nxt = pred + r
+            if nxt > bound or nxt < -bound:
+                raise ValueError("reconstructed sample outside any legal range")
+            block.append(nxt)
     else:
         for r in resid:
             pred = sum(c * block[-i - 1] for i, c in enumerate(qc)) >> shift
-            block.append(pred + r)
+            nxt = pred + r
+            if nxt > bound or nxt < -bound:
+                raise ValueError("reconstructed sample outside any legal range")
+            block.append(nxt)
     if w:
         return [s << w for s in block]
     return block
