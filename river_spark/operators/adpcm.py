@@ -255,7 +255,7 @@ def decode_adpcm_stats(df, id_col: str, bin_col: str):
                 out["doc_id"].append(doc_id)
                 try:
                     rate, samples = decode_adpcm_wav(bytes(payload or b""))
-                except (ValueError, struct.error, IndexError):
+                except (ValueError, struct.error, IndexError, OverflowError):
                     for k, v in (("ok", False), ("sample_rate", 0),
                                  ("n_samples", 0), ("sample_sum", 0),
                                  ("last_sample", 0)):

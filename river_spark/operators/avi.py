@@ -361,7 +361,7 @@ def decode_avi_frame_stats(df, id_col: str, bin_col: str, every_k: int = 2):
                         bs += int(f64[:, :, 2].sum())
                         fwr += (fi + 1) * fr
                         k += 1
-                except (ValueError, IndexError, struct.error):
+                except (ValueError, IndexError, OverflowError, struct.error):
                     for key, v in (("ok", False), ("width", 0), ("height", 0),
                                    ("fps", 0), ("n_sampled", 0), ("r_sum", 0),
                                    ("g_sum", 0), ("b_sum", 0),
@@ -453,7 +453,7 @@ def decode_avi_mjpeg_stats(df, id_col: str, bin_col: str, every_k: int = 2):
                         bs += int(b.astype(np.int64).sum())
                         fwy += (fi + 1) * int(y.astype(np.int64).sum())
                         k += 1
-                except (ValueError, IndexError, struct.error):
+                except (ValueError, IndexError, OverflowError, struct.error):
                     for key, v in (("ok", False), ("width", 0), ("height", 0),
                                    ("fps", 0), ("n_sampled", 0), ("r_sum", 0),
                                    ("g_sum", 0), ("b_sum", 0),
@@ -625,7 +625,7 @@ def decode_avi_av_stats(df, id_col: str, bin_col: str, every_k: int = 2):
                     rate, nch, samples = extract_avi_audio(raw)
                     s64 = samples.astype(np.int64)
                     wgt = np.arange(s64.size, dtype=np.int64) % 997 + 1
-                except (ValueError, IndexError, struct.error):
+                except (ValueError, IndexError, OverflowError, struct.error):
                     out["ok"].append(False)
                     for key in cols[2:]:
                         out[key].append(0)

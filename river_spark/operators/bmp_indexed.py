@@ -343,7 +343,7 @@ def decode_bmp_indexed_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFr
                     w, h, bpp, comp, idx, pal = decode_bmp_indexed(
                         bytes(payload) if payload else b""
                     )
-                except (ValueError, struct.error):
+                except (ValueError, OverflowError, struct.error):
                     for k, v in (
                         ("ok", False), ("width", 0), ("height", 0), ("bpp", 0),
                         ("compression", 0), ("n_colors", 0), ("idx_sum", 0),

@@ -956,7 +956,7 @@ def decode_flac_stats(df, id_col: str, bin_col: str):
                 out["doc_id"].append(doc_id)
                 try:
                     rate, s = decode_flac(bytes(payload or b""))
-                except (ValueError, IndexError, struct.error):
+                except (ValueError, IndexError, OverflowError, struct.error):
                     for key, v in (("ok", False), ("sample_rate", 0),
                                    ("n_samples", 0), ("sample_sum", 0),
                                    ("abs_sum", 0), ("pos_weighted_sum", 0)):
@@ -1016,7 +1016,7 @@ def decode_flac_stereo_stats(df, id_col: str, bin_col: str):
                     rate, s = decode_flac(bytes(payload or b""))
                     if s.ndim != 2 or s.shape[1] != 2:
                         raise ValueError("expected a stereo stream")
-                except (ValueError, IndexError, struct.error):
+                except (ValueError, IndexError, OverflowError, struct.error):
                     out["ok"].append(False)
                     for key in cols[2:]:
                         out[key].append(0)
@@ -1076,7 +1076,7 @@ def decode_flac_multichannel_stats(df, id_col: str, bin_col: str):
                     rate, s = decode_flac(bytes(payload or b""))
                     if s.ndim != 2 or s.shape[1] < 3:
                         raise ValueError("expected a multichannel stream")
-                except (ValueError, IndexError, struct.error):
+                except (ValueError, IndexError, OverflowError, struct.error):
                     out["ok"].append(False)
                     for key in cols[2:]:
                         out[key].append(0)

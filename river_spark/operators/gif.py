@@ -397,7 +397,7 @@ def decode_gif_anim_frame_stats(df: DataFrame, id_col: str, bin_col: str) -> Dat
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
                     anim = decode_gif_anim(bytes(payload) if payload else b"")
-                except (ValueError, IndexError, struct.error):
+                except (ValueError, IndexError, OverflowError, struct.error):
                     for k, v in (
                         ("doc_id", doc_id), ("ok", False), ("n_frames", 0),
                         ("frame", 0), ("left", 0), ("top", 0), ("width", 0),

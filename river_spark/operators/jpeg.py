@@ -1346,7 +1346,7 @@ def decode_jpeg_rgb_stats(df, id_col: str, bin_col: str):
                         r, g, b = ycbcr_to_rgb_int(y_p, cb_p, cr_p)
                     else:
                         r = g = b = planes[0]
-                except (ValueError, IndexError, StopIteration):
+                except (ValueError, IndexError, OverflowError, StopIteration):
                     for k, v in (("ok", False), ("width", 0), ("height", 0),
                                  ("r_sum", 0), ("g_sum", 0), ("b_sum", 0),
                                  ("y_sum", 0)):

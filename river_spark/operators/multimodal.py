@@ -162,7 +162,7 @@ def decode_image_features(
                     sizes.append(len(buf))
                     try:
                         px = decode_image_any(buf)
-                    except (ValueError, IndexError, struct.error):
+                    except (ValueError, IndexError, OverflowError, struct.error):
                         widths.append(0)
                         heights.append(0)
                         feats.append([0.0] * _FEATURE_DIM)

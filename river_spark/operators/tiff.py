@@ -630,7 +630,7 @@ def decode_tiff_pixel_stats(df, id_col: str, bin_col: str):
                     w, h, px = decode_tiff(bytes(payload or b""))
                     if px.ndim != 2:
                         raise ValueError("stats path expects grayscale")
-                except (ValueError, IndexError, struct.error):
+                except (ValueError, IndexError, OverflowError, struct.error):
                     for k, v in (("ok", False), ("width", 0), ("height", 0),
                                  ("n_pixels", 0), ("pix_sum", 0),
                                  ("pos_weighted_sum", 0), ("n_bright", 0)):
@@ -685,7 +685,7 @@ def decode_tiff_rgb_stats(df, id_col: str, bin_col: str):
                     w, h, px = decode_tiff(bytes(payload or b""))
                     if px.ndim != 3:
                         raise ValueError("stats path expects RGB")
-                except (ValueError, IndexError, struct.error):
+                except (ValueError, IndexError, OverflowError, struct.error):
                     out["ok"].append(False)
                     for k in cols[2:]:
                         out[k].append(0)

@@ -263,7 +263,7 @@ def decode_wav_ext_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
                     rate, nch, bits, tag, ext, s = decode_wav_ext(
                         bytes(payload) if payload else b""
                     )
-                except (ValueError, struct.error):
+                except (ValueError, OverflowError, struct.error):
                     for k, v in (
                         ("ok", False), ("sample_rate", 0), ("n_channels", 0),
                         ("bits", 0), ("fmt_tag", 0), ("extensible", False),
