@@ -136,9 +136,17 @@ class StreamSchema:
         except (KeyError, TypeError):
             raise SchemaError(f"missing field_definitions in {s!r}")
         fields = []
-        for fd in raw:
-            ftype = FieldType(fd["type"])
-            fields.append(FieldDefinition(name=fd["name"], type=ftype, size=int(fd["size"])))
+        try:
+            for fd in raw:
+                ftype = FieldType(fd["type"])
+                fields.append(
+                    FieldDefinition(name=fd["name"], type=ftype, size=int(fd["size"]))
+                )
+        except (KeyError, TypeError, ValueError) as exc:
+            # metadata arrives over the wire (a foreign or corrupted
+            # stream's Redis hash); surface a diagnosable SchemaError,
+            # not a bare KeyError from a malformed entry
+            raise SchemaError(f"malformed field definition in {s!r}: {exc}") from exc
         return cls(fields)
 
     # -- NumPy structured dtype round trip (python/river.pyx:162-226) -------

@@ -230,8 +230,13 @@ class Compressor:
     def from_params_json(cls, s: str | None) -> "Compressor":
         if not s:
             return cls(CompressionMode.UNCOMPRESSED)
-        obj = json.loads(s)
-        if "name" in obj:  # reference wire form
-            return cls(CompressionMode(obj["name"]), dict(obj.get("params") or {}))
-        mode = CompressionMode(obj.pop("mode"))  # legacy flat form
-        return cls(mode, obj)
+        try:
+            obj = json.loads(s)
+            if "name" in obj:  # reference wire form
+                return cls(CompressionMode(obj["name"]), dict(obj.get("params") or {}))
+            mode = CompressionMode(obj.pop("mode"))  # legacy flat form
+            return cls(mode, obj)
+        except (KeyError, TypeError, AttributeError, json.JSONDecodeError) as exc:
+            # wire metadata (possibly a foreign writer's hash): raise a
+            # diagnosable error, not a bare KeyError/TypeError
+            raise ValueError(f"malformed compression params {s!r}: {exc}") from exc
