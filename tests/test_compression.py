@@ -189,3 +189,20 @@ def test_int16_promote_demote_roundtrip_all_values():
     # demotion clamps out-of-range int32s like the reference
     hot = np.array([np.iinfo(np.int32).max, np.iinfo(np.int32).min], dtype=np.int32)
     assert demote_int16(hot).tolist() == [0x7FFF, -0x8000]
+
+
+def test_from_params_json_malformed_raises_value_error():
+    """Same wire-metadata contract as StreamSchema.from_json: malformed
+    compression params raise ValueError with the payload quoted, never
+    a bare KeyError/TypeError (round-15 transport robustness audit)."""
+    import pytest
+
+    from river_spark.transport.compression import Compressor
+
+    for bad in ("{}", "[]", "1", "null", '{"name": 5}', '{"mode": 99}',
+                '{"name": "zlib", "params": 3}', "not json"):
+        with pytest.raises(ValueError):
+            Compressor.from_params_json(bad)
+    # the empty/None fast path still yields the uncompressed identity
+    c = Compressor.from_params_json(None)
+    assert c.decompress(b"abc") == b"abc"

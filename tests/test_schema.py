@@ -145,3 +145,24 @@ def test_stream_name_rejects_path_separators():
         with pytest.raises(SchemaError, match="path separators|1\\.\\."):
             validate_stream_name(bad)
     validate_stream_name("fine-name_2")  # hyphens/underscores stay legal
+
+
+def test_from_json_malformed_raises_schema_error():
+    """Wire metadata (a foreign or corrupted writer's Redis hash) must
+    fail as a diagnosable SchemaError, never a bare KeyError/TypeError
+    (round-15 transport robustness audit)."""
+    import pytest
+
+    from river_spark.schema import SchemaError, StreamSchema
+
+    for bad in (
+        "{}",
+        "[]",
+        "null",
+        '{"field_definitions": 3}',
+        '{"field_definitions": [{"name": 1}]}',
+        '{"field_definitions": [{"name": "x", "type": "NOPE", "size": 8}]}',
+        '{"field_definitions": [{"name": "x", "type": "DOUBLE"}]}',
+    ):
+        with pytest.raises(SchemaError):
+            StreamSchema.from_json(bad)
