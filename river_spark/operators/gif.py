@@ -440,3 +440,76 @@ def decode_gif_anim_frame_stats(df: DataFrame, id_col: str, bin_col: str) -> Dat
             yield pd.DataFrame(out)
 
     return src.mapInPandas(run, schema=_GIF_ANIM_SCHEMA)
+
+
+_GIF_FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("r_sum", T.LongType()),
+        T.StructField("g_sum", T.LongType()),
+        T.StructField("b_sum", T.LongType()),
+        T.StructField("pos_weighted_sum", T.LongType()),
+    ]
+)
+
+
+def sample_gif_anim_frames(
+    df: DataFrame, id_col: str, bin_col: str, every_k: int = 2
+) -> DataFrame:
+    """REAL animation frame sampling: decode a GIF89a payload and emit
+    one row per k-th RENDERED frame (the composited canvas a viewer
+    shows — after sub-rect placement, transparency holes, and the
+    previous frames' disposal), with exact RGB sums and the
+    position-weighted canvas checksum. The AVI sampler
+    (operators/avi.decode_avi_frame_stats) can SKIP undecoded frames
+    because RIFF chunks are independent; GIF frames depend on every
+    prior frame through disposal/transparency, so all frames up to the
+    last sampled one must decode — the sampling saves the STATS work
+    and the emitted volume, not the sequential decode (documented
+    scale contract). Malformed payloads become ok=False rows."""
+    if every_k < 1:
+        raise ValueError("every_k must be >= 1")
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(bin_col).alias("payload"))
+    cols = [f.name for f in _GIF_FRAME_SAMPLE_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    anim = decode_gif_anim(bytes(payload) if payload else b"")
+                    rendered = composite_gif_anim(anim, all_frames=True)
+                except (ValueError, IndexError, OverflowError, struct.error):
+                    for k, v in (
+                        ("doc_id", doc_id), ("ok", False), ("n_frames", 0),
+                        ("frame", 0), ("width", 0), ("height", 0),
+                        ("r_sum", 0), ("g_sum", 0), ("b_sum", 0),
+                        ("pos_weighted_sum", 0),
+                    ):
+                        out[k].append(v)
+                    continue
+                n = len(rendered)
+                for fi in range(0, n, every_k):
+                    canvas = rendered[fi]
+                    flat = canvas.reshape(-1).astype(np.int64)
+                    p = np.arange(flat.size, dtype=np.int64)
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["n_frames"].append(n)
+                    out["frame"].append(fi)
+                    out["height"].append(int(canvas.shape[0]))
+                    out["width"].append(int(canvas.shape[1]))
+                    out["r_sum"].append(int(canvas[:, :, 0].astype(np.int64).sum()))
+                    out["g_sum"].append(int(canvas[:, :, 1].astype(np.int64).sum()))
+                    out["b_sum"].append(int(canvas[:, :, 2].astype(np.int64).sum()))
+                    out["pos_weighted_sum"].append(
+                        int(((p % 997 + 1) * flat).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema=_GIF_FRAME_SAMPLE_SCHEMA)

@@ -239,3 +239,39 @@ def test_encoder_validates_inputs():
         encode_gif_anim(4, 4, gct[:3].copy(), [dict(indices=idx % 3)])
     with pytest.raises(ValueError, match="disposal"):
         encode_gif_anim(4, 4, gct, [dict(indices=idx, disposal=5)])
+
+
+def test_sample_gif_anim_frames_spark(spark):
+    """The Spark sampling surface: every-k rendered canvases with exact
+    sums matching a local composite; malformed rows degrade to
+    ok=False."""
+    from river_spark.operators.gif import sample_gif_anim_frames
+
+    rng = np.random.default_rng(17)
+    gct = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    frames = [
+        dict(left=1, top=2, indices=rng.integers(0, 256, (5, 6)).astype(np.uint8),
+             disposal=2, delay=3),
+        dict(indices=rng.integers(0, 16, (4, 4)).astype(np.uint8),
+             local_palette=gct[:16].copy(), transparent=1, interlace=True),
+        dict(left=3, indices=rng.integers(0, 256, (6, 7)).astype(np.uint8)),
+    ]
+    payload = encode_gif_anim(12, 9, gct, frames, bg_index=5)
+    rendered = composite_gif_anim(decode_gif_anim(payload), all_frames=True)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"not a gif"))],
+        "doc_id long, payload binary",
+    )
+    rows = sample_gif_anim_frames(df, "doc_id", "payload", every_k=2).collect()
+    good = sorted((r for r in rows if r.doc_id == 1), key=lambda r: r.frame)
+    assert [r.frame for r in good] == [0, 2]
+    for r in good:
+        canvas = rendered[r.frame]
+        assert (r.width, r.height) == (12, 9) and r.n_frames == 3
+        assert r.r_sum == int(canvas[:, :, 0].astype(np.int64).sum())
+        flat = canvas.reshape(-1).astype(np.int64)
+        p = np.arange(flat.size, dtype=np.int64)
+        assert r.pos_weighted_sum == int(((p % 997 + 1) * flat).sum())
+    bad = [r for r in rows if r.doc_id == 2]
+    assert len(bad) == 1 and not bad[0].ok
