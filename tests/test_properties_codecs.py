@@ -302,8 +302,9 @@ def _mutations(data: bytes, rng, n=200):
                                    "wav_ext", "bmp_rle8", "bmp_rle4",
                                    "bmp_1bit", "ms_adpcm", "jpeg_prog420",
                                    "tiff_deflate16", "tiff_palette",
-                                   "image_any", "audio_any"])
+                                   "image_any", "audio_any", "apng"])
 def test_corruption_never_escapes_the_catch_set(codec):
+    from river_spark.operators.apng import decode_apng, encode_apng
     from river_spark.operators.avi import decode_avi, encode_avi
     from river_spark.operators.bmp_indexed import (
         decode_bmp_indexed, encode_bmp_indexed)
@@ -410,6 +411,13 @@ def test_corruption_never_escapes_the_catch_set(codec):
             decode_tiff,
         ),
         "image_any": (encode_png(23, 17, img), decode_image_any),
+        "apng": (
+            encode_apng(12, 10,
+                [dict(rgba=np.dstack([idx[:10, :12]] * 4)),
+                 dict(rgba=np.dstack([idx[:4, :5]] * 4), x=2, y=3,
+                      blend=1, dispose=2)]),
+            decode_apng,
+        ),
         "audio_any": (
             encode_wav_ext(8000, 1, (i % 256).astype(np.uint8), fmt=6,
                            bits=8),
