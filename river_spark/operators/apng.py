@@ -279,3 +279,74 @@ def composite_apng(anim: dict, all_frames: bool = False):
         elif dispose == 2:
             canvas = prev
     return rendered if all_frames else canvas
+
+
+def sample_apng_frames(df, id_col: str, bin_col: str, every_k: int = 2):
+    """REAL APNG frame sampling (the GIF sampler's twin,
+    operators/gif.sample_gif_anim_frames): one row per k-th RENDERED
+    RGBA canvas with exact channel sums and the position-weighted
+    checksum. Same scale contract as GIF: dispose/blend make frames
+    depend on all prior frames, so sampling saves the stats work and
+    emitted volume, not the sequential decode. Malformed payloads
+    become ok=False rows."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if every_k < 1:
+        raise ValueError("every_k must be >= 1")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ok", T.BooleanType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("frame", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("r_sum", T.LongType()),
+            T.StructField("g_sum", T.LongType()),
+            T.StructField("b_sum", T.LongType()),
+            T.StructField("a_sum", T.LongType()),
+            T.StructField("pos_weighted_sum", T.LongType()),
+        ]
+    )
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(bin_col).alias("payload"))
+    cols = [f.name for f in schema.fields]
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    anim = decode_apng(bytes(payload) if payload else b"")
+                    rendered = composite_apng(anim, all_frames=True)
+                except (ValueError, IndexError, OverflowError, struct.error):
+                    for k, v in (
+                        ("doc_id", doc_id), ("ok", False), ("n_frames", 0),
+                        ("frame", 0), ("width", 0), ("height", 0),
+                        ("r_sum", 0), ("g_sum", 0), ("b_sum", 0),
+                        ("a_sum", 0), ("pos_weighted_sum", 0),
+                    ):
+                        out[k].append(v)
+                    continue
+                n = len(rendered)
+                for fi in range(0, n, every_k):
+                    canvas = rendered[fi]
+                    flat = canvas.reshape(-1).astype(np.int64)
+                    p = np.arange(flat.size, dtype=np.int64)
+                    out["doc_id"].append(doc_id)
+                    out["ok"].append(True)
+                    out["n_frames"].append(n)
+                    out["frame"].append(fi)
+                    out["height"].append(int(canvas.shape[0]))
+                    out["width"].append(int(canvas.shape[1]))
+                    for ci, key in enumerate(("r_sum", "g_sum", "b_sum", "a_sum")):
+                        out[key].append(
+                            int(canvas[:, :, ci].astype(np.int64).sum())
+                        )
+                    out["pos_weighted_sum"].append(
+                        int(((p % 997 + 1) * flat).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema=schema)

@@ -164,3 +164,35 @@ def test_reject_paths():
         encode_apng(8, 6, [dict(rgba=f0), dict(rgba=f1, x=7, y=1)])
     with pytest.raises(ValueError, match="dispose/blend"):
         encode_apng(8, 6, [dict(rgba=f0, dispose=5)])
+
+
+def test_sample_apng_frames_spark(spark):
+    """The Spark sampling surface: every-k rendered canvases with exact
+    sums matching a local composite; malformed rows degrade."""
+    from river_spark.operators.apng import sample_apng_frames
+
+    rng = np.random.default_rng(23)
+    f0 = rng.integers(0, 256, (8, 10, 4)).astype(np.uint8)
+    f1 = rng.integers(0, 256, (3, 4, 4)).astype(np.uint8)
+    f2 = rng.integers(0, 256, (5, 6, 4)).astype(np.uint8)
+    payload = encode_apng(10, 8, [
+        dict(rgba=f0, dispose=1),
+        dict(rgba=f1, x=2, y=2, blend=1, dispose=2),
+        dict(rgba=f2, x=4, y=3),
+    ])
+    rendered = composite_apng(decode_apng(payload), all_frames=True)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"junk"))],
+        "doc_id long, payload binary",
+    )
+    rows = sample_apng_frames(df, "doc_id", "payload", every_k=2).collect()
+    good = sorted((r for r in rows if r.doc_id == 1), key=lambda r: r.frame)
+    assert [r.frame for r in good] == [0, 2]
+    for r in good:
+        canvas = rendered[r.frame]
+        assert (r.width, r.height) == (10, 8) and r.n_frames == 3
+        assert r.a_sum == int(canvas[:, :, 3].astype(np.int64).sum())
+        flat = canvas.reshape(-1).astype(np.int64)
+        p = np.arange(flat.size, dtype=np.int64)
+        assert r.pos_weighted_sum == int(((p % 997 + 1) * flat).sum())
+    assert not [r for r in rows if r.doc_id == 2][0].ok
