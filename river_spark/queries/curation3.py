@@ -190,10 +190,23 @@ def cross_corpus_contamination(
 
     c_banded = banded(corpus, id_col, "doc_id")
     b_banded = banded(bench, bench_id_col, "bench_id")
+    # Persist the two corpus-derived intermediates that have multiple
+    # consumers (r15 plan audit: without these the FULL corpus shingle +
+    # 64-min-hash + bucket-join pipeline re-executed once per consumer —
+    # cand_docs is read by both verify branches and c_sh by c_cnt AND
+    # inter, so the corpus was scanned/sig'd 3x per run). cand_docs is
+    # ids-only (8 B/candidate) and c_sh is the CANDIDATE docs' shingles —
+    # both orders of magnitude below corpus size at any scale, the
+    # "decide on small rows" materialization of the decision/placement
+    # split. Measured at local[8] (the contended-core regime where
+    # recompute can't hide on idle cores): 2.62-2.84 s -> 2.28-2.43 s at
+    # sf0.1. The bench-side tables stay unpersisted: they are
+    # benchmark-sized and their persist barrier measured net-negative.
     cand_docs = (
         c_banded.join(bc(b_banded), ["band", "bucket"])
         .select("doc_id")
         .distinct()
+        .persist()
     )
     # exact verify over candidate corpus docs x full benchmark
     c_sh = shingles(
@@ -204,7 +217,7 @@ def cross_corpus_contamination(
         text_col,
         n,
         hashed=True,
-    )
+    ).persist()
     b_sh = shingles(bench, bench_id_col, text_col, n, hashed=True).select(
         F.col("doc_id").alias("bench_id"), "shingle"
     )

@@ -189,7 +189,19 @@ def dedup_minhash_lsh(spark, sf_dir):
     # distinct=False: the only consumer here (min-hash mins) is
     # duplicate-insensitive, so the shingle-dedup shuffle is pure waste.
     sh = shingles(docs, "doc_id", "text", 3, hashed=True, distinct=False)
-    sigs = minhash_signatures(sh, 64)
+    # The signature table has THREE consumers (banding + the est-join's
+    # two sides) and the two-phase bucket cap adds a fourth read of the
+    # banded stream; without a persist Catalyst re-executes the whole
+    # shingle-explode + 64-min-hash aggregation for each one (r15 plan
+    # audit: 4 parquet scans of documents feeding 4 identical HashAgg
+    # pipelines). Materializing the signature table once is the
+    # "fingerprints only" pass of the decision/placement split: at any
+    # scale sigs is ~520 B/doc — orders of magnitude smaller than the
+    # corpus it summarizes — and MEMORY_AND_DISK (persist default)
+    # spills instead of evicting at 100 TB. Measured 4.4-4.8 s -> 3.3-3.6
+    # s at sf0.1 (min-of-6, same session); bench clearCache() between
+    # runs keeps every run computing from parquet.
+    sigs = minhash_signatures(sh, 64).persist()
     cand = lsh_candidate_pairs(sigs, bands=16, sig_len=64)
     surv = estimate_filtered_candidates(sigs, cand, margin_est=0.65)
     cand_ids = surv.select(

@@ -46,9 +46,14 @@ def emb_knn_cosine(spark, sf_dir):
     row is broadcast; the scan is embarrassingly parallel; top-k is
     TakeOrderedAndProject (no full sort)."""
     emb = tbl(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    # query-side norm factored into the (1-row, broadcast) projection so
+    # the per-corpus-row cosine folds the query vector once, not three
+    # times (bit-identical value — same ops, same order)
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), _norm(F.col("embedding")).alias("qn")
+    )
     cos = _dot(F.col("embedding"), F.col("qe")) / (
-        _norm(F.col("embedding")) * _norm(F.col("qe"))
+        _norm(F.col("embedding")) * F.col("qn")
     )
     return (
         emb.filter(F.col("vec_id") != 0)

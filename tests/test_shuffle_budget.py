@@ -56,7 +56,10 @@ BUDGETS = {
     "ev_rollup_cascade": 6,
     "mb_copurchase_pairs": 7,
     "agg_bitmap_audience": 10,
-    "dedup_minhash_lsh": 11,
+    # -3 in round 15: the signature table is persisted (one sig build
+    # feeds banding + both estimate-join sides), so three duplicate
+    # sig-aggregation exchanges left the plan
+    "dedup_minhash_lsh": 8,
     # +2 in round 11: pipeline_domain_cap (a stage input) ported its
     # per-source rank to stitched_row_number
     "pipeline_curation_v2": 13,
@@ -64,7 +67,10 @@ BUDGETS = {
     # the corpus union (organic + planted docs) used to donate its
     # partitioning to the shingle/verify stages; the donated plan is
     # exactly the shape that crashes Spark 4.1's SMJ zip at scale.
-    "decontam_minhash_bench": 20,
+    # -7 in round 15: cand_docs and the candidate shingle table are
+    # persisted (each had 2-3 consumers re-executing the full corpus
+    # sig/shingle pipeline), so the duplicate exchanges left the plan
+    "decontam_minhash_bench": 13,
     # session-3 additions
     "geo_grid_proximity": 0,        # cell-key broadcast join, zero shuffles
     "pipeline_url_canonical_dedup": 2,
@@ -200,11 +206,29 @@ RUNTIME_BUDGETS = {
 }
 
 
+_EXCHANGE_ID = re.compile(r"Exchange (?:hash|range|Single)\S*.*?\[plan_id=(\d+)\]")
+
+
+def _distinct_shuffles(plan: str) -> int:
+    """Count DISTINCT shuffle exchanges by plan_id, falling back to raw
+    line count when ids are absent. Rationale (r15): queries that
+    persist a multi-consumer decision table (dedup_minhash_lsh's
+    signature table, decontam's candidate set) print the CACHED subtree
+    once per InMemoryTableScan reference, so the same exchange line
+    appears 3-4x in toString() while executing exactly once — a raw
+    line count would report the compute-once rewrite as a shuffle
+    REGRESSION. Distinct plan_ids count planned shuffles, which is the
+    quantity the budget models."""
+    ids = _EXCHANGE_ID.findall(plan)
+    raw = len(_SHUFFLE.findall(plan))
+    return len(set(ids)) if len(ids) == raw else raw
+
+
 @pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_shuffle_budget(spark, name):
     df = QUERIES[name].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    n = len(_SHUFFLE.findall(plan))
+    n = _distinct_shuffles(plan)
     assert n <= BUDGETS[name], (
         f"{name}: {n} shuffle exchanges > budget {BUDGETS[name]} — a "
         f"rewrite added a shuffle; either restore the sharing or justify "
