@@ -17,6 +17,19 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _dot(a, b):
+    """Dot product of two array columns. Accepts column NAMES (strings) —
+    then built as one F.expr SQL string (a single py4j round-trip; the
+    Column-API zip_with/aggregate lambda pair costs ~10 JVM round-trips
+    of driver plan-build time per call site, r15 build audit) — or
+    Column objects for expression composition. Both forms parse to the
+    identical fold (same casts, same 0.0 seed, same left fold), so
+    values are bit-equal."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, "
+            f"(x, y) -> cast(x as double) * cast(y as double)), "
+            f"cast(0.0 as double), (acc, x) -> acc + x)"
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -44,14 +57,14 @@ def brute_force_topk(
     q = query.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        _norm(F.col(vec_col)).alias("qn"),
+        _norm(vec_col).alias("qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("doc_id"),
         F.col(vec_col).alias("cv"),
-        _norm(F.col(vec_col)).alias("cn"),
+        _norm(vec_col).alias("cn"),
     )
-    cos = _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn"))
+    cos = _dot("cv", "qv") / (F.col("cn") * F.col("qn"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("doc_id") != F.col("query_id"))
@@ -86,26 +99,31 @@ def lsh_signature(vec_col: str, n_planes: int = 12, weights=None):
         # silently zero every plane bit (collapsing LSH to one bucket).
         # raise_error turns that silent degradation into a job failure,
         # matching the DuckDB oracle side, which errors on the mismatch.
-        guard = F.when(
-            F.size(F.col(vec_col)) != F.lit(dim),
-            F.raise_error(
-                F.concat(
-                    F.lit(f"lsh_signature: vector dim != weight dim {dim} (got "),
-                    F.size(F.col(vec_col)).cast("string"),
-                    F.lit(")"),
-                )
-            ).cast("int"),
-        ).otherwise(F.lit(0))
-        sig = guard
+        #
+        # The whole signature is ONE F.expr SQL string rather than a
+        # Python-composed chain of n_planes x dim literal Columns: the
+        # per-literal Column API paid one py4j round-trip per node
+        # (measured 0.7-0.9 s of pure DRIVER plan-build time per
+        # signature at 8 planes x 64 dims — most of emb_ann_recall's
+        # wall), while one SQL string parses JVM-side in milliseconds.
+        # The parsed expression tree is value-identical: same zip_with /
+        # aggregate fold, same double literals, same left-associated
+        # integer sum, so buckets (and the oracle replay) are unchanged.
+        guard = (
+            f"CASE WHEN size({vec_col}) != {dim} THEN "
+            f"cast(raise_error(concat("
+            f"'lsh_signature: vector dim != weight dim {dim} (got ', "
+            f"cast(size({vec_col}) as string), ')')) as int) ELSE 0 END"
+        )
+        terms = []
         for p, row in enumerate(weights):
-            w = F.array(*[F.lit(float(x)) for x in row])
-            dot = F.aggregate(
-                F.zip_with(F.col(vec_col), w, lambda v, wv: v.cast("double") * wv),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+            arr = ", ".join(f"{float(x)!r}D" for x in row)
+            terms.append(
+                f"IF(aggregate(zip_with({vec_col}, array({arr}), "
+                f"(v, wv) -> cast(v as double) * wv), cast(0.0 as double), "
+                f"(acc, x) -> acc + x) > 0.0D, {1 << p}, 0)"
             )
-            sig = sig + F.when(dot > 0.0, F.lit(1 << p)).otherwise(F.lit(0))
-        return sig
+        return F.expr(guard + " + " + " + ".join(terms))
     return F.expr(
         f"""
         aggregate(
@@ -160,27 +178,31 @@ def lsh_topk(
         F.col(id_col).alias("doc_id"),
         F.col(vec_col).alias("cv"),
         lsh_signature(vec_col, n_planes, weights).alias("bucket"),
-        _norm(F.col(vec_col)).alias("cn"),
+        _norm(vec_col).alias("cn"),
     )
     q = query.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         lsh_signature(vec_col, n_planes, weights).alias("qsig"),
-        _norm(F.col(vec_col)).alias("qn"),
+        _norm(vec_col).alias("qn"),
     )
     # probe set: all bucket ids within hamming distance (0..probe_hamming),
     # generated generically — a hardcoded h<=2 expansion would silently
-    # cap larger probe_hamming values and degrade recall with no signal
+    # cap larger probe_hamming values and degrade recall with no signal.
+    # Emitted as ONE SQL expression over the literal mask array rather
+    # than one Column-API xor per mask (up to 79 masks at 12 planes — a
+    # py4j round-trip each of driver build time; qsig ^ 0 ≡ qsig keeps
+    # the identity probe). Same int xor, same bucket values.
     from itertools import combinations
 
-    flips = [F.col("qsig")]
+    masks = [0]
     for h in range(1, probe_hamming + 1):
-        flips += [
-            F.col("qsig").bitwiseXOR(F.lit(sum(1 << i for i in bits)))
-            for bits in combinations(range(n_planes), h)
-        ]
-    probes = q.select("query_id", "qv", "qn", F.explode(F.array(*flips)).alias("bucket"))
-    cos = _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn"))
+        masks += [sum(1 << i for i in bits) for bits in combinations(range(n_planes), h)]
+    probe_expr = F.expr(
+        f"explode(transform(array({', '.join(str(m) for m in masks)}), m -> qsig ^ m))"
+    )
+    probes = q.select("query_id", "qv", "qn", probe_expr.alias("bucket"))
+    cos = _dot("cv", "qv") / (F.col("cn") * F.col("qn"))
     scored = (
         c.join(F.broadcast(probes), "bucket")
         .filter(F.col("doc_id") != F.col("query_id"))
@@ -222,7 +244,7 @@ def ivf_topk(
     # per-row norm factored out of the per-pair cosine (see
     # brute_force_topk — bit-identical)
     indexed = model.transform(c).select(
-        "doc_id", "cv", "cell", _norm(F.col("cv")).alias("cn")
+        "doc_id", "cv", "cell", _norm("cv").alias("cn")
     )
 
     # broadcastable centroid table for query routing
@@ -234,13 +256,15 @@ def ivf_topk(
     q = query.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        _norm(F.col(vec_col)).alias("qn"),
+        _norm(vec_col).alias("qn"),
     )
     # rank cells per query by centroid distance, keep n_probes
-    dist2 = F.aggregate(
-        F.zip_with("qv", "centroid", lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # one-expr form of the old Column-API zip_with/aggregate (identical
+    # fold, see _dot) — saves the per-lambda py4j build cost
+    dist2 = F.expr(
+        "aggregate(zip_with(qv, centroid, "
+        "(a, b) -> (cast(a as double) - b) * (cast(a as double) - b)), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
     )
     wq = Window.partitionBy("query_id").orderBy("d2", "cell")
     probes = (
@@ -250,7 +274,7 @@ def ivf_topk(
         .filter(F.col("rn") <= n_probes)
         .select("query_id", "qv", "qn", "cell")
     )
-    cos = _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn"))
+    cos = _dot("cv", "qv") / (F.col("cn") * F.col("qn"))
     scored = (
         indexed.join(F.broadcast(probes), "cell")
         .filter(F.col("doc_id") != F.col("query_id"))

@@ -35,9 +35,29 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanosAsLong → INT64 epoch-nanos) and timestamp[us] (read natively as
     TIMESTAMP_NTZ). Ensure nanosAsLong once per session — a no-op for the
     micros layout — then let callers dtype-dispatch via :func:`event_ts` /
-    :func:`events_tbl`."""
+    :func:`events_tbl`.
+
+    The returned DataFrame (an UNEXECUTED read plan — no rows, no
+    results) is memoized per (session, path): ``spark.read.parquet``
+    re-reads the footer and re-lists the file on EVERY call (~100 ms
+    measured), and a multi-table query pays that per table per build —
+    r15 measured q5_nation_volume spending 0.56 s of its 0.89 s wall
+    constructing the plan, 6 footer reads included. DataFrames are
+    immutable, so sharing the relation is safe; data is still read from
+    parquet on every execution. The cache dies with the session object
+    (keyed on it), and is keyed by absolute path so different SF dirs
+    never collide."""
     _ensure_nanos_conf(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    cache = getattr(spark, "_river_tbl_cache", None)
+    if cache is None:
+        cache = {}
+        spark._river_tbl_cache = cache
+    df = cache.get(path)
+    if df is None:
+        df = spark.read.parquet(path)
+        cache[path] = df
+    return df
 
 
 def event_ts(df: DataFrame, col: str = "ts") -> Column:
