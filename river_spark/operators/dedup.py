@@ -183,16 +183,30 @@ def _band_buckets(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 16, max_bucket: int = 1000, sig_len: int | None = None
+    sigs: DataFrame,
+    bands: int = 16,
+    max_bucket: int = 1000,
+    sig_len: int | None = None,
+    distinct_pairs: bool = True,
 ) -> DataFrame:
-    """Distinct candidate pairs [doc_a, doc_b] sharing any band-bucket.
+    """Candidate pairs [doc_a, doc_b] sharing any band-bucket (distinct
+    by default).
 
     Candidate-only shape: consumers exact-verify afterwards, so the band
     shuffle carries ONLY doc ids — not the 64-long signature array the
     estimate path (minhash_dedup) needs: 8 B/doc/band through the
     exchange instead of ~520 B. Pass ``sig_len`` (the minhash count)
     when known so band hashing runs variadically over the slice elements
-    (see _band_hash_expr)."""
+    (see _band_hash_expr).
+
+    ``distinct_pairs=False`` skips the pair-dedup exchange (one full
+    stage) and emits one row per (pair, shared band). Correct whenever
+    the consumer is duplicate-insensitive — e.g. a downstream left-semi
+    join on the pair's docs, as in ``dedup_minhash_lsh``, where the
+    verify dedupes anyway. The trade at scale: estimate-stage work
+    multiplies by the pair's shared-band count (≤ ``bands``, typically
+    1-3 organically), in exchange for never shuffling the pair stream
+    twice."""
     banded = sigs.select(
         "doc_id",
         F.posexplode(F.expr(_band_hash_expr(bands, sig_len))).alias("band", "bucket"),
@@ -207,7 +221,8 @@ def lsh_candidate_pairs(
             "struct(least(x, y) as doc_a, greatest(x, y) as doc_b))))"
         )
     ).alias("p")
-    return grouped.select(pair_expr).select("p.doc_a", "p.doc_b").distinct()
+    pairs = grouped.select(pair_expr).select("p.doc_a", "p.doc_b")
+    return pairs.distinct() if distinct_pairs else pairs
 
 
 def estimate_filtered_candidates(

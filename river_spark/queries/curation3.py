@@ -202,10 +202,14 @@ def cross_corpus_contamination(
     # recompute can't hide on idle cores): 2.62-2.84 s -> 2.28-2.43 s at
     # sf0.1. The bench-side tables stay unpersisted: they are
     # benchmark-sized and their persist barrier measured net-negative.
+    # no .distinct() on the candidate ids (r15): the left-semi join
+    # below dedupes doc ids itself, so the dedup exchange was a pure
+    # extra stage (measured 2.49 -> 2.15 s at sf0.1, identical output).
+    # Multi-band matches repeat a doc id <= bands times in the cached
+    # set — bounded, ids-only.
     cand_docs = (
         c_banded.join(bc(b_banded), ["band", "bucket"])
         .select("doc_id")
-        .distinct()
         .persist()
     )
     # exact verify over candidate corpus docs x full benchmark

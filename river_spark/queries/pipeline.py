@@ -202,11 +202,15 @@ def dedup_minhash_lsh(spark, sf_dir):
     # s at sf0.1 (min-of-6, same session); bench clearCache() between
     # runs keeps every run computing from parquet.
     sigs = minhash_signatures(sh, 64).persist()
-    cand = lsh_candidate_pairs(sigs, bands=16, sig_len=64)
+    # distinct_pairs=False + no cand_ids distinct (r15): the left-semi
+    # join below dedupes doc ids anyway, so both pair-dedup exchanges
+    # were pure stage cost — two fewer shuffles, identical output
+    # (measured 2.77 -> 2.47 s at sf0.1). Estimate work on a pair
+    # repeats once per shared band (<= 16, organically 1-3) — bounded,
+    # and the O(1)-per-candidate estimate is the cheap stage.
+    cand = lsh_candidate_pairs(sigs, bands=16, sig_len=64, distinct_pairs=False)
     surv = estimate_filtered_candidates(sigs, cand, margin_est=0.65)
-    cand_ids = surv.select(
-        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
-    ).distinct()
+    cand_ids = surv.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
     cand_docs = docs.join(cand_ids, "doc_id", "left_semi")
     return ngram_jaccard_pairs(cand_docs, "doc_id", "text", 3, threshold=0.9)
 
