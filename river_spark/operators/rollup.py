@@ -22,16 +22,45 @@ def time_rollup(
     value_col: str,
     resolutions: list[str] = ("1 minute", "1 hour", "1 day"),
     materialize: bool = False,
+    strategy: str = "cascade",
 ) -> DataFrame:
     """Returns a stacked frame [resolution, bucket_start, *key_cols, n,
-    total, vmin, vmax] where each coarser level is re-aggregated from the
-    finer one, never from raw.
+    total, vmin, vmax].
 
-    ``materialize=True`` persists each level so the N output branches
-    don't recompute finer levels; the caches belong to the returned
-    plan's lifetime — call :func:`unpersist_rollup` (or
+    ``strategy`` picks how the levels are computed — the row SET is
+    identical either way (r15: verified bit-identical on the events
+    table at all three SFs):
+
+    - ``"cascade"`` (default): each coarser level re-aggregated from the
+      next-finer one, never from raw. This is the continuous-aggregate
+      layout — the right shape when levels are MATERIALIZED to their own
+      tables (with ``materialize=True`` or a writer per level), because
+      the coarser levels then aggregate the tiny finer AGGREGATE, not
+      raw rows. Consumed lazily as one stacked plan, however, Catalyst
+      recomputes the finer levels once per union branch: R raw scans and
+      2R-ish exchanges (the r15 plan audit counted 3 scans + 6 exchanges
+      for 3 resolutions; persisting the levels measured slower still —
+      0.54 s -> 1.65 s — because the persist barrier serializes branches
+      the idle cores were absorbing).
+    - ``"grouping_sets"``: all levels in ONE pass — project every bucket
+      column, then a single GROUPING SETS aggregation (Expand x R feeding
+      one partial+final agg, so the plan is 1 scan + 1 exchange at any R).
+      Expand multiplies rows BEFORE the map-side partial agg, which
+      absorbs them, so at 100 TB this trades R full raw scans for one.
+      The right shape whenever the stacked frame is consumed as a single
+      plan — the bench/oracle path. Aggregates each level directly from
+      raw (exactly the one-shot semantics the oracle states).
+
+    ``materialize=True`` persists each cascade level so the N output
+    branches don't recompute finer levels; the caches belong to the
+    returned plan's lifetime — call :func:`unpersist_rollup` (or
     ``spark.catalog.clearCache()``) once the dependent actions finish,
-    or the cached partitions live until session end."""
+    or the cached partitions live until session end. Not meaningful for
+    ``grouping_sets`` (single-pass) and rejected there."""
+    if strategy not in ("cascade", "grouping_sets"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "grouping_sets" and materialize:
+        raise ValueError("materialize only applies to the cascade strategy")
     for r in resolutions:
         if r not in _RESOLUTIONS:
             raise ValueError(f"unsupported resolution {r!r}; choose from {list(_RESOLUTIONS)}")
@@ -52,6 +81,40 @@ def time_rollup(
     def bucket(col, s):
         secs_since = F.timestamp_diff("SECOND", ntz_epoch, col.cast("timestamp_ntz"))
         return F.timestamp_add("SECOND", (F.floor(secs_since / s) * s).cast("long"), ntz_epoch)
+
+    if strategy == "grouping_sets":
+        bcols = [f"_b{s}" for s in secs]
+        pre = df.select(
+            *key_cols,
+            F.col(value_col).alias("_v"),
+            *[bucket(F.col(ts_col), s).alias(b) for s, b in zip(secs, bcols)],
+        )
+        # GROUP BY *key_cols, GROUPING SETS ((_b1), (_b2), ...): every set
+        # carries the keys; grouping(_bi)=0 marks which level a row is.
+        g = pre.groupingSets(
+            [[b, *key_cols] for b in bcols], *bcols, *key_cols
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum("_v").alias("total"),
+            F.min("_v").alias("vmin"),
+            F.max("_v").alias("vmax"),
+            *[F.grouping(b).alias(f"_g{b}") for b in bcols],
+        )
+        resolution = F.lit(by_name[secs[-1]])
+        bucket_start = F.col(bcols[-1])
+        for s, b in zip(secs[-2::-1], bcols[-2::-1]):
+            active = F.col(f"_g{b}") == 0
+            resolution = F.when(active, by_name[s]).otherwise(resolution)
+            bucket_start = F.when(active, F.col(b)).otherwise(bucket_start)
+        return g.select(
+            resolution.alias("resolution"),
+            bucket_start.alias("bucket_start"),
+            *key_cols,
+            "n",
+            "total",
+            "vmin",
+            "vmax",
+        )
 
     persisted: list[DataFrame] = []
     finest = secs[0]

@@ -34,6 +34,43 @@ def test_rollup_rejects_bad_resolution(spark, sf_dir):
     ev = events_tbl(spark, sf_dir).withColumn("tstamp", F.col("ts"))
     with pytest.raises(ValueError):
         time_rollup(ev, "tstamp", [], "value", resolutions=["7 minutes"])
+    with pytest.raises(ValueError):
+        time_rollup(ev, "tstamp", [], "value", strategy="bogus")
+    with pytest.raises(ValueError):
+        time_rollup(ev, "tstamp", [], "value", strategy="grouping_sets", materialize=True)
+
+
+def test_rollup_grouping_sets_matches_cascade(spark, sf_dir):
+    """The r15 single-pass GROUPING SETS strategy must produce the same
+    rows as the cascade strategy, and its plan must collapse to a single
+    shuffle exchange. count/min/max are order-insensitive and compared
+    exactly; the raw double `total` may differ in the last ulp (direct
+    sum vs sum-of-partial-sums — the gsets order is exactly the oracle's
+    one-shot semantics), so it is compared to 1e-9 relative; the DECLARED
+    query rounds to 2 dp and is pinned bit-identical by its oracle test."""
+    from river_spark.queries.tables import events_tbl
+
+    ev = events_tbl(spark, sf_dir).withColumn("tstamp", F.col("ts"))
+    cascade = time_rollup(ev, "tstamp", ["event_type"], "value")
+    gsets = time_rollup(ev, "tstamp", ["event_type"], "value", strategy="grouping_sets")
+
+    def keyed(df):
+        return {
+            (r.resolution, r.bucket_start, r.event_type): (r.n, r.total, r.vmin, r.vmax)
+            for r in df.collect()
+        }
+
+    a, b = keyed(cascade), keyed(gsets)
+    assert set(a) == set(b)
+    for k, (n, total, vmin, vmax) in a.items():
+        n2, total2, vmin2, vmax2 = b[k]
+        assert (n, vmin, vmax) == (n2, vmin2, vmax2), k
+        assert abs(total - total2) <= 1e-9 * max(1.0, abs(total)), k
+    # AQE toString prints Final and Initial sections — count the final one
+    plan = gsets._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 1
+    assert "Expand" in final
 
 
 def test_salted_join_parity_with_hot_key(spark):

@@ -53,7 +53,10 @@ BUDGETS = {
     "dedup_ngram_jaccard": 3,
     "text_ngram_containment": 3,
     "pipeline_incremental_agg": 3,
-    "ev_rollup_cascade": 6,
+    # 6 -> 2 in round 15: the bench query switched to time_rollup's
+    # single-pass GROUPING SETS strategy (1 scan + 1 exchange instead of
+    # one scan/agg chain per resolution); headroom of 1 for AQE reads
+    "ev_rollup_cascade": 2,
     "mb_copurchase_pairs": 7,
     "agg_bitmap_audience": 10,
     # -3 in round 15: the signature table is persisted (one sig build
