@@ -559,7 +559,7 @@ def ev_anomaly_zscore(spark, sf_dir):
 _SPAN_N = 15
 
 
-def span_shared_stats(sh):
+def span_shared_stats(sh, eval_flag=None):
     """Per-doc repeated-span rollup over a hashed span stream
     [doc_id, shingle]: span document-frequency is a window count over the
     span partition (same windowed-guard idiom as ngram_jaccard_pairs —
@@ -567,15 +567,33 @@ def span_shared_stats(sh):
     the per-doc rollup re-aggregates the SAME windowed stream by doc_id.
     Two exchanges total, both over flat long rows. Shared by
     dedup_repeated_spans and pipeline_curation_v2 so the span-df idiom
-    cannot drift between the standalone gate and the composite."""
+    cannot drift between the standalone gate and the composite.
+
+    ``eval_flag`` (optional Column over the input rows — e.g. a doc-id
+    slice predicate marking a held-out eval set): the SAME span-partition
+    window additionally computes whether ANY doc in the span's group is
+    flagged, and the per-doc rollup carries ``eval_shared`` = 1 iff any
+    of the doc's spans appears in a flagged doc. That is the exact-span
+    decontamination verdict fused into the df pass: the span stream is
+    computed and shuffled ONCE for both signals, instead of a separate
+    eval-shingle distinct + shingle-keyed join re-deriving the corpus
+    span stream twice more (r15 rewrite, pipeline_curation_v2)."""
     from pyspark.sql import Window as W
 
-    shw = sh.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
+    w = W.partitionBy("shingle")
+    shw = sh.withColumn("_df", F.count(F.lit(1)).over(w))
+    extra = []
+    if eval_flag is not None:
+        shw = shw.withColumn(
+            "_ev", F.max(eval_flag.cast("int")).over(w)
+        )
+        extra.append(F.max("_ev").alias("eval_shared"))
     shared = F.sum(F.when(F.col("_df") >= 2, 1).otherwise(0))
     return shw.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),
         shared.alias("n_shared"),
         (shared * 1.0 / F.count("*")).alias("shared_frac"),
+        *extra,
     )
 
 

@@ -261,27 +261,30 @@ def pipeline_curation_v2(spark, sf_dir):
         .select("doc_id", "source")
     )
     sh15 = shingles(tbl(spark, sf_dir, "documents"), "doc_id", "text", 15, hashed=True)
+    # r15 fusion: the decontamination verdict rides the span-df window.
+    # The old shape re-derived the corpus span stream twice more (an
+    # eval-shingle distinct + a shingle-keyed contamination join) for a
+    # signal the span-df pass already has in hand: span_shared_stats
+    # partitions the SAME stream by shingle, so "does any eval doc share
+    # this span" is one extra window aggregate over a partition that is
+    # already materialized, and the per-doc verdict is one extra column
+    # on the per-doc rollup. One corpus-scale span stream + one shingle
+    # exchange instead of three, and the anti-join becomes a filter on a
+    # column the spans join already carries. (The %97 eval slice is
+    # corpus-PROPORTIONAL — round-11 measurement: 198 shingle rows at
+    # sf0.01 -> 1,911 at sf0.1 — which is exactly why not re-deriving
+    # and re-shuffling it matters at 100 TB.) Output identical: a
+    # non-eval doc passes iff none of its spans occurs in the eval
+    # slice, the anti-join's membership test verbatim.
     spans = (
-        span_shared_stats(sh15)
-        .select("doc_id", "shared_frac")
+        span_shared_stats(sh15, eval_flag=F.col("doc_id") % 97 == 0)
+        .select("doc_id", "shared_frac", "eval_shared")
         .filter(F.col("shared_frac") <= 0.5)
-    )
-    # No broadcast hint on evs: the eval-slice shingle table is
-    # PROPORTIONAL to the corpus under the %97 rule (round-11 gate
-    # measurement: 198 rows at sf0.01 -> 1,911 at sf0.1, ~9.7x on 10x
-    # data — billions of rows at 100 TB). AQE picks broadcast while it
-    # is actually small and shuffle-joins on `shingle` once it is not.
-    evs = sh15.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
-    cont = (
-        sh15.filter(F.col("doc_id") % 97 != 0)
-        .join(evs, "shingle")
-        .select("doc_id")
-        .distinct()
     )
     return (
         rep.filter(F.col("doc_id") % 97 != 0)
         .join(cap, "doc_id")
         .join(spans, "doc_id")
-        .join(cont, "doc_id", "left_anti")
+        .filter(F.col("eval_shared") == 0)
         .select("doc_id", "source", "n_tokens", "shared_frac")
     )

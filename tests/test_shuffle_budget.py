@@ -65,7 +65,11 @@ BUDGETS = {
     "dedup_minhash_lsh": 8,
     # +2 in round 11: pipeline_domain_cap (a stage input) ported its
     # per-source rank to stitched_row_number
-    "pipeline_curation_v2": 13,
+    # -3 in round 15: the exact-span decontamination verdict is fused
+    # into the span-df window (span_shared_stats eval_flag) — the
+    # eval-shingle distinct, the contamination join's shingle exchange,
+    # and the cont-doc distinct all left the plan
+    "pipeline_curation_v2": 10,
     # +5 in round 10: unionOutputPartitioning disabled (session.py) —
     # the corpus union (organic + planted docs) used to donate its
     # partitioning to the shingle/verify stages; the donated plan is
