@@ -86,6 +86,33 @@ def clickstream_cogroup_fn():
     import numpy as np
 
     def _merge(purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataFrame:
+        # Empty-side guard: when every row of a cogroup shuffle partition
+        # comes from ONE side (e.g. 32 post-shuffle partitions over a small
+        # key space — exactly what AQE's parallelismFirst coalescing keeps
+        # at local[32]), Spark hands the other side as a ZERO-COLUMN pandas
+        # DataFrame, so any column access raises KeyError. A user with
+        # purchases and no clicks must yield n_prior=0 / last=NULL (the
+        # oracle's LEFT JOIN); a user with clicks and no purchases yields
+        # no rows. Guard on .empty, which covers both the zero-column and
+        # the schema-ful empty frame.
+        if purchases.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "n_prior_clicks": pd.Series(dtype="int64"),
+                    "last_click_value": pd.Series(dtype="float64"),
+                }
+            )
+        if clicks.empty:
+            clicks = pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "ts": pd.Series(dtype=purchases["ts"].dtype),
+                    "event_id": pd.Series(dtype="int64"),
+                    "value": pd.Series(dtype="float64"),
+                }
+            )
         c = clicks.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
         p = purchases.reset_index(drop=True)
         cts = c["ts"].to_numpy()

@@ -26,7 +26,7 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
     spark._river_nanos_conf_done = True
 
 
-def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def tbl(spark: SparkSession, sf_dir: str, name: str, fresh: bool = False) -> DataFrame:
     """Read one driver table. Plain ``spark.read.parquet`` so Catalyst sees
     the files directly — filters/projections in the query push down into the
     scan (PushedFilters/ReadSchema in .explain).
@@ -46,9 +46,19 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     immutable, so sharing the relation is safe; data is still read from
     parquet on every execution. The cache dies with the session object
     (keyed on it), and is keyed by absolute path so different SF dirs
-    never collide."""
+    never collide.
+
+    ``fresh=True`` bypasses the memo and returns a NEW read plan with its
+    own attribute IDs (the memo is also left unpopulated). Required when
+    a query feeds the SAME table into both sides of a cogroup: shared
+    attribute IDs across FlatMapCoGroupsInPandas' two children break
+    Catalyst's column pruning under count()-style actions — the right
+    side's pandas frame arrives missing every column whose ID also
+    appears on the left (reproduced in tests/test_udfs.py)."""
     _ensure_nanos_conf(spark)
     path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    if fresh:
+        return spark.read.parquet(path)
     cache = getattr(spark, "_river_tbl_cache", None)
     if cache is None:
         cache = {}
@@ -78,11 +88,12 @@ def event_ts(df: DataFrame, col: str = "ts") -> Column:
     )
 
 
-def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_tbl(spark: SparkSession, sf_dir: str, fresh: bool = False) -> DataFrame:
     """events with ``ts`` normalized to a timestamp type. On current
     testdata this is a passthrough (filters on ts still reach the parquet
-    scan); on legacy nanos data it converts once at the read."""
-    df = tbl(spark, sf_dir, "events")
+    scan); on legacy nanos data it converts once at the read.
+    ``fresh=True``: own-attribute-ID read plan (see :func:`tbl`)."""
+    df = tbl(spark, sf_dir, "events", fresh=fresh)
     return df.withColumn("ts", event_ts(df))
 
 

@@ -100,9 +100,18 @@ def udf_cogroup_clickstream(spark, sf_dir):
 
     ev = events_tbl(spark, sf_dir)
     p = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
-    c = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id", "value"
-    )
+    # fresh=True: the clicks side must NOT share the purchases side's scan
+    # attribute IDs. FlatMapCoGroupsInPandas with duplicate IDs across its
+    # two children breaks Catalyst column pruning under count()-pruned
+    # actions: the right side's pandas frame arrives missing every column
+    # whose ID also binds on the left (only user_id+value survive here) and
+    # the merge crashes with KeyError 'ts'. Collect-style actions (the
+    # oracle harness) don't prune, which is why this only bites count()
+    # consumers. A fresh read plan gives the side its own IDs; one extra
+    # footer read at build time, same data, same scan pushdown.
+    c = events_tbl(spark, sf_dir, fresh=True).filter(
+        F.col("event_type") == "click"
+    ).select("user_id", "ts", "event_id", "value")
     return (
         p.groupBy("user_id")
         .cogroup(c.groupBy("user_id"))
