@@ -80,21 +80,36 @@ def er_fuzzy_match(spark, sf_dir):
     )
     a = p.alias("a")
     b = p.alias("b")
+    # Per-pair cost control (r15): the block join emits ~|block|² pairs
+    # (4.3 M at sf0.1) and the old shape ran a FULL O(|a|·|b|) Levenshtein
+    # DP on every one. Two changes, same survivors, ~9x cheaper pair stage:
+    # (1) a length prefilter — |len(a)-len(b)| <= maxlev is implied by
+    #     lev <= maxlev, costs two ints per pair, and short-circuits the
+    #     DP away for most pairs (codegen evaluates conjuncts in order);
+    # (2) the THRESHOLDED levenshtein(l, r, k) builtin, which walks only
+    #     the 2k+1 diagonal band and bails out early, returning -1 when
+    #     the distance exceeds k — so `>= 0` is exactly `lev <= maxlev`,
+    #     and the returned value IS the true distance for every survivor.
+    lev_t = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), _ER_MAXLEV)
     cand = (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.p_partkey") != F.col("b.p_partkey")),
         )
+        .filter(
+            (
+                F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name")))
+                <= _ER_MAXLEV
+            )
+            & (lev_t >= 0)
+        )
         .select(
             F.col("a.p_partkey").alias("a_key"),
             F.col("b.p_partkey").alias("b_key"),
             F.col("b.p_name").alias("b_name"),
-            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-            .cast("long")
-            .alias("lev"),
+            lev_t.cast("long").alias("lev"),
         )
-        .filter(F.col("lev") <= _ER_MAXLEV)
     )
     wc = Window.partitionBy("a_key")
     wr = Window.partitionBy("a_key").orderBy("lev", "b_key")

@@ -43,6 +43,29 @@ from river_spark.queries.tables import tbl
 #      sample i (interleaved) = ((doc_id*7919 + i*104729) % 65536) - 32768
 
 
+def _spread_ids(docs):
+    """The doc_id stream, spread across the session's full parallelism
+    before the Python codec stage.
+
+    At bench/test SFs every input table is one parquet row group, so the
+    scan is ONE task — and a bare ``repartition("doc_id")`` does not fix
+    that: AQE's partition coalescing sizes post-shuffle partitions by
+    SHUFFLED BYTES (a few KB of longs here), is blind to the seconds-per-
+    row Python codec work downstream, and merges the exchange right back
+    to one partition (r15 measurement: mm_flac_lpc ran 61 s in a single
+    task at sf0.1 with 31 cores idle). An EXPLICIT partition count opts
+    the exchange out of AQE coalescing; deriving it from
+    ``defaultParallelism`` keeps it scale-adaptive (local[4] tests get 4,
+    a cluster gets its core count) instead of a constant tuned to one
+    box. The exchange itself moves only the 8-byte id column — the
+    payloads are synthesized AFTER it and never shuffle (the in-code
+    justification the FLAC-partitioned/tiled-TIFF/multichannel queries
+    already carried), and the heavy decode inherits the spread because
+    mapInPandas preserves partitioning."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select("doc_id").repartition(n, "doc_id")
+
+
 def _bmp_payloads(docs):
     """doc_id -> synthesized BMP payload, one mapInPandas pass."""
     from river_spark.operators.multimodal import encode_bmp
@@ -66,7 +89,7 @@ def _bmp_payloads(docs):
                 payloads.append(encode_bmp(w, h, px))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    return _spread_ids(docs).mapInPandas(gen, schema=schema)
 
 
 @q(
@@ -188,7 +211,7 @@ def mm_wav_decode_stats(spark, sf_dir):
                 payloads.append(encode_wav(rate, ch, v.astype(np.int16)))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    payloads = docs.select("doc_id").mapInPandas(gen, schema=schema)
+    payloads = _spread_ids(docs).mapInPandas(gen, schema=schema)
     stats = decode_wav_stats(payloads, "doc_id", "payload")
     return stats.filter(F.col("ok")).select(
         "doc_id", "sample_rate", "n_channels", "n_samples",
@@ -221,7 +244,7 @@ def _png_payloads(docs):
                 payloads.append(encode_png(w, h, px))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    return _spread_ids(docs).mapInPandas(gen, schema=schema)
 
 
 @q(
@@ -307,7 +330,7 @@ def _qoi_payloads(docs):
                 payloads.append(encode_qoi(w, h, img))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    return _spread_ids(docs).mapInPandas(gen, schema=schema)
 
 
 @q(
@@ -424,7 +447,7 @@ def mm_mulaw_decode_stats(spark, sf_dir):
                 payloads.append(encode_wav_mulaw(8000, 1, raw))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    payloads = docs.select("doc_id").mapInPandas(gen, schema=schema)
+    payloads = _spread_ids(docs).mapInPandas(gen, schema=schema)
     stats = decode_mulaw_stats(payloads, "doc_id", "payload")
     return stats.filter(F.col("ok")).select(
         "doc_id", "sample_rate", "n_channels", "n_samples",
@@ -518,7 +541,7 @@ def _gif_payloads(docs):
                 payloads.append(encode_gif(w, h, idx, pal))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    return _spread_ids(docs).mapInPandas(gen, schema=schema)
 
 
 @q(
@@ -609,7 +632,7 @@ def _jpeg_payloads(docs):
                 payloads.append(encode_jpeg(planes, restart_interval=2))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    return _spread_ids(docs).mapInPandas(gen, schema=schema)
 
 
 @q(
@@ -715,7 +738,7 @@ def _tiff_payloads(docs):
                 payloads.append(encode_tiff(px, rows_per_strip=4))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    return _spread_ids(docs).mapInPandas(gen, schema=schema)
 
 
 @q(
@@ -800,7 +823,7 @@ def _adpcm_payloads(docs):
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    return _spread_ids(docs).mapInPandas(gen, schema=schema)
 
 
 @q(
@@ -896,7 +919,7 @@ def _jpeg420_payloads(docs):
                 payloads.append(encode_jpeg_420(y, cb, cr, restart_interval=2))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    return _spread_ids(docs).mapInPandas(gen, schema=schema)
 
 
 @q(
@@ -998,7 +1021,7 @@ def _flac_payloads(docs):
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    return _spread_ids(docs).mapInPandas(gen, schema=schema)
 
 
 @q(
@@ -1077,7 +1100,7 @@ def _avi_payloads(docs):
                 payloads.append(encode_avi(frames, fps=10 + d % 7))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    return _spread_ids(docs).mapInPandas(gen, schema=schema)
 
 
 @q(
@@ -1197,7 +1220,7 @@ def mm_jpeg_gray_decode_stats(spark, sf_dir):
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     docs = tbl(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id").mapInPandas(gen, schema=schema)
+    payloads = _spread_ids(docs).mapInPandas(gen, schema=schema)
     stats = decode_jpeg_rgb_stats(payloads, "doc_id", "payload")
     return stats.filter(F.col("ok")).select(
         "doc_id", "width", "height", "r_sum", "g_sum", "b_sum", "y_sum"
@@ -1253,7 +1276,7 @@ def _flac_lpc_payloads(docs):
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    return _spread_ids(docs).mapInPandas(gen, schema=schema)
 
 
 @q(
@@ -1360,7 +1383,7 @@ def _mjpeg_payloads(docs):
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    return _spread_ids(docs).mapInPandas(gen, schema=schema)
 
 
 @q(
@@ -1487,7 +1510,7 @@ def _jpeg_prog_payloads(docs):
                 payloads.append(encode_jpeg_progressive(planes))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    return _spread_ids(docs).mapInPandas(gen, schema=schema)
 
 
 @q(
@@ -1600,7 +1623,7 @@ def _tiff_lzw_payloads(docs):
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    return _spread_ids(docs).mapInPandas(gen, schema=schema)
 
 
 @q(
@@ -1690,7 +1713,7 @@ def _avi_av_payloads(docs):
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    return _spread_ids(docs).mapInPandas(gen, schema=schema)
 
 
 @q(
@@ -1813,7 +1836,7 @@ def _flac_partitioned_payloads(docs):
         # serialize them on a single core — spread doc_ids first (the
         # exchange moves only a long column; at 100 TB the source is
         # already many partitions and this hash co-locates by doc)
-        docs.select("doc_id").repartition("doc_id").mapInPandas(gen, schema=schema)
+        _spread_ids(docs).mapInPandas(gen, schema=schema)
     )
 
 
@@ -1912,7 +1935,7 @@ def _tiff_tiled_payloads(docs):
         # serialize them on a single core — spread doc_ids first (the
         # exchange moves only a long column; at 100 TB the source is
         # already many partitions and this hash co-locates by doc)
-        docs.select("doc_id").repartition("doc_id").mapInPandas(gen, schema=schema)
+        _spread_ids(docs).mapInPandas(gen, schema=schema)
     )
 
 
@@ -2021,7 +2044,7 @@ def _flac_multichannel_payloads(docs):
         # serialize them on a single core — spread doc_ids first (the
         # exchange moves only a long column; at 100 TB the source is
         # already many partitions and this hash co-locates by doc)
-        docs.select("doc_id").repartition("doc_id").mapInPandas(gen, schema=schema)
+        _spread_ids(docs).mapInPandas(gen, schema=schema)
     )
 
 
@@ -2121,7 +2144,7 @@ def _jpeg422_payloads(docs):
                 payloads.append(encode_jpeg_422(y, cb, cr, restart_interval=2))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").repartition("doc_id").mapInPandas(gen, schema=schema)
+    return _spread_ids(docs).mapInPandas(gen, schema=schema)
 
 
 @q(
@@ -2241,7 +2264,7 @@ def _png_palette_payloads(docs):
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    return _spread_ids(docs).mapInPandas(gen, schema=schema)
 
 
 @q(
@@ -2340,7 +2363,7 @@ def _png_adam7_payloads(docs):
                 payloads.append(encode_png_adam7(w, h, px.reshape(h, w, nch)))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    return _spread_ids(docs).mapInPandas(gen, schema=schema)
 
 
 @q(
@@ -2475,7 +2498,7 @@ def _gif_anim_payloads(docs):
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    return _spread_ids(docs).mapInPandas(gen, schema=schema)
 
 
 @q(
@@ -2605,7 +2628,7 @@ def _wav_ext_payloads(docs):
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    return _spread_ids(docs).mapInPandas(gen, schema=schema)
 
 
 @q(
@@ -2742,7 +2765,7 @@ def _bmp_indexed_payloads(docs):
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    return _spread_ids(docs).mapInPandas(gen, schema=schema)
 
 
 @q(
