@@ -78,7 +78,17 @@ def er_fuzzy_match(spark, sf_dir):
         "p_name",
         F.split(F.col("p_name"), " ").getItem(1).alias("blk"),
     )
-    a = p.alias("a")
+    # Pair-stage parallelism (r15): part is one row group at bench SFs,
+    # so the probe side of the block join — where EVERY banded-DP pair
+    # evaluation runs — was a single task with the other 31 cores idle.
+    # Spreading the probe rows by key before the join costs one exchange
+    # of (key, name, blk) — a few bytes/row against the quadratic pair
+    # work it parallelizes; at scale the scan splits naturally and the
+    # exchange stays rounding error next to the block shuffle. Explicit
+    # partition count opts out of AQE's bytes-based coalescing (which is
+    # blind to per-row join cost and would merge it back to one task).
+    n_par = spark.sparkContext.defaultParallelism
+    a = p.repartition(n_par, "p_partkey").alias("a")
     b = p.alias("b")
     # Per-pair cost control (r15): the block join emits ~|block|² pairs
     # (4.3 M at sf0.1) and the old shape ran a FULL O(|a|·|b|) Levenshtein

@@ -42,7 +42,11 @@ BUDGETS = {
     "q3_shipping_priority": 1,
     "q5_nation_volume": 1,
     "pipeline_training_set": 1,
-    "er_fuzzy_match": 1,
+    # +1 in round 15: explicit probe-side repartition(defaultParallelism)
+    # before the block join — part is one row group at bench SFs, so the
+    # quadratic Levenshtein pair stage ran as a single task; the added
+    # exchange moves only (key, name, blk)
+    "er_fuzzy_match": 2,
     "emb_ann_lsh": 1,
     "pipeline_scd2": 1,
     # +1 in round 10: spark.sql.unionOutputPartitioning disabled

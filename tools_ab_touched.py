@@ -21,7 +21,7 @@ from pyspark.sql import SparkSession
 
 from river_spark.queries.registry import QUERIES
 
-NAMES = [
+DEFAULT_NAMES = [
     "er_fuzzy_match",
     "mm_flac_multichannel_decode_stats",
     "mm_flac_partitioned_decode_stats",
@@ -37,6 +37,7 @@ NAMES = [
 def main() -> None:
     tag = sys.argv[1]
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    NAMES = sys.argv[3].split(",") if len(sys.argv) > 3 else DEFAULT_NAMES
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
