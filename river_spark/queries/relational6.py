@@ -257,8 +257,18 @@ def scalar_xml(spark, sf_dir):
 
     100 TB posture: encode and parse are both in-row string expressions
     inside whole-stage codegen — no UDF, no shuffle beyond the final
-    4-group aggregate."""
-    o = tbl(spark, sf_dir, "orders")
+    4-group aggregate (plus, at bench SFs, one narrow spread exchange:
+    orders is a single row group locally, so the xpath projection — 4
+    interpreted XPath evaluations per row, the overwhelming per-row cost
+    — ran as ONE task with 31 cores idle, 9.2 s at sf0.1. Repartitioning
+    the 4 input columns by o_orderkey with an explicit partition count
+    (opting out of AQE's bytes-based coalescing, which is blind to
+    per-row eval cost) parallelizes the parse; at scale the scan splits
+    naturally and the exchange stays a narrow-column no-op next to it)."""
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    o = o.repartition(spark.sparkContext.defaultParallelism, "o_orderkey")
     xml = F.concat(
         F.lit('<o k="'),
         F.col("o_orderstatus"),
