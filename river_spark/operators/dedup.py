@@ -128,7 +128,11 @@ def _in_bucket_pairs(grouped: DataFrame, payload: str) -> DataFrame:
 
 
 def _two_phase_group(
-    exploded: DataFrame, keys: list[str], agg_col, max_bucket: int
+    exploded: DataFrame,
+    keys: list[str],
+    agg_col,
+    max_bucket: int,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Skew-safe bucket materialization: ``count(*)`` per key first (partial
     aggregation — a hot key contributes one long per map task, never an
@@ -142,7 +146,20 @@ def _two_phase_group(
     hash-partition the same child on the same keys, so the exchange is
     planned once and reused (pinned in tests/test_pipeline_ops.py); the
     count output is already partitioned by the keys, and the final groupBy
-    runs on join output that kept that partitioning."""
+    runs on join output that kept that partitioning.
+
+    ``num_partitions`` (r15, opt-in per caller): an explicit repartition
+    on the bucket keys BEFORE the count/join/group chain. Everything
+    downstream of the bucket exchange — collect_list, the in-bucket pair
+    expansion, the verify arithmetic — fuses into that exchange's stage,
+    and AQE coalesces the exchange by its shuffled BYTES, blind to the
+    quadratic per-row pair work (dedup_simhash's bucket stage coalesced
+    to ONE task at sf0.1). The explicit count opts out of coalescing and
+    REPLACES the required exchange (hash partitioning on the same keys),
+    so the shuffle count is unchanged. None (the default, all other
+    callers) keeps the AQE-planned shape."""
+    if num_partitions is not None:
+        exploded = exploded.repartition(num_partitions, *keys)
     counts = exploded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
     ok = counts.filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket)).select(*keys)
     return exploded.join(ok, keys, "left_semi").groupBy(*keys).agg(agg_col.alias("docs"))
@@ -477,7 +494,12 @@ def simhash_signatures(
     return per_doc.select("doc_id", F.array(*chunk_exprs).alias("chunks"))
 
 
-def simhash_pairs(sigs: DataFrame, max_hamming: int = 12, max_bucket: int = 1000) -> DataFrame:
+def simhash_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 12,
+    max_bucket: int = 1000,
+    num_partitions: int | None = None,
+) -> DataFrame:
     """Candidates share at least one signature chunk (pigeonhole-complete
     for Hamming < n_chunks); exact Hamming verifies. Returns
     [doc_a, doc_b, hamming] with hamming <= max_hamming.
@@ -498,6 +520,7 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 12, max_bucket: int = 1000
         ["band", "bucket"],
         F.collect_list(F.struct("doc_id", "chunks")),
         max_bucket,
+        num_partitions=num_partitions,
     )
     pairs = _in_bucket_pairs(grouped, "chunks")
     hamming = F.aggregate(

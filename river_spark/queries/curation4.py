@@ -196,20 +196,37 @@ def emb_semdedup(spark, sf_dir):
     dist2 = F.round(_dot(e, e) - 2 * _dot(e, c) + _dot(c, c), 6)
     d = emb.crossJoin(cents).select("vec_id", "c_id", "embedding", dist2.alias("dist2"))
     w = Window.partitionBy("vec_id").orderBy("dist2", "c_id")
+    # r15: per-row norms factored out of the per-PAIR cosine (the one
+    # site the round's norm-factoring pass missed): the in-cluster
+    # self-join emits ~|cluster|² pairs and the old shape ran THREE
+    # interpreted array folds per pair; the norm fold is per-row data,
+    # computed once here. Bit-identical — _dot(v, v) is the same fold on
+    # the same values, sqrt/product/round order unchanged.
     assign = (
         d.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("c_id").alias("cluster_id"), F.col("embedding").alias("v"))
+        .select(
+            "vec_id",
+            F.col("c_id").alias("cluster_id"),
+            F.col("embedding").alias("v"),
+            _dot(F.col("embedding"), F.col("embedding")).alias("nv"),
+        )
     )
     a = assign.select(
-        F.col("cluster_id"), F.col("vec_id").alias("a_id"), F.col("v").alias("av")
+        F.col("cluster_id"),
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("av"),
+        F.col("nv").alias("na"),
     )
     b = assign.select(
-        F.col("cluster_id"), F.col("vec_id").alias("vec_id"), F.col("v").alias("bv")
+        F.col("cluster_id"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("v").alias("bv"),
+        F.col("nv").alias("nb"),
     )
     cos = F.round(
         _dot(F.col("av"), F.col("bv"))
-        / (F.sqrt(_dot(F.col("av"), F.col("av"))) * F.sqrt(_dot(F.col("bv"), F.col("bv")))),
+        / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))),
         6,
     )
     pair = (

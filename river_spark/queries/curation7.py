@@ -330,6 +330,18 @@ def text_ngram_containment(spark, sf_dir):
     base = per_doc.select(
         "doc_id", F.size("ss").alias("c"), F.explode("ss").alias("shingle")
     )
+    # r15: the shingle window, the in-index pair expansion AND the pair
+    # partial-aggregation all fuse into the stage below this exchange —
+    # by far the query's heaviest (2-token shingles repeat heavily, so
+    # pair volume is large). AQE coalesced that exchange to 2 partitions
+    # by its small shuffled BYTES, blind to the quadratic per-row pair
+    # work (29.9 s at sf0.1 on 2 of 32 cores). An explicit repartition
+    # on the same key REPLACES the window's required exchange (hash
+    # partitioning on shingle satisfies the window's distribution, so
+    # exchange count is unchanged) and opts out of the coalesce.
+    base = base.repartition(
+        spark.sparkContext.defaultParallelism, "shingle"
+    )
     shw = base.withColumn(
         "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
     )

@@ -24,7 +24,7 @@ from river_spark.operators.multimodal import (
 )
 from river_spark.operators.similarity import brute_force_topk, lcg_plane_weights, lsh_topk
 from river_spark.queries.relational import q
-from river_spark.queries.tables import tbl
+from river_spark.queries.tables import spread_scan, tbl
 
 # Pinned hyperplanes for the ANN recall gate: explicit integer literals so
 # the DuckDB oracle runs the IDENTICAL planes (xxhash64-derived planes are
@@ -237,14 +237,26 @@ def dedup_simhash(spark, sf_dir):
     twins = docs.filter(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
     )
-    corpus = docs.unionByName(twins)
+    # r15: the signature build (tokenize + explode + 64 per-bit partial
+    # sums) fuses into the scan stage — one row group locally, so ~13 s
+    # of the query ran on a single core. spread_scan is a no-op when the
+    # source already reads as >= cores partitions (real scale).
+    corpus = spread_scan(docs.unionByName(twins), "doc_id")
     sigs = simhash_signatures(corpus, "doc_id", "text")
     # max_bucket is explicit and corpus-proof: 8-bit chunks give only 256
     # bucket values per band, so at larger sf a twin's bucket organically
     # exceeds the default 1000 cap and the skew guard would drop the
     # planted pair from a CORRECT pipeline. The verification query must
     # never let the guard fire.
-    pairs = simhash_pairs(sigs, max_hamming=8, max_bucket=1_000_000_000)
+    pairs = simhash_pairs(
+        sigs,
+        max_hamming=8,
+        max_bucket=1_000_000_000,
+        # r15: the bucket stage (collect_list + in-bucket pair expansion
+        # + Hamming verify, all fused) was AQE-coalesced to ONE task —
+        # see _two_phase_group's num_partitions note
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
     return pairs.filter(F.col("doc_b") - F.col("doc_a") == 10_000_000).select(
         "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
     )

@@ -101,3 +101,32 @@ def r2(col, n: int = 2):
     """Round a double consistently on both engines so the driver's
     value-hash is stable across summation orders."""
     return F.round(col, n)
+
+
+def spread_scan(df: DataFrame, *cols: str) -> DataFrame:
+    """Scale-adaptive parallelism for a CPU-heavy first stage (r15).
+
+    At bench/test SFs every input table is ONE parquet row group, so a
+    scan-rooted stage runs as a single task no matter how expensive its
+    per-row work is (XPath parses, tokenize+explode into wide partial
+    aggregates, per-pair DP) — 31 of 32 cores idle. This helper
+    repartitions to ``defaultParallelism`` ONLY when the plan would
+    actually read fewer partitions than that, so at real scale — where
+    the scan splits into thousands of tasks by itself — it is a
+    plan-build no-op and never injects a corpus-scale shuffle. The
+    explicit partition count opts the exchange out of AQE coalescing,
+    which sizes partitions by shuffled BYTES and is blind to per-row
+    CPU cost downstream (the r15 mm-codec measurement: a bare
+    ``repartition("doc_id")`` was coalesced back to one task).
+
+    Pass hash ``cols`` (a uniform key) to skip round-robin's
+    sort-before-repartition; omit them for keyless round-robin."""
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 - conversion quirks: keep the plan as-is
+        return df
+    if cur >= n:
+        return df
+    return df.repartition(n, *[F.col(c) for c in cols]) if cols else df.repartition(n)
