@@ -472,10 +472,13 @@ def simhash_signatures(
         .select("doc_id", F.explode("t").alias("tok"))
         .withColumn("h", F.xxhash64("tok"))
     )
-    # per-bit ±1 sums in one aggregation
+    # per-bit ±1 sums in one aggregation; branch-free (r15): the ±1 term
+    # is computed as 2*bit - 1 — the identical integer for both bit
+    # values, without a per-row-per-bit conditional (64 of them ran on
+    # every token row)
     bit_aggs = [
         F.sum(
-            F.when((F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
+            F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
         ).alias(f"b{i}")
         for i in range(64)
     ]
@@ -499,6 +502,7 @@ def simhash_pairs(
     max_hamming: int = 12,
     max_bucket: int = 1000,
     num_partitions: int | None = None,
+    n_chunks: int = 8,
 ) -> DataFrame:
     """Candidates share at least one signature chunk (pigeonhole-complete
     for Hamming < n_chunks); exact Hamming verifies. Returns
@@ -513,21 +517,42 @@ def simhash_pairs(
     guaranteed recall at larger distances must build signatures with
     more (smaller) chunks.
 
-    Chunks travel with the docs through the bucket shuffle and pairs are
-    expanded in-bucket, so the signature build runs once — no persist."""
+    The signature travels with the docs through the bucket shuffle and
+    pairs are expanded in-bucket, so the signature build runs once — no
+    persist.
+
+    Per-pair cost (r15): the chunks are the 64-bit simhash split into
+    ``n_chunks`` disjoint bit ranges, so they are re-packed into ONE
+    bigint before the bucket collect (``sig64 = OR(chunks[c] << width*c)``
+    — disjoint ranges, so OR is exact reassembly) and the per-pair
+    verify is a single codegen'd ``bit_count(a ^ b)``. The previous
+    shape collected the full chunk array per doc and ran an interpreted
+    zip_with+aggregate fold per pair — on a hot in-bucket expansion
+    (organic at near-dup-rich SFs: one (band,bucket) held 29% of docs at
+    sf0.1) that fold dominated the query. bit_count over the XOR of the
+    packed words is bit-for-bit the sum of per-chunk bit_counts, and the
+    pair payload shrinks from 2 int-arrays to 2 longs."""
+    width = 64 // n_chunks
+    terms = [
+        F.shiftleft(F.col("chunks").getItem(c).cast("bigint"), width * c)
+        for c in range(n_chunks)
+    ]
+    packed = terms[0]
+    for t in terms[1:]:
+        packed = packed.bitwiseOR(t)
     grouped = _two_phase_group(
-        sigs.select("doc_id", "chunks", F.posexplode("chunks").alias("band", "bucket")),
+        sigs.select(
+            "doc_id",
+            packed.alias("sig64"),
+            F.posexplode("chunks").alias("band", "bucket"),
+        ),
         ["band", "bucket"],
-        F.collect_list(F.struct("doc_id", "chunks")),
+        F.collect_list(F.struct("doc_id", "sig64")),
         max_bucket,
         num_partitions=num_partitions,
     )
-    pairs = _in_bucket_pairs(grouped, "chunks")
-    hamming = F.aggregate(
-        F.zip_with("chunks_a", "chunks_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    pairs = _in_bucket_pairs(grouped, "sig64")
+    hamming = F.bit_count(F.col("sig64_a").bitwiseXOR(F.col("sig64_b")))
     return (
         pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
