@@ -59,6 +59,37 @@ def _unpersist_ids(spark, ids) -> None:
             r.unpersist(False)
 
 
+def _strip_origin_stats(df: DataFrame) -> DataFrame:
+    """Re-wrap a checkpointed DataFrame over its own (already
+    materialized) RDD so the new LogicalRDD does NOT inherit the origin
+    plan's size statistics.
+
+    Why (r15, found by thread-dumping a stuck round): localCheckpoint
+    preserves the checkpointed plan's Catalyst statistics so the
+    optimizer can keep making broadcast decisions. But the size-only
+    estimator MULTIPLIES child sizeInBytes at every join, and each
+    label-propagation round joins two frames derived from the previous
+    round's checkpoint — so the carried BigInt SQUARES per round. Its
+    bit length doubles every iteration (measured: ~7,800 decimal digits
+    by round 20 at sf0.1) and late rounds burn whole seconds inside
+    BigInteger.multiplyToomCook3 in SizeInBytesOnlyStatsPlanVisitor —
+    planning cost, growing exponentially with round count, at ANY data
+    size. Resetting to a fresh LogicalRDD (stats = defaultSizeInBytes,
+    a constant) breaks the chain; AQE still picks broadcast joins at
+    runtime from actual shuffle sizes, so the executed plans are
+    unchanged. Falls back to the original frame if the internal
+    constructor is unavailable."""
+    try:
+        jdf = df._jdf
+        spark = df.sparkSession
+        new_jdf = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(new_jdf, spark)
+    except Exception:  # noqa: BLE001 - API drift: keep correctness, lose speed
+        return df
+
+
 def _ckpt(df):
     """localCheckpoint(eager) + record which persistent RDD ids it
     created, so superseded iterations can be freed precisely. Id capture
@@ -73,7 +104,7 @@ def _ckpt(df):
         # a failed materialization strands a half-cached RDD entry
         _unpersist_ids(spark, _cached_ids(spark) - before)
         raise
-    return out, _cached_ids(spark) - before
+    return _strip_origin_stats(out), _cached_ids(spark) - before
 
 
 def connected_components(
@@ -116,8 +147,12 @@ def connected_components(
                 .agg(F.min("label").alias("nl"))
                 .withColumnRenamed("d", "id")
             )
-            stepped = labels.join(nbr, "id", "left").select(
-                "id", F.least("label", F.coalesce("nl", "label")).alias("label")
+            stepped = labels.withColumnRenamed("label", "prev").join(
+                nbr, "id", "left"
+            ).select(
+                "id",
+                "prev",
+                F.least("prev", F.coalesce("nl", "prev")).alias("label"),
             )
             # path compression: one pointer hop through the PREVIOUS
             # round's checkpointed mapping (prev_label(x) <= x, so this
@@ -130,24 +165,28 @@ def connected_components(
             lab2 = labels.select(
                 F.col("id").alias("lid"), F.col("label").alias("llabel")
             )
+            final = F.least("label", F.coalesce("llabel", "label"))
             compressed, new_ids = _ckpt(
                 stepped.join(lab2, stepped["label"] == lab2["lid"], "left").select(
                     "id",
-                    F.least("label", F.coalesce("llabel", "label")).alias("label"),
+                    final.alias("label"),
+                    # convergence flag rides the checkpoint (r15): each
+                    # row knows its previous label (carried through
+                    # `stepped`), so "did this round change anything" is
+                    # a sum over the just-materialized blocks instead of
+                    # a separate co-partitioned |V| join per round. The
+                    # comparison is the exact one the join did —
+                    # type-agnostic inequality of this round's label vs
+                    # last round's, same rows, same semantics.
+                    (final != F.col("prev")).cast("long").alias("chg"),
                 )
             )
             live |= set(new_ids)
             # exact, type-agnostic convergence: count labels that changed
-            # since the previous round (both sides checkpointed, the join
-            # is co-partitioned on id; a sum-of-labels shortcut would
-            # break — or silently mislabel with ANSI off — on string ids)
-            changed = (
-                compressed.join(
-                    labels.withColumnRenamed("label", "prev_label"), "id"
-                )
-                .where(F.col("label") != F.col("prev_label"))
-                .count()
-            )
+            # since the previous round — an aggregate over the cached
+            # checkpoint blocks (no extra join, no extra shuffle source)
+            changed = compressed.agg(F.sum("chg")).first()[0]
+            compressed = compressed.select("id", "label")
             # the new checkpoint is materialized — the superseded round's
             # blocks are dead; free them NOW so round count never
             # translates into executor storage growth

@@ -82,9 +82,19 @@ def pagerank(
         return nodes.withColumn("pr", F.lit(0.0))
     teleport = (1.0 - damping) / n
 
+    from river_spark.operators.components import _strip_origin_stats
+
     spark = edges.sparkSession
     ids0 = _persisted_rdd_ids(spark)
-    rank = nodes.select("nid", F.lit(1.0 / n).alias("pr")).localCheckpoint(eager=True)
+    # _strip_origin_stats (r15): localCheckpoint preserves the origin
+    # plan's Catalyst sizeInBytes, and the size-only estimator MULTIPLIES
+    # child sizes at each join — carried across checkpoints the stat
+    # grows geometrically with iteration count (see components.py for
+    # the measured pathology), so every checkpoint here re-wraps to a
+    # fresh LogicalRDD with constant default stats.
+    rank = _strip_origin_stats(
+        nodes.select("nid", F.lit(1.0 / n).alias("pr")).localCheckpoint(eager=True)
+    )
     prev_ids = _persisted_rdd_ids(spark) - ids0
     prev_persisted = rank
     for it in range(1, max_iter + 1):
@@ -102,7 +112,7 @@ def pagerank(
         )
         if it % checkpoint_every == 0 or it == max_iter:
             ids_before = _persisted_rdd_ids(spark)
-            new_rank = new_rank.localCheckpoint(eager=True)
+            new_rank = _strip_origin_stats(new_rank.localCheckpoint(eager=True))
             new_ids = _persisted_rdd_ids(spark) - ids_before
             delta = (
                 new_rank.alias("a")

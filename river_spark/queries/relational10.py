@@ -372,6 +372,7 @@ def graph_bfs_hops(spark, sf_dir):
     und = e.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
         e.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )
+    from river_spark.operators.components import _strip_origin_stats
     from river_spark.operators.graph import _persisted_rdd_ids, _unpersist_rdd_ids
 
     und = und.persist()
@@ -388,7 +389,11 @@ def graph_bfs_hops(spark, sf_dir):
             .withColumn("hop", F.lit(hop))
         )
         ids_before = _persisted_rdd_ids(spark)
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        # _strip_origin_stats: the per-hop frontier join multiplies the
+        # carried Catalyst size stat (see operators/components.py)
+        visited = _strip_origin_stats(
+            visited.unionByName(nxt).localCheckpoint(eager=True)
+        )
         new_ids = _persisted_rdd_ids(spark) - ids_before
         # superseded frontier checkpoints release once the new one holds
         # the union (graph.py discipline; never the latest — its blocks
