@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from river_spark.queries.relational import q
-from river_spark.queries.tables import tbl
+from river_spark.queries.tables import spread_scan, tbl
 
 
 def _dot(a, b):
@@ -336,7 +336,13 @@ def text_char_entropy(spark, sf_dir):
     with map-side partials — no per-doc arrays, no window, no sort.
     Characters come from identical substring arithmetic on both engines
     (split-on-empty-string differs between them)."""
-    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread_scan (r15): the char explode multiplies each doc into ~3k
+    # rows inside the scan stage itself — one parquet row group at bench
+    # SFs means ~15M substring() calls on a single task (measured 4.0 s,
+    # 31 cores idle). A no-op at real scale where the scan splits.
+    docs = spread_scan(
+        tbl(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     ch = docs.select(
         "doc_id",
         F.explode(

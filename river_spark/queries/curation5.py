@@ -295,8 +295,20 @@ def dedup_minhash_recall(spark, sf_dir):
     truth = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.9).select(
         "doc_a", "doc_b", F.lit(1).alias("t")
     )
-    sh = shingles(docs, "doc_id", "text", n=3, hashed=False, distinct=True)
-    per_doc = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("ss"))
+    # r15: distinct=False — collect_set dedupes anyway, so the shingle
+    # .distinct() was a pure extra exchange of the full string-shingle
+    # stream. The remaining (only) exchange gets an explicit partition
+    # count: the sig projection below it evaluates 16 md5s per shingle
+    # per doc (~40 M md5 calls at sf0.1) fused into the post-agg stage,
+    # which AQE's bytes-based coalescing otherwise packs onto 1-2 tasks.
+    # defaultParallelism scales with the cluster, not the data — at real
+    # scale this is the same single exchange the groupBy always paid.
+    sh = shingles(docs, "doc_id", "text", n=3, hashed=False, distinct=False)
+    per_doc = (
+        sh.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("ss"))
+    )
     sig = per_doc.select(
         "doc_id",
         F.expr(

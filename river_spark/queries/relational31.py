@@ -51,7 +51,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from river_spark.queries.relational import q
-from river_spark.queries.tables import events_tbl, tbl
+from river_spark.queries.tables import events_tbl, spread_scan, tbl
 
 # Poisson(1) inverse-CDF thresholds over the 32-bit hash space:
 # floor(CDF_k * 2^32) for k = 0..7 (k=8 catches the ~1e-5 tail). The
@@ -538,7 +538,11 @@ def dq_table_checksum(spark, sf_dir):
     fully map-side combinable, shuffle is 256 partial rows per task.
     sum(h mod p) stays under int64 to ~9e9 rows per bucket (~2.4e12
     rows total); DECIMAL(38) beyond, the standard switch."""
-    h = tbl(spark, sf_dir, "lineitem").select(
+    # spread_scan (r15): the 11-column canonical render + md5 per row is
+    # the query's entire cost and fuses into the scan stage — one row
+    # group at bench SFs = one task (measured 2.5 s single-core). A plan
+    # no-op at real scale, where one-scan-no-shuffle is the whole point.
+    h = spread_scan(tbl(spark, sf_dir, "lineitem"), "l_orderkey").select(
         F.expr(
             "cast(conv(substring(md5(concat_ws('|', "
             + _CANON_COLS_SPARK

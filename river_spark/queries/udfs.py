@@ -96,10 +96,22 @@ def udf_cogroup_clickstream(spark, sf_dir):
     Both sides shuffle ONCE on user_id; at 100 TB the pandas merge sees
     one user's events at a time, never the corpus."""
     from river_spark.functions import clickstream_cogroup_fn
-    from river_spark.queries.tables import events_tbl
+    from river_spark.queries.tables import events_tbl, spread_scan
 
+    # spread_scan both cogroup sides (r15): the cogroup exchange moves only
+    # a few MB at bench SFs, so AQE's bytes-based coalescing packs ~15k
+    # per-user groups onto 1-2 tasks — and FlatMapCoGroupsInPandas pays its
+    # per-GROUP Python invocation cost serially there (measured 5.9 s with
+    # 31 cores idle). Hash-repartitioning each side by user_id with an
+    # explicit count satisfies the cogroup's required clustering, so it
+    # REPLACES the ENSURE_REQUIREMENTS exchange (same shuffle count) while
+    # opting out of AQE coalescing; at real scale the scans already read as
+    # >= defaultParallelism partitions and spread_scan is a plan no-op.
     ev = events_tbl(spark, sf_dir)
-    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    p = spread_scan(
+        ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts"),
+        "user_id",
+    )
     # fresh=True: the clicks side must NOT share the purchases side's scan
     # attribute IDs. FlatMapCoGroupsInPandas with duplicate IDs across its
     # two children breaks Catalyst column pruning under count()-pruned
@@ -109,9 +121,12 @@ def udf_cogroup_clickstream(spark, sf_dir):
     # oracle harness) don't prune, which is why this only bites count()
     # consumers. A fresh read plan gives the side its own IDs; one extra
     # footer read at build time, same data, same scan pushdown.
-    c = events_tbl(spark, sf_dir, fresh=True).filter(
-        F.col("event_type") == "click"
-    ).select("user_id", "ts", "event_id", "value")
+    c = spread_scan(
+        events_tbl(spark, sf_dir, fresh=True)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id", "value"),
+        "user_id",
+    )
     return (
         p.groupBy("user_id")
         .cogroup(c.groupBy("user_id"))
