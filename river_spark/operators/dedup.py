@@ -106,20 +106,35 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
     return sh.groupBy("doc_id").agg(sig.alias("sig"))
 
 
+def _pair_explode(grouped: DataFrame) -> DataFrame:
+    """i<j pair expansion of each ``docs`` array as TWO codegen'd
+    Generate nodes (r16): posexplode picks element i as ``x``, then an
+    explode over ``slice(docs, i + 2, ...)`` pairs it with every later
+    element ``y``. Emits one row per unordered in-bucket pair with
+    columns ``x``/``y`` — exactly the pair multiset of the former
+    ``flatten(transform(docs, (x, i) -> transform(slice(...), ...)))``
+    lambda, which Spark evaluated in the INTERPRETER (higher-order
+    functions have no codegen): on hot buckets the per-pair lambda eval
+    dominated every dedup family's pair stage. slice() and the explodes
+    are ordinary codegen operators, so the quadratic stage now runs
+    inside WholeStageCodegen; no extra shuffle, join, or persist — the
+    expansion still happens inside the bucket row's stage."""
+    outer = grouped.select("docs", F.posexplode("docs").alias("i", "x"))
+    return outer.select(
+        "x", F.explode(F.expr("slice(docs, i + 2, size(docs))")).alias("y")
+    )
+
+
 def _in_bucket_pairs(grouped: DataFrame, payload: str) -> DataFrame:
     """Expand each bucket row (docs: array<struct<doc_id, payload>>) into
     its i<j pairs — pair generation without joining back to the signature
     table, so the signature build is consumed exactly once. Emits
-    doc_a/doc_b (doc_a < doc_b) with both payloads."""
-    pair_expr = F.explode(
-        F.expr(
-            "flatten(transform(docs, (x, i) -> "
-            "transform(slice(docs, i + 2, size(docs)), y -> struct(x, y))))"
-        )
-    ).alias("p")
-    lo = F.when(F.col("p.x.doc_id") < F.col("p.y.doc_id"), F.col("p.x")).otherwise(F.col("p.y"))
-    hi = F.when(F.col("p.x.doc_id") < F.col("p.y.doc_id"), F.col("p.y")).otherwise(F.col("p.x"))
-    return grouped.select(pair_expr).select(
+    doc_a/doc_b (doc_a < doc_b) with both payloads (codegen'd expansion,
+    see :func:`_pair_explode`)."""
+    swap = F.col("x.doc_id") < F.col("y.doc_id")
+    lo = F.when(swap, F.col("x")).otherwise(F.col("y"))
+    hi = F.when(swap, F.col("y")).otherwise(F.col("x"))
+    return _pair_explode(grouped).select(
         lo["doc_id"].alias("doc_a"),
         hi["doc_id"].alias("doc_b"),
         lo[payload].alias(f"{payload}_a"),
@@ -231,14 +246,11 @@ def lsh_candidate_pairs(
     grouped = _two_phase_group(
         banded, ["band", "bucket"], F.collect_list("doc_id"), max_bucket
     )
-    pair_expr = F.explode(
-        F.expr(
-            "flatten(transform(docs, (x, i) -> "
-            "transform(slice(docs, i + 2, size(docs)), y -> "
-            "struct(least(x, y) as doc_a, greatest(x, y) as doc_b))))"
-        )
-    ).alias("p")
-    pairs = grouped.select(pair_expr).select("p.doc_a", "p.doc_b")
+    # codegen'd i<j expansion (see _pair_explode); docs is a plain
+    # array<long> here, so x/y ARE the doc ids
+    pairs = _pair_explode(grouped).select(
+        F.least("x", "y").alias("doc_a"), F.greatest("x", "y").alias("doc_b")
+    )
     return pairs.distinct() if distinct_pairs else pairs
 
 
@@ -393,26 +405,39 @@ def _shingle_pair_counts(
         .groupBy("shingle")
         .agg(F.collect_list(F.struct("doc_id", "c")).alias("docs"))
     )
-    # single-pass pair emission: least/greatest + the matching c picked
-    # inside the lambda, so no per-field when/otherwise re-projection
-    pair_expr = F.explode(
-        F.expr(
-            "flatten(transform(docs, (x, i) -> "
-            "transform(slice(docs, i + 2, size(docs)), y -> "
-            "struct(least(x.doc_id, y.doc_id) as doc_a, "
-            "greatest(x.doc_id, y.doc_id) as doc_b, "
-            "if(x.doc_id < y.doc_id, x.c, y.c) as ca0, "
-            "if(x.doc_id < y.doc_id, y.c, x.c) as cb0))))"
-        )
-    ).alias("p")
+    # r16: i<j pair emission as TWO codegen'd Generate nodes (posexplode
+    # + explode over a slice) instead of one interpreted
+    # flatten(transform(transform)) lambda. Spark evaluates higher-order
+    # functions in the interpreter, and on near-dup-rich corpora that
+    # per-pair lambda dominated the query (r15 phase profile: ~2.3 s of
+    # dedup_ngram_jaccard, and the same code again inside
+    # dedup_minhash_lsh's exact-verify arm); slice/least/greatest/when
+    # are ordinary codegen expressions, so the whole pair stage now runs
+    # in WholeStageCodegen. Pair multiset is identical (same i<j
+    # positions of the same posting list), plan shape unchanged — same 3
+    # exchanges, no join, no persist, no broadcast — in both the
+    # broadcast and the SMJ-only (100 TB) planning modes. Measured at
+    # sf0.1: 2.26 -> ~1.45 s; a persist+self-join variant (r15 verdict
+    # sketch) tied locally but planned 2 extra index exchanges under
+    # SMJ-only mode and holds cache memory, so this shape wins at scale.
     return (
-        index.select(pair_expr)
-        .groupBy("p.doc_a", "p.doc_b")
+        _pair_explode(index)
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+            F.when(F.col("x.doc_id") < F.col("y.doc_id"), F.col("x.c"))
+            .otherwise(F.col("y.c"))
+            .alias("ca0"),
+            F.when(F.col("x.doc_id") < F.col("y.doc_id"), F.col("y.c"))
+            .otherwise(F.col("x.c"))
+            .alias("cb0"),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(
-            F.count("*").alias("inter"),
+            F.count(F.lit(1)).alias("inter"),
             # ca/cb are constant per doc — max() is a deterministic pick
-            F.max("p.ca0").alias("ca"),
-            F.max("p.cb0").alias("cb"),
+            F.max("ca0").alias("ca"),
+            F.max("cb0").alias("cb"),
         )
     )
 
