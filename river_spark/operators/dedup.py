@@ -23,12 +23,12 @@ movement is one hash shuffle on bounded keys. Bucket skew (a shingle or
 band bucket shared by millions of docs) is the known hazard — buckets
 wider than ``max_bucket`` (resp. shingles with document frequency over
 ``df_cap``) are dropped, the standard LSH / stop-shingle guard, so one
-hot key can't produce O(n²) pairs. The guard is TWO-PHASE
-(:func:`_two_phase_group`): membership is counted per key first — a
-partial-aggregatable ``count(*)`` where a hot key costs one long per
-map task, never an array — and only keys inside ``2..max_bucket`` are
-``collect_list``-ed, so an over-cap key's members are discarded by the
-semi join before any aggregation buffer sees them.
+hot key can't produce O(n²) pairs. The guard is WINDOW-phased
+(:func:`_two_phase_group`): membership is counted per key as a window
+count over the one exchange the bucket aggregation already pays —
+WindowExec buffers a key group in a SPILLABLE row buffer, so a hot key
+costs bounded disk, never an in-memory array — and only keys inside
+``2..max_bucket`` reach the ``collect_list``.
 """
 
 from __future__ import annotations
@@ -149,35 +149,47 @@ def _two_phase_group(
     max_bucket: int,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Skew-safe bucket materialization: ``count(*)`` per key first (partial
-    aggregation — a hot key contributes one long per map task, never an
-    array), keep only keys with ``2..max_bucket`` members via a left-semi
-    join, THEN ``collect_list`` the survivors. An over-cap key's rows are
-    dropped by the join before any aggregation buffer sees them, so a
-    stop-shingle shared by 10⁸ docs can no longer build a GB-sized array
-    row just to be filtered out.
+    """Skew-safe bucket materialization, WINDOW-phased (r16): the per-key
+    membership count runs as ``count(*) over (partition by keys)`` on the
+    ONE exchange the bucket ``collect_list`` already needs, keys outside
+    ``2..max_bucket`` are filtered before the array aggregate, and the
+    final groupBy reuses the window's partitioning — one shuffle total.
+    The r7–r15 shape counted per key with a separate partial aggregate
+    and dropped over-cap keys with a left-semi join; that cost an extra
+    (tiny) count exchange plus a join stage PER family, which at bench
+    SFs was pure sequential stage latency (r16 interleaved A/B:
+    dedup_minhash_lsh 2.60 → 2.03 s min-of-6, plan 8 → 6 exchanges,
+    output identical).
 
-    Shuffle cost is unchanged: the count aggregate and the join's left side
-    hash-partition the same child on the same keys, so the exchange is
-    planned once and reused (pinned in tests/test_pipeline_ops.py); the
-    count output is already partitioned by the keys, and the final groupBy
-    runs on join output that kept that partitioning.
+    Skew posture is unchanged where it matters: the join-phased variant
+    ALSO moved every hot-key row through the same keys-exchange before
+    the join dropped them (the semi join sat above the exchange), so
+    shuffle bytes are identical; and WindowExec buffers each key group
+    in a SPILLABLE row buffer — the same windowed-guard idiom
+    :func:`ngram_jaccard_pairs` has always used — so a stop-key shared
+    by 10⁸ docs costs bounded disk, never an in-memory array. The
+    ``collect_list`` still only ever sees keys the filter kept.
 
     ``num_partitions`` (r15, opt-in per caller): an explicit repartition
-    on the bucket keys BEFORE the count/join/group chain. Everything
-    downstream of the bucket exchange — collect_list, the in-bucket pair
-    expansion, the verify arithmetic — fuses into that exchange's stage,
-    and AQE coalesces the exchange by its shuffled BYTES, blind to the
-    quadratic per-row pair work (dedup_simhash's bucket stage coalesced
-    to ONE task at sf0.1). The explicit count opts out of coalescing and
-    REPLACES the required exchange (hash partitioning on the same keys),
-    so the shuffle count is unchanged. None (the default, all other
-    callers) keeps the AQE-planned shape."""
+    on the bucket keys BEFORE the window/group chain. Everything
+    downstream of the bucket exchange — the window count, collect_list,
+    the in-bucket pair expansion, the verify arithmetic — fuses into
+    that exchange's stage, and AQE coalesces the exchange by its
+    shuffled BYTES, blind to the quadratic per-row pair work
+    (dedup_simhash's bucket stage coalesced to ONE task at sf0.1). The
+    explicit count opts out of coalescing and REPLACES the required
+    exchange (hash partitioning on the same keys), so the shuffle count
+    is unchanged. None (the default, all other callers) keeps the
+    AQE-planned shape."""
+    from pyspark.sql import Window
+
     if num_partitions is not None:
         exploded = exploded.repartition(num_partitions, *keys)
-    counts = exploded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
-    ok = counts.filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket)).select(*keys)
-    return exploded.join(ok, keys, "left_semi").groupBy(*keys).agg(agg_col.alias("docs"))
+    n = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    kept = exploded.withColumn("_n", n).filter(
+        (F.col("_n") > 1) & (F.col("_n") <= max_bucket)
+    )
+    return kept.groupBy(*keys).agg(agg_col.alias("docs"))
 
 
 def _band_hash_expr(bands: int, sig_len: int | None = None) -> str:

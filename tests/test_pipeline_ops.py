@@ -291,35 +291,43 @@ def test_registry_queries_leave_no_cached_rdds(spark):
 
 
 def test_two_phase_guard_drops_hot_key_before_aggregation(spark):
-    """The skew guard must be structurally incapable of buffering a hot
-    bucket: in the optimized plan the ONLY collect_list aggregate sits
-    ABOVE the left-semi join (whose right side is the per-key count
-    filter), so an over-cap key's rows are discarded by the join before
-    any aggregation buffer sees them — at 100 TB a stop-shingle in 10⁸
-    docs costs one long per map task, never a GB array row."""
+    """The skew guard must be structurally incapable of building an
+    in-memory array for a hot bucket: in the optimized plan the ONLY
+    collect_list aggregate sits ABOVE the window-count Filter, so an
+    over-cap key's rows are discarded before any aggregation buffer sees
+    them — the membership count runs in WindowExec, whose per-key group
+    buffer is SPILLABLE, so at 100 TB a stop-shingle in 10⁸ docs costs
+    bounded disk, never a GB array row. The window also must not add an
+    exchange of its own: one shuffle total (r16 — the former join-phased
+    guard paid an extra count exchange + semi join per family)."""
+    import re
+
     from river_spark.operators.dedup import _two_phase_group
 
     rows = [("hot", i) for i in range(500)] + [("cold", 1), ("cold", 2)]
     df = spark.createDataFrame(rows, ["k", "v"])
     out = _two_phase_group(df, ["k"], F.collect_list("v"), max_bucket=100)
+    # capture plans BEFORE executing (an executed adaptive plan prints
+    # Final AND Initial sections, double-counting every node)
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    filt_at = opt.index("Filter")
+    assert opt.index("collect_list") < filt_at, "array agg must be above the guard filter"
+    assert "collect_list" not in opt[filt_at:], "no array agg may run below the guard"
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in phys, "guard count must run as a window over the bucket exchange"
+    shuffles = re.findall(r"Exchange (?:hash|range|Single)", phys)
+    assert len(shuffles) <= 1, f"guard must share the one bucket exchange, got {shuffles}"
     got = out.collect()
     assert len(got) == 1 and got[0].k == "cold" and sorted(got[0].docs) == [1, 2]
-    opt = out._jdf.queryExecution().optimizedPlan().toString()
-    join_at = opt.index("LeftSemi")
-    assert opt.index("collect_list") < join_at, "array agg must be above the semi join"
-    assert "collect_list" not in opt[join_at:], "no array agg may run below the guard"
-    # the guard's count is partial-aggregatable: a hot key is map-side
-    # combined to one long per task before its single shuffled row
-    phys = out._jdf.queryExecution().executedPlan().toString()
-    assert "partial_count" in phys
 
 
 def test_two_phase_guard_hot_bucket_family_end_to_end(spark):
     """Family-level hot-key drill: 300 byte-identical docs form one
     over-cap simhash bucket per band; the guard drops them all while the
     planted under-cap pair still verifies at Hamming 0 — and the
-    signature aggregation's exchange is planned once and reused by the
-    count and bucket branches (no double signature build)."""
+    signature pipeline is built exactly ONCE (the window-phased guard
+    has a single consumer chain, so the plan must not re-execute the
+    signature aggregation for a count branch)."""
     rows = [(i, "all these hot documents share the very same text body") for i in range(300)]
     rows += [
         (9001, "pair doc alpha beta gamma delta epsilon zeta eta theta"),
@@ -329,10 +337,13 @@ def test_two_phase_guard_hot_bucket_family_end_to_end(spark):
     pairs = simhash_pairs(
         simhash_signatures(docs, "doc_id", "text"), max_hamming=8, max_bucket=100
     )
+    # capture the static plan BEFORE executing (an executed adaptive plan
+    # prints Final AND Initial sections, double-counting every node)
+    phys = pairs._jdf.queryExecution().executedPlan().toString()
+    scans = phys.count("Scan ExistingRDD") + phys.count("LocalTableScan")
+    assert scans == 1, f"signature pipeline must be built once, got {scans} scans"
     got = {(r.doc_a, r.doc_b, r.hamming) for r in pairs.collect()}
     assert got == {(9001, 9002, 0)}
-    phys = pairs._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in phys, "signature exchange must be reused, not rebuilt"
 
 
 def test_decode_and_resize_tolerate_null_payloads(spark):
