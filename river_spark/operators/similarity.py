@@ -25,16 +25,27 @@ def _dot(a, b):
     identical fold (same casts, same 0.0 seed, same left fold), so
     values are bit-equal."""
     if isinstance(a, str) and isinstance(b, str):
-        return F.expr(
-            f"aggregate(zip_with({a}, {b}, "
-            f"(x, y) -> cast(x as double) * cast(y as double)), "
-            f"cast(0.0 as double), (acc, x) -> acc + x)"
-        )
+        return F.expr(dot_sql(a, b))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def dot_sql(a: str, b: str) -> str:
+    """SQL text of the :func:`_dot` fold — single-sourced so spark.sql()
+    query builds (r16) compose the identical expression."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+
+
+def norm_sql(a: str) -> str:
+    """SQL text of :func:`_norm` (same expression tree)."""
+    return f"sqrt({dot_sql(a, a)})"
 
 
 def _norm(a):
@@ -64,22 +75,40 @@ def brute_force_topk(
         F.col(vec_col).alias("cv"),
         _norm(vec_col).alias("cn"),
     )
+    # r16: scoring + ranking fused into 3 DataFrame ops instead of 5 —
+    # every DataFrame method is an eager py4j analysis round (~12 ms
+    # each on this plan, r16 build audit), and the vector family's wall
+    # is 30-50% driver plan-build. The self-pair filter moves INTO the
+    # join condition (same BroadcastNestedLoopJoin the crossJoin+filter
+    # planned, condition evaluated before any downstream row exists),
+    # and the window ranks by the same raw cos EXPRESSION the old
+    # cos_sim column held (round(,6) applies only to the emitted value,
+    # exactly as before), so ranking and output are bit-identical.
     cos = _dot("cv", "qv") / (F.col("cn") * F.col("qn"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .withColumn("cos_sim", cos)
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "doc_id")
+    w = Window.partitionBy("query_id").orderBy(cos.desc(), "doc_id")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        c.join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(cos, 6).alias("cos_sim"),
+            F.row_number().over(w).alias("rn"),
+        )
         .filter(F.col("rn") <= k)
-        .select("query_id", "doc_id", F.round("cos_sim", 6).alias("cos_sim"))
+        .select("query_id", "doc_id", "cos_sim")
     )
 
 
 def lsh_signature(vec_col: str, n_planes: int = 12, weights=None):
-    """Deterministic random-hyperplane signature as an int bucket id.
+    """Column form of :func:`lsh_signature_sql` (same expression tree)."""
+    return F.expr(lsh_signature_sql(vec_col, n_planes, weights))
+
+
+def lsh_signature_sql(vec_col: str, n_planes: int = 12, weights=None) -> str:
+    """Deterministic random-hyperplane signature as an int bucket id,
+    returned as SQL TEXT so single-statement spark.sql() query builds
+    (r16 — one py4j/analysis round trip instead of ~20) compose the
+    IDENTICAL expression the DataFrame operators use.
 
     Default plane weights derive from xxhash64(plane, dim) — reproducible
     across executors with no broadcast state. Pass ``weights`` (a list of
@@ -106,26 +135,46 @@ def lsh_signature(vec_col: str, n_planes: int = 12, weights=None):
         # (measured 0.7-0.9 s of pure DRIVER plan-build time per
         # signature at 8 planes x 64 dims — most of emb_ann_recall's
         # wall), while one SQL string parses JVM-side in milliseconds.
-        # The parsed expression tree is value-identical: same zip_with /
-        # aggregate fold, same double literals, same left-associated
-        # integer sum, so buckets (and the oracle replay) are unchanged.
+        #
+        # r16: the per-plane sum is ONE aggregate/transform fold over a
+        # single 2-D weight table instead of n_planes separate
+        # IF(zip_with/aggregate) terms, and the weights enter the plan
+        # as ONE from_json(<json string literal>) node rather than
+        # n_planes×dim Literal nodes. Parsing was never the cost —
+        # Catalyst ANALYSIS was: every DataFrame op above this
+        # projection re-walks the expression tree, and at 8×64 the 512
+        # literal nodes taxed each of lsh_topk's ~7 downstream ops
+        # 40–90 ms (r16 build audit; the signature is analyzed twice —
+        # corpus + query side). from_json of a literal is foldable, so
+        # the optimizer COLLAPSES it to a single array literal exactly
+        # once per query (verified absent from the optimized plan — no
+        # per-row parsing), while analysis walks one string node.
+        # Values are bit-identical: JSON doubles parse to the same
+        # doubles the old literals held (verified by collect equality),
+        # the inner zip_with/aggregate dot is the same fold in the same
+        # order, shiftleft(1, p) is the same int the old 1 << p literal
+        # inlined, and the outer aggregate adds plane terms in the same
+        # p=0..n-1 left-to-right order as the old left-associated `+`
+        # chain (integer adds — exact).
+        import json as _json
+
         guard = (
             f"CASE WHEN size({vec_col}) != {dim} THEN "
             f"cast(raise_error(concat("
             f"'lsh_signature: vector dim != weight dim {dim} (got ', "
             f"cast(size({vec_col}) as string), ')')) as int) ELSE 0 END"
         )
-        terms = []
-        for p, row in enumerate(weights):
-            arr = ", ".join(f"{float(x)!r}D" for x in row)
-            terms.append(
-                f"IF(aggregate(zip_with({vec_col}, array({arr}), "
-                f"(v, wv) -> cast(v as double) * wv), cast(0.0 as double), "
-                f"(acc, x) -> acc + x) > 0.0D, {1 << p}, 0)"
-            )
-        return F.expr(guard + " + " + " + ".join(terms))
-    return F.expr(
-        f"""
+        js = _json.dumps([[float(x) for x in row] for row in weights])
+        fold = (
+            f"aggregate(transform(sequence(0, {n_planes - 1}), p -> "
+            f"IF(aggregate(zip_with({vec_col}, "
+            f"element_at(from_json('{js}', 'array<array<double>>'), p + 1), "
+            f"(v, wv) -> cast(v as double) * wv), cast(0.0 as double), "
+            f"(acc, x) -> acc + x) > 0.0D, shiftleft(1, p), 0)), "
+            f"0, (acc, x) -> acc + x)"
+        )
+        return guard + " + " + fold
+    return f"""
         aggregate(
           transform(sequence(0, {n_planes} - 1), p ->
             if(aggregate(
@@ -135,7 +184,6 @@ def lsh_signature(vec_col: str, n_planes: int = 12, weights=None):
                shiftleft(1, p), 0)),
           0, (acc, x) -> acc + x)
         """
-    )
 
 
 def lcg_plane_weights(n_planes: int, dim: int, seed: int = 0xC0FFEE):
@@ -202,17 +250,28 @@ def lsh_topk(
         f"explode(transform(array({', '.join(str(m) for m in masks)}), m -> qsig ^ m))"
     )
     probes = q.select("query_id", "qv", "qn", probe_expr.alias("bucket"))
+    # r16: scoring + ranking fused (7 DataFrame ops instead of 10; each
+    # op is an eager ~12 ms py4j analysis round — see brute_force_topk).
+    # The self-pair predicate joins the equi-condition (Catalyst pushed
+    # the old post-join filter into the join condition anyway), and the
+    # window ranks by the same raw cos expression; round(,6) still
+    # applies only to the emitted value. Bit-identical output.
     cos = _dot("cv", "qv") / (F.col("cn") * F.col("qn"))
-    scored = (
-        c.join(F.broadcast(probes), "bucket")
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .withColumn("cos_sim", cos)
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "doc_id")
+    w = Window.partitionBy("query_id").orderBy(cos.desc(), "doc_id")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        c.join(
+            F.broadcast(probes),
+            (c["bucket"] == probes["bucket"])
+            & (F.col("doc_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(cos, 6).alias("cos_sim"),
+            F.row_number().over(w).alias("rn"),
+        )
         .filter(F.col("rn") <= k)
-        .select("query_id", "doc_id", F.round("cos_sim", 6).alias("cos_sim"))
+        .select("query_id", "doc_id", "cos_sim")
     )
 
 
@@ -274,15 +333,22 @@ def ivf_topk(
         .filter(F.col("rn") <= n_probes)
         .select("query_id", "qv", "qn", "cell")
     )
+    # r16: scoring + ranking fused — same op-count/analysis-cost rewrite
+    # as lsh_topk/brute_force_topk, bit-identical output.
     cos = _dot("cv", "qv") / (F.col("cn") * F.col("qn"))
-    scored = (
-        indexed.join(F.broadcast(probes), "cell")
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .withColumn("cos_sim", cos)
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "doc_id")
+    w = Window.partitionBy("query_id").orderBy(cos.desc(), "doc_id")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        indexed.join(
+            F.broadcast(probes),
+            (indexed["cell"] == probes["cell"])
+            & (F.col("doc_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(cos, 6).alias("cos_sim"),
+            F.row_number().over(w).alias("rn"),
+        )
         .filter(F.col("rn") <= k)
-        .select("query_id", "doc_id", F.round("cos_sim", 6).alias("cos_sim"))
+        .select("query_id", "doc_id", "cos_sim")
     )

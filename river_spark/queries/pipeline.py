@@ -22,9 +22,16 @@ from river_spark.operators.multimodal import (
     sample_frames,
     with_payload_metadata,
 )
-from river_spark.operators.similarity import brute_force_topk, lcg_plane_weights, lsh_topk
+from river_spark.operators.similarity import (
+    brute_force_topk,
+    dot_sql,
+    lcg_plane_weights,
+    lsh_signature_sql,
+    lsh_topk,
+    norm_sql,
+)
 from river_spark.queries.relational import q
-from river_spark.queries.tables import spread_scan, tbl
+from river_spark.queries.tables import spread_scan, tbl, tview
 
 # Pinned hyperplanes for the ANN recall gate: explicit integer literals so
 # the DuckDB oracle runs the IDENTICAL planes (xxhash64-derived planes are
@@ -37,6 +44,49 @@ _ANN_RECALL_MASKS = [0] + [1 << i for i in range(_ANN_RECALL_PLANES)] + [
     for i in range(_ANN_RECALL_PLANES)
     for j in range(i + 1, _ANN_RECALL_PLANES)
 ]
+
+
+def _ann_recall_spark_sql(view: str) -> str:
+    """The Spark-side emb_ann_recall statement (see the query docstring).
+    Expression text is single-sourced from the similarity operators, so
+    the parsed trees match the lsh_topk/brute_force_topk composition
+    node for node."""
+    sig = lsh_signature_sql("embedding", _ANN_RECALL_PLANES, _ANN_RECALL_WEIGHTS)
+    masks = ", ".join(str(m) for m in _ANN_RECALL_MASKS)
+    cos = f"{dot_sql('cv', 'qv')} / (cn * qn)"
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS doc_id, embedding AS cv, {sig} AS bucket,
+             {norm_sql('embedding')} AS cn FROM {view}),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv, {sig} AS qsig,
+             {norm_sql('embedding')} AS qn
+      FROM {view} WHERE vec_id < 20),
+    probes AS (
+      SELECT query_id, qv, qn,
+             explode(transform(array({masks}), m -> qsig ^ m)) AS bucket
+      FROM q),
+    ann AS (
+      SELECT query_id, doc_id FROM (
+        SELECT /*+ BROADCAST(p) */ p.query_id, c.doc_id,
+               row_number() OVER (PARTITION BY p.query_id
+                                  ORDER BY {cos} DESC, c.doc_id) AS rn
+        FROM c JOIN probes p ON c.bucket = p.bucket AND c.doc_id != p.query_id)
+      WHERE rn <= 10),
+    bf AS (
+      SELECT query_id, doc_id FROM (
+        SELECT /*+ BROADCAST(q) */ q.query_id, c.doc_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cos} DESC, c.doc_id) AS rn
+        FROM c JOIN q ON c.doc_id != q.query_id)
+      WHERE rn <= 10)
+    SELECT b.query_id,
+           cast(coalesce(sum(a.hit), 0) as bigint) AS ann_hits,
+           cast(count(*) as bigint) AS exact_k
+    FROM bf b LEFT JOIN (SELECT query_id, doc_id, 1 AS hit FROM ann) a
+      ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+    GROUP BY b.query_id
+    """
 
 
 def _ann_recall_oracle() -> str:
@@ -102,29 +152,19 @@ def emb_ann_recall(spark, sf_dir):
 
     100 TB posture: same as emb_ann_lsh — corpus bucketed once by an
     equi-join key, query probe set broadcast; brute force on the small
-    query set is the documented broadcast-crossJoin scan."""
-    emb = tbl(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 20)
-    ann = lsh_topk(
-        emb,
-        queries,
-        "vec_id",
-        "embedding",
-        k=10,
-        n_planes=_ANN_RECALL_PLANES,
-        probe_hamming=2,
-        weights=_ANN_RECALL_WEIGHTS,
-    )
-    bf = brute_force_topk(emb, queries, "vec_id", "embedding", k=10)
-    hits = bf.select("query_id", "doc_id").join(
-        ann.select("query_id", "doc_id").withColumn("hit", F.lit(1)),
-        ["query_id", "doc_id"],
-        "left",
-    )
-    return hits.groupBy("query_id").agg(
-        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("ann_hits"),
-        F.count("*").cast("long").alias("exact_k"),
-    )
+    query set is the documented broadcast-crossJoin scan.
+
+    r16: built as ONE spark.sql() statement over the session-memoized
+    embeddings view instead of ~25 DataFrame method calls — each call is
+    an eager py4j + analysis round, and this query spent ~0.5 s of its
+    ~1 s wall in driver plan-build (r16 audit: one-statement build is
+    ~130 ms). Every expression is composed from the SAME SQL text the
+    DataFrame operators use (lsh_signature_sql / dot_sql / norm_sql),
+    the windows rank by the same raw cosine with the same doc_id
+    tiebreak, and the broadcast hints mirror the old F.broadcast()
+    calls — output verified identical (sorted collect at sf0.1 + the
+    standing bit-level oracle)."""
+    return spark.sql(_ann_recall_spark_sql(tview(spark, sf_dir, "embeddings")))
 
 
 @q(

@@ -70,6 +70,29 @@ def tbl(spark: SparkSession, sf_dir: str, name: str, fresh: bool = False) -> Dat
     return df
 
 
+def tview(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Session-memoized temp view over :func:`tbl`, for queries built as
+    ONE ``spark.sql()`` statement (r16). Every DataFrame method is an
+    eager py4j + Catalyst-analysis round (~12-90 ms each on literal-heavy
+    plans, r16 build audit); the vector-family queries spent 30-50% of
+    their wall in ~20 such rounds. A single SQL statement is one round.
+    The view resolves to the SAME memoized unexecuted read plan ``tbl``
+    returns — data is still read from parquet on every execution, and
+    the view name embeds the absolute path so SF dirs never collide."""
+    import re
+
+    path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    vname = "tv_" + re.sub(r"\W", "_", path)
+    reg = getattr(spark, "_river_tview_names", None)
+    if reg is None:
+        reg = set()
+        spark._river_tview_names = reg
+    if vname not in reg:
+        tbl(spark, sf_dir, name).createOrReplaceTempView(vname)
+        reg.add(vname)
+    return vname
+
+
 def event_ts(df: DataFrame, col: str = "ts") -> Column:
     """Timestamp-typed event time regardless of physical storage: pass
     timestamp columns through untouched (keeps scan pushdown intact); for
